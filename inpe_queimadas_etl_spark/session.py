@@ -1,0 +1,112 @@
+"""SparkSession factory with scale-ready defaults.
+
+The reference delegates physical execution to PostgreSQL and tunes it
+per-session (work_mem, jit=off — see BASELINE.md). The Spark analog is
+a session configured so Catalyst/AQE make the same class of decisions
+automatically: adaptive query execution for runtime re-planning and
+skew handling, dynamic partition overwrite for the reference's
+delete+insert-by-day idempotency (reference sql/marts/*.sql), Arrow for
+any pandas-UDF path, and a shuffle-partition count sized to the local
+parallelism (on a real cluster this should be ~2-3x total cores or
+left to AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "inpe-queimadas-etl-spark"
+
+
+def _cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Defaults are chosen to be correct on ``local[N]`` and to carry the
+    right semantics to a large cluster:
+
+    - AQE on (coalesce post-shuffle partitions, skew-join splitting) —
+      the runtime analog of the reference's manual session tuning.
+    - ``partitionOverwriteMode=dynamic`` so writing a day's mart only
+      replaces that day's partition (reference's delete+insert by day).
+    - UTC session timezone so date/timestamp semantics are stable and
+      match the DuckDB oracle.
+    - Arrow enabled for the pandas-UDF operators (geo, multimodal).
+    """
+    cpus = _cpus()
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.maxResultSize", "2g")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Testdata columns written with parquet TIMESTAMP(NANOS), which Spark
+# only reads as raw longs (spark.sql.legacy.parquet.nanosAsLong).
+_NANO_TS_COLS = {"ts", "o_orderdate", "l_shipdate"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-provided parquet table (TESTDATA.md).
+
+    Nanosecond-precision timestamp columns are read as nano-longs and
+    normalized to TIMESTAMP (microsecond truncation — matching how
+    DuckDB reads the same files for the oracle)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name in _NANO_TS_COLS and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"{field.name} div 1000")),
+            )
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,57 @@
+"""Declared query suite: name -> Spark callable + DuckDB oracle SQL.
+
+Every operator claimed as implemented (SURVEY.md §2 inventory + the
+training-data-pipeline extensions) registers here; ``__spark_entry__``
+exposes the registry to the driver, which runs each Spark query against
+its oracle SQL at sf=0.01 (row count + schema + order-insensitive
+value hash).
+
+Conventions (driver contract):
+- every computed column is aliased identically in the Spark plan and
+  the oracle SQL (the compare sorts columns by name before hashing);
+- double-typed aggregates are rounded (2 or 4 dp, mirroring the
+  reference's ``round(x, 2/4)`` mart formulas) so engine-order
+  floating-point noise cannot flip the value hash;
+- count/sum-of-integer aggregates are cast to BIGINT in the oracle
+  (DuckDB sums integers into HUGEINT, Spark into LONG).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a suite query; ``oracle=None`` -> rows-only check."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate suite query {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every suite module so registration side effects run."""
+    from . import geo, llmdata, relational  # noqa: F401
+
+
+def all_queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)

@@ -1,0 +1,496 @@
+"""Training-data-pipeline suite: dedup, text analysis, similarity.
+
+These are the large-scale LLM-data operators the engine adds beyond
+the reference's own surface (BASELINE.json north star). Each entry is
+an idiomatic, shuffle-minimal Spark plan over `documents` /
+`embeddings` paired with a DuckDB oracle.
+
+Scale notes (designed for ~100 TB, tested at sf<=0.1):
+- MinHash signatures are computed map-side with array higher-order
+  functions (no explode, no shuffle); the only shuffle is the LSH
+  band-bucket self-join, whose keys are uniformly distributed hashes.
+- The n-gram Jaccard join shuffles on shingle hashes, not documents,
+  and prunes pairs below the threshold before the expensive union
+  size computation.
+- Brute-force cosine top-k broadcasts the (small) query set; the scale
+  path is the LSH/IVF bucketed variant in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from . import query
+
+# --- shared deterministic word->int hash -----------------------------------
+# int value of the first 8 hex chars of md5(word); identical in Spark
+# (conv(substr(md5(w),1,8),16,10)) and DuckDB (digit arithmetic below).
+
+_HEX_TO_INT_SQL = "+".join(
+    f"(strpos('0123456789abcdef', substr({{h}},{i},1))-1)*{16 ** (8 - i)}"
+    for i in range(1, 9)
+)
+
+
+def _hex_to_int_sql(h: str) -> str:
+    return "(" + _HEX_TO_INT_SQL.format(h=h) + ")"
+
+
+def _word_hash_spark(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+# MinHash parameters: k=8 permutations h_i(x) = (a_i*x + b_i) mod p over
+# the 31-bit Mersenne prime; 4 bands x 2 rows.
+_MH_P = 2147483647
+_MH_A = [1103515245, 1103604289, 214013, 69069, 1664525, 22695477, 48271, 16807]
+_MH_B = [12345, 2531011, 2531021, 1, 1013904223, 1, 0, 33]
+_MH_BANDS = 4
+_MH_ROWS = 2  # rows per band (k = bands * rows)
+
+
+def _shingles_spark(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id + distinct n-word shingle array, computed map-side."""
+    words = F.split(F.col("text"), " ")
+    shingle_expr = f"""
+        array_distinct(
+            transform(sequence(0, size(w) - {n}),
+                      i -> concat_ws(' ', {", ".join(f"w[i+{j}]" for j in range(n))}))
+        )
+    """
+    return (
+        df.withColumn("w", words)
+        .filter(F.size("w") >= n)
+        .withColumn("shingles", F.expr(shingle_expr))
+        .drop("w")
+    )
+
+
+_SHINGLES_SQL = """
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dd1_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via hash-groupBy: keep lowest doc_id per
+    content hash (the distributed form of the reference's seen-set
+    dedup, transform/inpe_focos_diario.py:166-169). Map-side partial
+    aggregation makes the shuffle carry one row per distinct hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dd2_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    doc_sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_inter
+        FROM exploded a JOIN exploded b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(1.0 * n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN doc_sizes sa ON sa.doc_id = doc_a
+    JOIN doc_sizes sb ON sb.doc_id = doc_b
+    WHERE 1.0 * n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def dd2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram shingle Jaccard >= 0.5. Shuffles on
+    shingle values (uniform keys), never materializes the full doc x doc
+    cross product; intersection counts flow through map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles_spark(docs).select("doc_id", "shingles")
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sizes.alias("sa")), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sizes.alias("sb")), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _minhash_sig_cols():
+    """k min-hash columns computed over the shingle-int array, map-side."""
+    cols = []
+    for i, (a, b) in enumerate(zip(_MH_A, _MH_B)):
+        cols.append(
+            F.array_min(
+                F.expr(
+                    f"transform(xs, x -> ({a}L * x + {b}L) % {_MH_P}L)"
+                )
+            ).alias(f"mh{i}")
+        )
+    return cols
+
+
+_MINHASH_SQL_BODY = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ints AS (
+        SELECT doc_id,
+               list_transform(shingles,
+                   s -> {_hex_to_int_sql("substr(md5(s),1,8)")} % {_MH_P}) AS xs
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"list_min(list_transform(xs, x -> ({a} * x + {b}) % {_MH_P})) AS mh{i}"
+                   for i, (a, b) in enumerate(zip(_MH_A, _MH_B)))}
+        FROM ints
+    )
+"""
+
+
+@query(
+    "dd3_minhash_signatures",
+    oracle=_MINHASH_SQL_BODY
+    + """
+    SELECT doc_id, """
+    + ", ".join(f"CAST(mh{i} AS BIGINT) AS mh{i}" for i in range(len(_MH_A)))
+    + """
+    FROM sig
+    """,
+)
+def dd3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8) computed entirely map-side with array
+    higher-order functions — zero shuffle, linear scan; the scale path
+    for 100 TB near-dup detection."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles_spark(docs)
+    ints = sh.withColumn(
+        "xs",
+        F.expr(
+            f"transform(shingles, s -> conv(substring(md5(s), 1, 8), 16, 10) % {_MH_P}L)"
+        ).cast("array<long>"),
+    )
+    return ints.select("doc_id", *_minhash_sig_cols())
+
+
+@query(
+    "dd4_minhash_lsh_candidates",
+    oracle=_MINHASH_SQL_BODY
+    + f"""
+    , bands AS (
+        SELECT doc_id, band_idx,
+               md5({" || ',' || ".join(
+                   "CAST(CASE band_idx "
+                   + " ".join(
+                       f"WHEN {bi} THEN mh{bi * _MH_ROWS + r}" for bi in range(_MH_BANDS)
+                   )
+                   + " END AS VARCHAR)"
+                   for r in range(_MH_ROWS))}) AS band_hash
+        FROM sig CROSS JOIN (SELECT unnest(range({_MH_BANDS})) AS band_idx)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+)
+def dd4_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: band the MinHash signature (4 bands x 2
+    rows), bucket-join on (band_idx, band_hash). The only shuffle keys
+    are uniform hashes, so the join is skew-free at any scale."""
+    sig = dd3_minhash_signatures(spark, sf_dir)
+    band_structs = []
+    for bi in range(_MH_BANDS):
+        row_cols = [
+            F.col(f"mh{bi * _MH_ROWS + r}").cast("string") for r in range(_MH_ROWS)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.md5(F.concat_ws(",", *row_cols)).alias("band_hash"),
+            )
+        )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@query(
+    "tx1_text_quality",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           round(1.0 * length(replace(text, ' ', '')) /
+                 len(string_split(text, ' ')), 4) AS avg_word_len,
+           round(1.0 * len(list_filter(string_split(text, ' '),
+                     w -> w IN ({", ".join(repr(s) for s in _STOPWORDS)}))) /
+                 len(string_split(text, ' ')), 4) AS stopword_ratio,
+           (len(string_split(text, ' ')) BETWEEN 10 AND 1000) AS len_ok
+    FROM documents
+    """,
+)
+def tx1_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, word count, average word
+    length, stopword ratio, length gate — all JVM-side array/string
+    functions, no UDF in the hot path."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")) / n_words, 4
+        ).alias("avg_word_len"),
+        F.round(n_stop / n_words, 4).alias("stopword_ratio"),
+        n_words.between(10, 1000).alias("len_ok"),
+    )
+
+
+@query(
+    "tx2_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def tx2_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (letters runs / digit runs / single other chars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "tx3_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN len(list_filter(string_split(text, ' '),
+                     w -> w IN ({", ".join(repr(s) for s in _STOPWORDS)}))) >= 2
+               THEN 'en'
+             WHEN length(text) < 20 THEN 'short'
+             ELSE 'unk'
+           END AS pred_lang
+    FROM documents
+    """,
+)
+def tx3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-profile vote (>=2 English marker
+    words -> 'en'), short-text class, else unknown. Deterministic and
+    fully JVM-side; a production n-gram model would broadcast a
+    profile table and score the same way."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(n_stop >= 2, "en")
+        .when(F.length("text") < 20, "short")
+        .otherwise("unk")
+        .alias("pred_lang"),
+    )
+
+
+@query(
+    "tx4_doc_fingerprint",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+    SELECT doc_id,
+           CAST(bit_xor(({_hex_to_int_sql("substr(md5(word),1,8)")}) * pos)
+                AS BIGINT) AS fingerprint
+    FROM words
+    GROUP BY doc_id
+    """,
+)
+def tx4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: XOR-fold of
+    position-weighted word hashes (a distributed rolling-hash stand-in;
+    md5-derived word ints keep Spark and the oracle bit-identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word"),
+    ).withColumn("pos", F.col("pos0") + 1)
+    return (
+        words.withColumn("wh", _word_hash_spark(F.col("word")))
+        .groupBy("doc_id")
+        .agg(F.expr("bit_xor(wh * pos)").cast("long").alias("fingerprint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim1_knn_cosine_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(rank AS BIGINT) AS rank, round(sim, 4) AS sim
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim1_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: broadcast the query set,
+    JVM-side zip_with/aggregate dot products (no Python in the loop),
+    per-query top-k via window. At 100 TB the corpus side stays
+    partitioned and only per-partition top-k rows reach the shuffle
+    (the window's rank filter is applied after a partial sort)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", dot / (norm("qv") * norm("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("sim", 4).alias("sim"),
+        )
+    )
+
+
+@query(
+    "sim2_embedding_stats",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(len(embedding)) AS BIGINT) AS dim,
+           round(avg(sqrt(list_sum(list_transform(
+               CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def sim2_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats (count, dimensionality, mean L2 norm)
+    — the profiling pass before index building; fully JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        emb.withColumn("nrm", norm)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.size("embedding")).cast("long").alias("dim"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+    )

@@ -1,0 +1,100 @@
+"""Local replica of the driver's correctness gate: run every declared
+suite query on Spark and its oracle SQL on DuckDB, then compare
+row count, column names, and values (order-insensitive, columns sorted
+by name) — stricter than the driver's hash (exact equality, with a
+float fallback report)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from inpe_queimadas_etl_spark.session import TABLE_NAMES
+from inpe_queimadas_etl_spark.suite import all_oracles, all_queries
+
+SF0001 = "/root/testdata/sf0.001"
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+def _duck(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if (s.dropna().dt.normalize() == s.dropna()).all():
+                df[c] = s.dt.strftime("%Y-%m-%d")
+            else:
+                df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S")
+        elif s.dtype == object:
+            df[c] = s.map(
+                lambda v: v.isoformat() if hasattr(v, "isoformat") else v
+            )
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype(bool)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or math.isclose(a, b, rel_tol=0, abs_tol=0)
+    return a == b
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    sdf = QUERIES[name](spark, SF0001).toPandas()
+    odf = _duck(SF0001, ORACLES[name])
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), f"{name}: rowcount {len(sdf)} vs {len(odf)}"
+    s = _normalize(sdf)
+    o = _normalize(odf)
+    mismatches = []
+    for col in s.columns:
+        sv, ov = s[col].tolist(), o[col].tolist()
+        for i, (x, y) in enumerate(zip(sv, ov)):
+            if not _values_equal(x, y):
+                mismatches.append((col, i, x, y))
+                if len(mismatches) > 5:
+                    break
+        if len(mismatches) > 5:
+            break
+    assert not mismatches, f"{name}: value mismatches {mismatches}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF0001)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_runs(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
