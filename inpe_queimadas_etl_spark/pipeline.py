@@ -1,0 +1,230 @@
+"""Pipeline orchestration: run_day / run_range (reference §3).
+
+The reference loops per day because Postgres idempotency is
+delete+insert per date (app.py:276-300, backfill.py:138-224). In Spark
+the same guarantees come from:
+
+- idempotent append: left anti-join on event_hash against the existing
+  curated table before appending (K1);
+- dynamic partition overwrite for enriched + daily marts (partitioned
+  by event day) and monthly marts (partitioned by month) — re-running
+  a day replaces exactly the affected partitions (K2/K3);
+- event-day spillover handled by recomputing every event day present
+  in the batch, not just the file date (SURVEY.md §7.6).
+
+A whole date range is therefore ONE Spark job over all days — the
+per-day loop disappears; `run_range` just iterates extraction and
+feeds a single multi-day batch through the same `process_batch`.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import marts
+from .enrich import enrich, new_rows_only
+from .schemas import CURATED_FOCOS
+from .sources.csv_ingest import read_csv_all_string
+from .transform import curated_from_raw
+
+
+class Warehouse:
+    """Partitioned-parquet warehouse: the engine's table layer.
+
+    Layout: <root>/<table>/ partitioned parquet. Daily tables are
+    partitioned by day (partition pruning on every day-ranged query —
+    the Spark analog of the reference's B-tree-on-day indexes,
+    SURVEY.md §4), monthly tables by month.
+    """
+
+    def __init__(self, root: str):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return str(self.root / table)
+
+    def exists(self, table: str) -> bool:
+        p = self.root / table
+        return p.exists() and any(p.rglob("*.parquet"))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        if not self.exists(table):
+            return None
+        return spark.read.parquet(self.path(table))
+
+    def overwrite_partitions(self, df: DataFrame, table: str, partition_col: str) -> None:
+        """K2/K3: replace only the partitions present in df (requires
+        spark.sql.sources.partitionOverwriteMode=dynamic)."""
+        (
+            df.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(self.path(table))
+        )
+
+    def append(self, df: DataFrame, table: str, partition_col: str | None = None) -> None:
+        w = df.write.mode("append")
+        if partition_col:
+            w = w.partitionBy(partition_col)
+        w.parquet(self.path(table))
+
+    def overwrite(self, df: DataFrame, table: str) -> None:
+        df.write.mode("overwrite").parquet(self.path(table))
+
+
+def process_batch(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    curated_batch: DataFrame,
+    dims: dict,
+) -> dict:
+    """Core incremental step: curated batch -> curated/enriched tables
+    -> marts, idempotently. ``dims`` carries PolyFeature lists
+    ('municipios','biomas','ucs','tis') and the uf_area DataFrame.
+    """
+    t0 = time.perf_counter()
+    existing = warehouse.read(spark, "curated_focos")
+    # localCheckpoint truncates lineage BEFORE the append below —
+    # otherwise any recomputation re-lists curated_focos, sees its own
+    # freshly appended files, and the anti-join silently empties the
+    # batch (the classic read-your-own-append hazard). On a cluster
+    # this would be a staging-table write instead.
+    fresh = new_rows_only(curated_batch, existing).localCheckpoint(eager=True)
+    n_new = fresh.count()
+
+    metrics = {"rows_in_batch": curated_batch.count(), "rows_new": n_new}
+    if n_new == 0:
+        metrics["seconds"] = round(time.perf_counter() - t0, 3)
+        return metrics
+
+    warehouse.append(fresh, "curated_focos", partition_col="file_date")
+
+    enriched_new = enrich(
+        fresh,
+        dims["municipios"],
+        dims["biomas"],
+        dims["ucs"],
+        dims["tis"],
+    ).localCheckpoint(eager=True)
+
+    # spillover: recompute every event day touched by this batch
+    affected_days = [r["event_day"] for r in enriched_new.select("event_day").distinct().collect()]
+    day_strs = [str(d) for d in affected_days]
+    prior = warehouse.read(spark, "enriched_focos")
+    if prior is not None:
+        prior_affected = prior.filter(
+            F.col("event_day").cast("string").isin(day_strs)
+        )
+        # materialize before overwriting the same partitions we read
+        enriched_days = (
+            prior_affected.unionByName(enriched_new.select(*prior.columns))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        enriched_days = enriched_new
+    warehouse.overwrite_partitions(enriched_days, "enriched_focos", "event_day")
+
+    # marts over the affected days (reload from the table so re-runs
+    # see the merged state)
+    enriched_all = warehouse.read(spark, "enriched_focos")
+    affected = enriched_all.filter(
+        F.col("event_day").cast("string").isin(day_strs)
+    )
+    daily_mun = marts.focos_diario_municipio(affected)
+    daily_uf = marts.focos_diario_uf(affected, dims["uf_area"])
+    warehouse.overwrite_partitions(daily_mun, "focos_diario_municipio", "day")
+    warehouse.overwrite_partitions(daily_uf, "focos_diario_uf", "day")
+    warehouse.overwrite_partitions(
+        marts.focos_diario_bioma(affected), "focos_diario_bioma", "day"
+    )
+    warehouse.overwrite_partitions(
+        marts.focos_diario_uc(affected), "focos_diario_uc", "day"
+    )
+    warehouse.overwrite_partitions(
+        marts.focos_diario_ti(affected), "focos_diario_ti", "day"
+    )
+
+    # monthly marts: recompute affected months from the enriched table
+    affected_months = sorted({dt.date(d.year, d.month, 1) for d in affected_days})
+    month_df = enriched_all.filter(
+        F.trunc("event_day", "month").cast("string").isin(
+            [str(m) for m in affected_months]
+        )
+    )
+    warehouse.overwrite_partitions(
+        marts.focos_mensal_municipio(month_df), "focos_mensal_municipio", "month"
+    )
+    warehouse.overwrite_partitions(
+        marts.focos_mensal_uf(month_df, dims["uf_area"]), "focos_mensal_uf", "month"
+    )
+
+    # serving fact MV + trend view (full recompute — small aggregates)
+    warehouse.overwrite_partitions(
+        marts.mv_focos_day_dim(affected), "mv_focos_day_dim", "day"
+    )
+    full_daily_uf = warehouse.read(spark, "focos_diario_uf")
+    warehouse.overwrite(marts.focos_diario_uf_trend(full_daily_uf), "focos_diario_uf_trend")
+
+    metrics.update(
+        {
+            "affected_days": [str(d) for d in affected_days],
+            "affected_months": [str(m) for m in affected_months],
+            "seconds": round(time.perf_counter() - t0, 3),
+        }
+    )
+    return metrics
+
+
+def run_day(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    csv_path: str,
+    file_date: dt.date,
+    dims: dict,
+) -> dict:
+    """One daily file end-to-end: CSV -> transform -> batch."""
+    raw = read_csv_all_string(spark, csv_path)
+    curated = curated_from_raw(raw, file_date)
+    return process_batch(spark, warehouse, curated, dims)
+
+
+def run_range(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    day_files: list[tuple[dt.date, str]],
+    dims: dict,
+    state_path: str | None = None,
+) -> list[dict]:
+    """Multi-day backfill as ONE batch per call (S8-style resumable
+    state optional — reference backfill.py:47-66 keeps a JSON resume
+    marker; here the anti-join append makes replays free, so state is
+    informational)."""
+    batches = []
+    for file_date, path in day_files:
+        raw = read_csv_all_string(spark, path)
+        batches.append(curated_from_raw(raw, file_date))
+    if not batches:
+        return []
+    combined = batches[0]
+    for b in batches[1:]:
+        combined = combined.unionByName(b)
+    combined = combined.select([f.name for f in CURATED_FOCOS.fields])
+    result = process_batch(spark, warehouse, combined, dims)
+    if state_path:
+        Path(state_path).write_text(
+            json.dumps(
+                {
+                    "last_done": str(max(d for d, _ in day_files)),
+                    "days": [str(d) for d, _ in day_files],
+                    "metrics": result,
+                },
+                default=str,
+            )
+        )
+    return [result]

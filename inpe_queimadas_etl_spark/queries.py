@@ -1,0 +1,279 @@
+"""Serving-layer query surface (§2.11) over the day-dim fact table.
+
+Each reference API endpoint (api/app/main.py) becomes a parameterized
+DataFrame function over the `mv_focos_day_dim` equivalent. Range
+semantics are [from, to) with `to` exclusive, max 365 days
+(main.py:77,89-93); filters normalize strip/upper and match code OR
+name (main.py:136-158,171-215); granularity downshifts day -> week ->
+month at 92/273 days (main.py:78-79,392-397); the municipality top-k
+guardrail caps k at 10 without a UF filter (main.py:76,1537-1539).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions.legend import compute_breaks
+
+MAX_RANGE_DAYS = 365
+TS_WEEK_THRESHOLD_DAYS = 92
+TS_MONTH_THRESHOLD_DAYS = 273
+CHORO_MAX_DAYS_MUN = 180
+MUN_GUARDRAIL_LIMIT = 10
+POINTS_LIMIT_HARD_CAP = 50_000
+POINTS_LIMIT_DEFAULT = 20_000
+
+# group key -> (code expr, name expr), mirroring TOP_GROUP_EXPR
+# (api/app/main.py:60-66)
+TOP_GROUP_EXPR = {
+    "uf": ("uf", "uf"),
+    "bioma": ("cd_bioma", "bioma"),
+    "mun": ("cd_mun", "mun_nm_mun"),
+    "uc": ("cd_cnuc", "uc_nome"),
+    "ti": ("terrai_cod", "ti_nome"),
+}
+
+
+def validate_range(from_date: dt.date, to: dt.date) -> None:
+    """[from, to) validation (main.py:89-93)."""
+    if from_date >= to:
+        raise ValueError("invalid range: require from < to (to is exclusive)")
+    if (to - from_date).days > MAX_RANGE_DAYS:
+        raise ValueError(f"range too large: max {MAX_RANGE_DAYS} days")
+
+
+def timeseries_granularity(days: int) -> str:
+    """main.py:392-397."""
+    if days > TS_MONTH_THRESHOLD_DAYS:
+        return "month"
+    if days > TS_WEEK_THRESHOLD_DAYS:
+        return "week"
+    return "day"
+
+
+def _norm(v: str | None) -> str | None:
+    if v is None:
+        return None
+    v = v.strip().upper()
+    return v or None
+
+
+def _range_pred(from_date: dt.date, to: dt.date):
+    return (F.col("day") >= F.lit(str(from_date)).cast("date")) & (
+        F.col("day") < F.lit(str(to)).cast("date")
+    )
+
+
+def _filter_pred(filters: dict[str, str | None]):
+    """Code-or-name match per entity (P11, main.py:171-215):
+    `code = v OR upper(coalesce(name, '')) = v`."""
+    pred = F.lit(True)
+    for key, (code_col, name_col) in TOP_GROUP_EXPR.items():
+        v = _norm(filters.get(key)) if filters else None
+        if v is None:
+            continue
+        pred = pred & (
+            (F.upper(F.col(code_col).cast("string")) == v)
+            | (F.upper(F.coalesce(F.col(name_col), F.lit(""))) == v)
+        )
+    return pred
+
+
+def _base(fact: DataFrame, from_date: dt.date, to: dt.date, filters=None) -> DataFrame:
+    validate_range(from_date, to)
+    return fact.filter(_range_pred(from_date, to)).filter(_filter_pred(filters or {}))
+
+
+def timeseries_total(
+    fact: DataFrame,
+    from_date: dt.date,
+    to: dt.date,
+    filters: dict | None = None,
+    granularity: str | None = None,
+) -> DataFrame:
+    """A9 (main.py:1448-1506): sum per adaptive time bucket."""
+    gran = granularity or timeseries_granularity((to - from_date).days)
+    base = _base(fact, from_date, to, filters)
+    bucket = (
+        F.col("day")
+        if gran == "day"
+        else F.to_date(F.date_trunc(gran, F.col("day")))
+    )
+    return (
+        base.groupBy(bucket.alias("bucket"))
+        .agg(F.sum("n_focos").alias("n_focos"))
+        .orderBy("bucket")
+    )
+
+
+def top_groups(
+    fact: DataFrame,
+    group: str,
+    from_date: dt.date,
+    to: dt.date,
+    filters: dict | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """A10 (main.py:1532-1579): top-k groups by total, key coalesce of
+    code/name, null/empty keys dropped, deterministic tie-break."""
+    code_col, name_col = TOP_GROUP_EXPR[group]
+    if group == "mun" and not (filters or {}).get("uf"):
+        k = min(k, MUN_GUARDRAIL_LIMIT)  # main.py:1537-1539
+    key = F.coalesce(F.col(code_col).cast("string"), F.col(name_col))
+    label = F.coalesce(F.col(name_col), F.col(code_col).cast("string"))
+    base = _base(fact, from_date, to, filters)
+    return (
+        base.filter(key.isNotNull() & (key != ""))
+        .groupBy(key.alias("key"))
+        .agg(F.max(label).alias("label"), F.sum("n_focos").alias("n_focos"))
+        .orderBy(F.desc("n_focos"), F.asc("key"))
+        .limit(k)
+    )
+
+
+def totals(
+    fact: DataFrame, from_date: dt.date, to: dt.date, filters: dict | None = None
+) -> DataFrame:
+    """A11 totals (main.py:1615-1627)."""
+    return _base(fact, from_date, to, filters).agg(
+        F.coalesce(F.sum("n_focos"), F.lit(0)).alias("total")
+    )
+
+
+def summary(
+    fact: DataFrame, from_date: dt.date, to: dt.date, filters: dict | None = None
+) -> dict:
+    """A11 summary (main.py:1656-1702): total, mean_per_day =
+    total/greatest(1, days), peak day (ties -> earliest)."""
+    days = (to - from_date).days
+    daily = (
+        _base(fact, from_date, to, filters)
+        .groupBy("day")
+        .agg(F.sum("n_focos").alias("n"))
+    )
+    rows = daily.collect()
+    total = sum(r["n"] for r in rows)
+    peak = min(
+        (r for r in rows), key=lambda r: (-r["n"], r["day"]), default=None
+    )
+    return {
+        "total": int(total),
+        "mean_per_day": round(total / max(1, days), 2),
+        "peak_day": peak["day"] if peak else None,
+        "peak_n": int(peak["n"]) if peak else 0,
+    }
+
+
+def choropleth_uf(
+    fact: DataFrame,
+    all_ufs: DataFrame,
+    from_date: dt.date,
+    to: dt.date,
+    filters: dict | None = None,
+) -> tuple[DataFrame, dict]:
+    """Choropleth by UF (main.py:930-1017): aggregate per UF with
+    zero-fill against the full UF dim (J7) + exact quantile legend
+    (A13). Returns (DataFrame, legend dict)."""
+    agg = (
+        _base(fact, from_date, to, filters)
+        .filter(F.col("uf").isNotNull())
+        .groupBy("uf")
+        .agg(F.sum("n_focos").alias("n_focos"))
+    )
+    dense = (
+        all_ufs.select("uf")
+        .join(agg, "uf", "left")
+        .withColumn("n_focos", F.coalesce(F.col("n_focos"), F.lit(0)))
+    )
+    values = [int(r["n_focos"]) for r in dense.collect()]
+    legend = compute_breaks(values, method="quantile", k=5, zero_class=True)
+    return dense, legend
+
+
+def choropleth_mun(
+    fact: DataFrame,
+    from_date: dt.date,
+    to: dt.date,
+    uf: str,
+    filters: dict | None = None,
+) -> tuple[DataFrame, dict]:
+    """Choropleth by municipality (main.py:1020-1130): requires a UF
+    filter, range capped at 180 days."""
+    if not uf:
+        raise ValueError("uf filter required for municipality choropleth")
+    if (to - from_date).days > CHORO_MAX_DAYS_MUN:
+        raise ValueError(f"range too large: max {CHORO_MAX_DAYS_MUN} days")
+    f = dict(filters or {})
+    f["uf"] = uf
+    agg = (
+        _base(fact, from_date, to, f)
+        .filter(F.col("cd_mun").isNotNull())
+        .groupBy("cd_mun")
+        .agg(F.max("mun_nm_mun").alias("mun_nm_mun"), F.sum("n_focos").alias("n_focos"))
+    )
+    values = [int(r["n_focos"]) for r in agg.collect()]
+    legend = compute_breaks(values, method="quantile", k=5, zero_class=True)
+    return agg, legend
+
+
+def points(
+    events: DataFrame,
+    day: dt.date,
+    bbox: tuple[float, float, float, float] | None = None,
+    limit: int = POINTS_LIMIT_DEFAULT,
+) -> tuple[DataFrame, bool]:
+    """Per-day bbox point scan with limit+1 truncation detection
+    (main.py:1401-1445,498-526). Returns (DataFrame, truncated)."""
+    limit = min(limit, POINTS_LIMIT_HARD_CAP)
+    df = events.filter(F.col("event_day") == F.lit(str(day)).cast("date"))
+    if bbox is not None:
+        min_lon, min_lat, max_lon, max_lat = bbox
+        df = df.filter(
+            F.col("lon").between(min_lon, max_lon)
+            & F.col("lat").between(min_lat, max_lat)
+        )
+    probe = df.select("event_hash", "lat", "lon", "event_day").limit(limit + 1)
+    rows = probe.collect()
+    truncated = len(rows) > limit
+    out = probe.limit(limit)
+    return out, truncated
+
+
+def validate_consistency(
+    fact: DataFrame,
+    all_ufs: DataFrame,
+    from_date: dt.date,
+    to: dt.date,
+    filters: dict | None = None,
+) -> dict:
+    """Cross-query consistency (main.py:1713-1866): totals ==
+    sum(timeseries) == sum(choropleth); legend strictly increasing."""
+    total = totals(fact, from_date, to, filters).collect()[0]["total"]
+    ts_sum = (
+        timeseries_total(fact, from_date, to, filters)
+        .agg(F.coalesce(F.sum("n_focos"), F.lit(0)).alias("s"))
+        .collect()[0]["s"]
+    )
+    # choropleth component: group by uf INCLUDING the null-uf group,
+    # exactly as the reference's ufagg CTE (main.py:1752-1760) — so
+    # unattributed rows cannot break totals == sum(choropleth)
+    choro_sum = (
+        _base(fact, from_date, to, filters)
+        .groupBy("uf")
+        .agg(F.sum("n_focos").alias("n"))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("s"))
+        .collect()[0]["s"]
+    )
+    _, legend = choropleth_uf(fact, all_ufs, from_date, to, filters)
+    breaks = legend["breaks"]
+    legend_ok = all(breaks[i] > breaks[i - 1] for i in range(1, len(breaks)))
+    return {
+        "totals": int(total),
+        "timeseries_sum": int(ts_sum),
+        "choropleth_sum": int(choro_sum),
+        "consistent": int(total) == int(ts_sum) == int(choro_sum),
+        "legend_monotonic": legend_ok,
+    }

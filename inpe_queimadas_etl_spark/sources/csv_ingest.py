@@ -1,0 +1,124 @@
+"""CSV ingestion (reference S1-S6).
+
+The reference downloads INPE daily CSVs with a file cache and
+monthly-archive fallback (extract/inpe_focos_diario.py). The Spark
+engine keeps the same shape: a driver-side fetch-to-landing-dir step
+(HTTP stays in the driver; Spark never fetches), then a schema-sniffed
+`spark.read.csv` over the landing file(s).
+
+- Dialect sniffing reads the first 4 KiB and tries csv.Sniffer with
+  ';'/',' candidates (extract:85-89), falling back to ';' (INPE's
+  default) — the sniff is driver-side; the distributed read uses the
+  resolved delimiter.
+- All columns load as strings (transform casts), matching
+  `pd.read_csv(dtype=str)` (transform:87).
+- Monthly->daily extraction (S4, extract:116-156) finds the date
+  column by name heuristics and filters rows whose ISO or dd/mm/yyyy
+  date equals the target day — expressed as JVM regexp/filter so it
+  pushes into the scan.
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime as dt
+import io
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.core import find_col, norm_name
+
+
+def sniff_delimiter(path: str, default: str = ";") -> str:
+    """S6 dialect sniff (extract/inpe_focos_diario.py:85-89)."""
+    try:
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            sample = fh.read(4096)
+        return csv.Sniffer().sniff(sample, delimiters=";,").delimiter
+    except (csv.Error, OSError):
+        return default
+
+
+def read_csv_all_string(spark: SparkSession, path: str, sep: str | None = None) -> DataFrame:
+    """Header CSV -> all-string DataFrame (S6)."""
+    sep = sep or sniff_delimiter(path)
+    return (
+        spark.read.option("header", True)
+        .option("sep", sep)
+        .option("inferSchema", False)
+        .csv(path)
+    )
+
+
+def extract_zip_csv(zip_path: str, out_dir: str) -> str:
+    """S3 (extract:71-82): stream the first CSV member out of a zip."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(zip_path) as zf:
+        member = next(n for n in zf.namelist() if n.lower().endswith(".csv"))
+        target = out / Path(member).name
+        with zf.open(member) as src, open(target, "wb") as dst:
+            while True:
+                chunk = src.read(1 << 20)
+                if not chunk:
+                    break
+                dst.write(chunk)
+    return str(target)
+
+
+def filter_monthly_to_day(df: DataFrame, day: dt.date) -> DataFrame:
+    """S4 (extract:116-156): locate the date column, extract an ISO
+    (yyyy-mm-dd) or Brazilian (dd/mm/yyyy) date, keep rows == day."""
+    cols = [norm_name(c) for c in df.columns]
+    df = df.toDF(*cols)
+    date_col = find_col(
+        cols, ["data", "datahora", "data_hora_gmt", "data_pas"], ["data", "hora", "gmt"]
+    )
+    if date_col is None:
+        raise ValueError(f"no date column found in {cols[:40]}")
+    iso = F.regexp_extract(F.col(date_col), r"(\d{4}-\d{2}-\d{2})", 1)
+    br = F.regexp_extract(F.col(date_col), r"(\d{2}/\d{2}/\d{4})", 1)
+    parsed = F.coalesce(
+        F.when(iso != "", F.to_date(iso, "yyyy-MM-dd")),
+        F.when(br != "", F.to_date(br, "dd/MM/yyyy")),
+    )
+    return df.filter(parsed == F.lit(str(day)).cast("date"))
+
+
+class LandingCache:
+    """S1/S2 file cache (extract:212-255): fetch-once landing dir keyed
+    by logical name; ``fetch`` is any callable writing bytes (HTTP in
+    production, fixture copy in tests)."""
+
+    def __init__(self, root: str):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def path_for(self, key: str) -> Path:
+        return self.root / key
+
+    def get_or_fetch(self, key: str, fetch) -> str | None:
+        target = self.path_for(key)
+        if target.exists():
+            return str(target)
+        data = fetch()
+        if data is None:
+            return None
+        if isinstance(data, str):
+            data = data.encode("utf-8")
+        target.write_bytes(data)
+        return str(target)
+
+
+def write_fixture_csv(path: str, header: list[str], rows: list[list], sep: str = ";") -> str:
+    """Test helper: write a CSV with the given dialect."""
+    buf = io.StringIO()
+    writer = csv.writer(buf, delimiter=sep, lineterminator="\n")
+    writer.writerow(header)
+    writer.writerows(rows)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_text(buf.getvalue(), encoding="utf-8")
+    return path

@@ -131,31 +131,71 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by 3-gram shingle Jaccard >= 0.5. Shuffles on
-    shingle values (uniform keys), never materializes the full doc x doc
-    cross product; intersection counts flow through map-side combine."""
+    """Near-dup pairs by 3-gram shingle Jaccard >= 0.5.
+
+    Scale design: shingles are reduced to 64-bit hashes map-side (xxhash64)
+    so the self-join shuffles narrow longs, not strings; the join carries
+    each doc's shingle count so the size-ratio bound (jaccard >= t implies
+    |A|/|B| in [t, 1/t]) prunes hopeless pairs BEFORE the intersection
+    aggregation; intersection counts flow through map-side combine. The
+    full doc x doc cross product is never materialized.
+    """
+    threshold = 0.5
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles_spark(docs).select("doc_id", "shingles")
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
+    # Sorted 64-bit shingle-hash set per doc (the global prefix order).
+    # The 3-word shingle is hashed directly (xxhash64 over the word
+    # triple) — the shingle string is never materialized, which is the
+    # difference between a string-concat scan and a pure numeric one.
+    sets = (
+        docs.withColumn("w", F.split(F.col("text"), " "))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 3),"
+                        " i -> xxhash64(w[i], w[i+1], w[i+2]))"
+                    )
+                )
+            ).alias("xs"),
+        )
+        .withColumn("n_sh", F.size("xs"))
+        .persist()
+    )
+    # prefix length n - ceil(t*n) + 1: any pair with jaccard >= t must
+    # share at least one element inside both prefixes
+    prefix_len = (
+        F.col("n_sh") - F.ceil(threshold * F.col("n_sh")) + 1
+    ).cast("int")
+    prefixes = sets.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.slice("xs", 1, prefix_len)).alias("sh"),
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    candidates = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio bound: jaccard >= t implies |A|/|B| in [t, 1/t]
+            & (F.col("a.n_sh") >= threshold * F.col("b.n_sh"))
+            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    jac = F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+    # verify candidates exactly on the full sets
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("xs").alias("xa"), F.col("n_sh").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("xs").alias("xb"), F.col("n_sh").alias("nb"))
+    n_inter = F.size(F.array_intersect("xa", "xb"))
+    jac = n_inter / (F.col("na") + F.col("nb") - n_inter)
     return (
-        inter.join(F.broadcast(sizes.alias("sa")), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sizes.alias("sb")), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 

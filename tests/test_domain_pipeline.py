@@ -1,0 +1,95 @@
+"""End-to-end pipeline: run_day idempotency, spillover partitions,
+incremental append (K1/K2/K3 semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from inpe_queimadas_etl_spark.pipeline import Warehouse, run_day
+from inpe_queimadas_etl_spark.schemas import UF_AREA
+from inpe_queimadas_etl_spark.sources.csv_ingest import write_fixture_csv
+
+from . import fixtures_geo as G
+
+FILE_DATE = dt.date(2024, 5, 2)
+
+
+@pytest.fixture(scope="module")
+def dims(spark):
+    return {
+        "municipios": G.municipios(),
+        "biomas": G.biomas(),
+        "ucs": G.ucs(),
+        "tis": G.tis(),
+        "uf_area": spark.createDataFrame(G.uf_area_rows(), UF_AREA),
+    }
+
+
+@pytest.fixture(scope="module")
+def wh_and_csv(spark, tmp_path_factory, dims):
+    root = tmp_path_factory.mktemp("warehouse")
+    csv_path = str(tmp_path_factory.mktemp("csv") / "focos_20240502.csv")
+    write_fixture_csv(csv_path, G.FOCOS_HEADER, G.FOCOS_ROWS, sep=";")
+    wh = Warehouse(str(root))
+    metrics1 = run_day(spark, wh, csv_path, FILE_DATE, dims)
+    return wh, csv_path, metrics1
+
+
+def test_first_run_loads_all(wh_and_csv):
+    _, _, metrics1 = wh_and_csv
+    assert metrics1["rows_new"] == G.N_VALID_UNIQUE
+
+
+def test_rerun_is_idempotent(spark, wh_and_csv, dims):
+    wh, csv_path, _ = wh_and_csv
+    before = wh.read(spark, "curated_focos").count()
+    metrics2 = run_day(spark, wh, csv_path, FILE_DATE, dims)
+    assert metrics2["rows_new"] == 0  # anti-join append: nothing new
+    assert wh.read(spark, "curated_focos").count() == before
+    # marts unchanged
+    daily_uf = wh.read(spark, "focos_diario_uf")
+    total = daily_uf.agg(F.sum("n_focos")).collect()[0][0]
+    assert total == 12  # attributed rows across both event days
+
+
+def test_spillover_day_partitioned(spark, wh_and_csv):
+    wh, _, _ = wh_and_csv
+    enriched = wh.read(spark, "enriched_focos")
+    days = {str(r["event_day"]) for r in enriched.select("event_day").distinct().collect()}
+    assert days == {"2024-05-01", "2024-05-02"}
+    # physical partition dirs exist (partition pruning at scale)
+    import os
+
+    parts = os.listdir(wh.path("enriched_focos"))
+    assert any("event_day=2024-05-01" in p for p in parts)
+
+
+def test_incremental_second_file(spark, wh_and_csv, dims, tmp_path):
+    """New day's file appends; prior days' marts remain."""
+    wh, _, _ = wh_and_csv
+    rows = [
+        ["0.5", "0.5", "2024-05-03 10:00:00", "AQUA_M-T", "Mun m100", "AA", "Amazonia", "1.1"],
+        ["1.5", "1.5", "2024-05-03 10:30:00", "NOAA-20", "Mun m201", "BB", "Amazonia", ""],
+    ]
+    csv2 = str(tmp_path / "focos_20240503.csv")
+    write_fixture_csv(csv2, G.FOCOS_HEADER, rows, sep=";")
+    metrics = run_day(spark, wh, csv2, dt.date(2024, 5, 3), dims)
+    assert metrics["rows_new"] == 2
+    daily_uf = wh.read(spark, "focos_diario_uf")
+    by_day = {
+        (str(r["day"]), r["uf"]): r["n_focos"]
+        for r in daily_uf.collect()
+    }
+    assert by_day[("2024-05-03", "AA")] == 1
+    assert by_day[("2024-05-02", "AA")] == 6  # untouched
+    # monthly mart covers the whole month
+    monthly = wh.read(spark, "focos_mensal_uf")
+    m = {r["uf"]: r["n_focos"] for r in monthly.collect()}
+    assert m["AA"] == 8
+    # trend view exists over full history
+    trend = wh.read(spark, "focos_diario_uf_trend")
+    aa = {str(r["day"]): r for r in trend.filter("uf='AA'").collect()}
+    assert aa["2024-05-03"]["ma7"] == round((1 + 6 + 1) / 3, 2)
