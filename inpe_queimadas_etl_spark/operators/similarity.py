@@ -1,0 +1,88 @@
+"""Similarity-search operators: cosine scoring and sign-LSH bucketing.
+
+The scale path for approximate-nearest-neighbor over an embedding
+column (``array<float>``): hash every vector into a small bucket id
+with deterministic random hyperplanes (sign LSH), then join only
+within buckets instead of the full cross product. At 100 TB the
+bucket id is a uniform shuffle key, so the candidate join is skew-free
+and each task sees ~n/256 of the corpus; the exact cosine is computed
+only on bucket-mates.
+
+Everything here is JVM-side column expressions (no Python UDFs):
+hyperplane components are integer LCG pseudo-randoms baked into the
+plan as literals, and dot products are explicit left-to-right sums so
+an external oracle (DuckDB) computing the same expression gets
+bit-identical IEEE results — sign decisions can never diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Integer LCG hyperplane components: r(j, d) in [-1000, 1000].
+_LCG_A = 1103515245
+_LCG_B = 12345
+_LCG_M = 2001
+
+
+def hyperplane(j: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane j over `dim` components."""
+    return [
+        ((_LCG_A * (j * 131 + d) + _LCG_B) % _LCG_M) - 1000 for d in range(dim)
+    ]
+
+
+def dot_literal(vec_col: str, weights: list[int]) -> Column:
+    """Explicit left-to-right weighted sum  w0*v[0] + w1*v[1] + ... .
+
+    Built as one flat expression (not a fold) so the floating-point
+    association order is part of the query text and can be replicated
+    exactly by any engine."""
+    expr = " + ".join(
+        f"({w}.0D * {vec_col}[{d}])" for d, w in enumerate(weights)
+    )
+    return F.expr(expr)
+
+
+def dot_literal_sql(vec_expr: str, weights: list[int]) -> str:
+    """The same expression in ANSI/DuckDB SQL (1-based list indexing)."""
+    return " + ".join(
+        f"({w}.0 * {vec_expr}[{d + 1}])" for d, w in enumerate(weights)
+    )
+
+
+def lsh_bucket(vec_col: str, dim: int, n_planes: int = 8) -> Column:
+    """Sign-LSH bucket id: bit j set iff  r_j . v >= 0  (2^n_planes
+    buckets). Map-side only — adds zero shuffle."""
+    terms = []
+    for j in range(n_planes):
+        bit = F.when(dot_literal(vec_col, hyperplane(j, dim)) >= 0.0, 2**j).otherwise(0)
+        terms.append(bit)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("int")
+
+
+def lsh_bucket_sql(vec_expr: str, dim: int, n_planes: int = 8) -> str:
+    """DuckDB mirror of :func:`lsh_bucket`."""
+    cases = [
+        f"(CASE WHEN {dot_literal_sql(vec_expr, hyperplane(j, dim))} >= 0.0"
+        f" THEN {2 ** j} ELSE 0 END)"
+        for j in range(n_planes)
+    ]
+    return "(" + " + ".join(cases) + ")"
+
+
+def cosine(a_col: str, b_col: str) -> Column:
+    """Cosine similarity of two array<double> columns, JVM-side
+    (zip_with product + aggregate fold; no Python in the loop)."""
+    dot = F.aggregate(
+        F.zip_with(a_col, b_col, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(F.aggregate(F.col(a_col), F.lit(0.0), lambda acc, x: acc + x * x))
+    norm_b = F.sqrt(F.aggregate(F.col(b_col), F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (norm_a * norm_b)

@@ -311,6 +311,113 @@ def dd4_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SimHash (32-bit) ------------------------------------------------------
+# bit i of the signature is set iff at least half the word hashes have
+# bit i set (the +1/-1 majority vote of classic SimHash with unit
+# weights). Integer-exact in both engines.
+
+_SH_BITS = 32
+_SH_BANDS = 4  # 8-bit bands for hamming-neighbor bucketing
+
+
+def _simhash_spark_expr() -> str:
+    terms = [
+        f"(CASE WHEN 2 * size(filter(whs, x -> (x div {2 ** i}L) % 2 = 1))"
+        f" >= size(whs) THEN {2 ** i}L ELSE 0L END)"
+        for i in range(_SH_BITS)
+    ]
+    return " + ".join(terms)
+
+
+def _simhash_duck_expr() -> str:
+    terms = [
+        f"(CASE WHEN 2 * len(list_filter(whs, x -> (x // {2 ** i}) % 2 = 1))"
+        f" >= len(whs) THEN {2 ** i} ELSE 0 END)"
+        for i in range(_SH_BITS)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "dd5_simhash",
+    oracle=f"""
+    WITH ints AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                   w -> {_hex_to_int_sql("substr(md5(w),1,8)")}) AS whs
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, CAST({_simhash_duck_expr()} AS BIGINT) AS simhash
+        FROM ints
+    )
+    SELECT doc_id, simhash,
+           {", ".join(
+               f"CAST((simhash // {2 ** (8 * b)}) % 256 AS BIGINT) AS band{b}"
+               for b in range(_SH_BANDS))}
+    FROM sig
+    """,
+)
+def dd5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document plus 4x 8-bit band keys for
+    hamming-distance bucketing (two docs within hamming distance 3 of
+    each other share at least one band — pigeonhole). Entirely
+    map-side array expressions: zero shuffle, linear scan — the cheap
+    first pass of near-dup detection at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ' '),"
+            " w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
+        ).alias("whs"),
+    ).select("doc_id", F.expr(_simhash_spark_expr()).alias("simhash"))
+    return sig.select(
+        "doc_id",
+        "simhash",
+        *[
+            ((F.col("simhash") / F.lit(2 ** (8 * b))).cast("bigint") % 256)
+            .cast("bigint")
+            .alias(f"band{b}")
+            for b in range(_SH_BANDS)
+        ],
+    )
+
+
+@query(
+    "dd6_embedding_neardup",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    """,
+)
+def dd6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim >= 0.35), exact
+    all-pairs semantics. The Spark plan is a self-join scored with
+    JVM-side zip_with/aggregate folds; at 100 TB the exact all-pairs
+    form is replaced by the sign-LSH bucketed candidate join
+    (sim3 / operators/similarity.py) feeding the same verifier."""
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    sim = cosine("va", "vb")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= 0.35)
+        .select("vec_a", "vec_b", F.round("sim_raw", 4).alias("sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -532,5 +639,82 @@ def sim2_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.max(F.size("embedding")).cast("long").alias("dim"),
             F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+_EMB_DIM = 64
+_LSH_PLANES = 8
+
+
+def _sim3_oracle() -> str:
+    from ..operators.similarity import lsh_bucket_sql
+
+    bucket = lsh_bucket_sql("v", _EMB_DIM, _LSH_PLANES)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, v, {bucket} AS bucket FROM e
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed
+          WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, b.v) AS sim
+        FROM q JOIN bucketed b
+          ON b.bucket = q.bucket AND b.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(rank AS BIGINT) AS rank, round(sim, 4) AS sim
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("sim3_lsh_bucketed_ann", oracle=_sim3_oracle())
+def sim3_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-LSH bucket join instead of a cross join.
+
+    Every vector gets a map-side 8-bit bucket id from deterministic
+    integer hyperplanes (operators/similarity.py); candidates are
+    bucket-mates only, so the join shuffles on a uniform 256-value key
+    and each task scores ~n/256 of the corpus — this is the plan shape
+    that survives a 100x scale-up, unlike sim1's broadcast cross join.
+    Exact cosine + per-query top-5 on the candidates."""
+    from ..operators.similarity import cosine, lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucketed = emb.withColumn("bucket", lsh_bucket("v", _EMB_DIM, _LSH_PLANES))
+    queries = bucketed.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("sim_raw", cosine("qv", "v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("sim_raw", 4).alias("sim"),
         )
     )
