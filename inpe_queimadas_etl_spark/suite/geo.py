@@ -54,3 +54,106 @@ def geo1_point_in_polygon_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     attributed = point_in_polygon_join(pts, cells, x_col="x", y_col="y", id_alias="mun_id")
     return attributed.select("event_id", "x", "y", "mun_id")
+
+
+@query(
+    "geo2_knn_fallback",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_id,
+               CAST(user_id % 3 AS INTEGER) AS mode,
+               CASE CAST(user_id % 3 AS INTEGER)
+                    WHEN 0 THEN (value % 100) / 10.0 - 10.0 + 0.0005
+                    WHEN 1 THEN -10.01
+                    ELSE -60.0 END AS x,
+               (user_id % 20) - 10.0 + 0.0005 AS y
+        FROM events
+    )
+    SELECT event_id, x, y,
+           CASE
+             WHEN mode = 0 THEN
+               'mun_' || CAST(CAST(floor((x - ({_X0})) / {_STEP}) AS INTEGER) AS VARCHAR)
+               || '_' || CAST(CAST(floor((y - ({_Y0})) / {_STEP}) AS INTEGER) AS VARCHAR)
+             WHEN mode = 1 THEN
+               'mun_0_' || CAST(CAST(floor((y - ({_Y0})) / {_STEP}) AS INTEGER) AS VARCHAR)
+             ELSE NULL END AS knn_id
+    FROM pts
+    """,
+)
+def geo2_knn_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius KNN attribution (reference J3,
+    sql/enrich/20_enrich_municipio.sql:56-74): nearest grid cell within
+    2 km, null beyond. Points are synthesized in three regimes — inside
+    the grid (distance 0), ~1.1 km west of it (within radius, nearest =
+    column-0 cell of the point's row), and 50 degrees away (no match) —
+    so the oracle can state the expected attribution in closed form
+    while Spark runs the real equirectangular ring-distance operator."""
+    from ..operators.geo import knn_nearest_within
+
+    mode = (F.col("user_id") % 3).cast("int")
+    pts = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(mode == 0, (F.col("value") % 100) / 10.0 - 10.0 + 0.0005)
+        .when(mode == 1, F.lit(-10.01))
+        .otherwise(F.lit(-60.0))
+        .alias("x"),
+        ((F.col("user_id") % 20) - 10.0 + 0.0005).alias("y"),
+    )
+    cells = grid_cells(_X0, _Y0, _X1, _Y1, _STEP, prefix="mun")
+    out = knn_nearest_within(
+        pts, cells, max_dist_m=2000.0, x_col="x", y_col="y",
+        id_alias="knn_id", dist_alias="dist_m",
+    )
+    return out.select("event_id", "x", "y", "knn_id")
+
+
+# Overlapping "biome" strips along x: bio_k covers [5k, 5k+10] x [-10,10],
+# so interior points are inside one or two strips; first-match (lowest id)
+# must win, mirroring the reference's `distinct on (event_hash) ... order
+# by b.id` spatial attribution (J4/J8).
+_BIO_N = 4
+
+
+@query(
+    "geo3_overlap_top1",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_id,
+               (value % 100) * 0.29 + 0.0005 AS x,
+               (user_id % 18) - 9.0 + 0.0005 AS y
+        FROM events
+    ),
+    k AS (
+        SELECT event_id, x, y,
+               CAST(greatest(0, floor((x - 10.0) / 5.0) + 1) AS INTEGER) AS kmin
+        FROM pts
+    )
+    SELECT event_id, x, y,
+           CASE WHEN kmin <= {_BIO_N - 1} THEN 'bio_' || CAST(kmin AS VARCHAR)
+                ELSE NULL END AS bio_id
+    FROM k
+    """,
+)
+def geo3_overlap_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match attribution against overlapping polygons (reference
+    J4/J8 `distinct on` + lateral top-1 spatial joins): each point can
+    sit inside two overlapping strips; the operator must return the
+    lowest polygon id. The oracle derives the winning strip index
+    arithmetically."""
+    from ..operators.geo import make_polygon, point_in_polygon_join
+
+    strips = [
+        make_polygon(
+            f"bio_{k}",
+            [(5.0 * k, -10.0), (5.0 * k + 10.0, -10.0),
+             (5.0 * k + 10.0, 10.0), (5.0 * k, 10.0), (5.0 * k, -10.0)],
+        )
+        for k in range(_BIO_N)
+    ]
+    pts = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("value") % 100) * 0.29 + 0.0005).alias("x"),
+        ((F.col("user_id") % 18) - 9.0 + 0.0005).alias("y"),
+    )
+    out = point_in_polygon_join(pts, strips, x_col="x", y_col="y", id_alias="bio_id")
+    return out.select("event_id", "x", "y", "bio_id")

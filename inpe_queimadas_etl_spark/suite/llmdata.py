@@ -718,3 +718,93 @@ def sim3_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim_raw", 4).alias("sim"),
         )
     )
+
+
+_IVF_K = 4  # coarse centroids (vec_id < _IVF_K seed the codebook)
+
+
+def _sim4_oracle() -> str:
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {_IVF_K}
+    ),
+    assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT e.vec_id, e.v, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS qcluster
+        FROM assigned WHERE vec_id >= 8 AND vec_id < 16
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(sim, 4) AS sim
+    FROM (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, a.v) AS sim,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, a.v) DESC,
+                            a.vec_id ASC) AS rank
+        FROM q JOIN assigned a
+          ON a.centroid_id = q.qcluster AND a.vec_id <> q.query_id
+    ) WHERE rank <= 5
+    """
+
+
+@query("sim4_ivf_ann", oracle=_sim4_oracle())
+def sim4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a tiny coarse codebook (first K vectors) is
+    broadcast, every vector is assigned to its nearest centroid
+    map-side (argmax over K cosines — no shuffle), and queries probe
+    only their own cluster. At 100 TB the cluster id plays the same
+    role as sim3's LSH bucket: a uniform shuffle key that shrinks each
+    candidate set to ~n/K while the codebook stays a broadcast."""
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("centroid_id")
+    )
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .withColumn("csim", cosine("v", "cv"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+    q = assigned.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("centroid_id").alias("qcluster"),
+    )
+    sw = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("vec_id"))
+    return (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("centroid_id") == F.col("qcluster"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("sim_raw", cosine("qv", "v"))
+        .withColumn("rank", F.row_number().over(sw))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("sim_raw", 4).alias("sim"),
+        )
+    )
