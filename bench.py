@@ -45,6 +45,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    # Warm the JVM / session (codegen, parquet footer reads) so the
+    # first timed query measures the plan, not session startup; keeps
+    # round-over-round numbers comparable (VERDICT r1 #10).
+    for warm_tbl in ("lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{warm_tbl}.parquet").count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)

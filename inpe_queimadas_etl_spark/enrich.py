@@ -35,8 +35,11 @@ def _dim_lookup(spark, feats: list[PolyFeature], id_name: str, attr_map: dict[st
         if f.poly_id in seen:
             continue
         seen.add(f.poly_id)
+        vals = [f.props.get(src) for src in attr_map.values()]
+        # the schema below declares every attr as string; prop values
+        # may be numeric (e.g. area_km2 double from wkt.features_from_dim)
         rows.append(
-            tuple([f.poly_id] + [f.props.get(src) for src in attr_map.values()])
+            tuple([f.poly_id] + [None if v is None else str(v) for v in vals])
         )
     schema = ", ".join(
         [f"{id_name} string"] + [f"{dst} string" for dst in attr_map]

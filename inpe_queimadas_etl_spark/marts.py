@@ -95,6 +95,19 @@ def focos_mensal_uf(enriched: DataFrame, uf_area: DataFrame) -> DataFrame:
     )
 
 
+def ref_uf_area(municipios_dim: DataFrame) -> DataFrame:
+    """A6 (sql/ref/05_ref_uf_area.sql:10-18): UF area dim rebuilt from
+    the municipality dim — `sum(area_km2) group by uf`, null UFs
+    dropped, null sums coalesced to 0. The reference upserts by uf
+    (`on conflict do update`); the dim is tiny, so the Spark analog is
+    a full recompute + overwrite (K4)."""
+    return (
+        municipios_dim.filter(F.col("uf").isNotNull())
+        .groupBy("uf")
+        .agg(F.coalesce(F.sum("area_km2"), F.lit(0.0)).alias("area_km2"))
+    )
+
+
 def _focos_by_dim(enriched: DataFrame, code_col: str, name_col: str, monthly: bool) -> DataFrame:
     """A4 (sql/marts/40/41/50/51/60/61): count per biome/UC/TI."""
     key = (

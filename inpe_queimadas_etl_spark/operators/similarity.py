@@ -52,12 +52,19 @@ def dot_literal_sql(vec_expr: str, weights: list[int]) -> str:
     )
 
 
-def lsh_bucket(vec_col: str, dim: int, n_planes: int = 8) -> Column:
-    """Sign-LSH bucket id: bit j set iff  r_j . v >= 0  (2^n_planes
-    buckets). Map-side only — adds zero shuffle."""
+def lsh_bucket(
+    vec_col: str, dim: int, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
+    """Sign-LSH bucket id: bit j set iff  r_(j+offset) . v >= 0
+    (2^n_planes buckets). Map-side only — adds zero shuffle.
+    ``plane_offset`` selects a disjoint hyperplane set, so several
+    independent band buckets can be derived from one vector (banded
+    multi-probe LSH)."""
     terms = []
     for j in range(n_planes):
-        bit = F.when(dot_literal(vec_col, hyperplane(j, dim)) >= 0.0, 2**j).otherwise(0)
+        bit = F.when(
+            dot_literal(vec_col, hyperplane(j + plane_offset, dim)) >= 0.0, 2**j
+        ).otherwise(0)
         terms.append(bit)
     out = terms[0]
     for t in terms[1:]:
@@ -65,10 +72,12 @@ def lsh_bucket(vec_col: str, dim: int, n_planes: int = 8) -> Column:
     return out.cast("int")
 
 
-def lsh_bucket_sql(vec_expr: str, dim: int, n_planes: int = 8) -> str:
+def lsh_bucket_sql(
+    vec_expr: str, dim: int, n_planes: int = 8, plane_offset: int = 0
+) -> str:
     """DuckDB mirror of :func:`lsh_bucket`."""
     cases = [
-        f"(CASE WHEN {dot_literal_sql(vec_expr, hyperplane(j, dim))} >= 0.0"
+        f"(CASE WHEN {dot_literal_sql(vec_expr, hyperplane(j + plane_offset, dim))} >= 0.0"
         f" THEN {2 ** j} ELSE 0 END)"
         for j in range(n_planes)
     ]

@@ -68,17 +68,22 @@ def _range_pred(from_date: dt.date, to: dt.date):
 
 
 def _filter_pred(filters: dict[str, str | None]):
-    """Code-or-name match per entity (P11, main.py:171-215):
-    `code = v OR upper(coalesce(name, '')) = v`."""
+    """Code-or-name match per entity (P11, main.py:171-215). Mirrors
+    `_build_fact_where` exactly: `uf` is plain equality against the
+    upper-normalized filter value; other entities compare the code
+    column exactly (no upper()) OR `upper(coalesce(name, '')) = v`."""
     pred = F.lit(True)
     for key, (code_col, name_col) in TOP_GROUP_EXPR.items():
         v = _norm(filters.get(key)) if filters else None
         if v is None:
             continue
-        pred = pred & (
-            (F.upper(F.col(code_col).cast("string")) == v)
-            | (F.upper(F.coalesce(F.col(name_col), F.lit(""))) == v)
-        )
+        if key == "uf":
+            pred = pred & (F.col("uf") == v)
+        else:
+            pred = pred & (
+                (F.col(code_col).cast("string") == v)
+                | (F.upper(F.coalesce(F.col(name_col), F.lit(""))) == v)
+            )
     return pred
 
 
@@ -161,7 +166,9 @@ def summary(
     )
     return {
         "total": int(total),
-        "mean_per_day": round(total / max(1, days), 2),
+        # full-precision quotient (total::double / greatest(1, days),
+        # main.py:1684-1696); rounding is a presentation concern
+        "mean_per_day": total / max(1, days),
         "peak_day": peak["day"] if peak else None,
         "peak_n": int(peak["n"]) if peak else 0,
     }
@@ -235,10 +242,13 @@ def points(
             F.col("lon").between(min_lon, max_lon)
             & F.col("lat").between(min_lat, max_lat)
         )
+    # Fetch once and slice (main.py:1428-1431): a second .limit() scan
+    # would re-execute nondeterministically and could disagree with the
+    # truncated flag computed from the first fetch.
     probe = df.select("event_hash", "lat", "lon", "event_day").limit(limit + 1)
     rows = probe.collect()
     truncated = len(rows) > limit
-    out = probe.limit(limit)
+    out = events.sparkSession.createDataFrame(rows[:limit], schema=probe.schema)
     return out, truncated
 
 

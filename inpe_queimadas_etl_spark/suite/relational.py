@@ -729,3 +729,26 @@ def set_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "a6_uf_area_rollup",
+    oracle="""
+    SELECT n_name AS uf, round(coalesce(sum(s_acctbal), 0), 2) AS area_km2
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IS NOT NULL
+    GROUP BY n_name
+    """,
+)
+def a6_uf_area_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 UF-area rollup builder (sql/ref/05_ref_uf_area.sql:10-18):
+    the real marts.ref_uf_area function run on supplier/nation standing
+    in for the municipality dim (nation name -> uf, acctbal -> area)."""
+    from ..marts import ref_uf_area
+
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    dim = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).select(
+        F.col("n_name").alias("uf"), F.col("s_acctbal").alias("area_km2")
+    )
+    return ref_uf_area(dim).select("uf", F.round("area_km2", 2).alias("area_km2"))
