@@ -44,7 +44,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every suite module so registration side effects run."""
-    from . import geo, llmdata, multimodal, relational  # noqa: F401
+    from . import geo, geomarts, llmdata, multimodal, relational  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:
