@@ -30,6 +30,8 @@ HEADLINE = [
     "sim1_knn_cosine_topk",
     "tx2_token_counts",
     "geo1_point_in_polygon_grid",
+    "geo8_dense_pip",
+    "geo4_uf_choropleth_day",
 ]
 
 
@@ -48,8 +50,10 @@ def main() -> None:
     # Warm the JVM / session (codegen, parquet footer reads) so the
     # first timed query measures the plan, not session startup; keeps
     # round-over-round numbers comparable (VERDICT r1 #10).
+    from inpe_queimadas_etl_spark.session import load_table
+
     for warm_tbl in ("lineitem", "events", "documents", "embeddings"):
-        spark.read.parquet(f"{SF_DIR}/{warm_tbl}.parquet").count()
+        load_table(spark, SF_DIR, warm_tbl).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

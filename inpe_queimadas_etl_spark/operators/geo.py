@@ -89,20 +89,34 @@ def grid_cells(
     return cells
 
 
+# points x segments broadcast blocks are capped at this many elements
+# (~32 MB of float64 per temporary) so dense rings never blow task memory
+_BLOCK_ELEMS = 4_000_000
+
+
 def _ray_cast(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
-    """Vectorized even-odd crossing test for points vs one ring."""
-    inside = np.zeros(px.shape[0], dtype=bool)
-    x0, y0 = ring[:-1, 0], ring[:-1, 1]
-    x1, y1 = ring[1:, 0], ring[1:, 1]
-    for i in range(x0.shape[0]):
-        ax, ay, bx, by = x0[i], y0[i], x1[i], y1[i]
-        cond = (ay > py) != (by > py)
-        if not cond.any():
-            continue
+    """Even-odd crossing test, vectorized over points x segments in
+    memory-capped blocks (no per-segment Python loop — a 10^4-vertex
+    municipality ring costs a handful of numpy ops, not 10^4
+    iterations)."""
+    n = px.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    ax, ay = ring[:-1, 0], ring[:-1, 1]
+    bx, by = ring[1:, 0], ring[1:, 1]
+    nseg = ax.shape[0]
+    block = max(16, _BLOCK_ELEMS // max(1, n))
+    crossings = np.zeros(n, dtype=np.int64)
+    pyc = py[:, None]
+    pxc = px[:, None]
+    for s in range(0, nseg, block):
+        a_x, a_y = ax[None, s : s + block], ay[None, s : s + block]
+        b_x, b_y = bx[None, s : s + block], by[None, s : s + block]
+        cond = (a_y > pyc) != (b_y > pyc)
         with np.errstate(divide="ignore", invalid="ignore"):
-            xint = ax + (py - ay) * (bx - ax) / (by - ay)
-        inside ^= cond & (px < xint)
-    return inside
+            xint = a_x + (pyc - a_y) * (b_x - a_x) / (b_y - a_y)
+        crossings += np.count_nonzero(cond & (pxc < xint), axis=1)
+    return (crossings & 1).astype(bool)
 
 
 def _contains(poly: PolyFeature, px: np.ndarray, py: np.ndarray) -> np.ndarray:
@@ -110,6 +124,71 @@ def _contains(poly: PolyFeature, px: np.ndarray, py: np.ndarray) -> np.ndarray:
     for ring in poly.rings:
         res ^= _ray_cast(px, py, ring)
     return res
+
+
+class PolyGridIndex:
+    """Coarse lon/lat grid over polygon bboxes: each point looks up one
+    cell and tests only the few polygons whose (padded) bbox covers it,
+    instead of scanning the full dim. This is the task-local filter
+    stage of the filter-refine plan — the numpy stand-in for the
+    STRtree each Sedona partition would build, sized so the whole
+    index broadcasts with the dim."""
+
+    def __init__(self, polys: list[PolyFeature], pad_deg: float = 0.0):
+        self.polys = sorted(polys, key=lambda p: p.poly_id)
+        self.bboxes = np.array([p.bbox for p in self.polys], dtype="float64")
+        self.pad = pad_deg
+        if not self.polys:
+            self.cell = 1.0
+            self.x0 = self.y0 = 0.0
+            self.cells: dict[tuple[int, int], np.ndarray] = {}
+            return
+        w = self.bboxes[:, 2] - self.bboxes[:, 0]
+        h = self.bboxes[:, 3] - self.bboxes[:, 1]
+        # cell ~ median polygon extent: a point then probes O(1) polys
+        self.cell = float(max(np.median(np.concatenate([w, h])), 1e-6))
+        self.x0 = float(self.bboxes[:, 0].min() - pad_deg)
+        self.y0 = float(self.bboxes[:, 1].min() - pad_deg)
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for k, (bx0, by0, bx1, by1) in enumerate(self.bboxes):
+            i0 = int((bx0 - pad_deg - self.x0) // self.cell)
+            i1 = int((bx1 + pad_deg - self.x0) // self.cell)
+            j0 = int((by0 - pad_deg - self.y0) // self.cell)
+            j1 = int((by1 + pad_deg - self.y0) // self.cell)
+            for i in range(i0, i1 + 1):
+                for j in range(j0, j1 + 1):
+                    buckets.setdefault((i, j), []).append(k)
+        self.cells = {
+            key: np.asarray(v, dtype=np.int64) for key, v in buckets.items()
+        }
+
+    def point_cells(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """(n, 2) integer cell coordinates per point."""
+        ci = np.floor((px - self.x0) / self.cell).astype(np.int64)
+        cj = np.floor((py - self.y0) / self.cell).astype(np.int64)
+        return np.stack([ci, cj], axis=1)
+
+    def group_points(self, px: np.ndarray, py: np.ndarray, mask: np.ndarray):
+        """Yield (candidate poly indices, point indices) per occupied
+        cell; points in cells with no candidates are skipped."""
+        if not self.cells or not mask.any():
+            return
+        cc = self.point_cells(px, py)
+        live = np.nonzero(mask)[0]
+        keys = cc[live]
+        order = np.lexsort((keys[:, 1], keys[:, 0]))
+        sorted_keys = keys[order]
+        sorted_idx = live[order]
+        boundaries = np.nonzero(
+            np.any(np.diff(sorted_keys, axis=0) != 0, axis=1)
+        )[0]
+        starts = np.concatenate([[0], boundaries + 1])
+        ends = np.concatenate([boundaries + 1, [sorted_keys.shape[0]]])
+        for s, e in zip(starts, ends):
+            key = (int(sorted_keys[s, 0]), int(sorted_keys[s, 1]))
+            cands = self.cells.get(key)
+            if cands is not None:
+                yield cands, sorted_idx[s:e]
 
 
 def point_in_polygon_join(
@@ -123,8 +202,7 @@ def point_in_polygon_join(
     poly_id), appending ``id_alias`` (null when no polygon contains the
     point). Broadcast-style: polygon set ships in the task closure;
     the point side is never shuffled."""
-    polys = sorted(polygons, key=lambda p: p.poly_id)
-    bboxes = np.array([p.bbox for p in polys], dtype="float64")
+    index = PolyGridIndex(polygons)
     out_schema = T.StructType(
         points.schema.fields + [T.StructField(id_alias, T.StringType())]
     )
@@ -134,25 +212,26 @@ def point_in_polygon_join(
             px = pdf[x_col].to_numpy(dtype="float64")
             py = pdf[y_col].to_numpy(dtype="float64")
             assigned = np.full(px.shape[0], None, dtype=object)
-            open_mask = np.isfinite(px) & np.isfinite(py)
-            for k, poly in enumerate(polys):
-                if not open_mask.any():
-                    break
-                bx0, by0, bx1, by1 = bboxes[k]
-                cand = (
-                    open_mask
-                    & (px >= bx0)
-                    & (px <= bx1)
-                    & (py >= by0)
-                    & (py <= by1)
-                )
-                if not cand.any():
-                    continue
-                idx = np.nonzero(cand)[0]
-                hit = _contains(poly, px[idx], py[idx])
-                hit_idx = idx[hit]
-                assigned[hit_idx] = poly.poly_id
-                open_mask[hit_idx] = False
+            finite = np.isfinite(px) & np.isfinite(py)
+            # grid lookup: each occupied cell tests only its O(1)
+            # candidate polygons; candidates come back id-sorted, so
+            # first-match == lowest poly_id exactly as before
+            for cands, idx in index.group_points(px, py, finite):
+                open_idx = idx
+                for k in cands:
+                    if open_idx.shape[0] == 0:
+                        break
+                    bx0, by0, bx1, by1 = index.bboxes[k]
+                    cx, cy = px[open_idx], py[open_idx]
+                    box = (cx >= bx0) & (cx <= bx1) & (cy >= by0) & (cy <= by1)
+                    if not box.any():
+                        continue
+                    probe = open_idx[box]
+                    hit = _contains(index.polys[k], px[probe], py[probe])
+                    hit_idx = probe[hit]
+                    if hit_idx.shape[0]:
+                        assigned[hit_idx] = index.polys[k].poly_id
+                        open_idx = open_idx[~np.isin(open_idx, hit_idx)]
             pdf = pdf.copy()
             pdf[id_alias] = assigned
             yield pdf
@@ -164,25 +243,46 @@ def _ring_distance_m(
     px: np.ndarray, py: np.ndarray, ring: np.ndarray
 ) -> np.ndarray:
     """Min distance (meters) from lon/lat points to a ring's segments,
-    on a local equirectangular projection (adequate at few-km scale)."""
-    coslat = np.cos(np.radians(py))
+    on a local equirectangular projection (adequate at few-km scale).
+    Vectorized points x segments in memory-capped blocks."""
+    n = px.shape[0]
+    if n == 0:
+        return np.zeros(0)
+    coslat = np.cos(np.radians(py))[:, None]
     deg_m = np.pi / 180.0 * EARTH_RADIUS_M
-    best = np.full(px.shape[0], np.inf)
     ax, ay = ring[:-1, 0], ring[:-1, 1]
     bx, by = ring[1:, 0], ring[1:, 1]
-    for i in range(ax.shape[0]):
-        sx = (bx[i] - ax[i]) * coslat
-        sy = np.full_like(sx, by[i] - ay[i])
-        wx = (px - ax[i]) * coslat
-        wy = py - ay[i]
+    nseg = ax.shape[0]
+    block = max(16, _BLOCK_ELEMS // max(1, n))
+    best = np.full(n, np.inf)
+    pxc, pyc = px[:, None], py[:, None]
+    for s in range(0, nseg, block):
+        a_x, a_y = ax[None, s : s + block], ay[None, s : s + block]
+        b_x, b_y = bx[None, s : s + block], by[None, s : s + block]
+        sx = (b_x - a_x) * coslat
+        sy = np.broadcast_to(b_y - a_y, sx.shape)
+        wx = (pxc - a_x) * coslat
+        wy = pyc - a_y
         seg_len2 = sx * sx + sy * sy
         with np.errstate(divide="ignore", invalid="ignore"):
             t = np.where(seg_len2 > 0, (wx * sx + wy * sy) / seg_len2, 0.0)
         t = np.clip(t, 0.0, 1.0)
         dx = wx - t * sx
         dy = wy - t * sy
-        d = np.sqrt(dx * dx + dy * dy) * deg_m
-        best = np.minimum(best, d)
+        d2 = dx * dx + dy * dy
+        best = np.minimum(best, d2.min(axis=1))
+    return np.sqrt(best) * deg_m
+
+
+def _boundary_distance_m(
+    feat: PolyFeature, px: np.ndarray, py: np.ndarray
+) -> np.ndarray:
+    """Distance to the nearest boundary of the feature — min over ALL
+    rings (holes included), matching PostGIS st_distance which
+    measures to any boundary ring, not just the exterior."""
+    best = _ring_distance_m(px, py, feat.rings[0])
+    for ring in feat.rings[1:]:
+        best = np.minimum(best, _ring_distance_m(px, py, ring))
     return best
 
 
@@ -200,9 +300,8 @@ def knn_nearest_within(
     closest polygon boundary within ``max_dist_m`` (containment =
     distance 0); null when nothing is within the radius. Ties break on
     lowest poly_id, matching the deterministic `limit 1` intent."""
-    polys = sorted(polygons, key=lambda p: p.poly_id)
     pad_deg = max_dist_m / 111_000.0 * 1.5
-    bboxes = np.array([p.bbox for p in polys], dtype="float64")
+    index = PolyGridIndex(polygons, pad_deg=pad_deg)
     out_schema = T.StructType(
         points.schema.fields
         + [
@@ -217,25 +316,33 @@ def knn_nearest_within(
             py = pdf[y_col].to_numpy(dtype="float64")
             best_d = np.full(px.shape[0], np.inf)
             best_id = np.full(px.shape[0], None, dtype=object)
-            for k, poly in enumerate(polys):
-                bx0, by0, bx1, by1 = bboxes[k]
-                cand = (
-                    (px >= bx0 - pad_deg)
-                    & (px <= bx1 + pad_deg)
-                    & (py >= by0 - pad_deg)
-                    & (py <= by1 + pad_deg)
-                )
-                if not cand.any():
-                    continue
-                idx = np.nonzero(cand)[0]
-                cx, cy = px[idx], py[idx]
-                d = _ring_distance_m(cx, cy, poly.rings[0])
-                inside = _contains(poly, cx, cy)
-                d = np.where(inside, 0.0, d)
-                better = d < best_d[idx]
-                upd = idx[better]
-                best_d[upd] = d[better]
-                best_id[upd] = poly.poly_id
+            finite = np.isfinite(px) & np.isfinite(py)
+            # padded grid lookup: a cell's candidate list already
+            # includes every polygon whose bbox comes within the
+            # radius, so the per-point scan is O(candidates), not
+            # O(|dim|); candidates arrive id-sorted and only strict
+            # improvements update, so ties keep the lowest poly_id
+            for cands, idx in index.group_points(px, py, finite):
+                for k in cands:
+                    bx0, by0, bx1, by1 = index.bboxes[k]
+                    cx, cy = px[idx], py[idx]
+                    near = (
+                        (cx >= bx0 - pad_deg)
+                        & (cx <= bx1 + pad_deg)
+                        & (cy >= by0 - pad_deg)
+                        & (cy <= by1 + pad_deg)
+                    )
+                    if not near.any():
+                        continue
+                    probe = idx[near]
+                    poly = index.polys[k]
+                    d = _boundary_distance_m(poly, px[probe], py[probe])
+                    inside = _contains(poly, px[probe], py[probe])
+                    d = np.where(inside, 0.0, d)
+                    better = d < best_d[probe]
+                    upd = probe[better]
+                    best_d[upd] = d[better]
+                    best_id[upd] = poly.poly_id
             ok = best_d <= max_dist_m
             pdf = pdf.copy()
             pdf[id_alias] = np.where(ok, best_id, None)

@@ -157,3 +157,69 @@ def geo3_overlap_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = point_in_polygon_join(pts, strips, x_col="x", y_col="y", id_alias="bio_id")
     return out.select("event_id", "x", "y", "bio_id")
+
+
+def _dense_cells(sub_step: float = 0.01) -> list:
+    """The geo1 grid cells with every edge subdivided at ``sub_step``
+    degrees: membership is IDENTICAL to the plain squares (collinear
+    vertices), but each ring carries ~4 * 5 / sub_step vertices
+    (~2,000), so the operator's segment path does real work — the
+    dense-ring regression fixture for the vectorized ray cast."""
+    from ..operators.geo import make_polygon
+
+    def edge(x0, y0, x1, y1):
+        n = max(1, int(round(max(abs(x1 - x0), abs(y1 - y0)) / sub_step)))
+        return [
+            (x0 + (x1 - x0) * t / n, y0 + (y1 - y0) * t / n) for t in range(n)
+        ]
+
+    cells = []
+    nx = int((_X1 - _X0) / _STEP)
+    ny = int((_Y1 - _Y0) / _STEP)
+    for ix in range(nx):
+        for iy in range(ny):
+            cx0, cy0 = _X0 + ix * _STEP, _Y0 + iy * _STEP
+            cx1, cy1 = cx0 + _STEP, cy0 + _STEP
+            ring = (
+                edge(cx0, cy0, cx1, cy0)
+                + edge(cx1, cy0, cx1, cy1)
+                + edge(cx1, cy1, cx0, cy1)
+                + edge(cx0, cy1, cx0, cy0)
+                + [(cx0, cy0)]
+            )
+            cells.append(make_polygon(f"mun_{ix}_{iy}", ring))
+    return cells
+
+
+@query(
+    "geo8_dense_pip",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_id,
+               value / 10.0 - 10.0 + 0.0005 AS x,
+               (user_id % 20) - 10.0 + 0.0005 AS y
+        FROM events
+    )
+    SELECT event_id, x, y,
+           CASE WHEN floor((x - ({_X0})) / {_STEP}) BETWEEN 0 AND {_NX - 1}
+                 AND floor((y - ({_Y0})) / {_STEP}) BETWEEN 0 AND {_NY - 1}
+                THEN 'mun_' || CAST(CAST(floor((x - ({_X0})) / {_STEP}) AS INTEGER) AS VARCHAR)
+                     || '_' || CAST(CAST(floor((y - ({_Y0})) / {_STEP}) AS INTEGER) AS VARCHAR)
+                ELSE NULL END AS mun_id
+    FROM pts
+    """,
+)
+def geo8_dense_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo1's point-in-polygon attribution against ~2,000-vertex rings
+    (edges subdivided with collinear lattice vertices, so membership
+    stays closed-form). Exists to keep the grid-index + blocked-
+    broadcast segment path honest at realistic ring densities — real
+    IBGE municipality rings run 10^3-10^4 vertices."""
+    cells = _dense_cells()
+    pts = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("value") / 10.0 - 10.0 + 0.0005).alias("x"),
+        ((F.col("user_id") % 20) - 10.0 + 0.0005).alias("y"),
+    )
+    attributed = point_in_polygon_join(pts, cells, x_col="x", y_col="y", id_alias="mun_id")
+    return attributed.select("event_id", "x", "y", "mun_id")

@@ -161,8 +161,10 @@ def dd2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xs"),
         )
         .withColumn("n_sh", F.size("xs"))
-        .persist()
     )
+    # (measured: persisting `sets` here is a net loss — the shingle
+    # arrays are cheap map-side work and recompute beats cache I/O,
+    # and an un-unpersisted cache would leak across the session)
     # prefix length n - ceil(t*n) + 1: any pair with jaccard >= t must
     # share at least one element inside both prefixes
     prefix_len = (
