@@ -194,6 +194,18 @@ def run_day(
     return process_batch(spark, warehouse, curated, dims)
 
 
+def read_resume_state(state_path: str | None) -> set[str]:
+    """S8 resume marker read-back (reference backfill.py:151-162): the
+    set of ISO days already completed in a previous run."""
+    if not state_path or not Path(state_path).exists():
+        return set()
+    try:
+        data = json.loads(Path(state_path).read_text())
+    except (OSError, json.JSONDecodeError):
+        return set()
+    return set(data.get("days", []))
+
+
 def run_range(
     spark: SparkSession,
     warehouse: Warehouse,
@@ -201,27 +213,34 @@ def run_range(
     dims: dict,
     state_path: str | None = None,
 ) -> list[dict]:
-    """Multi-day backfill as ONE batch per call (S8-style resumable
-    state optional — reference backfill.py:47-66 keeps a JSON resume
-    marker; here the anti-join append makes replays free, so state is
-    informational)."""
+    """Multi-day backfill as ONE batch per call, resuming from the S8
+    state file: days recorded as done by a previous run are skipped
+    before any read (reference backfill.py:47-66,151-162 keeps and
+    re-reads the JSON marker; the anti-join append additionally makes
+    accidental replays harmless)."""
+    done = read_resume_state(state_path)
+    skipped = [str(d) for d, _ in day_files if str(d) in done]
+    todo = [(d, p) for d, p in day_files if str(d) not in done]
+    if not todo:
+        return [{"rows_in_batch": 0, "rows_new": 0, "days_skipped": skipped}]
     batches = []
-    for file_date, path in day_files:
+    for file_date, path in todo:
         raw = read_csv_all_string(spark, path)
         batches.append(curated_from_raw(raw, file_date))
-    if not batches:
-        return []
     combined = batches[0]
     for b in batches[1:]:
         combined = combined.unionByName(b)
     combined = combined.select([f.name for f in CURATED_FOCOS.fields])
     result = process_batch(spark, warehouse, combined, dims)
+    if skipped:
+        result["days_skipped"] = skipped
     if state_path:
+        all_done = sorted(done | {str(d) for d, _ in todo})
         Path(state_path).write_text(
             json.dumps(
                 {
-                    "last_done": str(max(d for d, _ in day_files)),
-                    "days": [str(d) for d, _ in day_files],
+                    "last_done": all_done[-1],
+                    "days": all_done,
                     "metrics": result,
                 },
                 default=str,

@@ -24,6 +24,7 @@ import csv
 import datetime as dt
 import io
 import zipfile
+from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -111,6 +112,121 @@ class LandingCache:
             data = data.encode("utf-8")
         target.write_bytes(data)
         return str(target)
+
+
+# --- extract control flow (S1/S2/S5) ---------------------------------------
+
+# candidate monthly archive names, tried in order
+# (extract/inpe_focos_diario.py:29-34)
+MONTHLY_CANDIDATES = (
+    "focos_mensal_br_{ym}.csv",
+    "focos_mensal_br_{ym}.zip",
+    "focos_mensal_{ym}.csv",
+    "focos_mensal_{ym}.zip",
+)
+DEFAULT_RETENTION_DAYS = 45  # settings.inpe_retention_days (config.py:16)
+
+
+@dataclass(frozen=True)
+class ExtractResult:
+    """What the extract step resolved for a date: the landed file and
+    whether it is the daily CSV or the monthly archive (the caller
+    applies the monthly->daily Spark filter for 'monthly')."""
+
+    file_date: dt.date
+    source: str  # 'daily' | 'monthly'
+    key: str  # logical name fetched (URL tail in production)
+    path: str
+
+
+class InpeExtractor:
+    """S5 retention routing + S2 monthly candidate loop over an
+    injected fetcher (extract/inpe_focos_diario.py:159-311).
+
+    ``fetcher(name)`` returns the file bytes or None for a 404 — HTTP
+    stays a driver-side concern and tests inject fixtures. Routing:
+    dates older than ``retention_days`` (fallen off INPE's daily
+    endpoint) try the monthly archive first, then daily; fresh dates
+    try daily first, then monthly (:259-311). Every landed file goes
+    through the write-once LandingCache, so retried days are free.
+    """
+
+    def __init__(
+        self,
+        cache: LandingCache,
+        fetcher,
+        retention_days: int = DEFAULT_RETENTION_DAYS,
+        today: dt.date | None = None,
+    ):
+        self.cache = cache
+        self.fetcher = fetcher
+        self.retention_days = retention_days
+        self.today = today or dt.date.today()
+
+    @staticmethod
+    def daily_key(d: dt.date) -> str:
+        """URL tail of the daily CSV (extract:38-43)."""
+        return f"focos_diario_br_{d.strftime('%Y%m%d')}.csv"
+
+    def fetch_daily(self, d: dt.date) -> str | None:
+        return self.cache.get_or_fetch(
+            self.daily_key(d), lambda: self.fetcher(self.daily_key(d))
+        )
+
+    def fetch_monthly(self, d: dt.date) -> tuple[str, str] | None:
+        """Try the monthly candidates in order; zip hits are extracted
+        to the canonical monthly CSV cache key (S2+S3,
+        extract:159-209). Returns (csv_path, winning key) or None."""
+        ym = d.strftime("%Y%m")
+        canonical = f"focos_mensal_{ym}.csv"
+        cached = self.cache.path_for(canonical)
+        if cached.exists():
+            return str(cached), canonical
+        for pattern in MONTHLY_CANDIDATES:
+            key = pattern.format(ym=ym)
+            data = self.fetcher(key)
+            if data is None:
+                continue
+            if isinstance(data, str):
+                data = data.encode("utf-8")
+            if key.endswith(".zip"):
+                zip_path = self.cache.path_for(f"focos_mensal_{ym}.zip")
+                zip_path.write_bytes(data)
+                extracted = extract_zip_csv(str(zip_path), str(self.cache.root))
+                Path(extracted).replace(cached)
+            else:
+                cached.write_bytes(data)
+            return str(cached), key
+        return None
+
+    def extract_day(self, d: dt.date) -> ExtractResult:
+        """S5: route by retention cutoff, falling back to the other
+        source; FileNotFoundError when neither exists."""
+        cutoff = self.today - dt.timedelta(days=self.retention_days)
+        order = ("monthly", "daily") if d <= cutoff else ("daily", "monthly")
+        for source in order:
+            if source == "daily":
+                path = self.fetch_daily(d)
+                if path is not None:
+                    return ExtractResult(d, "daily", self.daily_key(d), path)
+            else:
+                hit = self.fetch_monthly(d)
+                if hit is not None:
+                    path, key = hit
+                    return ExtractResult(d, "monthly", key, path)
+        raise FileNotFoundError(f"no daily or monthly source for {d.isoformat()}")
+
+
+def load_extracted_day(
+    spark: SparkSession, result: ExtractResult
+) -> DataFrame:
+    """Landed file -> all-string DataFrame for the day: daily files
+    read directly; monthly archives go through the Spark-side
+    monthly->daily filter (S4)."""
+    df = read_csv_all_string(spark, result.path)
+    if result.source == "monthly":
+        df = filter_monthly_to_day(df, result.file_date)
+    return df
 
 
 def write_fixture_csv(path: str, header: list[str], rows: list[list], sep: str = ";") -> str:

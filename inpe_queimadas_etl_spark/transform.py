@@ -79,6 +79,156 @@ def _json_safe(d: dict) -> str:
     return json.dumps(d, ensure_ascii=False, default=str, allow_nan=False)
 
 
+# characters whose presence forces the json.dumps slow path for a string
+_NEEDS_ESCAPE = r'["\\\x00-\x1f]'
+_BAD_TOKENS = ("nan", "na", "null", "none", "")
+
+
+def _clean_str_series(s: pd.Series) -> pd.Series:
+    """Column-wise P6: null out 'nan'/'na'/'null'/'none'/'' (after
+    strip/lower), keep everything else verbatim."""
+    s = s.astype(object)
+    low = s.str.strip().str.lower()
+    bad = low.isin(_BAD_TOKENS)
+    return s.mask(bad, None)
+
+
+def _json_token_series(s: pd.Series) -> pd.Series:
+    """JSON-encode a cleaned string column: nulls -> 'null'; strings
+    without escapable characters take the vectorized '\"'+s+'\"' fast
+    path; the rest fall back to json.dumps per value. Byte-identical
+    to json.dumps(v, ensure_ascii=False) on every value."""
+    needs = s.str.contains(_NEEDS_ESCAPE, regex=True, na=False)
+    out = ('"' + s + '"').astype(object)
+    if needs.any():
+        out[needs] = s[needs].map(lambda v: json.dumps(v, ensure_ascii=False))
+    return out.mask(s.isna(), "null")
+
+
+def _canonicalize_batch(
+    pdf: pd.DataFrame,
+    prop_cols: list[str],
+    file_date_str: str,
+    lat_col: str,
+    lon_col: str,
+    ts_col: str | None,
+    sat_col: str | None,
+    mun_col: str | None,
+    uf_col: str | None,
+    bio_col: str | None,
+) -> pd.DataFrame:
+    """Vectorized P6/P7/P9 over one Arrow batch: column-wise cleaning,
+    string-concat JSON assembly, md5 via a C-loop map. Reproduces the
+    reference's json.dumps serialization byte-for-byte (key order =
+    column order, ', '/': ' separators, repr() float formatting,
+    Python round-half-even for the 6-dp hash payload) — parity is
+    pinned by tests against _canonicalize_rows_reference."""
+    n = len(pdf)
+    lat = pdf["__lat"].astype(float)
+    lon = pdf["__lon"].astype(float)
+    # full-precision floats go into props; the hash payload rounds to
+    # 6 dp with PYTHON round (banker's on decimal digits) — np.round
+    # can differ by 1 ulp, which would flip hash bytes
+    lat_repr = lat.map(repr)
+    lon_repr = lon.map(repr)
+    lat6 = lat.map(lambda v: repr(round(v, 6)))
+    lon6 = lon.map(lambda v: repr(round(v, 6)))
+
+    cleaned: dict[str, pd.Series] = {
+        c: _clean_str_series(pdf[c]) for c in prop_cols if c not in (lat_col, lon_col)
+    }
+    tokens: dict[str, pd.Series] = {
+        c: _json_token_series(s) for c, s in cleaned.items()
+    }
+    tokens[lat_col] = lat_repr
+    tokens[lon_col] = lon_repr
+
+    # props: '{' + '"k": v' joined with ', ' in column order (P9)
+    parts = []
+    for k in prop_cols:
+        key = json.dumps(k, ensure_ascii=False)
+        parts.append(key + ": " + tokens[k])
+    props = "{" + parts[0]
+    for p in parts[1:]:
+        props = props + ", " + p
+    props = props + "}"
+
+    null_series = pd.Series([None] * n, index=pdf.index, dtype=object)
+    view_ts = cleaned.get(ts_col, null_series) if ts_col else null_series
+    sat = cleaned.get(sat_col, null_series) if sat_col else null_series
+    ts_tok = tokens.get(ts_col, pd.Series(["null"] * n, index=pdf.index)) if ts_col else pd.Series(["null"] * n, index=pdf.index)
+    sat_tok = tokens.get(sat_col, pd.Series(["null"] * n, index=pdf.index)) if sat_col else pd.Series(["null"] * n, index=pdf.index)
+
+    payload = (
+        '{"file_date": "' + file_date_str + '", "lat": ' + lat6
+        + ', "lon": ' + lon6
+        + ', "view_ts": ' + ts_tok
+        + ', "satelite": ' + sat_tok
+        + "}"
+    )
+    event_hash = payload.map(
+        lambda p: hashlib.md5(p.encode("utf-8")).hexdigest()
+    )
+
+    def pick(col):
+        return cleaned.get(col, null_series) if col else null_series
+
+    return pd.DataFrame(
+        {
+            "event_hash": event_hash,
+            "view_ts": view_ts,
+            "satelite": sat,
+            "municipio": pick(mun_col),
+            "estado": pick(uf_col),
+            "bioma": pick(bio_col),
+            "lat": lat,
+            "lon": lon,
+            "props": props,
+            _ROW_ID: pdf[_ROW_ID],
+        }
+    )
+
+
+def _canonicalize_rows_reference(
+    pdf: pd.DataFrame,
+    prop_cols: list[str],
+    file_date_str: str,
+    lat_col: str,
+    lon_col: str,
+    ts_col: str | None,
+    sat_col: str | None,
+) -> list[dict]:
+    """The reference's row-at-a-time canonicalization
+    (transform/inpe_focos_diario.py:121-176), kept as the byte-parity
+    ORACLE for _canonicalize_batch in tests — not used in the
+    production path."""
+    rows = []
+    for rec in pdf.to_dict(orient="records"):
+        props = {k: _clean_value(rec[k]) for k in prop_cols}
+        lat = float(rec["__lat"])
+        lon = float(rec["__lon"])
+        props[lat_col] = lat
+        props[lon_col] = lon
+        view_ts = props.get(ts_col) if ts_col else None
+        sat = props.get(sat_col) if sat_col else None
+        payload = {
+            "file_date": file_date_str,
+            "lat": round(lat, 6),
+            "lon": round(lon, 6),
+            "view_ts": view_ts,
+            "satelite": sat,
+        }
+        rows.append(
+            {
+                "event_hash": hashlib.md5(
+                    _json_safe(payload).encode("utf-8")
+                ).hexdigest(),
+                "props": _json_safe(props),
+            }
+        )
+    return rows
+
+
 def curated_from_raw(raw: DataFrame, file_date: dt.date) -> DataFrame:
     """All-string raw CSV DataFrame -> curated focos records.
 
@@ -110,55 +260,17 @@ def curated_from_raw(raw: DataFrame, file_date: dt.date) -> DataFrame:
 
     def canonicalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for rec in pdf.to_dict(orient="records"):
-                props = {k: _clean_value(rec[k]) for k in prop_cols}
-                lat = float(rec["__lat"])
-                lon = float(rec["__lon"])
-                props[lat_col] = lat
-                props[lon_col] = lon
-                view_ts = props.get(ts_col) if ts_col else None
-                sat = props.get(sat_col) if sat_col else None
-                # P7 payload: key order and 6-dp rounding are part of
-                # the hash contract (transform/inpe_focos_diario.py:156-164)
-                payload = {
-                    "file_date": file_date_str,
-                    "lat": round(lat, 6),
-                    "lon": round(lon, 6),
-                    "view_ts": view_ts,
-                    "satelite": sat,
-                }
-                event_hash = hashlib.md5(
-                    _json_safe(payload).encode("utf-8")
-                ).hexdigest()
-                rows.append(
-                    {
-                        "event_hash": event_hash,
-                        "view_ts": view_ts,
-                        "satelite": sat,
-                        "municipio": props.get(mun_col) if mun_col else None,
-                        "estado": props.get(uf_col) if uf_col else None,
-                        "bioma": props.get(bio_col) if bio_col else None,
-                        "lat": lat,
-                        "lon": lon,
-                        "props": _json_safe(props),
-                        _ROW_ID: rec[_ROW_ID],
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "event_hash",
-                    "view_ts",
-                    "satelite",
-                    "municipio",
-                    "estado",
-                    "bioma",
-                    "lat",
-                    "lon",
-                    "props",
-                    _ROW_ID,
-                ],
+            yield _canonicalize_batch(
+                pdf,
+                prop_cols,
+                file_date_str,
+                lat_col,
+                lon_col,
+                ts_col,
+                sat_col,
+                mun_col,
+                uf_col,
+                bio_col,
             )
 
     canonical = df.mapInPandas(canonicalize, schema=out_schema)

@@ -82,3 +82,47 @@ def test_fuzzy_column_variant(spark, tmp_path):
     out = curated_from_raw(raw, FILE_DATE).collect()
     assert len(out) == 1
     assert out[0]["lat"] == 0.5 and out[0]["satelite"] == "AQUA_M-T"
+
+
+def test_vectorized_canonicalize_matches_reference_rows():
+    """_canonicalize_batch (production, vectorized) must be
+    byte-identical to _canonicalize_rows_reference (the reference's
+    row loop) on hashes AND props — including escapes, unicode,
+    nullish tokens, and floats whose 6-dp rounding exercises
+    round-half-even."""
+    import pandas as pd
+
+    from inpe_queimadas_etl_spark.transform import (
+        _canonicalize_batch,
+        _canonicalize_rows_reference,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "datahora": [
+                "2024-05-02 10:05:00", None, "nan", " NULL ", "2024-05-02 23:59:59",
+            ],
+            "satelite": ['AQ"UA', "TERRA\\X", "Tab\there", "são-1", ""],
+            "municipio": ["São Félix", "NA", "x\ny", None, "Cuiabá"],
+            "estado": ["MT", "PA", "none", "AM", "GO"],
+            "lat": ["x"] * 5,   # raw strings (overwritten with floats)
+            "lon": ["x"] * 5,
+            "frp": ["12.5", "0.0000015", "-1e-7", "inf", "7"],
+            "__lat": [0.3, -9.1234565, 0.1 + 0.2, -89.9999995, 1.0],
+            "__lon": [0.3, 55.5, -0.0000001, 179.9999999, -1.0],
+            "__row_id": [0, 1, 2, 3, 4],
+        }
+    )
+    prop_cols = ["datahora", "satelite", "municipio", "estado", "lat", "lon", "frp"]
+    out = _canonicalize_batch(
+        pdf, prop_cols, "2024-05-02", "lat", "lon",
+        "datahora", "satelite", "municipio", "estado", None,
+    )
+    ref = _canonicalize_rows_reference(
+        pdf, prop_cols, "2024-05-02", "lat", "lon", "datahora", "satelite"
+    )
+    assert list(out["event_hash"]) == [r["event_hash"] for r in ref]
+    assert list(out["props"]) == [r["props"] for r in ref]
+    # cleaned nullish tokens surfaced as None in typed columns
+    assert out["view_ts"].tolist()[1:4] == [None, None, None]
+    assert out["satelite"].tolist()[4] is None
