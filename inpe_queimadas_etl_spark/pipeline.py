@@ -194,6 +194,29 @@ def run_day(
     return process_batch(spark, warehouse, curated, dims)
 
 
+def run_day_auto(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    extractor,
+    file_date: dt.date,
+    dims: dict,
+) -> dict:
+    """The full reference daily run (§3.1): extract with retention
+    routing + monthly fallback (S1/S2/S5, sources.csv_ingest
+    .InpeExtractor), monthly->daily Spark filter when the archive won
+    (S4), transform, and the idempotent batch step. Mirrors
+    etl.cli.run -> extract -> transform -> load."""
+    from .sources.csv_ingest import load_extracted_day
+
+    result = extractor.extract_day(file_date)
+    raw = load_extracted_day(spark, result)
+    curated = curated_from_raw(raw, file_date)
+    metrics = process_batch(spark, warehouse, curated, dims)
+    metrics["extract_source"] = result.source
+    metrics["extract_key"] = result.key
+    return metrics
+
+
 def read_resume_state(state_path: str | None) -> set[str]:
     """S8 resume marker read-back (reference backfill.py:151-162): the
     set of ISO days already completed in a previous run."""

@@ -235,3 +235,66 @@ class TestResume:
         )
         assert out2[0]["rows_new"] == 0
         assert sorted(out2[0]["days_skipped"]) == ["2024-05-01", "2024-05-02"]
+
+
+class TestRunDayAuto:
+    def test_daily_then_monthly_day_end_to_end(self, spark, tmp_path):
+        """run_day_auto: day 1 lands via the daily endpoint, day 2 only
+        exists in the monthly archive — both flow through transform +
+        idempotent batch; the monthly day is filtered to its rows."""
+        import csv as _csv
+        import io as _io
+
+        from inpe_queimadas_etl_spark.schemas import UF_AREA
+
+        from . import fixtures_geo as G
+
+        def focos_csv(rows):
+            buf = _io.StringIO()
+            w = _csv.writer(buf, delimiter=";", lineterminator="\n")
+            w.writerow(G.FOCOS_HEADER)
+            w.writerows(rows)
+            return buf.getvalue()
+
+        d1, d2 = dt.date(2024, 5, 20), dt.date(2024, 5, 21)
+        day1_rows = [r for r in G.FOCOS_ROWS[:3]]
+        # monthly archive holds both days' rows; day-2 rows get a
+        # datahora on 2024-05-21 so the monthly->daily filter keeps them
+        ts_idx = G.FOCOS_HEADER.index("Data_Hora_GMT")
+        day2_rows = []
+        for r in G.FOCOS_ROWS[3:6]:
+            r = list(r)
+            r[ts_idx] = "2024-05-21 11:00:00"
+            day2_rows.append(r)
+        monthly = focos_csv(
+            [list(r)[: len(G.FOCOS_HEADER)] for r in day1_rows] + day2_rows
+        )
+
+        files = {
+            "focos_diario_br_20240520.csv": focos_csv(day1_rows),
+            "focos_mensal_br_202405.csv": monthly,
+        }
+        fetcher = RecordingFetcher(files)
+        ex = InpeExtractor(
+            LandingCache(str(tmp_path / "landing")), fetcher, today=dt.date(2024, 6, 1)
+        )
+        dims = {
+            "municipios": G.municipios(),
+            "biomas": G.biomas(),
+            "ucs": G.ucs(),
+            "tis": G.tis(),
+            "uf_area": spark.createDataFrame(G.uf_area_rows(), UF_AREA),
+        }
+        wh = pipeline.Warehouse(str(tmp_path / "wh"))
+
+        m1 = pipeline.run_day_auto(spark, wh, ex, d1, dims)
+        assert m1["extract_source"] == "daily"
+        assert m1["rows_new"] == 3
+
+        m2 = pipeline.run_day_auto(spark, wh, ex, d2, dims)  # daily 404
+        assert m2["extract_source"] == "monthly"
+        assert m2["rows_new"] == 3  # only the day-2 slice of the archive
+
+        # replay is idempotent end-to-end
+        m3 = pipeline.run_day_auto(spark, wh, ex, d2, dims)
+        assert m3["rows_new"] == 0

@@ -1,0 +1,83 @@
+"""Structured Streaming landing-dir wrapper (§2.9): availableNow
+drain runs the SAME batch step per landed file; checkpoint gives
+each file exactly-once; replays stay idempotent."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from inpe_queimadas_etl_spark import pipeline, streaming
+from inpe_queimadas_etl_spark.schemas import UF_AREA
+from inpe_queimadas_etl_spark.sources.csv_ingest import write_fixture_csv
+
+from . import fixtures_geo as G
+
+
+def test_file_date_from_name():
+    assert streaming.file_date_from_name(
+        "/x/focos_diario_br_20240502.csv"
+    ) == dt.date(2024, 5, 2)
+    assert streaming.file_date_from_name("2024-05-03.csv") == dt.date(2024, 5, 3)
+    with pytest.raises(ValueError):
+        streaming.file_date_from_name("focos.csv")
+
+
+def test_landing_stream_drains_and_checkpoints(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_fixture_csv(
+        str(landing / "focos_diario_br_20240501.csv"),
+        G.FOCOS_HEADER,
+        G.FOCOS_ROWS[:3],
+        sep=";",
+    )
+    dims = {
+        "municipios": G.municipios(),
+        "biomas": G.biomas(),
+        "ucs": G.ucs(),
+        "tis": G.tis(),
+        "uf_area": spark.createDataFrame(G.uf_area_rows(), UF_AREA),
+    }
+    wh = pipeline.Warehouse(str(tmp_path / "wh"))
+    seen: list[tuple[dt.date, dict]] = []
+
+    q = streaming.start_landing_stream(
+        spark,
+        str(landing),
+        wh,
+        dims,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_batch=lambda d, m: seen.append((d, m)),
+    )
+    q.awaitTermination(120)
+    assert [d for d, _ in seen] == [dt.date(2024, 5, 1)]
+    assert seen[0][1]["rows_new"] == 3
+    assert wh.read(spark, "curated_focos").count() == 3
+
+    # a second file lands; a new availableNow drain processes ONLY it
+    write_fixture_csv(
+        str(landing / "focos_diario_br_20240502.csv"),
+        G.FOCOS_HEADER,
+        G.FOCOS_ROWS[3:6],
+        sep=";",
+    )
+    seen.clear()
+    q2 = streaming.start_landing_stream(
+        spark,
+        str(landing),
+        wh,
+        dims,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_batch=lambda d, m: seen.append((d, m)),
+    )
+    q2.awaitTermination(120)
+    assert [d for d, _ in seen] == [dt.date(2024, 5, 2)]
+    assert seen[0][1]["rows_new"] == 3
+    assert wh.read(spark, "curated_focos").count() == 6
+    # daily marts reflect EVENT days (P10): every fixture row's
+    # view_ts is on 2024-05-02, so both files fold into that one day
+    daily = wh.read(spark, "focos_diario_uf")
+    days = [r["day"] for r in daily.select("day").distinct().collect()]
+    assert days == [dt.date(2024, 5, 2)]
