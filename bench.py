@@ -27,6 +27,7 @@ HEADLINE = [
     "dd2_ngram_jaccard_pairs",
     "dd3_minhash_signatures",
     "dd4_minhash_lsh_candidates",
+    "dd7_dedup_clusters",
     "sim1_knn_cosine_topk",
     "tx2_token_counts",
     "geo1_point_in_polygon_grid",

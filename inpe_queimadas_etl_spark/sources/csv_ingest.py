@@ -217,6 +217,69 @@ class InpeExtractor:
         raise FileNotFoundError(f"no daily or monthly source for {d.isoformat()}")
 
 
+
+# public INPE endpoints (reference config.py:14-15)
+INPE_DAILY_BASE_URL = (
+    "https://dataserver-coids.inpe.br/queimadas/queimadas/focos/csv/diario/Brasil"
+)
+INPE_MONTHLY_BASE_URL = (
+    "https://dataserver-coids.inpe.br/queimadas/queimadas/focos/csv/mensal/Brasil"
+)
+
+
+def http_fetcher(
+    daily_base_url: str = INPE_DAILY_BASE_URL,
+    monthly_base_url: str = INPE_MONTHLY_BASE_URL,
+    timeout: float = 30.0,
+    retries: int = 2,
+    backoff_s: float = 0.5,
+    opener=None,
+):
+    """S1's driver-side HTTP GET as an ``InpeExtractor`` fetcher
+    (extract/inpe_focos_diario.py:212-255): 404 -> None (the routing
+    signal), transient 5xx / connection errors retried with
+    exponential backoff, anything else raised. Daily keys resolve
+    against the daily base URL, monthly keys against the monthly one
+    (config.py:14-15). ``opener`` is injectable for tests; default is
+    ``urllib.request.urlopen``.
+
+    HTTP stays on the driver by design: one small file per day lands
+    in the LandingCache and only then does Spark read it — executors
+    never see a URL.
+    """
+    import time as _time
+    from urllib import error as _uerror
+    from urllib import request as _urequest
+
+    open_fn = opener or _urequest.urlopen
+
+    def fetch(name: str) -> bytes | None:
+        base = daily_base_url if name.startswith("focos_diario") else monthly_base_url
+        url = base.rstrip("/") + "/" + name
+        for attempt in range(retries + 1):
+            try:
+                req = _urequest.Request(
+                    url, headers={"User-Agent": "inpe-queimadas-etl-spark/1.0"}
+                )
+                with open_fn(req, timeout=timeout) as resp:
+                    return resp.read()
+            except _uerror.HTTPError as exc:
+                if exc.code == 404:
+                    return None
+                if exc.code >= 500 and attempt < retries:
+                    _time.sleep(backoff_s * (2**attempt))
+                    continue
+                raise
+            except _uerror.URLError:
+                if attempt < retries:
+                    _time.sleep(backoff_s * (2**attempt))
+                    continue
+                raise
+        return None
+
+    return fetch
+
+
 def load_extracted_day(
     spark: SparkSession, result: ExtractResult
 ) -> DataFrame:

@@ -144,7 +144,11 @@ def geo4_uf_choropleth_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     coords = build_uf_geo_chain(_cells())
     pc = uf_polycoords_df(spark, coords)
-    return v_chart_uf_choropleth_day(_daily_uf(spark, sf_dir), pc)
+    # the chart view consumes daily_uf twice (distinct days + the left
+    # join); in the real pipeline that input is a materialized mart, so
+    # materialize the 90-row agg here too instead of re-scanning events
+    daily = _daily_uf(spark, sf_dir).localCheckpoint(eager=True)
+    return v_chart_uf_choropleth_day(daily, pc)
 
 
 @query(

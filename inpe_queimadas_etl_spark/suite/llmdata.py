@@ -162,9 +162,13 @@ def dd2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_sh", F.size("xs"))
     )
-    # (measured: persisting `sets` here is a net loss — the shingle
-    # arrays are cheap map-side work and recompute beats cache I/O,
-    # and an un-unpersisted cache would leak across the session)
+    # `sets` feeds three consumers (prefixes, verify-left, verify-right);
+    # materialize it ONCE. localCheckpoint (not persist) so nothing
+    # leaks past this query: the blocks die with the RDD, no unpersist
+    # bookkeeping. Measured at sf0.1: 3.8 s vs 8.5-15 s recomputing.
+    # At 100 TB the equivalent step is materializing the shingle-set
+    # table to parquet before the join stage — same plan shape.
+    sets = sets.localCheckpoint(eager=True)
     # prefix length n - ceil(t*n) + 1: any pair with jaccard >= t must
     # share at least one element inside both prefixes
     prefix_len = (
@@ -259,10 +263,7 @@ def dd3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ints.select("doc_id", *_minhash_sig_cols())
 
 
-@query(
-    "dd4_minhash_lsh_candidates",
-    oracle=_MINHASH_SQL_BODY
-    + f"""
+_LSH_CAND_SQL = f"""
     , bands AS (
         SELECT doc_id, band_idx,
                md5({" || ',' || ".join(
@@ -273,11 +274,22 @@ def dd3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + " END AS VARCHAR)"
                    for r in range(_MH_ROWS))}) AS band_hash
         FROM sig CROSS JOIN (SELECT unnest(range({_MH_BANDS})) AS band_idx)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-     AND a.doc_id < b.doc_id
+"""
+
+
+@query(
+    "dd4_minhash_lsh_candidates",
+    oracle=_MINHASH_SQL_BODY
+    + _LSH_CAND_SQL
+    + """
+    SELECT doc_a, doc_b FROM cand
     """,
 )
 def dd4_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,6 +493,90 @@ def dd6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sim_raw", sim)
         .filter(F.col("sim_raw") >= _DD6_THRESHOLD)
         .select("vec_a", "vec_b", F.round("sim_raw", 4).alias("sim"))
+    )
+
+
+@query(
+    "dd7_dedup_clusters",
+    oracle=_MINHASH_SQL_BODY.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    + _LSH_CAND_SQL
+    + """
+    , edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION ALL
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach AS (
+        SELECT doc_id, doc_id AS r FROM documents
+        UNION
+        SELECT e.dst AS doc_id, reach.r
+        FROM reach JOIN edges e ON e.src = reach.doc_id
+    ),
+    comp AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           (doc_id = cluster_id) AS is_canonical
+    FROM comp
+    """,
+)
+def dd7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the LSH candidate pairs (dd4): connected
+    components, each document labeled with its component's minimum
+    doc_id (the canonical keeper), plus component size — the step that
+    turns pairwise near-dup evidence into a keep/drop decision for a
+    training-data pipeline.
+
+    Scale design: hash-to-min label propagation — every round each
+    node takes the min of its own and its neighbors' labels, so the
+    component's min floods one hop per round and the loop runs
+    O(component diameter) rounds, each a single shuffle-on-doc_id
+    aggregation over (labels UNION propagated). Near-dup components
+    are shallow (dozens of docs, diameter a few hops), so this
+    converges in 2-4 rounds; a web-scale graph with giant components
+    would swap in the large-star/small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce"), which is the same
+    joins with an O(log n) round bound. Every round localCheckpoints
+    the 2-column label frame — mandatory in iterative Spark to stop
+    lineage (and therefore plan size and recovery cost) growing per
+    iteration. The driver-side loop moves only the converged-row
+    COUNT, never data.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dd4_minhash_lsh_candidates(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(20):  # >> any real near-dup component diameter
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "cluster_id")
+        new_labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("cluster_id", "new_cluster")
+            .join(labels, "doc_id")
+            .filter(F.col("new_cluster") != F.col("cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
 
 
