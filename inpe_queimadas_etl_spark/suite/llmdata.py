@@ -45,6 +45,8 @@ def _word_hash_spark(col):
 
 # MinHash parameters: k=8 permutations h_i(x) = (a_i*x + b_i) mod p over
 # the 31-bit Mersenne prime; 4 bands x 2 rows.
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
 _MH_P = 2147483647
 _MH_A = [1103515245, 1103604289, 214013, 69069, 1664525, 22695477, 48271, 16807]
 _MH_B = [12345, 2531011, 2531021, 1, 1013904223, 1, 0, 33]
@@ -580,11 +582,112 @@ def dd7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cur1_corpus_curation",
+    oracle=_MINHASH_SQL_BODY.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    + _LSH_CAND_SQL
+    + """
+    , edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION ALL
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach AS (
+        SELECT doc_id, doc_id AS r FROM documents
+        UNION
+        SELECT e.dst AS doc_id, reach.r
+        FROM reach JOIN edges e ON e.src = reach.doc_id
+    ),
+    comp AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+    gate AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               CASE
+                 WHEN len(list_filter(string_split(text, ' '),
+                         w -> w IN ({stopwords}))) >= 2 THEN 'en'
+                 WHEN length(text) < 20 THEN 'short'
+                 ELSE 'unk'
+               END AS pred_lang
+        FROM documents
+    ),
+    j AS (
+        SELECT c.doc_id, c.cluster_id, g.n_words, g.pred_lang,
+               ((g.n_words BETWEEN 10 AND 1000) AND g.pred_lang = 'en')
+                   AS passes
+        FROM comp c JOIN gate g USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           CAST(n_words AS BIGINT) AS n_words,
+           pred_lang,
+           (passes AND doc_id = min(CASE WHEN passes THEN doc_id END)
+                   OVER (PARTITION BY cluster_id)) AS keep,
+           CASE WHEN n_words < 10 THEN 'too_short'
+                WHEN n_words > 1000 THEN 'too_long'
+                WHEN pred_lang <> 'en' THEN 'lang'
+                WHEN doc_id <> min(CASE WHEN passes THEN doc_id END)
+                        OVER (PARTITION BY cluster_id) THEN 'near_dup'
+                ELSE NULL END AS drop_reason
+    FROM j
+    """.format(stopwords=", ".join(repr(s) for s in _STOPWORDS)),
+)
+def cur1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: the keep/drop decision a training-
+    data pipeline makes per document, composing the quality gate
+    (10-1000 words), the n-gram language heuristic (tx3), and near-dup
+    deduplication over the connected-component clusters (dd7). A doc
+    is kept iff it passes the gate AND is the lowest-id gate-passing
+    member of its near-dup cluster — so when a cluster's canonical doc
+    fails quality, the next passing member survives instead of the
+    whole cluster dying. Exact duplicates need no separate stage:
+    identical texts share every MinHash band, so they are always in
+    one cluster.
+
+    Scale: the gate is map-side column work fused into the document
+    scan; the only additions over dd7 are one equi-join on doc_id and
+    one window over cluster_id (a single shuffle, uniform keys —
+    cluster ids are min doc_ids, near-dup clusters are small, no
+    skew). drop_reason gives per-row lineage for curation audits.
+    """
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    gate = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.when(n_stop >= 2, "en")
+        .when(F.length("text") < 20, "short")
+        .otherwise("unk")
+        .alias("pred_lang"),
+    )
+    clusters = dd7_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    j = clusters.join(gate, "doc_id").withColumn(
+        "passes", F.col("n_words").between(10, 1000) & (F.col("pred_lang") == "en")
+    )
+    w = Window.partitionBy("cluster_id")
+    min_keep = F.min(F.when(F.col("passes"), F.col("doc_id"))).over(w)
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "pred_lang",
+        (F.col("passes") & (F.col("doc_id") == min_keep)).alias("keep"),
+        F.when(F.col("n_words") < 10, "too_short")
+        .when(F.col("n_words") > 1000, "too_long")
+        .when(F.col("pred_lang") != "en", "lang")
+        .when(F.col("doc_id") != min_keep, "near_dup")
+        .alias("drop_reason"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
-
-_STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 
 @query(
