@@ -752,3 +752,83 @@ def a6_uf_area_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("uf"), F.col("s_acctbal").alias("area_km2")
     )
     return ref_uf_area(dim).select("uf", F.round("area_km2", 2).alias("area_km2"))
+
+
+@query(
+    "a13_legend_breaks",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(floor(sqrt(user_id % 900)) AS BIGINT) AS b,
+               count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    sorted_vals AS (
+        SELECT n, row_number() OVER (ORDER BY n) - 1 AS rn FROM vals
+    ),
+    u AS (
+        SELECT count(DISTINCT n) AS uniq, count(*) AS cnt,
+               CAST(min(n) AS DOUBLE) AS mn, CAST(max(n) AS DOUBLE) AS mx
+        FROM vals
+    ),
+    qs AS (SELECT unnest(range(6)) AS i),
+    pick AS (
+        SELECT i,
+               CASE WHEN x - floor(x) = 0.5
+                     AND CAST(floor(x) AS BIGINT) % 2 = 0
+                    THEN CAST(floor(x) AS BIGINT)
+                    ELSE CAST(floor(x + 0.5) AS BIGINT) END AS p
+        FROM (SELECT i, ((cnt - 1) * i / 5.0) AS x FROM qs CROSS JOIN u)
+    ),
+    qb AS (
+        SELECT i, CAST(v.n AS DOUBLE) AS v
+        FROM pick JOIN sorted_vals v ON v.rn = pick.p
+    ),
+    qb_ok AS (
+        SELECT coalesce(bool_and(d > 0), FALSE) AS ok
+        FROM (SELECT v - lag(v) OVER (ORDER BY i) AS d FROM qb)
+        WHERE d IS NOT NULL
+    ),
+    eq AS (
+        SELECT i, mn + (mx - mn) / ec * i AS v, ec
+        FROM (SELECT least(5, greatest(2, uniq - 1)) AS ec, mn, mx FROM u)
+        CROSS JOIN qs
+        WHERE i <= ec
+    )
+    SELECT CAST(class_idx AS BIGINT) AS class_idx, break_value FROM (
+        SELECT i AS class_idx, v AS break_value FROM qb
+        WHERE (SELECT uniq FROM u) > 1 AND (SELECT ok FROM qb_ok)
+        UNION ALL
+        SELECT i, v FROM eq
+        WHERE (SELECT uniq FROM u) > 1 AND NOT (SELECT ok FROM qb_ok)
+        UNION ALL
+        SELECT t.i, u.mn + t.i FROM u
+        CROSS JOIN (VALUES (0), (1)) AS t(i)
+        WHERE u.uniq <= 1
+    )
+    """,
+)
+def a13_legend_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 quantile legend breaks (api/app/main.py:218-314): the REAL
+    driver-side compute_breaks (nearest-rank quantiles with Python
+    banker's rounding on the index, k=5) run over per-bucket counts
+    collected from the fact table; the oracle restates nearest-rank +
+    banker's rounding in SQL over the same counts. The sqrt bucketing
+    makes bucket sizes ~(2k+1)*density, so the six rank positions are
+    structurally distinct and the quantile path (not the equal-breaks
+    fallback, which pytest covers) is what both engines exercise.
+    Collecting the values is the reference's own serve-layer shape:
+    legend inputs are one value per UF/municipality, bounded by the
+    dim size (SURVEY sec 7.7)."""
+    from ..functions.legend import compute_breaks
+
+    ev = load_table(spark, sf_dir, "events")
+    vals = (
+        ev.groupBy(
+            F.floor(F.sqrt(F.col("user_id") % 900)).cast("long").alias("b")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    legend = compute_breaks([r["n"] for r in vals], k=5, zero_class=True)
+    rows = [(i, float(v)) for i, v in enumerate(legend["breaks"])]
+    return spark.createDataFrame(rows, "class_idx bigint, break_value double")
