@@ -22,8 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .functions.core import event_day
+from .session import local_df
 from .operators.geo import PolyFeature, knn_nearest_within, point_in_polygon_join
 
 
@@ -44,7 +46,7 @@ def _dim_lookup(spark, feats: list[PolyFeature], id_name: str, attr_map: dict[st
     schema = ", ".join(
         [f"{id_name} string"] + [f"{dst} string" for dst in attr_map]
     )
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, T.StructType.fromDDL(schema))
 
 
 def attribute_municipality(

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .operators.geo import PolyFeature
+from .session import local_df
 from .operators.geometry import (
     canonicalize_feature,
     coords_json,
@@ -139,7 +140,7 @@ def uf_polycoords_df(spark: SparkSession, coords: dict[str, list]) -> DataFrame:
     """marts.mv_uf_polycoords_polygon_superset as a DataFrame
     (uf, poly_coords JSON string)."""
     rows = [(uf, coords_json(c)) for uf, c in sorted(coords.items())]
-    return spark.createDataFrame(rows, _POLYCOORDS_SCHEMA)
+    return local_df(spark, rows, _POLYCOORDS_SCHEMA)
 
 
 _MUN_WEB_SCHEMA = T.StructType(
@@ -174,7 +175,7 @@ def mun_web_df(spark: SparkSession, mun_web: list[PolyFeature]) -> DataFrame:
                 coords_json(polygon_coords(canonicalize_feature(best))),
             )
         )
-    return spark.createDataFrame(rows, _MUN_WEB_SCHEMA)
+    return local_df(spark, rows, _MUN_WEB_SCHEMA)
 
 
 def ufs_web_df(
@@ -198,7 +199,7 @@ def ufs_web_df(
             T.StructField("poly_coords", T.StringType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .functions.legend import compute_breaks
+from .session import local_df
 
 MAX_RANGE_DAYS = 365
 TS_WEEK_THRESHOLD_DAYS = 92
@@ -248,7 +249,7 @@ def points(
     probe = df.select("event_hash", "lat", "lon", "event_day").limit(limit + 1)
     rows = probe.collect()
     truncated = len(rows) > limit
-    out = events.sparkSession.createDataFrame(rows[:limit], schema=probe.schema)
+    out = local_df(events.sparkSession, rows[:limit], probe.schema)
     return out, truncated
 
 

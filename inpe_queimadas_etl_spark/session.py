@@ -106,6 +106,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def local_df(spark: SparkSession, rows, schema: T.StructType):
+    """Small driver-built dims (geometry tables, lookup rows) as JVM
+    LocalRelations: routing createDataFrame through pandas + Arrow
+    turns the plan's `Scan ExistingRDD` (a Python RDD that must spin
+    Python workers every time the dim is scanned or broadcast) into a
+    `LocalTableScan` that lives entirely JVM-side. Falls back to the
+    plain list path if the Arrow conversion is unavailable."""
+    rows = list(rows)
+    try:
+        import pandas as pd
+
+        names = [f.name for f in schema.fields]
+        pdf = pd.DataFrame(rows or None, columns=names, dtype=object)
+        return spark.createDataFrame(pdf, schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TABLE_NAMES:

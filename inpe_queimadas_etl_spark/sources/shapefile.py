@@ -296,8 +296,16 @@ def municipios_dim_from_shapefile(
         (v["cd_mun"], v["nm_mun"], v["uf"], round(v["area_km2"], 3))
         for v in by_id.values()
     ]
-    return spark.createDataFrame(
-        rows, "cd_mun string, nm_mun string, uf string, area_km2 double"
+    from pyspark.sql import types as T
+
+    from ..session import local_df
+
+    return local_df(
+        spark,
+        rows,
+        T.StructType.fromDDL(
+            "cd_mun string, nm_mun string, uf string, area_km2 double"
+        ),
     )
 
 

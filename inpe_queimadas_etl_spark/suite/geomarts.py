@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.geo import make_polygon
 from ..operators.geometry import _DEG_M
-from ..session import load_table
+from ..session import load_table, local_df
 from . import query
 
 # --- fixture ---------------------------------------------------------------
@@ -300,7 +300,7 @@ def geo6_geo_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q["warning_bbox_ratio"],
             )
         )
-    return spark.createDataFrame(rows, _GEO6_SCHEMA)
+    return local_df(spark, rows, _GEO6_SCHEMA)
 
 
 # --- geo7: municipality choropleth chart view (J6 + geometry) --------------

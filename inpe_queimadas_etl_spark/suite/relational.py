@@ -15,8 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..session import load_table
+from ..session import load_table, local_df
 from . import query
 
 
@@ -831,4 +832,6 @@ def a13_legend_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     legend = compute_breaks([r["n"] for r in vals], k=5, zero_class=True)
     rows = [(i, float(v)) for i, v in enumerate(legend["breaks"])]
-    return spark.createDataFrame(rows, "class_idx bigint, break_value double")
+    return local_df(
+        spark, rows, T.StructType.fromDDL("class_idx bigint, break_value double")
+    )
