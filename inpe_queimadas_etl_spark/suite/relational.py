@@ -17,7 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..session import load_table, local_df
+from ..session import day_filter, load_table, local_df
 from . import query
 
 
@@ -78,7 +78,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        li.filter(day_filter(li, "l_shipdate", "<=", "1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -117,12 +117,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.to_date("o_orderdate") < F.lit("1998-03-15").cast("date")
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.to_date("l_shipdate") > F.lit("1998-03-15").cast("date")
-    )
+    orders = load_table(spark, sf_dir, "orders")
+    orders = orders.filter(day_filter(orders, "o_orderdate", "<", "1998-03-15"))
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.filter(day_filter(li, "l_shipdate", ">", "1998-03-15"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -158,9 +156,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way star join with small-dim broadcasts — the fact->dims
     enrichment shape (J5/J6, reference sql/marts/20_focos_diario_uf.sql:40)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
-        & (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    orders = load_table(spark, sf_dir, "orders")
+    orders = orders.filter(
+        day_filter(orders, "o_orderdate", ">=", "1996-01-01")
+        & day_filter(orders, "o_orderdate", "<", "1998-01-01")
     )
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
