@@ -144,33 +144,55 @@ def dd2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     threshold = 0.5
     docs = load_table(spark, sf_dir, "documents")
-    # Sorted 64-bit shingle-hash set per doc (the global prefix order).
-    # The 3-word shingle is hashed directly (xxhash64 over the word
-    # triple) — the shingle string is never materialized, which is the
-    # difference between a string-concat scan and a pure numeric one.
-    sets = (
+    # 64-bit shingle-hash set per doc. The 3-word shingle is hashed
+    # directly (xxhash64 over the word triple) — the shingle string is
+    # never materialized, which is the difference between a
+    # string-concat scan and a pure numeric one.
+    raw_sets = (
         docs.withColumn("w", F.split(F.col("text"), " "))
         .filter(F.size("w") >= 3)
         .select(
             "doc_id",
-            F.array_sort(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(0, size(w) - 3),"
-                        " i -> xxhash64(w[i], w[i+1], w[i+2]))"
-                    )
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3),"
+                    " i -> xxhash64(w[i], w[i+1], w[i+2]))"
                 )
             ).alias("xs"),
         )
-        .withColumn("n_sh", F.size("xs"))
+        .localCheckpoint(eager=True)
     )
-    # `sets` feeds three consumers (prefixes, verify-left, verify-right);
-    # materialize it ONCE. localCheckpoint (not persist) so nothing
-    # leaks past this query: the blocks die with the RDD, no unpersist
-    # bookkeeping. Measured at sf0.1: 3.8 s vs 8.5-15 s recomputing.
-    # At 100 TB the equivalent step is materializing the shingle-set
-    # table to parquet before the join stage — same plan shape.
-    sets = sets.localCheckpoint(eager=True)
+    # Global prefix order = document frequency ASCENDING (PPJoin):
+    # prefix filtering is valid under ANY total order shared by all
+    # docs, and ordering by rarity puts low-df shingles in the
+    # prefixes, so each prefix-join bucket stays small. Hash order is
+    # effectively random — one hot shingle inside many prefixes blows
+    # the candidate set up quadratically (measured at sf0.1: 431k
+    # candidate pairs for 256 true pairs; df-ordered: ~1k). The df
+    # table is one extra groupBy over exploded shingles — map-side
+    # combine, uniform long keys — and ties break on the hash so the
+    # order is total and deterministic.
+    ex = raw_sets.select("doc_id", F.explode("xs").alias("sh"))
+    df_tbl = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    # `sets` feeds three consumers (prefixes, verify-left,
+    # verify-right); materialize it ONCE. localCheckpoint (not
+    # persist) so nothing leaks past this query: the blocks die with
+    # the RDD, no unpersist bookkeeping. At 100 TB the equivalent
+    # step is materializing the shingle-set table to parquet before
+    # the join stage — same plan shape.
+    sets = (
+        ex.join(df_tbl, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ss")
+        )
+        .select(
+            "doc_id",
+            F.expr("transform(ss, x -> x.sh)").alias("xs"),
+            F.size("ss").alias("n_sh"),
+        )
+        .localCheckpoint(eager=True)
+    )
     # prefix length n - ceil(t*n) + 1: any pair with jaccard >= t must
     # share at least one element inside both prefixes
     prefix_len = (
