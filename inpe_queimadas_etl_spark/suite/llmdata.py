@@ -332,9 +332,15 @@ def dd4_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.md5(F.concat_ws(",", *row_cols)).alias("band_hash"),
             )
         )
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    # materialize the banded signatures ONCE — both sides of the
+    # self-join read them, and without this the full document scan +
+    # minhash pipeline runs twice (at corpus scale: materialize the
+    # signature table to parquet before the bucket join, same shape)
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band"))
+        .select("doc_id", "band.band_idx", "band.band_hash")
+        .localCheckpoint(eager=True)
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
