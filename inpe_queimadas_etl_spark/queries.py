@@ -26,6 +26,7 @@ CHORO_MAX_DAYS_MUN = 180
 MUN_GUARDRAIL_LIMIT = 10
 POINTS_LIMIT_HARD_CAP = 50_000
 POINTS_LIMIT_DEFAULT = 20_000
+BBOX_RATIO_WARN_VALIDATE = 50.0  # main.py:1831
 
 # group key -> (code expr, name expr), mirroring TOP_GROUP_EXPR
 # (api/app/main.py:60-66)
@@ -253,15 +254,66 @@ def points(
     return out, truncated
 
 
+POINTS_SMOKE_LIMIT = 200  # main.py:86
+POINTS_SMOKE_BBOX = (-55.5, -16.5, -54.5, -15.5)  # main.py:613-614
+
+
+def _legend_breaks_monotonic(values: list[int]) -> bool:
+    """main.py:317-323: quantile/k=5/zero-class breaks strictly
+    increasing over the raw (non-zero-filled) group sums."""
+    legend = compute_breaks(values, method="quantile", k=5, zero_class=True)
+    breaks = [float(x) for x in legend.get("breaks", [])]
+    return all(breaks[i] > breaks[i - 1] for i in range(1, len(breaks)))
+
+
+def _points_smoke(
+    events: DataFrame,
+    base: DataFrame,
+    from_date: dt.date,
+    to: dt.date,
+    smoke_bbox: tuple[float, float, float, float],
+) -> tuple[bool, bool, dt.date | None, int]:
+    """main.py:586-621: pick the peak day under the active filters
+    (sum desc, day asc), falling back to the last in-range day, then
+    run the points scan over a small fixed bbox and check the returned
+    count respects the limit."""
+    peak = (
+        base.groupBy("day")
+        .agg(F.sum("n_focos").alias("n"))
+        .orderBy(F.desc("n"), F.asc("day"))
+        .limit(1)
+        .collect()
+    )
+    test_day = peak[0]["day"] if peak else None
+    if test_day is None:
+        test_day = max(from_date, to - dt.timedelta(days=1))
+    try:
+        df, _truncated = points(
+            events, test_day, bbox=smoke_bbox, limit=max(1, POINTS_SMOKE_LIMIT)
+        )
+        returned = df.count()
+        return True, returned <= POINTS_SMOKE_LIMIT, test_day, int(returned)
+    except Exception:
+        return False, False, test_day, 0
+
+
 def validate_consistency(
     fact: DataFrame,
     all_ufs: DataFrame,
     from_date: dt.date,
     to: dt.date,
     filters: dict | None = None,
+    events: DataFrame | None = None,
+    feats: list | None = None,
+    smoke_bbox: tuple[float, float, float, float] = POINTS_SMOKE_BBOX,
 ) -> dict:
     """Cross-query consistency (main.py:1713-1866): totals ==
-    sum(timeseries) == sum(choropleth); legend strictly increasing."""
+    sum(timeseries) == sum(choropleth); legend break monotonicity over
+    uf (and mun, under a uf filter) group sums; bounds-vs-geo bbox
+    ratio <= 50 when a uc/ti filter keys a geometry (`feats`); points
+    smoke over a fixed bbox when `events` is given."""
+    filters = filters or {}
+    base = _base(fact, from_date, to, filters)
     total = totals(fact, from_date, to, filters).collect()[0]["total"]
     ts_sum = (
         timeseries_total(fact, from_date, to, filters)
@@ -271,20 +323,74 @@ def validate_consistency(
     # choropleth component: group by uf INCLUDING the null-uf group,
     # exactly as the reference's ufagg CTE (main.py:1752-1760) — so
     # unattributed rows cannot break totals == sum(choropleth)
-    choro_sum = (
-        _base(fact, from_date, to, filters)
-        .groupBy("uf")
-        .agg(F.sum("n_focos").alias("n"))
-        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("s"))
-        .collect()[0]["s"]
-    )
+    uf_rows = base.groupBy("uf").agg(F.sum("n_focos").alias("n")).collect()
+    choro_sum = sum(int(r["n"] or 0) for r in uf_rows)
     _, legend = choropleth_uf(fact, all_ufs, from_date, to, filters)
     breaks = legend["breaks"]
     legend_ok = all(breaks[i] > breaks[i - 1] for i in range(1, len(breaks)))
-    return {
+
+    # Break monotonicity over the raw group sums (main.py:1782-1799):
+    # uf values always; mun values too when a uf filter is active.
+    uf_values = [int(r["n"] or 0) for r in uf_rows]
+    break_ok = _legend_breaks_monotonic(uf_values) if uf_values else True
+    if _norm(filters.get("uf")):
+        mun_values = [
+            int(r["n"] or 0)
+            for r in base.groupBy("cd_mun")
+            .agg(F.sum("n_focos").alias("n"))
+            .collect()
+        ]
+        if mun_values:
+            break_ok = break_ok and _legend_breaks_monotonic(mun_values)
+
+    # Bounds-vs-geo bbox consistency (main.py:1801-1831): when a uc/ti
+    # filter keys a geometry, the /api/bounds bbox and the unsimplified
+    # /api/geo shape bbox must agree within a 50x degree-area ratio.
+    bbox_ratio: float | None = None
+    bounds_consistent: bool | None = None
+    qa_key = _norm(filters.get("ti")) or _norm(filters.get("uc"))
+    if qa_key and feats is not None:
+        from .geoqueries import bounds as geo_bounds
+        from .geoqueries import geo_shape_metrics
+
+        def _deg_area(b):  # main.py:840-845
+            return max(0.0, b[2] - b[0]) * max(0.0, b[3] - b[1])
+
+        try:
+            geo_bbox = geo_shape_metrics(
+                feats, qa_key, simplify=False, tol_m=0.0
+            )["bbox"]
+            bounds_bbox = geo_bounds(feats, qa_key)["bbox"]
+            ga = max(_deg_area(geo_bbox), 1e-12)
+            ba = max(_deg_area(bounds_bbox), 1e-12)
+            bbox_ratio = float(max(ba, ga) / min(ba, ga))
+            bounds_consistent = bbox_ratio <= BBOX_RATIO_WARN_VALIDATE
+        except (ValueError, LookupError):
+            bounds_consistent = False
+
+    out = {
         "totals": int(total),
         "timeseries_sum": int(ts_sum),
         "choropleth_sum": int(choro_sum),
         "consistent": int(total) == int(ts_sum) == int(choro_sum),
         "legend_monotonic": legend_ok,
+        "invalid_filter_state": bool(
+            _norm(filters.get("mun")) and not _norm(filters.get("uf"))
+        ),
+        "break_monotonicity_ok": break_ok,
+        "bounds_vs_geo_bbox_ratio": bbox_ratio,
+        "bounds_consistent": bounds_consistent,
     }
+    if events is not None:
+        ok, le_limit, day_used, returned = _points_smoke(
+            events, base, from_date, to, smoke_bbox
+        )
+        out.update(
+            {
+                "points_endpoint_ok": ok,
+                "points_returned_le_limit": le_limit,
+                "points_date_used": day_used,
+                "points_returned": returned,
+            }
+        )
+    return out

@@ -186,6 +186,60 @@ def test_validate_consistency(spark, fact):
     )
     assert res["consistent"], res
     assert res["legend_monotonic"], res
+    assert res["break_monotonicity_ok"], res
+    assert not res["invalid_filter_state"]
+    # no uc/ti filter and no events -> optional components absent/None
+    assert res["bounds_vs_geo_bbox_ratio"] is None
+    assert res["bounds_consistent"] is None
+    assert "points_endpoint_ok" not in res
+
+
+def test_validate_bounds_vs_geo_and_points_smoke(spark, fact, enriched):
+    """main.py:1801-1845: uc-filtered validate computes the bounds-vs-geo
+    bbox ratio (same geometry pipeline both sides -> ratio 1, <= 50) and
+    the points smoke runs over the fixture bbox."""
+    all_ufs = spark.createDataFrame([(u,) for u in G.UFS], "uf string")
+    res = queries.validate_consistency(
+        fact,
+        all_ufs,
+        dt.date(2024, 5, 1),
+        dt.date(2024, 5, 5),
+        filters={"uc": "U1"},
+        events=enriched,
+        feats=G.ucs(),
+        smoke_bbox=(0.0, 0.0, 4.0, 3.0),
+    )
+    assert res["bounds_vs_geo_bbox_ratio"] == pytest.approx(1.0)
+    assert res["bounds_consistent"] is True
+    assert res["points_endpoint_ok"] is True
+    assert res["points_returned_le_limit"] is True
+    assert res["points_returned"] >= 1
+    assert res["points_date_used"] is not None
+
+
+def test_validate_missing_geometry_marks_inconsistent(spark, fact):
+    """A uc filter whose key has no geometry -> bounds_consistent False
+    (reference catches the 404 path, main.py:1829-1831)."""
+    all_ufs = spark.createDataFrame([(u,) for u in G.UFS], "uf string")
+    res = queries.validate_consistency(
+        fact,
+        all_ufs,
+        dt.date(2024, 5, 1),
+        dt.date(2024, 5, 5),
+        filters={"uc": "NOPE"},
+        feats=G.ucs(),
+    )
+    assert res["bounds_consistent"] is False
+    assert res["bounds_vs_geo_bbox_ratio"] is None
+
+
+def test_validate_invalid_filter_state(spark, fact):
+    all_ufs = spark.createDataFrame([(u,) for u in G.UFS], "uf string")
+    res = queries.validate_consistency(
+        fact, all_ufs, dt.date(2024, 5, 1), dt.date(2024, 5, 5),
+        filters={"mun": "m100"},
+    )
+    assert res["invalid_filter_state"] is True
 
 
 def test_fact_cube_totals_match_enriched(fact, enriched):
