@@ -1,19 +1,27 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
 
+Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+recorded number is the MEDIAN, so one machine-load spike cannot poison
+the round artifact (VERDICT r2: recorded 31.7s vs 18.9s reproducible).
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
-"sec", "queries": {name: sec}, "sf": ...}. The driver records this as
-BENCH_r{N}.json; compare against BASELINE.md.
+"sec", "queries": {name: sec}, "sf": ...} plus per-query min/max
+spread. The driver records this as BENCH_r{N}.json; compare against
+BASELINE.md.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 import json
 import os
+import statistics
 import sys
+import tempfile
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -35,9 +43,43 @@ HEADLINE = [
     "geo4_uf_choropleth_day",
 ]
 
+TRANSFORM_ROWS = 100_000
+
+
+def _write_transform_csv(path: str, n: int) -> None:
+    """Deterministic INPE-shaped CSV for the transform bench (P1-P9
+    full path: parse -> clean -> payload -> JVM md5 -> dedup)."""
+    sats = ["AQUA_M-T", "TERRA_M", "NOAA-20", "GOES-16"]
+    muns = ["São Félix", "Cuiabá", "Alta Floresta", "NA", ""]
+    ufs = ["MT", "PA", "AM", "GO"]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("Lat,Lon,Data_Hora_GMT,Satelite,Municipio,Estado,Bioma,FRP\n")
+        for i in range(n):
+            lat = -33.0 + (i % 6000) * 0.01
+            lon = -73.0 + (i % 3900) * 0.01
+            f.write(
+                f"{lat:.6f},{lon:.6f},2024-05-02 {i % 24:02d}:{i % 60:02d}:00,"
+                f"{sats[i % 4]},{muns[i % 5]},{ufs[i % 4]},"
+                f"Amazônia,{(i % 300) / 10.0}\n"
+            )
+
+
+def _time_runs(fn, runs: int = RUNS) -> tuple[float, float, float]:
+    """(median, min, max) over `runs` executions of fn()."""
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    return (
+        round(statistics.median(samples), 3),
+        round(min(samples), 3),
+        round(max(samples), 3),
+    )
+
 
 def main() -> None:
-    from inpe_queimadas_etl_spark.session import get_spark
+    from inpe_queimadas_etl_spark.session import get_spark, load_table
     from inpe_queimadas_etl_spark.suite import all_queries
 
     spark = get_spark(
@@ -51,21 +93,41 @@ def main() -> None:
     # Warm the JVM / session (codegen, parquet footer reads) so the
     # first timed query measures the plan, not session startup; keeps
     # round-over-round numbers comparable (VERDICT r1 #10).
-    from inpe_queimadas_etl_spark.session import load_table
-
     for warm_tbl in ("lineitem", "events", "documents", "embeddings"):
         load_table(spark, SF_DIR, warm_tbl).count()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        med, lo, hi = _time_runs(lambda: fn(spark, SF_DIR).count())
+        timings[name] = med
+        spread[name] = [lo, hi]
+        print(f"# {name}: median {med}s over {RUNS} runs "
+              f"[{lo}, {hi}]", file=sys.stderr)
+
+    # Transform canonicalize bench: CSV -> curated (P1-P9) over a
+    # deterministic 100k-row file; measures the Arrow batch + JVM md5
+    # + dedup-window path end to end (VERDICT r2 #2).
+    from inpe_queimadas_etl_spark.sources.csv_ingest import read_csv_all_string
+    from inpe_queimadas_etl_spark.transform import curated_from_raw
+
+    with tempfile.TemporaryDirectory() as tmp:
+        csv_path = os.path.join(tmp, "focos_bench.csv")
+        _write_transform_csv(csv_path, TRANSFORM_ROWS)
+        file_date = dt.date(2024, 5, 2)
+
+        def run_transform():
+            raw = read_csv_all_string(spark, csv_path)
+            curated_from_raw(raw, file_date).count()
+
+        med, lo, hi = _time_runs(run_transform)
+        timings["transform_canonicalize_100k"] = med
+        spread["transform_canonicalize_100k"] = [lo, hi]
+        print(f"# transform_canonicalize_100k: median {med}s over "
+              f"{RUNS} runs [{lo}, {hi}]", file=sys.stderr)
 
     sf_label = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -78,6 +140,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": RUNS,
+        "spread": spread,
     }
     print(json.dumps(result))
     spark.stop()

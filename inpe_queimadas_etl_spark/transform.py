@@ -7,11 +7,12 @@ pipeline:
   ``df.columns`` (P1/P2);
 - decimal-comma casts and coordinate filters are JVM expressions
   (P3-P5), so predicate pushdown and codegen apply;
-- row canonicalization — value cleansing (P6), the MD5 event hash over
-  the canonical JSON payload (P7), and the props JSON serialization
-  (P9) — runs in ONE Arrow-batched mapInPandas pass using the same
-  json.dumps/hashlib calls as the reference, so hashes and props are
-  byte-identical to the reference implementation;
+- row canonicalization — value cleansing (P6), canonical JSON payload
+  assembly (P7), and the props JSON serialization (P9) — runs in ONE
+  Arrow-batched mapInPandas pass matching the reference's json.dumps
+  bytes; the MD5 itself runs JVM-side (F.md5 over the payload string),
+  so hashes and props are byte-identical to the reference while the
+  hash stays inside whole-stage codegen;
 - first-row-per-hash dedup (P8) uses the CSV row order captured
   before any shuffle, so the kept row matches the reference's
   seen-set semantics deterministically (SURVEY.md §7.2).
@@ -117,10 +118,10 @@ def _canonicalize_batch(
     uf_col: str | None,
     bio_col: str | None,
 ) -> pd.DataFrame:
-    """Vectorized P6/P7/P9 over one Arrow batch: column-wise cleaning,
-    string-concat JSON assembly, md5 via a C-loop map. Reproduces the
-    reference's json.dumps serialization byte-for-byte (key order =
-    column order, ', '/': ' separators, repr() float formatting,
+    """Vectorized P6/P9 + P7 payload assembly over one Arrow batch:
+    column-wise cleaning and string-concat JSON assembly. Reproduces
+    the reference's json.dumps serialization byte-for-byte (key order
+    = column order, ', '/': ' separators, repr() float formatting,
     Python round-half-even for the 6-dp hash payload) — parity is
     pinned by tests against _canonicalize_rows_reference."""
     n = len(pdf)
@@ -159,6 +160,10 @@ def _canonicalize_batch(
     ts_tok = tokens.get(ts_col, pd.Series(["null"] * n, index=pdf.index)) if ts_col else pd.Series(["null"] * n, index=pdf.index)
     sat_tok = tokens.get(sat_col, pd.Series(["null"] * n, index=pdf.index)) if sat_col else pd.Series(["null"] * n, index=pdf.index)
 
+    # The md5 itself is NOT computed here: the batch emits the payload
+    # string and the JVM hashes it with F.md5 (string -> UTF-8 binary
+    # cast), which is byte-identical to hashlib.md5(p.encode("utf-8"))
+    # and keeps the hash inside whole-stage codegen.
     payload = (
         '{"file_date": "' + file_date_str + '", "lat": ' + lat6
         + ', "lon": ' + lon6
@@ -166,16 +171,13 @@ def _canonicalize_batch(
         + ', "satelite": ' + sat_tok
         + "}"
     )
-    event_hash = payload.map(
-        lambda p: hashlib.md5(p.encode("utf-8")).hexdigest()
-    )
 
     def pick(col):
         return cleaned.get(col, null_series) if col else null_series
 
     return pd.DataFrame(
         {
-            "event_hash": event_hash,
+            "__payload": payload,
             "view_ts": view_ts,
             "satelite": sat,
             "municipio": pick(mun_col),
@@ -249,7 +251,7 @@ def curated_from_raw(raw: DataFrame, file_date: dt.date) -> DataFrame:
     )
 
     out_schema = (
-        "event_hash string, view_ts string, satelite string, municipio string,"
+        "__payload string, view_ts string, satelite string, municipio string,"
         " estado string, bioma string, lat double, lon double, props string,"
         f" {_ROW_ID} long"
     )
@@ -273,7 +275,14 @@ def curated_from_raw(raw: DataFrame, file_date: dt.date) -> DataFrame:
                 bio_col,
             )
 
-    canonical = df.mapInPandas(canonicalize, schema=out_schema)
+    # P7: hash JVM-side — F.md5 on a string column casts to binary via
+    # UTF-8, matching hashlib.md5(payload.encode("utf-8")) exactly;
+    # this keeps the widest-scan hash out of Python entirely.
+    canonical = (
+        df.mapInPandas(canonicalize, schema=out_schema)
+        .withColumn("event_hash", F.md5(F.col("__payload")))
+        .drop("__payload")
+    )
 
     # P8: keep the first file row per hash
     w = Window.partitionBy("event_hash").orderBy(F.asc(_ROW_ID))

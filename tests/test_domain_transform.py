@@ -121,7 +121,12 @@ def test_vectorized_canonicalize_matches_reference_rows():
     ref = _canonicalize_rows_reference(
         pdf, prop_cols, "2024-05-02", "lat", "lon", "datahora", "satelite"
     )
-    assert list(out["event_hash"]) == [r["event_hash"] for r in ref]
+    import hashlib
+
+    hashes = [
+        hashlib.md5(p.encode("utf-8")).hexdigest() for p in out["__payload"]
+    ]
+    assert hashes == [r["event_hash"] for r in ref]
     assert list(out["props"]) == [r["props"] for r in ref]
     # cleaned nullish tokens surfaced as None in typed columns
     assert out["view_ts"].tolist()[1:4] == [None, None, None]
