@@ -37,9 +37,11 @@ from .operators.geometry import (
     bbox_center,
     canonicalize_feature,
     dissolve,
+    feature_is_valid,
     feature_npoints,
     features_area_m2,
     features_bbox,
+    make_valid,
     multipolygon_coords,
     polygon_coords,
     simplify_feature,
@@ -143,15 +145,23 @@ def geo_shape_metrics(
         raise LookupError(f"geometry not found for key {key_norm!r}")
 
     n_parts = len(sel)
-    union = dissolve(sel, key_norm)
+    # base_geom = st_collectionextract(st_makevalid(st_unaryunion(...)), 3)
+    # (main.py:700-710): repair runs BEFORE the before-metrics, and
+    # is_valid_before reports the repaired union's validity.
+    union = make_valid(dissolve(sel, key_norm))
+    if not union:
+        raise LookupError(f"geometry is empty after repair for key {key_norm!r}")
+    is_valid_before = all(feature_is_valid(p) for p in union)
     npoints_before = sum(feature_npoints(p) for p in union)
     area_before = features_area_m2(union)
 
     if simplify and tol_m > 0:
         tol_deg = tol_m / _DEG_M
-        out = [simplify_feature(p, tol_deg) for p in union]
+        # geom_out = st_makevalid(st_simplify...(base)) (main.py:729-741)
+        out = make_valid([simplify_feature(p, tol_deg) for p in union])
     else:
         out = union
+    is_valid_after = all(feature_is_valid(p) for p in out)
     out = [canonicalize_feature(p) for p in out]
 
     area_after = features_area_m2(out)
@@ -169,8 +179,8 @@ def geo_shape_metrics(
     return {
         "key": key_norm,
         "n_parts_before_union": n_parts,
-        "is_valid_before": True,
-        "is_valid_after": True,
+        "is_valid_before": is_valid_before,
+        "is_valid_after": is_valid_after,
         "npoints_before_union": npoints_before,
         "npoints_out": npoints_out,
         "area_m2_union_before": area_before,

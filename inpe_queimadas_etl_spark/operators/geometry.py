@@ -298,6 +298,250 @@ def dissolve(feats: list[PolyFeature], poly_id: str) -> list[PolyFeature]:
     ]
 
 
+# ---------------------------------------------------------------------------
+# validity (st_isvalid / st_makevalid analogs)
+# ---------------------------------------------------------------------------
+
+_AREA_EPS_DEG2 = 1e-18
+
+
+_SIMPLE_BLOCK = 256
+
+
+def _cross2(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """z-component of the 2-D cross product over the last axis."""
+    return u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+
+
+def ring_is_simple(ring: np.ndarray) -> bool:
+    """st_issimple-style check for one closed ring: no two
+    NON-ADJACENT segments intersect (proper crossings AND touches both
+    count — a pinch point makes a polygon ring invalid per OGC).
+    Blocked numpy: anchor segments are processed _SIMPLE_BLOCK at a
+    time against all later segments, so the O(n^2) pair test runs as
+    ~n/256 broadcasted cross-product batches (same blocking pattern as
+    operators/geo's PIP engine)."""
+    pts = ring[:-1]
+    n = pts.shape[0]
+    if n < 3:
+        return False
+    a = pts
+    b = np.vstack([pts[1:], pts[:1]])  # segment i: a[i] -> b[i]
+
+    def on_seg(p, q0, q1, d):
+        return (
+            (d == 0)
+            & (p[..., 0] >= np.minimum(q0[..., 0], q1[..., 0]))
+            & (p[..., 0] <= np.maximum(q0[..., 0], q1[..., 0]))
+            & (p[..., 1] >= np.minimum(q0[..., 1], q1[..., 1]))
+            & (p[..., 1] <= np.maximum(q0[..., 1], q1[..., 1]))
+        )
+
+    for i0 in range(0, n - 2, _SIMPLE_BLOCK):
+        i1 = min(i0 + _SIMPLE_BLOCK, n - 2)
+        ii = np.arange(i0, i1)
+        j0 = i0 + 2
+        aj = a[j0:]  # block rows test columns j >= i+2 via mask below
+        bj = b[j0:]
+        jj = np.arange(j0, n)
+        # mask out adjacent pairs: j < i+2, and the wrap pair (0, n-1)
+        pair_ok = jj[None, :] >= (ii[:, None] + 2)
+        if i0 == 0:
+            pair_ok[0, jj == n - 1] = False
+        ai = a[ii][:, None, :]
+        bi = b[ii][:, None, :]
+        d1 = _cross2(bj - aj, ai - aj)
+        d2 = _cross2(bj - aj, bi - aj)
+        d3 = _cross2(bi - ai, aj - ai)
+        d4 = _cross2(bi - ai, bj - ai)
+        proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+        if (proper & pair_ok).any():
+            return False
+        touch = (
+            on_seg(ai, aj, bj, d1)
+            | on_seg(bi, aj, bj, d2)
+            | on_seg(aj, ai, bi, d3)
+            | on_seg(bj, ai, bi, d4)
+        )
+        if (touch & pair_ok).any():
+            return False
+    return True
+
+
+def ring_is_valid(ring: np.ndarray) -> bool:
+    """One-ring validity: closed, >= 4 vertices, non-degenerate area,
+    simple (st_isvalid's per-ring conditions)."""
+    if ring.shape[0] < 4:
+        return False
+    if not np.array_equal(ring[0], ring[-1]):
+        return False
+    if abs(ring_signed_area_deg2(ring)) <= _AREA_EPS_DEG2:
+        return False
+    return ring_is_simple(ring)
+
+
+def feature_is_valid(feat: PolyFeature) -> bool:
+    """st_isvalid analog for one polygon part: every ring valid and
+    every hole's anchor vertex inside the exterior."""
+    if not feat.rings or not ring_is_valid(feat.rings[0]):
+        return False
+    ext = feat.rings[0]
+    for hole in feat.rings[1:]:
+        if not ring_is_valid(hole):
+            return False
+        hx = np.array([hole[0, 0]])
+        hy = np.array([hole[0, 1]])
+        if not bool(_ray_cast(hx, hy, ext)[0]):
+            return False
+    return True
+
+
+def _seg_intersection_point(p0, p1, q0, q1):
+    """Intersection point of properly-crossing segments (None if
+    parallel)."""
+    r = (p1[0] - p0[0], p1[1] - p0[1])
+    s = (q1[0] - q0[0], q1[1] - q0[1])
+    denom = r[0] * s[1] - r[1] * s[0]
+    if denom == 0:
+        return None
+    t = ((q0[0] - p0[0]) * s[1] - (q0[1] - p0[1]) * s[0]) / denom
+    return (p0[0] + t * r[0], p0[1] + t * r[1])
+
+
+def _node_ring(ring: np.ndarray) -> list[tuple[float, float]]:
+    """Insert every proper self-intersection point as a vertex on both
+    participating segments (GEOS noding step of st_makevalid), keeping
+    traversal order."""
+    pts = [(float(x), float(y)) for x, y in ring[:-1]]
+    n = len(pts)
+    inserts: dict[int, list[tuple[float, tuple[float, float]]]] = {}
+    for i in range(n):
+        p0, p1 = pts[i], pts[(i + 1) % n]
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue
+            q0, q1 = pts[j], pts[(j + 1) % n]
+            d1 = np.cross(np.subtract(q1, q0), np.subtract(p0, q0))
+            d2 = np.cross(np.subtract(q1, q0), np.subtract(p1, q0))
+            d3 = np.cross(np.subtract(p1, p0), np.subtract(q0, p0))
+            d4 = np.cross(np.subtract(p1, p0), np.subtract(q1, p0))
+            if d1 * d2 < 0 and d3 * d4 < 0:
+                x = _seg_intersection_point(p0, p1, q0, q1)
+                if x is None:
+                    continue
+                x = (round(x[0], 12), round(x[1], 12))
+                tp = abs(x[0] - p0[0]) + abs(x[1] - p0[1])
+                tq = abs(x[0] - q0[0]) + abs(x[1] - q0[1])
+                inserts.setdefault(i, []).append((tp, x))
+                inserts.setdefault(j, []).append((tq, x))
+    out: list[tuple[float, float]] = []
+    for i in range(n):
+        out.append(pts[i])
+        for _, x in sorted(inserts.get(i, [])):
+            if x != out[-1]:
+                out.append(x)
+    out.append(out[0])
+    return out
+
+
+def split_ring_simple(ring: np.ndarray) -> list[np.ndarray]:
+    """Node a self-intersecting ring and split it into simple loops:
+    walk the noded traversal; every time a vertex repeats, the loop
+    between the two visits pops out as one sub-ring (how st_makevalid
+    decomposes a bowtie into its two triangles). Degenerate loops
+    (under 4 points or ~zero area) are discarded."""
+    noded = _node_ring(ring)
+    key = lambda p: (round(p[0], 12), round(p[1], 12))
+    path: list[tuple[float, float]] = []
+    pos: dict[tuple, int] = {}
+    loops: list[list[tuple[float, float]]] = []
+    for p in noded[:-1]:
+        k = key(p)
+        if k in pos:
+            j = pos[k]
+            loop = path[j:] + [path[j]]
+            for q in path[j + 1 :]:
+                pos.pop(key(q), None)
+            path = path[: j + 1]
+            if len(loop) >= 4:
+                loops.append(loop)
+        else:
+            pos[k] = len(path)
+            path.append(p)
+    if len(path) >= 3:
+        loops.append(path + [path[0]])
+    out = []
+    for loop in loops:
+        arr = np.asarray(loop, dtype="float64")
+        if arr.shape[0] >= 4 and abs(ring_signed_area_deg2(arr)) > _AREA_EPS_DEG2:
+            out.append(arr)
+    return out
+
+
+def _dedupe_ring(ring: np.ndarray) -> np.ndarray:
+    """Collapse consecutive duplicate vertices and re-close."""
+    body = ring[:-1]
+    keep = np.ones(body.shape[0], dtype=bool)
+    keep[1:] = np.any(body[1:] != body[:-1], axis=1)
+    body = body[keep]
+    return np.vstack([body, body[:1]])
+
+
+def make_valid_feature(feat: PolyFeature) -> list[PolyFeature]:
+    """st_makevalid + st_collectionextract(..., 3) analog: repair one
+    polygon part into zero or more VALID parts. Degenerate rings are
+    dropped; self-intersecting rings are noded and split into simple
+    loops; exteriors are re-oriented CCW (holes CW) and holes
+    re-attached to the exterior that contains them. A part that is
+    already valid passes through with its coordinates untouched."""
+    if feature_is_valid(feat):
+        return [feat]
+
+    exteriors: list[np.ndarray] = []
+    hole_rings: list[np.ndarray] = []
+    for k, ring in enumerate(feat.rings):
+        ring = _dedupe_ring(ring)
+        if ring.shape[0] < 4:
+            continue
+        if ring_is_simple(ring):
+            # the signed-area degeneracy test only means "zero extent"
+            # for SIMPLE rings — a bowtie's lobes cancel to zero signed
+            # area yet enclose real area, so non-simple rings go to the
+            # noding split instead
+            if abs(ring_signed_area_deg2(ring)) <= _AREA_EPS_DEG2:
+                continue
+            pieces = [ring]
+        else:
+            pieces = split_ring_simple(ring)
+        for piece in pieces:
+            if k == 0:
+                exteriors.append(_ensure_ccw(piece))
+            else:
+                hole_rings.append(_ensure_ccw(piece)[::-1].copy())
+    if not exteriors:
+        return []
+    parts: list[list[np.ndarray]] = [[ext] for ext in exteriors]
+    for hole in hole_rings:
+        hx = np.array([hole[0, 0]])
+        hy = np.array([hole[0, 1]])
+        for k, ext in enumerate(exteriors):
+            if bool(_ray_cast(hx, hy, ext)[0]):
+                parts[k].append(hole)
+                break
+    return [
+        PolyFeature(poly_id=feat.poly_id, rings=tuple(rings), props=dict(feat.props))
+        for rings in parts
+    ]
+
+
+def make_valid(feats: list[PolyFeature]) -> list[PolyFeature]:
+    """Repair a multi-part geometry part-by-part."""
+    out: list[PolyFeature] = []
+    for f in feats:
+        out.extend(make_valid_feature(f))
+    return out
+
+
 def canonicalize_ring(ring: np.ndarray) -> np.ndarray:
     """Rotate a closed ring to start at its lexicographically smallest
     (x, y) vertex, preserving orientation. Stitched/dissolved rings

@@ -227,13 +227,21 @@ def _geo6_feats():
     feats.append(
         make_polygon("B", [(20, 0), (21, 0), (21, 1), (20, 1), (20, 0)])
     )
+    # Key 'C': an INVALID bowtie (self-intersecting at (31, 1)).
+    # st_makevalid splits it into two unit triangles (mid-lat 1 deg):
+    # 1 part before, 2 after, 4+4 = 8 points, area 2*deg_m^2*cos(1deg),
+    # bbox (30,0,32,2) -> bbox_ratio = 4cos(1)/2cos(1) = 2.
+    feats.append(
+        make_polygon("C", [(30, 0), (32, 2), (32, 0), (30, 2), (30, 0)])
+    )
     return feats
 
 
 _GEO6_SCHEMA = (
     "key string, n_parts long, npoints_before long, npoints_out long, "
     "area_km2_before double, area_km2_after double, minx double, miny double, "
-    "maxx double, maxy double, bbox_ratio double, warning boolean"
+    "maxx double, maxy double, bbox_ratio double, warning boolean, "
+    "valid_before boolean, valid_after boolean"
 )
 
 
@@ -257,7 +265,8 @@ _GEO6_SCHEMA = (
                  / ((9.0 * cos(radians(1.5)) - 1.0 * cos(radians(1.5))
                      + 1.0 * cos(radians(0.5))) * deg_m * deg_m), 4)
                AS bbox_ratio,
-           FALSE AS warning
+           FALSE AS warning,
+           TRUE AS valid_before, TRUE AS valid_after
     FROM m
     UNION ALL
     SELECT 'B',
@@ -268,7 +277,21 @@ _GEO6_SCHEMA = (
            CAST(21 AS DOUBLE), CAST(1 AS DOUBLE),
            round((1.0 * deg_m * cos(radians(0.5))) * (1.0 * deg_m)
                  / (1.0 * cos(radians(0.5)) * deg_m * deg_m), 4),
-           FALSE
+           FALSE, TRUE, TRUE
+    FROM m
+    UNION ALL
+    -- 'C' is an input BOWTIE: st_makevalid runs before the before-
+    -- metrics (main.py:700-710), so both validity flags read TRUE and
+    -- every number describes the repaired two-triangle multipolygon.
+    SELECT 'C',
+           CAST(1 AS BIGINT), CAST(8 AS BIGINT), CAST(8 AS BIGINT),
+           round(2.0 * cos(radians(1.0)) * deg_m * deg_m / 1000000.0, 3),
+           round(2.0 * cos(radians(1.0)) * deg_m * deg_m / 1000000.0, 3),
+           CAST(30 AS DOUBLE), CAST(0 AS DOUBLE),
+           CAST(32 AS DOUBLE), CAST(2 AS DOUBLE),
+           round((2.0 * deg_m * cos(radians(1.0))) * (2.0 * deg_m)
+                 / (2.0 * cos(radians(1.0)) * deg_m * deg_m), 4),
+           FALSE, TRUE, TRUE
     FROM m
     """,
 )
@@ -282,7 +305,7 @@ def geo6_geo_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = _geo6_feats()
     rows = []
-    for key in ("A", "B"):
+    for key in ("A", "B", "C"):
         q = geo_shape_metrics(feats, key, simplify=True, tol_m=300.0)
         rows.append(
             (
@@ -298,6 +321,8 @@ def geo6_geo_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q["bbox"][3],
                 round(q["bbox_ratio"], 4),
                 q["warning_bbox_ratio"],
+                q["is_valid_before"],
+                q["is_valid_after"],
             )
         )
     return local_df(spark, rows, _GEO6_SCHEMA)

@@ -215,3 +215,108 @@ class TestPolyCoords:
         gtype, coords = normalize_poly_coords(multi)
         assert gtype == "MultiPolygon"
         assert len(coords) == 2
+
+
+class TestValidity:
+    """st_isvalid / st_makevalid analogs (reference main.py:700-760:
+    base_geom = collectionextract(makevalid(unaryunion(collect)), 3))."""
+
+    def test_simple_square_is_valid(self):
+        from inpe_queimadas_etl_spark.operators.geometry import feature_is_valid
+
+        assert feature_is_valid(make_polygon("a", _square(0, 0, 1)))
+
+    def test_holed_square_is_valid(self):
+        from inpe_queimadas_etl_spark.operators.geometry import feature_is_valid
+
+        feat = make_polygon("a", _square(0, 0, 3), holes=[_square(1, 1, 1)])
+        assert feature_is_valid(feat)
+
+    def test_bowtie_is_invalid(self):
+        from inpe_queimadas_etl_spark.operators.geometry import (
+            feature_is_valid,
+            ring_is_simple,
+        )
+
+        bowtie = make_polygon("a", [(0, 0), (2, 2), (2, 0), (0, 2), (0, 0)])
+        assert not ring_is_simple(bowtie.rings[0])
+        assert not feature_is_valid(bowtie)
+
+    def test_hole_outside_exterior_is_invalid(self):
+        from inpe_queimadas_etl_spark.operators.geometry import feature_is_valid
+
+        feat = make_polygon("a", _square(0, 0, 1), holes=[_square(5, 5, 1)])
+        assert not feature_is_valid(feat)
+
+    def test_degenerate_ring_is_invalid(self):
+        from inpe_queimadas_etl_spark.operators.geometry import ring_is_valid
+
+        line = np.array([(0, 0), (1, 0), (2, 0), (0, 0)], dtype="float64")
+        assert not ring_is_valid(line)
+
+    def test_large_simple_ring_stays_valid(self):
+        """Blocked pair test on a ring bigger than one block."""
+        from inpe_queimadas_etl_spark.operators.geometry import ring_is_simple
+
+        t = np.linspace(0.0, 2 * np.pi, 1500)[:-1]
+        ring = np.column_stack([np.cos(t), np.sin(t)])
+        ring = np.vstack([ring, ring[:1]])
+        assert ring_is_simple(ring)
+
+    def test_makevalid_splits_bowtie(self):
+        from inpe_queimadas_etl_spark.operators.geometry import (
+            feature_is_valid,
+            make_valid_feature,
+            ring_signed_area_deg2,
+        )
+
+        bowtie = make_polygon("a", [(0, 0), (2, 2), (2, 0), (0, 2), (0, 0)])
+        parts = make_valid_feature(bowtie)
+        assert len(parts) == 2
+        areas = sorted(
+            abs(ring_signed_area_deg2(p.rings[0])) for p in parts
+        )
+        assert areas == pytest.approx([1.0, 1.0])
+        for p in parts:
+            assert feature_is_valid(p)
+            # exterior re-oriented CCW
+            assert ring_signed_area_deg2(p.rings[0]) > 0
+
+    def test_makevalid_passthrough_keeps_coords(self):
+        from inpe_queimadas_etl_spark.operators.geometry import make_valid_feature
+
+        feat = make_polygon("a", _square(0, 0, 1))
+        out = make_valid_feature(feat)
+        assert len(out) == 1
+        assert np.array_equal(out[0].rings[0], feat.rings[0])
+
+    def test_makevalid_drops_degenerate_hole(self):
+        from inpe_queimadas_etl_spark.operators.geometry import (
+            feature_is_valid,
+            make_valid_feature,
+        )
+
+        feat = make_polygon(
+            "a", _square(0, 0, 3),
+            holes=[[(1, 1), (2, 1), (1, 1)]],  # zero-area sliver
+        )
+        out = make_valid_feature(feat)
+        assert len(out) == 1
+        assert len(out[0].rings) == 1
+        assert feature_is_valid(out[0])
+
+    def test_shape_metrics_repairs_bowtie(self):
+        """geo_shape_metrics on an invalid fixture: repair runs before
+        the before-metrics (reference pipeline order), so both validity
+        flags are True and the metrics describe the repaired parts."""
+        from inpe_queimadas_etl_spark.geoqueries import geo_shape_metrics
+
+        bowtie = make_polygon("C", [(30, 0), (32, 2), (32, 0), (30, 2), (30, 0)])
+        m = geo_shape_metrics([bowtie], "C", simplify=False)
+        assert m["is_valid_before"] is True
+        assert m["is_valid_after"] is True
+        assert m["geometry"]["type"] == "MultiPolygon"
+        assert len(m["geometry"]["coordinates"]) == 2
+        # two unit triangles at mid-lat 1 degree
+        expected = 2.0 * _DEG_M * _DEG_M * math.cos(math.radians(1.0))
+        assert m["area_m2_union_after"] == pytest.approx(expected, rel=1e-9)
