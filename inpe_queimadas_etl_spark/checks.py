@@ -171,3 +171,61 @@ def run_checks(checks: list[dict]) -> dict:
         "generated_at": dt.datetime.now(dt.timezone.utc).isoformat(),
         "checks": checks,
     }
+
+
+def render_report_md(report: dict, counts: dict) -> str:
+    """The docs/validation_last_run.md body (validate_marts.py:81-122):
+    timestamp, one line per check with its measured values, the
+    last-day counts, and the overall status."""
+    lines = [
+        "# validation last run",
+        "",
+        f"timestamp_utc: {report['generated_at']}",
+        "",
+        "check_results:",
+    ]
+    for c in report["checks"]:
+        status = "ok" if c["ok"] else "fail"
+        detail = ", ".join(
+            f"{k}={v}" for k, v in c.items() if k not in ("name", "ok")
+        )
+        suffix = f" | {detail}" if detail else ""
+        lines.append(f"- {c['name']}: {status}{suffix}")
+    lines += ["", "last_day_counts:"]
+    for k, v in counts.items():
+        lines.append(f"- {k}: {v}")
+    lines += [
+        "",
+        "status:",
+        "- ok: " + ("true" if report["ok"] else "false"),
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def write_run_report(
+    report: dict, counts: dict, docs_dir, logs_dir
+) -> tuple[str, str]:
+    """Write the two run artifacts the reference leaves behind
+    (validate_marts.py:81-122 writes docs/validation_last_run.md;
+    :283-301 writes logs/last_run.json). Returns both paths."""
+    import json
+    from pathlib import Path
+
+    docs = Path(docs_dir)
+    logs = Path(logs_dir)
+    docs.mkdir(parents=True, exist_ok=True)
+    logs.mkdir(parents=True, exist_ok=True)
+
+    md_path = docs / "validation_last_run.md"
+    md_path.write_text(render_report_md(report, counts), encoding="utf-8")
+
+    payload = {
+        "timestamp_utc": report["generated_at"],
+        "ok": report["ok"],
+        "check_results": report["checks"],
+        "counts": {k: str(v) for k, v in counts.items()},
+    }
+    json_path = logs / "last_run.json"
+    json_path.write_text(json.dumps(payload, indent=2), encoding="utf-8")
+    return str(md_path), str(json_path)

@@ -217,6 +217,46 @@ def run_day_auto(
     return metrics
 
 
+def write_validation_report(
+    spark: SparkSession, warehouse: Warehouse
+) -> tuple[str, str] | None:
+    """Post-run check sweep + artifact write (reference
+    validate_marts.py:81-122,283-301): runs the table-level checks over
+    the warehouse and leaves docs/validation_last_run.md +
+    logs/last_run.json under the warehouse root. Returns both paths, or
+    None when no enriched table exists yet (nothing to validate)."""
+    from . import checks as C
+
+    enriched = warehouse.read(spark, "enriched_focos")
+    daily_mun = warehouse.read(spark, "focos_diario_municipio")
+    daily_uf = warehouse.read(spark, "focos_diario_uf")
+    if enriched is None or daily_mun is None or daily_uf is None:
+        return None
+
+    results = [
+        C.check_mart_consistency(daily_mun, daily_uf, enriched),
+        C.check_enrichment_coverage(enriched),
+        C.check_checked_flags(enriched),
+    ]
+    report = C.run_checks(results)
+
+    # last-day counts section (validate_marts.py _fetch_counts analog)
+    uf_day = daily_uf.agg(F.max("day")).collect()[0][0]
+    mun_day = daily_mun.agg(F.max("day")).collect()[0][0]
+    counts = {
+        "uf_day": uf_day,
+        "uf_rows": daily_uf.filter(F.col("day") == uf_day).count(),
+        "mun_day": mun_day,
+        "mun_rows": daily_mun.filter(F.col("day") == mun_day).count(),
+    }
+    return C.write_run_report(
+        report,
+        counts,
+        docs_dir=warehouse.root / "docs",
+        logs_dir=warehouse.root / "logs",
+    )
+
+
 def read_resume_state(state_path: str | None) -> set[str]:
     """S8 resume marker read-back (reference backfill.py:151-162): the
     set of ISO days already completed in a previous run."""
@@ -235,6 +275,7 @@ def run_range(
     day_files: list[tuple[dt.date, str]],
     dims: dict,
     state_path: str | None = None,
+    write_report: bool = True,
 ) -> list[dict]:
     """Multi-day backfill as ONE batch per call, resuming from the S8
     state file: days recorded as done by a previous run are skipped
@@ -257,6 +298,10 @@ def run_range(
     result = process_batch(spark, warehouse, combined, dims)
     if skipped:
         result["days_skipped"] = skipped
+    if write_report:
+        report_paths = write_validation_report(spark, warehouse)
+        if report_paths:
+            result["report_md"], result["report_json"] = report_paths
     if state_path:
         all_done = sorted(done | {str(d) for d, _ in todo})
         Path(state_path).write_text(

@@ -93,3 +93,56 @@ def test_incremental_second_file(spark, wh_and_csv, dims, tmp_path):
     trend = wh.read(spark, "focos_diario_uf_trend")
     aa = {str(r["day"]): r for r in trend.filter("uf='AA'").collect()}
     assert aa["2024-05-03"]["ma7"] == round((1 + 6 + 1) / 3, 2)
+
+
+def test_run_range_writes_validation_artifacts(spark, tmp_path, dims):
+    """run_range leaves docs/validation_last_run.md + logs/last_run.json
+    under the warehouse root (reference validate_marts.py:81-122,
+    283-301), with the check results and last-day counts."""
+    import json
+
+    from inpe_queimadas_etl_spark.pipeline import run_range
+
+    root = tmp_path / "wh_report"
+    csv_path = str(tmp_path / "focos.csv")
+    write_fixture_csv(csv_path, G.FOCOS_HEADER, G.FOCOS_ROWS, sep=";")
+    wh = Warehouse(str(root))
+    [result] = run_range(spark, wh, [(FILE_DATE, csv_path)], dims)
+
+    md_path = root / "docs" / "validation_last_run.md"
+    json_path = root / "logs" / "last_run.json"
+    assert result["report_md"] == str(md_path)
+    assert result["report_json"] == str(json_path)
+    assert md_path.exists() and json_path.exists()
+
+    md = md_path.read_text()
+    assert "# validation last run" in md
+    assert "mart_sums_consistent: ok" in md
+    # the fixture intentionally carries one unattributable point
+    # (12/13 = 92.3% < the reference's 99% floor), so the coverage
+    # check — and therefore the overall status — reports fail
+    assert "enrichment_coverage: fail" in md
+    assert "- ok: false" in md
+    assert "uf_day:" in md
+
+    payload = json.loads(json_path.read_text())
+    assert payload["ok"] is False
+    names = {c["name"] for c in payload["check_results"]}
+    assert names == {
+        "mart_sums_consistent", "enrichment_coverage", "checked_flags",
+    }
+    assert "uf_rows" in payload["counts"]
+
+
+def test_run_range_report_opt_out(spark, tmp_path, dims):
+    from inpe_queimadas_etl_spark.pipeline import run_range
+
+    root = tmp_path / "wh_noreport"
+    csv_path = str(tmp_path / "focos2.csv")
+    write_fixture_csv(csv_path, G.FOCOS_HEADER, G.FOCOS_ROWS, sep=";")
+    wh = Warehouse(str(root))
+    [result] = run_range(
+        spark, wh, [(FILE_DATE, csv_path)], dims, write_report=False
+    )
+    assert "report_md" not in result
+    assert not (root / "docs").exists()
