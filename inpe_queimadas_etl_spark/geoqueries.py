@@ -98,26 +98,27 @@ def bounds(feats: list[PolyFeature], key: str, uf: str | None = None) -> dict:
 
 def lookup_mun(mun_web: DataFrame, fact: DataFrame, key: str) -> dict:
     """/api/lookup/mun (main.py:1133-1208): geometry-dim key probe left
-    joined to the fact dim for the display name; UF upper-cased."""
+    joined to the fact dim for the display name; UF upper-cased. ONE
+    plan / ONE collect, like the reference's single left-join query
+    (main.py:1165-1180)."""
     key_norm = (key or "").strip()
     if not key_norm:
         raise ValueError("key is required")
     gm = (
         mun_web.filter(F.col("cd_mun").cast("string") == key_norm)
-        .select(F.col("cd_mun").alias("mun"), "uf")
+        .select(F.col("cd_mun").cast("string").alias("mun"), "uf")
         .limit(1)
-        .collect()
     )
-    if not gm:
-        raise LookupError("municipality not found")
-    row = gm[0]
-    d = (
+    named = (
         fact.filter(F.col("cd_mun").cast("string") == key_norm)
-        .groupBy("cd_mun")
+        .groupBy(F.col("cd_mun").cast("string").alias("mun"))
         .agg(F.max("mun_nm_mun").alias("mun_nome"))
-        .collect()
     )
-    mun_nome = d[0]["mun_nome"] if d and d[0]["mun_nome"] else row["mun"]
+    rows = gm.join(named, "mun", "left").collect()
+    if not rows:
+        raise LookupError("municipality not found")
+    row = rows[0]
+    mun_nome = row["mun_nome"] if row["mun_nome"] else row["mun"]
     uf = (row["uf"] or "").upper()
     if not uf:
         raise LookupError("municipality uf not found")

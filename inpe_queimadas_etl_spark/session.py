@@ -180,6 +180,14 @@ def local_df(spark: SparkSession, rows, schema: T.StructType):
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view for spark.sql use."""
+    """Register every testdata table as a temp view for spark.sql use.
+
+    The internal ``__{col}_ns`` raw-long siblings load_table keeps for
+    pushdown-friendly date bounds are dropped here: SQL view consumers
+    (SELECT *, positional unions) must see only the public schema."""
     for name in TABLE_NAMES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        df = load_table(spark, sf_dir, name)
+        internal = [c for c in df.columns if c.startswith("__") and c.endswith("_ns")]
+        if internal:
+            df = df.drop(*internal)
+        df.createOrReplaceTempView(name)

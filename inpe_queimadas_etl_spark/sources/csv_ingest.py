@@ -247,6 +247,7 @@ def http_fetcher(
     in the LandingCache and only then does Spark read it — executors
     never see a URL.
     """
+    import http.client as _hclient
     import time as _time
     from urllib import error as _uerror
     from urllib import request as _urequest
@@ -270,7 +271,11 @@ def http_fetcher(
                     _time.sleep(backoff_s * (2**attempt))
                     continue
                 raise
-            except _uerror.URLError:
+            except (OSError, _hclient.HTTPException):
+                # URLError (connect), socket timeout DURING resp.read()
+                # (TimeoutError/OSError), and truncated bodies
+                # (IncompleteRead, an HTTPException) are all transient:
+                # retry them uniformly
                 if attempt < retries:
                     _time.sleep(backoff_s * (2**attempt))
                     continue

@@ -286,14 +286,30 @@ def municipios_dim_from_shapefile(
                 "cd_mun": str(pid),
                 "nm_mun": a.get("nm_mun") or a.get("nm_municip"),
                 "uf": a.get("sigla_uf") or a.get("uf"),
-                "area_km2": 0.0,
+                "area_attr": None,
+                "area_fallback": 0.0,
             },
         )
-        entry["area_km2"] += area if area_attr is None else 0.0
+        # attribute and shoelace-fallback areas accumulate SEPARATELY:
+        # an attribute value (the authoritative total, typically
+        # repeated on every record of the municipality) is kept
+        # first-seen and wins; fallback areas sum per geometry part
+        # and are used only when no record ever carried the attribute
         if area_attr is not None:
-            entry["area_km2"] = area
+            if entry["area_attr"] is None:
+                entry["area_attr"] = area
+        else:
+            entry["area_fallback"] += area
     rows = [
-        (v["cd_mun"], v["nm_mun"], v["uf"], round(v["area_km2"], 3))
+        (
+            v["cd_mun"],
+            v["nm_mun"],
+            v["uf"],
+            round(
+                v["area_attr"] if v["area_attr"] is not None else v["area_fallback"],
+                3,
+            ),
+        )
         for v in by_id.values()
     ]
     from pyspark.sql import types as T

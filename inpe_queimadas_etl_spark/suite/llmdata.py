@@ -618,6 +618,15 @@ def dd7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = agg.select("doc_id", "cluster_id")
         if changed == 0:
             break
+    else:
+        # a component with diameter > the round budget would exit here
+        # with wrong labels; fail loudly instead of silently diverging
+        # from the recursive-CTE oracle
+        raise RuntimeError(
+            f"dd7 label propagation did not converge ({changed} labels "
+            "still changing after 20 rounds); raise the round budget "
+            "or switch to large-star/small-star for this corpus"
+        )
     # cluster sizes over the (small) clustered set only; singleton
     # docs union in with literal size 1, never touching the shuffle
     sizes = labels.groupBy("cluster_id").agg(

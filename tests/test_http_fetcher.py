@@ -119,3 +119,41 @@ def test_connection_error_exhausts_retries():
     with pytest.raises(uerror.URLError):
         fetch("focos_diario_br_20240502.csv")
     assert len(calls) == 3
+
+
+def test_retry_on_read_timeout_and_truncated_body():
+    """A timeout DURING resp.read() (after connect) and a truncated
+    body (IncompleteRead) both retry like connection errors."""
+    import http.client as hclient
+
+    calls = []
+
+    class GoodResp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            return b"ok"
+
+    class TimeoutResp(GoodResp):
+        def read(self):
+            raise TimeoutError("read timed out")
+
+    class TruncatedResp(GoodResp):
+        def read(self):
+            raise hclient.IncompleteRead(b"par")
+
+    def opener(req, timeout):
+        calls.append(1)
+        if len(calls) == 1:
+            return TimeoutResp()
+        if len(calls) == 2:
+            return TruncatedResp()
+        return GoodResp()
+
+    fetch = http_fetcher(opener=opener, retries=2, backoff_s=0.0)
+    assert fetch("focos_diario_br_20240502.csv") == b"ok"
+    assert len(calls) == 3

@@ -138,3 +138,21 @@ def test_bad_magic(tmp_path):
     p.write_bytes(b"\x00" * 200)
     with pytest.raises(ValueError, match="magic"):
         shp.read_shp(str(p))
+
+
+def test_area_attr_not_polluted_by_attrless_record(spark, tmp_path):
+    """Same municipality split across records where only the FIRST
+    carries AREA_KM2: the attribute value wins outright; the
+    attribute-less record's shoelace area must NOT stack on top."""
+    shp.write_shp(
+        str(tmp_path / "m.shp"),
+        [[[square(0, 0, 1.0)]], [[square(5, 0, 1.0)]]],
+    )
+    shp.write_dbf(
+        str(tmp_path / "m.dbf"),
+        [("CD_MUN", "C", 7, 0), ("AREA_KM2", "N", 12, 3)],
+        [{"cd_mun": "77", "area_km2": 100.0}, {"cd_mun": "77"}],
+    )
+    dim = shp.municipios_dim_from_shapefile(spark, str(tmp_path / "m.shp"))
+    rows = {r["cd_mun"]: r["area_km2"] for r in dim.collect()}
+    assert rows["77"] == pytest.approx(100.0)
