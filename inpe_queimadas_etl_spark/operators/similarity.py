@@ -52,6 +52,23 @@ def dot_literal_sql(vec_expr: str, weights: list[int]) -> str:
     )
 
 
+def _dot_fold(vec_col: str, weights: list[int]) -> Column:
+    """Weighted sum as a sequential fold over a constant-folded weight
+    array. Bit-identical to :func:`dot_literal`'s flat left-associated
+    sum: ``aggregate`` accumulates elements strictly left-to-right with
+    the same per-step IEEE rounding, and the 0.0 seed is exact
+    (``0.0 + x == x``; a ±0 sign difference can never flip a ``>= 0``
+    sign decision). Unlike the flat form, the generated code stays tiny
+    — 16 planes x 64 dims as flat expressions blows janino's 64 KB
+    method limit and knocks the whole stage out of codegen."""
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), w, lambda v, wt: wt * v),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def lsh_bucket(
     vec_col: str, dim: int, n_planes: int = 8, plane_offset: int = 0
 ) -> Column:
@@ -63,7 +80,7 @@ def lsh_bucket(
     terms = []
     for j in range(n_planes):
         bit = F.when(
-            dot_literal(vec_col, hyperplane(j + plane_offset, dim)) >= 0.0, 2**j
+            _dot_fold(vec_col, hyperplane(j + plane_offset, dim)) >= 0.0, 2**j
         ).otherwise(0)
         terms.append(bit)
     out = terms[0]
