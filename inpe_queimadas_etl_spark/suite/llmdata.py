@@ -111,6 +111,16 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd2_prefix_order_choice(max_df: int | None, median_df: float | None) -> str:
+    """Driver-side PPJoin ordering decision off the df histogram:
+    a hot tail (max >> median) means hash-ordered prefixes go
+    quadratic on the hot shingles, so pay the two df-ordering
+    shuffles; a flat histogram (synthetic corpus: max 25 / median 9)
+    means they cannot pay for themselves."""
+    flat = (max_df or 0) <= 16 * max(median_df or 1, 1)
+    return "hash" if flat else "df"
+
+
 @query(
     "dd2_ngram_jaccard_pairs",
     oracle=f"""
@@ -132,7 +142,9 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE 1.0 * n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
     """,
 )
-def dd2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dd2_ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, prefix_order: str | None = None
+) -> DataFrame:
     """Near-dup pairs by 3-gram shingle Jaccard >= 0.5.
 
     Scale design: shingles are reduced to 64-bit hashes map-side (xxhash64)
@@ -141,6 +153,12 @@ def dd2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A|/|B| in [t, 1/t]) prunes hopeless pairs BEFORE the intersection
     aggregation; intersection counts flow through map-side combine. The
     full doc x doc cross product is never materialized.
+
+    ``prefix_order``: "df" (PPJoin document-frequency order), "hash"
+    (numeric hash order, zero extra shuffles), or None = adaptive — a
+    driver decision off the df histogram (see below). Prefix filtering
+    is lossless under ANY shared total order, so the result is
+    identical either way; only the candidate-set size differs.
     """
     threshold = 0.5
     docs = load_table(spark, sf_dir, "documents")
@@ -162,37 +180,59 @@ def dd2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    # Global prefix order = document frequency ASCENDING (PPJoin):
-    # prefix filtering is valid under ANY total order shared by all
-    # docs, and ordering by rarity puts low-df shingles in the
-    # prefixes, so each prefix-join bucket stays small. Hash order is
-    # effectively random — one hot shingle inside many prefixes blows
-    # the candidate set up quadratically (measured at sf0.1: 431k
-    # candidate pairs for 256 true pairs; df-ordered: ~1k). The df
-    # table is one extra groupBy over exploded shingles — map-side
-    # combine, uniform long keys — and ties break on the hash so the
-    # order is total and deterministic.
+    # Global prefix order (PPJoin): prefix filtering is valid under
+    # ANY total order shared by all docs. Ordering by document
+    # frequency ASCENDING puts low-df shingles in the prefixes, so on
+    # Zipfian corpora each prefix-join bucket stays small (a hot
+    # shingle inside many prefixes blows the candidate set up
+    # quadratically). On a flat df histogram the ordering buys nothing
+    # and its two shuffles are pure cost — hence the adaptive driver
+    # decision below. Ties break on the hash so the df order is total
+    # and deterministic.
     ex = raw_sets.select("doc_id", F.explode("xs").alias("sh"))
     df_tbl = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    if prefix_order is None:
+        # Adaptive driver decision: df-ordering costs two extra
+        # shuffles (df join + re-agg) and only pays for itself when the
+        # df histogram has a hot tail — one high-df shingle inside many
+        # prefixes makes hash order's candidate set quadratic. On a
+        # flat histogram (synthetic corpus: max 25 vs median 9) no
+        # shingle can go quadratic and the ordering is a pure cost.
+        # The stats job is one map-side-combined groupBy + tiny agg.
+        st = df_tbl.agg(
+            F.max("df").alias("mx"),
+            F.expr("approx_percentile(df, 0.5)").alias("md"),
+        ).first()
+        prefix_order = _dd2_prefix_order_choice(st["mx"], st["md"])
     # `sets` feeds three consumers (prefixes, verify-left,
     # verify-right); materialize it ONCE. localCheckpoint (not
     # persist) so nothing leaks past this query: the blocks die with
     # the RDD, no unpersist bookkeeping. At 100 TB the equivalent
     # step is materializing the shingle-set table to parquet before
     # the join stage — same plan shape.
-    sets = (
-        ex.join(df_tbl, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ss")
+    if prefix_order == "hash":
+        sets = (
+            raw_sets.select(
+                "doc_id",
+                F.array_sort("xs").alias("xs"),
+                F.size("xs").alias("n_sh"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .select(
-            "doc_id",
-            F.expr("transform(ss, x -> x.sh)").alias("xs"),
-            F.size("ss").alias("n_sh"),
+    else:
+        sets = (
+            ex.join(df_tbl, "sh")
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ss")
+            )
+            .select(
+                "doc_id",
+                F.expr("transform(ss, x -> x.sh)").alias("xs"),
+                F.size("ss").alias("n_sh"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
     # prefix length n - ceil(t*n) + 1: any pair with jaccard >= t must
     # share at least one element inside both prefixes
     prefix_len = (
