@@ -1,0 +1,92 @@
+"""Physical-plan guardrails: the properties that carry the 100 TB
+design must survive refactors, not just the small-SF results.
+
+- date bounds reach the parquet scan as PushedFilters (row-group
+  min/max pruning on a date-clustered fact table);
+- small dims join as BroadcastHashJoin (no fact-side shuffle);
+- no suite query silently degrades to CartesianProduct, and nested-
+  loop joins appear only where a bounded cross product is the plan
+  (zero-fill dim x dim, the labeled brute-force ANN baseline).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from inpe_queimadas_etl_spark.suite import all_queries
+
+SF0001 = "/root/testdata/sf0.001"
+
+QUERIES = all_queries()
+
+# Bounded, intentional cross products only:
+#   j7/geo4/geo7 zero-fill a small day x dim grid; sim1 is the labeled
+#   brute-force baseline next to its bucketed scale variants (sim3/4);
+#   sim4 scores every vector against the K-row broadcast codebook;
+#   a11 joins two single-row aggregates; a13 spans legend breaks over
+#   a handful of driver-built rows.
+NESTED_LOOP_OK = {
+    "j7_crossjoin_zerofill",
+    "geo4_uf_choropleth_day",
+    "geo7_mun_choropleth_day",
+    "sim1_knn_cosine_topk",
+    "sim4_ivf_ann",
+    "a11_summary_totals",
+    "a13_legend_breaks",
+}
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q1_shipdate_filter_pushed_to_scan(spark):
+    plan = _plan(QUERIES["q1_pricing_summary"](spark, SF0001))
+    scans = [p for p in plan.split("PushedFilters: ") if "l_shipdate" in p.split("\n")[0]]
+    assert scans, f"no pushed l_shipdate filter in scan:\n{plan}"
+
+
+def test_q5_orderdate_filter_pushed_and_dims_broadcast(spark):
+    plan = _plan(QUERIES["q5_local_supplier_volume"](spark, SF0001))
+    pushed = [p.split("\n")[0] for p in plan.split("PushedFilters: ")[1:]]
+    assert any("o_orderdate" in p for p in pushed), (
+        f"o_orderdate bound not pushed: {pushed}"
+    )
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_events_nano_ts_filter_pushed_on_raw_long(spark):
+    """events.ts is parquet TIMESTAMP(NANOS) read as int64; day_filter
+    rewrites date bounds onto the raw __ts_ns sibling so they prune
+    row groups — a to_date(ts) wrapper would defeat pushdown."""
+    from inpe_queimadas_etl_spark.session import day_filter, load_table
+
+    ev = load_table(spark, SF0001, "events")
+    windowed = ev.filter(
+        day_filter(ev, "ts", ">=", "2024-01-05")
+        & day_filter(ev, "ts", "<", "2024-01-25")
+    )
+    plan = _plan(windowed)
+    pushed = [p.split("\n")[0] for p in plan.split("PushedFilters: ")[1:]]
+    # at the scan the filter is on the raw parquet int64 column with
+    # nanosecond-scale literals (the __ts_ns rename is a Project above)
+    assert any(re.search(r"GreaterThanOrEqual\(ts,\d{18,19}\)", p) for p in pushed), (
+        f"nano bound not pushed to scan: {pushed}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unintended_cross_products(spark, name):
+    plan = _plan(QUERIES[name](spark, SF0001), "simple")
+    assert "CartesianProduct" not in plan, f"{name} degraded to CartesianProduct"
+    if name not in NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} has an unlisted nested-loop join:\n{plan}"
+        )
