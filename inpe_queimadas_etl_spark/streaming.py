@@ -115,3 +115,68 @@ def start_landing_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_first_seen_dedup(
+    stream_df: DataFrame,
+    key_col: str = "event_hash",
+    order_cols: list[str] | None = None,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Cross-batch first-row-per-key dedup as a custom stateful
+    streaming operator (P8's semantics — transform.py first-row-per-
+    hash, reference sql/enrich dedup — lifted from per-file batch to a
+    continuous stream via ``applyInPandasWithState``).
+
+    A key's first-ever row is emitted; every later row with the same
+    key — in the same micro-batch or any later one — is dropped. State
+    per key is one boolean in Spark's state store, hash-partitioned by
+    key (uniform, skew-free) and persisted in the streaming checkpoint,
+    so dedup survives query restarts. ``state_ttl_ms`` bounds the store
+    at scale: a key idle past the TTL is forgotten (a dup arriving
+    later re-emits), which is exactly the reference's retention-window
+    idempotency contract — size the TTL to the landing retention.
+    ``order_cols`` makes the within-batch "first" deterministic when
+    one micro-batch carries several rows of a new key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = stream_df.schema
+    state_schema = T.StructType(
+        [T.StructField("seen", T.BooleanType(), False)]
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    ocols = list(order_cols or [])
+
+    def first_seen(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        already = state.exists
+        cands = []
+        for pdf in pdfs:
+            if already or len(pdf) == 0:
+                continue
+            cands.append(
+                pdf.sort_values(ocols).iloc[[0]] if ocols else pdf.iloc[[0]]
+            )
+        if not already:
+            state.update((True,))
+        if state_ttl_ms:
+            # per-invocation contract: the timeout clock must be re-armed
+            # every time the function runs for a key
+            state.setTimeoutDuration(state_ttl_ms)
+        if cands:
+            allc = pd.concat(cands, ignore_index=True)
+            yield (
+                allc.sort_values(ocols).iloc[[0]] if ocols else allc.iloc[[0]]
+            )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        first_seen, out_schema, state_schema, "append", timeout
+    )

@@ -81,3 +81,60 @@ def test_landing_stream_drains_and_checkpoints(spark, tmp_path):
     daily = wh.read(spark, "focos_diario_uf")
     days = [r["day"] for r in daily.select("day").distinct().collect()]
     assert days == [dt.date(2024, 5, 2)]
+
+
+def _drain_dedup(spark, src_dir, ckpt, out: list):
+    """One availableNow pass of the stateful dedup over the parquet
+    landing dir, collecting emitted rows via foreachBatch."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_hash", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    deduped = streaming.streaming_first_seen_dedup(
+        stream, "event_hash", order_cols=["event_id"]
+    )
+    q = (
+        deduped.writeStream.foreachBatch(
+            lambda bdf, bid: out.extend(
+                (r["event_hash"], r["event_id"]) for r in bdf.collect()
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stateful_dedup_across_batches_and_restarts(spark, tmp_path):
+    """First-seen-per-key survives micro-batch boundaries AND query
+    restarts (state lives in the checkpointed state store); within a
+    batch the emitted row is the order_cols-minimum."""
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_dedup")
+
+    df1 = spark.createDataFrame(
+        [("a", 7), ("a", 3), ("b", 1)], "event_hash string, event_id long"
+    )
+    df1.coalesce(1).write.parquet(str(src / "f1"))
+    out: list = []
+    _drain_dedup(spark, str(src) + "/*", ckpt, out)
+    # 'a' dupes within the first batch: only the event_id-min row emits
+    assert sorted(out) == [("a", 3), ("b", 1)]
+
+    # second file replays 'a' and 'b', introduces 'c' — a NEW query on
+    # the same checkpoint must suppress the replayed keys
+    df2 = spark.createDataFrame(
+        [("a", 9), ("b", 8), ("c", 2)], "event_hash string, event_id long"
+    )
+    df2.coalesce(1).write.parquet(str(src / "f2"))
+    out.clear()
+    _drain_dedup(spark, str(src) + "/*", ckpt, out)
+    assert out == [("c", 2)]
