@@ -48,7 +48,7 @@ from .operators.geometry import (
 )
 from .queries import TOP_GROUP_EXPR, _base, _norm
 
-GEO_SIMPLIFY_DEFAULT_TOL_M = 300.0  # api/app/main.py:81-82
+GEO_SIMPLIFY_DEFAULT_TOL_M = 10.0  # api/app/main.py:82 default
 CHORO_SIMPLIFY_TOL_DEG = 0.01  # serve-time mun tol (main.py:80,1074)
 BBOX_RATIO_WARN = 50.0  # main.py:783
 

@@ -47,6 +47,15 @@ def validate_range(from_date: dt.date, to: dt.date) -> None:
         raise ValueError(f"range too large: max {MAX_RANGE_DAYS} days")
 
 
+def default_range(today: dt.date | None = None) -> tuple[dt.date, dt.date]:
+    """Default request window when from/to are absent: the last 30
+    days INCLUDING today — to = tomorrow (exclusive), from = to - 30
+    (main.py:96-100)."""
+    today = today or dt.date.today()
+    to = today + dt.timedelta(days=1)
+    return to - dt.timedelta(days=30), to
+
+
 def timeseries_granularity(days: int) -> str:
     """main.py:392-397."""
     if days > TS_MONTH_THRESHOLD_DAYS:

@@ -119,6 +119,15 @@ def test_range_validation():
         queries.validate_range(dt.date(2023, 1, 1), dt.date(2024, 6, 1))
 
 
+def test_default_range_last_30_days_inclusive_of_today():
+    # main.py:96-100: to = tomorrow (exclusive), from = to - 30
+    frm, to = queries.default_range(dt.date(2024, 5, 2))
+    assert to == dt.date(2024, 5, 3)
+    assert frm == dt.date(2024, 4, 3)
+    assert (to - frm).days == 30
+    queries.validate_range(frm, to)
+
+
 def test_timeseries_total(fact):
     ts = queries.timeseries_total(
         fact, dt.date(2024, 5, 1), dt.date(2024, 5, 5)
