@@ -56,6 +56,25 @@ def default_range(today: dt.date | None = None) -> tuple[dt.date, dt.date]:
     return to - dt.timedelta(days=30), to
 
 
+def parse_bbox(bbox: str) -> tuple[float, float, float, float]:
+    """Request bbox string "minLon,minLat,maxLon,maxLat" -> floats,
+    with the reference's validation order and messages (main.py:400-415;
+    ValueError stands in for its HTTP 422)."""
+    raw = (bbox or "").strip()
+    parts = [p.strip() for p in raw.split(",") if p.strip()]
+    if len(parts) != 4:
+        raise ValueError("bbox must be minLon,minLat,maxLon,maxLat")
+    try:
+        min_lon, min_lat, max_lon, max_lat = (float(p) for p in parts)
+    except ValueError as exc:
+        raise ValueError("bbox values must be numeric") from exc
+    if min_lon >= max_lon or min_lat >= max_lat:
+        raise ValueError("invalid bbox: require min < max")
+    if min_lon < -180 or max_lon > 180 or min_lat < -90 or max_lat > 90:
+        raise ValueError("invalid bbox range")
+    return min_lon, min_lat, max_lon, max_lat
+
+
 def timeseries_granularity(days: int) -> str:
     """main.py:392-397."""
     if days > TS_MONTH_THRESHOLD_DAYS:

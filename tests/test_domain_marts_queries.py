@@ -128,6 +128,24 @@ def test_default_range_last_30_days_inclusive_of_today():
     queries.validate_range(frm, to)
 
 
+def test_parse_bbox_reference_validation():
+    # main.py:400-415
+    assert queries.parse_bbox(" -55.5 , -16.5, -54.5,-15.5 ") == (
+        -55.5,
+        -16.5,
+        -54.5,
+        -15.5,
+    )
+    with pytest.raises(ValueError, match="minLon,minLat"):
+        queries.parse_bbox("1,2,3")
+    with pytest.raises(ValueError, match="numeric"):
+        queries.parse_bbox("a,b,c,d")
+    with pytest.raises(ValueError, match="min < max"):
+        queries.parse_bbox("10,0,5,1")
+    with pytest.raises(ValueError, match="bbox range"):
+        queries.parse_bbox("-181,0,5,1")
+
+
 def test_timeseries_total(fact):
     ts = queries.timeseries_total(
         fact, dt.date(2024, 5, 1), dt.date(2024, 5, 5)
