@@ -1,0 +1,186 @@
+"""Command-line entrypoint mirroring the reference's CLI surface
+(src/etl/cli.py, src/etl/app.py:326-380): `run --date D` for a single
+day, `run --start A --end B` for a resumable range backfill, and
+`checks` for the post-run validation sweep — each mapped onto the
+Spark batch pipeline.
+
+The reference extracts over HTTP and loads PostGIS; here the landing
+directory stands in for the extract cache (files named
+``focos_diario_br_YYYYMMDD.csv``, the reference's landing naming) and
+the partitioned-parquet Warehouse for the database. Dimension inputs
+come from IBGE-style shapefiles in ``--dims-dir``
+(municipios/biomas/ucs/tis .shp+.dbf, reference
+ensure_ref_ibge.py:185-254); the UF-area dim is rebuilt from the
+municipality dim exactly like sql/ref/05_ref_uf_area.sql.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import logging
+import sys
+from pathlib import Path
+
+log = logging.getLogger("inpe_queimadas_etl_spark")
+
+_DIM_SPECS = {
+    # table -> (id_field, prop_fields) for features_from_shapefile
+    "municipios": ("cd_mun", ("nm_mun", "uf", "area_km2")),
+    "biomas": ("cd_bioma", ("bioma",)),
+    "ucs": ("cd_cnuc", ("nome_uc",)),
+    "tis": ("terrai_cod", ("terrai_nom",)),
+}
+
+
+def _setup_logging(log_dir: str | None) -> None:
+    """Console + optional file logging (reference cli.py:20-41)."""
+    handlers: list[logging.Handler] = [logging.StreamHandler()]
+    if log_dir:
+        p = Path(log_dir)
+        p.mkdir(parents=True, exist_ok=True)
+        handlers.append(logging.FileHandler(p / "etl.log", encoding="utf-8"))
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+
+
+def load_dims(spark, dims_dir: str) -> dict:
+    """Shapefile dim directory -> the dims dict process_batch expects:
+    PolyFeature lists for municipios/biomas/ucs/tis plus the uf_area
+    DataFrame rolled up from the municipality dim (A6)."""
+    from .marts import ref_uf_area
+    from .sources.shapefile import (
+        features_from_shapefile,
+        municipios_dim_from_shapefile,
+    )
+
+    d = Path(dims_dir)
+    dims: dict = {}
+    for name, (id_field, props) in _DIM_SPECS.items():
+        shp = d / f"{name}.shp"
+        if not shp.exists():
+            raise FileNotFoundError(f"missing dim shapefile: {shp}")
+        dims[name] = features_from_shapefile(
+            str(shp), id_field=id_field, prop_fields=props
+        )
+    mun_dim = municipios_dim_from_shapefile(spark, str(d / "municipios.shp"))
+    dims["uf_area"] = ref_uf_area(mun_dim)
+    return dims
+
+
+def discover_landing_files(
+    landing_dir: str, start: dt.date, end: dt.date
+) -> list[tuple[dt.date, str]]:
+    """Landed CSVs whose name-date falls in [start, end] (inclusive,
+    matching the reference backfill's --start/--end), ordered by day."""
+    from .streaming import file_date_from_name
+
+    out = []
+    for p in sorted(Path(landing_dir).glob("*.csv")):
+        try:
+            fdate = file_date_from_name(p.name)
+        except ValueError:
+            continue
+        if start <= fdate <= end:
+            out.append((fdate, str(p)))
+    return out
+
+
+def cmd_run(args) -> int:
+    from .pipeline import Warehouse, run_range
+    from .session import get_spark
+
+    if args.date:
+        start = end = dt.date.fromisoformat(args.date)
+    elif args.start and args.end:
+        start, end = dt.date.fromisoformat(args.start), dt.date.fromisoformat(args.end)
+    else:
+        log.error("run requires --date or --start/--end")
+        return 2
+
+    day_files = discover_landing_files(args.landing_dir, start, end)
+    if not day_files:
+        log.error(
+            "no landed CSVs for %s..%s in %s", start, end, args.landing_dir
+        )
+        return 1
+
+    spark = get_spark()
+    wh = Warehouse(args.warehouse)
+    dims = load_dims(spark, args.dims_dir)
+    state = args.state_file
+    if args.reset_state and state and Path(state).exists():
+        Path(state).unlink()
+    results = run_range(
+        spark,
+        wh,
+        day_files,
+        dims,
+        state_path=state,
+        write_report=args.checks,
+    )
+    for r in results:
+        log.info("run ok | %s", json.dumps(r, default=str))
+    return 0
+
+
+def cmd_checks(args) -> int:
+    from .pipeline import Warehouse, write_validation_report
+    from .session import get_spark
+
+    spark = get_spark()
+    wh = Warehouse(args.warehouse)
+    paths = write_validation_report(spark, wh)
+    if paths is None:
+        log.error("nothing to validate: warehouse has no enriched table")
+        return 1
+    log.info("checks ok | report_md=%s report_json=%s", *paths)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m inpe_queimadas_etl_spark",
+        description="Spark-native rebuild of the daily fire-focus ETL",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="run the pipeline for a day or range")
+    run.add_argument("--date", help="single day YYYY-MM-DD")
+    run.add_argument("--start", help="range start YYYY-MM-DD (inclusive)")
+    run.add_argument("--end", help="range end YYYY-MM-DD (inclusive)")
+    run.add_argument("--landing-dir", required=True, help="landed CSV dir")
+    run.add_argument("--warehouse", required=True, help="warehouse root dir")
+    run.add_argument("--dims-dir", required=True, help="dim shapefiles dir")
+    run.add_argument("--state-file", help="resume-state JSON (S8)")
+    run.add_argument(
+        "--reset-state", action="store_true", help="clear the state file first"
+    )
+    run.add_argument(
+        "--checks", action="store_true", help="write the validation report"
+    )
+    run.add_argument("--log-dir", help="also log to <dir>/etl.log")
+
+    checks = sub.add_parser("checks", help="validation sweep over the warehouse")
+    checks.add_argument("--warehouse", required=True)
+    checks.add_argument("--log-dir")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    _setup_logging(getattr(args, "log_dir", None))
+    if args.cmd == "run":
+        return cmd_run(args)
+    if args.cmd == "checks":
+        return cmd_checks(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,193 @@
+"""CLI entrypoint (cli.py vs reference src/etl/cli.py + app.py run/
+backfill/checks subcommands): landing-dir day discovery, shapefile dim
+loading, resumable range run, validation-report write."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from inpe_queimadas_etl_spark import cli
+from inpe_queimadas_etl_spark.pipeline import Warehouse
+from inpe_queimadas_etl_spark.sources import shapefile as shp
+from inpe_queimadas_etl_spark.sources.csv_ingest import write_fixture_csv
+
+from . import fixtures_geo as G
+
+
+def _write_dim(d, name, feats, fields, row_fn):
+    shp.write_shp(str(d / f"{name}.shp"), [[list(f.rings)] for f in feats])
+    shp.write_dbf(str(d / f"{name}.dbf"), fields, [row_fn(f) for f in feats])
+
+
+@pytest.fixture(scope="module")
+def dims_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dims")
+    _write_dim(
+        d,
+        "municipios",
+        G.municipios(),
+        [
+            ("CD_MUN", "C", 10, 0),
+            ("NM_MUN", "C", 20, 0),
+            ("UF", "C", 2, 0),
+            ("AREA_KM2", "N", 12, 3),
+        ],
+        lambda f: {
+            "cd_mun": f.poly_id,
+            "nm_mun": f.props["nm_mun"],
+            "uf": f.props["uf"],
+            "area_km2": float(f.props["area_km2"]),
+        },
+    )
+    _write_dim(
+        d,
+        "biomas",
+        G.biomas(),
+        [("CD_BIOMA", "C", 10, 0), ("BIOMA", "C", 20, 0)],
+        lambda f: {"cd_bioma": f.poly_id, "bioma": f.props["bioma"]},
+    )
+    _write_dim(
+        d,
+        "ucs",
+        G.ucs(),
+        [("CD_CNUC", "C", 10, 0), ("NOME_UC", "C", 20, 0)],
+        lambda f: {"cd_cnuc": f.poly_id, "nome_uc": f.props["nome_uc"]},
+    )
+    _write_dim(
+        d,
+        "tis",
+        G.tis(),
+        [("TERRAI_COD", "C", 10, 0), ("TERRAI_NOM", "C", 20, 0)],
+        lambda f: {"terrai_cod": f.poly_id, "terrai_nom": f.props["terrai_nom"]},
+    )
+    return str(d)
+
+
+def test_load_dims_roundtrip(spark, dims_dir):
+    dims = cli.load_dims(spark, dims_dir)
+    assert {f.poly_id for f in dims["municipios"]} == {
+        f.poly_id for f in G.municipios()
+    }
+    assert dims["biomas"][0].props["bioma"] in ("Amazonia", "Cerrado")
+    uf_area = {r["uf"]: r["area_km2"] for r in dims["uf_area"].collect()}
+    expected = dict(G.uf_area_rows())
+    assert set(uf_area) == set(expected)
+    for uf, area in expected.items():
+        assert uf_area[uf] == pytest.approx(area, rel=1e-6)
+
+
+def test_run_single_day_then_resume_and_checks(spark, dims_dir, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_fixture_csv(
+        str(landing / "focos_diario_br_20240501.csv"),
+        G.FOCOS_HEADER,
+        G.FOCOS_ROWS[:3],
+        sep=";",
+    )
+    write_fixture_csv(
+        str(landing / "focos_diario_br_20240502.csv"),
+        G.FOCOS_HEADER,
+        G.FOCOS_ROWS[3:6],
+        sep=";",
+    )
+    wh_dir = str(tmp_path / "wh")
+    state = str(tmp_path / "state.json")
+
+    rc = cli.main(
+        [
+            "run",
+            "--date",
+            "2024-05-01",
+            "--landing-dir",
+            str(landing),
+            "--warehouse",
+            wh_dir,
+            "--dims-dir",
+            dims_dir,
+            "--state-file",
+            state,
+        ]
+    )
+    assert rc == 0
+    wh = Warehouse(wh_dir)
+    assert wh.read(spark, "curated_focos").count() == 3
+    assert json.loads(open(state).read())["days"] == ["2024-05-01"]
+
+    # range rerun covering both days: day 1 resumes (skipped), day 2 runs;
+    # --checks writes the validation report artifacts
+    rc = cli.main(
+        [
+            "run",
+            "--start",
+            "2024-05-01",
+            "--end",
+            "2024-05-02",
+            "--landing-dir",
+            str(landing),
+            "--warehouse",
+            wh_dir,
+            "--dims-dir",
+            dims_dir,
+            "--state-file",
+            state,
+            "--checks",
+        ]
+    )
+    assert rc == 0
+    assert wh.read(spark, "curated_focos").count() == 6
+    st = json.loads(open(state).read())
+    assert st["days"] == ["2024-05-01", "2024-05-02"]
+    assert (wh.root / "docs" / "validation_last_run.md").exists()
+    assert (wh.root / "logs" / "last_run.json").exists()
+
+    # standalone checks subcommand over the populated warehouse
+    assert cli.main(["checks", "--warehouse", wh_dir]) == 0
+
+
+def test_run_errors_without_files_or_range(tmp_path, dims_dir):
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    rc = cli.main(
+        [
+            "run",
+            "--date",
+            "2030-01-01",
+            "--landing-dir",
+            str(empty),
+            "--warehouse",
+            str(tmp_path / "w"),
+            "--dims-dir",
+            dims_dir,
+        ]
+    )
+    assert rc == 1
+    rc = cli.main(
+        [
+            "run",
+            "--landing-dir",
+            str(empty),
+            "--warehouse",
+            str(tmp_path / "w"),
+            "--dims-dir",
+            dims_dir,
+        ]
+    )
+    assert rc == 2
+
+
+def test_discover_landing_files_filters_and_orders(tmp_path):
+    for name in (
+        "focos_diario_br_20240503.csv",
+        "focos_diario_br_20240501.csv",
+        "notes.csv",
+        "focos_diario_br_20240601.csv",
+    ):
+        (tmp_path / name).write_text("x\n")
+    got = cli.discover_landing_files(
+        str(tmp_path), dt.date(2024, 5, 1), dt.date(2024, 5, 31)
+    )
+    assert [d for d, _ in got] == [dt.date(2024, 5, 1), dt.date(2024, 5, 3)]
