@@ -21,8 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..session import load_table
+from ..session import load_table, local_df
 from . import query
 
 # --- shared deterministic word->int hash -----------------------------------
@@ -624,6 +625,17 @@ def dd7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .localCheckpoint(eager=True)
     )
+    # Adaptive small-graph fast path: the iterative loop costs
+    # O(diameter) Spark jobs of fixed latency, which dominates when the
+    # candidate graph is tiny (a low-dup corpus). Below the threshold
+    # the edge list is a couple of MB — union-find on the driver and
+    # ship the labels back as one Arrow LocalTableScan. Above it, the
+    # distributed propagation below is the only thing that scales.
+    n_directed = edges.count()
+    if n_directed <= 2 * _DD7_DRIVER_EDGE_LIMIT:
+        edge_rows = pairs.select("doc_a", "doc_b").collect()
+        labels = _driver_union_find_labels(spark, edge_rows)
+        return _dd7_assemble(docs, labels)
     # edges holds both directions, so distinct src == all endpoints
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -667,8 +679,47 @@ def dd7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "still changing after 20 rounds); raise the round budget "
             "or switch to large-star/small-star for this corpus"
         )
-    # cluster sizes over the (small) clustered set only; singleton
-    # docs union in with literal size 1, never touching the shuffle
+    return _dd7_assemble(docs, labels)
+
+
+_DD7_DRIVER_EDGE_LIMIT = 100_000
+
+
+def _driver_union_find_labels(spark: SparkSession, edge_rows):
+    """Union-find over a collected (doc_a, doc_b) edge list; labels
+    each endpoint with its component's MIN doc_id (the same contract
+    as the distributed propagation)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r["doc_a"], r["doc_b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(x, find(x)) for x in parent]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("cluster_id", T.LongType(), False),
+        ]
+    )
+    return local_df(spark, rows, schema)
+
+
+def _dd7_assemble(docs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Shared tail: cluster sizes over the (small) clustered set only;
+    singleton docs union in with literal size 1, never touching the
+    shuffle."""
     sizes = labels.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size")
     )
