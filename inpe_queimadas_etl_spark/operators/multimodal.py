@@ -145,6 +145,67 @@ def sample_frames(
     return media.mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_shape", T.ArrayType(T.IntegerType())),
+        T.StructField("dst_shape", T.ArrayType(T.IntegerType())),
+        T.StructField("resized_md5", T.StringType()),
+        T.StructField("mean_px", T.DoubleType()),
+    ]
+)
+
+
+def nn_resize(arr: np.ndarray, dst_h: int, dst_w: int) -> np.ndarray:
+    """Nearest-neighbor resample to (dst_h, dst_w): the index map is
+    ``src_i = floor(i * src_h / dst_h)`` — pure integer gather, fully
+    vectorized, identical on every platform (no float interpolation)."""
+    src_h, src_w = arr.shape
+    rows = (np.arange(dst_h) * src_h) // dst_h
+    cols = (np.arange(dst_w) * src_w) // dst_w
+    return arr[np.ix_(rows, cols)]
+
+
+def resize_media(
+    media: DataFrame, dst_h: int = 16, dst_w: int = 16, use_fake: bool = False
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> summarize, per item, as one
+    Arrow-batched ``mapInPandas`` pass (the standard image-normalization
+    step before feature extraction in a training pipeline). Map-side
+    only; the codec is the same stub/fake switch as
+    :func:`decode_media` — the resize math itself
+    (:func:`nn_resize`) is real and deterministic."""
+
+    def resize(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                if not use_fake:
+                    raise NotImplementedError(
+                        "media codecs (PIL/soundfile/av) not available in "
+                        "this container; pass use_fake=True for the "
+                        "deterministic stand-in decoder"
+                    )
+                arr = fake_decode(bytes(payload), meta)
+                out = nn_resize(arr, dst_h, dst_w)
+                rows.append(
+                    (
+                        int(mid),
+                        list(arr.shape),
+                        list(out.shape),
+                        hashlib.md5(out.tobytes()).hexdigest(),
+                        float(out.mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

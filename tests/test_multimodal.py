@@ -16,10 +16,13 @@ from inpe_queimadas_etl_spark.operators.multimodal import (
     FEATURE_SCHEMA,
     FRAME_SCHEMA,
     MEDIA_SCHEMA,
+    RESIZED_SCHEMA,
     decode_media,
     extract_features,
     fake_decode,
     media_from_documents,
+    nn_resize,
+    resize_media,
     sample_frames,
 )
 
@@ -92,3 +95,28 @@ def test_decode_media_fake_is_deterministic(media):
         r = rows[row.media_id]
         assert r.shape == [row.meta.height, row.meta.width]
         assert r.pixels_md5 == hashlib.md5(arr.tobytes()).hexdigest()
+
+
+def test_nn_resize_gather_semantics():
+    arr = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    out = nn_resize(arr, 2, 2)
+    # src rows (0*3//2, 1*3//2) = (0, 1); src cols (0*4//2, 1*4//2) = (0, 2)
+    assert out.tolist() == [[0, 2], [4, 6]]
+    # upscale repeats source pixels, never interpolates
+    up = nn_resize(arr, 6, 4)
+    assert up.shape == (6, 4)
+    assert set(np.unique(up)) <= set(np.unique(arr))
+
+
+def test_resize_media_matches_local(media):
+    resized = resize_media(media, dst_h=8, dst_w=12, use_fake=True)
+    assert _shape(resized.schema) == _shape(RESIZED_SCHEMA)
+    rows = {r.media_id: r for r in resized.collect()}
+    for row in media.limit(20).collect():
+        arr = fake_decode(bytes(row.payload), row.meta.asDict())
+        out = nn_resize(arr, 8, 12)
+        r = rows[row.media_id]
+        assert r.src_shape == [row.meta.height, row.meta.width]
+        assert r.dst_shape == [8, 12]
+        assert r.resized_md5 == hashlib.md5(out.tobytes()).hexdigest()
+        assert r.mean_px == pytest.approx(float(out.mean()))
