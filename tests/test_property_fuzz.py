@@ -1,0 +1,140 @@
+"""Hypothesis property tests for the pure-Python hot spots whose
+contracts are 'exactly equals the reference algorithm' — fuzz where
+handcrafted fixtures can miss an escape, a rounding halfway case, or a
+degenerate geometry.
+
+No SparkSession needed: these target the driver-side/Arrow-batch
+functions directly, so the fuzz loop stays fast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from inpe_queimadas_etl_spark.functions.legend import compute_breaks
+from inpe_queimadas_etl_spark.operators.multimodal import nn_resize
+from inpe_queimadas_etl_spark.transform import (
+    _canonicalize_batch,
+    _canonicalize_rows_reference,
+)
+
+# -- canonicalize byte parity ------------------------------------------------
+
+_NULLISH = ["", " ", "na", "NA", "n/a", "null", " NULL ", "none", "nan", "-"]
+
+_prop_value = st.one_of(
+    st.none(),
+    st.sampled_from(_NULLISH),
+    st.text(max_size=24),  # unicode incl. quotes/backslashes/control chars
+    st.sampled_from(['AQ"UA', "TERRA\\X", "a\tb", "x\ny", "são-1", "ÁÉÇ"]),
+)
+
+_coord = st.floats(
+    min_value=-90.0,
+    max_value=90.0,
+    allow_nan=False,
+    allow_infinity=False,
+    width=64,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(_prop_value, _prop_value, _prop_value, _prop_value, _coord, _coord),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_canonicalize_batch_byte_parity_fuzz(data):
+    """The vectorized Arrow-batch canonicalization must match the
+    reference row loop hash-for-hash and prop-for-prop on ARBITRARY
+    inputs — JSON escaping, nullish cleaning, 6-dp round-half-even."""
+    pdf = pd.DataFrame(
+        {
+            "datahora": [d[0] for d in data],
+            "satelite": [d[1] for d in data],
+            "municipio": [d[2] for d in data],
+            "estado": [d[3] for d in data],
+            "lat": ["raw"] * len(data),
+            "lon": ["raw"] * len(data),
+            "__lat": [d[4] for d in data],
+            "__lon": [d[5] for d in data],
+            "__row_id": list(range(len(data))),
+        }
+    )
+    prop_cols = ["datahora", "satelite", "municipio", "estado", "lat", "lon"]
+    out = _canonicalize_batch(
+        pdf, prop_cols, "2024-05-02", "lat", "lon",
+        "datahora", "satelite", "municipio", "estado", None,
+    )
+    ref = _canonicalize_rows_reference(
+        pdf, prop_cols, "2024-05-02", "lat", "lon", "datahora", "satelite"
+    )
+    got_hashes = [
+        hashlib.md5(p.encode("utf-8")).hexdigest() for p in out["__payload"]
+    ]
+    assert got_hashes == [r["event_hash"] for r in ref]
+    assert list(out["props"]) == [r["props"] for r in ref]
+
+
+# -- legend breaks invariants ------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    values=st.lists(st.integers(min_value=-5, max_value=10_000), max_size=60),
+    k=st.integers(min_value=1, max_value=9),
+    zero_class=st.booleans(),
+)
+def test_compute_breaks_invariants_fuzz(values, k, zero_class):
+    out = compute_breaks(values, k=k, zero_class=zero_class)
+    breaks = out["breaks"]
+    assert len(breaks) >= 2
+    # strictly increasing, always — the whole point of the fallbacks
+    assert all(b < a for b, a in zip(breaks, breaks[1:]))
+    assert all(math.isfinite(b) for b in breaks)
+    # palette: one color per class, plus the zero-class color when the
+    # zero class engages (_palette prepends ZERO_COLOR)
+    assert len(out["palette"]) == max(1, len(breaks) - 1) + (
+        1 if out["zero_class"] else 0
+    )
+    if values:
+        assert out["domain"] == [float(min(values)), float(max(values))]
+        positives = [v for v in values if v > 0]
+        if out["zero_class"]:
+            # zero-class engages only when both zeros and positives exist
+            assert positives and any(v <= 0 for v in values)
+    # deterministic
+    assert compute_breaks(values, k=k, zero_class=zero_class) == out
+
+
+# -- nn_resize gather invariants --------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    src_h=st.integers(min_value=1, max_value=24),
+    src_w=st.integers(min_value=1, max_value=24),
+    dst_h=st.integers(min_value=1, max_value=24),
+    dst_w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_nn_resize_invariants_fuzz(src_h, src_w, dst_h, dst_w, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(src_h, src_w), dtype=np.uint8)
+    out = nn_resize(arr, dst_h, dst_w)
+    assert out.shape == (dst_h, dst_w)
+    # pure gather: every output pixel exists in the source
+    assert set(np.unique(out)) <= set(np.unique(arr))
+    # identity when shapes match
+    if (dst_h, dst_w) == (src_h, src_w):
+        assert (out == arr).all()
+    # corner anchoring: top-left always maps to source top-left
+    assert out[0, 0] == arr[0, 0]
