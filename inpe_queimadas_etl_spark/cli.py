@@ -50,10 +50,17 @@ def _setup_logging(log_dir: str | None) -> None:
 
 
 def load_dims(spark, dims_dir: str) -> dict:
-    """Shapefile dim directory -> the dims dict process_batch expects:
+    """Dim directory -> the dims dict process_batch expects:
     PolyFeature lists for municipios/biomas/ucs/tis plus the uf_area
-    DataFrame rolled up from the municipality dim (A6)."""
+    DataFrame rolled up from the municipality dim (A6). Each dim may
+    be a shapefile (<name>.shp+.dbf) or a GeoJSON FeatureCollection
+    (<name>.geojson) — the two ogr2ogr-style formats the reference's
+    dim loader accepts — and formats can mix within one directory."""
     from .marts import ref_uf_area
+    from .sources.geojson_source import (
+        features_from_geojson,
+        municipios_dim_from_geojson,
+    )
     from .sources.shapefile import (
         features_from_shapefile,
         municipios_dim_from_shapefile,
@@ -61,14 +68,28 @@ def load_dims(spark, dims_dir: str) -> dict:
 
     d = Path(dims_dir)
     dims: dict = {}
+    fmt: dict[str, str] = {}
     for name, (id_field, props) in _DIM_SPECS.items():
         shp = d / f"{name}.shp"
-        if not shp.exists():
-            raise FileNotFoundError(f"missing dim shapefile: {shp}")
-        dims[name] = features_from_shapefile(
-            str(shp), id_field=id_field, prop_fields=props
-        )
-    mun_dim = municipios_dim_from_shapefile(spark, str(d / "municipios.shp"))
+        gj = d / f"{name}.geojson"
+        if shp.exists():
+            fmt[name] = "shp"
+            dims[name] = features_from_shapefile(
+                str(shp), id_field=id_field, prop_fields=props
+            )
+        elif gj.exists():
+            fmt[name] = "geojson"
+            dims[name] = features_from_geojson(
+                str(gj), id_field=id_field, prop_fields=props
+            )
+        else:
+            raise FileNotFoundError(
+                f"missing dim: {shp} (or {gj.name}) in {dims_dir}"
+            )
+    if fmt["municipios"] == "shp":
+        mun_dim = municipios_dim_from_shapefile(spark, str(d / "municipios.shp"))
+    else:
+        mun_dim = municipios_dim_from_geojson(spark, str(d / "municipios.geojson"))
     dims["uf_area"] = ref_uf_area(mun_dim)
     return dims
 
