@@ -1327,3 +1327,375 @@ def sim4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim_raw", 4).alias("sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation extensions: repetition gates, sampling, packing, PII, heavy
+# hitters — the remaining operators a production training-data pipeline
+# runs between dedup and tokenization.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cur3_repetition_filter",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               list_max(list_transform(list_distinct(w),
+                        x -> len(list_filter(w, y -> y = x)))) AS top_word_n,
+               len(w) - 2 AS total_3grams,
+               len(list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+                   AS distinct_3grams
+        FROM t WHERE len(w) >= 3
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(top_word_n AS BIGINT) AS top_word_n,
+           round(1.0 * top_word_n / n_words, 4) AS top_word_frac,
+           CAST(total_3grams - distinct_3grams AS BIGINT) AS dup_3grams,
+           top_word_n * 10 > n_words AS top_word_flag,
+           total_3grams > distinct_3grams AS dup_3gram_flag,
+           (top_word_n * 10 > n_words)
+               OR (total_3grams > distinct_3grams) AS repetitive
+    FROM m
+    """,
+)
+def cur3_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: per-document top-word fraction and
+    duplicated-3-gram count, with boolean flags computed in exact
+    integer arithmetic (top_word_n * 10 > n_words, i.e. frac > 0.1) so
+    the gate never depends on float rounding.
+
+    Scale design: everything is a map-side array higher-order function
+    over the per-row word array — zero shuffles, full whole-stage
+    codegen, trivially partition-parallel at 100 TB. The O(distinct x
+    n_words) inner count is bounded by document length, not corpus
+    size. Mirrors the repetition-removal rules of Gopher (Rae et al.
+    2021, §A1.1); the reference has no counterpart (its dedup is the
+    seen-set hash, transform/inpe_focos_diario.py:166-169)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    d = (
+        docs.withColumn("w", w)
+        .filter(F.size("w") >= 3)
+        .withColumn("n_words", F.size("w"))
+        .withColumn(
+            "top_word_n",
+            F.array_max(
+                F.transform(
+                    F.array_distinct("w"),
+                    lambda x: F.size(F.filter("w", lambda y: y == x)),
+                )
+            ),
+        )
+        .withColumn("total_3grams", F.col("n_words") - 2)
+        .withColumn(
+            "distinct_3grams",
+            F.size(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 3),"
+                        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                    )
+                )
+            ),
+        )
+    )
+    top_flag = F.col("top_word_n") * 10 > F.col("n_words")
+    dup_flag = F.col("total_3grams") > F.col("distinct_3grams")
+    return d.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("top_word_n").cast("long").alias("top_word_n"),
+        F.round(F.col("top_word_n") / F.col("n_words"), 4).alias(
+            "top_word_frac"
+        ),
+        (F.col("total_3grams") - F.col("distinct_3grams"))
+        .cast("long")
+        .alias("dup_3grams"),
+        top_flag.alias("top_word_flag"),
+        dup_flag.alias("dup_3gram_flag"),
+        (top_flag | dup_flag).alias("repetitive"),
+    )
+
+
+# Per-language sampling rates (percent kept): downsample the dominant
+# language, keep half of everything else — the standard low-resource
+# rebalancing move.
+_CUR4_RATES = {"en": 10}
+_CUR4_DEFAULT_RATE = 50
+
+
+@query(
+    "cur4_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, bucket
+    FROM (
+        SELECT doc_id, lang, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                        || source), 1, 8)) AS BIGINT)
+                   % 100 AS bucket
+        FROM documents
+    )
+    WHERE bucket < (CASE WHEN lang = 'en' THEN {_CUR4_RATES["en"]}
+                    ELSE {_CUR4_DEFAULT_RATE} END)
+    """,
+)
+def cur4_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified sampling: each document lands in
+    a bucket 0-99 via md5(doc_id:source); per-language keep rates
+    downsample the dominant language (en -> 10 %) and keep 50 % of the
+    rest. Hash bucketing (not rand()) makes the sample reproducible
+    across runs, resumable, and consistent when the corpus is re-read
+    — the property a 100-TB pipeline needs so incremental batches
+    sample the same way.
+
+    Scale design: pure map-side scan — the sampling predicate is a
+    deterministic hash on row-local columns, no shuffle, no state, and
+    Catalyst pushes the projection to the parquet scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), F.col("source")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rate = F.when(
+        F.col("lang") == "en", F.lit(_CUR4_RATES["en"])
+    ).otherwise(F.lit(_CUR4_DEFAULT_RATE))
+    return (
+        docs.select("doc_id", "lang", "source", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+_PACK_BUDGET = 512  # whitespace tokens per packed sequence
+_PACK_SHARDS = 8
+
+
+@query(
+    "pack1_token_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, doc_id % {_PACK_SHARDS} AS shard,
+               len(string_split(text, ' ')) AS tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, shard, tokens,
+               sum(tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT lang, CAST(shard AS BIGINT) AS shard,
+           CAST(FLOOR((cum - tokens) / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM c
+    GROUP BY lang, shard, pack_id
+    """,
+)
+def pack1_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: assign documents to
+    fixed token-budget packs via a cumulative-sum window (pack_id =
+    floor(running_tokens_before_doc / budget)) within (lang, shard).
+    The cumulative-sum formulation is the scalable stand-in for greedy
+    first-fit bin packing: deterministic, one window, and each pack
+    overshoots the budget by at most one document.
+
+    Scale design: the window partitions on (lang, doc_id % shards), so
+    a dominant language cannot serialize into one reducer — shard
+    count scales with the cluster, window state per partition is one
+    running sum, and the final rollup is a map-side-combined groupBy
+    on the same keys (no second shuffle thanks to the shared
+    partitioning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("tokens").over(w))
+    return (
+        c.withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("tokens")) / _PACK_BUDGET),
+        )
+        .groupBy("lang", "shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            "lang",
+            F.col("shard").cast("long").alias("shard"),
+            F.col("pack_id").cast("long").alias("pack_id"),
+            "n_docs",
+            "total_tokens",
+            "first_doc",
+            "last_doc",
+        )
+    )
+
+
+_TX5_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+"
+_TX5_PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+
+@query(
+    "tx5_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com call 555-01'
+                         || CAST(doc_id % 10 AS VARCHAR) || '9'
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_TX5_EMAIL_RE}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_TX5_PHONE_RE}'))
+                AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_TX5_EMAIL_RE}',
+                   '<EMAIL>', 'g'), '{_TX5_PHONE_RE}', '<PHONE>', 'g'))
+               AS redacted_hash,
+           CAST(length(text)
+               - length(regexp_replace(regexp_replace(text,
+                     '{_TX5_EMAIL_RE}', '', 'g'),
+                     '{_TX5_PHONE_RE}', '', 'g')) AS BIGINT) AS n_pii_chars
+    FROM aug
+    """,
+)
+def tx5_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: detect and redact email addresses and phone
+    numbers, reporting match counts, the redacted-text hash, and how
+    many characters were removed. The synthetic corpus contains no
+    PII, so the query deterministically injects one email + one phone
+    into every 7th document first (both sides of the oracle do the
+    same injection) — the check exercises real match/replace paths,
+    not an all-zeros degenerate.
+
+    Scale design: regex match/replace are JVM whole-stage-codegen
+    string expressions over row-local data — no UDF, no shuffle; at
+    100 TB this is a pure scan-shaped pass that pipelines with
+    whatever filter follows it."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-01"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("9"),
+        ),
+    ).otherwise(F.col("text"))
+    d = docs.select("doc_id", aug.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _TX5_EMAIL_RE, "<EMAIL>"),
+        _TX5_PHONE_RE,
+        "<PHONE>",
+    )
+    stripped = F.regexp_replace(
+        F.regexp_replace("text", _TX5_EMAIL_RE, ""), _TX5_PHONE_RE, ""
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_TX5_EMAIL_RE))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count("text", F.lit(_TX5_PHONE_RE))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+        (F.length("text") - F.length(stripped)).cast("long").alias("n_pii_chars"),
+    )
+
+
+@query(
+    "tx6_ngram_topk",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1])) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 2
+    )
+    SELECT gram,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g
+    GROUP BY gram
+    ORDER BY n_occurrences DESC, gram
+    LIMIT 50
+    """,
+)
+def tx6_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level heavy hitters: the 50 most frequent word bigrams
+    with occurrence and document counts — the boilerplate-detection
+    scan a curation pipeline runs to find templated text worth
+    stripping.
+
+    Scale design: bigrams explode map-side; the groupBy count runs
+    with map-side partial aggregation so the shuffle carries one row
+    per (partition, distinct gram), not per occurrence; the final
+    top-50 is a TakeOrdered (per-partition heap + driver merge of 50
+    rows), never a global sort. n_docs uses countDistinct, which
+    Spark plans as a two-level expand+agg — still bounded by distinct
+    grams. At 100 TB the distinct-gram space is the working set, and
+    a skew-heavy gram (boilerplate!) is exactly what partial
+    aggregation absorbs."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.withColumn("w", F.split(F.col("text"), " "))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> concat_ws(' ', w[i], w[i+1]))"
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(50)
+    )
