@@ -90,3 +90,33 @@ def test_no_unintended_cross_products(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} has an unlisted nested-loop join:\n{plan}"
         )
+
+
+def test_map_side_curation_ops_shuffle_free(spark):
+    """cur3/cur4/tx5 are scan-shaped passes: any Exchange appearing in
+    their plans means a refactor broke the zero-shuffle property that
+    makes them free at 100 TB."""
+    for name in (
+        "cur3_repetition_filter",
+        "cur4_stratified_sample",
+        "tx5_pii_scrub",
+    ):
+        plan = _plan(QUERIES[name](spark, SF0001), "simple")
+        assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan}"
+
+
+def test_pack1_single_exchange_shared_partitioning(spark):
+    """pack1's rollup groups on the window's partition keys, so the
+    groupBy must reuse the window exchange (exactly one shuffle)."""
+    plan = _plan(QUERIES["pack1_token_packing"](spark, SF0001), "simple")
+    assert plan.count("Exchange") == 1, (
+        f"pack1 expected exactly 1 exchange:\n{plan}"
+    )
+
+
+def test_tx6_topk_is_take_ordered(spark):
+    """The corpus top-50 must plan as TakeOrderedAndProject (heap +
+    driver merge), never a global Sort of the distinct-gram space."""
+    plan = _plan(QUERIES["tx6_ngram_topk"](spark, SF0001), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, f"tx6 planned a global sort:\n{plan}"
