@@ -38,6 +38,8 @@ HEADLINE = [
     "dd7_dedup_clusters",
     "sim1_knn_cosine_topk",
     "tx2_token_counts",
+    "tx6_ngram_topk",
+    "pack1_token_packing",
     "geo1_point_in_polygon_grid",
     "geo8_dense_pip",
     "geo4_uf_choropleth_day",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators.multimodal import (
     extract_features,
     media_from_documents,
+    resize_media,
     sample_frames,
 )
 from ..session import load_table
@@ -115,3 +116,58 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     many-rows-out mapInPandas shape a video pipeline needs."""
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     return sample_frames(media, frame_bytes=32, stride=4)
+
+
+@query(
+    "mm4_media_resize",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id, text,
+               16 + n_chars % 24 AS h, 16 + n_chars % 32 AS w,
+               length(text) AS blen
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(h AS BIGINT) AS src_h, CAST(w AS BIGINT) AS src_w,
+           md5(list_aggregate(
+               list_transform(generate_series(0, 255), k ->
+                   chr(ascii(substr(text,
+                       CAST(((((k // 16) * h) // 16) * w
+                             + (((k % 16) * w) // 16)) % blen
+                            AS INTEGER) + 1,
+                       1)))),
+               'string_agg', '')) AS resized_md5,
+           list_aggregate(
+               list_transform(generate_series(0, 255), k ->
+                   ascii(substr(text,
+                       CAST(((((k // 16) * h) // 16) * w
+                             + (((k % 16) * w) // 16)) % blen
+                            AS INTEGER) + 1,
+                       1))),
+               'avg') AS mean_px
+    FROM m
+    """,
+)
+def mm4_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize: decode (deterministic fake codec — the payload
+    bytes tile into the meta's (height, width) grid), nearest-neighbor
+    resample to 16x16 (pure integer gather, no interpolation), then
+    summarize (md5 of resized bytes + mean pixel). The oracle restates
+    the decode+gather in character arithmetic: resized[i,j] =
+    payload[((i*h//16)*w + j*w//16) mod len], exact because the
+    testdata payloads are ASCII. mean_px is a multiple of 1/256, so
+    the float compares exactly.
+
+    Scale design: one Arrow-batched mapInPandas pass over row-local
+    payloads — the canonical image-normalization stage shape; with a
+    real codec only the decode call changes
+    (operators/multimodal.py:159-230)."""
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    out = resize_media(media, dst_h=16, dst_w=16, use_fake=True)
+    return out.select(
+        "media_id",
+        F.element_at("src_shape", 1).cast("long").alias("src_h"),
+        F.element_at("src_shape", 2).cast("long").alias("src_w"),
+        "resized_md5",
+        "mean_px",
+    )
