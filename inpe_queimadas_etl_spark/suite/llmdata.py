@@ -1699,3 +1699,57 @@ def tx6_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
         .limit(50)
     )
+
+
+@query(
+    "sk1_sketch_accuracy",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+           TRUE AS hll_docs_ok,
+           TRUE AS hll_texts_ok,
+           quantile_cont(n_chars, 0.5) AS p50_chars,
+           TRUE AS p50_approx_ok
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def sk1_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch accuracy harness: run the streaming-friendly sketches
+    (HyperLogLog++ approx distinct, quantile-summary approx
+    percentile) next to their exact counterparts and emit boolean
+    accuracy gates. The oracle pins the exact values (count, distinct,
+    interpolated median — Spark's exact `percentile` and DuckDB's
+    `quantile_cont` share linear interpolation bit-for-bit on integer
+    inputs) and asserts the gates are TRUE, so a sketch drifting
+    outside its error bound fails the value hash.
+
+    Scale design: sketches are why 100-TB aggregations stay one-pass —
+    HLL registers and quantile summaries merge associatively in
+    map-side partials, so the shuffle carries fixed-size state per
+    group instead of the value stream; the exact twins here are
+    affordable only because the gate runs at validation scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = F.count("*")
+    distinct_texts = F.countDistinct(F.md5("text"))
+    hll_docs = F.approx_count_distinct("doc_id", 0.05)
+    hll_texts = F.approx_count_distinct(F.md5("text"), 0.05)
+    p50 = F.expr("percentile(n_chars, 0.5)")
+    p50_approx = F.expr("approx_percentile(n_chars, 0.5, 10000)")
+    return docs.groupBy("lang").agg(
+        n_docs.alias("n_docs"),
+        distinct_texts.alias("distinct_texts"),
+        (
+            F.abs(hll_docs - n_docs)
+            <= F.greatest(F.lit(2), (n_docs * 0.1).cast("long"))
+        ).alias("hll_docs_ok"),
+        (
+            F.abs(hll_texts - distinct_texts)
+            <= F.greatest(F.lit(2), (distinct_texts * 0.1).cast("long"))
+        ).alias("hll_texts_ok"),
+        p50.alias("p50_chars"),
+        (F.abs(p50_approx - p50) <= p50 * 0.2 + F.lit(1)).alias(
+            "p50_approx_ok"
+        ),
+    )
