@@ -117,6 +117,55 @@ def start_landing_stream(
     return writer.start()
 
 
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Event-time windowed aggregation with a watermark for late data
+    (§2.9 streaming stretch): tumbling (or sliding, via ``slide``)
+    windows over the event timestamp, counts + value sums per window
+    and group.
+
+    Late-data contract: rows later than ``watermark`` behind the
+    max event time are dropped; in append output mode a window only
+    emits once the watermark passes its end, so every emitted row is
+    final — the streaming analog of the batch pipeline's "recompute
+    the affected day" idempotency (process_batch), with the watermark
+    playing the retention window's role.
+
+    Scale design: windowed aggregation state is per (window, group)
+    with map-side partial aggregation feeding the state store; the
+    watermark bounds state size (expired windows are evicted), which
+    is what keeps an always-on stream at a fixed memory footprint
+    instead of growing with history.
+    """
+    win = (
+        F.window(F.col(ts_col), window_duration)
+        if slide is None
+        else F.window(F.col(ts_col), window_duration, slide)
+    )
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("total_value"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), *[F.col(c) for c in group_cols])
+        .agg(*aggs)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            *(["total_value"] if value_col is not None else []),
+        )
+    )
+
+
 def streaming_first_seen_dedup(
     stream_df: DataFrame,
     key_col: str = "event_hash",

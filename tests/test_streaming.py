@@ -138,3 +138,103 @@ def test_stateful_dedup_across_batches_and_restarts(spark, tmp_path):
     out.clear()
     _drain_dedup(spark, str(src) + "/*", ckpt, out)
     assert out == [("c", 2)]
+
+
+def _drain_windowed(spark, src_dir, ckpt, out: list):
+    """One availableNow pass of the watermarked windowed aggregation,
+    collecting APPEND-mode (finalized-only) rows via foreachBatch."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    agg = streaming.windowed_event_counts(
+        stream, window_duration="1 hour", watermark="2 hours"
+    )
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda bdf, bid: out.extend(
+                (
+                    str(r["window_start"]),
+                    str(r["window_end"]),
+                    r["event_type"],
+                    r["n_events"],
+                    r["total_value"],
+                )
+                for r in bdf.collect()
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_windowed_counts_watermark_finalization_and_late_drop(
+    spark, tmp_path
+):
+    """Append mode emits a window only after the watermark passes its
+    end (every emitted row is final), and a row arriving later than
+    the watermark allows is dropped — the late-data contract."""
+    src = tmp_path / "wevents"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_win")
+    schema = "event_type string, ts string, value double"
+
+    # batch 1: two A rows in [10:00, 11:00) + a B row that pushes max
+    # event time to 12:30 (watermark will become 10:30 after commit)
+    spark.createDataFrame(
+        [
+            ("A", "2024-05-02 10:15:00", 1.0),
+            ("A", "2024-05-02 10:45:00", 2.0),
+            ("B", "2024-05-02 12:30:00", 3.0),
+        ],
+        schema,
+    ).selectExpr(
+        "event_type", "CAST(ts AS TIMESTAMP) ts", "value"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    out: list = []
+    _drain_windowed(spark, str(src) + "/*", ckpt, out)
+    assert out == []  # nothing finalized yet
+
+    # batch 2: max event time -> 14:30; at batch START the watermark is
+    # 10:30, so the 11:00-ending window is still open -> still nothing
+    spark.createDataFrame(
+        [("B", "2024-05-02 14:30:00", 4.0)], schema
+    ).selectExpr(
+        "event_type", "CAST(ts AS TIMESTAMP) ts", "value"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    out.clear()
+    _drain_windowed(spark, str(src) + "/*", ckpt, out)
+    # availableNow runs a trailing no-data batch after f2, so the
+    # watermark advances to 12:30 within this drain and the [10:00,
+    # 11:00) window finalizes here — count 2, sum 3.0, and FINAL
+    assert out == [
+        ("2024-05-02 10:00:00", "2024-05-02 11:00:00", "A", 2, 3.0)
+    ]
+
+    # batch 3: the late A@10:20 row is behind the 12:30 watermark and
+    # must be dropped — the already-emitted A window must NOT re-emit
+    # or grow; meanwhile the [12:00, 13:00) B window finalizes once
+    # the watermark passes 13:00 (max event 16:00 -> watermark 14:00)
+    spark.createDataFrame(
+        [
+            ("A", "2024-05-02 10:20:00", 100.0),  # too late: dropped
+            ("C", "2024-05-02 16:00:00", 5.0),
+        ],
+        schema,
+    ).selectExpr(
+        "event_type", "CAST(ts AS TIMESTAMP) ts", "value"
+    ).coalesce(1).write.parquet(str(src / "f3"))
+    out.clear()
+    _drain_windowed(spark, str(src) + "/*", ckpt, out)
+    assert out == [
+        ("2024-05-02 12:00:00", "2024-05-02 13:00:00", "B", 1, 3.0)
+    ]
