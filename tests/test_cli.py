@@ -191,3 +191,32 @@ def test_discover_landing_files_filters_and_orders(tmp_path):
         str(tmp_path), dt.date(2024, 5, 1), dt.date(2024, 5, 31)
     )
     assert [d for d, _ in got] == [dt.date(2024, 5, 1), dt.date(2024, 5, 3)]
+
+
+def test_load_dims_mixed_formats(spark, dims_dir, tmp_path):
+    """A dims dir may mix formats: municipios + ucs as GeoJSON,
+    biomas + tis as shapefiles — load_dims resolves each by
+    extension and the result matches the all-shapefile load."""
+    import shutil
+
+    from inpe_queimadas_etl_spark.sources.geojson_source import write_geojson
+
+    mixed = tmp_path / "mixed_dims"
+    mixed.mkdir()
+    for name in ("biomas", "tis"):
+        for ext in (".shp", ".dbf"):
+            shutil.copy(f"{dims_dir}/{name}{ext}", mixed / f"{name}{ext}")
+    write_geojson(
+        str(mixed / "municipios.geojson"), G.municipios(), id_field="cd_mun"
+    )
+    write_geojson(str(mixed / "ucs.geojson"), G.ucs(), id_field="cd_cnuc")
+
+    ref = cli.load_dims(spark, dims_dir)
+    got = cli.load_dims(spark, str(mixed))
+    for name in ("municipios", "biomas", "ucs", "tis"):
+        assert {f.poly_id for f in got[name]} == {
+            f.poly_id for f in ref[name]
+        }, name
+    ref_area = {r["uf"]: r["area_km2"] for r in ref["uf_area"].collect()}
+    got_area = {r["uf"]: r["area_km2"] for r in got["uf_area"].collect()}
+    assert got_area == pytest.approx(ref_area)
