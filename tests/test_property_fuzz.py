@@ -138,3 +138,44 @@ def test_nn_resize_invariants_fuzz(src_h, src_w, dst_h, dst_w, seed):
         assert (out == arr).all()
     # corner anchoring: top-left always maps to source top-left
     assert out[0, 0] == arr[0, 0]
+
+
+# --- GeoJSON geometry part-splitting -----------------------------------
+
+
+_json_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(-180, 180),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=5),
+)
+
+_coords = st.recursive(
+    _json_scalar, lambda inner: st.lists(inner, max_size=6), max_leaves=40
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    gtype=st.sampled_from(
+        ["Polygon", "MultiPolygon", "Point", "LineString", None, "junk"]
+    ),
+    coords=_coords,
+)
+def test_poly_parts_never_raises_and_emits_valid_rings(gtype, coords):
+    """_poly_parts must absorb arbitrarily malformed GeoJSON geometry
+    (the P13 sanitizer contract) and only ever emit float64 rings of
+    >= 4 closed points."""
+    from inpe_queimadas_etl_spark.sources.geojson_source import _poly_parts
+
+    parts = _poly_parts({"type": gtype, "coordinates": coords})
+    if gtype not in ("Polygon", "MultiPolygon"):
+        assert parts == []
+    for rings in parts:
+        assert rings  # a part always has at least its exterior
+        for ring in rings:
+            assert ring.dtype == np.float64
+            assert ring.ndim == 2 and ring.shape[1] == 2
+            assert len(ring) >= 4
+            assert np.array_equal(ring[0], ring[-1])  # closed
