@@ -1,4 +1,5 @@
-"""Training-data-pipeline suite: dedup, text analysis, similarity.
+"""Training-data-pipeline suite: dedup, curation, text analysis,
+similarity, sampling, packing, sketches.
 
 These are the large-scale LLM-data operators the engine adds beyond
 the reference's own surface (BASELINE.json north star). Each entry is
