@@ -42,6 +42,8 @@ def write_bucketed(
     """
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if not bucket_cols:
+        raise ValueError("bucket_cols must name at least one column")
     writer = (
         df.write.format("parquet")
         .mode(mode)

@@ -69,13 +69,16 @@ def export_jsonl(
     max_records_per_file: int | None = None,
     order_cols: list[str] | None = None,
     mode: str = "overwrite",
+    compression: str | None = None,
 ) -> None:
     """Write ``df`` as JSON-lines shards (the interchange format
     tokenizer/training workers consume), same layout controls as the
-    parquet exporter. Compression stays off so shards are seekable
-    plain text; flip on ``spark.sql.json.compression`` upstream when
-    the consumer can stream gzip."""
+    parquet exporter. ``compression=None`` (default) keeps shards
+    seekable plain text; pass ``"gzip"``/``"zstd"`` when the consumer
+    streams compressed shards."""
     writer = _shaped(df, n_shards, order_cols).write.mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if compression:
+        writer = writer.option("compression", compression)
     writer.json(path)

@@ -45,12 +45,19 @@ def with_salt(
     )
 
 
+# join types where replicating the small side is sound: every big row
+# joins/filters against the replica carrying its own salt, and no
+# small-side row can null-extend on its own
+_SALTED_JOIN_HOW = {"inner", "left", "left_outer", "leftouter",
+                    "left_semi", "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
     on: list[str],
     n_salts: int,
-    salt_src_cols: list[str] | None = None,
+    salt_src_cols: list[str],
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread over ``n_salts``
@@ -59,12 +66,35 @@ def salted_join(
     rows), and the join runs on (on + salt). Result columns match the
     plain ``big.join(small, on, how)``.
 
+    ``salt_src_cols`` must be stable columns that VARY WITHIN a join
+    key (an id, a payload hash) — salting on the join key itself
+    would assign every row of a hot key the same salt and spread
+    nothing, so ``on``-only sources are rejected. Right/full joins
+    are rejected too: an unmatched small-side row exists once per
+    replica and would null-extend n_salts times.
+
     Cost model: replication multiplies the small side's shuffle
     volume by n_salts; pick the smallest n that flattens the hot
     key's reducer. For a small side that fits in memory, broadcast
     beats salting — this is for the middle regime."""
-    salt_src = salt_src_cols or on
-    bigs = with_salt(big, salt_src, n_salts)
+    if how.lower() not in _SALTED_JOIN_HOW:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALTED_JOIN_HOW)}, got {how!r}: "
+            "right/full joins would duplicate unmatched small-side rows "
+            "once per salt replica"
+        )
+    if set(salt_src_cols) <= set(on):
+        raise ValueError(
+            "salt_src_cols must include a column that varies within a "
+            f"join key; salting on the join key itself ({salt_src_cols}) "
+            "leaves every hot-key row on one reducer"
+        )
+    if "__salt" in big.columns or "__salt" in small.columns:
+        raise ValueError(
+            "inputs already carry a __salt column; rename it before "
+            "salted_join"
+        )
+    bigs = with_salt(big, salt_src_cols, n_salts)
     smalls = small.withColumn(
         "__salt",
         F.explode(

@@ -33,27 +33,32 @@ def _poly_parts(geometry: dict) -> list[list[np.ndarray]]:
         return []
     norm_type, norm = normalize_poly_coords((geometry or {}).get("coordinates"))
     multi = norm if norm_type == "MultiPolygon" else ([norm] if norm else [])
-    parts = []
-    for poly in multi:
-        rings = [
-            np.asarray(ring, dtype="float64")
-            for ring in poly
-            if len(ring) >= 4
-        ]
-        if rings:
-            parts.append(rings)
-    return parts
+    # rings arriving here are already sanitized (closed, >= 4 points):
+    # normalize_poly_coords drops anything shorter
+    return [
+        [np.asarray(ring, dtype="float64") for ring in poly]
+        for poly in multi
+        if poly
+    ]
 
 
 def features_from_geojson(
     path: str,
-    id_field: str,
+    id_field: str | tuple[str, ...],
     prop_fields: tuple[str, ...] = (),
+    prop_aliases: dict[str, tuple[str, ...]] | None = None,
 ) -> list[PolyFeature]:
     """GeoJSON FeatureCollection file -> PolyFeatures keyed on a
     feature property; one PolyFeature per polygon part. Property names
     match case-insensitively (ogr2ogr upper/lower-cases attribute
-    names depending on the source driver)."""
+    names depending on the source driver). ``id_field`` may list
+    candidate names (first present wins — the IBGE exports rename the
+    code column across vintages); ``prop_aliases`` maps a canonical
+    prop name to candidate source names the same way."""
+    id_candidates = (
+        (id_field,) if isinstance(id_field, str) else tuple(id_field)
+    )
+    aliases = prop_aliases or {}
     with open(path, encoding="utf-8") as fh:
         doc = json.load(fh)
     feats: list[PolyFeature] = []
@@ -61,13 +66,30 @@ def features_from_geojson(
         props_in = {
             str(k).lower(): v for k, v in (feature.get("properties") or {}).items()
         }
-        pid = props_in.get(id_field.lower())
+        pid = next(
+            (
+                props_in[c.lower()]
+                for c in id_candidates
+                if props_in.get(c.lower()) is not None
+            ),
+            None,
+        )
         if pid is None:
             raise KeyError(
-                f"feature missing id property {id_field!r}: "
+                f"feature missing id property (tried {id_candidates!r}): "
                 f"{sorted(props_in)}"
             )
-        props = {k: props_in.get(k.lower()) for k in prop_fields}
+        props = {
+            k: next(
+                (
+                    props_in[c.lower()]
+                    for c in aliases.get(k, (k,))
+                    if props_in.get(c.lower()) is not None
+                ),
+                None,
+            )
+            for k in prop_fields
+        }
         for part in _poly_parts(feature.get("geometry")):
             feats.append(
                 PolyFeature(poly_id=str(pid), rings=tuple(part), props=dict(props))
@@ -78,7 +100,9 @@ def features_from_geojson(
 def municipios_dim_from_geojson(spark, path: str):
     """Typed municipality dim (cd_mun, nm_mun, uf, area_km2) from a
     GeoJSON FeatureCollection — same contract as
-    municipios_dim_from_shapefile: an area_km2 property is
+    municipios_dim_from_shapefile, including its IBGE attribute
+    fallback chains (cd_mun|cd_geocmu|geocodigo, nm_mun|nm_municip,
+    sigla_uf|uf; shapefile.py:265-288): an area_km2 property is
     authoritative (first seen wins); otherwise the shoelace-geodesic
     area of the feature's parts accumulates as the fallback."""
     from pyspark.sql import types as T
@@ -87,7 +111,13 @@ def municipios_dim_from_geojson(spark, path: str):
     from ..session import local_df
 
     feats = features_from_geojson(
-        path, id_field="cd_mun", prop_fields=("nm_mun", "uf", "area_km2")
+        path,
+        id_field=("cd_mun", "cd_geocmu", "geocodigo"),
+        prop_fields=("nm_mun", "uf", "area_km2"),
+        prop_aliases={
+            "nm_mun": ("nm_mun", "nm_municip"),
+            "uf": ("sigla_uf", "uf"),
+        },
     )
     by_id: dict[str, dict] = {}
     for f in feats:

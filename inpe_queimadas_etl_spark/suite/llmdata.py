@@ -1438,8 +1438,10 @@ _CUR4_DEFAULT_RATE = 50
     SELECT doc_id, lang, source, bucket
     FROM (
         SELECT doc_id, lang, source,
-               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
-                                        || source), 1, 8)) AS BIGINT)
+               -- concat_ws (not ||) so a NULL source skips, matching
+               -- Spark's concat_ws instead of propagating NULL
+               CAST(('0x' || substr(md5(concat_ws(':',
+                        CAST(doc_id AS VARCHAR), source)), 1, 8)) AS BIGINT)
                    % 100 AS bucket
         FROM documents
     )

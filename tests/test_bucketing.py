@@ -78,3 +78,9 @@ def test_write_bucketed_rejects_bad_bucket_count(spark, tmp_path):
     df = spark.range(3).selectExpr("id AS k")
     with pytest.raises(ValueError):
         write_bucketed(df, "t_bad", ["k"], 0, path=str(tmp_path / "b"))
+
+
+def test_write_bucketed_rejects_empty_bucket_cols(spark, tmp_path):
+    df = spark.range(3).selectExpr("id AS k")
+    with pytest.raises(ValueError, match="bucket_cols"):
+        write_bucketed(df, "t_bad2", [], 4, path=str(tmp_path / "b2"))

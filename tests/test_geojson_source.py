@@ -111,3 +111,39 @@ def test_cli_load_dims_accepts_geojson_dir(spark, tmp_path):
     }
     uf_area = {r["uf"]: r["area_km2"] for r in dims["uf_area"].collect()}
     assert uf_area == pytest.approx(dict(G.uf_area_rows()))
+
+
+def test_municipios_dim_ibge_attribute_fallbacks(spark, tmp_path):
+    """An ogr2ogr export carrying GEOCODIGO/NM_MUNICIP/SIGLA_UF (the
+    older IBGE vintage the shapefile loader already accepts,
+    shapefile.py:265-288) must load identically."""
+    p = tmp_path / "municipios.geojson"
+    doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {
+                    "GEOCODIGO": "3550308",
+                    "NM_MUNICIP": "Sao Paulo",
+                    "SIGLA_UF": "SP",
+                    "AREA_KM2": 1521.11,
+                },
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[-46.8, -24.0], [-46.3, -24.0], [-46.3, -23.4],
+                         [-46.8, -23.4], [-46.8, -24.0]]
+                    ],
+                },
+            }
+        ],
+    }
+    p.write_text(json.dumps(doc))
+    rows = municipios_dim_from_geojson(spark, str(p)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["cd_mun"], r["nm_mun"], r["uf"]) == (
+        "3550308", "Sao Paulo", "SP"
+    )
+    assert r["area_km2"] == pytest.approx(1521.11)

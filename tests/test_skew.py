@@ -91,3 +91,15 @@ def test_two_phase_agg_sum_and_distinct(spark, skewed):
 def test_with_salt_rejects_bad_n(spark, skewed):
     with pytest.raises(ValueError):
         with_salt(skewed, ["v"], 0)
+
+
+def test_salted_join_rejects_outer_and_key_only_salt(spark, skewed):
+    dim = spark.createDataFrame([("h", 1)], "k string, flag int")
+    with pytest.raises(ValueError, match="right/full"):
+        salted_join(skewed, dim, ["k"], 4, salt_src_cols=["v"], how="full")
+    with pytest.raises(ValueError, match="varies within"):
+        salted_join(skewed, dim, ["k"], 4, salt_src_cols=["k"])
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(
+            with_salt(skewed, ["v"], 2), dim, ["k"], 4, salt_src_cols=["v"]
+        )
