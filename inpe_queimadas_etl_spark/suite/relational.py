@@ -582,9 +582,15 @@ def w2_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "p7_stable_event_hash",
-    oracle="""
+# The P7/P8/P10/P11/f_json/set_union/a6/a13 micro-queries below are
+# registered through ONE composite entry (`micro_ops_battery`) so the
+# full suite fits the driver's 50-row correctness snapshot (VERDICT r3
+# "What's wrong" #1: 58 registered queries vs a 50-row snapshot cap).
+# Each keeps its own function + oracle SQL; the battery unions them
+# into a (chk, key_s, n, v) check table and the battery oracle unions
+# the same sub-oracles, so every individual value set is still hashed.
+
+P7_SQL = """
     SELECT event_id,
            md5(concat_ws('|',
                CAST(event_id AS VARCHAR),
@@ -592,8 +598,9 @@ def w2_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_type,
                CAST(round(value, 6) AS VARCHAR))) AS event_hash
     FROM events
-    """,
-)
+"""
+
+
 def p7_stable_event_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MD5 event hash over canonicalized fields with 6-dp
     rounding (P7, reference transform/inpe_focos_diario.py:156-164)."""
@@ -612,9 +619,7 @@ def p7_stable_event_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "p8_first_row_dedup",
-    oracle="""
+P8_SQL = """
     SELECT user_id, event_type, event_id AS first_event_id,
            round(value, 2) AS first_value
     FROM (
@@ -622,8 +627,9 @@ def p7_stable_event_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             PARTITION BY user_id, event_type ORDER BY event_id ASC) AS rn
         FROM events
     ) WHERE rn = 1
-    """,
-)
+"""
+
+
 def p8_first_row_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-row-per-key dedup, deterministic (P8, reference
     transform/inpe_focos_diario.py:166-169 keeps the first file row per
@@ -642,14 +648,13 @@ def p8_first_row_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "p10_event_day_counts",
-    oracle="""
+P10_SQL = """
     SELECT coalesce(CAST(ts AS DATE), DATE '2024-01-01') AS day,
            CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY 1
-    """,
-)
+"""
+
+
 def p10_event_day_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-day derivation coalesce(view_ts::date, file_date) (P10,
     reference sqlm/marts/canonical/055_v_focos_enriched_full.sql:5)."""
@@ -658,16 +663,15 @@ def p10_event_day_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "p11_filter_normalization",
-    oracle="""
+P11_SQL = """
     SELECT upper(trim(event_type)) AS event_type_norm,
            CAST(count(*) AS BIGINT) AS n
     FROM events
     WHERE upper(trim(event_type)) IN ('ERROR', 'PURCHASE')
     GROUP BY 1
-    """,
-)
+"""
+
+
 def p11_filter_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-value normalization strip/upper + code-or-name match (P11,
     reference api/app/main.py:136-158,171-215)."""
@@ -680,16 +684,15 @@ def p11_filter_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "f_json_props_extract",
-    oracle="""
+F_JSON_SQL = """
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 2) AS total_value
     FROM events
     GROUP BY 1
-    """,
-)
+"""
+
+
 def f_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON props extraction — the jsonb payload surface (§2.8 JSON,
     reference load/postgis.py:45,78 `props jsonb`)."""
@@ -705,16 +708,15 @@ def f_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "set_union_counts",
-    oracle="""
+SET_UNION_SQL = """
     SELECT 'orders' AS src, CAST(count(*) AS BIGINT) AS n FROM orders
     UNION ALL
     SELECT 'lineitem' AS src, CAST(count(*) AS BIGINT) AS n FROM lineitem
     UNION ALL
     SELECT 'events' AS src, CAST(count(*) AS BIGINT) AS n FROM events
-    """,
-)
+"""
+
+
 def set_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL sanity-report shape (§2.7, reference
     sqlm/ref_core/00_build_ref_core.sql:268-272)."""
@@ -731,15 +733,14 @@ def set_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query(
-    "a6_uf_area_rollup",
-    oracle="""
+A6_SQL = """
     SELECT n_name AS uf, round(coalesce(sum(s_acctbal), 0), 2) AS area_km2
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name IS NOT NULL
     GROUP BY n_name
-    """,
-)
+"""
+
+
 def a6_uf_area_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 UF-area rollup builder (sql/ref/05_ref_uf_area.sql:10-18):
     the real marts.ref_uf_area function run on supplier/nation standing
@@ -754,9 +755,7 @@ def a6_uf_area_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ref_uf_area(dim).select("uf", F.round("area_km2", 2).alias("area_km2"))
 
 
-@query(
-    "a13_legend_breaks",
-    oracle="""
+A13_SQL = """
     WITH vals AS (
         SELECT CAST(floor(sqrt(user_id % 900)) AS BIGINT) AS b,
                count(*) AS n
@@ -805,8 +804,9 @@ def a6_uf_area_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN (VALUES (0), (1)) AS t(i)
         WHERE u.uniq <= 1
     )
-    """,
-)
+"""
+
+
 def a13_legend_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 quantile legend breaks (api/app/main.py:218-314): the REAL
     driver-side compute_breaks (nearest-rank quantiles with Python
@@ -834,3 +834,103 @@ def a13_legend_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_df(
         spark, rows, T.StructType.fromDDL("class_idx bigint, break_value double")
     )
+
+
+@query(
+    "micro_ops_battery",
+    oracle=f"""
+    SELECT 'p7' AS chk,
+           concat_ws(':', CAST(event_id AS VARCHAR), event_hash) AS key_s,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS v
+    FROM ({P7_SQL})
+    UNION ALL
+    SELECT 'p8', concat_ws('|', CAST(user_id AS VARCHAR), event_type),
+           CAST(first_event_id AS BIGINT), CAST(first_value AS DOUBLE)
+    FROM ({P8_SQL})
+    UNION ALL
+    SELECT 'p10', CAST(day AS VARCHAR), n, CAST(NULL AS DOUBLE)
+    FROM ({P10_SQL})
+    UNION ALL
+    SELECT 'p11', event_type_norm, n, CAST(NULL AS DOUBLE)
+    FROM ({P11_SQL})
+    UNION ALL
+    SELECT 'f_json', CAST(k AS VARCHAR), n, total_value
+    FROM ({F_JSON_SQL})
+    UNION ALL
+    SELECT 'set_union', src, n, CAST(NULL AS DOUBLE)
+    FROM ({SET_UNION_SQL})
+    UNION ALL
+    SELECT 'a6', uf, CAST(NULL AS BIGINT), area_km2
+    FROM ({A6_SQL})
+    UNION ALL
+    SELECT 'a13', CAST(class_idx AS VARCHAR), CAST(NULL AS BIGINT), break_value
+    FROM ({A13_SQL})
+    """,
+)
+def micro_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite correctness battery for eight micro-operators — P7
+    (stable MD5 event hash), P8 (first-row dedup), P10 (event-day
+    coalesce), P11 (filter normalization), §2.8 JSON props extraction,
+    §2.7 UNION ALL counts, A6 (UF-area rollup), A13 (quantile legend
+    breaks). Registered as ONE suite entry so the whole suite fits the
+    driver's 50-row correctness snapshot (VERDICT r3 "What's wrong"
+    #1); every sub-operator's full value set is still verified — each
+    branch is melted to (chk, key_s, n, v) rows and the oracle unions
+    the same eight sub-oracles, so one wrong hash/count/break flips the
+    battery's value hash. Individual functions remain importable (and
+    bench.py times p7 directly)."""
+    longn = F.lit(None).cast("long")
+    dbln = F.lit(None).cast("double")
+
+    def melt(df: DataFrame, chk: str, key_s, n, v) -> DataFrame:
+        return df.select(
+            F.lit(chk).alias("chk"),
+            key_s.cast("string").alias("key_s"),
+            n.cast("long").alias("n"),
+            v.cast("double").alias("v"),
+        )
+
+    parts = [
+        melt(
+            p7_stable_event_hash(spark, sf_dir),
+            "p7",
+            F.concat_ws(":", F.col("event_id").cast("string"), F.col("event_hash")),
+            longn,
+            dbln,
+        ),
+        melt(
+            p8_first_row_dedup(spark, sf_dir),
+            "p8",
+            F.concat_ws("|", F.col("user_id").cast("string"), F.col("event_type")),
+            F.col("first_event_id"),
+            F.col("first_value"),
+        ),
+        melt(
+            p10_event_day_counts(spark, sf_dir),
+            "p10", F.col("day"), F.col("n"), dbln,
+        ),
+        melt(
+            p11_filter_normalization(spark, sf_dir),
+            "p11", F.col("event_type_norm"), F.col("n"), dbln,
+        ),
+        melt(
+            f_json_props_extract(spark, sf_dir),
+            "f_json", F.col("k"), F.col("n"), F.col("total_value"),
+        ),
+        melt(
+            set_union_counts(spark, sf_dir),
+            "set_union", F.col("src"), F.col("n"), dbln,
+        ),
+        melt(
+            a6_uf_area_rollup(spark, sf_dir),
+            "a6", F.col("uf"), longn, F.col("area_km2"),
+        ),
+        melt(
+            a13_legend_breaks(spark, sf_dir),
+            "a13", F.col("class_idx"), longn, F.col("break_value"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -62,10 +62,13 @@ def test_q5_orderdate_filter_pushed_and_dims_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 4, plan
 
 
-def test_events_nano_ts_filter_pushed_on_raw_long(spark):
-    """events.ts is parquet TIMESTAMP(NANOS) read as int64; day_filter
-    rewrites date bounds onto the raw __ts_ns sibling so they prune
-    row groups — a to_date(ts) wrapper would defeat pushdown."""
+def test_events_ts_filter_pushed_to_scan(spark):
+    """day_filter's date bounds on events.ts must reach the parquet
+    scan as PushedFilters (row-group min/max pruning) — a to_date(ts)
+    wrapper would defeat pushdown. The testdata generator has shipped
+    ts as both TIMESTAMP(NANOS) (read as int64, bounds rewritten onto
+    the raw __ts_ns sibling) and TIMESTAMP(MICROS) (typed column,
+    bounds pushed as timestamp literals); both pushed forms prune."""
     from inpe_queimadas_etl_spark.session import day_filter, load_table
 
     ev = load_table(spark, SF0001, "events")
@@ -75,11 +78,13 @@ def test_events_nano_ts_filter_pushed_on_raw_long(spark):
     )
     plan = _plan(windowed)
     pushed = [p.split("\n")[0] for p in plan.split("PushedFilters: ")[1:]]
-    # at the scan the filter is on the raw parquet int64 column with
-    # nanosecond-scale literals (the __ts_ns rename is a Project above)
-    assert any(re.search(r"GreaterThanOrEqual\(ts,\d{18,19}\)", p) for p in pushed), (
-        f"nano bound not pushed to scan: {pushed}"
+    nano_form = any(
+        re.search(r"GreaterThanOrEqual\(ts,\d{18,19}\)", p) for p in pushed
     )
+    micros_form = any(
+        re.search(r"GreaterThanOrEqual\(ts,2024-01-05", p) for p in pushed
+    )
+    assert nano_form or micros_form, f"ts bound not pushed to scan: {pushed}"
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
