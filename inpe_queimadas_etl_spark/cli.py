@@ -26,11 +26,21 @@ from pathlib import Path
 log = logging.getLogger("inpe_queimadas_etl_spark")
 
 _DIM_SPECS = {
-    # table -> (id_field, prop_fields) for features_from_shapefile
-    "municipios": ("cd_mun", ("nm_mun", "uf", "area_km2")),
-    "biomas": ("cd_bioma", ("bioma",)),
-    "ucs": ("cd_cnuc", ("nome_uc",)),
-    "tis": ("terrai_cod", ("terrai_nom",)),
+    # table -> (id candidates, prop_fields, prop_aliases) for the
+    # feature loaders. Candidates carry the IBGE vintage fallbacks the
+    # typed municipality dim builders already accept
+    # (ensure_ref_ibge.py renames across vintages: cd_mun|cd_geocmu|
+    # geocodigo, nm_mun|nm_municip, sigla_uf|uf), so an alternate-
+    # vintage dim file loads identically through both paths
+    # (ADVICE r3 #2).
+    "municipios": (
+        ("cd_mun", "cd_geocmu", "geocodigo"),
+        ("nm_mun", "uf", "area_km2"),
+        {"nm_mun": ("nm_mun", "nm_municip"), "uf": ("sigla_uf", "uf")},
+    ),
+    "biomas": (("cd_bioma",), ("bioma",), {}),
+    "ucs": (("cd_cnuc",), ("nome_uc",), {}),
+    "tis": (("terrai_cod",), ("terrai_nom",), {}),
 }
 
 
@@ -69,18 +79,24 @@ def load_dims(spark, dims_dir: str) -> dict:
     d = Path(dims_dir)
     dims: dict = {}
     fmt: dict[str, str] = {}
-    for name, (id_field, props) in _DIM_SPECS.items():
+    for name, (id_field, props, aliases) in _DIM_SPECS.items():
         shp = d / f"{name}.shp"
         gj = d / f"{name}.geojson"
         if shp.exists():
             fmt[name] = "shp"
             dims[name] = features_from_shapefile(
-                str(shp), id_field=id_field, prop_fields=props
+                str(shp),
+                id_field=id_field,
+                prop_fields=props,
+                prop_aliases=aliases,
             )
         elif gj.exists():
             fmt[name] = "geojson"
             dims[name] = features_from_geojson(
-                str(gj), id_field=id_field, prop_fields=props
+                str(gj),
+                id_field=id_field,
+                prop_fields=props,
+                prop_aliases=aliases,
             )
         else:
             raise FileNotFoundError(

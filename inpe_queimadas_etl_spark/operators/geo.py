@@ -220,9 +220,20 @@ def _rebalance_for_compute(df: DataFrame, polygons) -> DataFrame:
     total_vertices = sum(r.shape[0] for f in polygons for r in f.rings)
     if total_vertices < _REBALANCE_MIN_VERTICES:
         return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 < target:
-        return df.repartition(target)
+    # Partition estimate via the DataFrame API first: df.inputFiles()
+    # is cheap and Connect-safe, whereas df.rdd.getNumPartitions()
+    # forces a plan-to-RDD conversion on every hot PIP/knn call and is
+    # unsupported under Spark Connect (ADVICE r3 #5). The RDD probe is
+    # only a fallback for non-file-backed inputs, and any failure
+    # (e.g. a Connect session) skips the rebalance instead of raising.
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        files = df.inputFiles()
+        nparts = len(files) if files else df.rdd.getNumPartitions()
+        if nparts * 2 < target:
+            return df.repartition(target)
+    except Exception:
+        pass
     return df
 
 

@@ -512,7 +512,12 @@ def make_valid_feature(feat: PolyFeature) -> list[PolyFeature]:
                 continue
             pieces = [ring]
         else:
-            pieces = split_ring_simple(ring)
+            # _node_ring only nodes PROPER crossings, so collinear-
+            # overlap self-intersections (spikes/backtracks) can
+            # survive the split; re-check each piece and drop the ones
+            # that are still non-simple so every returned part is
+            # genuinely valid (ADVICE r3 #4).
+            pieces = [p for p in split_ring_simple(ring) if ring_is_simple(p)]
         for piece in pieces:
             if k == 0:
                 exteriors.append(_ensure_ccw(piece))
@@ -528,10 +533,24 @@ def make_valid_feature(feat: PolyFeature) -> list[PolyFeature]:
             if bool(_ray_cast(hx, hy, ext)[0]):
                 parts[k].append(hole)
                 break
-    return [
-        PolyFeature(poly_id=feat.poly_id, rings=tuple(rings), props=dict(feat.props))
-        for rings in parts
-    ]
+    # Final validity gate: every returned part must pass
+    # feature_is_valid (the docstring's contract). A hole attached by
+    # the anchor-inside test can still cross or touch its exterior;
+    # retry such parts exterior-only before dropping them outright.
+    out_parts: list[PolyFeature] = []
+    for rings in parts:
+        cand = PolyFeature(
+            poly_id=feat.poly_id, rings=tuple(rings), props=dict(feat.props)
+        )
+        if feature_is_valid(cand):
+            out_parts.append(cand)
+            continue
+        ext_only = PolyFeature(
+            poly_id=feat.poly_id, rings=(rings[0],), props=dict(feat.props)
+        )
+        if len(rings) > 1 and feature_is_valid(ext_only):
+            out_parts.append(ext_only)
+    return out_parts
 
 
 def make_valid(feats: list[PolyFeature]) -> list[PolyFeature]:

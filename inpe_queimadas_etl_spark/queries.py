@@ -97,22 +97,41 @@ def _range_pred(from_date: dt.date, to: dt.date):
     )
 
 
-def _filter_pred(filters: dict[str, str | None]):
+# fact-mart filter column -> its name on the enriched events table
+# (the points scan runs on enriched events, whose municipality-derived
+# columns carry the mun_/enr prefixes before the mart rename)
+_EVENTS_COL_FALLBACK = {
+    "uf": "mun_uf",
+    "cd_mun": "mun_cd_mun",
+    "bioma": "bioma_enr",
+}
+
+
+def _filter_pred(filters: dict[str, str | None], columns: list[str] | None = None):
     """Code-or-name match per entity (P11, main.py:171-215). Mirrors
     `_build_fact_where` exactly: `uf` is plain equality against the
     upper-normalized filter value; other entities compare the code
-    column exactly (no upper()) OR `upper(coalesce(name, '')) = v`."""
+    column exactly (no upper()) OR `upper(coalesce(name, '')) = v`.
+    ``columns`` (the target DataFrame's schema) lets the same predicate
+    run on the enriched events table, whose pre-mart column names
+    differ (_EVENTS_COL_FALLBACK)."""
+
+    def resolve(col: str) -> str:
+        if columns is not None and col not in columns:
+            return _EVENTS_COL_FALLBACK.get(col, col)
+        return col
+
     pred = F.lit(True)
     for key, (code_col, name_col) in TOP_GROUP_EXPR.items():
         v = _norm(filters.get(key)) if filters else None
         if v is None:
             continue
         if key == "uf":
-            pred = pred & (F.col("uf") == v)
+            pred = pred & (F.col(resolve("uf")) == v)
         else:
             pred = pred & (
-                (F.col(code_col).cast("string") == v)
-                | (F.upper(F.coalesce(F.col(name_col), F.lit(""))) == v)
+                (F.col(resolve(code_col)).cast("string") == v)
+                | (F.upper(F.coalesce(F.col(resolve(name_col)), F.lit(""))) == v)
             )
     return pred
 
@@ -261,11 +280,17 @@ def points(
     day: dt.date,
     bbox: tuple[float, float, float, float] | None = None,
     limit: int = POINTS_LIMIT_DEFAULT,
+    filters: dict | None = None,
 ) -> tuple[DataFrame, bool]:
     """Per-day bbox point scan with limit+1 truncation detection
-    (main.py:1401-1445,498-526). Returns (DataFrame, truncated)."""
+    (main.py:1401-1445,498-526). ``filters`` applies the same
+    code-or-name entity predicates as the aggregate endpoints — the
+    reference's `_run_points_query` takes the active filters too
+    (main.py:498-526). Returns (DataFrame, truncated)."""
     limit = min(limit, POINTS_LIMIT_HARD_CAP)
     df = events.filter(F.col("event_day") == F.lit(str(day)).cast("date"))
+    if filters:
+        df = df.filter(_filter_pred(filters, columns=events.columns))
     if bbox is not None:
         min_lon, min_lat, max_lon, max_lat = bbox
         df = df.filter(
@@ -300,11 +325,14 @@ def _points_smoke(
     from_date: dt.date,
     to: dt.date,
     smoke_bbox: tuple[float, float, float, float],
+    filters: dict | None = None,
 ) -> tuple[bool, bool, dt.date | None, int]:
     """main.py:586-621: pick the peak day under the active filters
     (sum desc, day asc), falling back to the last in-range day, then
-    run the points scan over a small fixed bbox and check the returned
-    count respects the limit."""
+    run the points scan over a small fixed bbox — WITH the active
+    filters, as the reference's _points_smoke_validate passes them to
+    _run_points_query (ADVICE r3 #3) — and check the returned count
+    respects the limit."""
     peak = (
         base.groupBy("day")
         .agg(F.sum("n_focos").alias("n"))
@@ -317,7 +345,11 @@ def _points_smoke(
         test_day = max(from_date, to - dt.timedelta(days=1))
     try:
         df, _truncated = points(
-            events, test_day, bbox=smoke_bbox, limit=max(1, POINTS_SMOKE_LIMIT)
+            events,
+            test_day,
+            bbox=smoke_bbox,
+            limit=max(1, POINTS_SMOKE_LIMIT),
+            filters=filters,
         )
         returned = df.count()
         return True, returned <= POINTS_SMOKE_LIMIT, test_day, int(returned)
@@ -411,7 +443,7 @@ def validate_consistency(
     }
     if events is not None:
         ok, le_limit, day_used, returned = _points_smoke(
-            events, base, from_date, to, smoke_bbox
+            events, base, from_date, to, smoke_bbox, filters=filters
         )
         out.update(
             {

@@ -121,11 +121,19 @@ def points_cache_key(
     return f"{base_key}|zb={bucket}"
 
 
+_MISSING = object()
+
+
 def cached(cache: TTLCache, key: str, run: Callable[[], Any]) -> tuple[Any, bool]:
     """cache_get_or_set + hit logging contract (cache.py:16-22,
-    main.py:106-115): returns (value, was_hit)."""
-    if key in cache:
-        return cache.get(key), True
+    main.py:106-115): returns (value, was_hit). Single lookup with a
+    sentinel — a membership check followed by get() reads the timer
+    twice, and an entry expiring between the two reads would report a
+    hit carrying None (ADVICE r3 #1); the reference's cachetools path
+    can never return a hit without a value."""
+    val = cache.get(key, _MISSING)
+    if val is not _MISSING:
+        return val, True
     val = run()
     cache[key] = val
     return val, False

@@ -219,22 +219,46 @@ def read_shapefile(
 def features_from_shapefile(
     shp_path: str,
     dbf_path: str | None = None,
-    id_field: str = "cd_mun",
+    id_field: str | tuple[str, ...] = "cd_mun",
     prop_fields: tuple[str, ...] = (),
     encoding: str = "latin-1",
+    prop_aliases: dict[str, tuple[str, ...]] | None = None,
 ) -> list[PolyFeature]:
     """Shapefile -> PolyFeatures (one per exterior part, WKT-loader
-    convention), keyed on a .dbf attribute."""
+    convention), keyed on a .dbf attribute. ``id_field`` may list
+    candidate attribute names (first non-null wins) and
+    ``prop_aliases`` maps a canonical prop name to candidate source
+    names — the same IBGE-vintage fallback contract as
+    features_from_geojson (ADVICE r3 #2: both loaders must accept the
+    same vintages)."""
+    id_candidates = (
+        (id_field,) if isinstance(id_field, str) else tuple(id_field)
+    )
+    aliases = prop_aliases or {}
     feats: list[PolyFeature] = []
     for rec in read_shapefile(shp_path, dbf_path, encoding):
         if not rec.parts:
             continue
-        pid = rec.attrs.get(id_field)
+        pid = next(
+            (rec.attrs[c] for c in id_candidates if rec.attrs.get(c) is not None),
+            None,
+        )
         if pid is None:
             raise KeyError(
-                f"record {rec.recno}: id field {id_field!r} missing from .dbf"
+                f"record {rec.recno}: no id field in .dbf "
+                f"(tried {id_candidates!r})"
             )
-        props = {k: rec.attrs.get(k) for k in prop_fields}
+        props = {
+            k: next(
+                (
+                    rec.attrs[c]
+                    for c in aliases.get(k, (k,))
+                    if rec.attrs.get(c) is not None
+                ),
+                None,
+            )
+            for k in prop_fields
+        }
         for part in rec.parts:
             feats.append(
                 PolyFeature(

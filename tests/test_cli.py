@@ -193,6 +193,81 @@ def test_discover_landing_files_filters_and_orders(tmp_path):
     assert [d for d, _ in got] == [dt.date(2024, 5, 1), dt.date(2024, 5, 3)]
 
 
+def test_load_dims_alternate_ibge_vintage(spark, dims_dir, tmp_path):
+    """An alternate-vintage municipality file (CD_GEOCMU / NM_MUNICIP /
+    SIGLA_UF instead of CD_MUN / NM_MUN / UF) must load through
+    load_dims identically to the typed dim builders, for both formats
+    (ADVICE r3 #2: _DIM_SPECS now carries the fallback candidates)."""
+    import shutil
+
+    from inpe_queimadas_etl_spark.sources.geojson_source import write_geojson
+
+    vintage = tmp_path / "vintage_dims"
+    vintage.mkdir()
+    for name in ("biomas", "ucs", "tis"):
+        for ext in (".shp", ".dbf"):
+            shutil.copy(f"{dims_dir}/{name}{ext}", vintage / f"{name}{ext}")
+    feats = G.municipios()
+    _write_dim(
+        vintage,
+        "municipios",
+        feats,
+        [
+            ("CD_GEOCMU", "C", 10, 0),
+            ("NM_MUNICIP", "C", 20, 0),
+            ("SIGLA_UF", "C", 2, 0),
+            ("AREA_KM2", "N", 12, 3),
+        ],
+        lambda f: {
+            "cd_geocmu": f.poly_id,
+            "nm_municip": f.props["nm_mun"],
+            "sigla_uf": f.props["uf"],
+            "area_km2": float(f.props["area_km2"]),
+        },
+    )
+    ref = cli.load_dims(spark, dims_dir)
+    got = cli.load_dims(spark, str(vintage))
+    assert {f.poly_id for f in got["municipios"]} == {
+        f.poly_id for f in ref["municipios"]
+    }
+    # props resolve through the aliases, not to None
+    by_id = {f.poly_id: f.props for f in got["municipios"]}
+    ref_by_id = {f.poly_id: f.props for f in ref["municipios"]}
+    for pid, props in ref_by_id.items():
+        assert by_id[pid]["nm_mun"] == props["nm_mun"]
+        assert by_id[pid]["uf"] == props["uf"]
+    got_area = {r["uf"]: r["area_km2"] for r in got["uf_area"].collect()}
+    ref_area = {r["uf"]: r["area_km2"] for r in ref["uf_area"].collect()}
+    assert got_area == pytest.approx(ref_area)
+
+    # same vintage via GeoJSON: rewrite properties under the old names
+    gj_dir = tmp_path / "vintage_gj"
+    gj_dir.mkdir()
+    for name in ("biomas", "ucs", "tis"):
+        for ext in (".shp", ".dbf"):
+            shutil.copy(f"{dims_dir}/{name}{ext}", gj_dir / f"{name}{ext}")
+    renamed = [
+        type(f)(
+            poly_id=f.poly_id,
+            rings=f.rings,
+            props={
+                "cd_geocmu": f.poly_id,
+                "nm_municip": f.props["nm_mun"],
+                "sigla_uf": f.props["uf"],
+                "area_km2": f.props["area_km2"],
+            },
+        )
+        for f in feats
+    ]
+    write_geojson(
+        str(gj_dir / "municipios.geojson"), renamed, id_field="cd_geocmu"
+    )
+    got_gj = cli.load_dims(spark, str(gj_dir))
+    assert {f.poly_id for f in got_gj["municipios"]} == {
+        f.poly_id for f in ref["municipios"]
+    }
+
+
 def test_load_dims_mixed_formats(spark, dims_dir, tmp_path):
     """A dims dir may mix formats: municipios + ucs as GeoJSON,
     biomas + tis as shapefiles — load_dims resolves each by

@@ -206,6 +206,29 @@ def test_points_bbox_and_truncation(enriched):
     assert not trunc2 and df2.count() == 1
 
 
+def test_points_applies_entity_filters(enriched):
+    """points() takes the active filters like the reference's
+    _run_points_query (ADVICE r3 #3): a uf filter must shrink the scan
+    to that UF's rows, and the smoke path exercises the FILTERED scan."""
+    all_df, _ = queries.points(enriched, dt.date(2024, 5, 2))
+    n_all = all_df.count()
+    ufs = [
+        r["mun_uf"]
+        for r in enriched.select("mun_uf").distinct().collect()
+        if r["mun_uf"]
+    ]
+    assert len(ufs) >= 2
+    per_uf = 0
+    for uf in ufs:
+        df_uf, _ = queries.points(
+            enriched, dt.date(2024, 5, 2), filters={"uf": uf}
+        )
+        c = df_uf.count()
+        assert c <= n_all
+        per_uf += c
+    assert per_uf <= n_all  # filters partition (minus null-uf rows)
+
+
 def test_validate_consistency(spark, fact):
     all_ufs = spark.createDataFrame([(u,) for u in G.UFS], "uf string")
     res = queries.validate_consistency(

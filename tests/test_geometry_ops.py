@@ -282,6 +282,26 @@ class TestValidity:
             # exterior re-oriented CCW
             assert ring_signed_area_deg2(p.rings[0]) > 0
 
+    def test_makevalid_every_returned_part_is_valid(self):
+        """ADVICE r3 #4: _node_ring only nodes proper crossings, so a
+        collinear backtrack (spike) survives the split still
+        non-simple — make_valid_feature must drop such pieces rather
+        than return an invalid 'repaired' part."""
+        from inpe_queimadas_etl_spark.operators.geometry import (
+            feature_is_valid,
+            make_valid_feature,
+        )
+
+        # segment (2,0)->(1,0) backtracks along the first edge:
+        # collinear overlap, not a proper crossing
+        spike = make_polygon(
+            "s", [(0, 0), (2, 0), (1, 0), (1, 1), (0, 1), (0, 0)]
+        )
+        assert not feature_is_valid(spike)
+        parts = make_valid_feature(spike)
+        for p in parts:
+            assert feature_is_valid(p)
+
     def test_makevalid_passthrough_keeps_coords(self):
         from inpe_queimadas_etl_spark.operators.geometry import make_valid_feature
 

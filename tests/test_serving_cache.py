@@ -49,6 +49,54 @@ def test_hit_within_ttl_and_expiry():
     assert hit4 is False and len(calls) == 2
 
 
+def test_cached_none_value_is_a_real_hit():
+    """cached() must do ONE sentinel lookup, not contains-then-get: a
+    stored None is a legitimate hit (ADVICE r3 #1 — the two-read path
+    could also report a hit carrying None at the TTL boundary)."""
+    clock = FakeClock()
+    c = TTLCache(maxsize=8, ttl=300.0, timer=clock)
+    calls = []
+
+    def run():
+        calls.append(1)
+        return None
+
+    v1, hit1 = cached(c, "k", run)
+    v2, hit2 = cached(c, "k", run)
+    assert v1 is None and v2 is None
+    assert (hit1, hit2) == (False, True)
+    assert len(calls) == 1
+
+
+def test_cached_single_lookup_at_ttl_boundary():
+    """An entry expiring between two timer reads must be a MISS that
+    reruns, never a hit with a lost value: tick the clock on every
+    timer read so the old contains-then-get pattern would straddle the
+    deadline."""
+
+    class TickingClock(FakeClock):
+        def __call__(self):
+            self.t += 149.0  # two reads cross a 300 s TTL
+            return self.t
+
+    clock = TickingClock()
+    c = TTLCache(maxsize=8, ttl=300.0, timer=clock)
+    calls = []
+
+    def run():
+        calls.append(1)
+        return {"total": 42}
+
+    v1, _ = cached(c, "k", run)
+    v2, hit2 = cached(c, "k", run)
+    assert v1 == {"total": 42}
+    # whichever way the races fall, a reported hit must carry the value
+    if hit2:
+        assert v2 == {"total": 42}
+    else:
+        assert v2 == {"total": 42} and len(calls) == 2
+
+
 def test_maxsize_evicts_oldest():
     clock = FakeClock()
     c = TTLCache(maxsize=2, ttl=300.0, timer=clock)
