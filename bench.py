@@ -43,6 +43,8 @@ HEADLINE = [
     "geo1_point_in_polygon_grid",
     "geo8_dense_pip",
     "geo4_uf_choropleth_day",
+    "skew_hot_distinct_naive",
+    "skew_hot_distinct_two_phase",
 ]
 
 TRANSFORM_ROWS = 100_000
@@ -102,9 +104,17 @@ def main() -> None:
     # tests/test_suite_oracle.py).
     from inpe_queimadas_etl_spark.suite.geo import geo8_dense_pip
     from inpe_queimadas_etl_spark.suite.relational import p7_stable_event_hash
+    from inpe_queimadas_etl_spark.suite.skewdemo import (
+        skew_hot_distinct_naive,
+        skew_hot_distinct_two_phase,
+    )
 
     queries.setdefault("p7_stable_event_hash", p7_stable_event_hash)
     queries.setdefault("geo8_dense_pip", geo8_dense_pip)
+    # skew demo pair: the recorded gap (naive single hot reducer vs
+    # salted two-phase) is the artifact — see suite/skewdemo.py
+    queries.setdefault("skew_hot_distinct_naive", skew_hot_distinct_naive)
+    queries.setdefault("skew_hot_distinct_two_phase", skew_hot_distinct_two_phase)
 
     # Warm the JVM / session (codegen, parquet footer reads) so the
     # first timed query measures the plan, not session startup; keeps
@@ -118,7 +128,14 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
-        med, lo, hi = _time_runs(lambda: fn(spark, SF_DIR).count())
+        if name.startswith("skew_"):
+            # collect() the (few) result rows: under .count() Catalyst
+            # prunes the unreferenced collect_set aggregate and the
+            # demo would measure an empty plan
+            runner = lambda: fn(spark, SF_DIR).collect()
+        else:
+            runner = lambda: fn(spark, SF_DIR).count()
+        med, lo, hi = _time_runs(runner)
         timings[name] = med
         spread[name] = [lo, hi]
         print(f"# {name}: median {med}s over {RUNS} runs "

@@ -134,3 +134,17 @@ def test_geo8_dense_pip_matches_oracle(spark):
     from inpe_queimadas_etl_spark.suite.geo import GEO8_SQL, geo8_dense_pip
 
     _compare_to_oracle(spark, "geo8_dense_pip", geo8_dense_pip, GEO8_SQL)
+
+
+@pytest.mark.parametrize("variant", ["naive", "two_phase"])
+def test_skew_demo_matches_oracle(spark, variant):
+    """Both skew-demo formulations (unregistered: 50-entry snapshot
+    cap) produce the exact per-key distinct counts DuckDB computes —
+    the salted two-phase plan is a pure execution-strategy change."""
+    from inpe_queimadas_etl_spark.suite import skewdemo
+
+    fn = {
+        "naive": skewdemo.skew_hot_distinct_naive,
+        "two_phase": skewdemo.skew_hot_distinct_two_phase,
+    }[variant]
+    _compare_to_oracle(spark, f"skew_{variant}", fn, skewdemo.SKEW_DEMO_SQL)
