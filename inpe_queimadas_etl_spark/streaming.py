@@ -60,6 +60,9 @@ def landing_schema(sample_path: str) -> tuple[T.StructType, str]:
     )
 
 
+_HASH_COL = "__row_hash"
+
+
 def start_landing_stream(
     spark: SparkSession,
     landing_dir: str,
@@ -69,6 +72,7 @@ def start_landing_stream(
     sample_path: str | None = None,
     available_now: bool = True,
     on_batch=None,
+    stateful_dedup: bool = False,
 ):
     """readStream over the landing dir -> foreachBatch(process_batch).
 
@@ -76,6 +80,17 @@ def start_landing_stream(
     stops (the scheduled micro-batch shape); False keeps the query
     live, picking up files as the extractor lands them. ``on_batch``
     (optional) receives (file_date, metrics) per processed file.
+
+    ``stateful_dedup=True`` composes ``streaming_first_seen_dedup``
+    between the source and the batch step, keyed on a content hash of
+    the raw row (md5 over all CSV fields — the streaming analog of
+    P7's canonical event hash): a row replayed in a LATER micro-batch
+    (re-landed file, upstream re-send) is dropped in-stream before the
+    batch step even runs, with process_batch's anti-join append
+    remaining the within-batch/cold-start backstop. State commits
+    atomically with each micro-batch in the checkpoint, so the dedup
+    is exactly-once-by-key across restarts.
+
     Returns the StreamingQuery.
     """
     sample = sample_path
@@ -93,8 +108,24 @@ def start_landing_stream(
         .csv(landing_dir)
         .withColumn(_SRC_COL, F.input_file_name())
     )
+    if stateful_dedup:
+        content_hash = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(f.name), F.lit(""))
+                    for f in schema.fields
+                ],
+            )
+        )
+        raw = streaming_first_seen_dedup(
+            raw.withColumn(_HASH_COL, content_hash),
+            key_col=_HASH_COL,
+            order_cols=[_SRC_COL],
+        )
 
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.drop(_HASH_COL)
         files = [
             r[_SRC_COL]
             for r in batch_df.select(_SRC_COL).distinct().collect()
@@ -110,7 +141,10 @@ def start_landing_stream(
     writer = (
         raw.writeStream.foreachBatch(run_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+        # the stateful dedup operator is declared with append-mode
+        # emission semantics; the plain path keeps the update-mode
+        # micro-batch shape
+        .outputMode("append" if stateful_dedup else "update")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
