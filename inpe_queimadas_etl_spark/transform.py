@@ -106,6 +106,49 @@ def _json_token_series(s: pd.Series) -> pd.Series:
     return out.mask(s.isna(), "null")
 
 
+def _repr_series(x: pd.Series) -> pd.Series:
+    """Vectorized ``repr()`` for finite float64: numpy's unicode cast
+    runs dragon4 shortest-round-trip in a C loop and matches Python's
+    float repr byte-for-byte, including the scientific-notation
+    cutoffs (|v| < 1e-4 or >= 1e16) and the '-0.0' sign (verified over
+    fuzzed boundaries; pinned by the parity fuzz gate). U32 is ample:
+    a float64 repr is at most 24 characters."""
+    import numpy as np
+
+    return pd.Series(
+        x.to_numpy(dtype="float64").astype("U32"), index=x.index, dtype=object
+    )
+
+
+def _repr_round6_series(x: pd.Series) -> pd.Series:
+    """Vectorized ``repr(round(v, 6))``. np.round (scale by 10^6 —
+    exact in float64 — rint, divide) agrees with Python's
+    correctly-rounded-decimal round whenever the scaled value sits
+    >= 1e-3 away from a rounding boundary: the one multiply's rounding
+    error (<= ~6e-8 for |v| <= 1e9) cannot carry the value across the
+    half-integer, and the divide by the exactly-representable 10^6 is
+    the same correctly-rounded quotient CPython produces. Values
+    inside the boundary band — or huge ones where the margin argument
+    weakens — fall back to the exact Python form (~0.2 % of uniform
+    coordinate data). On near-half adversarial values np.round alone
+    diverges from Python round ~36 % of the time, which is why the
+    band test is on the UNROUNDED scaled value, not a post-hoc
+    comparison."""
+    import numpy as np
+
+    v = x.to_numpy(dtype="float64")
+    scaled = np.abs(v) * 1e6
+    frac = scaled - np.floor(scaled)
+    risky = (np.abs(frac - 0.5) < 1e-3) | (np.abs(v) > 1e9)
+    out = np.empty(len(v), dtype=object)
+    safe = ~risky
+    if safe.any():
+        out[safe] = np.round(v[safe], 6).astype("U32")
+    if risky.any():
+        out[risky] = [repr(round(float(val), 6)) for val in v[risky]]
+    return pd.Series(out, index=x.index, dtype=object)
+
+
 def _canonicalize_batch(
     pdf: pd.DataFrame,
     prop_cols: list[str],
@@ -128,12 +171,14 @@ def _canonicalize_batch(
     lat = pdf["__lat"].astype(float)
     lon = pdf["__lon"].astype(float)
     # full-precision floats go into props; the hash payload rounds to
-    # 6 dp with PYTHON round (banker's on decimal digits) — np.round
-    # can differ by 1 ulp, which would flip hash bytes
-    lat_repr = lat.map(repr)
-    lon_repr = lon.map(repr)
-    lat6 = lat.map(lambda v: repr(round(v, 6)))
-    lon6 = lon.map(lambda v: repr(round(v, 6)))
+    # 6 dp with Python-round semantics (correctly-rounded decimal,
+    # half-even). Both formatters are C-looped with a narrow per-value
+    # fallback — byte-parity pinned by the fuzz gate
+    # (test_property_fuzz vs _canonicalize_rows_reference).
+    lat_repr = _repr_series(lat)
+    lon_repr = _repr_series(lon)
+    lat6 = _repr_round6_series(lat)
+    lon6 = _repr_round6_series(lon)
 
     cleaned: dict[str, pd.Series] = {
         c: _clean_str_series(pdf[c]) for c in prop_cols if c not in (lat_col, lon_col)

@@ -35,12 +35,32 @@ _prop_value = st.one_of(
     st.sampled_from(['AQ"UA', "TERRA\\X", "a\tb", "x\ny", "são-1", "ÁÉÇ"]),
 )
 
-_coord = st.floats(
-    min_value=-90.0,
-    max_value=90.0,
-    allow_nan=False,
-    allow_infinity=False,
-    width=64,
+# adversarial regimes for the vectorized float formatters: near-half
+# values at the 6th decimal (np.round's divergence band), the tiny
+# band where repr flips to scientific notation (|v| < 1e-4), signed
+# zeros, and exact band boundaries
+_near_half_6dp = st.builds(
+    lambda k, s: s * ((2 * k + 1) * 5e-7),
+    st.integers(min_value=0, max_value=90_000_000),
+    st.sampled_from([-1.0, 1.0]),
+)
+_tiny = st.floats(
+    min_value=-1.5e-4, max_value=1.5e-4, allow_nan=False, allow_infinity=False
+)
+_coord = st.one_of(
+    st.floats(
+        min_value=-90.0,
+        max_value=90.0,
+        allow_nan=False,
+        allow_infinity=False,
+        width=64,
+    ),
+    _near_half_6dp,
+    _tiny,
+    st.sampled_from(
+        [0.0, -0.0, 1e-6, -1e-6, 9.9999e-5, 1e-4, -1e-4, 1.5e-4,
+         5e-7, -5e-7, 4.9999999e-7, 89.9999995, -89.9999995]
+    ),
 )
 
 
@@ -82,6 +102,25 @@ def test_canonicalize_batch_byte_parity_fuzz(data):
     ]
     assert got_hashes == [r["event_hash"] for r in ref]
     assert list(out["props"]) == [r["props"] for r in ref]
+
+
+@settings(max_examples=40, deadline=None)
+@given(vals=st.lists(_coord, min_size=1, max_size=300))
+def test_vectorized_float_formatters_match_python_fuzz(vals):
+    """_repr_series == repr() and _repr_round6_series ==
+    repr(round(v, 6)) element-for-element, across the scientific-
+    notation cutoff, signed zeros, and np.round's near-half divergence
+    band (where the risk mask must route to the Python fallback)."""
+    from inpe_queimadas_etl_spark.transform import (
+        _repr_round6_series,
+        _repr_series,
+    )
+
+    s = pd.Series(vals, dtype="float64")
+    assert list(_repr_series(s)) == [repr(float(v)) for v in s]
+    assert list(_repr_round6_series(s)) == [
+        repr(round(float(v), 6)) for v in s
+    ]
 
 
 # -- legend breaks invariants ------------------------------------------------
