@@ -1,0 +1,359 @@
+"""HTTP serving front — the reference's FastAPI surface on the
+standard library (reference api/app/main.py:925-1710, 9+ GET
+endpoints with pydantic validation; this environment has no FastAPI,
+so the layer is a dependency-free ``http.server`` front over the same
+query functions).
+
+Design: everything testable lives in :func:`handle_request` — a pure
+(path, params) -> (status, body) dispatcher over the engine's query
+layer (queries.py / geoqueries.py) with the reference's range/bbox
+validation (``validate_range`` / ``parse_bbox``) and error mapping
+(ValueError -> 422 like pydantic validation, LookupError -> 404).
+``serve`` wraps it in a ThreadingHTTPServer. Responses are cached in
+the same two TTL caches the reference keeps (serving_cache.py):
+general 300 s keyed on the normalized URL, points 30 s keyed with the
+zoom bucket.
+
+Driver-side only, like the reference's API process: handlers collect
+SMALL aggregates; the heavy lifting stays in Spark jobs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import geoqueries as GQ
+from . import queries as Q
+from .serving_cache import ServingCache
+
+
+@dataclass
+class ApiContext:
+    """Everything the endpoints read. ``feats`` maps entity kind
+    ('uf' | 'mun' | 'uc' | 'ti') to its PolyFeature list (the geometry
+    dims); entities without geometry may be absent."""
+
+    spark: SparkSession
+    fact: DataFrame  # mv_focos_day_dim shape
+    all_ufs: DataFrame  # one row per UF (zero-fill dim)
+    enriched: DataFrame | None = None  # for /api/points
+    feats: dict[str, list] = field(default_factory=dict)
+    mun_web: DataFrame | None = None  # for /api/lookup/mun
+    cache: ServingCache = field(default_factory=ServingCache)
+
+
+_FILTER_KEYS = ("uf", "bioma", "mun", "uc", "ti")
+
+# /api/points payload fields (reference PointsResponse,
+# api/app/schemas.py + smoke.ps1:63-67 field assertions) -> enriched
+# events columns
+_POINT_COLS = {
+    "lat": "lat",
+    "lon": "lon",
+    "uf": "mun_uf",
+    "mun_key": "mun_cd_mun",
+    "mun_label": "mun_nm_mun",
+    "bioma_key": "cd_bioma",
+    "bioma_label": "bioma_enr",
+}
+
+
+def _parse_range(params: dict) -> tuple[dt.date, dt.date]:
+    frm, to = params.get("from"), params.get("to")
+    if not frm and not to:
+        return Q.default_range()
+    if not frm or not to:
+        raise ValueError("provide both from and to, or neither")
+    try:
+        f, t = dt.date.fromisoformat(frm), dt.date.fromisoformat(to)
+    except ValueError as exc:
+        raise ValueError("from/to must be YYYY-MM-DD") from exc
+    Q.validate_range(f, t)
+    return f, t
+
+
+def _filters(params: dict) -> dict:
+    out = {k: params[k] for k in _FILTER_KEYS if params.get(k)}
+    # the reference 422s mun-without-uf at the validation layer
+    if out.get("mun") and not out.get("uf"):
+        raise ValueError("mun filter requires uf")
+    return out
+
+
+def _feats_for(ctx: ApiContext, entity: str) -> list:
+    if entity not in ("uf", "mun", "uc", "ti"):
+        raise ValueError(f"unknown entity {entity!r}")
+    feats = ctx.feats.get(entity)
+    if not feats:
+        raise LookupError(f"no geometry loaded for entity {entity!r}")
+    return feats
+
+
+def _ep_health(ctx: ApiContext, params: dict) -> dict:
+    return {"status": "ok"}
+
+
+def _ep_timeseries_total(ctx: ApiContext, params: dict) -> dict:
+    f, t = _parse_range(params)
+    flt = _filters(params)
+    gran = params.get("granularity")
+    df = Q.timeseries_total(ctx.fact, f, t, flt, granularity=gran)
+    rows = [
+        {"bucket": str(r["bucket"]), "n_focos": int(r["n_focos"])}
+        for r in df.orderBy("bucket").collect()
+    ]
+    return {
+        "from": str(f),
+        "to": str(t),
+        "granularity": gran or Q.timeseries_granularity((t - f).days),
+        "items": rows,
+    }
+
+
+def _ep_top(ctx: ApiContext, params: dict) -> dict:
+    f, t = _parse_range(params)
+    flt = _filters(params)
+    group = params.get("group") or "uf"
+    if group not in Q.TOP_GROUP_EXPR:
+        raise ValueError(f"unknown group {group!r}")
+    k = int(params.get("limit", 10))
+    if k <= 0:
+        raise ValueError("limit must be positive")
+    df = Q.top_groups(ctx.fact, group, f, t, flt, k=k)
+    items = [
+        {
+            "key": str(r["key"]),
+            "label": str(r["label"]) if r["label"] is not None else None,
+            "n_focos": int(r["n_focos"]),
+        }
+        for r in df.collect()
+    ]
+    return {"group": group, "from": str(f), "to": str(t), "items": items}
+
+
+def _ep_totals(ctx: ApiContext, params: dict) -> dict:
+    f, t = _parse_range(params)
+    flt = _filters(params)
+    total = Q.totals(ctx.fact, f, t, flt).collect()[0]["total"]
+    return {"from": str(f), "to": str(t), "total_n_focos": int(total)}
+
+
+def _ep_summary(ctx: ApiContext, params: dict) -> dict:
+    f, t = _parse_range(params)
+    flt = _filters(params)
+    s = Q.summary(ctx.fact, f, t, flt)
+    return {
+        "from": str(f),
+        "to": str(t),
+        "total_n_focos": s["total"],
+        "mean_per_day": round(s["mean_per_day"], 2),
+        "peak_day": str(s["peak_day"]) if s["peak_day"] else None,
+        "peak_n_focos": s["peak_n"],
+    }
+
+
+def _ep_choropleth_uf(ctx: ApiContext, params: dict) -> dict:
+    f, t = _parse_range(params)
+    flt = _filters(params)
+    dense, legend = Q.choropleth_uf(ctx.fact, ctx.all_ufs, f, t, flt)
+    items = [
+        {"key": str(r["uf"]), "n_focos": int(r["n_focos"])}
+        for r in dense.orderBy("uf").collect()
+    ]
+    return {"from": str(f), "to": str(t), "items": items, "legend": legend}
+
+
+def _ep_choropleth_mun(ctx: ApiContext, params: dict) -> dict:
+    f, t = _parse_range(params)
+    flt = _filters(params)
+    uf = params.get("uf")
+    if not uf:
+        raise ValueError("uf is required for /api/choropleth/mun")
+    agg, legend = Q.choropleth_mun(ctx.fact, f, t, uf, flt)
+    items = [
+        {
+            "key": str(r["cd_mun"]),
+            "label": r["mun_nm_mun"],
+            "n_focos": int(r["n_focos"]),
+        }
+        for r in agg.orderBy("cd_mun").collect()
+    ]
+    return {"from": str(f), "to": str(t), "uf": uf, "items": items, "legend": legend}
+
+
+def _ep_lookup_mun(ctx: ApiContext, params: dict) -> dict:
+    if ctx.mun_web is None:
+        raise LookupError("municipality geometry table not loaded")
+    return GQ.lookup_mun(ctx.mun_web, ctx.fact, params.get("key", ""))
+
+
+def _ep_bounds(ctx: ApiContext, params: dict) -> dict:
+    entity = params.get("entity") or "uf"
+    out = GQ.bounds(
+        _feats_for(ctx, entity), params.get("key", ""), uf=params.get("uf")
+    )
+    out["entity"] = entity
+    return out
+
+
+def _ep_geo(ctx: ApiContext, params: dict) -> dict:
+    entity = params.get("entity") or "uc"
+    f, t = _parse_range(params)
+    flt = _filters(params)
+    simplify = params.get("simplify", "1") not in ("0", "false", "no")
+    tol = float(params.get("tol_m", GQ.GEO_SIMPLIFY_DEFAULT_TOL_M))
+    return GQ.geo_overlay(
+        entity, params.get("key", ""), _feats_for(ctx, entity), ctx.fact,
+        f, t, flt, simplify=simplify, tol_m=tol,
+    )
+
+
+def _ep_geo_qa(ctx: ApiContext, params: dict) -> dict:
+    entity = params.get("entity") or "uc"
+    simplify = params.get("simplify", "1") not in ("0", "false", "no")
+    tol = float(params.get("tol_m", GQ.GEO_SIMPLIFY_DEFAULT_TOL_M))
+    return GQ.geo_overlay_qa(
+        entity, params.get("key", ""), _feats_for(ctx, entity),
+        simplify=simplify, tol_m=tol,
+    )
+
+
+def _ep_points(ctx: ApiContext, params: dict) -> dict:
+    if ctx.enriched is None:
+        raise LookupError("enriched events table not loaded")
+    day_s = params.get("date")
+    if not day_s:
+        raise ValueError("date is required")
+    try:
+        day = dt.date.fromisoformat(day_s)
+    except ValueError as exc:
+        raise ValueError("date must be YYYY-MM-DD") from exc
+    bbox = Q.parse_bbox(params["bbox"]) if params.get("bbox") else None
+    limit = int(params.get("limit", Q.POINTS_LIMIT_DEFAULT))
+    if limit <= 0:
+        raise ValueError("limit must be positive")
+    limit = min(limit, Q.POINTS_LIMIT_HARD_CAP)
+    flt = _filters(params)
+    df, truncated = Q.points(
+        ctx.enriched, day, bbox=bbox, limit=limit, filters=flt,
+        select_cols=list(dict.fromkeys(["event_hash", *_POINT_COLS.values()])),
+    )
+    rows = df.collect()
+    points = [
+        {out_name: r[src] for out_name, src in _POINT_COLS.items()}
+        for r in rows
+    ]
+    return {
+        "date": str(day),
+        "limit": limit,
+        "returned": len(points),
+        "truncated": bool(truncated),
+        "points": points,
+    }
+
+
+def _ep_validate(ctx: ApiContext, params: dict) -> dict:
+    f, t = _parse_range(params)
+    flt = _filters(params)
+    qa_entity = "ti" if flt.get("ti") else ("uc" if flt.get("uc") else None)
+    feats = ctx.feats.get(qa_entity) if qa_entity else None
+    out = Q.validate_consistency(
+        ctx.fact, ctx.all_ufs, f, t, flt,
+        events=ctx.enriched, feats=feats,
+    )
+    out["from"], out["to"] = str(f), str(t)
+    out["ok"] = bool(
+        out["consistent"]
+        and out["legend_monotonic"]
+        and out["break_monotonicity_ok"]
+        and not out["invalid_filter_state"]
+        and out.get("bounds_consistent") is not False
+        and out.get("points_endpoint_ok") is not False
+    )
+    return out
+
+
+_ROUTES = {
+    "/health": (_ep_health, False),
+    "/api/timeseries/total": (_ep_timeseries_total, True),
+    "/api/top": (_ep_top, True),
+    "/api/totals": (_ep_totals, True),
+    "/api/summary": (_ep_summary, True),
+    "/api/choropleth/uf": (_ep_choropleth_uf, True),
+    "/api/choropleth/mun": (_ep_choropleth_mun, True),
+    "/api/lookup/mun": (_ep_lookup_mun, True),
+    "/api/bounds": (_ep_bounds, True),
+    "/api/geo": (_ep_geo, True),
+    "/api/geo/qa": (_ep_geo_qa, True),
+    "/api/points": (_ep_points, False),  # dedicated points cache
+    "/api/validate": (_ep_validate, False),  # never cached (a check)
+}
+
+
+def handle_request(
+    ctx: ApiContext, path: str, params: dict[str, str]
+) -> tuple[int, dict[str, Any]]:
+    """Dispatch one GET. Returns (http_status, json_body). Error
+    mapping mirrors the reference: validation errors -> 422 (FastAPI/
+    pydantic), missing entities -> 404, anything else -> 500."""
+    route = _ROUTES.get(path.rstrip("/") or "/health")
+    if route is None:
+        return 404, {"detail": f"no such endpoint: {path}"}
+    fn, cacheable = route
+    try:
+        if path == "/api/points":
+            bbox = Q.parse_bbox(params["bbox"]) if params.get("bbox") else None
+            body, _hit = ctx.cache.get_or_run_points(
+                lambda: fn(ctx, params),
+                day=params.get("date"),
+                bbox=bbox,
+                limit=params.get("limit"),
+                **{k: params.get(k) for k in _FILTER_KEYS},
+            )
+        elif cacheable:
+            body, _hit = ctx.cache.get_or_run(
+                path, lambda: fn(ctx, params), **params
+            )
+        else:
+            body = fn(ctx, params)
+        return 200, body
+    except ValueError as exc:
+        return 422, {"detail": str(exc)}
+    except LookupError as exc:
+        return 404, {"detail": str(exc)}
+    except Exception as exc:  # pragma: no cover - defensive 500
+        return 500, {"detail": f"{type(exc).__name__}: {exc}"}
+
+
+def serve(ctx: ApiContext, host: str = "127.0.0.1", port: int = 8000):
+    """Build (not start) a ThreadingHTTPServer serving the context.
+    Call ``.serve_forever()`` (blocking) or drive it from a thread;
+    ``.server_address`` carries the bound (host, port) — pass port=0
+    for an ephemeral one."""
+    import urllib.parse
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 - http.server contract
+            parsed = urllib.parse.urlparse(self.path)
+            params = {
+                k: v[0]
+                for k, v in urllib.parse.parse_qs(parsed.query).items()
+            }
+            status, body = handle_request(ctx, parsed.path, params)
+            payload = json.dumps(body, default=str).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, fmt, *args):  # quiet test output
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)

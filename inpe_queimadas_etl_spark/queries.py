@@ -281,12 +281,15 @@ def points(
     bbox: tuple[float, float, float, float] | None = None,
     limit: int = POINTS_LIMIT_DEFAULT,
     filters: dict | None = None,
+    select_cols: list[str] | None = None,
 ) -> tuple[DataFrame, bool]:
     """Per-day bbox point scan with limit+1 truncation detection
     (main.py:1401-1445,498-526). ``filters`` applies the same
     code-or-name entity predicates as the aggregate endpoints — the
     reference's `_run_points_query` takes the active filters too
-    (main.py:498-526). Returns (DataFrame, truncated)."""
+    (main.py:498-526). ``select_cols`` widens the projection (the API
+    layer's point payload carries uf/mun/bioma labels,
+    schemas.PointItem). Returns (DataFrame, truncated)."""
     limit = min(limit, POINTS_LIMIT_HARD_CAP)
     df = events.filter(F.col("event_day") == F.lit(str(day)).cast("date"))
     if filters:
@@ -300,7 +303,8 @@ def points(
     # Fetch once and slice (main.py:1428-1431): a second .limit() scan
     # would re-execute nondeterministically and could disagree with the
     # truncated flag computed from the first fetch.
-    probe = df.select("event_hash", "lat", "lon", "event_day").limit(limit + 1)
+    cols = select_cols or ["event_hash", "lat", "lon", "event_day"]
+    probe = df.select(*cols).limit(limit + 1)
     rows = probe.collect()
     truncated = len(rows) > limit
     out = local_df(events.sparkSession, rows[:limit], probe.schema)
