@@ -482,10 +482,21 @@ _EMB_DIM = 64
 # scored), which does not survive a 100x scale-up; the banded form
 # joins on uniform equi keys and its per-bucket fan-in is tuned by
 # adding band bits as n grows.
+#
+# Band geometry (round-4 retune, measured in scripts/scaling_dedup.py):
+# a RANDOM pair collides in one k-bit band with probability ~2^-k, so
+# 4x4 bands admitted ~4/16 = 25 % of ALL pairs as candidates — a
+# quadratic candidate set by construction, measured as a t ~ n^1.6
+# cliff (5.1 s -> 197 s for 2k -> 20k vectors). 8x12 bands admit
+# ~8/4096 = 0.2 % of random pairs while keeping the banded-LSH
+# s-curve's high recall where near-dups live (per-plane agreement
+# 1 - theta/pi: recall ~99.9 % at cos 0.99, ~86 % at 0.9, fading below
+# ~0.8 — pairs near the 0.35 verify floor are only sampled). At larger
+# n, grow _DD6_BAND_BITS ~ log2(n) to hold per-bucket fan-in constant.
 
 _DD6_THRESHOLD = 0.35
-_DD6_BANDS = 4
-_DD6_BAND_BITS = 4
+_DD6_BANDS = 8
+_DD6_BAND_BITS = 12
 
 
 def _dd6_oracle() -> str:
@@ -522,11 +533,12 @@ def _dd6_oracle() -> str:
 @query("dd6_embedding_neardup", oracle=_dd6_oracle())
 def dd6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded sign-LSH:
-    4 bands x 4 disjoint hyperplanes, candidates = pairs sharing any
+    8 bands x 12 disjoint hyperplanes, candidates = pairs sharing any
     band bucket, exact-cosine verification at >= 0.35. The candidate
     join's only keys are (band_idx, band_bucket) — uniform equi keys,
     no non-equi self-join anywhere in the plan; at 100 TB recall/cost
-    is tuned by the band-bit count (operators/similarity.py)."""
+    is tuned by the band-bit count (operators/similarity.py; see the
+    geometry note above _DD6_BANDS for the measured retune)."""
     from ..operators.similarity import cosine, lsh_bucket
 
     emb = load_table(spark, sf_dir, "embeddings").select(
