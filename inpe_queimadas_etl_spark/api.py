@@ -44,6 +44,11 @@ class ApiContext:
     enriched: DataFrame | None = None  # for /api/points
     feats: dict[str, list] = field(default_factory=dict)
     mun_web: DataFrame | None = None  # for /api/lookup/mun
+    # optional geometry tables for GeoJSON choropleths: the
+    # v_chart_uf_choropleth_day view (uf, day, n_focos, poly_coords)
+    # and the web municipality PolyFeature list
+    chart_uf: DataFrame | None = None
+    mun_web_feats: list | None = None
     cache: ServingCache = field(default_factory=ServingCache)
 
 
@@ -160,6 +165,12 @@ def _ep_summary(ctx: ApiContext, params: dict) -> dict:
 def _ep_choropleth_uf(ctx: ApiContext, params: dict) -> dict:
     f, t = _parse_range(params)
     flt = _filters(params)
+    if ctx.chart_uf is not None:
+        # full reference response: zero-filled GeoJSON features with
+        # the latest UF geometry + quantile legend (main.py:930-1017)
+        _dense, out = GQ.choropleth_uf_geo(ctx.fact, ctx.chart_uf, f, t, flt)
+        out["from"], out["to"] = str(f), str(t)
+        return out
     dense, legend = Q.choropleth_uf(ctx.fact, ctx.all_ufs, f, t, flt)
     items = [
         {"key": str(r["uf"]), "n_focos": int(r["n_focos"])}
@@ -174,6 +185,10 @@ def _ep_choropleth_mun(ctx: ApiContext, params: dict) -> dict:
     uf = params.get("uf")
     if not uf:
         raise ValueError("uf is required for /api/choropleth/mun")
+    if ctx.mun_web_feats is not None:
+        out = GQ.choropleth_mun_geo(ctx.fact, ctx.mun_web_feats, f, t, uf, flt)
+        out["from"], out["to"] = str(f), str(t)
+        return out
     agg, legend = Q.choropleth_mun(ctx.fact, f, t, uf, flt)
     items = [
         {

@@ -179,6 +179,55 @@ def test_error_mapping(base_url):
     assert status == 422
 
 
+def test_choropleth_geojson_variants(spark, ctx):
+    """With geometry tables in the context, both choropleth endpoints
+    return the reference's full GeoJSON response (zero-filled features,
+    per-feature n_focos/mean_per_day, quantile legend) instead of the
+    items-only shape."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from inpe_queimadas_etl_spark.serving_cache import ServingCache
+
+    mun_feats = G.municipios()
+    web = geoprep.municipios_web(mun_feats)
+    ufs = geoprep.ufs_web(web)
+    chain = geoprep.uf_polycoords(
+        geoprep.uf_mainland_noholes(geoprep.uf_geom_mainland(ufs))
+    )
+    daily_uf = ctx.fact.groupBy("day", "uf").agg(
+        F.sum("n_focos").alias("n_focos")
+    )
+    chart_uf = geoprep.v_chart_uf_choropleth_day(
+        daily_uf, geoprep.uf_polycoords_df(spark, chain)
+    )
+    geo_ctx = dataclasses.replace(
+        ctx, chart_uf=chart_uf, mun_web_feats=web, cache=ServingCache()
+    )
+
+    status, body = handle_request(
+        geo_ctx, "/api/choropleth/uf", {"from": FROM, "to": TO}
+    )
+    assert status == 200
+    feats = body["geojson"]["features"]
+    assert {f["properties"]["uf"] for f in feats} == set(G.UFS)
+    assert all("coordinates" in f["geometry"] for f in feats)
+    assert body["breaks"] == sorted(body["breaks"])
+
+    status, body = handle_request(
+        geo_ctx, "/api/choropleth/mun", {"from": FROM, "to": TO, "uf": "AA"}
+    )
+    assert status == 200
+    mun_feats_out = body["geojson"]["features"]
+    assert mun_feats_out and all(
+        f["properties"]["uf"] == "AA" for f in mun_feats_out
+    )
+    # ordered n_focos desc, key asc (reference ordering)
+    ns = [f["properties"]["n_focos"] for f in mun_feats_out]
+    assert ns == sorted(ns, reverse=True)
+
+
 def test_caching_second_hit_serves_from_cache(ctx):
     """The serving cache fronts cacheable endpoints exactly like the
     reference's TTLCache (same URL key -> no second Spark job)."""
