@@ -163,6 +163,96 @@ def check_mun_polycoords(chart_mun: DataFrame) -> dict:
     }
 
 
+# Tables a fully-run warehouse must carry — the Spark analog of the
+# reference's REQUIRED_SQL_FILES manifest (validate_repo.py:25-53: its
+# SQL files ARE its executable surface; here the surface is the
+# registered query suite plus these materialized tables).
+REQUIRED_TABLES = (
+    "curated_focos",
+    "enriched_focos",
+    "focos_diario_municipio",
+    "focos_diario_uf",
+    "focos_diario_bioma",
+    "focos_diario_uc",
+    "focos_diario_ti",
+    "focos_mensal_municipio",
+    "focos_mensal_uf",
+    "mv_focos_day_dim",
+    "focos_diario_uf_trend",
+)
+
+
+def validate_repo_structure() -> dict:
+    """Structural self-validation of the ENGINE (reference
+    validate_repo.py:25-53 + scripts/smoke.ps1 preflight): the suite
+    registry holds exactly the 50 declared queries, every query has an
+    oracle, and the driver entry module exposes the full contract.
+    Driver-side only; no SparkSession needed."""
+    failures: list[str] = []
+    n_queries = n_oracles = 0
+    try:
+        from .suite import all_oracles, all_queries
+
+        q, o = all_queries(), all_oracles()
+        n_queries, n_oracles = len(q), len(o)
+        if n_queries != 50:
+            failures.append(f"registry size {n_queries} != 50")
+        missing = sorted(set(q) - set(o))
+        if missing:
+            failures.append(f"queries without oracle: {missing}")
+    except Exception as ex:  # pragma: no cover - import-time breakage
+        failures.append(f"suite import failed: {ex}")
+    try:
+        import importlib
+
+        entry = importlib.import_module("__spark_entry__")
+        for fn in ("entry", "queries", "oracle_sql"):
+            if not callable(getattr(entry, fn, None)):
+                failures.append(f"__spark_entry__.{fn} missing")
+    except ImportError:
+        # running outside the repo root is fine for library users
+        pass
+    return {
+        "name": "repo_structure",
+        "ok": not failures,
+        "n_queries": n_queries,
+        "n_oracles": n_oracles,
+        "failures": failures,
+    }
+
+
+def validate_warehouse_layout(spark, warehouse) -> dict:
+    """Warehouse-side structural validation (the analog of the
+    reference's required-SQL-files walk, run against the data layer):
+    every REQUIRED_TABLE exists, reads, and has a non-empty schema,
+    and no staged write was left behind in _tmp/_trash (a leftover
+    means an interrupted publish — the WAP invariant)."""
+    missing, unreadable = [], []
+    for table in REQUIRED_TABLES:
+        if not warehouse.exists(table):
+            missing.append(table)
+            continue
+        try:
+            df = warehouse.read(spark, table)
+            if not df.schema.fields:
+                unreadable.append(table)
+        except Exception:
+            unreadable.append(table)
+    leftovers = []
+    for area in ("_tmp", "_trash"):
+        base = warehouse.root / area
+        if base.exists():
+            leftovers.extend(str(p.name) for p in base.iterdir())
+    return {
+        "name": "warehouse_layout",
+        "ok": not missing and not unreadable and not leftovers,
+        "tables_checked": len(REQUIRED_TABLES),
+        "missing": missing,
+        "unreadable": unreadable,
+        "staged_leftovers": leftovers,
+    }
+
+
 def run_checks(checks: list[dict]) -> dict:
     """Aggregate check results into a report (validate_marts.py:81-122
     analog)."""

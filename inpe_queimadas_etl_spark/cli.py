@@ -180,6 +180,30 @@ def cmd_checks(args) -> int:
     return 0
 
 
+def cmd_validate_repo(args) -> int:
+    """Structural validation (reference validate_repo.py + the smoke
+    preflight): engine registry invariants, plus — when --warehouse is
+    given — required tables and a clean staging area."""
+    from .checks import validate_repo_structure, validate_warehouse_layout
+
+    results = [validate_repo_structure()]
+    if args.warehouse:
+        from .pipeline import Warehouse
+        from .session import get_spark
+
+        results.append(
+            validate_warehouse_layout(get_spark(), Warehouse(args.warehouse))
+        )
+    ok = all(r["ok"] for r in results)
+    for r in results:
+        log.log(
+            logging.INFO if r["ok"] else logging.ERROR,
+            "validate-repo | %s",
+            json.dumps(r, default=str),
+        )
+    return 0 if ok else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m inpe_queimadas_etl_spark",
@@ -206,6 +230,12 @@ def build_parser() -> argparse.ArgumentParser:
     checks = sub.add_parser("checks", help="validation sweep over the warehouse")
     checks.add_argument("--warehouse", required=True)
     checks.add_argument("--log-dir")
+
+    vrepo = sub.add_parser(
+        "validate-repo", help="structural engine/warehouse validation"
+    )
+    vrepo.add_argument("--warehouse", help="also validate this warehouse")
+    vrepo.add_argument("--log-dir")
     return ap
 
 
@@ -216,6 +246,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_run(args)
     if args.cmd == "checks":
         return cmd_checks(args)
+    if args.cmd == "validate-repo":
+        return cmd_validate_repo(args)
     return 2
 
 

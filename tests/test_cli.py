@@ -179,6 +179,54 @@ def test_run_errors_without_files_or_range(tmp_path, dims_dir):
     assert rc == 2
 
 
+def test_validate_repo_structure_and_warehouse(spark, dims_dir, tmp_path):
+    """validate-repo (reference validate_repo.py analog): structural
+    engine invariants always pass on this repo; the warehouse check
+    fails on an empty warehouse, passes after a full run, and flags
+    staged leftovers (the WAP invariant)."""
+    from inpe_queimadas_etl_spark.checks import (
+        validate_repo_structure,
+        validate_warehouse_layout,
+    )
+
+    s = validate_repo_structure()
+    assert s["ok"], s
+    assert s["n_queries"] == 50 and s["n_oracles"] == 50
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_fixture_csv(
+        str(landing / "focos_diario_br_20240502.csv"),
+        G.FOCOS_HEADER,
+        G.FOCOS_ROWS,
+        sep=";",
+    )
+    wh_dir = str(tmp_path / "wh")
+
+    # empty warehouse -> missing tables, exit 1
+    rc = cli.main(["validate-repo", "--warehouse", wh_dir])
+    assert rc == 1
+
+    rc = cli.main(
+        [
+            "run", "--date", "2024-05-02",
+            "--landing-dir", str(landing),
+            "--warehouse", wh_dir,
+            "--dims-dir", dims_dir,
+        ]
+    )
+    assert rc == 0
+    rc = cli.main(["validate-repo", "--warehouse", wh_dir])
+    assert rc == 0
+
+    # a staged leftover (interrupted publish) flips the layout check
+    wh = Warehouse(wh_dir)
+    stale = wh.root / "_tmp" / "t__deadbeef"
+    stale.mkdir(parents=True)
+    layout = validate_warehouse_layout(spark, wh)
+    assert not layout["ok"] and layout["staged_leftovers"]
+
+
 def test_discover_landing_files_filters_and_orders(tmp_path):
     for name in (
         "focos_diario_br_20240503.csv",
