@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import geoqueries as GQ
 from . import queries as Q
-from .serving_cache import ServingCache
+from .serving_cache import ServingCache, cache_key_params, cached, points_cache_key
 
 
 @dataclass
@@ -107,6 +107,10 @@ def _ep_timeseries_total(ctx: ApiContext, params: dict) -> dict:
     f, t = _parse_range(params)
     flt = _filters(params)
     gran = params.get("granularity")
+    if gran is not None and gran not in ("day", "week", "month"):
+        # the reference's pydantic enum 422s unknown granularities;
+        # unvalidated, date_trunc would bucket everything to NULL
+        raise ValueError(f"granularity must be day|week|month, got {gran!r}")
     df = Q.timeseries_total(ctx.fact, f, t, flt, granularity=gran)
     rows = [
         {"bucket": str(r["bucket"]), "n_focos": int(r["n_focos"])}
@@ -315,25 +319,24 @@ def handle_request(
 ) -> tuple[int, dict[str, Any]]:
     """Dispatch one GET. Returns (http_status, json_body). Error
     mapping mirrors the reference: validation errors -> 422 (FastAPI/
-    pydantic), missing entities -> 404, anything else -> 500."""
-    route = _ROUTES.get(path.rstrip("/") or "/health")
+    pydantic), missing entities -> 404, anything else -> 500. Cache
+    keys are built from the params DICT (never **-splatted: a client
+    param literally named 'endpoint' or 'run' must not collide with
+    our own argument names) on the NORMALIZED path, so '/api/points/'
+    hits the same cache entry as '/api/points'."""
+    norm = path.rstrip("/") or "/health"
+    route = _ROUTES.get(norm)
     if route is None:
         return 404, {"detail": f"no such endpoint: {path}"}
     fn, cacheable = route
     try:
-        if path == "/api/points":
+        if norm == "/api/points":
             bbox = Q.parse_bbox(params["bbox"]) if params.get("bbox") else None
-            body, _hit = ctx.cache.get_or_run_points(
-                lambda: fn(ctx, params),
-                day=params.get("date"),
-                bbox=bbox,
-                limit=params.get("limit"),
-                **{k: params.get(k) for k in _FILTER_KEYS},
-            )
+            key = points_cache_key(cache_key_params("points", params), bbox)
+            body, _hit = cached(ctx.cache.points, key, lambda: fn(ctx, params))
         elif cacheable:
-            body, _hit = ctx.cache.get_or_run(
-                path, lambda: fn(ctx, params), **params
-            )
+            key = cache_key_params(norm.removeprefix("/api/"), params)
+            body, _hit = cached(ctx.cache.general, key, lambda: fn(ctx, params))
         else:
             body = fn(ctx, params)
         return 200, body

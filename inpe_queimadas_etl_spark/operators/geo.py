@@ -223,18 +223,62 @@ def _rebalance_for_compute(df: DataFrame, polygons) -> DataFrame:
     # Partition estimate via the DataFrame API first: df.inputFiles()
     # is cheap and Connect-safe, whereas df.rdd.getNumPartitions()
     # forces a plan-to-RDD conversion on every hot PIP/knn call and is
-    # unsupported under Spark Connect (ADVICE r3 #5). The RDD probe is
-    # only a fallback for non-file-backed inputs, and any failure
-    # (e.g. a Connect session) skips the rebalance instead of raising.
+    # unsupported under Spark Connect (ADVICE r3 #5). File COUNT alone
+    # misleads both ways (one big file splits into many partitions;
+    # 200 small files bin-pack into a few), so the estimate replays
+    # Spark's packing formula: ceil((bytes + nfiles*openCost) /
+    # maxPartitionBytes). The RDD probe is only a fallback for
+    # non-file-backed inputs, and any failure (e.g. a Connect session)
+    # skips the rebalance instead of raising.
     try:
-        target = df.sparkSession.sparkContext.defaultParallelism
+        spark = df.sparkSession
+        target = spark.sparkContext.defaultParallelism
         files = df.inputFiles()
-        nparts = len(files) if files else df.rdd.getNumPartitions()
+        if files:
+            import math
+            import os
+            from urllib.parse import urlparse
+
+            max_pb = _size_conf_bytes(
+                spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
+            )
+            open_cost = _size_conf_bytes(
+                spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024
+            )
+            total = sum(
+                os.path.getsize(urlparse(f).path or f) for f in files
+            )
+            nparts = max(1, math.ceil((total + len(files) * open_cost) / max_pb))
+        else:
+            nparts = df.rdd.getNumPartitions()
         if nparts * 2 < target:
             return df.repartition(target)
     except Exception:
         pass
     return df
+
+
+_SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _size_conf_bytes(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf ('128MB', '134217728b', '4m',
+    plain digits) into bytes; the default covers unset/unparseable."""
+    try:
+        raw = str(spark.conf.get(key, str(default))).strip().lower()
+    except Exception:
+        return default
+    num = raw
+    mult = 1
+    if num.endswith("b"):
+        num = num[:-1]
+    if num and num[-1] in _SIZE_SUFFIX:
+        mult = _SIZE_SUFFIX[num[-1]]
+        num = num[:-1]
+    try:
+        return max(1, int(float(num) * mult))
+    except ValueError:
+        return default
 
 
 def point_in_polygon_join(

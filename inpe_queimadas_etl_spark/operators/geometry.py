@@ -536,7 +536,10 @@ def make_valid_feature(feat: PolyFeature) -> list[PolyFeature]:
     # Final validity gate: every returned part must pass
     # feature_is_valid (the docstring's contract). A hole attached by
     # the anchor-inside test can still cross or touch its exterior;
-    # retry such parts exterior-only before dropping them outright.
+    # retry such parts with only the VALID holes kept (adding holes
+    # one at a time and keeping each only if the part stays valid), so
+    # one bad hole cannot silently delete its siblings and inflate the
+    # repaired area.
     out_parts: list[PolyFeature] = []
     for rings in parts:
         cand = PolyFeature(
@@ -545,11 +548,20 @@ def make_valid_feature(feat: PolyFeature) -> list[PolyFeature]:
         if feature_is_valid(cand):
             out_parts.append(cand)
             continue
-        ext_only = PolyFeature(
-            poly_id=feat.poly_id, rings=(rings[0],), props=dict(feat.props)
+        kept = [rings[0]]
+        for hole in rings[1:]:
+            trial = PolyFeature(
+                poly_id=feat.poly_id,
+                rings=tuple([*kept, hole]),
+                props=dict(feat.props),
+            )
+            if feature_is_valid(trial):
+                kept.append(hole)
+        repaired = PolyFeature(
+            poly_id=feat.poly_id, rings=tuple(kept), props=dict(feat.props)
         )
-        if len(rings) > 1 and feature_is_valid(ext_only):
-            out_parts.append(ext_only)
+        if feature_is_valid(repaired):
+            out_parts.append(repaired)
     return out_parts
 
 

@@ -51,12 +51,15 @@ class Warehouse:
     — the Spark analog of the reference's delete+insert inside one
     Postgres transaction, sql_runner.py:132-157): the job writes to
     ``<root>/_tmp/<table>__<uuid>``, the staged output is audited
-    (_SUCCESS commit marker + readable footers + row count), and only
-    then do partition directories swap into the live table via atomic
-    renames. A failure at ANY point before publish — including a Spark
-    job dying mid-write — leaves the live table byte-identical;
-    readers never see a half-written partition because staging lives
-    outside every table path.
+    (_SUCCESS commit marker + every parquet footer readable, plus an
+    optional expected-row-count match), and only then do partition
+    directories swap into the live table via atomic renames. A failure
+    at ANY point before publish — including a Spark job dying
+    mid-write — leaves the live table byte-identical; readers never
+    see a half-written partition because staging lives outside every
+    table path, and a crash BETWEEN the two renames of one partition's
+    swap is healed on the next publish (_gc_stale restores the _trash
+    backup before clearing staging).
     """
 
     def __init__(self, root: str):
@@ -85,26 +88,50 @@ class Warehouse:
         return d
 
     def _gc_stale(self, table: str) -> None:
-        """Remove leftover staging/trash dirs from earlier failed or
-        interrupted publishes of this table (single-writer pipeline,
-        like the reference's per-day runner)."""
+        """Recover from earlier interrupted publishes of this table,
+        then clear the staging areas (single-writer pipeline, like the
+        reference's per-day runner). A crash BETWEEN the two renames of
+        a partition swap leaves the only copy of the old data in
+        _trash — so trash contents are RESTORED to any live location
+        that is missing before anything is deleted; a leftover whose
+        live counterpart exists means that swap completed and the
+        backup is safe to drop."""
         import shutil
 
-        for area in ("_tmp", "_trash"):
-            base = self.root / area
-            if not base.exists():
-                continue
-            for d in base.glob(f"{table}__*"):
+        live = self.root / table
+        trash_base = self.root / "_trash"
+        if trash_base.exists():
+            for d in sorted(trash_base.glob(f"{table}__*")):
+                if d.is_dir() and any(d.iterdir()):
+                    entries = sorted(p for p in d.iterdir())
+                    if all(e.is_dir() and "=" in e.name for e in entries):
+                        # partition-level backup: restore missing parts
+                        live.mkdir(parents=True, exist_ok=True)
+                        for part in entries:
+                            target = live / part.name
+                            if not target.exists():
+                                part.rename(target)
+                    elif not live.exists():
+                        # whole-table backup from overwrite(): restore
+                        d.rename(live)
+                        continue
+                shutil.rmtree(d, ignore_errors=True)
+        tmp_base = self.root / "_tmp"
+        if tmp_base.exists():
+            for d in tmp_base.glob(f"{table}__*"):
                 shutil.rmtree(d, ignore_errors=True)
 
     @staticmethod
-    def _audit_staged(tmp: Path, table: str) -> list[Path]:
+    def _audit_staged(
+        tmp: Path, table: str, expected_rows: int | None = None
+    ) -> list[Path]:
         """Audit a staged write before any live mutation: the Spark
-        commit marker must exist (the job finished every task) and the
-        staged files must be readable parquet with a consistent row
-        count (footer-level read via pyarrow — cheap, metadata only).
-        Returns the staged partition directories (possibly empty for
-        an empty input)."""
+        commit marker must exist (the job finished every task) and
+        every staged file's parquet footer must be readable (pyarrow,
+        metadata only — a truncated/corrupt task output fails here).
+        When the caller knows the intended row count, ``expected_rows``
+        additionally asserts the footers sum to it. Returns the staged
+        partition directories (possibly empty for an empty input)."""
         if not (tmp / "_SUCCESS").exists():
             raise PublishAuditError(
                 f"staged write for {table!r} has no _SUCCESS marker: "
@@ -121,8 +148,11 @@ class Warehouse:
                     f"staged file {f} unreadable for {table!r}: {ex}; "
                     "live table untouched"
                 ) from ex
-        if total < 0:  # defensive; num_rows is never negative
-            raise PublishAuditError(f"negative staged row count for {table!r}")
+        if expected_rows is not None and total != expected_rows:
+            raise PublishAuditError(
+                f"staged row count {total} != expected {expected_rows} "
+                f"for {table!r}; live table untouched"
+            )
         return sorted(
             d for d in tmp.iterdir() if d.is_dir() and "=" in d.name
         )

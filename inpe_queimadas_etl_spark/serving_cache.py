@@ -29,7 +29,11 @@ POINTS_MAXSIZE = 1024
 
 class TTLCache:
     """Minimal TTLCache analog: entries expire ttl seconds after
-    insert; size overflow evicts oldest-inserted first."""
+    insert; size overflow evicts oldest-inserted first. Thread-safe:
+    api.py serves this from a ThreadingHTTPServer (one thread per
+    request, all sharing one cache), so every read-modify path holds a
+    lock — like cachetools' documented pattern, the reference wraps
+    its caches the same way."""
 
     def __init__(
         self,
@@ -37,10 +41,13 @@ class TTLCache:
         ttl: float = GENERAL_TTL_SECONDS,
         timer: Callable[[], float] = time.monotonic,
     ):
+        import threading
+
         self.maxsize = maxsize
         self.ttl = ttl
         self._timer = timer
         self._data: OrderedDict[str, tuple[float, Any]] = OrderedDict()
+        self._lock = threading.RLock()
         self.hits = 0
         self.misses = 0
 
@@ -50,33 +57,37 @@ class TTLCache:
             key, (deadline, _) = next(iter(self._data.items()))
             if deadline > now:
                 break
-            self._data.pop(key)
+            self._data.pop(key, None)
 
     def get(self, key: str, default=None):
-        self._expire()
-        item = self._data.get(key)
-        if item is None or item[0] <= self._timer():
-            self._data.pop(key, None)
-            self.misses += 1
-            return default
-        self.hits += 1
-        return item[1]
+        with self._lock:
+            self._expire()
+            item = self._data.get(key)
+            if item is None or item[0] <= self._timer():
+                self._data.pop(key, None)
+                self.misses += 1
+                return default
+            self.hits += 1
+            return item[1]
 
     def __contains__(self, key: str) -> bool:
-        self._expire()
-        item = self._data.get(key)
-        return item is not None and item[0] > self._timer()
+        with self._lock:
+            self._expire()
+            item = self._data.get(key)
+            return item is not None and item[0] > self._timer()
 
     def __setitem__(self, key: str, value: Any) -> None:
-        self._expire()
-        self._data.pop(key, None)
-        self._data[key] = (self._timer() + self.ttl, value)
-        while len(self._data) > self.maxsize:
-            self._data.popitem(last=False)
+        with self._lock:
+            self._expire()
+            self._data.pop(key, None)
+            self._data[key] = (self._timer() + self.ttl, value)
+            while len(self._data) > self.maxsize:
+                self._data.popitem(last=False)
 
     def __len__(self) -> int:
-        self._expire()
-        return len(self._data)
+        with self._lock:
+            self._expire()
+            return len(self._data)
 
 
 def make_general_cache(timer=time.monotonic) -> TTLCache:
@@ -91,6 +102,14 @@ def cache_key(endpoint: str, **params) -> str:
     """Deterministic URL-style key (the reference keys on
     str(request.url), main.py:103-104): None params drop out, the rest
     serialize sorted so equivalent calls share an entry."""
+    return cache_key_params(endpoint, params)
+
+
+def cache_key_params(endpoint: str, params: dict) -> str:
+    """cache_key with the params as a dict — for callers forwarding
+    UNTRUSTED client query strings, where **-splatting could collide
+    with this function's own argument names (a request param literally
+    named 'endpoint')."""
     parts = [
         f"{k}={params[k]}" for k in sorted(params) if params[k] is not None
     ]

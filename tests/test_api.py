@@ -155,6 +155,28 @@ def test_smoke_all_endpoints(base_url):
     assert tot["total_n_focos"] == sum(i["n_focos"] for i in ts["items"])
 
 
+def test_hostile_and_edge_params(base_url):
+    """Review findings: unknown granularity must 422 (not bucket to
+    NULL and cache it), query params that shadow internal argument
+    names must not 500, and a trailing slash must hit the same cache
+    as the canonical path."""
+    rng = f"from={FROM}&to={TO}"
+    status, _ = _get(base_url, f"/api/timeseries/total?{rng}&granularity=bogus")
+    assert status == 422
+    status, _ = _get(base_url, f"/api/timeseries/total?{rng}&granularity=week")
+    assert status == 200
+    # params named like cache-helper arguments
+    status, _ = _get(base_url, f"/api/totals?{rng}&run=1&endpoint=x&self=y")
+    assert status == 200
+    status, p1 = _get(
+        base_url, "/api/points/?date=2024-05-02&bbox=0.0,0.0,4.0,3.0&limit=50"
+    )
+    status2, p2 = _get(
+        base_url, "/api/points?date=2024-05-02&bbox=0.0,0.0,4.0,3.0&limit=50"
+    )
+    assert status == status2 == 200 and p1 == p2
+
+
 def test_error_mapping(base_url):
     """Reference validation semantics: bad range/bbox -> 422 (pydantic
     422 analog), unknown keys/endpoints -> 404."""

@@ -176,6 +176,68 @@ class TestWriteAuditPublish:
         assert not any((wh.root / "_tmp").glob("t__*"))
         assert not any((wh.root / "_trash").glob("t__*"))
 
+    def test_crash_between_swap_renames_is_healed(self, spark, tmp_path):
+        """A crash AFTER old->_trash but BEFORE staged->live leaves the
+        only copy of a partition in _trash; the next publish must
+        RESTORE it before clearing staging — never delete the backup
+        (review finding: blind gc lost the partition permanently)."""
+        wh = self._seed(spark, tmp_path)
+        live = wh.root / "t"
+        trash = wh.root / "_trash" / "t__crashed"
+        trash.mkdir(parents=True)
+        # simulate the mid-swap crash state for day=2024-05-01
+        (live / "day=2024-05-01").rename(trash / "day=2024-05-01")
+        assert not (live / "day=2024-05-01").exists()
+
+        # next publish (for a DIFFERENT day) heals the lost partition
+        df = spark.createDataFrame(
+            [("2024-05-02", 7, "z7")], "day string, n int, v string"
+        )
+        wh.overwrite_partitions(df, "t", "day")
+        rows = {
+            (str(r["day"]), r["n"], r["v"]) for r in wh.read(spark, "t").collect()
+        }
+        assert ("2024-05-01", 0, "v0") in rows  # restored from _trash
+        assert ("2024-05-02", 7, "z7") in rows
+        assert not any((wh.root / "_trash").glob("t__*"))
+
+    def test_crash_mid_full_overwrite_is_healed(self, spark, tmp_path):
+        """Same for overwrite(): live renamed to _trash but the staged
+        table never swapped in — the whole-table backup restores."""
+        wh = self._seed(spark, tmp_path)
+        df = spark.createDataFrame([("x", 1)], "a string, b int")
+        wh.overwrite(df, "trend")
+        live = wh.root / "trend"
+        trash = wh.root / "_trash" / "trend__crashed"
+        trash.parent.mkdir(parents=True, exist_ok=True)
+        live.rename(trash)
+        assert not live.exists()
+        df2 = spark.createDataFrame([("y", 2)], "a string, b int")
+        # _gc_stale runs first: restores the backup, then the new
+        # overwrite replaces it normally
+        wh.overwrite(df2, "trend")
+        got = {(r["a"], r["b"]) for r in wh.read(spark, "trend").collect()}
+        assert got == {("y", 2)}
+        assert not any((wh.root / "_trash").glob("trend__*"))
+
+    def test_audit_expected_rows_mismatch_refuses_publish(self, spark, tmp_path):
+        from inpe_queimadas_etl_spark.pipeline import PublishAuditError
+
+        wh = self._seed(spark, tmp_path)
+        tmp = wh._stage_dir("t")
+        df = spark.createDataFrame(
+            [("2024-05-03", 1, "a")], "day string, n int, v string"
+        )
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")  # _SUCCESS marker
+            .partitionBy("day")
+            .parquet(str(tmp))
+        )
+        assert wh._audit_staged(tmp, "t", expected_rows=1)
+        with pytest.raises(PublishAuditError):
+            wh._audit_staged(tmp, "t", expected_rows=2)
+
     def test_full_overwrite_swaps_whole_table(self, spark, tmp_path):
         wh = self._seed(spark, tmp_path)
         df = spark.createDataFrame([("x", 1)], "a string, b int")

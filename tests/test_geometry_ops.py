@@ -302,6 +302,36 @@ class TestValidity:
         for p in parts:
             assert feature_is_valid(p)
 
+    def test_makevalid_keeps_valid_holes_when_one_is_bad(self):
+        """One invalid (self-intersecting) hole must not delete its
+        valid siblings (review finding: an exterior-only retry would
+        drop every hole and silently inflate the repaired area): the
+        bowtie hole is noded and split while both valid holes survive
+        in the repaired part."""
+        from inpe_queimadas_etl_spark.operators.geometry import (
+            feature_is_valid,
+            make_valid_feature,
+            ring_signed_area_deg2,
+        )
+
+        good1 = [(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]
+        good2 = [(3, 3), (4, 3), (4, 4), (3, 4), (3, 3)]
+        bowtie = [(6, 6), (8, 8), (8, 6), (6, 8), (6, 6)]  # non-simple
+        feat = make_polygon(
+            "h", _square(0, 0, 10), holes=[good1, good2, bowtie]
+        )
+        assert not feature_is_valid(feat)
+        parts = make_valid_feature(feat)
+        assert len(parts) == 1
+        out = parts[0]
+        assert feature_is_valid(out)
+        # exterior + the two valid holes + the bowtie's split pieces
+        assert len(out.rings) >= 4
+        hole_areas = sorted(
+            round(abs(ring_signed_area_deg2(r)), 6) for r in out.rings[1:]
+        )
+        assert hole_areas.count(1.0) >= 2  # both 1x1 holes survived
+
     def test_makevalid_passthrough_keeps_coords(self):
         from inpe_queimadas_etl_spark.operators.geometry import make_valid_feature
 
