@@ -238,6 +238,69 @@ class TestWriteAuditPublish:
         with pytest.raises(PublishAuditError):
             wh._audit_staged(tmp, "t", expected_rows=2)
 
+    def test_crash_at_every_rename_position_is_recoverable(
+        self, spark, tmp_path
+    ):
+        """Exhaustive crash matrix: kill the publish at EVERY rename in
+        the swap sequence (old->trash and staged->live, both
+        partitions) and assert that after the next publish each
+        partition reads as either fully-old or fully-new — never
+        partial, never lost."""
+        import pathlib
+
+        real_rename = pathlib.Path.rename
+        old = {
+            "2024-05-01": {("2024-05-01", i, f"v{i}") for i in range(10)},
+            "2024-05-02": {("2024-05-02", i, f"w{i}") for i in range(10)},
+        }
+        new = {
+            "2024-05-01": {("2024-05-01", 99, "N1")},
+            "2024-05-02": {("2024-05-02", 99, "N2")},
+        }
+        # a two-partition replace issues 4 renames (old->trash,
+        # staged->live per partition); cover every failure position
+        for fail_at in range(1, 5):
+            wh = self._seed(spark, tmp_path, name=f"wap_crash_{fail_at}")
+            df_new = spark.createDataFrame(
+                [("2024-05-01", 99, "N1"), ("2024-05-02", 99, "N2")],
+                "day string, n int, v string",
+            )
+            calls = {"n": 0}
+
+            def exploding(pself, target, _real=real_rename, _c=calls, _f=fail_at):
+                _c["n"] += 1
+                if _c["n"] == _f:
+                    raise OSError(f"simulated crash at rename #{_f}")
+                return _real(pself, target)
+
+            pathlib.Path.rename = exploding
+            try:
+                with pytest.raises(OSError):
+                    wh.overwrite_partitions(df_new, "t", "day")
+            finally:
+                pathlib.Path.rename = real_rename
+
+            # next publish (unrelated day) triggers recovery first
+            wh.overwrite_partitions(
+                spark.createDataFrame(
+                    [("2024-05-03", 1, "x")], "day string, n int, v string"
+                ),
+                "t",
+                "day",
+            )
+            rows = {
+                (str(r["day"]), r["n"], r["v"])
+                for r in wh.read(spark, "t").collect()
+            }
+            for day in ("2024-05-01", "2024-05-02"):
+                got = {r for r in rows if r[0] == day}
+                assert got in (old[day], new[day]), (
+                    f"fail_at={fail_at} day={day}: partial/lost partition: {got}"
+                )
+            assert ("2024-05-03", 1, "x") in rows
+            assert not any((wh.root / "_trash").glob("t__*"))
+            assert not any((wh.root / "_tmp").glob("t__*"))
+
     def test_full_overwrite_swaps_whole_table(self, spark, tmp_path):
         wh = self._seed(spark, tmp_path)
         df = spark.createDataFrame([("x", 1)], "a string, b int")
