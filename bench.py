@@ -86,6 +86,32 @@ def _time_runs(fn, runs: int = RUNS) -> tuple[float, float, float]:
     )
 
 
+def _consume_checksum(df):
+    """Consume a result by folding EVERY output column into one value.
+
+    ``.count()`` lets Catalyst prune unreferenced expressions out of
+    pure-projection plans, so the timed number under-measures (VERDICT
+    r4 "What's wrong" #1: p7's md5, dd3's minhash arrays, the agg
+    expressions of q1/a8/w1 were all eliminated). xxhash64 over
+    struct(*) references every column, so nothing is prunable;
+    bit_xor aggregates the hashes without the ANSI-mode overflow risk
+    a sum() of full-range 64-bit hashes would carry (Spark 4 defaults
+    spark.sql.ansi.enabled=true).
+    """
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("checksum")
+    ).collect()
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - non-POSIX
+        return []
+
+
 def main() -> None:
     from inpe_queimadas_etl_spark.session import get_spark, load_table
     from inpe_queimadas_etl_spark.suite import all_queries
@@ -122,24 +148,35 @@ def main() -> None:
     for warm_tbl in ("lineitem", "events", "documents", "embeddings"):
         load_table(spark, SF_DIR, warm_tbl).count()
 
+    load_before = _loadavg()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    count_style: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
         if name.startswith("skew_"):
-            # collect() the (few) result rows: under .count() Catalyst
-            # prunes the unreferenced collect_set aggregate and the
-            # demo would measure an empty plan
+            # collect() the (few) result rows directly: the demo's
+            # artifact is the naive-vs-two-phase gap and both already
+            # materialize every column
             runner = lambda: fn(spark, SF_DIR).collect()
         else:
-            runner = lambda: fn(spark, SF_DIR).count()
+            # checksum-consume: every output column is referenced, so
+            # Catalyst cannot prune the timed work (VERDICT r4 #1)
+            runner = lambda: _consume_checksum(fn(spark, SF_DIR))
         med, lo, hi = _time_runs(runner)
         timings[name] = med
         spread[name] = [lo, hi]
         print(f"# {name}: median {med}s over {RUNS} runs "
               f"[{lo}, {hi}]", file=sys.stderr)
+        # One transition round of old-style (.count()) numbers so
+        # BENCH_r05 stays comparable to r1-r4; dropped next round.
+        if not name.startswith("skew_"):
+            cmed, _, _ = _time_runs(lambda: fn(spark, SF_DIR).count())
+            count_style[name] = cmed
+        else:
+            count_style[name] = med
 
     # Transform canonicalize bench: CSV -> curated (P1-P9) over a
     # deterministic 100k-row file; measures the Arrow batch + JVM md5
@@ -187,9 +224,20 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": RUNS,
         "spread": spread,
+        "consume": "bit_xor(xxhash64(struct(*))) — unprunable; see _consume_checksum",
         "comparable_r1_subset_total": round(
             sum(timings[q] for q in comparable if q in timings), 3
         ),
+        # transition-round twin measured with the r1-r4 .count()
+        # protocol, so the r1 anchor (22.09 s) stays apples-to-apples
+        "queries_count_style": count_style,
+        "comparable_r1_subset_total_count_style": round(
+            sum(count_style[q] for q in comparable if q in count_style), 3
+        ),
+        # machine-load markers (VERDICT r4 #2: prove/deny env drift)
+        "loadavg_before": load_before,
+        "loadavg_after": _loadavg(),
+        "cpus": CPUS,
     }
     print(json.dumps(result))
     spark.stop()

@@ -209,9 +209,19 @@ def validate_repo_structure() -> dict:
         for fn in ("entry", "queries", "oracle_sql"):
             if not callable(getattr(entry, fn, None)):
                 failures.append(f"__spark_entry__.{fn} missing")
-    except ImportError:
-        # running outside the repo root is fine for library users
-        pass
+    except ImportError as ex:
+        if getattr(ex, "name", None) == "__spark_entry__":
+            # module absent: running outside the repo root is fine for
+            # library users
+            pass
+        else:
+            # the entry module EXISTS but failed importing something —
+            # exactly the breakage this check reports (ADVICE r4 #2)
+            failures.append(f"__spark_entry__ import failed: {ex!r}")
+    except Exception as ex:
+        # SyntaxError / AttributeError / anything else at import time
+        # is a structural failure, not a crash of validate-repo
+        failures.append(f"__spark_entry__ import failed: {ex!r}")
     return {
         "name": "repo_structure",
         "ok": not failures,

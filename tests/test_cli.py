@@ -343,3 +343,49 @@ def test_load_dims_mixed_formats(spark, dims_dir, tmp_path):
     ref_area = {r["uf"]: r["area_km2"] for r in ref["uf_area"].collect()}
     got_area = {r["uf"]: r["area_km2"] for r in got["uf_area"].collect()}
     assert got_area == pytest.approx(ref_area)
+
+
+def test_validate_repo_structure_broken_entry_module(monkeypatch):
+    """ADVICE r4 #2: a broken __spark_entry__ (SyntaxError, or a failed
+    import INSIDE the module) must be recorded as a structural failure,
+    not crash validate-repo; only module-absent (running outside the
+    repo root) stays benign."""
+    import importlib
+
+    from inpe_queimadas_etl_spark.checks import validate_repo_structure
+
+    real_import = importlib.import_module
+
+    def raising(kind):
+        def _imp(name, *a, **kw):
+            if name == "__spark_entry__":
+                raise kind
+            return real_import(name, *a, **kw)
+        return _imp
+
+    # broken module body -> recorded failure
+    monkeypatch.setattr(
+        importlib, "import_module", raising(SyntaxError("bad entry"))
+    )
+    s = validate_repo_structure()
+    assert not s["ok"]
+    assert any("__spark_entry__ import failed" in f for f in s["failures"])
+
+    # a dependency missing inside the module -> recorded failure
+    monkeypatch.setattr(
+        importlib,
+        "import_module",
+        raising(ImportError("no mod", name="some_missing_dep")),
+    )
+    s = validate_repo_structure()
+    assert not s["ok"]
+    assert any("__spark_entry__ import failed" in f for f in s["failures"])
+
+    # module absent entirely (library user outside repo root) -> benign
+    monkeypatch.setattr(
+        importlib,
+        "import_module",
+        raising(ModuleNotFoundError("absent", name="__spark_entry__")),
+    )
+    s = validate_repo_structure()
+    assert s["ok"], s

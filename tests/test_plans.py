@@ -154,3 +154,36 @@ def test_tx6_topk_is_take_ordered(spark):
     plan = _plan(QUERIES["tx6_ngram_topk"](spark, SF0001), "simple")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort " not in plan, f"tx6 planned a global sort:\n{plan}"
+
+
+def test_bench_checksum_consume_defeats_pruning(spark):
+    """VERDICT r4 #1: under ``.count()`` Catalyst prunes unreferenced
+    expressions out of pure-projection plans (p7's timed 0.124 s was a
+    parquet count with the md5 eliminated). The bench's checksum
+    consume references every output column via xxhash64(struct(*)), so
+    the md5 must be present in the consumed plan — and absent from the
+    count plan, which is what made the old numbers hollow."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import _consume_checksum  # noqa: E402
+
+    from inpe_queimadas_etl_spark.suite.relational import p7_stable_event_hash
+
+    df = p7_stable_event_hash(spark, SF0001)
+
+    from pyspark.sql import functions as F
+
+    consumed = df.select(
+        F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("checksum")
+    )
+    assert "md5" in _plan(consumed, "simple"), (
+        "checksum consume no longer forces the hash computation"
+    )
+    counted = df.groupBy().count()
+    assert "md5" not in _plan(counted, "simple"), (
+        "count() unexpectedly retains md5 — transition note in bench.py "
+        "is stale"
+    )
+    # the runner really executes and returns one aggregated row
+    assert len(_consume_checksum(df)) == 1
