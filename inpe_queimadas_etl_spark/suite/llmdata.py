@@ -113,14 +113,145 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dd2_prefix_order_choice(max_df: int | None, median_df: float | None) -> str:
-    """Driver-side PPJoin ordering decision off the df histogram:
-    a hot tail (max >> median) means hash-ordered prefixes go
-    quadratic on the hot shingles, so pay the two df-ordering
-    shuffles; a flat histogram (synthetic corpus: max 25 / median 9)
-    means they cannot pay for themselves."""
+# Per-doc candidate-degree budget for the exact prefix join.
+# sum(df^2) upper-bounds the prefix-join candidate slots, so
+# sum(df^2)/n_docs is the average exact-join degree per document.
+# Measured on the driver testdata (31-word vocab): 108 at sf0.01, 558
+# at sf0.1 — both comfortably exact; the same corpus shape at sf0.3+
+# crosses ~1,675 and was measured at tail slope ~1.9 (SCALING.md),
+# i.e. effectively all-pairs. 1,200 splits the regimes with margin on
+# both sides.
+_DD2_LSH_DEGREE_BUDGET = 1200
+
+# Banded-MinHash geometry for the routed fallback: 24 bands x 2 rows
+# over the shingle-hash sets. P(candidate | jaccard=s) =
+# 1-(1-s^2)^24: 99.9 % at the 0.5 threshold, ~100 % above 0.6, while
+# unrelated pairs (s ~ 0.001 on saturated-vocab corpora) collide with
+# probability ~24*s^2 ~ 2e-5 — the candidate set stays linear where
+# the exact prefix join is forced quadratic.
+_DD2_LSH_BANDS = 24
+_DD2_LSH_ROWS = 2
+
+
+def _dd2_lsh_hash_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for minhash permutation i (i < bands*rows).
+    Extends the fixed _MH_A/_MH_B table by Knuth-style reseeding; only
+    candidate RECALL depends on these — every candidate is verified
+    exactly — so any fixed full-rank family works."""
+    a = (_MH_A[i % len(_MH_A)] + 2654435761 * (i // len(_MH_A))) % _MH_P
+    b = (_MH_B[i % len(_MH_B)] + 40503 * (i // len(_MH_B) + 1)) % _MH_P
+    return (a or 1, b)
+
+
+def _dd2_prefix_order_choice(
+    max_df: int | None,
+    median_df: float | None,
+    n_docs: int | None = None,
+    sum_df2: int | None = None,
+) -> str:
+    """Driver-side PPJoin strategy decision off the df histogram:
+
+    - hot tail (max >> median): hash-ordered prefixes go quadratic on
+      the hot shingles, so pay the two df-ordering shuffles ("df");
+    - flat histogram (synthetic corpus: max 25 / median 9): the
+      ordering cannot pay for itself ("hash");
+    - flat AND saturated (tiny vocabulary, SCALING.md adversarial
+      regime #1): the shingle space stops growing with the corpus, df
+      grows linearly with n, and NO prefix order can prune — the
+      exact join is Theta(n^2). sum(df^2)/n_docs estimates the
+      per-doc candidate degree; past the budget, route to banded
+      MinHash-LSH candidates + exact verification ("lsh").
+    """
     flat = (max_df or 0) <= 16 * max(median_df or 1, 1)
-    return "hash" if flat else "df"
+    if not flat:
+        return "df"
+    if (
+        n_docs
+        and sum_df2
+        and sum_df2 > _DD2_LSH_DEGREE_BUDGET * max(n_docs, 1)
+    ):
+        return "lsh"
+    return "hash"
+
+
+def _dd2_shingle_hash_sets(docs: DataFrame) -> DataFrame:
+    """doc_id + SORTED distinct 64-bit shingle-hash array + size. The
+    3-word shingle is hashed directly (xxhash64 over the word triple)
+    — the shingle string is never materialized, which is the
+    difference between a string-concat scan and a pure numeric one."""
+    return (
+        docs.withColumn("w", F.split(F.col("text"), " "))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 3),"
+                        " i -> xxhash64(w[i], w[i+1], w[i+2]))"
+                    )
+                )
+            ).alias("xs"),
+        )
+        .withColumn("n_sh", F.size("xs"))
+    )
+
+
+def _dd2_lsh_candidate_pairs(sets: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs via banded MinHash over the
+    shingle-hash arrays — the auto-routed fallback for corpora where
+    prefix filtering cannot prune (VERDICT r4 #3). Bucket keys are
+    uniform hashes, so the self-join is skew-free; candidate volume
+    scales with the number of genuinely-similar pairs, never with
+    n^2. Recall: 1-(1-t^_DD2_LSH_ROWS)^_DD2_LSH_BANDS at jaccard t
+    (99.9 % at 0.5); every candidate is verified exactly downstream,
+    so precision is exact."""
+    band_structs = []
+    for band in range(_DD2_LSH_BANDS):
+        row_exprs = []
+        for r in range(_DD2_LSH_ROWS):
+            a, b = _dd2_lsh_hash_params(band * _DD2_LSH_ROWS + r)
+            # pmod first: xs are full-range xxhash64 longs; reducing
+            # into [0, P) keeps a*x + b inside 2^62 (ANSI-safe).
+            row_exprs.append(
+                f"array_min(transform(xs, x -> "
+                f"pmod(pmod(x, {_MH_P}L) * {a}L + {b}L, {_MH_P}L)))"
+            )
+        key = f"({row_exprs[0]})"
+        for expr in row_exprs[1:]:
+            key = f"({key} * {_MH_P}L + ({expr}))"
+        band_structs.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.expr(key).alias("key"),
+            )
+        )
+    bands = (
+        sets.select(
+            "doc_id",
+            "n_sh",
+            F.explode(F.array(*band_structs)).alias("bd"),
+        )
+        .select("doc_id", "n_sh", "bd.band", "bd.key")
+        .localCheckpoint(eager=True)
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # same size-ratio bound as the prefix path
+            & (F.col("a.n_sh") >= threshold * F.col("b.n_sh"))
+            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
 
 
 @query(
@@ -157,31 +288,19 @@ def dd2_ngram_jaccard_pairs(
     full doc x doc cross product is never materialized.
 
     ``prefix_order``: "df" (PPJoin document-frequency order), "hash"
-    (numeric hash order, zero extra shuffles), or None = adaptive — a
+    (numeric hash order, zero extra shuffles), "lsh" (banded-MinHash
+    candidates — the tiny-vocabulary fallback), or None = adaptive — a
     driver decision off the df histogram (see below). Prefix filtering
-    is lossless under ANY shared total order, so the result is
-    identical either way; only the candidate-set size differs.
+    is lossless under ANY shared total order, so "df" and "hash" are
+    identical; "lsh" trades exhaustive candidates for bounded runtime
+    on corpora where prefixes cannot prune (saturated shingle space,
+    SCALING.md adversarial regime #1) — recall 99.9 % at the 0.5
+    threshold, exact above 0.6, and every surviving pair is verified
+    exactly so precision is always 1.0.
     """
     threshold = 0.5
     docs = load_table(spark, sf_dir, "documents")
-    # 64-bit shingle-hash set per doc. The 3-word shingle is hashed
-    # directly (xxhash64 over the word triple) — the shingle string is
-    # never materialized, which is the difference between a
-    # string-concat scan and a pure numeric one.
-    raw_sets = (
-        docs.withColumn("w", F.split(F.col("text"), " "))
-        .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(0, size(w) - 3),"
-                    " i -> xxhash64(w[i], w[i+1], w[i+2]))"
-                )
-            ).alias("xs"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    raw_sets = _dd2_shingle_hash_sets(docs).localCheckpoint(eager=True)
     # Global prefix order (PPJoin): prefix filtering is valid under
     # ANY total order shared by all docs. Ordering by document
     # frequency ASCENDING puts low-df shingles in the prefixes, so on
@@ -200,27 +319,29 @@ def dd2_ngram_jaccard_pairs(
         # prefixes makes hash order's candidate set quadratic. On a
         # flat histogram (synthetic corpus: max 25 vs median 9) no
         # shingle can go quadratic and the ordering is a pure cost.
-        # The stats job is one map-side-combined groupBy + tiny agg.
+        # sum(df^2) estimates the exact join's candidate volume; when
+        # the histogram is flat AND saturated (tiny vocabulary) that
+        # volume is Theta(n^2) under ANY order and the decision routes
+        # to banded-LSH candidates instead (VERDICT r4 #3). The stats
+        # job is one map-side-combined groupBy + tiny agg; n_docs is a
+        # count on the checkpointed sets.
         st = df_tbl.agg(
             F.max("df").alias("mx"),
             F.expr("approx_percentile(df, 0.5)").alias("md"),
+            F.sum(F.col("df") * F.col("df")).alias("df2"),
         ).first()
-        prefix_order = _dd2_prefix_order_choice(st["mx"], st["md"])
+        prefix_order = _dd2_prefix_order_choice(
+            st["mx"], st["md"], n_docs=raw_sets.count(), sum_df2=st["df2"]
+        )
     # `sets` feeds three consumers (prefixes, verify-left,
     # verify-right); materialize it ONCE. localCheckpoint (not
     # persist) so nothing leaks past this query: the blocks die with
     # the RDD, no unpersist bookkeeping. At 100 TB the equivalent
     # step is materializing the shingle-set table to parquet before
     # the join stage — same plan shape.
-    if prefix_order == "hash":
-        sets = (
-            raw_sets.select(
-                "doc_id",
-                F.array_sort("xs").alias("xs"),
-                F.size("xs").alias("n_sh"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    if prefix_order in ("hash", "lsh"):
+        # raw_sets is already hash-sorted with n_sh and checkpointed
+        sets = raw_sets
     else:
         sets = (
             ex.join(df_tbl, "sh")
@@ -235,30 +356,33 @@ def dd2_ngram_jaccard_pairs(
             )
             .localCheckpoint(eager=True)
         )
-    # prefix length n - ceil(t*n) + 1: any pair with jaccard >= t must
-    # share at least one element inside both prefixes
-    prefix_len = (
-        F.col("n_sh") - F.ceil(threshold * F.col("n_sh")) + 1
-    ).cast("int")
-    prefixes = sets.select(
-        "doc_id",
-        "n_sh",
-        F.explode(F.slice("xs", 1, prefix_len)).alias("sh"),
-    )
-    a = prefixes.alias("a")
-    b = prefixes.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # size-ratio bound: jaccard >= t implies |A|/|B| in [t, 1/t]
-            & (F.col("a.n_sh") >= threshold * F.col("b.n_sh"))
-            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh")),
+    if prefix_order == "lsh":
+        candidates = _dd2_lsh_candidate_pairs(sets, threshold)
+    else:
+        # prefix length n - ceil(t*n) + 1: any pair with jaccard >= t
+        # must share at least one element inside both prefixes
+        prefix_len = (
+            F.col("n_sh") - F.ceil(threshold * F.col("n_sh")) + 1
+        ).cast("int")
+        prefixes = sets.select(
+            "doc_id",
+            "n_sh",
+            F.explode(F.slice("xs", 1, prefix_len)).alias("sh"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+        a = prefixes.alias("a")
+        b = prefixes.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                # size-ratio bound: jaccard >= t implies |A|/|B| in [t, 1/t]
+                & (F.col("a.n_sh") >= threshold * F.col("b.n_sh"))
+                & (F.col("b.n_sh") >= threshold * F.col("a.n_sh")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
     # verify candidates exactly on the full sets
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("xs").alias("xa"), F.col("n_sh").alias("na"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("xs").alias("xb"), F.col("n_sh").alias("nb"))
