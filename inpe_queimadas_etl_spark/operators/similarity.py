@@ -9,8 +9,8 @@ and each task sees ~n/256 of the corpus; the exact cosine is computed
 only on bucket-mates.
 
 Everything here is JVM-side column expressions (no Python UDFs):
-hyperplane components are integer LCG pseudo-randoms baked into the
-plan as literals, and dot products are explicit left-to-right sums so
+hyperplane components are integer splitmix64 pseudo-randoms baked into
+the plan as literals, and dot products are explicit left-to-right sums so
 an external oracle (DuckDB) computing the same expression gets
 bit-identical IEEE results — sign decisions can never diverge.
 """
@@ -20,16 +20,34 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Integer LCG hyperplane components: r(j, d) in [-1000, 1000].
-_LCG_A = 1103515245
-_LCG_B = 12345
-_LCG_M = 2001
+# Integer hyperplane components: r(j, d) in [-1000, 1000], derived
+# from a splitmix64 hash of the (plane, dimension) index. The previous
+# single-stream LCG made consecutive planes shifted copies of one
+# arithmetic progression mod 2001 — some plane pairs were EXACTLY
+# collinear (|cos| = 1.0, mean off-diagonal |cos| 0.38), which
+# collapsed a 12-bit band's effective entropy to ~2 % pair-collision
+# probability instead of 2^-12 and made dd6's candidate set ~11 % of
+# ALL pairs on random corpora (quadratic by construction; caught by
+# tests/test_dd6_geometry.py). splitmix64 output is uncorrelated
+# across indices, so planes are independent draws and the banded-LSH
+# analysis holds. Components stay integer literals, so the DuckDB
+# oracle consumes the exact same weights and sign decisions are
+# bit-identical by construction.
+
+_SM64_MASK = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & _SM64_MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _SM64_MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _SM64_MASK
+    return x ^ (x >> 31)
 
 
 def hyperplane(j: int, dim: int) -> list[int]:
     """Deterministic pseudo-random hyperplane j over `dim` components."""
     return [
-        ((_LCG_A * (j * 131 + d) + _LCG_B) % _LCG_M) - 1000 for d in range(dim)
+        (_splitmix64(j * 1_000_003 + d) % 2001) - 1000 for d in range(dim)
     ]
 
 

@@ -607,7 +607,8 @@ _EMB_DIM = 64
 # joins on uniform equi keys and its per-bucket fan-in is tuned by
 # adding band bits as n grows.
 #
-# Band geometry (round-4 retune, measured in scripts/scaling_dedup.py):
+# Band geometry (round-4 retune, measured in scripts/scaling_dedup.py;
+# round-5: auto-tuned from corpus size — VERDICT r4 #4):
 # a RANDOM pair collides in one k-bit band with probability ~2^-k, so
 # 4x4 bands admitted ~4/16 = 25 % of ALL pairs as candidates — a
 # quadratic candidate set by construction, measured as a t ~ n^1.6
@@ -615,12 +616,71 @@ _EMB_DIM = 64
 # ~8/4096 = 0.2 % of random pairs while keeping the banded-LSH
 # s-curve's high recall where near-dups live (per-plane agreement
 # 1 - theta/pi: recall ~99.9 % at cos 0.99, ~86 % at 0.9, fading below
-# ~0.8 — pairs near the 0.35 verify floor are only sampled). At larger
-# n, grow _DD6_BAND_BITS ~ log2(n) to hold per-bucket fan-in constant.
+# ~0.8 — pairs near the 0.35 verify floor are only sampled).
 
 _DD6_THRESHOLD = 0.35
 _DD6_BANDS = 8
 _DD6_BAND_BITS = 12
+
+
+def _dd6_geometry(n_vecs: int) -> tuple[int, int]:
+    """(bands, band_bits) tuned to corpus size.
+
+    Per-bucket fan-in is n/2^bits, so bits must grow ~log2(n) to hold
+    the candidate volume linear; each +4 bits drops per-band recall at
+    cos 0.99 by the plane-agreement factor (0.955^4 ~ 0.83), so bands
+    grow alongside to keep the banded-OR recall >= 99 %. Quantized to
+    decade-wide steps so the whole driver/oracle scale range
+    (<= 30k vectors: sf0.001 through sf1.0 embeddings) keeps the
+    measured 8x12 geometry — the static DuckDB oracle states that
+    exact contract, and a data-dependent geometry inside one decade
+    would buy nothing but oracle drift. Analytic rates per step
+    (verified empirically in tests/test_dd6_geometry.py):
+
+      <=30k:  8x12 — random-collision ~0.2 %, recall@0.99 ~99.9 %
+      <=300k: 12x16 — ~0.02 %, ~99.96 %
+      <=3M:   16x20 — ~2e-5,  ~99.97 %
+      else:   20x24 — ~2e-6,  ~99.97 %
+    """
+    if n_vecs <= 30_000:
+        return (_DD6_BANDS, _DD6_BAND_BITS)
+    if n_vecs <= 300_000:
+        return (12, 16)
+    if n_vecs <= 3_000_000:
+        return (16, 20)
+    return (20, 24)
+
+
+def _dd6_candidate_pairs(emb: DataFrame, n_bands: int, band_bits: int) -> DataFrame:
+    """Banded sign-LSH candidate (vec_a, vec_b) pairs: agree on at
+    least one band bucket. The join keys are uniform equi hashes —
+    skew-free at any scale."""
+    from ..operators.similarity import lsh_bucket
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            lsh_bucket(
+                "v", _EMB_DIM, band_bits, plane_offset=b * band_bits
+            ).alias("band_bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = emb.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("vec_id", "band.band_idx", "band.band_bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bucket") == F.col("b.band_bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
 
 
 def _dd6_oracle() -> str:
@@ -657,41 +717,22 @@ def _dd6_oracle() -> str:
 @query("dd6_embedding_neardup", oracle=_dd6_oracle())
 def dd6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded sign-LSH:
-    8 bands x 12 disjoint hyperplanes, candidates = pairs sharing any
+    bands x bits disjoint hyperplanes, candidates = pairs sharing any
     band bucket, exact-cosine verification at >= 0.35. The candidate
     join's only keys are (band_idx, band_bucket) — uniform equi keys,
-    no non-equi self-join anywhere in the plan; at 100 TB recall/cost
-    is tuned by the band-bit count (operators/similarity.py; see the
-    geometry note above _DD6_BANDS for the measured retune)."""
-    from ..operators.similarity import cosine, lsh_bucket
+    no non-equi self-join anywhere in the plan. The geometry is
+    auto-tuned from the corpus's vector count (_dd6_geometry: bits ~
+    log2(n) to hold per-bucket fan-in, bands to hold recall >= 99 % at
+    cos 0.99), quantized so every corpus up to 30k vectors keeps the
+    measured 8x12 geometry the static oracle states — the tuning
+    changes behavior only beyond the oracle-checked decade."""
+    from ..operators.similarity import cosine
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            lsh_bucket(
-                "v", _EMB_DIM, _DD6_BAND_BITS, plane_offset=b * _DD6_BAND_BITS
-            ).alias("band_bucket"),
-        )
-        for b in range(_DD6_BANDS)
-    ]
-    bands = emb.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("vec_id", "band.band_idx", "band.band_bucket")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_bucket") == F.col("b.band_bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    n_bands, band_bits = _dd6_geometry(emb.count())
+    cand = _dd6_candidate_pairs(emb, n_bands, band_bits)
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     sim = cosine("va", "vb")
