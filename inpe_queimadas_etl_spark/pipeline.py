@@ -57,9 +57,14 @@ class Warehouse:
     at ANY point before publish — including a Spark job dying
     mid-write — leaves the live table byte-identical; readers never
     see a half-written partition because staging lives outside every
-    table path, and a crash BETWEEN the two renames of one partition's
-    swap is healed on the next publish (_gc_stale restores the _trash
-    backup before clearing staging).
+    table path. The publish itself is atomic ACROSS partitions: once
+    the audit passes an ``_AUDITED`` marker commits the intent, and a
+    crash anywhere in the swap loop (including between the two renames
+    of one partition's swap) is rolled FORWARD by the next publish's
+    _gc_stale, which completes the remaining swaps from the surviving
+    staged dir — so a multi-partition publish lands all-old or
+    all-new, mirroring the reference's delete+insert-in-one-
+    transaction semantics at the table level, not just per-partition.
     """
 
     def __init__(self, root: str):
@@ -90,16 +95,51 @@ class Warehouse:
     def _gc_stale(self, table: str) -> None:
         """Recover from earlier interrupted publishes of this table,
         then clear the staging areas (single-writer pipeline, like the
-        reference's per-day runner). A crash BETWEEN the two renames of
-        a partition swap leaves the only copy of the old data in
-        _trash — so trash contents are RESTORED to any live location
-        that is missing before anything is deleted; a leftover whose
-        live counterpart exists means that swap completed and the
-        backup is safe to drop."""
+        reference's per-day runner). Recovery is two-phase:
+
+        1. Roll FORWARD any publish that crashed after its audit
+           passed (the ``_AUDITED`` marker in the staged dir): the
+           staged output is known-good, so the remaining partition
+           swaps complete exactly as the interrupted publish loop
+           would have — a multi-partition publish lands all-new
+           instead of being finalized in a torn old/new mix
+           (ADVICE r4 #1: cross-partition atomicity). Idempotent:
+           a crash during roll-forward resumes from the same marker.
+        2. Restore backups of publishes that never reached the
+           publish phase. A crash BETWEEN the two renames of a
+           partition swap leaves the only copy of the old data in
+           _trash — trash contents are RESTORED to any live location
+           that is missing before anything is deleted; a leftover
+           whose live counterpart exists means that swap completed
+           and the backup is safe to drop.
+        """
         import shutil
 
         live = self.root / table
         trash_base = self.root / "_trash"
+        tmp_base = self.root / "_tmp"
+        if tmp_base.exists():
+            for tmp in sorted(tmp_base.glob(f"{table}__*")):
+                if not (tmp.is_dir() and (tmp / "_AUDITED").exists()):
+                    continue  # unaudited staging leftover: dropped below
+                trash = trash_base / tmp.name
+                staged = sorted(
+                    d for d in tmp.iterdir() if d.is_dir() and "=" in d.name
+                )
+                live.mkdir(parents=True, exist_ok=True)
+                for pdir in staged:
+                    target = live / pdir.name
+                    if target.exists():
+                        # this partition's swap never started: back the
+                        # old copy up first, like the publish loop does
+                        trash.mkdir(parents=True, exist_ok=True)
+                        target.rename(trash / pdir.name)
+                    # else: crashed between the two renames (old copy
+                    # already in trash) or a brand-new partition —
+                    # either way the staged dir moves straight in
+                    pdir.rename(target)
+                shutil.rmtree(tmp, ignore_errors=True)
+                shutil.rmtree(trash, ignore_errors=True)
         if trash_base.exists():
             for d in sorted(trash_base.glob(f"{table}__*")):
                 if d.is_dir() and any(d.iterdir()):
@@ -116,7 +156,6 @@ class Warehouse:
                         d.rename(live)
                         continue
                 shutil.rmtree(d, ignore_errors=True)
-        tmp_base = self.root / "_tmp"
         if tmp_base.exists():
             for d in tmp_base.glob(f"{table}__*"):
                 shutil.rmtree(d, ignore_errors=True)
@@ -177,6 +216,13 @@ class Warehouse:
             .parquet(str(tmp))
         )
         staged_parts = self._audit_staged(tmp, table)
+        # Publish-phase marker: from here the staged output is audited
+        # good, so _gc_stale rolls an interrupted swap loop FORWARD
+        # (completes the remaining swaps) instead of discarding it —
+        # the publish is atomic across partitions: every partition
+        # lands either all-old (crash before this marker) or all-new
+        # (crash after it), never a finalized mix (ADVICE r4 #1).
+        (tmp / "_AUDITED").touch()
 
         live = self.root / table
         live.mkdir(parents=True, exist_ok=True)

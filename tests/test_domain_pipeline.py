@@ -243,16 +243,14 @@ class TestWriteAuditPublish:
     ):
         """Exhaustive crash matrix: kill the publish at EVERY rename in
         the swap sequence (old->trash and staged->live, both
-        partitions) and assert that after the next publish each
-        partition reads as either fully-old or fully-new — never
-        partial, never lost."""
+        partitions). Every loop rename happens after the audit marker,
+        so the next publish must roll the interrupted publish FORWARD:
+        BOTH partitions read fully-new — cross-partition atomicity,
+        not just per-partition (ADVICE r4 #1; r4 allowed a finalized
+        old/new mix here)."""
         import pathlib
 
         real_rename = pathlib.Path.rename
-        old = {
-            "2024-05-01": {("2024-05-01", i, f"v{i}") for i in range(10)},
-            "2024-05-02": {("2024-05-02", i, f"w{i}") for i in range(10)},
-        }
         new = {
             "2024-05-01": {("2024-05-01", 99, "N1")},
             "2024-05-02": {("2024-05-02", 99, "N2")},
@@ -294,12 +292,103 @@ class TestWriteAuditPublish:
             }
             for day in ("2024-05-01", "2024-05-02"):
                 got = {r for r in rows if r[0] == day}
-                assert got in (old[day], new[day]), (
-                    f"fail_at={fail_at} day={day}: partial/lost partition: {got}"
+                assert got == new[day], (
+                    f"fail_at={fail_at} day={day}: expected rolled-"
+                    f"forward (all-new) partition, got: {got}"
                 )
             assert ("2024-05-03", 1, "x") in rows
             assert not any((wh.root / "_trash").glob("t__*"))
             assert not any((wh.root / "_tmp").glob("t__*"))
+
+    def test_crash_during_rollforward_is_idempotent(self, spark, tmp_path):
+        """A crash DURING recovery's roll-forward must leave a state
+        the NEXT recovery completes — the _AUDITED marker survives
+        until every staged partition has swapped in."""
+        import pathlib
+
+        real_rename = pathlib.Path.rename
+        wh = self._seed(spark, tmp_path)
+        df_new = spark.createDataFrame(
+            [("2024-05-01", 99, "N1"), ("2024-05-02", 99, "N2")],
+            "day string, n int, v string",
+        )
+        # first publish dies at rename #1 (old->trash of partition 1)
+        calls = {"n": 0}
+
+        def explode_at(n_fail, _c=calls):
+            def exploding(pself, target):
+                _c["n"] += 1
+                if _c["n"] == n_fail:
+                    raise OSError(f"simulated crash at rename #{n_fail}")
+                return real_rename(pself, target)
+
+            return exploding
+
+        pathlib.Path.rename = explode_at(1)
+        try:
+            with pytest.raises(OSError):
+                wh.overwrite_partitions(df_new, "t", "day")
+        finally:
+            pathlib.Path.rename = real_rename
+
+        # second publish crashes INSIDE the roll-forward (its first
+        # recovery rename)
+        calls["n"] = 0
+        pathlib.Path.rename = explode_at(1)
+        try:
+            with pytest.raises(OSError):
+                wh.overwrite_partitions(
+                    spark.createDataFrame(
+                        [("2024-05-03", 1, "x")],
+                        "day string, n int, v string",
+                    ),
+                    "t",
+                    "day",
+                )
+        finally:
+            pathlib.Path.rename = real_rename
+
+        # third publish completes recovery, then its own write
+        wh.overwrite_partitions(
+            spark.createDataFrame(
+                [("2024-05-03", 1, "x")], "day string, n int, v string"
+            ),
+            "t",
+            "day",
+        )
+        rows = {
+            (str(r["day"]), r["n"], r["v"])
+            for r in wh.read(spark, "t").collect()
+        }
+        assert {r for r in rows if r[0] == "2024-05-01"} == {
+            ("2024-05-01", 99, "N1")
+        }
+        assert {r for r in rows if r[0] == "2024-05-02"} == {
+            ("2024-05-02", 99, "N2")
+        }
+        assert ("2024-05-03", 1, "x") in rows
+        assert not any((wh.root / "_trash").glob("t__*"))
+        assert not any((wh.root / "_tmp").glob("t__*"))
+
+    def test_unaudited_staging_is_never_published(self, spark, tmp_path):
+        """A staged dir WITHOUT the _AUDITED marker (crash before or
+        during audit) must be discarded, never rolled forward — the
+        data never passed audit."""
+        wh = self._seed(spark, tmp_path)
+        before = {
+            (str(r["day"]), r["n"], r["v"])
+            for r in wh.read(spark, "t").collect()
+        }
+        tmp = wh.root / "_tmp" / "t__unaudited"
+        (tmp / "day=2024-05-01").mkdir(parents=True)
+        (tmp / "day=2024-05-01" / "junk.parquet").write_bytes(b"not parquet")
+        wh._gc_stale("t")
+        after = {
+            (str(r["day"]), r["n"], r["v"])
+            for r in wh.read(spark, "t").collect()
+        }
+        assert after == before
+        assert not (tmp.exists())
 
     def test_full_overwrite_swaps_whole_table(self, spark, tmp_path):
         wh = self._seed(spark, tmp_path)
