@@ -348,12 +348,24 @@ def handle_request(
         return 500, {"detail": f"{type(exc).__name__}: {exc}"}
 
 
-def serve(ctx: ApiContext, host: str = "127.0.0.1", port: int = 8000):
-    """Build (not start) a ThreadingHTTPServer serving the context.
-    Call ``.serve_forever()`` (blocking) or drive it from a thread;
-    ``.server_address`` carries the bound (host, port) — pass port=0
-    for an ephemeral one."""
+def serve(
+    ctx: ApiContext,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    max_workers: int = 16,
+):
+    """Build (not start) a bounded-concurrency HTTP server serving the
+    context. Call ``.serve_forever()`` (blocking) or drive it from a
+    thread; ``.server_address`` carries the bound (host, port) — pass
+    port=0 for an ephemeral one.
+
+    Handler threads come from a fixed ``max_workers`` pool rather than
+    ThreadingHTTPServer's thread-per-connection: one slow Spark-backed
+    endpoint makes further requests queue (cheap socket + task entry)
+    instead of stacking an unbounded pile of handler threads all
+    blocked on the same driver (VERDICT r4 #8)."""
     import urllib.parse
+    from concurrent.futures import ThreadPoolExecutor
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -374,4 +386,23 @@ def serve(ctx: ApiContext, host: str = "127.0.0.1", port: int = 8000):
         def log_message(self, fmt, *args):  # quiet test output
             pass
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class BoundedThreadingHTTPServer(ThreadingHTTPServer):
+        def __init__(self, *args, **kwargs):
+            super().__init__(*args, **kwargs)
+            self._pool = ThreadPoolExecutor(
+                max_workers=max_workers, thread_name_prefix="api-handler"
+            )
+
+        def process_request(self, request, client_address):
+            # ThreadingMixIn's per-connection thread spawn, routed
+            # through the fixed pool; process_request_thread keeps its
+            # finish/shutdown error handling
+            self._pool.submit(
+                self.process_request_thread, request, client_address
+            )
+
+        def server_close(self):
+            super().server_close()
+            self._pool.shutdown(wait=False, cancel_futures=True)
+
+    return BoundedThreadingHTTPServer((host, port), Handler)

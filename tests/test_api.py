@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -262,3 +263,61 @@ def test_caching_second_hit_serves_from_cache(ctx):
     assert status == 200 and body1 == body2
     assert ctx.cache.general.hits == before_hits + 1
     assert ctx.cache.general.misses == before_miss + 1
+
+
+def test_server_bounds_concurrent_handler_threads(monkeypatch):
+    """VERDICT r4 #8: handler threads come from a fixed pool — a slow
+    (Spark-bound) endpoint queues further requests instead of piling
+    up a thread per connection."""
+    import json as _json
+    import urllib.request
+
+    from inpe_queimadas_etl_spark import api as api_mod
+
+    gate = threading.Semaphore(0)
+    state = {"now": 0, "peak": 0}
+    lock = threading.Lock()
+
+    def slow_handler(ctx, path, params):
+        with lock:
+            state["now"] += 1
+            state["peak"] = max(state["peak"], state["now"])
+        gate.acquire(timeout=10)
+        with lock:
+            state["now"] -= 1
+        return 200, {"ok": True}
+
+    monkeypatch.setattr(api_mod, "handle_request", slow_handler)
+    server = api_mod.serve(None, port=0, max_workers=2)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address
+    results = []
+
+    def hit():
+        with urllib.request.urlopen(
+            f"http://{host}:{port}/health", timeout=30
+        ) as r:
+            results.append(_json.loads(r.read()))
+
+    clients = [threading.Thread(target=hit) for _ in range(6)]
+    try:
+        for c in clients:
+            c.start()
+        # let two handlers park on the gate, the rest queue
+        deadline = time.time() + 5
+        while state["peak"] < 2 and time.time() < deadline:
+            time.sleep(0.02)
+        time.sleep(0.3)  # would exceed 2 if unbounded threads ran
+        assert state["peak"] == 2, state
+        for _ in range(6):
+            gate.release()
+        for c in clients:
+            c.join(timeout=30)
+        assert len(results) == 6 and all(r["ok"] for r in results)
+        assert state["peak"] == 2, state
+    finally:
+        for _ in range(10):
+            gate.release()
+        server.shutdown()
+        server.server_close()
