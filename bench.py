@@ -49,6 +49,11 @@ HEADLINE = [
 
 TRANSFORM_ROWS = 100_000
 
+# the two noisiest entries get a wider sample (VERDICT r4 #8): median
+# of 5 instead of 3, so one straggler run cannot move the recorded
+# number
+_EXTRA_RUNS = {"dd2_ngram_jaccard_pairs": 5, "transform_canonicalize_100k": 5}
+
 
 def _write_transform_csv(path: str, n: int) -> None:
     """Deterministic INPE-shaped CSV for the transform bench (P1-P9
@@ -165,10 +170,11 @@ def main() -> None:
             # checksum-consume: every output column is referenced, so
             # Catalyst cannot prune the timed work (VERDICT r4 #1)
             runner = lambda: _consume_checksum(fn(spark, SF_DIR))
-        med, lo, hi = _time_runs(runner)
+        n_runs = _EXTRA_RUNS.get(name, RUNS)
+        med, lo, hi = _time_runs(runner, n_runs)
         timings[name] = med
         spread[name] = [lo, hi]
-        print(f"# {name}: median {med}s over {RUNS} runs "
+        print(f"# {name}: median {med}s over {n_runs} runs "
               f"[{lo}, {hi}]", file=sys.stderr)
         # One transition round of old-style (.count()) numbers so
         # BENCH_r05 stays comparable to r1-r4; dropped next round.
@@ -193,11 +199,12 @@ def main() -> None:
             raw = read_csv_all_string(spark, csv_path)
             curated_from_raw(raw, file_date).count()
 
-        med, lo, hi = _time_runs(run_transform)
+        n_runs = _EXTRA_RUNS["transform_canonicalize_100k"]
+        med, lo, hi = _time_runs(run_transform, n_runs)
         timings["transform_canonicalize_100k"] = med
         spread["transform_canonicalize_100k"] = [lo, hi]
         print(f"# transform_canonicalize_100k: median {med}s over "
-              f"{RUNS} runs [{lo}, {hi}]", file=sys.stderr)
+              f"{n_runs} runs [{lo}, {hi}]", file=sys.stderr)
 
     sf_label = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

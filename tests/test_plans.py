@@ -187,3 +187,17 @@ def test_bench_checksum_consume_defeats_pruning(spark):
     )
     # the runner really executes and returns one aggregated row
     assert len(_consume_checksum(df)) == 1
+
+
+def test_dd2_lsh_route_is_equi_join_only(spark):
+    """The saturated-vocab fallback (dd2 prefix_order='lsh') must stay
+    an equi bucket join — the whole point of routing away from the
+    prefix path is bounded candidate volume, which a silent
+    cartesian/nested-loop degradation would void."""
+    from inpe_queimadas_etl_spark.suite.llmdata import dd2_ngram_jaccard_pairs
+
+    plan = _plan(
+        dd2_ngram_jaccard_pairs(spark, SF0001, prefix_order="lsh"), "simple"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
