@@ -54,6 +54,17 @@ TRANSFORM_ROWS = 100_000
 # number
 _EXTRA_RUNS = {"dd2_ngram_jaccard_pairs": 5, "transform_canonicalize_100k": 5}
 
+# benched-but-unregistered queries (the suite registry is capped at 50
+# entries to fit the driver's correctness snapshot); main() resolves
+# these directly from their modules, and validate-repo checks that
+# every other HEADLINE entry exists in the registry
+UNREGISTERED = (
+    "p7_stable_event_hash",
+    "geo8_dense_pip",
+    "skew_hot_distinct_naive",
+    "skew_hot_distinct_two_phase",
+)
+
 
 def _write_transform_csv(path: str, n: int) -> None:
     """Deterministic INPE-shaped CSV for the transform bench (P1-P9
@@ -160,7 +171,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
-            continue
+            # a silent skip would shrink the headline total and read
+            # as a perf win — fail loudly on renames/removals instead
+            raise KeyError(
+                f"bench HEADLINE entry {name!r} not found in the suite "
+                "registry; update HEADLINE or restore the query"
+            )
         if name.startswith("skew_"):
             # collect() the (few) result rows directly: the demo's
             # artifact is the naive-vs-two-phase gap and both already

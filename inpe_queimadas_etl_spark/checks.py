@@ -190,6 +190,7 @@ def validate_repo_structure() -> dict:
     Driver-side only; no SparkSession needed."""
     failures: list[str] = []
     n_queries = n_oracles = 0
+    q: dict = {}
     try:
         from .suite import all_oracles, all_queries
 
@@ -222,6 +223,30 @@ def validate_repo_structure() -> dict:
         # SyntaxError / AttributeError / anything else at import time
         # is a structural failure, not a crash of validate-repo
         failures.append(f"__spark_entry__ import failed: {ex!r}")
+    if q:
+        # bench integrity: a renamed/removed registry query must not
+        # silently vanish from the headline benchmark (bench.py also
+        # raises at runtime; this catches it without a Spark session)
+        try:
+            import bench as bench_mod
+
+            extra = set(getattr(bench_mod, "UNREGISTERED", ()))
+            missing_bench = [
+                h
+                for h in getattr(bench_mod, "HEADLINE", ())
+                if h not in q and h not in extra
+            ]
+            if missing_bench:
+                failures.append(
+                    "bench HEADLINE entries missing from registry: "
+                    f"{missing_bench}"
+                )
+        except ImportError as ex:
+            if getattr(ex, "name", None) != "bench":
+                failures.append(f"bench import failed: {ex!r}")
+            # bench.py absent: running outside the repo root is fine
+        except Exception as ex:
+            failures.append(f"bench import failed: {ex!r}")
     return {
         "name": "repo_structure",
         "ok": not failures,

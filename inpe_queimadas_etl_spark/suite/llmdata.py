@@ -325,10 +325,14 @@ def dd2_ngram_jaccard_pairs(
         # to banded-LSH candidates instead (VERDICT r4 #3). The stats
         # job is one map-side-combined groupBy + tiny agg; n_docs is a
         # count on the checkpointed sets.
+        # df^2 summed as double: a count-squared sum in long overflows
+        # (ANSI error) once df reaches ~3e9 — double keeps the
+        # heuristic overflow-proof at any corpus size, and precision
+        # loss is irrelevant to a threshold comparison
         st = df_tbl.agg(
             F.max("df").alias("mx"),
             F.expr("approx_percentile(df, 0.5)").alias("md"),
-            F.sum(F.col("df") * F.col("df")).alias("df2"),
+            F.sum(F.col("df").cast("double") * F.col("df")).alias("df2"),
         ).first()
         prefix_order = _dd2_prefix_order_choice(
             st["mx"], st["md"], n_docs=raw_sets.count(), sum_df2=st["df2"]

@@ -389,3 +389,21 @@ def test_validate_repo_structure_broken_entry_module(monkeypatch):
     )
     s = validate_repo_structure()
     assert s["ok"], s
+
+
+def test_validate_repo_structure_catches_bench_registry_drift(monkeypatch):
+    """A registry rename must not silently drop a bench HEADLINE entry
+    (bench's silent skip would read as a perf win)."""
+    import bench as bench_mod
+
+    from inpe_queimadas_etl_spark.checks import validate_repo_structure
+
+    s = validate_repo_structure()
+    assert s["ok"], s  # current HEADLINE fully resolvable
+
+    monkeypatch.setattr(
+        bench_mod, "HEADLINE", list(bench_mod.HEADLINE) + ["q99_renamed_away"]
+    )
+    s = validate_repo_structure()
+    assert not s["ok"]
+    assert any("q99_renamed_away" in f for f in s["failures"])
