@@ -253,7 +253,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "runs_per_query": RUNS,
+        "runs_per_query": {"default": RUNS, **_EXTRA_RUNS},
         "spread": spread,
         "consume": "bit_xor(xxhash64(struct(*))) — unprunable; see _consume_checksum",
         "comparable_r1_subset_total": round(

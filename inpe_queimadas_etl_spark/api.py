@@ -364,8 +364,9 @@ def serve(
     endpoint makes further requests queue (cheap socket + task entry)
     instead of stacking an unbounded pile of handler threads all
     blocked on the same driver (VERDICT r4 #8)."""
+    import queue as queue_mod
+    import threading
     import urllib.parse
-    from concurrent.futures import ThreadPoolExecutor
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -387,22 +388,41 @@ def serve(
             pass
 
     class BoundedThreadingHTTPServer(ThreadingHTTPServer):
+        """Fixed pool of DAEMON workers fed by a queue. Not a
+        concurrent.futures pool: its workers are non-daemon and joined
+        by an atexit hook, so one handler wedged on a hung driver call
+        would block interpreter exit — this preserves
+        ThreadingHTTPServer's own daemon_threads=True shutdown
+        semantics while still bounding concurrency."""
+
         def __init__(self, *args, **kwargs):
             super().__init__(*args, **kwargs)
-            self._pool = ThreadPoolExecutor(
-                max_workers=max_workers, thread_name_prefix="api-handler"
-            )
+            self._queue: queue_mod.SimpleQueue = queue_mod.SimpleQueue()
+            self._workers = []
+            for i in range(max_workers):
+                t = threading.Thread(
+                    target=self._worker,
+                    name=f"api-handler-{i}",
+                    daemon=True,
+                )
+                t.start()
+                self._workers.append(t)
+
+        def _worker(self):
+            while True:
+                item = self._queue.get()
+                if item is None:
+                    return
+                # ThreadingMixIn's handler body: finish_request +
+                # per-request error handling + shutdown_request
+                self.process_request_thread(*item)
 
         def process_request(self, request, client_address):
-            # ThreadingMixIn's per-connection thread spawn, routed
-            # through the fixed pool; process_request_thread keeps its
-            # finish/shutdown error handling
-            self._pool.submit(
-                self.process_request_thread, request, client_address
-            )
+            self._queue.put((request, client_address))
 
         def server_close(self):
             super().server_close()
-            self._pool.shutdown(wait=False, cancel_futures=True)
+            for _ in self._workers:
+                self._queue.put(None)
 
     return BoundedThreadingHTTPServer((host, port), Handler)

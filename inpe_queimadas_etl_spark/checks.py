@@ -230,6 +230,18 @@ def validate_repo_structure() -> dict:
         try:
             import bench as bench_mod
 
+            from pathlib import Path as _Path
+
+            repo_root = _Path(__file__).resolve().parent.parent
+            mod_file = getattr(bench_mod, "__file__", None)
+            if (
+                mod_file is None
+                or _Path(mod_file).resolve().parent != repo_root
+            ):
+                # an unrelated installed package named 'bench' (e.g.
+                # the frappe CLI) — not our harness; the check would
+                # be vacuously green, so skip it like module-absent
+                raise ModuleNotFoundError("foreign bench", name="bench")
             extra = set(getattr(bench_mod, "UNREGISTERED", ()))
             missing_bench = [
                 h

@@ -92,6 +92,23 @@ class Warehouse:
         d.parent.mkdir(parents=True, exist_ok=True)
         return d
 
+    @staticmethod
+    def _staging_dirs(base: Path, table: str) -> list[Path]:
+        """Staging/backup dirs belonging to THIS table: name must be
+        exactly ``<table>__<32-hex-uuid>``. A bare ``{table}__*`` glob
+        also matches dirs of any table whose own name starts with
+        ``<table>__`` (e.g. table 't__archive' vs table 't'), and
+        recovery renaming ANOTHER table's staged partitions into this
+        table's live dir would be cross-table corruption (r5 review)."""
+        out = []
+        for d in sorted(base.glob(f"{table}__*")):
+            suffix = d.name[len(table) + 2 :]
+            if len(suffix) == 32 and all(
+                c in "0123456789abcdef" for c in suffix
+            ):
+                out.append(d)
+        return out
+
     def _gc_stale(self, table: str) -> None:
         """Recover from earlier interrupted publishes of this table,
         then clear the staging areas (single-writer pipeline, like the
@@ -119,7 +136,7 @@ class Warehouse:
         trash_base = self.root / "_trash"
         tmp_base = self.root / "_tmp"
         if tmp_base.exists():
-            for tmp in sorted(tmp_base.glob(f"{table}__*")):
+            for tmp in self._staging_dirs(tmp_base, table):
                 if not (tmp.is_dir() and (tmp / "_AUDITED").exists()):
                     continue  # unaudited staging leftover: dropped below
                 trash = trash_base / tmp.name
@@ -141,7 +158,7 @@ class Warehouse:
                 shutil.rmtree(tmp, ignore_errors=True)
                 shutil.rmtree(trash, ignore_errors=True)
         if trash_base.exists():
-            for d in sorted(trash_base.glob(f"{table}__*")):
+            for d in self._staging_dirs(trash_base, table):
                 if d.is_dir() and any(d.iterdir()):
                     entries = sorted(p for p in d.iterdir())
                     if all(e.is_dir() and "=" in e.name for e in entries):
@@ -157,7 +174,7 @@ class Warehouse:
                         continue
                 shutil.rmtree(d, ignore_errors=True)
         if tmp_base.exists():
-            for d in tmp_base.glob(f"{table}__*"):
+            for d in self._staging_dirs(tmp_base, table):
                 shutil.rmtree(d, ignore_errors=True)
 
     @staticmethod

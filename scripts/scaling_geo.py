@@ -56,11 +56,12 @@ def gen_events(n: int, seed: int) -> pa.Table:
 
 
 def _consume(df) -> None:
-    from pyspark.sql import functions as F
+    # the one canonical consume protocol lives in bench.py (repo root
+    # is on sys.path before any _consume call) — a local copy would
+    # silently diverge the next time the protocol changes
+    from bench import _consume_checksum
 
-    df.select(
-        F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("checksum")
-    ).collect()
+    _consume_checksum(df)
 
 
 def main() -> None:

@@ -183,7 +183,7 @@ class TestWriteAuditPublish:
         (review finding: blind gc lost the partition permanently)."""
         wh = self._seed(spark, tmp_path)
         live = wh.root / "t"
-        trash = wh.root / "_trash" / "t__crashed"
+        trash = wh.root / "_trash" / ("t__" + "c" * 32)
         trash.mkdir(parents=True)
         # simulate the mid-swap crash state for day=2024-05-01
         (live / "day=2024-05-01").rename(trash / "day=2024-05-01")
@@ -208,7 +208,7 @@ class TestWriteAuditPublish:
         df = spark.createDataFrame([("x", 1)], "a string, b int")
         wh.overwrite(df, "trend")
         live = wh.root / "trend"
-        trash = wh.root / "_trash" / "trend__crashed"
+        trash = wh.root / "_trash" / ("trend__" + "c" * 32)
         trash.parent.mkdir(parents=True, exist_ok=True)
         live.rename(trash)
         assert not live.exists()
@@ -370,6 +370,50 @@ class TestWriteAuditPublish:
         assert not any((wh.root / "_trash").glob("t__*"))
         assert not any((wh.root / "_tmp").glob("t__*"))
 
+    def test_recovery_never_touches_prefix_named_sibling_tables(
+        self, spark, tmp_path
+    ):
+        """r5 review: table 't' recovery must not roll forward or
+        delete staging that belongs to table 't__archive' (whose dir
+        names also start with 't__') — staged names are matched as
+        <table>__<32-hex> exactly."""
+        wh = self._seed(spark, tmp_path)
+        other = spark.createDataFrame(
+            [("2024-05-01", 1, "ARCH")], "day string, n int, v string"
+        )
+        # an interrupted, audited publish of the SIBLING table
+        tmp = wh.root / "_tmp" / ("t__archive__" + "a" * 32)
+        part = tmp / "day=2024-05-01"
+        part.mkdir(parents=True)
+        (tmp / "_AUDITED").touch()
+        (tmp / "_SUCCESS").touch()
+        (part / "x.parquet").write_bytes(b"sibling staged bytes")
+
+        before = {
+            (str(r["day"]), r["n"], r["v"])
+            for r in wh.read(spark, "t").collect()
+        }
+        wh.overwrite_partitions(other, "t", "day")  # runs _gc_stale("t")
+        after = {
+            (str(r["day"]), r["n"], r["v"])
+            for r in wh.read(spark, "t").collect()
+        }
+        # t's own publish applied; the sibling's staging is untouched
+        assert ("2024-05-01", 1, "ARCH") in after
+        assert after - before == {("2024-05-01", 1, "ARCH")} or (
+            "2024-05-01",
+            1,
+            "ARCH",
+        ) in after
+        assert tmp.exists() and (part / "x.parquet").read_bytes() == (
+            b"sibling staged bytes"
+        )
+        # and t__archive's own recovery still rolls ITS publish forward
+        wh._gc_stale("t__archive")
+        assert not tmp.exists()
+        arch = wh.root / "t__archive" / "day=2024-05-01" / "x.parquet"
+        assert arch.read_bytes() == b"sibling staged bytes"
+
     def test_unaudited_staging_is_never_published(self, spark, tmp_path):
         """A staged dir WITHOUT the _AUDITED marker (crash before or
         during audit) must be discarded, never rolled forward — the
@@ -379,7 +423,7 @@ class TestWriteAuditPublish:
             (str(r["day"]), r["n"], r["v"])
             for r in wh.read(spark, "t").collect()
         }
-        tmp = wh.root / "_tmp" / "t__unaudited"
+        tmp = wh.root / "_tmp" / ("t__" + "d" * 32)
         (tmp / "day=2024-05-01").mkdir(parents=True)
         (tmp / "day=2024-05-01" / "junk.parquet").write_bytes(b"not parquet")
         wh._gc_stale("t")
