@@ -128,6 +128,38 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _cpu_marker() -> dict[str, float]:
+    """Spark-independent machine-speed probe, recorded so cross-round
+    comparisons can separate plan changes from driver-VM variance:
+    identical code measured a 7.44 s count-style comparable subset on
+    one round-5 VM instance and 9.12 s (idle) on a fresh instance the
+    same round — a ±20 % band no per-query analysis can explain from
+    plans. Two fixed workloads, median of 5: a numpy matmul (memory
+    bandwidth + SIMD) and a pure-Python loop (single-core scalar)."""
+    import numpy as np
+
+    a = np.fromfunction(
+        lambda i, j: ((i * 37 + j * 11) % 97) / 97.0, (512, 512)
+    )
+    m_samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(8):
+            a = 0.5 * (a @ a) / 512.0 + 0.5
+        m_samples.append(time.perf_counter() - t0)
+    p_samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(1_000_000):
+            acc = (acc + i * 17) % 1_000_003
+        p_samples.append(time.perf_counter() - t0)
+    return {
+        "numpy_matmul_s": round(statistics.median(m_samples), 4),
+        "python_loop_s": round(statistics.median(p_samples), 4),
+    }
+
+
 def main() -> None:
     from inpe_queimadas_etl_spark.session import get_spark, load_table
     from inpe_queimadas_etl_spark.suite import all_queries
@@ -165,6 +197,7 @@ def main() -> None:
         load_table(spark, SF_DIR, warm_tbl).count()
 
     load_before = _loadavg()
+    cpu_marker = _cpu_marker()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     count_style: dict[str, float] = {}
@@ -268,18 +301,25 @@ def main() -> None:
         # machine-load markers (VERDICT r4 #2: prove/deny env drift)
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
+        "cpu_marker": cpu_marker,
         "cpus": CPUS,
         "notes": (
             "'queries' = checksum-consumed (unprunable) timings, adopted "
             "r5; 'queries_count_style' = one transition round of the "
-            "r1-r4 .count() protocol. Drift analysis (VERDICT r4 #2), "
-            "root cause FOUND: cross-query interference inside the "
-            "bench process — Python-held localCheckpoint RDDs from "
-            "earlier queries keep executor blocks alive (isolated dd7 "
-            "1.55 s vs 2.2 s late in a bench run). With a gc.collect() "
-            "between queries the count-style comparable subset measures "
-            "7.44 s — at/below r3's 7.68 s — so no plan regressed; the "
-            "r4 number was bench-process state, not code or machine."
+            "r1-r4 .count() protocol. Drift analysis (VERDICT r4 #2) — "
+            "two root causes FOUND and instrumented: (1) cross-query "
+            "interference inside the bench process (Python-held "
+            "localCheckpoint RDDs keep executor blocks alive; isolated "
+            "dd7 1.55 s vs 2.2 s late in a run) — fixed with a "
+            "gc.collect() between queries; (2) driver-VM instance "
+            "variance: IDENTICAL code measured a 7.44 s count-style "
+            "comparable subset on one r5 VM and 9.12 s idle on a fresh "
+            "VM the same round (r4's 8.75 s sits inside that band, "
+            "r3's 7.68 s at its fast edge) — no per-query plan story "
+            "survives a uniform ±20 % band. 'cpu_marker' records a "
+            "Spark-independent speed probe so future rounds can "
+            "normalize for it; compare rounds via count_style/"
+            "cpu_marker, not raw seconds."
         ),
     }
     print(json.dumps(result))
