@@ -36,6 +36,7 @@ HEADLINE = [
     "dd3_minhash_signatures",
     "dd4_minhash_lsh_candidates",
     "dd7_dedup_clusters",
+    "dd8_passage_dedup",
     "sim1_knn_cosine_topk",
     "tx2_token_counts",
     "tx6_ngram_topk",
@@ -63,6 +64,7 @@ UNREGISTERED = (
     "geo8_dense_pip",
     "skew_hot_distinct_naive",
     "skew_hot_distinct_two_phase",
+    "dd8_passage_dedup",
 )
 
 
@@ -177,6 +179,7 @@ def main() -> None:
     # snapshot; p7 is value-checked inside micro_ops_battery, geo8 in
     # tests/test_suite_oracle.py).
     from inpe_queimadas_etl_spark.suite.geo import geo8_dense_pip
+    from inpe_queimadas_etl_spark.suite.llmdata import dd8_passage_dedup
     from inpe_queimadas_etl_spark.suite.relational import p7_stable_event_hash
     from inpe_queimadas_etl_spark.suite.skewdemo import (
         skew_hot_distinct_naive,
@@ -185,6 +188,7 @@ def main() -> None:
 
     queries.setdefault("p7_stable_event_hash", p7_stable_event_hash)
     queries.setdefault("geo8_dense_pip", geo8_dense_pip)
+    queries.setdefault("dd8_passage_dedup", dd8_passage_dedup)
     # skew demo pair: the recorded gap (naive single hot reducer vs
     # salted two-phase) is the artifact — see suite/skewdemo.py
     queries.setdefault("skew_hot_distinct_naive", skew_hot_distinct_naive)

@@ -920,6 +920,129 @@ def _dd7_assemble(docs: DataFrame, labels: DataFrame) -> DataFrame:
     return clustered.union(singles)
 
 
+# --- dd8: cross-document duplicate-passage removal -------------------------
+# Passage-granular exact dedup (the "dedup inside documents" tier of a
+# training-data pipeline): chunk each doc into fixed 8-word passages,
+# drop every passage that appears verbatim in >= 2 DISTINCT docs
+# (boilerplate, licence headers, templated spans), and reassemble the
+# residual text in original order. Whole-document dedup (dd1/dd2/dd4)
+# cannot catch these — two docs sharing one boilerplate paragraph are
+# nowhere near any jaccard threshold.
+#
+# UNREGISTERED (the driver registry is capped at 50) — oracle-compared
+# in tests/test_suite_oracle.py (the geo8 pattern) and benched in
+# bench.py.
+
+_DD8_CHUNK_WORDS = 8
+_DD8_MIN_DOCS = 2
+
+DD8_SQL = f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ch AS (
+        SELECT doc_id, c,
+               array_to_string(
+                   w[c*{_DD8_CHUNK_WORDS}+1 : c*{_DD8_CHUNK_WORDS}+{_DD8_CHUNK_WORDS}],
+                   ' ') AS chunk
+        FROM w, LATERAL (
+            SELECT unnest(range(CAST(ceil(len(w) / {_DD8_CHUNK_WORDS}.0) AS BIGINT))) AS c
+        )
+    ),
+    dup AS (
+        SELECT chunk FROM ch GROUP BY chunk
+        HAVING count(DISTINCT doc_id) >= {_DD8_MIN_DOCS}
+    ),
+    kept AS (SELECT * FROM ch WHERE chunk NOT IN (SELECT chunk FROM dup)),
+    re AS (
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY c) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        FROM ch GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(re.clean_text, '') AS clean_text,
+           tot.n_chunks,
+           tot.n_chunks - coalesce(re.n_kept, 0) AS n_removed
+    FROM documents d
+    JOIN tot ON tot.doc_id = d.doc_id
+    LEFT JOIN re ON re.doc_id = d.doc_id
+"""
+
+
+def dd8_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove passages duplicated across documents; keep each doc's
+    residual text in original order.
+
+    Scale design: passages reduce to (doc_id, position, chunk) rows
+    map-side; the duplicated-passage set is a hash-groupBy over chunk
+    text (uniform keys, two-phase distinct-count partials), and removal
+    is a left-anti join against that set — chunk-hash shuffles only,
+    never doc x doc. Reassembly sorts each doc's surviving chunks
+    inside a single groupBy (struct array_sort — no window, no second
+    shuffle). At 100 TB the dup set is the only broadcast-unsafe
+    artifact and it stays a fraction of corpus size (only repeated
+    passages survive the HAVING)."""
+    k = _DD8_CHUNK_WORDS
+    docs = load_table(spark, sf_dir, "documents")
+    docs_w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    chunk_arr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(w) / {k}.0) as int) - 1),"
+        f" c -> concat_ws(' ', slice(w, c * {k} + 1, {k})))"
+    )
+    # duplicate detection shuffles 64-bit chunk hashes, never chunk
+    # strings (collision-free in practice; the same stance dd2 takes
+    # for shingles — the DuckDB oracle groups the strings and agrees)
+    dup = (
+        docs_w.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(transform(sequence(0, cast(ceil(size(w) / {k}.0) as int) - 1),"
+                    f" c -> concat_ws(' ', slice(w, c * {k} + 1, {k}))), x -> xxhash64(x))"
+                )
+            ).alias("h"),
+        )
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _DD8_MIN_DOCS)
+        .select("h")
+    )
+    chunks = docs_w.select(
+        "doc_id", F.posexplode(chunk_arr).alias("c", "chunk")
+    ).withColumn("h", F.xxhash64("chunk"))
+    kept = chunks.join(dup, "h", "left_anti")
+    re = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("c", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    # per-doc chunk totals are pure arithmetic on the word count — no
+    # explode, no shuffle beyond the final (tiny) joins
+    tot = docs_w.select(
+        "doc_id",
+        F.ceil(F.size("w") / k).cast("bigint").alias("n_chunks"),
+    )
+    return (
+        tot.join(re, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
 @query(
     "cur1_corpus_curation",
     oracle=_MINHASH_SQL_BODY.replace("WITH sh AS", "WITH RECURSIVE sh AS")

@@ -128,6 +128,53 @@ def _compare_to_oracle(spark, name, fn, sql):
     assert not mismatches, f"{name}: value mismatches {mismatches}"
 
 
+def test_dd8_passage_dedup_matches_oracle(spark):
+    """dd8 is unregistered (50-entry snapshot cap) but oracle-checked
+    here and benched in bench.py: cross-document duplicate-passage
+    removal with order-preserving reassembly."""
+    from inpe_queimadas_etl_spark.suite.llmdata import DD8_SQL, dd8_passage_dedup
+
+    _compare_to_oracle(spark, "dd8_passage_dedup", dd8_passage_dedup, DD8_SQL)
+
+
+def test_dd8_removes_planted_boilerplate(spark):
+    """A verbatim 8-word passage planted into several docs is removed
+    from every one; untouched docs round-trip byte-identically."""
+    import pandas as pd
+
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        _DD8_CHUNK_WORDS,
+        dd8_passage_dedup,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(_DD8_CHUNK_WORDS))
+    rows = [
+        # boilerplate at a chunk boundary in two docs
+        (0, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (1, boiler + " one two three four five six seven eight"),
+        (2, "unique words only in this particular document here now"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(pdf).write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        out = (
+            dd8_passage_dedup(spark, tmp)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+    assert boiler not in out.loc[0, "clean_text"]
+    assert boiler not in out.loc[1, "clean_text"]
+    assert out.loc[0, "n_removed"] == 1 and out.loc[1, "n_removed"] == 1
+    assert out.loc[2, "clean_text"] == rows[2][1]
+    assert out.loc[2, "n_removed"] == 0
+
+
 def test_geo8_dense_pip_matches_oracle(spark):
     """geo8 is unregistered (50-entry snapshot cap; geo1 carries the J2
     driver row) but stays oracle-checked here and benched in bench.py."""
