@@ -200,6 +200,121 @@ def windowed_event_counts(
     )
 
 
+def _read_or_empty(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
+    """Read a parquet dir that may not exist yet (first micro-batch);
+    fall back to an empty frame with ``like``'s schema."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], like.schema)
+
+
+def start_corpus_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    threshold: float | None = None,
+    on_batch=None,
+):
+    """Streaming incremental corpus dedup: each micro-batch of newly
+    landed document files is flagged against the ever-growing accepted
+    corpus via the persistent index (incremental.py), then the
+    accepted survivors and their index increment are appended — the
+    always-on form of the crawl-snapshot dedup loop.
+
+    Per micro-batch:
+    1. within-batch exact dedup (first doc_id per md5 wins — the
+       P8/dd1 contract); within-batch NEAR dups are intentionally out
+       of scope here (that is the batch dd2/dd4 self-join's job,
+       run upstream per snapshot);
+    2. cross-corpus flagging through ``incremental_dedup`` against the
+       index parquet built by every PRIOR batch — the corpus is never
+       rescanned, only candidate doc_ids' text is fetched;
+    3. one verdict row per incoming doc lands in ``out_dir/flags``,
+       accepted docs in ``out_dir/accepted``, and the accepted rows'
+       exact + band index increments in ``index_dir``.
+
+    Restart idempotency: every sink write goes to a
+    ``batch_id=<id>`` partition dir with overwrite mode, so a batch
+    replayed after a crash (foreachBatch re-delivery) overwrites its
+    own partition instead of double-appending; the streaming
+    checkpoint guarantees each landed file is delivered in exactly one
+    batch_id. Returns the StreamingQuery.
+    """
+    from .incremental import (
+        NEAR_DUP_THRESHOLD,
+        exact_hash_index,
+        incremental_dedup,
+        minhash_band_index,
+    )
+
+    thr = NEAR_DUP_THRESHOLD if threshold is None else threshold
+    schema = spark.read.parquet(docs_dir).schema
+    src = spark.readStream.schema(schema).parquet(docs_dir)
+    empty_docs = spark.createDataFrame([], schema)
+
+    def _write(df: DataFrame, root: str, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{root}/batch_id={batch_id}")
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        h = batch.withColumn("__th", F.md5("text"))
+        first = h.groupBy("__th").agg(F.min("doc_id").alias("__first_id"))
+        j = h.join(first, "__th")
+        intra = j.filter(F.col("doc_id") != F.col("__first_id")).select(
+            "doc_id",
+            F.lit("exact").alias("dup_kind"),
+            F.col("__first_id").alias("dup_of"),
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+        uniq = (
+            j.filter(F.col("doc_id") == F.col("__first_id"))
+            .drop("__th", "__first_id")
+            .localCheckpoint(eager=True)
+        )
+
+        accepted = _read_or_empty(spark, f"{out_dir}/accepted", empty_docs)
+        ei = _read_or_empty(
+            spark, f"{index_dir}/exact", exact_hash_index(empty_docs)
+        )
+        bi = _read_or_empty(
+            spark, f"{index_dir}/bands", minhash_band_index(empty_docs)
+        )
+        verdicts = incremental_dedup(
+            uniq, accepted, exact_index=ei, band_index=bi, threshold=thr
+        ).localCheckpoint(eager=True)
+
+        survivors = uniq.join(
+            verdicts.filter(F.col("dup_kind").isNotNull()).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        _write(verdicts.unionByName(intra), f"{out_dir}/flags", batch_id)
+        _write(survivors, f"{out_dir}/accepted", batch_id)
+        _write(exact_hash_index(survivors), f"{index_dir}/exact", batch_id)
+        _write(minhash_band_index(survivors), f"{index_dir}/bands", batch_id)
+        if on_batch is not None:
+            on_batch(
+                batch_id,
+                {
+                    "n_in": batch.count(),
+                    "n_accepted": survivors.count(),
+                },
+            )
+
+    writer = (
+        src.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_first_seen_dedup(
     stream_df: DataFrame,
     key_col: str = "event_hash",

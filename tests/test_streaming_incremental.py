@@ -1,0 +1,108 @@
+"""Streaming incremental corpus dedup (streaming.start_corpus_dedup_stream):
+cross-batch exact + near flagging against the growing index, restart
+idempotency from the streaming checkpoint."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from inpe_queimadas_etl_spark.streaming import start_corpus_dedup_stream
+
+def _doc(seed: int, n: int = 45) -> str:
+    import random
+
+    rng = random.Random(seed)
+    return " ".join(f"w{rng.randrange(1000)}" for _ in range(n))
+
+
+def _drain(spark, dirs):
+    q = start_corpus_dedup_stream(
+        spark,
+        docs_dir=dirs["docs"],
+        index_dir=dirs["index"],
+        out_dir=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def _write_batch(spark, docs_dir, rows, name):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(docs_dir, f"{name}.parquet"),
+    )
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "docs": str(tmp_path / "docs"),
+        "index": str(tmp_path / "index"),
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["docs"])
+    return d
+
+
+def test_cross_batch_dedup_and_restart(spark, dirs):
+    # batch 1: three unique docs + one in-batch exact dup of doc 0
+    base = _doc(1)
+    _write_batch(
+        spark,
+        dirs["docs"],
+        [(0, base), (1, _doc(2)), (2, _doc(3)), (3, base)],
+        "b1",
+    )
+    _drain(spark, dirs)
+
+    accepted = spark.read.parquet(f"{dirs['out']}/accepted")
+    flags = spark.read.parquet(f"{dirs['out']}/flags").toPandas()
+    assert sorted(r.doc_id for r in accepted.collect()) == [0, 1, 2]
+    f3 = flags.set_index("doc_id").loc[3]
+    assert f3["dup_kind"] == "exact" and f3["dup_of"] == 0
+
+    # batch 2: exact dup of accepted doc 1, near dup of accepted doc 2
+    # (last two words dropped), and one genuinely new doc
+    near = " ".join(_doc(3).split()[:-2])
+    _write_batch(
+        spark,
+        dirs["docs"],
+        [(10, _doc(2)), (11, near), (12, _doc(9))],
+        "b2",
+    )
+    _drain(spark, dirs)
+
+    accepted = spark.read.parquet(f"{dirs['out']}/accepted")
+    flags = (
+        spark.read.parquet(f"{dirs['out']}/flags")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert sorted(r.doc_id for r in accepted.collect()) == [0, 1, 2, 12]
+    assert flags.loc[10, "dup_kind"] == "exact"
+    assert flags.loc[10, "dup_of"] == 1
+    assert flags.loc[11, "dup_kind"] == "near"
+    assert flags.loc[11, "dup_of"] == 2
+    assert flags.loc[11, "jaccard"] >= 0.5
+    assert pd.isna(flags.loc[12, "dup_kind"])
+
+    # index grew with the accepted survivors only
+    ei = spark.read.parquet(f"{dirs['index']}/exact")
+    assert sorted(r.corpus_doc_id for r in ei.collect()) == [0, 1, 2, 12]
+
+    # restart with the same checkpoint and no new files: a re-drain
+    # must be a no-op (every landed file already committed)
+    _drain(spark, dirs)
+    accepted2 = spark.read.parquet(f"{dirs['out']}/accepted")
+    assert accepted2.count() == 4
+    assert spark.read.parquet(f"{dirs['out']}/flags").count() == 7
