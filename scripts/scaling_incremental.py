@@ -1,0 +1,182 @@
+"""Scaling validation for incremental corpus dedup (incremental.py).
+
+The claim to verify: flagging a FIXED-size new batch against a growing
+corpus through the persistent index costs far less than recomputing
+dedup over corpus+batch, and grows only with the (narrow) index scan —
+never with corpus text.
+
+Protocol: synthetic corpora at 10k / 50k / 200k docs (same realistic
+Zipfian generator as scaling_dedup.py), a fixed 1,000-doc batch with a
+deterministic 5 % exact + 5 % near dup tail drawn from the corpus.
+Per corpus size, measure:
+- index_build: exact + band index materialized to parquet (paid once
+  per corpus, amortized over every future batch);
+- flag: incremental_dedup(batch, corpus, prebuilt indexes) — the
+  recurring per-snapshot cost;
+- foil: dd4-style LSH candidates over corpus UNION batch — what a
+  pipeline without the index pays per snapshot (recomputes every
+  corpus signature every time).
+
+Exponent = log-log least-squares slope of wall time vs corpus rows.
+Recorded in SCALING.md.
+
+Usage: python scripts/scaling_incremental.py  [env: SPARK_GRAFT_CPUS]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.scaling_dedup import gen_documents  # noqa: E402
+
+SIZES = {"10k": 10_000, "50k": 50_000, "200k": 200_000}
+BATCH_N = 1_000
+
+
+def gen_batch(corpus: pa.Table, seed: int) -> pa.Table:
+    """1,000-doc batch: 5 % exact copies of corpus docs, 5 % near
+    copies (last two words dropped), 90 % fresh text."""
+    rng = np.random.default_rng(seed)
+    fresh = gen_documents(BATCH_N, seed=seed + 7)
+    texts = fresh.column("text").to_pylist()
+    corpus_texts = corpus.column("text").to_pylist()
+    n = len(corpus_texts)
+    n_exact = BATCH_N // 20
+    n_near = BATCH_N // 20
+    src = rng.integers(0, n, size=n_exact + n_near)
+    for i in range(n_exact):
+        texts[i] = corpus_texts[int(src[i])]
+    for i in range(n_near):
+        words = corpus_texts[int(src[n_exact + i])].split()
+        texts[n_exact + i] = " ".join(words[: max(3, len(words) - 2)])
+    base = 10_000_000
+    return pa.table(
+        {
+            "doc_id": pa.array(range(base, base + BATCH_N), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": fresh.column("lang"),
+            "source": fresh.column("source"),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+
+
+def _fit_exponent(times: dict[str, float]) -> float:
+    xs = [math.log(SIZES[s]) for s in SIZES]
+    ys = [math.log(max(times[s], 1e-3)) for s in SIZES]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    return round(
+        sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        / sum((x - mx) ** 2 for x in xs),
+        2,
+    )
+
+
+def main() -> None:
+    from inpe_queimadas_etl_spark.incremental import (
+        exact_hash_index,
+        incremental_dedup,
+        minhash_band_index,
+    )
+    from inpe_queimadas_etl_spark.session import get_spark
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        dd4_minhash_lsh_candidates,
+    )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(
+        app_name="scaling-incremental",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+        extra_conf={"spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    flag_t: dict[str, float] = {}
+    build_t: dict[str, float] = {}
+    foil_t: dict[str, float] = {}
+    n_flagged: dict[str, int] = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        for label, n in SIZES.items():
+            d = os.path.join(tmp, label)
+            os.makedirs(os.path.join(d, "union"), exist_ok=True)
+            corpus_tbl = gen_documents(n, seed=42)
+            batch_tbl = gen_batch(corpus_tbl, seed=1042)
+            pq.write_table(
+                corpus_tbl, os.path.join(d, "documents.parquet")
+            )
+            # the foil reads corpus+batch as one documents table
+            pq.write_table(
+                pa.concat_tables([corpus_tbl, batch_tbl]),
+                os.path.join(d, "union", "documents.parquet"),
+            )
+            corpus = spark.read.parquet(os.path.join(d, "documents.parquet"))
+            batch = spark.createDataFrame(batch_tbl.to_pandas())
+
+            t0 = time.perf_counter()
+            exact_hash_index(corpus).write.parquet(os.path.join(d, "ei"))
+            minhash_band_index(corpus).write.parquet(os.path.join(d, "bi"))
+            build_t[label] = round(time.perf_counter() - t0, 3)
+
+            ei = spark.read.parquet(os.path.join(d, "ei"))
+            bi = spark.read.parquet(os.path.join(d, "bi"))
+
+            def run_flag():
+                return incremental_dedup(
+                    batch, corpus, exact_index=ei, band_index=bi
+                )
+
+            run_flag().count()  # warm-up
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = run_flag()
+                cnt = out.filter(out.dup_kind.isNotNull()).count()
+                samples.append(time.perf_counter() - t0)
+            flag_t[label] = round(min(samples), 3)
+            n_flagged[label] = cnt
+
+            samples = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                dd4_minhash_lsh_candidates(
+                    spark, os.path.join(d, "union")
+                ).count()
+                samples.append(time.perf_counter() - t0)
+            foil_t[label] = round(min(samples), 3)
+            print(
+                f"# {label}: build {build_t[label]}s, flag {flag_t[label]}s "
+                f"({n_flagged[label]} flagged), foil {foil_t[label]}s",
+                file=sys.stderr,
+            )
+
+    print(
+        json.dumps(
+            {
+                "corpus_sizes": SIZES,
+                "batch_size": BATCH_N,
+                "index_build_sec": build_t,
+                "flag_sec": flag_t,
+                "n_flagged": n_flagged,
+                "foil_full_recompute_sec": foil_t,
+                "flag_exponent": _fit_exponent(flag_t),
+                "foil_exponent": _fit_exponent(foil_t),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
