@@ -109,6 +109,7 @@ def incremental_dedup(
     exact_index: DataFrame | None = None,
     band_index: DataFrame | None = None,
     threshold: float = NEAR_DUP_THRESHOLD,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Flag each row of ``new_docs`` against the corpus.
 
@@ -127,7 +128,15 @@ def incremental_dedup(
     near-dup verification, but only the candidate doc_ids' rows are
     read (semi-join), so a parquet corpus with doc_id clustering
     prunes to the matched row groups.
+
+    ``broadcast_batch`` (default True) pins the batch as the
+    broadcast side of the index probes — correct for the recurring
+    snapshot shape where a batch is orders of magnitude smaller than
+    the corpus. Pass False for a batch too large to broadcast (e.g. a
+    backfill merging two corpora): the probes become plain shuffle
+    joins on uniform hash keys, still skew-free.
     """
+    maybe_bc = F.broadcast if broadcast_batch else (lambda df: df)
     if exact_index is None:
         exact_index = exact_hash_index(corpus_docs)
     if band_index is None:
@@ -138,7 +147,7 @@ def incremental_dedup(
     )
     # batch side broadcast: the index streams map-side, no shuffle
     exact = (
-        exact_index.join(F.broadcast(new_h), "text_hash")
+        exact_index.join(maybe_bc(new_h), "text_hash")
         .groupBy("doc_id")
         .agg(F.min("corpus_doc_id").alias("exact_dup_of"))
     )
@@ -150,7 +159,7 @@ def incremental_dedup(
     new_bands = _band_keys(survivors, "new_doc_id")
     candidates = (
         band_index.join(
-            F.broadcast(new_bands), ["band_idx", "band_hash"]
+            maybe_bc(new_bands), ["band_idx", "band_hash"]
         )
         .select("new_doc_id", "corpus_doc_id")
         .distinct()
@@ -160,7 +169,7 @@ def incremental_dedup(
         F.col("corpus_doc_id").alias("doc_id")
     ).distinct()
     corpus_sh = _shingles_spark(
-        corpus_docs.join(F.broadcast(cand_corpus_ids), "doc_id", "left_semi")
+        corpus_docs.join(maybe_bc(cand_corpus_ids), "doc_id", "left_semi")
     ).select(
         F.col("doc_id").alias("corpus_doc_id"),
         F.col("shingles").alias("c_sh"),
@@ -175,7 +184,7 @@ def incremental_dedup(
         F.desc("j"), F.asc("corpus_doc_id")
     )
     near = (
-        candidates.join(F.broadcast(new_sh), "new_doc_id")
+        candidates.join(maybe_bc(new_sh), "new_doc_id")
         .join(corpus_sh, "corpus_doc_id")
         .withColumn("j", jac)
         .filter(F.col("j") >= threshold)

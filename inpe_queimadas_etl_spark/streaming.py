@@ -202,10 +202,15 @@ def windowed_event_counts(
 
 def _read_or_empty(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
     """Read a parquet dir that may not exist yet (first micro-batch);
-    fall back to an empty frame with ``like``'s schema."""
+    fall back to an empty frame with ``like``'s schema. Only the
+    missing/empty-path AnalysisException is swallowed — a corrupt
+    index must surface, not silently become an empty corpus (which
+    would wave every duplicate through)."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:
         return spark.createDataFrame([], like.schema)
 
 

@@ -138,6 +138,56 @@ def test_prebuilt_index_path_identical(spark, split_dfs):
     pd.testing.assert_frame_equal(inline, prebuilt)
 
 
+def _shingle_set(text: str) -> set:
+    w = text.split()
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
+def test_soundness_and_exact_completeness(spark, split_dfs):
+    """Independent pandas check, no SQL twin involved: every 'near'
+    flag is genuinely >= threshold against its dup_of, and every batch
+    doc whose text exists verbatim in the corpus is flagged 'exact'
+    with the lowest matching corpus id."""
+    corpus_pd, batch_pd = split_dfs
+    corpus = spark.createDataFrame(corpus_pd)
+    batch = spark.createDataFrame(batch_pd)
+    res = incremental_dedup(batch, corpus).toPandas().set_index("doc_id")
+    ctext = corpus_pd.set_index("doc_id")["text"]
+    btext = batch_pd.set_index("doc_id")["text"]
+    by_text = corpus_pd.groupby("text")["doc_id"].min()
+
+    for doc_id, row in res.iterrows():
+        if row["dup_kind"] == "near":
+            a = _shingle_set(btext.loc[doc_id])
+            b = _shingle_set(ctext.loc[int(row["dup_of"])])
+            j = len(a & b) / len(a | b)
+            assert j >= 0.5 - 1e-9, (doc_id, j)
+            assert abs(j - row["jaccard"]) < 1e-3, (doc_id, j, row["jaccard"])
+    for doc_id, text in btext.items():
+        if text in by_text.index:
+            assert res.loc[doc_id, "dup_kind"] == "exact", doc_id
+            assert res.loc[doc_id, "dup_of"] == by_text.loc[text], doc_id
+
+
+def test_no_broadcast_mode_identical(spark, split_dfs):
+    """broadcast_batch=False (the huge-batch/backfill shape) changes
+    only the physical strategy, never the result."""
+    corpus_pd, batch_pd = split_dfs
+    corpus = spark.createDataFrame(corpus_pd)
+    batch = spark.createDataFrame(batch_pd)
+    bc = (
+        incremental_dedup(batch, corpus)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    no_bc = (
+        incremental_dedup(batch, corpus, broadcast_batch=False)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(bc, no_bc)
+
+
 def test_batch_side_broadcast_plan(spark, split_dfs):
     """The batch side must broadcast in both tiers: the corpus-sized
     index tables stream map-side, never shuffling on the corpus."""
