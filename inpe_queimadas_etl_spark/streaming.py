@@ -200,18 +200,29 @@ def windowed_event_counts(
     )
 
 
+# AnalysisException error classes that mean "nothing written here
+# yet" — the legitimate first-batch states. Anything else (corrupt
+# footers surface at scan time as runtime errors; permission problems,
+# unreadable schemas, ...) must propagate: a dedup index silently read
+# as EMPTY would wave every historical duplicate through.
+_BENIGN_MISSING = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+
 def _read_or_empty(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
     """Read a parquet dir that may not exist yet (first micro-batch);
     fall back to an empty frame with ``like``'s schema. Only the
-    missing/empty-path AnalysisException is swallowed — a corrupt
-    index must surface, not silently become an empty corpus (which
-    would wave every duplicate through)."""
+    missing-path / empty-dir error classes are swallowed."""
     from pyspark.errors import AnalysisException
 
     try:
         return spark.read.parquet(path)
-    except AnalysisException:
-        return spark.createDataFrame([], like.schema)
+    except AnalysisException as ex:
+        probe = getattr(ex, "getCondition", None) or getattr(
+            ex, "getErrorClass", lambda: None
+        )
+        if probe() in _BENIGN_MISSING:
+            return spark.createDataFrame([], like.schema)
+        raise
 
 
 def start_corpus_dedup_stream(
@@ -223,6 +234,7 @@ def start_corpus_dedup_stream(
     available_now: bool = True,
     threshold: float | None = None,
     on_batch=None,
+    schema: T.StructType | None = None,
 ):
     """Streaming incremental corpus dedup: each micro-batch of newly
     landed document files is flagged against the ever-growing accepted
@@ -247,7 +259,16 @@ def start_corpus_dedup_stream(
     replayed after a crash (foreachBatch re-delivery) overwrites its
     own partition instead of double-appending; the streaming
     checkpoint guarantees each landed file is delivered in exactly one
-    batch_id. Returns the StreamingQuery.
+    batch_id. Crucially, every read inside the batch EXCLUDES the
+    current batch_id's partitions: a replayed batch would otherwise
+    see its own crashed attempt's index rows, flag every survivor as
+    an exact dup of itself, and overwrite its accepted/index
+    partitions with empty data — permanent loss dressed as dedup.
+
+    ``schema`` (optional StructType) lets the drain start on a
+    still-empty ``docs_dir`` (the always-on deployment); without it
+    the schema is inferred from the files already landed, and an
+    empty dir raises with instructions. Returns the StreamingQuery.
     """
     from .incremental import (
         NEAR_DUP_THRESHOLD,
@@ -257,7 +278,17 @@ def start_corpus_dedup_stream(
     )
 
     thr = NEAR_DUP_THRESHOLD if threshold is None else threshold
-    schema = spark.read.parquet(docs_dir).schema
+    if schema is None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            schema = spark.read.parquet(docs_dir).schema
+        except AnalysisException as ex:
+            raise ValueError(
+                f"docs_dir {docs_dir!r} has no readable parquet yet; "
+                "pass schema= to start the drain before the first "
+                "snapshot lands"
+            ) from ex
     src = spark.readStream.schema(schema).parquet(docs_dir)
     empty_docs = spark.createDataFrame([], schema)
 
@@ -281,12 +312,28 @@ def start_corpus_dedup_stream(
             .localCheckpoint(eager=True)
         )
 
-        accepted = _read_or_empty(spark, f"{out_dir}/accepted", empty_docs)
-        ei = _read_or_empty(
-            spark, f"{index_dir}/exact", exact_hash_index(empty_docs)
+        def _prior(df: DataFrame) -> DataFrame:
+            # exclude the CURRENT batch_id: after a crash-replay the
+            # sink dirs already hold this batch's own partial writes,
+            # and reading them back would make every survivor an
+            # exact dup of itself (then the overwrite erases the
+            # batch — see the idempotency note in the docstring)
+            if "batch_id" in df.columns:
+                return df.filter(F.col("batch_id") != F.lit(batch_id))
+            return df
+
+        accepted = _prior(
+            _read_or_empty(spark, f"{out_dir}/accepted", empty_docs)
         )
-        bi = _read_or_empty(
-            spark, f"{index_dir}/bands", minhash_band_index(empty_docs)
+        ei = _prior(
+            _read_or_empty(
+                spark, f"{index_dir}/exact", exact_hash_index(empty_docs)
+            )
+        )
+        bi = _prior(
+            _read_or_empty(
+                spark, f"{index_dir}/bands", minhash_band_index(empty_docs)
+            )
         )
         verdicts = incremental_dedup(
             uniq, accepted, exact_index=ei, band_index=bi, threshold=thr

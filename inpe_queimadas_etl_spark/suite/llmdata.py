@@ -73,14 +73,20 @@ def _shingles_spark(df: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-_SHINGLES_SQL = """
+def _shingles_sql(tbl: str) -> str:
+    """DuckDB twin of _shingles_spark, parameterized on the table so
+    incremental.py's corpus/batch oracle reuses it verbatim."""
+    return f"""
     SELECT doc_id,
            list_distinct(list_transform(
                generate_series(1, len(w) - 2),
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
-    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {tbl})
     WHERE len(w) >= 3
 """
+
+
+_SHINGLES_SQL = _shingles_sql("documents")
 
 
 # ---------------------------------------------------------------------------
@@ -414,21 +420,38 @@ def _minhash_sig_cols():
     return cols
 
 
+# shingle string -> 31-bit int, the dd3 mapping; shared with
+# incremental.py so persisted index rows and batch probes agree
+# byte-for-byte (and so the DuckDB oracles can reproduce the keys)
+_SHINGLE_INT_EXPR = (
+    f"transform(shingles, s -> conv(substring(md5(s), 1, 8), 16, 10) % {_MH_P}L)"
+)
+
+_SIG_MINS_SQL = ", ".join(
+    f"list_min(list_transform(xs, x -> ({a} * x + {b}) % {_MH_P})) AS mh{i}"
+    for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+)
+
+
+def _sig_select_sql(src: str) -> str:
+    """DuckDB: MinHash signature SELECT over a shingle CTE ``src``
+    (columns doc_id, shingles) — the SQL twin of _minhash_sig_cols +
+    _SHINGLE_INT_EXPR, parameterized so incremental.py's two-table
+    oracle reuses the exact same expressions."""
+    return f"""
+        SELECT doc_id, {_SIG_MINS_SQL}
+        FROM (
+            SELECT doc_id,
+                   list_transform(shingles,
+                       s -> {_hex_to_int_sql("substr(md5(s),1,8)")} % {_MH_P}) AS xs
+            FROM {src}
+        )
+    """
+
+
 _MINHASH_SQL_BODY = f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    ints AS (
-        SELECT doc_id,
-               list_transform(shingles,
-                   s -> {_hex_to_int_sql("substr(md5(s),1,8)")} % {_MH_P}) AS xs
-        FROM sh
-    ),
-    sig AS (
-        SELECT doc_id,
-               {", ".join(
-                   f"list_min(list_transform(xs, x -> ({a} * x + {b}) % {_MH_P})) AS mh{i}"
-                   for i, (a, b) in enumerate(zip(_MH_A, _MH_B)))}
-        FROM ints
-    )
+    sig AS ({_sig_select_sql('sh')})
 """
 
 
@@ -449,26 +472,54 @@ def dd3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles_spark(docs)
     ints = sh.withColumn(
-        "xs",
-        F.expr(
-            f"transform(shingles, s -> conv(substring(md5(s), 1, 8), 16, 10) % {_MH_P}L)"
-        ).cast("array<long>"),
+        "xs", F.expr(_SHINGLE_INT_EXPR).cast("array<long>")
     )
     return ints.select("doc_id", *_minhash_sig_cols())
 
 
+_BAND_HASH_SQL = "md5({})".format(
+    " || ',' || ".join(
+        "CAST(CASE band_idx "
+        + " ".join(
+            f"WHEN {bi} THEN mh{bi * _MH_ROWS + r}" for bi in range(_MH_BANDS)
+        )
+        + " END AS VARCHAR)"
+        for r in range(_MH_ROWS)
+    )
+)
+
+
+def _bands_select_sql(sig: str) -> str:
+    """DuckDB: (doc_id, band_idx, band_hash) over a signature CTE —
+    the SQL twin of _band_struct_cols, shared with incremental.py."""
+    return f"""
+        SELECT doc_id, band_idx, {_BAND_HASH_SQL} AS band_hash
+        FROM {sig} CROSS JOIN (SELECT unnest(range({_MH_BANDS})) AS band_idx)
+    """
+
+
+def _band_struct_cols() -> list:
+    """Spark: array of (band_idx, band_hash) structs over the mh*
+    signature columns — the banding used by dd4's self-join AND by
+    incremental.py's persistent index, factored so the two can never
+    drift (index rows must stay joinable across versions)."""
+    band_structs = []
+    for bi in range(_MH_BANDS):
+        row_cols = [
+            F.col(f"mh{bi * _MH_ROWS + r}").cast("string")
+            for r in range(_MH_ROWS)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.md5(F.concat_ws(",", *row_cols)).alias("band_hash"),
+            )
+        )
+    return band_structs
+
+
 _LSH_CAND_SQL = f"""
-    , bands AS (
-        SELECT doc_id, band_idx,
-               md5({" || ',' || ".join(
-                   "CAST(CASE band_idx "
-                   + " ".join(
-                       f"WHEN {bi} THEN mh{bi * _MH_ROWS + r}" for bi in range(_MH_BANDS)
-                   )
-                   + " END AS VARCHAR)"
-                   for r in range(_MH_ROWS))}) AS band_hash
-        FROM sig CROSS JOIN (SELECT unnest(range({_MH_BANDS})) AS band_idx)
-    ),
+    , bands AS ({_bands_select_sql('sig')}),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -491,17 +542,7 @@ def dd4_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), bucket-join on (band_idx, band_hash). The only shuffle keys
     are uniform hashes, so the join is skew-free at any scale."""
     sig = dd3_minhash_signatures(spark, sf_dir)
-    band_structs = []
-    for bi in range(_MH_BANDS):
-        row_cols = [
-            F.col(f"mh{bi * _MH_ROWS + r}").cast("string") for r in range(_MH_ROWS)
-        ]
-        band_structs.append(
-            F.struct(
-                F.lit(bi).alias("band_idx"),
-                F.md5(F.concat_ws(",", *row_cols)).alias("band_hash"),
-            )
-        )
+    band_structs = _band_struct_cols()
     # materialize the banded signatures ONCE — both sides of the
     # self-join read them, and without this the full document scan +
     # minhash pipeline runs twice (at corpus scale: materialize the
@@ -999,10 +1040,7 @@ def dd8_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs_w.select(
             "doc_id",
             F.explode(
-                F.expr(
-                    f"transform(transform(sequence(0, cast(ceil(size(w) / {k}.0) as int) - 1),"
-                    f" c -> concat_ws(' ', slice(w, c * {k} + 1, {k}))), x -> xxhash64(x))"
-                )
+                F.transform(chunk_arr, lambda x: F.xxhash64(x))
             ).alias("h"),
         )
         .groupBy("h")

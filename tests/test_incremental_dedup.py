@@ -87,7 +87,10 @@ def test_matches_duckdb_oracle(spark, split_dfs):
         assert g == w, f"{col}: {[(i, a, b) for i, (a, b) in enumerate(zip(g, w)) if a != b][:5]}"
     gj = got["jaccard"].astype(float)
     wj = want["jaccard"].astype(float)
-    assert ((gj - wj).abs().fillna(0) < 1e-9).all()
+    # null masks must agree exactly — fillna on the diff would let a
+    # NULL-vs-value mismatch slip through as 0
+    assert gj.isna().equals(wj.isna()), "jaccard nullability mismatch"
+    assert ((gj - wj).abs().dropna() < 1e-9).all()
 
 
 def test_synthesized_positives_flagged(spark, split_dfs):

@@ -54,6 +54,54 @@ def dirs(tmp_path):
     return d
 
 
+def test_crash_replay_does_not_erase_batch(spark, dirs):
+    """A batch replayed after a crash (sink partitions written, the
+    streaming checkpoint NOT committed) must not read its own partial
+    writes: doing so would flag every survivor as an exact dup of
+    itself and overwrite the batch's accepted/index partitions with
+    empty data. Simulated by pre-writing batch_id=0 sink partitions
+    for the very docs the fresh stream's first batch (batch_id 0)
+    will deliver."""
+    from inpe_queimadas_etl_spark.incremental import (
+        exact_hash_index,
+        minhash_band_index,
+    )
+
+    rows = [(0, _doc(1)), (1, _doc(2)), (2, _doc(3))]
+    _write_batch(spark, dirs["docs"], rows, "b1")
+    batch_df = spark.read.parquet(dirs["docs"])
+    # the crashed attempt's partial writes
+    batch_df.write.parquet(f"{dirs['out']}/accepted/batch_id=0")
+    exact_hash_index(batch_df).write.parquet(
+        f"{dirs['index']}/exact/batch_id=0"
+    )
+    minhash_band_index(batch_df).write.parquet(
+        f"{dirs['index']}/bands/batch_id=0"
+    )
+
+    _drain(spark, dirs)  # fresh checkpoint -> first batch_id is 0
+
+    accepted = spark.read.parquet(f"{dirs['out']}/accepted")
+    assert sorted(r.doc_id for r in accepted.collect()) == [0, 1, 2]
+    flags = (
+        spark.read.parquet(f"{dirs['out']}/flags")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert flags["dup_kind"].isna().all(), flags
+
+
+def test_empty_docs_dir_requires_schema(spark, dirs):
+    with pytest.raises(ValueError, match="pass schema="):
+        start_corpus_dedup_stream(
+            spark,
+            docs_dir=dirs["docs"],
+            index_dir=dirs["index"],
+            out_dir=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+        )
+
+
 def test_cross_batch_dedup_and_restart(spark, dirs):
     # batch 1: three unique docs + one in-batch exact dup of doc 0
     base = _doc(1)
