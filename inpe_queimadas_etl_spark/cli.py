@@ -204,6 +204,47 @@ def cmd_validate_repo(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_corpus_dedup(args) -> int:
+    """Drain landed document snapshots through the streaming
+    incremental-dedup loop (streaming.start_corpus_dedup_stream) and
+    log a per-kind verdict summary. With ``--continuous`` the drain
+    stays live (blocks until externally stopped); otherwise it sweeps
+    everything currently landed and exits — the cron/scheduler shape."""
+    from .session import get_spark
+    from .streaming import start_corpus_dedup_stream
+
+    spark = get_spark(app_name="corpus-dedup")
+
+    def on_batch(batch_id: int, m: dict) -> None:
+        log.info("corpus-dedup | batch %s | %s", batch_id, json.dumps(m))
+
+    q = start_corpus_dedup_stream(
+        spark,
+        docs_dir=args.docs_dir,
+        index_dir=args.index_dir,
+        out_dir=args.out_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        available_now=not args.continuous,
+        threshold=args.threshold,
+        on_batch=on_batch,
+    )
+    q.awaitTermination()
+    from pyspark.sql import functions as F
+
+    try:
+        flags = spark.read.parquet(f"{args.out_dir}/flags")
+        by_kind = {
+            (r["dup_kind"] or "accepted"): r["n"]
+            for r in flags.groupBy("dup_kind")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    except Exception:
+        by_kind = {}
+    log.info("corpus-dedup | summary | %s", json.dumps(by_kind))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m inpe_queimadas_etl_spark",
@@ -236,6 +277,34 @@ def build_parser() -> argparse.ArgumentParser:
     )
     vrepo.add_argument("--warehouse", help="also validate this warehouse")
     vrepo.add_argument("--log-dir")
+
+    cdp = sub.add_parser(
+        "corpus-dedup",
+        help="drain landed document snapshots through incremental "
+        "dedup against the persistent index",
+    )
+    cdp.add_argument(
+        "--docs-dir", required=True, help="landing dir of parquet snapshots"
+    )
+    cdp.add_argument("--index-dir", required=True, help="dedup index root")
+    cdp.add_argument(
+        "--out-dir", required=True, help="accepted/flags output root"
+    )
+    cdp.add_argument(
+        "--checkpoint-dir", required=True, help="streaming checkpoint"
+    )
+    cdp.add_argument(
+        "--threshold",
+        type=float,
+        default=None,
+        help="near-dup jaccard floor (default 0.5)",
+    )
+    cdp.add_argument(
+        "--continuous",
+        action="store_true",
+        help="keep the drain live instead of stopping after a sweep",
+    )
+    cdp.add_argument("--log-dir")
     return ap
 
 
@@ -248,6 +317,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_checks(args)
     if args.cmd == "validate-repo":
         return cmd_validate_repo(args)
+    if args.cmd == "corpus-dedup":
+        return cmd_corpus_dedup(args)
     return 2
 
 

@@ -102,6 +102,32 @@ def test_empty_docs_dir_requires_schema(spark, dirs):
         )
 
 
+def test_cli_corpus_dedup_sweep(spark, dirs):
+    """`python -m inpe_queimadas_etl_spark corpus-dedup` drains the
+    landing dir once (availableNow) and exits 0, leaving accepted +
+    flags parquet behind."""
+    from inpe_queimadas_etl_spark import cli
+
+    base = _doc(21)
+    _write_batch(
+        spark, dirs["docs"], [(0, base), (1, _doc(22)), (2, base)], "b1"
+    )
+    rc = cli.main(
+        [
+            "corpus-dedup",
+            "--docs-dir", dirs["docs"],
+            "--index-dir", dirs["index"],
+            "--out-dir", dirs["out"],
+            "--checkpoint-dir", dirs["ckpt"],
+        ]
+    )
+    assert rc == 0
+    accepted = spark.read.parquet(f"{dirs['out']}/accepted")
+    assert sorted(r.doc_id for r in accepted.collect()) == [0, 1]
+    flags = spark.read.parquet(f"{dirs['out']}/flags")
+    assert flags.count() == 3
+
+
 def test_cross_batch_dedup_and_restart(spark, dirs):
     # batch 1: three unique docs + one in-batch exact dup of doc 0
     base = _doc(1)
