@@ -214,8 +214,14 @@ def cmd_corpus_dedup(args) -> int:
     from .streaming import start_corpus_dedup_stream
 
     spark = get_spark(app_name="corpus-dedup")
+    schema = None
+    if args.schema_from:
+        schema = spark.read.parquet(args.schema_from).schema
+
+    run_batch_ids: list[int] = []
 
     def on_batch(batch_id: int, m: dict) -> None:
+        run_batch_ids.append(batch_id)
         log.info("corpus-dedup | batch %s | %s", batch_id, json.dumps(m))
 
     q = start_corpus_dedup_stream(
@@ -227,20 +233,25 @@ def cmd_corpus_dedup(args) -> int:
         available_now=not args.continuous,
         threshold=args.threshold,
         on_batch=on_batch,
+        schema=schema,
     )
     q.awaitTermination()
+    if not run_batch_ids:
+        log.info("corpus-dedup | summary | nothing new landed")
+        return 0
     from pyspark.sql import functions as F
 
-    try:
-        flags = spark.read.parquet(f"{args.out_dir}/flags")
-        by_kind = {
-            (r["dup_kind"] or "accepted"): r["n"]
-            for r in flags.groupBy("dup_kind")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-    except Exception:
-        by_kind = {}
+    # THIS run's verdicts only (flags accumulate per batch_id across
+    # the stream's whole history)
+    flags = spark.read.parquet(f"{args.out_dir}/flags").filter(
+        F.col("batch_id").isin(run_batch_ids)
+    )
+    by_kind = {
+        (r["dup_kind"] or "accepted"): r["n"]
+        for r in flags.groupBy("dup_kind")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
     log.info("corpus-dedup | summary | %s", json.dumps(by_kind))
     return 0
 
@@ -303,6 +314,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--continuous",
         action="store_true",
         help="keep the drain live instead of stopping after a sweep",
+    )
+    cdp.add_argument(
+        "--schema-from",
+        help="parquet file/dir whose schema to use (lets the drain "
+        "start before the first snapshot lands)",
     )
     cdp.add_argument("--log-dir")
     return ap

@@ -264,6 +264,10 @@ def start_corpus_dedup_stream(
     see its own crashed attempt's index rows, flag every survivor as
     an exact dup of itself, and overwrite its accepted/index
     partitions with empty data — permanent loss dressed as dedup.
+    The converse hazard — a LOST/RESET checkpoint pointed at surviving
+    sink dirs, which restarts batch ids at 0 — is detected (sink
+    partitions with ids beyond the stream's progress) and refused
+    before anything is overwritten.
 
     ``schema`` (optional StructType) lets the drain start on a
     still-empty ``docs_dir`` (the always-on deployment); without it
@@ -284,11 +288,25 @@ def start_corpus_dedup_stream(
         try:
             schema = spark.read.parquet(docs_dir).schema
         except AnalysisException as ex:
+            probe = getattr(ex, "getCondition", None) or getattr(
+                ex, "getErrorClass", lambda: None
+            )
+            if probe() not in _BENIGN_MISSING:
+                raise  # real read failure, not an empty landing dir
             raise ValueError(
                 f"docs_dir {docs_dir!r} has no readable parquet yet; "
                 "pass schema= to start the drain before the first "
                 "snapshot lands"
             ) from ex
+    if "batch_id" in schema.fieldNames():
+        # the sink partition column; a same-named data column would
+        # shadow the partition value on read-back and make the
+        # replay-exclusion filter drop the wrong corpus rows
+        raise ValueError(
+            "document schema may not contain a 'batch_id' column — it "
+            "is reserved for the sink partition scheme; rename it "
+            "before landing"
+        )
     src = spark.readStream.schema(schema).parquet(docs_dir)
     empty_docs = spark.createDataFrame([], schema)
 
@@ -322,9 +340,26 @@ def start_corpus_dedup_stream(
                 return df.filter(F.col("batch_id") != F.lit(batch_id))
             return df
 
-        accepted = _prior(
-            _read_or_empty(spark, f"{out_dir}/accepted", empty_docs)
+        accepted_all = _read_or_empty(
+            spark, f"{out_dir}/accepted", empty_docs
         )
+        # Replay-vs-reset guard: a genuine crash-replay re-delivers
+        # the LATEST batch, so existing sink partitions can only carry
+        # ids <= the current one. Ids beyond it mean the checkpoint
+        # was lost or reset while the sink dirs survived — proceeding
+        # would both skip dedup against the excluded slice and then
+        # OVERWRITE historical partitions. Refuse loudly.
+        if "batch_id" in accepted_all.columns:
+            mx = accepted_all.agg(F.max("batch_id")).first()[0]
+            if mx is not None and mx > batch_id:
+                raise RuntimeError(
+                    f"sink {out_dir}/accepted holds batch_id={mx} but "
+                    f"this stream is only at batch {batch_id}: the "
+                    "streaming checkpoint was reset against existing "
+                    "output. Point checkpoint_dir at the original "
+                    "checkpoint, or start with fresh out/index dirs."
+                )
+        accepted = _prior(accepted_all)
         ei = _prior(
             _read_or_empty(
                 spark, f"{index_dir}/exact", exact_hash_index(empty_docs)

@@ -102,7 +102,21 @@ def test_empty_docs_dir_requires_schema(spark, dirs):
         )
 
 
-def test_cli_corpus_dedup_sweep(spark, dirs):
+@pytest.fixture()
+def _preserve_root_logging():
+    """cli.main's _setup_logging(force=True) rebinds the root logger
+    to pytest's per-test captured stream; restore the original
+    handlers so later tests/teardown don't log to a closed file."""
+    import logging
+
+    root = logging.getLogger()
+    saved = (root.handlers[:], root.level)
+    yield
+    root.handlers[:] = saved[0]
+    root.setLevel(saved[1])
+
+
+def test_cli_corpus_dedup_sweep(spark, dirs, _preserve_root_logging):
     """`python -m inpe_queimadas_etl_spark corpus-dedup` drains the
     landing dir once (availableNow) and exits 0, leaving accepted +
     flags parquet behind."""
@@ -126,6 +140,73 @@ def test_cli_corpus_dedup_sweep(spark, dirs):
     assert sorted(r.doc_id for r in accepted.collect()) == [0, 1]
     flags = spark.read.parquet(f"{dirs['out']}/flags")
     assert flags.count() == 3
+
+
+def test_cli_schema_from_empty_landing(spark, dirs, tmp_path, _preserve_root_logging):
+    """--schema-from lets the cron-shaped sweep run on a still-empty
+    landing dir: no crash, clean 'nothing landed' exit."""
+    from inpe_queimadas_etl_spark import cli
+
+    sample = str(tmp_path / "sample")
+    _write_batch(spark, str(tmp_path), [(0, _doc(5))], "sample")
+    import os
+
+    os.rename(str(tmp_path / "sample.parquet"), sample)
+    rc = cli.main(
+        [
+            "corpus-dedup",
+            "--docs-dir", dirs["docs"],
+            "--index-dir", dirs["index"],
+            "--out-dir", dirs["out"],
+            "--checkpoint-dir", dirs["ckpt"],
+            "--schema-from", sample,
+        ]
+    )
+    assert rc == 0
+
+
+def test_checkpoint_reset_against_existing_sinks_refuses(spark, dirs):
+    """A fresh checkpoint pointed at sink dirs holding FUTURE batch
+    ids means the checkpoint was lost/reset — the drain must refuse
+    rather than skip dedup and overwrite historical partitions."""
+    rows = [(0, _doc(31)), (1, _doc(32))]
+    _write_batch(spark, dirs["docs"], rows, "b1")
+    batch_df = spark.read.parquet(dirs["docs"])
+    # surviving sinks from a previous stream that got to batch 3
+    batch_df.write.parquet(f"{dirs['out']}/accepted/batch_id=3")
+
+    q = start_corpus_dedup_stream(
+        spark,
+        docs_dir=dirs["docs"],
+        index_dir=dirs["index"],
+        out_dir=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+        available_now=True,
+    )
+    with pytest.raises(Exception, match="checkpoint was reset"):
+        q.awaitTermination(120)
+    # the historical partition is untouched
+    survived = spark.read.parquet(f"{dirs['out']}/accepted")
+    assert survived.count() == 2
+
+
+def test_reserved_batch_id_column_rejected(spark, dirs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    pq.write_table(
+        pa.table({"doc_id": [1], "text": ["x y z"], "batch_id": [9]}),
+        os.path.join(dirs["docs"], "bad.parquet"),
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        start_corpus_dedup_stream(
+            spark,
+            docs_dir=dirs["docs"],
+            index_dir=dirs["index"],
+            out_dir=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+        )
 
 
 def test_cross_batch_dedup_and_restart(spark, dirs):
