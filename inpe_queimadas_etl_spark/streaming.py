@@ -343,33 +343,39 @@ def start_corpus_dedup_stream(
         accepted_all = _read_or_empty(
             spark, f"{out_dir}/accepted", empty_docs
         )
+        ei_all = _read_or_empty(
+            spark, f"{index_dir}/exact", exact_hash_index(empty_docs)
+        )
+        bi_all = _read_or_empty(
+            spark, f"{index_dir}/bands", minhash_band_index(empty_docs)
+        )
         # Replay-vs-reset guard: a genuine crash-replay re-delivers
         # the LATEST batch, so existing sink partitions can only carry
         # ids <= the current one. Ids beyond it mean the checkpoint
-        # was lost or reset while the sink dirs survived — proceeding
+        # was lost or reset while sink dirs survived — proceeding
         # would both skip dedup against the excluded slice and then
-        # OVERWRITE historical partitions. Refuse loudly.
-        if "batch_id" in accepted_all.columns:
-            mx = accepted_all.agg(F.max("batch_id")).first()[0]
+        # OVERWRITE historical partitions. Refuse loudly. All three
+        # sinks are checked: ops wiping out_dir but not index_dir (or
+        # vice versa) must not slip past.
+        for sink, frame in (
+            (f"{out_dir}/accepted", accepted_all),
+            (f"{index_dir}/exact", ei_all),
+            (f"{index_dir}/bands", bi_all),
+        ):
+            if "batch_id" not in frame.columns:
+                continue
+            mx = frame.agg(F.max("batch_id")).first()[0]
             if mx is not None and mx > batch_id:
                 raise RuntimeError(
-                    f"sink {out_dir}/accepted holds batch_id={mx} but "
-                    f"this stream is only at batch {batch_id}: the "
-                    "streaming checkpoint was reset against existing "
-                    "output. Point checkpoint_dir at the original "
-                    "checkpoint, or start with fresh out/index dirs."
+                    f"sink {sink} holds batch_id={mx} but this stream "
+                    f"is only at batch {batch_id}: the streaming "
+                    "checkpoint was reset against existing output. "
+                    "Point checkpoint_dir at the original checkpoint, "
+                    "or start with fresh out/index dirs."
                 )
         accepted = _prior(accepted_all)
-        ei = _prior(
-            _read_or_empty(
-                spark, f"{index_dir}/exact", exact_hash_index(empty_docs)
-            )
-        )
-        bi = _prior(
-            _read_or_empty(
-                spark, f"{index_dir}/bands", minhash_band_index(empty_docs)
-            )
-        )
+        ei = _prior(ei_all)
+        bi = _prior(bi_all)
         verdicts = incremental_dedup(
             uniq, accepted, exact_index=ei, band_index=bi, threshold=thr
         ).localCheckpoint(eager=True)
