@@ -199,6 +199,185 @@ def incremental_dedup(
     )
 
 
+def embedding_band_index(
+    vecs: DataFrame, geometry: tuple[int, int] | None = None
+) -> DataFrame:
+    """``(corpus_vec_id, band_idx, band_bucket, n_bands, band_bits)``
+    — the embedding tier of the dedup index (dd6's banded sign-LSH
+    geometry, auto-tuned from the corpus vector count unless pinned).
+
+    The geometry columns are stored IN the index (constant columns,
+    free under parquet RLE) because the band buckets are only
+    comparable under the same (bands, bits): a probe must bucket its
+    batch with the index's recorded geometry, not whatever the
+    current corpus size would auto-tune to — otherwise growing past a
+    tuning decade would silently unmatch the whole index."""
+    from .suite.llmdata import _dd6_geometry, _emb_band_structs
+
+    if geometry is None:
+        geometry = _dd6_geometry(vecs.count())
+    n_bands, band_bits = geometry
+    v = vecs.select(
+        F.col("vec_id").alias("corpus_vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    return (
+        v.select(
+            "corpus_vec_id",
+            F.explode(F.array(*_emb_band_structs(n_bands, band_bits))).alias(
+                "band"
+            ),
+        )
+        .select("corpus_vec_id", "band.band_idx", "band.band_bucket")
+        .withColumn("n_bands", F.lit(n_bands))
+        .withColumn("band_bits", F.lit(band_bits))
+    )
+
+
+EMB_NEAR_DUP_THRESHOLD = 0.35  # dd6's verify floor
+
+
+def incremental_embedding_neardup(
+    new_vecs: DataFrame,
+    corpus_vecs: DataFrame,
+    *,
+    index: DataFrame | None = None,
+    threshold: float = EMB_NEAR_DUP_THRESHOLD,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Flag each new embedding against the corpus via the persistent
+    band index — the vector-side twin of :func:`incremental_dedup`.
+
+    Returns one row per new vector: ``(vec_id, dup_of, sim)`` with
+    ``dup_of`` the best-matching corpus vec_id (highest cosine, ties
+    to the lowest id) where cosine >= ``threshold``, else NULLs.
+    Identical vectors share every band bucket, so exact copies are
+    always candidates — no separate exact tier is needed.
+
+    Scale shape mirrors the text path: batch band keys broadcast into
+    the index probe, corpus vectors fetched only for candidate ids,
+    geometry read from the index itself (see embedding_band_index).
+    """
+    from .operators.similarity import cosine
+    from .suite.llmdata import _dd6_geometry, _emb_band_structs
+
+    maybe_bc = F.broadcast if broadcast_batch else (lambda df: df)
+    if index is None:
+        index = embedding_band_index(corpus_vecs)
+    geom_row = index.select("n_bands", "band_bits").first()
+    if geom_row is None:  # empty corpus: no candidates possible
+        n_bands, band_bits = _dd6_geometry(0)
+    else:
+        n_bands, band_bits = geom_row["n_bands"], geom_row["band_bits"]
+
+    newv = new_vecs.select(
+        F.col("vec_id").alias("new_vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    new_bands = newv.select(
+        "new_vec_id",
+        F.explode(F.array(*_emb_band_structs(n_bands, band_bits))).alias(
+            "band"
+        ),
+    ).select("new_vec_id", "band.band_idx", "band.band_bucket")
+    candidates = (
+        index.join(maybe_bc(new_bands), ["band_idx", "band_bucket"])
+        .select("new_vec_id", "corpus_vec_id")
+        .distinct()
+    )
+    cand_ids = candidates.select(
+        F.col("corpus_vec_id").alias("vec_id")
+    ).distinct()
+    cv = (
+        corpus_vecs.join(maybe_bc(cand_ids), "vec_id", "left_semi")
+        .select(
+            F.col("vec_id").alias("corpus_vec_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    nv = newv.select("new_vec_id", F.col("v").alias("nv"))
+    best = Window.partitionBy("new_vec_id").orderBy(
+        F.desc("s"), F.asc("corpus_vec_id")
+    )
+    flagged = (
+        candidates.join(maybe_bc(nv), "new_vec_id")
+        .join(cv, "corpus_vec_id")
+        .withColumn("s", cosine("nv", "cv"))
+        .filter(F.col("s") >= threshold)
+        .withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("new_vec_id").alias("vec_id"),
+            F.col("corpus_vec_id").alias("dup_of"),
+            F.round("s", 4).alias("sim"),
+        )
+    )
+    return new_vecs.select("vec_id").join(flagged, "vec_id", "left")
+
+
+def incremental_embedding_oracle_sql(
+    n_bands: int,
+    band_bits: int,
+    corpus: str = "corpus_vecs",
+    batch: str = "batch_vecs",
+    threshold: float = EMB_NEAR_DUP_THRESHOLD,
+) -> str:
+    """DuckDB twin of :func:`incremental_embedding_neardup` over views
+    ``corpus_vecs`` / ``batch_vecs`` (vec_id, embedding), at an
+    explicit geometry (pass the one the index records)."""
+    from .operators.similarity import lsh_bucket_sql
+    from .suite.llmdata import _EMB_DIM
+
+    def bands_sql(src: str) -> str:
+        return "\n        UNION ALL\n".join(
+            f"        SELECT vec_id, {b} AS band_idx,"
+            f" {lsh_bucket_sql('v', _EMB_DIM, band_bits, plane_offset=b * band_bits)}"
+            f" AS band_bucket FROM {src}"
+            for b in range(n_bands)
+        )
+
+    return f"""
+    WITH ce AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {corpus}
+    ),
+    be AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {batch}
+    ),
+    cbands AS (
+{bands_sql('ce')}
+    ),
+    bbands AS (
+{bands_sql('be')}
+    ),
+    cand AS (
+        SELECT DISTINCT b.vec_id AS new_vec_id, c.vec_id AS corpus_vec_id
+        FROM bbands b JOIN cbands c
+          ON b.band_idx = c.band_idx AND b.band_bucket = c.band_bucket
+    ),
+    verified AS (
+        SELECT cand.new_vec_id, cand.corpus_vec_id,
+               list_cosine_similarity(bv.v, cv.v) AS s
+        FROM cand
+        JOIN be bv ON bv.vec_id = cand.new_vec_id
+        JOIN ce cv ON cv.vec_id = cand.corpus_vec_id
+        WHERE list_cosine_similarity(bv.v, cv.v) >= {threshold}
+    ),
+    best AS (
+        SELECT new_vec_id AS vec_id, corpus_vec_id AS dup_of,
+               round(s, 4) AS sim
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY new_vec_id ORDER BY s DESC, corpus_vec_id
+            ) AS rn
+            FROM verified
+        ) WHERE rn = 1
+    )
+    SELECT b.vec_id, best.dup_of, best.sim
+    FROM {batch} b
+    LEFT JOIN best ON best.vec_id = b.vec_id
+    """
+
+
 def incremental_dedup_oracle_sql(
     corpus: str = "corpus",
     batch: str = "batch",

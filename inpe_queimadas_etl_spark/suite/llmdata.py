@@ -696,13 +696,15 @@ def _dd6_geometry(n_vecs: int) -> tuple[int, int]:
     return (20, 24)
 
 
-def _dd6_candidate_pairs(emb: DataFrame, n_bands: int, band_bits: int) -> DataFrame:
-    """Banded sign-LSH candidate (vec_a, vec_b) pairs: agree on at
-    least one band bucket. The join keys are uniform equi hashes —
-    skew-free at any scale."""
+def _emb_band_structs(n_bands: int, band_bits: int) -> list:
+    """(band_idx, band_bucket) structs over an array<double> column
+    named ``v`` — the sign-LSH banding shared by dd6's self-join and
+    incremental.py's persistent embedding index (factored so index
+    rows and batch probes can never drift; the hyperplanes are
+    deterministic in (plane index, dim))."""
     from ..operators.similarity import lsh_bucket
 
-    band_structs = [
+    return [
         F.struct(
             F.lit(b).alias("band_idx"),
             lsh_bucket(
@@ -711,6 +713,13 @@ def _dd6_candidate_pairs(emb: DataFrame, n_bands: int, band_bits: int) -> DataFr
         )
         for b in range(n_bands)
     ]
+
+
+def _dd6_candidate_pairs(emb: DataFrame, n_bands: int, band_bits: int) -> DataFrame:
+    """Banded sign-LSH candidate (vec_a, vec_b) pairs: agree on at
+    least one band bucket. The join keys are uniform equi hashes —
+    skew-free at any scale."""
+    band_structs = _emb_band_structs(n_bands, band_bits)
     bands = emb.select(
         "vec_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("vec_id", "band.band_idx", "band.band_bucket")

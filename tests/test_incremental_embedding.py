@@ -1,0 +1,131 @@
+"""Embedding-side incremental near-dup (incremental.py): new vectors
+flagged against a persistent sign-LSH band index, DuckDB oracle
+parity (geo8 pattern — unregistered, registry stays at 50)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from inpe_queimadas_etl_spark.incremental import (
+    embedding_band_index,
+    incremental_embedding_neardup,
+    incremental_embedding_oracle_sql,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+_EXACT_OFF = 200_000
+_NEAR_OFF = 100_000
+
+
+@pytest.fixture(scope="module")
+def vec_splits(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet").toPandas()
+    emb["embedding"] = emb["embedding"].map(np.asarray)
+    cut = int(emb["vec_id"].max() * 0.8)
+    corpus = emb[emb["vec_id"] <= cut].reset_index(drop=True)
+    natural = emb[emb["vec_id"] > cut].reset_index(drop=True)
+    rng = np.random.default_rng(7)
+    seeds = corpus[corpus["vec_id"] % 23 == 0]
+    exact = seeds.copy()
+    exact["vec_id"] = exact["vec_id"] + _EXACT_OFF
+    near = seeds.copy()
+    near["vec_id"] = near["vec_id"] + _NEAR_OFF
+    near["embedding"] = near["embedding"].map(
+        lambda v: (v + rng.normal(0, 1e-3, size=len(v))).astype(np.float32)
+    )
+    batch = pd.concat([natural, exact, near], ignore_index=True)
+    for df in (corpus, batch):
+        df["embedding"] = df["embedding"].map(
+            lambda v: np.asarray(v, dtype=np.float32).tolist()
+        )
+    return corpus[["vec_id", "embedding"]], batch[["vec_id", "embedding"]]
+
+
+def test_matches_duckdb_oracle(spark, vec_splits):
+    corpus_pd, batch_pd = vec_splits
+    corpus = spark.createDataFrame(corpus_pd)
+    batch = spark.createDataFrame(batch_pd)
+    idx = embedding_band_index(corpus)
+    geom = idx.select("n_bands", "band_bits").first()
+    got = (
+        incremental_embedding_neardup(batch, corpus, index=idx)
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus_vecs", corpus_pd)
+    con.register("batch_vecs", batch_pd)
+    want = (
+        con.execute(
+            incremental_embedding_oracle_sql(
+                geom["n_bands"], geom["band_bits"]
+            )
+        )
+        .df()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert len(got) == len(batch_pd) == len(want)
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    gd, wd = got["dup_of"], want["dup_of"]
+    assert gd.isna().equals(wd.isna()), "dup_of nullability mismatch"
+    assert gd.dropna().astype(int).tolist() == wd.dropna().astype(int).tolist()
+    gs, ws = got["sim"].astype(float), want["sim"].astype(float)
+    assert gs.isna().equals(ws.isna())
+    assert ((gs - ws).abs().dropna() < 1e-6).all()
+
+
+def test_planted_copies_flagged(spark, vec_splits):
+    corpus_pd, batch_pd = vec_splits
+    corpus = spark.createDataFrame(corpus_pd)
+    batch = spark.createDataFrame(batch_pd)
+    res = (
+        incremental_embedding_neardup(batch, corpus)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    seeds = [
+        v - _EXACT_OFF for v in batch_pd["vec_id"] if v >= _EXACT_OFF
+    ]
+    assert seeds
+    for s in seeds:
+        ex = res.loc[s + _EXACT_OFF]
+        assert ex["dup_of"] == s, (s, dict(ex))
+        assert ex["sim"] >= 0.9999
+        nr = res.loc[s + _NEAR_OFF]
+        assert nr["dup_of"] == s, (s, dict(nr))
+        assert nr["sim"] >= 0.99
+
+
+def test_index_geometry_is_pinned(spark, vec_splits):
+    """A probe must bucket with the geometry the index RECORDS, not
+    the auto-tuned default — pinned by building at a non-default
+    geometry and checking the result equals an inline run at that
+    same geometry."""
+    corpus_pd, batch_pd = vec_splits
+    corpus = spark.createDataFrame(corpus_pd)
+    batch = spark.createDataFrame(batch_pd)
+    idx = embedding_band_index(corpus, geometry=(4, 8)).localCheckpoint(
+        eager=True
+    )
+    assert idx.select("n_bands").first()["n_bands"] == 4
+    via_index = (
+        incremental_embedding_neardup(batch, corpus, index=idx)
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    inline_idx = embedding_band_index(corpus, geometry=(4, 8))
+    inline = (
+        incremental_embedding_neardup(batch, corpus, index=inline_idx)
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(via_index, inline)
+    # and exact copies are still caught at the coarser geometry
+    flagged = set(via_index.dropna(subset=["dup_of"])["vec_id"])
+    assert all(
+        v in flagged for v in batch_pd["vec_id"] if v >= _EXACT_OFF
+    )
