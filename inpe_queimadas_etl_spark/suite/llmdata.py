@@ -1035,58 +1035,18 @@ def dd8_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle). At 100 TB the dup set is the only broadcast-unsafe
     artifact and it stays a fraction of corpus size (only repeated
     passages survive the HAVING)."""
-    k = _DD8_CHUNK_WORDS
-    docs = load_table(spark, sf_dir, "documents")
-    docs_w = docs.select("doc_id", F.split("text", " ").alias("w"))
-    chunk_arr = F.expr(
-        f"transform(sequence(0, cast(ceil(size(w) / {k}.0) as int) - 1),"
-        f" c -> concat_ws(' ', slice(w, c * {k} + 1, {k})))"
-    )
+    from ..operators.textdedup import passage_dedup
+
     # duplicate detection shuffles 64-bit chunk hashes, never chunk
     # strings (collision-free in practice; the same stance dd2 takes
-    # for shingles — the DuckDB oracle groups the strings and agrees)
-    dup = (
-        docs_w.select(
-            "doc_id",
-            F.explode(
-                F.transform(chunk_arr, lambda x: F.xxhash64(x))
-            ).alias("h"),
-        )
-        .groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= _DD8_MIN_DOCS)
-        .select("h")
-    )
-    chunks = docs_w.select(
-        "doc_id", F.posexplode(chunk_arr).alias("c", "chunk")
-    ).withColumn("h", F.xxhash64("chunk"))
-    kept = chunks.join(dup, "h", "left_anti")
-    re = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("c", "chunk"))),
-                lambda x: x["chunk"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
-    )
-    # per-doc chunk totals are pure arithmetic on the word count — no
-    # explode, no shuffle beyond the final (tiny) joins
-    tot = docs_w.select(
-        "doc_id",
-        F.ceil(F.size("w") / k).cast("bigint").alias("n_chunks"),
-    )
-    return (
-        tot.join(re, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_chunks",
-            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias(
-                "n_removed"
-            ),
-        )
+    # for shingles — the DuckDB oracle groups the strings and agrees);
+    # the operator also offers mode="paragraph" for real separator-
+    # structured corpora (operators/textdedup.py)
+    return passage_dedup(
+        load_table(spark, sf_dir, "documents"),
+        mode="fixed",
+        chunk_words=_DD8_CHUNK_WORDS,
+        min_docs=_DD8_MIN_DOCS,
     )
 
 
