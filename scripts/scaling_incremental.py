@@ -83,6 +83,119 @@ def _fit_exponent(times: dict[str, float]) -> float:
     )
 
 
+EMB_SIZES = {"10k": 10_000, "50k": 50_000, "200k": 200_000}
+EMB_FOIL_SIZES = ("10k", "50k")  # dd6 full recompute is minutes at 200k
+EMB_BATCH_N = 1_000
+
+
+def gen_vec_batch(corpus: pa.Table, seed: int) -> pa.Table:
+    """1,000-vector batch: 5 % exact copies of corpus vectors, 5 %
+    jittered near copies, 90 % fresh."""
+    from scripts.scaling_dedup import EMB_DIM, gen_embeddings
+
+    rng = np.random.default_rng(seed)
+    fresh = gen_embeddings(EMB_BATCH_N, seed=seed + 13)
+    vecs = [np.asarray(v) for v in fresh.column("embedding").to_pylist()]
+    corpus_vecs = corpus.column("embedding").to_pylist()
+    n = len(corpus_vecs)
+    n_exact = EMB_BATCH_N // 20
+    n_near = EMB_BATCH_N // 20
+    src = rng.integers(0, n, size=n_exact + n_near)
+    for i in range(n_exact):
+        vecs[i] = np.asarray(corpus_vecs[int(src[i])])
+    for i in range(n_near):
+        vecs[n_exact + i] = np.asarray(
+            corpus_vecs[int(src[n_exact + i])]
+        ) + rng.normal(0, 1e-3, size=EMB_DIM)
+    base = 10_000_000
+    return pa.table(
+        {
+            "vec_id": pa.array(
+                range(base, base + EMB_BATCH_N), type=pa.int64()
+            ),
+            "embedding": pa.array(
+                [np.asarray(v, dtype=np.float32) for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * EMB_BATCH_N, type=pa.int32()),
+        }
+    )
+
+
+def embedding_sweep(spark, tmp: str) -> dict:
+    from inpe_queimadas_etl_spark.incremental import (
+        embedding_band_index,
+        incremental_embedding_neardup,
+    )
+    from inpe_queimadas_etl_spark.suite.llmdata import dd6_embedding_neardup
+    from scripts.scaling_dedup import gen_embeddings
+
+    flag_t: dict[str, float] = {}
+    build_t: dict[str, float] = {}
+    foil_t: dict[str, float] = {}
+    n_flagged: dict[str, int] = {}
+    for label, n in EMB_SIZES.items():
+        d = os.path.join(tmp, f"emb_{label}")
+        os.makedirs(os.path.join(d, "union"), exist_ok=True)
+        corpus_tbl = gen_embeddings(n, seed=4242)
+        batch_tbl = gen_vec_batch(corpus_tbl, seed=777)
+        pq.write_table(corpus_tbl, os.path.join(d, "embeddings.parquet"))
+        pq.write_table(
+            pa.concat_tables([corpus_tbl, batch_tbl]),
+            os.path.join(d, "union", "embeddings.parquet"),
+        )
+        corpus = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        batch = spark.createDataFrame(batch_tbl.to_pandas())
+
+        t0 = time.perf_counter()
+        embedding_band_index(corpus).write.parquet(os.path.join(d, "bi"))
+        build_t[label] = round(time.perf_counter() - t0, 3)
+        bi = spark.read.parquet(os.path.join(d, "bi"))
+
+        def run_flag():
+            return incremental_embedding_neardup(batch, corpus, index=bi)
+
+        run_flag().count()
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run_flag()
+            cnt = out.filter(out.dup_of.isNotNull()).count()
+            samples.append(time.perf_counter() - t0)
+        flag_t[label] = round(min(samples), 3)
+        n_flagged[label] = cnt
+
+        if label in EMB_FOIL_SIZES:
+            samples = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                dd6_embedding_neardup(
+                    spark, os.path.join(d, "union")
+                ).count()
+                samples.append(time.perf_counter() - t0)
+            foil_t[label] = round(min(samples), 3)
+        print(
+            f"# emb {label}: build {build_t[label]}s, flag {flag_t[label]}s "
+            f"({n_flagged[label]} flagged), foil {foil_t.get(label, '-')}s",
+            file=sys.stderr,
+        )
+    xs = [math.log(EMB_SIZES[s]) for s in EMB_SIZES]
+    ys = [math.log(max(flag_t[s], 1e-3)) for s in EMB_SIZES]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    return {
+        "emb_corpus_sizes": EMB_SIZES,
+        "emb_batch_size": EMB_BATCH_N,
+        "emb_index_build_sec": build_t,
+        "emb_flag_sec": flag_t,
+        "emb_n_flagged": n_flagged,
+        "emb_foil_dd6_recompute_sec": foil_t,
+        "emb_flag_exponent": round(slope, 2),
+    }
+
+
 def main() -> None:
     from inpe_queimadas_etl_spark.incremental import (
         exact_hash_index,
@@ -161,6 +274,8 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+        emb = embedding_sweep(spark, tmp)
+
     print(
         json.dumps(
             {
@@ -172,6 +287,7 @@ def main() -> None:
                 "foil_full_recompute_sec": foil_t,
                 "flag_exponent": _fit_exponent(flag_t),
                 "foil_exponent": _fit_exponent(foil_t),
+                **emb,
             }
         )
     )
