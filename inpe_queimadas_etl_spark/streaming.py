@@ -225,6 +225,75 @@ def _read_or_empty(spark: SparkSession, path: str, like: DataFrame) -> DataFrame
         raise
 
 
+def _write_partition(df: DataFrame, root: str, batch_id: int) -> None:
+    """Idempotent sink write: overwrite this batch's own partition."""
+    df.write.mode("overwrite").parquet(f"{root}/batch_id={batch_id}")
+
+
+def _exclude_current(df: DataFrame, batch_id: int) -> DataFrame:
+    """Drop the CURRENT batch_id's partitions from a sink read: a
+    crash-replayed batch must never dedup against its own partial
+    writes (it would flag every survivor as a dup of itself and then
+    overwrite the batch with empty data)."""
+    if "batch_id" in df.columns:
+        return df.filter(F.col("batch_id") != F.lit(batch_id))
+    return df
+
+
+def _refuse_checkpoint_reset(sinks, batch_id: int) -> None:
+    """A genuine crash-replay re-delivers the LATEST batch, so sink
+    partitions can only carry ids <= the current one; ids beyond it
+    mean the checkpoint was lost/reset while sink dirs survived —
+    proceeding would skip dedup against the excluded slice and then
+    OVERWRITE historical partitions. ``sinks`` is (path, DataFrame)
+    pairs; all are checked so wiping one dir but not another cannot
+    slip past."""
+    for sink, frame in sinks:
+        if "batch_id" not in frame.columns:
+            continue
+        mx = frame.agg(F.max("batch_id")).first()[0]
+        if mx is not None and mx > batch_id:
+            raise RuntimeError(
+                f"sink {sink} holds batch_id={mx} but this stream is "
+                f"only at batch {batch_id}: the streaming checkpoint "
+                "was reset against existing output. Point "
+                "checkpoint_dir at the original checkpoint, or start "
+                "with fresh out/index dirs."
+            )
+
+
+def _resolve_stream_schema(
+    spark: SparkSession, src_dir: str, schema: T.StructType | None
+) -> T.StructType:
+    """Schema for a parquet file stream: explicit, or inferred from
+    already-landed files (an empty dir raises with instructions; any
+    non-missing read failure propagates). Rejects a ``batch_id``
+    column — reserved for the sink partition scheme."""
+    if schema is None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            schema = spark.read.parquet(src_dir).schema
+        except AnalysisException as ex:
+            probe = getattr(ex, "getCondition", None) or getattr(
+                ex, "getErrorClass", lambda: None
+            )
+            if probe() not in _BENIGN_MISSING:
+                raise  # real read failure, not an empty landing dir
+            raise ValueError(
+                f"{src_dir!r} has no readable parquet yet; pass "
+                "schema= to start the drain before the first "
+                "snapshot lands"
+            ) from ex
+    if "batch_id" in schema.fieldNames():
+        raise ValueError(
+            "input schema may not contain a 'batch_id' column — it "
+            "is reserved for the sink partition scheme; rename it "
+            "before landing"
+        )
+    return schema
+
+
 def start_corpus_dedup_stream(
     spark: SparkSession,
     docs_dir: str,
@@ -282,36 +351,9 @@ def start_corpus_dedup_stream(
     )
 
     thr = NEAR_DUP_THRESHOLD if threshold is None else threshold
-    if schema is None:
-        from pyspark.errors import AnalysisException
-
-        try:
-            schema = spark.read.parquet(docs_dir).schema
-        except AnalysisException as ex:
-            probe = getattr(ex, "getCondition", None) or getattr(
-                ex, "getErrorClass", lambda: None
-            )
-            if probe() not in _BENIGN_MISSING:
-                raise  # real read failure, not an empty landing dir
-            raise ValueError(
-                f"docs_dir {docs_dir!r} has no readable parquet yet; "
-                "pass schema= to start the drain before the first "
-                "snapshot lands"
-            ) from ex
-    if "batch_id" in schema.fieldNames():
-        # the sink partition column; a same-named data column would
-        # shadow the partition value on read-back and make the
-        # replay-exclusion filter drop the wrong corpus rows
-        raise ValueError(
-            "document schema may not contain a 'batch_id' column — it "
-            "is reserved for the sink partition scheme; rename it "
-            "before landing"
-        )
+    schema = _resolve_stream_schema(spark, docs_dir, schema)
     src = spark.readStream.schema(schema).parquet(docs_dir)
     empty_docs = spark.createDataFrame([], schema)
-
-    def _write(df: DataFrame, root: str, batch_id: int) -> None:
-        df.write.mode("overwrite").parquet(f"{root}/batch_id={batch_id}")
 
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)
@@ -330,16 +372,6 @@ def start_corpus_dedup_stream(
             .localCheckpoint(eager=True)
         )
 
-        def _prior(df: DataFrame) -> DataFrame:
-            # exclude the CURRENT batch_id: after a crash-replay the
-            # sink dirs already hold this batch's own partial writes,
-            # and reading them back would make every survivor an
-            # exact dup of itself (then the overwrite erases the
-            # batch — see the idempotency note in the docstring)
-            if "batch_id" in df.columns:
-                return df.filter(F.col("batch_id") != F.lit(batch_id))
-            return df
-
         accepted_all = _read_or_empty(
             spark, f"{out_dir}/accepted", empty_docs
         )
@@ -349,33 +381,17 @@ def start_corpus_dedup_stream(
         bi_all = _read_or_empty(
             spark, f"{index_dir}/bands", minhash_band_index(empty_docs)
         )
-        # Replay-vs-reset guard: a genuine crash-replay re-delivers
-        # the LATEST batch, so existing sink partitions can only carry
-        # ids <= the current one. Ids beyond it mean the checkpoint
-        # was lost or reset while sink dirs survived — proceeding
-        # would both skip dedup against the excluded slice and then
-        # OVERWRITE historical partitions. Refuse loudly. All three
-        # sinks are checked: ops wiping out_dir but not index_dir (or
-        # vice versa) must not slip past.
-        for sink, frame in (
-            (f"{out_dir}/accepted", accepted_all),
-            (f"{index_dir}/exact", ei_all),
-            (f"{index_dir}/bands", bi_all),
-        ):
-            if "batch_id" not in frame.columns:
-                continue
-            mx = frame.agg(F.max("batch_id")).first()[0]
-            if mx is not None and mx > batch_id:
-                raise RuntimeError(
-                    f"sink {sink} holds batch_id={mx} but this stream "
-                    f"is only at batch {batch_id}: the streaming "
-                    "checkpoint was reset against existing output. "
-                    "Point checkpoint_dir at the original checkpoint, "
-                    "or start with fresh out/index dirs."
-                )
-        accepted = _prior(accepted_all)
-        ei = _prior(ei_all)
-        bi = _prior(bi_all)
+        _refuse_checkpoint_reset(
+            (
+                (f"{out_dir}/accepted", accepted_all),
+                (f"{index_dir}/exact", ei_all),
+                (f"{index_dir}/bands", bi_all),
+            ),
+            batch_id,
+        )
+        accepted = _exclude_current(accepted_all, batch_id)
+        ei = _exclude_current(ei_all, batch_id)
+        bi = _exclude_current(bi_all, batch_id)
         verdicts = incremental_dedup(
             uniq, accepted, exact_index=ei, band_index=bi, threshold=thr
         ).localCheckpoint(eager=True)
@@ -385,10 +401,16 @@ def start_corpus_dedup_stream(
             "doc_id",
             "left_anti",
         ).localCheckpoint(eager=True)
-        _write(verdicts.unionByName(intra), f"{out_dir}/flags", batch_id)
-        _write(survivors, f"{out_dir}/accepted", batch_id)
-        _write(exact_hash_index(survivors), f"{index_dir}/exact", batch_id)
-        _write(minhash_band_index(survivors), f"{index_dir}/bands", batch_id)
+        _write_partition(
+            verdicts.unionByName(intra), f"{out_dir}/flags", batch_id
+        )
+        _write_partition(survivors, f"{out_dir}/accepted", batch_id)
+        _write_partition(
+            exact_hash_index(survivors), f"{index_dir}/exact", batch_id
+        )
+        _write_partition(
+            minhash_band_index(survivors), f"{index_dir}/bands", batch_id
+        )
         if on_batch is not None:
             on_batch(
                 batch_id,
@@ -396,6 +418,113 @@ def start_corpus_dedup_stream(
                     "n_in": batch.count(),
                     "n_accepted": survivors.count(),
                 },
+            )
+
+    writer = (
+        src.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_embedding_dedup_stream(
+    spark: SparkSession,
+    vecs_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    threshold: float | None = None,
+    on_batch=None,
+    schema: T.StructType | None = None,
+):
+    """Embedding twin of :func:`start_corpus_dedup_stream`: micro-
+    batches of landed embedding snapshots (vec_id, embedding, ...)
+    are flagged against the accepted vector corpus via the persistent
+    sign-LSH band index, survivors + their index increment appended.
+
+    The LSH geometry is read from the existing index each batch (see
+    embedding_band_index: buckets are only comparable under the
+    geometry they were built at), so the index stays self-consistent
+    as the corpus grows; only the FIRST batch auto-tunes. Identical
+    in-batch vectors dedup first (lowest vec_id wins, recorded at
+    sim 1.0). Same idempotency contract as the text drain: per-
+    batch_id overwrite sinks, current-batch exclusion on reads, and
+    checkpoint-reset refusal.
+    """
+    from .incremental import (
+        EMB_NEAR_DUP_THRESHOLD,
+        embedding_band_index,
+        incremental_embedding_neardup,
+    )
+
+    thr = EMB_NEAR_DUP_THRESHOLD if threshold is None else threshold
+    schema = _resolve_stream_schema(spark, vecs_dir, schema)
+    src = spark.readStream.schema(schema).parquet(vecs_dir)
+    empty_vecs = spark.createDataFrame([], schema)
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        h = batch.withColumn("__vh", F.xxhash64("embedding"))
+        first = h.groupBy("__vh").agg(F.min("vec_id").alias("__first_id"))
+        j = h.join(first, "__vh")
+        intra = j.filter(F.col("vec_id") != F.col("__first_id")).select(
+            "vec_id",
+            F.col("__first_id").alias("dup_of"),
+            F.lit(1.0).alias("sim"),
+        )
+        uniq = (
+            j.filter(F.col("vec_id") == F.col("__first_id"))
+            .drop("__vh", "__first_id")
+            .localCheckpoint(eager=True)
+        )
+
+        accepted_all = _read_or_empty(
+            spark, f"{out_dir}/accepted", empty_vecs
+        )
+        bi_all = _read_or_empty(
+            spark, f"{index_dir}/bands", embedding_band_index(empty_vecs)
+        )
+        _refuse_checkpoint_reset(
+            (
+                (f"{out_dir}/accepted", accepted_all),
+                (f"{index_dir}/bands", bi_all),
+            ),
+            batch_id,
+        )
+        accepted = _exclude_current(accepted_all, batch_id)
+        bi = _exclude_current(bi_all, batch_id)
+        verdicts = incremental_embedding_neardup(
+            uniq, accepted, index=bi, threshold=thr
+        ).localCheckpoint(eager=True)
+
+        survivors = uniq.join(
+            verdicts.filter(F.col("dup_of").isNotNull()).select("vec_id"),
+            "vec_id",
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        # append the increment at the index's RECORDED geometry; only
+        # an empty index (first batch) auto-tunes
+        geom_row = bi.select("n_bands", "band_bits").first()
+        geometry = (
+            (geom_row["n_bands"], geom_row["band_bits"]) if geom_row else None
+        )
+        _write_partition(
+            verdicts.unionByName(intra), f"{out_dir}/flags", batch_id
+        )
+        _write_partition(survivors, f"{out_dir}/accepted", batch_id)
+        _write_partition(
+            embedding_band_index(survivors, geometry=geometry),
+            f"{index_dir}/bands",
+            batch_id,
+        )
+        if on_batch is not None:
+            on_batch(
+                batch_id,
+                {"n_in": batch.count(), "n_accepted": survivors.count()},
             )
 
     writer = (

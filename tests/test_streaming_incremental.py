@@ -116,6 +116,89 @@ def _preserve_root_logging():
     root.setLevel(saved[1])
 
 
+def _vec(seed: int, dim: int = 16) -> list:
+    import random
+
+    rng = random.Random(seed)
+    return [rng.uniform(-1, 1) for _ in range(dim)]
+
+
+def _write_vec_batch(docs_dir, rows, name):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], type=pa.list_(pa.float32())
+                ),
+            }
+        ),
+        os.path.join(docs_dir, f"{name}.parquet"),
+    )
+
+
+def test_embedding_drain_cross_batch(spark, dirs):
+    """Embedding drain: in-batch identical vectors dedup first;
+    cross-batch exact and jittered copies are flagged against the
+    index; geometry stays pinned across batches; re-drain is a
+    no-op."""
+    from inpe_queimadas_etl_spark.streaming import (
+        start_embedding_dedup_stream,
+    )
+
+    def drain():
+        q = start_embedding_dedup_stream(
+            spark,
+            vecs_dir=dirs["docs"],
+            index_dir=dirs["index"],
+            out_dir=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    v0, v1, v2 = _vec(1), _vec(2), _vec(3)
+    _write_vec_batch(dirs["docs"], [(0, v0), (1, v1), (2, v2), (3, v0)], "b1")
+    drain()
+    accepted = spark.read.parquet(f"{dirs['out']}/accepted")
+    assert sorted(r.vec_id for r in accepted.collect()) == [0, 1, 2]
+    flags = (
+        spark.read.parquet(f"{dirs['out']}/flags")
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert flags.loc[3, "dup_of"] == 0 and flags.loc[3, "sim"] == 1.0
+
+    jitter = [x + 1e-4 for x in v1]
+    _write_vec_batch(
+        dirs["docs"], [(10, v2), (11, jitter), (12, _vec(9))], "b2"
+    )
+    drain()
+    accepted = spark.read.parquet(f"{dirs['out']}/accepted")
+    assert sorted(r.vec_id for r in accepted.collect()) == [0, 1, 2, 12]
+    flags = (
+        spark.read.parquet(f"{dirs['out']}/flags")
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert flags.loc[10, "dup_of"] == 2 and flags.loc[10, "sim"] >= 0.9999
+    assert flags.loc[11, "dup_of"] == 1 and flags.loc[11, "sim"] >= 0.99
+    import pandas as _pd
+
+    assert _pd.isna(flags.loc[12, "dup_of"])
+    # one geometry across the whole index
+    bi = spark.read.parquet(f"{dirs['index']}/bands")
+    geoms = bi.select("n_bands", "band_bits").distinct().collect()
+    assert len(geoms) == 1
+
+    drain()  # no new files -> no-op
+    assert spark.read.parquet(f"{dirs['out']}/accepted").count() == 4
+
+
 def test_cli_corpus_dedup_sweep(spark, dirs, _preserve_root_logging):
     """`python -m inpe_queimadas_etl_spark corpus-dedup` drains the
     landing dir once (availableNow) and exits 0, leaving accepted +
