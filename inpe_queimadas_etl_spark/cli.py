@@ -205,13 +205,18 @@ def cmd_validate_repo(args) -> int:
 
 
 def cmd_corpus_dedup(args) -> int:
-    """Drain landed document snapshots through the streaming
-    incremental-dedup loop (streaming.start_corpus_dedup_stream) and
-    log a per-kind verdict summary. With ``--continuous`` the drain
-    stays live (blocks until externally stopped); otherwise it sweeps
-    everything currently landed and exits — the cron/scheduler shape."""
+    """Drain landed snapshots through the streaming incremental-dedup
+    loop and log a per-kind verdict summary. ``--embeddings`` switches
+    to the vector drain (vec_id + embedding snapshots, sign-LSH band
+    index) instead of the document drain. With ``--continuous`` the
+    drain stays live (blocks until externally stopped); otherwise it
+    sweeps everything currently landed and exits — the cron/scheduler
+    shape."""
     from .session import get_spark
-    from .streaming import start_corpus_dedup_stream
+    from .streaming import (
+        start_corpus_dedup_stream,
+        start_embedding_dedup_stream,
+    )
 
     spark = get_spark(app_name="corpus-dedup")
     schema = None
@@ -224,9 +229,15 @@ def cmd_corpus_dedup(args) -> int:
         run_batch_ids.append(batch_id)
         log.info("corpus-dedup | batch %s | %s", batch_id, json.dumps(m))
 
-    q = start_corpus_dedup_stream(
+    starter = (
+        start_embedding_dedup_stream
+        if args.embeddings
+        else start_corpus_dedup_stream
+    )
+    src_kw = "vecs_dir" if args.embeddings else "docs_dir"
+    q = starter(
         spark,
-        docs_dir=args.docs_dir,
+        **{src_kw: args.docs_dir},
         index_dir=args.index_dir,
         out_dir=args.out_dir,
         checkpoint_dir=args.checkpoint_dir,
@@ -246,9 +257,14 @@ def cmd_corpus_dedup(args) -> int:
     flags = spark.read.parquet(f"{args.out_dir}/flags").filter(
         F.col("batch_id").isin(run_batch_ids)
     )
+    if args.embeddings:
+        kind = F.when(F.col("dup_of").isNotNull(), F.lit("near_or_exact"))
+    else:
+        kind = F.col("dup_kind")
     by_kind = {
-        (r["dup_kind"] or "accepted"): r["n"]
-        for r in flags.groupBy("dup_kind")
+        (r["k"] or "accepted"): r["n"]
+        for r in flags.select(kind.alias("k"))
+        .groupBy("k")
         .agg(F.count("*").alias("n"))
         .collect()
     }
@@ -319,6 +335,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--schema-from",
         help="parquet file/dir whose schema to use (lets the drain "
         "start before the first snapshot lands)",
+    )
+    cdp.add_argument(
+        "--embeddings",
+        action="store_true",
+        help="dedup embedding snapshots (vec_id + embedding) via the "
+        "sign-LSH band index instead of documents",
     )
     cdp.add_argument("--log-dir")
     return ap

@@ -292,6 +292,28 @@ def test_reserved_batch_id_column_rejected(spark, dirs):
         )
 
 
+def test_cli_embedding_dedup_sweep(spark, dirs, _preserve_root_logging):
+    """`corpus-dedup --embeddings` drains vector snapshots through the
+    embedding drain and exits 0."""
+    from inpe_queimadas_etl_spark import cli
+
+    v = _vec(41)
+    _write_vec_batch(dirs["docs"], [(0, v), (1, _vec(42)), (2, v)], "b1")
+    rc = cli.main(
+        [
+            "corpus-dedup",
+            "--embeddings",
+            "--docs-dir", dirs["docs"],
+            "--index-dir", dirs["index"],
+            "--out-dir", dirs["out"],
+            "--checkpoint-dir", dirs["ckpt"],
+        ]
+    )
+    assert rc == 0
+    accepted = spark.read.parquet(f"{dirs['out']}/accepted")
+    assert sorted(r.vec_id for r in accepted.collect()) == [0, 1]
+
+
 def test_cross_batch_dedup_and_restart(spark, dirs):
     # batch 1: three unique docs + one in-batch exact dup of doc 0
     base = _doc(1)
