@@ -212,7 +212,7 @@ def embedding_band_index(
     batch with the index's recorded geometry, not whatever the
     current corpus size would auto-tune to — otherwise growing past a
     tuning decade would silently unmatch the whole index."""
-    from .suite.llmdata import _dd6_geometry, _emb_band_structs
+    from .suite.llmdata import _dd6_geometry, _emb_band_rows
 
     if geometry is None:
         geometry = _dd6_geometry(vecs.count())
@@ -222,13 +222,7 @@ def embedding_band_index(
         F.col("embedding").cast("array<double>").alias("v"),
     )
     return (
-        v.select(
-            "corpus_vec_id",
-            F.explode(F.array(*_emb_band_structs(n_bands, band_bits))).alias(
-                "band"
-            ),
-        )
-        .select("corpus_vec_id", "band.band_idx", "band.band_bucket")
+        _emb_band_rows(v, "corpus_vec_id", n_bands, band_bits)
         .withColumn("n_bands", F.lit(n_bands))
         .withColumn("band_bits", F.lit(band_bits))
     )
@@ -259,7 +253,7 @@ def incremental_embedding_neardup(
     geometry read from the index itself (see embedding_band_index).
     """
     from .operators.similarity import cosine
-    from .suite.llmdata import _dd6_geometry, _emb_band_structs
+    from .suite.llmdata import _dd6_geometry, _emb_band_rows
 
     maybe_bc = F.broadcast if broadcast_batch else (lambda df: df)
     if index is None:
@@ -274,12 +268,7 @@ def incremental_embedding_neardup(
         F.col("vec_id").alias("new_vec_id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    new_bands = newv.select(
-        "new_vec_id",
-        F.explode(F.array(*_emb_band_structs(n_bands, band_bits))).alias(
-            "band"
-        ),
-    ).select("new_vec_id", "band.band_idx", "band.band_bucket")
+    new_bands = _emb_band_rows(newv, "new_vec_id", n_bands, band_bits)
     candidates = (
         index.join(maybe_bc(new_bands), ["band_idx", "band_bucket"])
         .select("new_vec_id", "corpus_vec_id")

@@ -698,10 +698,10 @@ def _dd6_geometry(n_vecs: int) -> tuple[int, int]:
 
 def _emb_band_structs(n_bands: int, band_bits: int) -> list:
     """(band_idx, band_bucket) structs over an array<double> column
-    named ``v`` — the sign-LSH banding shared by dd6's self-join and
-    incremental.py's persistent embedding index (factored so index
-    rows and batch probes can never drift; the hyperplanes are
-    deterministic in (plane index, dim))."""
+    named ``v`` — the JVM-expression REFERENCE form of the sign-LSH
+    banding (kept as the parity anchor for the Arrow fast path;
+    tests/test_similarity_fastpath.py pins the two bit-identical).
+    Production paths go through :func:`_emb_band_rows`."""
     from ..operators.similarity import lsh_bucket
 
     return [
@@ -715,14 +715,33 @@ def _emb_band_structs(n_bands: int, band_bits: int) -> list:
     ]
 
 
+def _emb_band_rows(
+    vecs: DataFrame, id_col: str, n_bands: int, band_bits: int
+) -> DataFrame:
+    """``(id_col, band_idx, band_bucket)`` rows over an array<double>
+    column named ``v`` — the sign-LSH banding shared by dd6's
+    self-join and incremental.py's persistent embedding index
+    (factored so index rows and batch probes can never drift; the
+    hyperplanes are deterministic in (plane index, dim)). Uses the
+    Arrow-batched :func:`..operators.similarity.lsh_band_buckets`
+    fast path — bit-identical to the `_emb_band_structs` JVM
+    expressions the DuckDB oracle states, measured ~7x faster (the
+    HOF folds are interpreted per element; see lsh_band_buckets)."""
+    from ..operators.similarity import lsh_band_buckets
+
+    return vecs.select(
+        id_col,
+        F.posexplode(
+            lsh_band_buckets("v", _EMB_DIM, n_bands, band_bits)
+        ).alias("band_idx", "band_bucket"),
+    )
+
+
 def _dd6_candidate_pairs(emb: DataFrame, n_bands: int, band_bits: int) -> DataFrame:
     """Banded sign-LSH candidate (vec_a, vec_b) pairs: agree on at
     least one band bucket. The join keys are uniform equi hashes —
     skew-free at any scale."""
-    band_structs = _emb_band_structs(n_bands, band_bits)
-    bands = emb.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("vec_id", "band.band_idx", "band.band_bucket")
+    bands = _emb_band_rows(emb, "vec_id", n_bands, band_bits)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -1,0 +1,145 @@
+"""Parity pins for the Arrow-batched sign-LSH fast path.
+
+`lsh_band_buckets` (numpy over Arrow batches) replaces the per-plane
+JVM HOF folds in the dd6 / embedding-index banding. The DuckDB oracle
+states the JVM expression (`lsh_bucket_sql`), so the fast path is only
+admissible if it is BIT-IDENTICAL — same IEEE multiply/add sequence,
+same sign decisions. These tests pin that equivalence on the real
+embeddings table and on adversarial vectors (exact-zero dots, signed
+zeros, denormals, a NULL vector).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from inpe_queimadas_etl_spark.operators.similarity import (
+    hyperplane,
+    lsh_band_buckets,
+)
+from inpe_queimadas_etl_spark.session import load_table
+from inpe_queimadas_etl_spark.suite.llmdata import (
+    _EMB_DIM,
+    _emb_band_rows,
+    _emb_band_structs,
+)
+
+from .conftest import SF001
+
+
+def _jvm_band_rows(vecs, id_col, n_bands, band_bits):
+    return vecs.select(
+        id_col,
+        F.explode(F.array(*_emb_band_structs(n_bands, band_bits))).alias(
+            "band"
+        ),
+    ).select(id_col, "band.band_idx", "band.band_bucket")
+
+
+def _assert_band_parity(vecs, id_col, n_bands, band_bits):
+    jvm = {
+        (r[0], r[1]): r[2]
+        for r in _jvm_band_rows(vecs, id_col, n_bands, band_bits).collect()
+    }
+    fast = {
+        (r[0], r[1]): r[2]
+        for r in _emb_band_rows(vecs, id_col, n_bands, band_bits).collect()
+    }
+    assert fast == jvm  # bucket-for-bucket, including band_idx pairing
+
+
+def test_fastpath_matches_jvm_on_real_embeddings(spark):
+    vecs = load_table(spark, SF001, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    _assert_band_parity(vecs, "vec_id", 8, 12)
+
+
+def test_fastpath_matches_jvm_on_adversarial_vectors(spark):
+    # Exact-zero dot products (the >= 0.0 boundary): v orthogonal to
+    # plane j by construction — w[0]*w[1] + w[1]*(-w[0]) cancels
+    # EXACTLY in IEEE left-to-right order, so the fold hits +0.0/-0.0
+    # and both paths must agree the bit is set.
+    rows = []
+    for j in range(8):
+        w = hyperplane(j, _EMB_DIM)
+        v = [0.0] * _EMB_DIM
+        v[0], v[1] = float(w[1]), float(-w[0])
+        rows.append((j, v))
+    # signed zeros / denormals / huge components
+    rows.append((100, [0.0] * _EMB_DIM))
+    rows.append((101, [-0.0] * _EMB_DIM))
+    rows.append((102, [5e-324, -5e-324] * (_EMB_DIM // 2)))
+    rows.append((103, [1e300, -1e300] * (_EMB_DIM // 2)))
+    rows.append((104, [1e16, 1.0, -1e16] + [0.0] * (_EMB_DIM - 3)))
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    _assert_band_parity(df, "vec_id", 4, 8)
+
+
+def test_fastpath_null_vector_gets_bucket_zero(spark):
+    # JVM: when(NULL >= 0).otherwise(0) -> every band bucket 0; the
+    # fast path must collapse a NULL vector identically.
+    df = spark.createDataFrame(
+        [(1, [1.0] * _EMB_DIM), (2, None)], "vec_id int, v array<double>"
+    )
+    fast = {
+        (r[0], r[1]): r[2]
+        for r in _emb_band_rows(df, "vec_id", 4, 8).collect()
+    }
+    assert all(fast[(2, b)] == 0 for b in range(4))
+    _assert_band_parity(df, "vec_id", 4, 8)
+
+
+def test_fastpath_dim_mismatch_gets_bucket_zero(spark):
+    # JVM: zip_with pads the shorter side with NULLs -> fold NULL ->
+    # bucket 0 in every band, for vectors both shorter and longer
+    # than the declared dim. The fast path mirrors the collapse.
+    df = spark.createDataFrame(
+        [
+            (1, [1.0] * _EMB_DIM),
+            (2, [1.0] * 16),
+            (3, [1.0] * (_EMB_DIM + 8)),
+        ],
+        "vec_id int, v array<double>",
+    )
+    fast = {
+        (r[0], r[1]): r[2]
+        for r in _emb_band_rows(df, "vec_id", 4, 8).collect()
+    }
+    assert all(fast[(2, b)] == 0 and fast[(3, b)] == 0 for b in range(4))
+    _assert_band_parity(df, "vec_id", 4, 8)
+
+
+def test_fastpath_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id int, v array<double>")
+    assert _emb_band_rows(df, "vec_id", 4, 8).count() == 0
+
+
+def test_fastpath_matches_bucket_slices(spark):
+    # lsh_band_buckets(b*bits offset slicing) must equal per-band
+    # lsh_bucket calls at the same plane offsets — i.e. array element
+    # b IS band b, not merely some permutation.
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.randn(_EMB_DIM)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    got = {
+        r[0]: list(r[1])
+        for r in df.select(
+            "vec_id", lsh_band_buckets("v", _EMB_DIM, 3, 5).alias("bk")
+        ).collect()
+    }
+    from inpe_queimadas_etl_spark.operators.similarity import lsh_bucket
+
+    for b in range(3):
+        ref = {
+            r[0]: r[1]
+            for r in df.select(
+                "vec_id",
+                lsh_bucket("v", _EMB_DIM, 5, plane_offset=b * 5).alias("x"),
+            ).collect()
+        }
+        assert {k: v[b] for k, v in got.items()} == ref
