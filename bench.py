@@ -35,6 +35,7 @@ HEADLINE = [
     "dd2_ngram_jaccard_pairs",
     "dd3_minhash_signatures",
     "dd4_minhash_lsh_candidates",
+    "dd6_embedding_neardup",
     "dd7_dedup_clusters",
     "dd8_passage_dedup",
     "sim1_knn_cosine_topk",

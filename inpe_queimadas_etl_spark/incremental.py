@@ -252,7 +252,7 @@ def incremental_embedding_neardup(
     the index probe, corpus vectors fetched only for candidate ids,
     geometry read from the index itself (see embedding_band_index).
     """
-    from .operators.similarity import cosine
+    from .operators.similarity import dot_product, vec_norm
     from .suite.llmdata import _dd6_geometry, _emb_band_rows
 
     maybe_bc = F.broadcast if broadcast_batch else (lambda df: df)
@@ -277,21 +277,29 @@ def incremental_embedding_neardup(
     cand_ids = candidates.select(
         F.col("corpus_vec_id").alias("vec_id")
     ).distinct()
+    # norms once per vector (not per candidate pair) — bit-identical
+    # to a per-pair cosine fold, a third of the verify cost
     cv = (
         corpus_vecs.join(maybe_bc(cand_ids), "vec_id", "left_semi")
         .select(
             F.col("vec_id").alias("corpus_vec_id"),
             F.col("embedding").cast("array<double>").alias("cv"),
         )
+        .withColumn("cn", vec_norm("cv"))
     )
-    nv = newv.select("new_vec_id", F.col("v").alias("nv"))
+    nv = newv.select(
+        "new_vec_id", F.col("v").alias("nv")
+    ).withColumn("nn", vec_norm("nv"))
     best = Window.partitionBy("new_vec_id").orderBy(
         F.desc("s"), F.asc("corpus_vec_id")
     )
     flagged = (
         candidates.join(maybe_bc(nv), "new_vec_id")
         .join(cv, "corpus_vec_id")
-        .withColumn("s", cosine("nv", "cv"))
+        .withColumn(
+            "s",
+            F.try_divide(dot_product("nv", "cv"), F.col("nn") * F.col("cn")),
+        )
         .filter(F.col("s") >= threshold)
         .withColumn("rn", F.row_number().over(best))
         .filter(F.col("rn") == 1)

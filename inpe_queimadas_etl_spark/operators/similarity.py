@@ -218,14 +218,45 @@ def lsh_bucket_sql(
     return "(" + " + ".join(cases) + ")"
 
 
-def cosine(a_col: str, b_col: str) -> Column:
-    """Cosine similarity of two array<double> columns, JVM-side
-    (zip_with product + aggregate fold; no Python in the loop)."""
-    dot = F.aggregate(
+def vec_norm(col) -> Column:
+    """Euclidean norm of an array<double> column — the exact
+    sub-expression :func:`cosine` folds per pair. Precompute it ONCE
+    per vector and verify pairs with :func:`dot_product` /(na*nb):
+    bit-identical to cosine() (the norm is the same double either
+    way) at a third of the per-pair fold cost. Measured: shipping
+    pairs through an Arrow cosine UDF instead LOSES — two 64-dim
+    vectors per candidate pair cross the Python boundary, which costs
+    more than the interpreted fold it saves (dd6 sweep 3.4 s -> 5.6 s
+    at 50k docs) — so pair verification stays JVM-side."""
+    return F.sqrt(
+        F.aggregate(F.col(col), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def dot_product(a_col: str, b_col: str) -> Column:
+    """Left-to-right dot-product fold of two array<double> columns —
+    the exact sub-expression :func:`cosine` uses."""
+    return F.aggregate(
         F.zip_with(a_col, b_col, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm_a = F.sqrt(F.aggregate(F.col(a_col), F.lit(0.0), lambda acc, x: acc + x * x))
-    norm_b = F.sqrt(F.aggregate(F.col(b_col), F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (norm_a * norm_b)
+
+
+def cosine(a_col: str, b_col: str) -> Column:
+    """Cosine similarity of two array<double> columns, JVM-side
+    (zip_with product + aggregate fold; no Python in the loop).
+    For candidate-verify joins, precompute :func:`vec_norm` per
+    vector and divide :func:`dot_product` by the norms — bit-identical
+    and ~3x cheaper per pair.
+
+    try_divide: a zero-norm (or zero-length) vector yields NULL
+    instead of crashing the job — Spark 4's default ANSI mode raises
+    DIVIDE_BY_ZERO even for double division, and real corpora contain
+    empty documents whose embeddings can be all-zero. For every
+    nonzero divisor try_divide is the same IEEE division, so
+    oracle-checked results are untouched (pinned by
+    tests/test_similarity_fastpath.py)."""
+    return F.try_divide(
+        dot_product(a_col, b_col), vec_norm(a_col) * vec_norm(b_col)
+    )

@@ -799,16 +799,31 @@ def dd6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos 0.99), quantized so every corpus up to 30k vectors keeps the
     measured 8x12 geometry the static oracle states — the tuning
     changes behavior only beyond the oracle-checked decade."""
-    from ..operators.similarity import cosine
+    from ..operators.similarity import dot_product, vec_norm
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     n_bands, band_bits = _dd6_geometry(emb.count())
     cand = _dd6_candidate_pairs(emb, n_bands, band_bits)
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    sim = cosine("va", "vb")
+    # norms are computed ONCE per vector, not per candidate pair:
+    # bit-identical to cosine()'s per-pair folds (the norm is the
+    # same double) at a third of the per-pair verify cost — and the
+    # pair verify stays JVM-side, co-located with the join (an Arrow
+    # cosine UDF here measured SLOWER: two 64-dim vectors per pair
+    # across the Python boundary outweigh the interpreted fold).
+    emb_n = emb.withColumn("nrm", vec_norm("v"))
+    ea = emb_n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    eb = emb_n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = F.try_divide(dot_product("va", "vb"), F.col("na") * F.col("nb"))
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -1445,7 +1460,9 @@ def sim1_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         emb.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("sim", dot / (F.col("nq") * F.col("nv")))
+        # try_divide: a zero-norm embedding scores NULL instead of
+        # raising ANSI DIVIDE_BY_ZERO (same IEEE division otherwise)
+        .withColumn("sim", F.try_divide(dot, F.col("nq") * F.col("nv")))
     )
     order = [F.desc("sim"), F.asc("vec_id")]
     w_local = Window.partitionBy("query_id", "pid").orderBy(*order)
@@ -1559,23 +1576,23 @@ def sim3_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall to ~100 % at cos >= 0.95 and a measured floor on the hard
     natural corpus while still scanning <~10 % of candidates
     (tests/test_ann_recall.py documents both regimes)."""
-    from ..operators.similarity import cosine, lsh_bucket
+    from ..operators.similarity import (
+        dot_product,
+        lsh_band_buckets,
+        vec_norm,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            lsh_bucket(
-                "v", _EMB_DIM, _LSH_PLANES, plane_offset=b * _LSH_PLANES
-            ).alias("bucket"),
-        )
-        for b in range(_SIM3_BANDS)
-    ]
+    # one Arrow pass for all bands (bit-identical to the per-band
+    # lsh_bucket JVM expressions the oracle states)
     bands = emb.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("vec_id", "band.band_idx", "band.bucket")
+        "vec_id",
+        F.posexplode(
+            lsh_band_buckets("v", _EMB_DIM, _SIM3_BANDS, _LSH_PLANES)
+        ).alias("band_idx", "bucket"),
+    )
     qb = bands.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         F.col("band_idx").alias("q_band_idx"),
@@ -1591,12 +1608,26 @@ def sim3_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    eq = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    en = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    emb_n = emb.withColumn("nrm", vec_norm("v"))
+    eq = emb_n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    en = emb_n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+    )
     scored = (
         cand.join(F.broadcast(eq.filter(F.col("query_id") < 8)), "query_id")
         .join(en, "neighbor_id")
-        .withColumn("sim_raw", cosine("qv", "nv"))
+        .withColumn(
+            "sim_raw",
+            F.try_divide(
+                dot_product("qv", "nv"), F.col("qn") * F.col("nn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim_raw"), F.asc("neighbor_id")
@@ -1668,24 +1699,29 @@ def sim4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster id plays the same role as sim3's LSH bucket: a uniform
     shuffle key that shrinks each candidate set to ~nprobe*n/K while
     the codebook stays a broadcast."""
-    from ..operators.similarity import cosine
+    from ..operators.similarity import dot_product, vec_norm
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("nrm", vec_norm("v"))
     cent = emb.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
     )
     aw = Window.partitionBy("vec_id").orderBy(
         F.desc("csim"), F.asc("centroid_id")
     )
     ranked = (
         emb.join(F.broadcast(cent))
-        .withColumn("csim", cosine("v", "cv"))
+        .withColumn(
+            "csim",
+            F.try_divide(dot_product("v", "cv"), F.col("nrm") * F.col("cn")),
+        )
         .withColumn("rn", F.row_number().over(aw))
     )
     assigned = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "v", "centroid_id"
+        "vec_id", "v", "nrm", "centroid_id"
     )
     q = ranked.filter(
         (F.col("rn") <= _IVF_NPROBE)
@@ -1694,6 +1730,7 @@ def sim4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
         F.col("centroid_id").alias("qcluster"),
     )
     sw = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("vec_id"))
@@ -1703,7 +1740,10 @@ def sim4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("centroid_id") == F.col("qcluster"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .withColumn("sim_raw", cosine("qv", "v"))
+        .withColumn(
+            "sim_raw",
+            F.try_divide(dot_product("qv", "v"), F.col("qn") * F.col("nrm")),
+        )
         .withColumn("rank", F.row_number().over(sw))
         .filter(F.col("rank") <= 5)
         .select(

@@ -84,7 +84,9 @@ def _fit_exponent(times: dict[str, float]) -> float:
 
 
 EMB_SIZES = {"10k": 10_000, "50k": 50_000, "200k": 200_000}
-EMB_FOIL_SIZES = ("10k", "50k")  # dd6 full recompute is minutes at 200k
+# all three foils are feasible since the r5 Arrow-batched banding
+# (lsh_band_buckets) removed dd6's interpreted-fold constant
+EMB_FOIL_SIZES = ("10k", "50k", "200k")
 EMB_BATCH_N = 1_000
 
 

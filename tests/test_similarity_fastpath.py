@@ -115,6 +115,71 @@ def test_fastpath_empty_input(spark):
     assert _emb_band_rows(df, "vec_id", 4, 8).count() == 0
 
 
+def _pairs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "pid int, a array<double>, b array<double>"
+    )
+
+
+def test_precomputed_norm_verify_matches_cosine(spark):
+    # The dd6/sim verify form — dot_product / (vec_norm_a *
+    # vec_norm_b) with norms computed once per vector — must be
+    # bit-identical to cosine()'s per-pair folds (the norm is the
+    # same double either way).
+    from inpe_queimadas_etl_spark.operators.similarity import (
+        cosine,
+        dot_product,
+        vec_norm,
+    )
+
+    emb = load_table(spark, SF001, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb_n = emb.withColumn("nrm", vec_norm("v"))
+    a = emb_n.select(
+        F.col("vec_id").alias("pid"),
+        F.col("v").alias("a"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb_n.select(
+        (F.col("vec_id") - 1).alias("pid"),
+        F.col("v").alias("b"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, "pid")
+    ref = {r[0]: r[1] for r in pairs.select("pid", cosine("a", "b")).collect()}
+    split = {
+        r[0]: r[1]
+        for r in pairs.select(
+            "pid",
+            F.try_divide(dot_product("a", "b"), F.col("na") * F.col("nb")),
+        ).collect()
+    }
+    assert split == ref  # bit-for-bit, no tolerance
+
+
+def test_cosine_zero_norm_yields_null_not_ansi_crash(spark):
+    # Spark 4 defaults ANSI mode, where a plain double division by
+    # zero raises DIVIDE_BY_ZERO — so a single all-zero embedding (an
+    # empty document) would crash a whole dedup job. cosine() uses
+    # try_divide: the degenerate pair scores NULL and is dropped by
+    # any threshold filter instead of failing the job.
+    from inpe_queimadas_etl_spark.operators.similarity import cosine
+
+    pairs = _pairs_df(
+        spark,
+        [
+            (1, [0.0, 0.0], [1.0, 2.0]),  # zero-norm left side
+            (2, [], []),                  # zero-length pair
+            (3, [1.0, 0.0], [1.0, 0.0]),  # healthy pair
+        ],
+    )
+    got = {r[0]: r[1] for r in pairs.select("pid", cosine("a", "b")).collect()}
+    assert got[1] is None
+    assert got[2] is None
+    assert got[3] == 1.0
+
+
 def test_fastpath_matches_bucket_slices(spark):
     # lsh_band_buckets(b*bits offset slicing) must equal per-band
     # lsh_bucket calls at the same plane offsets — i.e. array element
