@@ -38,6 +38,7 @@ HEADLINE = [
     "dd6_embedding_neardup",
     "dd7_dedup_clusters",
     "dd8_passage_dedup",
+    "dd9_canonical_keeper",
     "sim1_knn_cosine_topk",
     "tx2_token_counts",
     "tx6_ngram_topk",
@@ -66,6 +67,7 @@ UNREGISTERED = (
     "skew_hot_distinct_naive",
     "skew_hot_distinct_two_phase",
     "dd8_passage_dedup",
+    "dd9_canonical_keeper",
 )
 
 
@@ -180,7 +182,10 @@ def main() -> None:
     # snapshot; p7 is value-checked inside micro_ops_battery, geo8 in
     # tests/test_suite_oracle.py).
     from inpe_queimadas_etl_spark.suite.geo import geo8_dense_pip
-    from inpe_queimadas_etl_spark.suite.llmdata import dd8_passage_dedup
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        dd8_passage_dedup,
+        dd9_canonical_keeper,
+    )
     from inpe_queimadas_etl_spark.suite.relational import p7_stable_event_hash
     from inpe_queimadas_etl_spark.suite.skewdemo import (
         skew_hot_distinct_naive,
@@ -190,6 +195,7 @@ def main() -> None:
     queries.setdefault("p7_stable_event_hash", p7_stable_event_hash)
     queries.setdefault("geo8_dense_pip", geo8_dense_pip)
     queries.setdefault("dd8_passage_dedup", dd8_passage_dedup)
+    queries.setdefault("dd9_canonical_keeper", dd9_canonical_keeper)
     # skew demo pair: the recorded gap (naive single hot reducer vs
     # salted two-phase) is the artifact — see suite/skewdemo.py
     queries.setdefault("skew_hot_distinct_naive", skew_hot_distinct_naive)

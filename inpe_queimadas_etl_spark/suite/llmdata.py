@@ -833,9 +833,8 @@ def dd6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dd7_dedup_clusters",
-    oracle=_MINHASH_SQL_BODY.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+_DD7_ORACLE = (
+    _MINHASH_SQL_BODY.replace("WITH sh AS", "WITH RECURSIVE sh AS")
     + _LSH_CAND_SQL
     + """
     , edges AS (
@@ -855,8 +854,11 @@ def dd6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cluster_size,
            (doc_id = cluster_id) AS is_canonical
     FROM comp
-    """,
+    """
 )
+
+
+@query("dd7_dedup_clusters", oracle=_DD7_ORACLE)
 def dd7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from the LSH candidate pairs (dd4): connected
     components, each document labeled with its component's minimum
@@ -1002,6 +1004,73 @@ def _dd7_assemble(docs: DataFrame, labels: DataFrame) -> DataFrame:
         F.lit(True).alias("is_canonical"),
     )
     return clustered.union(singles)
+
+
+# --- dd9: quality-aware canonical keeper selection -------------------------
+# dd7 labels every cluster with its MIN doc_id as the canonical doc —
+# deterministic, but blind to content: the kept copy of a near-dup
+# cluster should be the BEST one, not the first-crawled one. dd9 turns
+# dd7's clusters into an actionable keep/drop list with a quality
+# policy: keep the member with the most content (n_chars, ties to the
+# lowest doc_id — "longest version wins", the standard near-dup keeper
+# heuristic, since truncated/mangled copies are shorter). Any scalar
+# quality column composes here (e.g. tx1_text_quality's score) — the
+# policy is one ORDER BY.
+
+DD9_SQL = f"""
+WITH d7 AS ({_DD7_ORACLE}),
+m AS (
+    SELECT d7.doc_id, d7.cluster_id, doc.n_chars
+    FROM d7 JOIN documents doc ON doc.doc_id = d7.doc_id
+    WHERE d7.cluster_size >= 2
+)
+SELECT doc_id, cluster_id,
+       first_value(doc_id) OVER w AS keeper_doc_id,
+       (doc_id = first_value(doc_id) OVER w) AS keep
+FROM m
+WINDOW w AS (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+)
+"""
+
+
+def dd9_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision per near-dup cluster member: the keeper is
+    the highest-quality member (n_chars DESC, doc_id ASC — swap in any
+    scalar score for a different policy), every other member maps to
+    it via ``keeper_doc_id``. Only clusters of size >= 2 appear — the
+    output is the (small) action list a pipeline anti-joins against
+    the corpus, not a full-corpus projection.
+
+    Scale shape: one window over cluster_id — the same partitioning
+    dd7's cluster sizes already shuffled on, and clusters are
+    near-dup-sized (dozens), so no skewed partition exists. The
+    quality column rides along from a broadcast-size join against the
+    documents table projected to two columns.
+
+    Unregistered (the suite registry is capped at 50 driver-snapshot
+    rows); oracle-compared in tests/test_suite_oracle.py and benched
+    in bench.py. Reference anchor: the reference keeps first-seen rows
+    within a file (transform/inpe_focos_diario.py:166-169); dd9 is the
+    corpus-scale generalization where "first" is replaced by an
+    explicit quality policy."""
+    clusters = dd7_dedup_clusters(spark, sf_dir).filter(
+        F.col("cluster_size") >= 2
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keeper = F.first("doc_id").over(w)
+    return clusters.join(docs, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        keeper.alias("keeper_doc_id"),
+        (F.col("doc_id") == keeper).alias("keep"),
+    )
 
 
 # --- dd8: cross-document duplicate-passage removal -------------------------

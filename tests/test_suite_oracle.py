@@ -137,6 +137,35 @@ def test_dd8_passage_dedup_matches_oracle(spark):
     _compare_to_oracle(spark, "dd8_passage_dedup", dd8_passage_dedup, DD8_SQL)
 
 
+def test_dd9_canonical_keeper_matches_oracle(spark):
+    """dd9 is unregistered (50-entry snapshot cap) but oracle-checked
+    here and benched in bench.py: quality-aware keeper per dup
+    cluster (longest member wins, ties to lowest doc_id)."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        DD9_SQL,
+        dd9_canonical_keeper,
+    )
+
+    _compare_to_oracle(spark, "dd9_canonical_keeper", dd9_canonical_keeper, DD9_SQL)
+
+
+def test_dd9_keeps_exactly_one_per_cluster(spark):
+    from inpe_queimadas_etl_spark.suite.llmdata import dd9_canonical_keeper
+
+    pdf = dd9_canonical_keeper(spark, SF0001).toPandas()
+    if len(pdf) == 0:
+        pytest.skip("no dup clusters at this sf")
+    by_cluster = pdf.groupby("cluster_id")
+    # exactly one keeper per cluster, and it is its own keeper_doc_id
+    assert (by_cluster["keep"].sum() == 1).all()
+    keepers = pdf[pdf["keep"]]
+    assert (keepers["doc_id"] == keepers["keeper_doc_id"]).all()
+    # every member of a cluster points at the same keeper
+    assert (by_cluster["keeper_doc_id"].nunique() == 1).all()
+    # only dup clusters appear
+    assert (by_cluster.size() >= 2).all()
+
+
 def test_dd8_removes_planted_boilerplate(spark):
     """A verbatim 8-word passage planted into several docs is removed
     from every one; untouched docs round-trip byte-identically."""
