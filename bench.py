@@ -48,6 +48,9 @@ HEADLINE = [
     "geo4_uf_choropleth_day",
     "skew_hot_distinct_naive",
     "skew_hot_distinct_two_phase",
+    "cur5_mixture_resample",
+    "cur6_leakfree_split",
+    "card1_corpus_manifest",
 ]
 
 TRANSFORM_ROWS = 100_000
@@ -68,6 +71,9 @@ UNREGISTERED = (
     "skew_hot_distinct_two_phase",
     "dd8_passage_dedup",
     "dd9_canonical_keeper",
+    "cur5_mixture_resample",
+    "cur6_leakfree_split",
+    "card1_corpus_manifest",
 )
 
 
@@ -183,6 +189,9 @@ def main() -> None:
     # tests/test_suite_oracle.py).
     from inpe_queimadas_etl_spark.suite.geo import geo8_dense_pip
     from inpe_queimadas_etl_spark.suite.llmdata import (
+        card1_corpus_manifest,
+        cur5_mixture_resample,
+        cur6_leakfree_split,
         dd8_passage_dedup,
         dd9_canonical_keeper,
     )
@@ -196,6 +205,9 @@ def main() -> None:
     queries.setdefault("geo8_dense_pip", geo8_dense_pip)
     queries.setdefault("dd8_passage_dedup", dd8_passage_dedup)
     queries.setdefault("dd9_canonical_keeper", dd9_canonical_keeper)
+    queries.setdefault("cur5_mixture_resample", cur5_mixture_resample)
+    queries.setdefault("cur6_leakfree_split", cur6_leakfree_split)
+    queries.setdefault("card1_corpus_manifest", card1_corpus_manifest)
     # skew demo pair: the recorded gap (naive single hot reducer vs
     # salted two-phase) is the artifact — see suite/skewdemo.py
     queries.setdefault("skew_hot_distinct_naive", skew_hot_distinct_naive)

@@ -2250,3 +2250,222 @@ def sk1_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_approx_ok"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture / split / manifest family (cur5, cur6, card1)
+# ---------------------------------------------------------------------------
+# The three corpus-level decisions every training-data pipeline makes
+# after dedup + curation: WHAT mixture of domains to train on (cur5),
+# WHERE each document goes so evaluation never sees training near-dups
+# (cur6 + cluster_aware_split), and WHAT the resulting corpus looks
+# like on paper (card1, the "data card" manifest).
+#
+# All three are UNREGISTERED (the driver registry is capped at 50
+# snapshot rows) — oracle-compared in tests/test_suite_oracle.py (the
+# geo8/dd8 pattern) and benched in bench.py.
+
+
+def _hash_frac_spark(col):
+    """Deterministic uniform [0, 1) fraction from a string column:
+    first 8 hex chars of md5 as a 32-bit int over 2^32. Shared salt
+    convention with the oracle twins below — bit-identical in DuckDB
+    via _hex_to_int_sql, so keep/split decisions hash-match."""
+    return _word_hash_spark(col) / F.lit(4294967296.0)
+
+
+def _hash_frac_sql(expr: str) -> str:
+    return (
+        "(" + _hex_to_int_sql(f"substr(md5({expr}),1,8)") + " / 4294967296.0)"
+    )
+
+
+CUR5_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+tot AS (
+    SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+    FROM tok GROUP BY source
+),
+m AS (SELECT min(tokens_total) AS min_tok FROM tot),
+r AS (
+    SELECT source,
+           CAST(min_tok AS DOUBLE) / CAST(tokens_total AS DOUBLE) AS keep_rate
+    FROM tot, m
+)
+SELECT t.doc_id, t.source, t.n_tokens, r.keep_rate,
+       {_hash_frac_sql("'mix:' || CAST(t.doc_id AS VARCHAR)")}
+           < r.keep_rate AS keep
+FROM tok t JOIN r USING (source)
+"""
+
+
+def cur5_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: downsample every source to the
+    token mass of the scarcest one, yielding a uniform target mixture
+    without upsampling (keep_rate_s = min_tokens / tokens_s <= 1, and
+    == 1 for the scarcest source, which is kept whole). The keep
+    decision is a salted deterministic hash of doc_id against the
+    source's rate — reproducible across runs, clusters, and partition
+    layouts, unlike rand()-based sampling. Any target-weight vector
+    drops in by replacing the min() with w_s * normalizer; uniform is
+    the zero-argument default.
+
+    Scale design: the rate table is K rows (one per source) computed
+    by a map-side-partial groupBy over (source, token-count) — the
+    corpus shuffle carries one row per source per partition. Rates
+    broadcast back, and the keep decision is a pure scan-shaped
+    projection: at 100 TB the whole operator is one aggregate scan +
+    one broadcast-join scan, no corpus-sized shuffle anywhere."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    per_source = docs.groupBy("source").agg(
+        F.sum("n_tokens").alias("tokens_total")
+    )
+    min_tok = per_source.agg(F.min("tokens_total").alias("min_tok"))
+    rates = per_source.crossJoin(min_tok).select(
+        "source",
+        (
+            F.col("min_tok").cast("double")
+            / F.col("tokens_total").cast("double")
+        ).alias("keep_rate"),
+    )
+    frac = _hash_frac_spark(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    )
+    return docs.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "keep_rate",
+        (frac < F.col("keep_rate")).alias("keep"),
+    )
+
+
+_CUR6_BOUNDS = (0.8, 0.9)  # train < 0.8 <= validation < 0.9 <= test
+
+CUR6_SQL = f"""
+WITH g AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+h AS (
+    SELECT doc_id, content_hash,
+           {_hash_frac_sql("'split:' || content_hash")} AS frac
+    FROM g
+)
+SELECT doc_id, content_hash,
+       CASE WHEN frac < {_CUR6_BOUNDS[0]} THEN 'train'
+            WHEN frac < {_CUR6_BOUNDS[1]} THEN 'validation'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+def cur6_leakfree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free train/validation/test split: the split is a salted
+    hash of the CONTENT (md5(text)), not the doc_id, so byte-identical
+    duplicates land on the same side by construction — eval can never
+    score text the model trained on verbatim. 80/10/10 by hash
+    fraction; deterministic and stable as the corpus grows (adding
+    documents never reassigns existing ones — the property per-split
+    rand() sampling lacks).
+
+    Near-duplicates need the cluster-aware variant
+    (``cluster_aware_split``): it hashes dd7's cluster_id instead, so
+    a whole near-dup cluster moves as one unit.
+
+    Scale design: pure scan-shaped projection — two md5s and a CASE
+    per row, zero shuffle, pipelines into the writer's partitionBy
+    ("split") for a one-pass materialization at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    frac = _hash_frac_spark(F.concat(F.lit("split:"), F.md5("text")))
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.when(frac < _CUR6_BOUNDS[0], "train")
+        .when(frac < _CUR6_BOUNDS[1], "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cur6 upgraded from exact-dup closure to NEAR-dup closure: every
+    member of a dd7 MinHash-LSH cluster inherits the split of its
+    cluster_id, so near-duplicate pairs (paraphrases, re-crawls,
+    boilerplate variants) cannot straddle train and eval. Singleton
+    docs are their own cluster (dd7's contract), so the assignment is
+    total.
+
+    Not SQL-oracle-expressible (dd7's connected components are
+    iterative); the closure property and split fractions are pinned in
+    tests/test_suite_oracle.py instead — the driver's weaker
+    rows-only stance, stated per the brief.
+
+    Scale design: dd7's labels are the only shuffled artifact (already
+    produced by the dedup stage in a real pipeline — this reuses, not
+    recomputes); the split itself is a hash projection over
+    cluster_id, and the label join is shuffle-free when the dedup
+    stage persisted labels bucketed by doc_id."""
+    labels = dd7_dedup_clusters(spark, sf_dir)
+    frac = _hash_frac_spark(
+        F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
+    )
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.when(frac < _CUR6_BOUNDS[0], "train")
+        .when(frac < _CUR6_BOUNDS[1], "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+CARD1_SQL = """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+       1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE) AS dup_rate,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       quantile_cont(n_chars, 0.5) AS p50_chars
+FROM documents
+GROUP BY source, lang
+"""
+
+
+def card1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus manifest ("data card"): per source x lang — document,
+    token, and character mass, exact-duplicate rate, and the length
+    distribution summary (min/median/max). This is the table a
+    training run's datasheet publishes and the input cur5's mixture
+    math generalizes over.
+
+    Scale design: one groupBy over low-cardinality (source, lang) with
+    map-side partials for every aggregate except count(DISTINCT
+    md5(text)), which Spark plans as a two-level expand + partial
+    distinct — the shuffle carries distinct hashes per group, the
+    exact working set dd1 already bounds. The median is exact
+    percentile here (validation scale); at 100 TB swap
+    approx_percentile, whose fixed-size summaries merge in partials —
+    the sk1 harness pins how far that approximation drifts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct(F.md5("text")).alias("distinct_texts"),
+        (
+            F.lit(1.0)
+            - F.countDistinct(F.md5("text")) / F.count("*").cast("double")
+        ).alias("dup_rate"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+    )

@@ -201,3 +201,25 @@ def test_dd2_lsh_route_is_equi_join_only(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cur6_split_shuffle_free(spark):
+    """cur6 is a pure scan-shaped projection (two md5s + CASE): any
+    Exchange means the leak-free split stopped being free at 100 TB."""
+    from inpe_queimadas_etl_spark.suite.llmdata import cur6_leakfree_split
+
+    plan = _plan(cur6_leakfree_split(spark, SF0001), "simple")
+    assert "Exchange" not in plan, f"cur6 gained a shuffle:\n{plan}"
+
+
+def test_cur5_rates_broadcast_corpus_never_shuffled(spark):
+    """cur5's keep decision must join the K-row rate table via
+    broadcast; a SortMergeJoin here would shuffle the whole corpus on
+    `source` (few, skewed keys) — the exact 100-TB anti-plan."""
+    from inpe_queimadas_etl_spark.suite.llmdata import cur5_mixture_resample
+
+    plan = _plan(cur5_mixture_resample(spark, SF0001), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, (
+        f"cur5 corpus-side shuffle join:\n{plan}"
+    )

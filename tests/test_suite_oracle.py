@@ -224,3 +224,99 @@ def test_skew_demo_matches_oracle(spark, variant):
         "two_phase": skewdemo.skew_hot_distinct_two_phase,
     }[variant]
     _compare_to_oracle(spark, f"skew_{variant}", fn, skewdemo.SKEW_DEMO_SQL)
+
+
+def test_cur5_mixture_resample_matches_oracle(spark):
+    """cur5 is unregistered (50-entry snapshot cap) but oracle-checked
+    here and benched in bench.py: domain-mixture rebalancing with
+    deterministic hash-threshold sampling."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        CUR5_SQL,
+        cur5_mixture_resample,
+    )
+
+    _compare_to_oracle(spark, "cur5_mixture_resample", cur5_mixture_resample, CUR5_SQL)
+
+
+def test_cur5_mixture_properties(spark):
+    """The scarcest source keeps everything (rate == 1.0, and hash
+    fractions are < 1 by construction); every rate is in (0, 1]; kept
+    token mass per source lands within a 4-sigma Bernoulli band of
+    the uniform target."""
+    from inpe_queimadas_etl_spark.suite.llmdata import cur5_mixture_resample
+
+    pdf = cur5_mixture_resample(spark, SF0001).toPandas()
+    per = pdf.groupby("source").agg(
+        rate=("keep_rate", "first"),
+        total=("n_tokens", "sum"),
+        kept=("n_tokens", lambda s: s[pdf.loc[s.index, "keep"]].sum()),
+        n=("doc_id", "count"),
+    )
+    assert ((per["rate"] > 0) & (per["rate"] <= 1.0)).all()
+    scarcest = per["total"].idxmin()
+    assert per.loc[scarcest, "rate"] == 1.0
+    assert per.loc[scarcest, "kept"] == per.loc[scarcest, "total"]
+    target = per["total"].min()
+    for src, row in per.iterrows():
+        # per-doc Bernoulli(rate) on TOKEN mass: var = rate*(1-rate) *
+        # sum(len_i^2) (long docs dominate the variance — a
+        # homogeneous-length sigma is far too tight at 25 docs/source);
+        # 6 sigma + one max-doc of slack keeps the deterministic hash
+        # draw inside the band without making the check vacuous
+        import math
+
+        lens = pdf.loc[pdf["source"] == src, "n_tokens"]
+        sigma = math.sqrt(row["rate"] * (1 - row["rate"]) * (lens**2).sum())
+        slack = 6 * sigma + lens.max()
+        assert abs(row["kept"] - target) <= slack, (src, row, target, slack)
+
+
+def test_cur6_leakfree_split_matches_oracle(spark):
+    """cur6 is unregistered (50-entry snapshot cap) but oracle-checked
+    here and benched in bench.py: content-hash 80/10/10 split."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        CUR6_SQL,
+        cur6_leakfree_split,
+    )
+
+    _compare_to_oracle(spark, "cur6_leakfree_split", cur6_leakfree_split, CUR6_SQL)
+
+
+def test_cur6_duplicates_never_straddle(spark):
+    """Byte-identical texts always land in the same split, and all
+    three splits are populated with roughly 80/10/10 mass."""
+    from inpe_queimadas_etl_spark.suite.llmdata import cur6_leakfree_split
+
+    pdf = cur6_leakfree_split(spark, SF0001).toPandas()
+    assert (pdf.groupby("content_hash")["split"].nunique() == 1).all()
+    fracs = pdf["split"].value_counts(normalize=True)
+    assert set(fracs.index) == {"train", "validation", "test"}
+    assert 0.7 < fracs["train"] < 0.9
+    assert fracs["validation"] < 0.2 and fracs["test"] < 0.2
+
+
+def test_cluster_aware_split_closure(spark):
+    """Near-dup closure: every dd7 cluster maps to exactly one split
+    (no train/eval straddle for near-duplicates), the assignment is
+    total over the corpus, and it agrees with hashing cluster_id."""
+    from inpe_queimadas_etl_spark.suite.llmdata import cluster_aware_split
+
+    pdf = cluster_aware_split(spark, SF0001).toPandas()
+    docs = _duck(SF0001, "SELECT count(*) AS n FROM documents")["n"][0]
+    assert len(pdf) == docs
+    assert pdf["doc_id"].is_unique
+    assert (pdf.groupby("cluster_id")["split"].nunique() == 1).all()
+    # multi-member clusters exist at this sf, so closure is non-vacuous
+    assert (pdf.groupby("cluster_id").size() >= 2).any()
+
+
+def test_card1_corpus_manifest_matches_oracle(spark):
+    """card1 is unregistered (50-entry snapshot cap) but oracle-checked
+    here and benched in bench.py: per source x lang data-card
+    manifest."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        CARD1_SQL,
+        card1_corpus_manifest,
+    )
+
+    _compare_to_oracle(spark, "card1_corpus_manifest", card1_corpus_manifest, CARD1_SQL)
