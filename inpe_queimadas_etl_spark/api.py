@@ -422,7 +422,11 @@ def serve(
 
         def server_close(self):
             super().server_close()
-            for _ in self._workers:
+            # TCPServer.__init__ calls server_close() on a bind
+            # failure BEFORE our __init__ body assigned the pool —
+            # guard so e.g. EADDRINUSE surfaces as the OSError it is,
+            # not an AttributeError on _workers
+            for _ in getattr(self, "_workers", ()):
                 self._queue.put(None)
 
     return BoundedThreadingHTTPServer((host, port), Handler)

@@ -199,32 +199,56 @@ def incremental_dedup(
     )
 
 
-def embedding_band_index(
-    vecs: DataFrame, geometry: tuple[int, int] | None = None
-) -> DataFrame:
-    """``(corpus_vec_id, band_idx, band_bucket, n_bands, band_bits)``
-    — the embedding tier of the dedup index (dd6's banded sign-LSH
-    geometry, auto-tuned from the corpus vector count unless pinned).
+def infer_embedding_dim(vecs: DataFrame) -> int | None:
+    """Vector dimensionality of an (vec_id, embedding) frame: the
+    length of the first non-null embedding, or None when the frame is
+    empty. One tiny Spark job (LocalLimit 1) — callers that already
+    know the dim pass it explicitly and skip the probe."""
+    row = (
+        vecs.select(F.size(F.col("embedding")).alias("d"))
+        .filter(F.col("d") > 0)
+        .first()
+    )
+    return None if row is None else int(row["d"])
 
-    The geometry columns are stored IN the index (constant columns,
-    free under parquet RLE) because the band buckets are only
-    comparable under the same (bands, bits): a probe must bucket its
-    batch with the index's recorded geometry, not whatever the
-    current corpus size would auto-tune to — otherwise growing past a
-    tuning decade would silently unmatch the whole index."""
-    from .suite.llmdata import _dd6_geometry, _emb_band_rows
+
+def embedding_band_index(
+    vecs: DataFrame,
+    geometry: tuple[int, int] | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """``(corpus_vec_id, band_idx, band_bucket, n_bands, band_bits,
+    dim)`` — the embedding tier of the dedup index (dd6's banded
+    sign-LSH geometry, auto-tuned from the corpus vector count unless
+    pinned).
+
+    The geometry columns — INCLUDING the vector dimensionality — are
+    stored IN the index (constant columns, free under parquet RLE)
+    because band buckets are only comparable under the same (bands,
+    bits, dim): the hyperplanes are deterministic in (plane, dim), so
+    a probe must bucket its batch with the index's recorded geometry,
+    not whatever the current corpus would auto-tune to — otherwise
+    growing past a tuning decade (or feeding a different embedding
+    model) would silently unmatch or degenerate the whole index.
+    ``dim`` is inferred from the corpus when not given (falling back
+    to the testdata's 64 only for an EMPTY corpus, where the schema
+    must still materialize)."""
+    from .suite.llmdata import _dd6_geometry, _EMB_DIM, _emb_band_rows
 
     if geometry is None:
         geometry = _dd6_geometry(vecs.count())
+    if dim is None:
+        dim = infer_embedding_dim(vecs) or _EMB_DIM
     n_bands, band_bits = geometry
     v = vecs.select(
         F.col("vec_id").alias("corpus_vec_id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
     return (
-        _emb_band_rows(v, "corpus_vec_id", n_bands, band_bits)
+        _emb_band_rows(v, "corpus_vec_id", n_bands, band_bits, dim)
         .withColumn("n_bands", F.lit(n_bands))
         .withColumn("band_bits", F.lit(band_bits))
+        .withColumn("dim", F.lit(dim))
     )
 
 
@@ -238,6 +262,7 @@ def incremental_embedding_neardup(
     index: DataFrame | None = None,
     threshold: float = EMB_NEAR_DUP_THRESHOLD,
     broadcast_batch: bool = True,
+    geometry: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """Flag each new embedding against the corpus via the persistent
     band index — the vector-side twin of :func:`incremental_dedup`.
@@ -250,7 +275,13 @@ def incremental_embedding_neardup(
 
     Scale shape mirrors the text path: batch band keys broadcast into
     the index probe, corpus vectors fetched only for candidate ids,
-    geometry read from the index itself (see embedding_band_index).
+    geometry read from the index itself (see embedding_band_index) —
+    or passed as ``geometry=(n_bands, band_bits, dim)`` by callers
+    that already probed it (the streaming drain probes once per
+    batch, not once per call). The batch's own dimensionality is
+    validated against the index's recorded ``dim``: a mismatch maps
+    every vector to one bucket, silently degrading the index probe to
+    a |batch| x |corpus| cross product — so it raises instead.
     """
     from .operators.similarity import dot_product, vec_norm
     from .suite.llmdata import _dd6_geometry, _emb_band_rows
@@ -258,17 +289,44 @@ def incremental_embedding_neardup(
     maybe_bc = F.broadcast if broadcast_batch else (lambda df: df)
     if index is None:
         index = embedding_band_index(corpus_vecs)
-    geom_row = index.select("n_bands", "band_bits").first()
-    if geom_row is None:  # empty corpus: no candidates possible
-        n_bands, band_bits = _dd6_geometry(0)
+    if geometry is not None:
+        n_bands, band_bits, dim = geometry
     else:
-        n_bands, band_bits = geom_row["n_bands"], geom_row["band_bits"]
+        geom_cols = (
+            ["n_bands", "band_bits", "dim"]
+            if "dim" in index.columns
+            else ["n_bands", "band_bits"]
+        )
+        geom_row = index.select(*geom_cols).first()
+        if geom_row is None:
+            # empty corpus: no candidates possible; band the batch at
+            # its own dim so the plan still materializes
+            n_bands, band_bits = _dd6_geometry(0)
+            dim = infer_embedding_dim(new_vecs)
+        else:
+            n_bands, band_bits = geom_row["n_bands"], geom_row["band_bits"]
+            # pre-dim indexes (built before dim was recorded) were
+            # only ever valid at the fixed default
+            dim = geom_row["dim"] if "dim" in geom_cols else None
+    if dim is None:
+        from .suite.llmdata import _EMB_DIM
+
+        dim = _EMB_DIM
+    batch_dim = infer_embedding_dim(new_vecs)
+    if batch_dim is not None and batch_dim != dim:
+        raise ValueError(
+            f"batch embeddings are {batch_dim}-dimensional but the "
+            f"index was built at dim={dim}: sign-LSH hyperplanes are "
+            "dim-specific, so probing would collapse every bucket. "
+            "Rebuild the index with embedding_band_index over the "
+            "new corpus, or fix the batch's embedding model."
+        )
 
     newv = new_vecs.select(
         F.col("vec_id").alias("new_vec_id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    new_bands = _emb_band_rows(newv, "new_vec_id", n_bands, band_bits)
+    new_bands = _emb_band_rows(newv, "new_vec_id", n_bands, band_bits, dim)
     candidates = (
         index.join(maybe_bc(new_bands), ["band_idx", "band_bucket"])
         .select("new_vec_id", "corpus_vec_id")
@@ -318,17 +376,22 @@ def incremental_embedding_oracle_sql(
     corpus: str = "corpus_vecs",
     batch: str = "batch_vecs",
     threshold: float = EMB_NEAR_DUP_THRESHOLD,
+    dim: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`incremental_embedding_neardup` over views
     ``corpus_vecs`` / ``batch_vecs`` (vec_id, embedding), at an
-    explicit geometry (pass the one the index records)."""
+    explicit geometry (pass the (bands, bits, dim) the index
+    records; dim defaults to the testdata's 64)."""
     from .operators.similarity import lsh_bucket_sql
     from .suite.llmdata import _EMB_DIM
+
+    if dim is None:
+        dim = _EMB_DIM
 
     def bands_sql(src: str) -> str:
         return "\n        UNION ALL\n".join(
             f"        SELECT vec_id, {b} AS band_idx,"
-            f" {lsh_bucket_sql('v', _EMB_DIM, band_bits, plane_offset=b * band_bits)}"
+            f" {lsh_bucket_sql('v', dim, band_bits, plane_offset=b * band_bits)}"
             f" AS band_bucket FROM {src}"
             for b in range(n_bands)
         )

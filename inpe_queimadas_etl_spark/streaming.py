@@ -240,6 +240,93 @@ def _exclude_current(df: DataFrame, batch_id: int) -> DataFrame:
     return df
 
 
+_STREAM_ID_FILE = "_graft_stream_id"
+
+
+def _bind_drain_identity(checkpoint_dir: str, sink_dirs) -> None:
+    """Driver-side start guard: a checkpoint and its sink dirs must
+    belong to the same drain lineage.
+
+    The per-batch guard (:func:`_refuse_checkpoint_reset`) detects a
+    reset once sink partition ids run AHEAD of the stream, but a
+    history whose max batch_id is 0 slips through — a reset stream
+    also starts at batch 0, so the overlap is invisible and the drain
+    would silently overwrite the historical batch-0 accepted/index
+    partitions. This closes the hole structurally: every drain stamps
+    one random id into the checkpoint dir and EVERY sink subdir
+    (flags/accepted/exact/bands — per subdir, so wiping just the
+    index while keeping the corpus is caught too). On start:
+
+    - fresh checkpoint + any stamped-or-populated sink -> refuse
+      (reset against surviving output);
+    - stamped checkpoint + missing/mismatched sink stamp -> refuse
+      (sink wiped or swapped while the checkpoint remembers
+      processed files — the drain would dedup against nothing).
+
+    Local-filesystem paths only (the drains' deployment shape here);
+    URI-schemed paths (hdfs://, s3://) skip this guard and rely on
+    the per-batch id check — stated limitation, not silent."""
+    import os
+    import uuid
+
+    paths = [checkpoint_dir, *sink_dirs]
+    if any("://" in str(p) for p in paths):
+        return
+    ckpt_marker = os.path.join(checkpoint_dir, _STREAM_ID_FILE)
+    ckpt_id = None
+    if os.path.exists(ckpt_marker):
+        with open(ckpt_marker, encoding="utf-8") as f:
+            ckpt_id = f.read().strip()
+    if ckpt_id is None:
+        stale = []
+        for d in sink_dirs:
+            marker = os.path.exists(os.path.join(d, _STREAM_ID_FILE))
+            populated = os.path.isdir(d) and any(
+                e.startswith("batch_id=") for e in os.listdir(d)
+            )
+            if marker or populated:
+                stale.append(d)
+        if stale:
+            raise RuntimeError(
+                f"fresh streaming checkpoint {checkpoint_dir!r} pointed "
+                f"at sink dirs with existing drain output: {stale}. A "
+                "reset checkpoint restarts batch ids at 0 and would "
+                "overwrite that history. Point checkpoint_dir at the "
+                "original checkpoint, or start with fresh out/index "
+                "dirs."
+            )
+        new_id = uuid.uuid4().hex
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        for d in sink_dirs:
+            os.makedirs(d, exist_ok=True)
+        for marker_dir in (checkpoint_dir, *sink_dirs):
+            with open(
+                os.path.join(marker_dir, _STREAM_ID_FILE),
+                "w",
+                encoding="utf-8",
+            ) as f:
+                f.write(new_id)
+        return
+    bad = []
+    for d in sink_dirs:
+        m = os.path.join(d, _STREAM_ID_FILE)
+        if not os.path.exists(m):
+            bad.append(f"{d} (stamp missing — dir wiped or replaced)")
+            continue
+        with open(m, encoding="utf-8") as f:
+            if f.read().strip() != ckpt_id:
+                bad.append(f"{d} (stamped by a different drain)")
+    if bad:
+        raise RuntimeError(
+            f"streaming checkpoint {checkpoint_dir!r} does not match "
+            f"its sink dirs: {bad}. The checkpoint remembers processed "
+            "source files, so continuing would dedup new batches "
+            "against missing/foreign output. Restore the original "
+            "sinks, or start over with a fresh checkpoint AND fresh "
+            "sink dirs."
+        )
+
+
 def _refuse_checkpoint_reset(sinks, batch_id: int) -> None:
     """A genuine crash-replay re-delivers the LATEST batch, so sink
     partitions can only carry ids <= the current one; ids beyond it
@@ -247,7 +334,10 @@ def _refuse_checkpoint_reset(sinks, batch_id: int) -> None:
     proceeding would skip dedup against the excluded slice and then
     OVERWRITE historical partitions. ``sinks`` is (path, DataFrame)
     pairs; all are checked so wiping one dir but not another cannot
-    slip past."""
+    slip past. Defense in depth: the structural start-time guard
+    (:func:`_bind_drain_identity`) catches resets this runtime check
+    cannot (max existing id == current id, e.g. the batch-0 overlap);
+    this one still covers URI-schemed sinks the marker files skip."""
     for sink, frame in sinks:
         if "batch_id" not in frame.columns:
             continue
@@ -352,6 +442,15 @@ def start_corpus_dedup_stream(
 
     thr = NEAR_DUP_THRESHOLD if threshold is None else threshold
     schema = _resolve_stream_schema(spark, docs_dir, schema)
+    _bind_drain_identity(
+        checkpoint_dir,
+        (
+            f"{out_dir}/flags",
+            f"{out_dir}/accepted",
+            f"{index_dir}/exact",
+            f"{index_dir}/bands",
+        ),
+    )
     src = spark.readStream.schema(schema).parquet(docs_dir)
     empty_docs = spark.createDataFrame([], schema)
 
@@ -463,6 +562,10 @@ def start_embedding_dedup_stream(
 
     thr = EMB_NEAR_DUP_THRESHOLD if threshold is None else threshold
     schema = _resolve_stream_schema(spark, vecs_dir, schema)
+    _bind_drain_identity(
+        checkpoint_dir,
+        (f"{out_dir}/flags", f"{out_dir}/accepted", f"{index_dir}/bands"),
+    )
     src = spark.readStream.schema(schema).parquet(vecs_dir)
     empty_vecs = spark.createDataFrame([], schema)
 
@@ -497,8 +600,32 @@ def start_embedding_dedup_stream(
         )
         accepted = _exclude_current(accepted_all, batch_id)
         bi = _exclude_current(bi_all, batch_id)
+        # probe the index's recorded geometry ONCE per batch (it is a
+        # constant-column read, but still a Spark job over the index
+        # parquet) and share it between the dedup probe and the index
+        # increment; only an empty index (first batch) auto-tunes
+        geom_cols = ["n_bands", "band_bits"] + (
+            ["dim"] if "dim" in bi.columns else []
+        )
+        geom_row = bi.select(*geom_cols).first()
+        if geom_row is None:
+            geometry = dim = None
+        else:
+            geometry = (geom_row["n_bands"], geom_row["band_bits"])
+            if "dim" in geom_cols:
+                dim = geom_row["dim"]
+            else:
+                # pre-dim on-disk index: it was only ever built at the
+                # fixed default — keep the increment consistent with it
+                from .suite.llmdata import _EMB_DIM
+
+                dim = _EMB_DIM
         verdicts = incremental_embedding_neardup(
-            uniq, accepted, index=bi, threshold=thr
+            uniq,
+            accepted,
+            index=bi,
+            threshold=thr,
+            geometry=(*geometry, dim) if geometry else None,
         ).localCheckpoint(eager=True)
 
         survivors = uniq.join(
@@ -506,18 +633,12 @@ def start_embedding_dedup_stream(
             "vec_id",
             "left_anti",
         ).localCheckpoint(eager=True)
-        # append the increment at the index's RECORDED geometry; only
-        # an empty index (first batch) auto-tunes
-        geom_row = bi.select("n_bands", "band_bits").first()
-        geometry = (
-            (geom_row["n_bands"], geom_row["band_bits"]) if geom_row else None
-        )
         _write_partition(
             verdicts.unionByName(intra), f"{out_dir}/flags", batch_id
         )
         _write_partition(survivors, f"{out_dir}/accepted", batch_id)
         _write_partition(
-            embedding_band_index(survivors, geometry=geometry),
+            embedding_band_index(survivors, geometry=geometry, dim=dim),
             f"{index_dir}/bands",
             batch_id,
         )

@@ -716,23 +716,31 @@ def _emb_band_structs(n_bands: int, band_bits: int) -> list:
 
 
 def _emb_band_rows(
-    vecs: DataFrame, id_col: str, n_bands: int, band_bits: int
+    vecs: DataFrame,
+    id_col: str,
+    n_bands: int,
+    band_bits: int,
+    dim: int = _EMB_DIM,
 ) -> DataFrame:
     """``(id_col, band_idx, band_bucket)`` rows over an array<double>
     column named ``v`` — the sign-LSH banding shared by dd6's
     self-join and incremental.py's persistent embedding index
     (factored so index rows and batch probes can never drift; the
-    hyperplanes are deterministic in (plane index, dim)). Uses the
-    Arrow-batched :func:`..operators.similarity.lsh_band_buckets`
-    fast path — bit-identical to the `_emb_band_structs` JVM
-    expressions the DuckDB oracle states, measured ~7x faster (the
-    HOF folds are interpreted per element; see lsh_band_buckets)."""
+    hyperplanes are deterministic in (plane index, dim), so ``dim``
+    is part of the geometry — banding a corpus at the wrong dim maps
+    every vector to one bucket and the index degenerates to
+    all-pairs; incremental.py records dim in the index and validates
+    probes against it). Uses the Arrow-batched
+    :func:`..operators.similarity.lsh_band_buckets` fast path —
+    bit-identical to the `_emb_band_structs` JVM expressions the
+    DuckDB oracle states, measured ~7x faster (the HOF folds are
+    interpreted per element; see lsh_band_buckets)."""
     from ..operators.similarity import lsh_band_buckets
 
     return vecs.select(
         id_col,
         F.posexplode(
-            lsh_band_buckets("v", _EMB_DIM, n_bands, band_bits)
+            lsh_band_buckets("v", dim, n_bands, band_bits)
         ).alias("band_idx", "band_bucket"),
     )
 

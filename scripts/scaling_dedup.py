@@ -18,7 +18,6 @@ Usage: python scripts/scaling_dedup.py  [env: SPARK_GRAFT_CPUS]
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 import tempfile
@@ -160,15 +159,9 @@ def main() -> None:
                 print(f"# {q} sf{sf}: {results[q][sf]}s", file=sys.stderr)
 
     # log-log least-squares slope of time vs document rows
-    xs = [math.log(SIZES[sf]) for sf in SIZES]
-    exponents = {}
-    for q, times in results.items():
-        ys = [math.log(max(times[sf], 1e-3)) for sf in SIZES]
-        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
-            (x - mx) ** 2 for x in xs
-        )
-        exponents[q] = round(slope, 2)
+    from scaling_common import fit_exponent
+
+    exponents = {q: fit_exponent(SIZES, times) for q, times in results.items()}
 
     print(json.dumps({"times_sec": results, "scaling_exponent": exponents}))
     spark.stop()

@@ -23,7 +23,6 @@ Usage: python scripts/scaling_geo.py  [env: SPARK_GRAFT_CPUS]
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 import tempfile
@@ -108,15 +107,9 @@ def main() -> None:
                 results[q][label] = round(min(samples), 3)
                 print(f"# {q} {label}: {results[q][label]}s", file=sys.stderr)
 
-    xs = [math.log(SIZES[s]) for s in SIZES]
-    exponents = {}
-    for q, times in results.items():
-        ys = [math.log(max(times[s], 1e-3)) for s in SIZES]
-        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
-            (x - mx) ** 2 for x in xs
-        )
-        exponents[q] = round(slope, 2)
+    from scaling_common import fit_exponent
+
+    exponents = {q: fit_exponent(SIZES, times) for q, times in results.items()}
 
     print(json.dumps({"times_sec": results, "scaling_exponent": exponents}))
     spark.stop()

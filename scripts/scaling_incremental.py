@@ -26,7 +26,6 @@ Usage: python scripts/scaling_incremental.py  [env: SPARK_GRAFT_CPUS]
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 import tempfile
@@ -72,15 +71,12 @@ def gen_batch(corpus: pa.Table, seed: int) -> pa.Table:
     )
 
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from scaling_common import fit_exponent  # noqa: E402
+
+
 def _fit_exponent(times: dict[str, float]) -> float:
-    xs = [math.log(SIZES[s]) for s in SIZES]
-    ys = [math.log(max(times[s], 1e-3)) for s in SIZES]
-    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-    return round(
-        sum((x - mx) * (y - my) for x, y in zip(xs, ys))
-        / sum((x - mx) ** 2 for x in xs),
-        2,
-    )
+    return fit_exponent(SIZES, times)
 
 
 EMB_SIZES = {"10k": 10_000, "50k": 50_000, "200k": 200_000}
@@ -181,12 +177,6 @@ def embedding_sweep(spark, tmp: str) -> dict:
             f"({n_flagged[label]} flagged), foil {foil_t.get(label, '-')}s",
             file=sys.stderr,
         )
-    xs = [math.log(EMB_SIZES[s]) for s in EMB_SIZES]
-    ys = [math.log(max(flag_t[s], 1e-3)) for s in EMB_SIZES]
-    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
-        (x - mx) ** 2 for x in xs
-    )
     return {
         "emb_corpus_sizes": EMB_SIZES,
         "emb_batch_size": EMB_BATCH_N,
@@ -194,7 +184,7 @@ def embedding_sweep(spark, tmp: str) -> dict:
         "emb_flag_sec": flag_t,
         "emb_n_flagged": n_flagged,
         "emb_foil_dd6_recompute_sec": foil_t,
-        "emb_flag_exponent": round(slope, 2),
+        "emb_flag_exponent": fit_exponent(EMB_SIZES, flag_t),
     }
 
 

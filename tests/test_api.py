@@ -321,3 +321,22 @@ def test_server_bounds_concurrent_handler_threads(monkeypatch):
             gate.release()
         server.shutdown()
         server.server_close()
+
+
+def test_bind_failure_surfaces_oserror_not_attributeerror():
+    """TCPServer.__init__ calls server_close() on a bind failure
+    BEFORE the worker pool exists; the close must tolerate that so
+    e.g. EADDRINUSE reaches the caller as the OSError it is."""
+    import socket
+
+    from inpe_queimadas_etl_spark import api as api_mod
+
+    blocker = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    blocker.bind(("127.0.0.1", 0))
+    blocker.listen(1)
+    port = blocker.getsockname()[1]
+    try:
+        with pytest.raises(OSError):
+            api_mod.serve(None, port=port)
+    finally:
+        blocker.close()

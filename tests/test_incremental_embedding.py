@@ -129,3 +129,75 @@ def test_index_geometry_is_pinned(spark, vec_splits):
     assert all(
         v in flagged for v in batch_pd["vec_id"] if v >= _EXACT_OFF
     )
+
+
+def _rand_vecs(dim: int, n: int, seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [
+                rng.normal(0, 1, size=dim).astype(np.float32).tolist()
+                for _ in range(n)
+            ],
+        }
+    )
+
+
+def test_index_records_corpus_dim_and_bands_meaningfully(spark):
+    """The sign-LSH hyperplanes are dim-specific: an index over a
+    non-64-dim corpus must record that dim and produce NON-degenerate
+    buckets (a wrong-dim banding maps every vector to one bucket,
+    collapsing the index probe to a cross product — the pre-fix
+    behavior for any real 384/768-dim embedding corpus)."""
+    corpus_pd = _rand_vecs(16, 60, seed=3)
+    corpus = spark.createDataFrame(corpus_pd)
+    idx = embedding_band_index(corpus).toPandas()
+    assert (idx["dim"] == 16).all()
+    # random 16-dim vectors must spread over many buckets per band
+    per_band = idx.groupby("band_idx")["band_bucket"].nunique()
+    assert (per_band > 1).all(), per_band
+
+
+def test_dim_mismatch_raises_instead_of_degenerating(spark):
+    """Probing a 64-dim index with 16-dim batch vectors must raise —
+    silently bucketing everything to one key would turn the index
+    into a |batch| x |corpus| cross product."""
+    corpus = spark.createDataFrame(_rand_vecs(64, 40, seed=5))
+    batch = spark.createDataFrame(_rand_vecs(16, 10, seed=6))
+    idx = embedding_band_index(corpus)
+    with pytest.raises(ValueError, match="dim"):
+        incremental_embedding_neardup(batch, corpus, index=idx)
+
+
+def test_nondefault_dim_neardup_end_to_end(spark):
+    """The full incremental flow at dim=16: planted exact and
+    jittered copies are flagged, fresh vectors are not."""
+    corpus_pd = _rand_vecs(16, 50, seed=11)
+    rng = np.random.default_rng(12)
+    batch_rows = []
+    for i, src in enumerate((3, 17)):
+        v = np.asarray(corpus_pd.loc[src, "embedding"])
+        batch_rows.append((1000 + i, v.tolist()))  # exact copy
+        batch_rows.append(
+            (
+                2000 + i,
+                (v + rng.normal(0, 1e-3, size=16))
+                .astype(np.float32)
+                .tolist(),
+            )
+        )
+    batch_rows.append((3000, rng.normal(0, 1, size=16).astype(np.float32).tolist()))
+    batch_pd = pd.DataFrame(batch_rows, columns=["vec_id", "embedding"])
+    corpus = spark.createDataFrame(corpus_pd)
+    batch = spark.createDataFrame(batch_pd)
+    res = (
+        incremental_embedding_neardup(batch, corpus)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    for i, src in enumerate((3, 17)):
+        assert res.loc[1000 + i, "dup_of"] == src
+        assert res.loc[1000 + i, "sim"] >= 0.9999
+        assert res.loc[2000 + i, "dup_of"] == src
+        assert res.loc[2000 + i, "sim"] >= 0.99

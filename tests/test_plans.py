@@ -164,8 +164,9 @@ def test_bench_checksum_consume_defeats_pruning(spark):
     the md5 must be present in the consumed plan — and absent from the
     count plan, which is what made the old numbers hollow."""
     import sys
+    from pathlib import Path
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from bench import _consume_checksum  # noqa: E402
 
     from inpe_queimadas_etl_spark.suite.relational import p7_stable_event_hash

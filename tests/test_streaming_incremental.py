@@ -67,9 +67,23 @@ def test_crash_replay_does_not_erase_batch(spark, dirs):
         minhash_band_index,
     )
 
+    from inpe_queimadas_etl_spark.streaming import _bind_drain_identity
+
     rows = [(0, _doc(1)), (1, _doc(2)), (2, _doc(3))]
     _write_batch(spark, dirs["docs"], rows, "b1")
     batch_df = spark.read.parquet(dirs["docs"])
+    # the crashed run stamped its identity at start (a genuine crash
+    # leaves checkpoint + sink stamps in place; only the batch commit
+    # is missing) — replicate that before writing its partial output
+    _bind_drain_identity(
+        dirs["ckpt"],
+        (
+            f"{dirs['out']}/flags",
+            f"{dirs['out']}/accepted",
+            f"{dirs['index']}/exact",
+            f"{dirs['index']}/bands",
+        ),
+    )
     # the crashed attempt's partial writes
     batch_df.write.parquet(f"{dirs['out']}/accepted/batch_id=0")
     exact_hash_index(batch_df).write.parquet(
@@ -249,28 +263,89 @@ def test_cli_schema_from_empty_landing(spark, dirs, tmp_path, _preserve_root_log
 
 
 def test_checkpoint_reset_against_existing_sinks_refuses(spark, dirs):
-    """A fresh checkpoint pointed at sink dirs holding FUTURE batch
-    ids means the checkpoint was lost/reset — the drain must refuse
-    rather than skip dedup and overwrite historical partitions."""
+    """A fresh checkpoint pointed at sink dirs holding existing drain
+    output means the checkpoint was lost/reset — the drain must refuse
+    (at start, before the stream touches anything) rather than skip
+    dedup and overwrite historical partitions."""
     rows = [(0, _doc(31)), (1, _doc(32))]
     _write_batch(spark, dirs["docs"], rows, "b1")
     batch_df = spark.read.parquet(dirs["docs"])
     # surviving sinks from a previous stream that got to batch 3
     batch_df.write.parquet(f"{dirs['out']}/accepted/batch_id=3")
 
-    q = start_corpus_dedup_stream(
-        spark,
-        docs_dir=dirs["docs"],
-        index_dir=dirs["index"],
-        out_dir=dirs["out"],
-        checkpoint_dir=dirs["ckpt"],
-        available_now=True,
-    )
-    with pytest.raises(Exception, match="checkpoint was reset"):
-        q.awaitTermination(120)
+    with pytest.raises(RuntimeError, match="existing drain output"):
+        start_corpus_dedup_stream(
+            spark,
+            docs_dir=dirs["docs"],
+            index_dir=dirs["index"],
+            out_dir=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+            available_now=True,
+        )
     # the historical partition is untouched
     survived = spark.read.parquet(f"{dirs['out']}/accepted")
     assert survived.count() == 2
+
+
+def test_checkpoint_reset_at_batch_zero_refuses(spark, dirs):
+    """The hole the identity stamp closes: a history whose max
+    batch_id is 0 used to slip past the runtime id check (a reset
+    stream also starts at 0) and silently overwrite the historical
+    batch-0 partitions. Now the unstamped fresh checkpoint is refused
+    before the stream starts."""
+    rows = [(0, _doc(61)), (1, _doc(62))]
+    _write_batch(spark, dirs["docs"], rows, "b1")
+    batch_df = spark.read.parquet(dirs["docs"])
+    # a previous drain's FULL history: exactly one batch, id 0
+    batch_df.write.parquet(f"{dirs['out']}/accepted/batch_id=0")
+
+    with pytest.raises(RuntimeError, match="existing drain output"):
+        start_corpus_dedup_stream(
+            spark,
+            docs_dir=dirs["docs"],
+            index_dir=dirs["index"],
+            out_dir=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+            available_now=True,
+        )
+    survived = spark.read.parquet(f"{dirs['out']}/accepted")
+    assert survived.count() == 2
+
+
+def test_sink_wiped_while_checkpoint_kept_refuses(spark, dirs):
+    """The converse lineage break: the checkpoint survives (so landed
+    files will never be re-delivered) but a sink dir was wiped — the
+    drain would dedup new batches against a silently-empty corpus, so
+    it must refuse at start."""
+    import shutil
+
+    rows = [(0, _doc(71)), (1, _doc(72))]
+    _write_batch(spark, dirs["docs"], rows, "b1")
+    _drain(spark, dirs)
+    shutil.rmtree(dirs["index"])
+
+    with pytest.raises(RuntimeError, match="stamp missing"):
+        start_corpus_dedup_stream(
+            spark,
+            docs_dir=dirs["docs"],
+            index_dir=dirs["index"],
+            out_dir=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+            available_now=True,
+        )
+
+
+def test_runtime_batch_id_guard_still_covers_remote_sinks(spark):
+    """URI-schemed sinks skip the marker-file stamp, so the per-batch
+    id check remains the live defense there: ids beyond the stream's
+    progress must raise."""
+    from inpe_queimadas_etl_spark.streaming import _refuse_checkpoint_reset
+
+    frame = spark.createDataFrame([(3, 1)], ["batch_id", "doc_id"])
+    with pytest.raises(RuntimeError, match="checkpoint .*reset|was reset"):
+        _refuse_checkpoint_reset((("s3://bucket/accepted", frame),), 1)
+    # ids at or behind the stream are a legitimate replay
+    _refuse_checkpoint_reset((("s3://bucket/accepted", frame),), 3)
 
 
 def test_reserved_batch_id_column_rejected(spark, dirs):
