@@ -1,0 +1,138 @@
+"""Weighted domain-mixture resampling (operators/mixture.py):
+water-filling rate allocation plus the Spark keep projection. The
+uniform no-budget case is oracle-pinned through cur5
+(tests/test_suite_oracle.py); these tests pin the weighted/budgeted
+generalization."""
+
+from __future__ import annotations
+
+import pytest
+
+from inpe_queimadas_etl_spark.operators.mixture import (
+    mixture_rates,
+    mixture_resample,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_rates_proportional_under_feasible_budget():
+    """Budget below every source's capacity: expected kept tokens are
+    exactly proportional to the weights."""
+    tokens = {"web": 1000, "code": 1000, "books": 1000}
+    w = {"web": 0.5, "code": 0.3, "books": 0.2}
+    rates = mixture_rates(tokens, w, token_budget=100)
+    assert rates == pytest.approx(
+        {"web": 0.05, "code": 0.03, "books": 0.02}
+    )
+
+
+def test_water_filling_redistributes_saturated_share():
+    """A source too small for its proportional share saturates at 1.0
+    and the shortfall goes to the others by weight. Hand-computed:
+    budget 900, weights 2:1, tokens web=1000 code=100 -> code's share
+    (300) exceeds its 100 tokens, so code keeps all 100 and web gets
+    the remaining 800 (rate 0.8)."""
+    rates = mixture_rates(
+        {"web": 1000, "code": 100},
+        {"web": 2.0, "code": 1.0},
+        token_budget=900,
+    )
+    assert rates == pytest.approx({"web": 0.8, "code": 1.0})
+
+
+def test_default_budget_is_largest_exact_proportion():
+    """No budget: the allocation is the largest one needing no
+    upsampling — min_s T_s/w_s — so the scarcest-by-share source has
+    rate exactly 1.0 (cur5's contract, generalized to weights)."""
+    rates = mixture_rates(
+        {"a": 900, "b": 300}, {"a": 0.5, "b": 0.5}
+    )
+    assert rates == pytest.approx({"a": 300 / 900, "b": 1.0})
+
+
+def test_budget_above_total_keeps_everything():
+    rates = mixture_rates(
+        {"a": 10, "b": 20}, {"a": 0.5, "b": 0.5}, token_budget=10_000
+    )
+    assert rates == pytest.approx({"a": 1.0, "b": 1.0})
+
+
+def test_unweighted_source_dropped_and_bad_inputs_raise():
+    rates = mixture_rates(
+        {"a": 100, "b": 100}, {"a": 1.0}, token_budget=50
+    )
+    assert rates == pytest.approx({"a": 0.5, "b": 0.0})
+    with pytest.raises(ValueError, match="negative mixture weight"):
+        mixture_rates({"a": 1}, {"a": -1.0})
+    with pytest.raises(ValueError, match="no positive weight"):
+        mixture_rates({"a": 1}, {"b": 1.0})
+    with pytest.raises(ValueError, match="negative token_budget"):
+        mixture_rates({"a": 1}, None, token_budget=-5)
+    assert mixture_rates({}) == {}
+
+
+def test_uniform_no_budget_matches_cur5(spark):
+    """The operator with default arguments reproduces the
+    oracle-pinned cur5 query row for row."""
+    import pandas as pd
+
+    from inpe_queimadas_etl_spark.session import load_table
+    from inpe_queimadas_etl_spark.suite.llmdata import cur5_mixture_resample
+
+    docs = load_table(spark, SF0001, "documents")
+    got = (
+        mixture_resample(docs)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = (
+        cur5_mixture_resample(spark, SF0001)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )
+
+
+def test_spark_budgeted_mixture_hits_target(spark):
+    """End to end on the testdata corpus: a weighted budget lands
+    kept token mass near each source's share, and the keep decision
+    is stable under repartitioning (deterministic hash, not rand)."""
+    import math
+
+    from inpe_queimadas_etl_spark.session import load_table
+
+    docs = load_table(spark, SF0001, "documents")
+    sources = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )
+    w = {s: (2.0 if i % 2 == 0 else 1.0) for i, s in enumerate(sources)}
+    out = mixture_resample(docs, weights=w, token_budget=5_000).toPandas()
+    per = out.groupby("source").agg(
+        rate=("keep_rate", "first"),
+        kept=("n_tokens", lambda s: s[out.loc[s.index, "keep"]].sum()),
+        total=("n_tokens", "sum"),
+    )
+    assert ((per["rate"] >= 0) & (per["rate"] <= 1.0)).all()
+    wsum = sum(w.values())
+    for src, row in per.iterrows():
+        if row["rate"] >= 1.0:
+            assert row["kept"] == row["total"]
+            continue
+        target = 5_000 * w[src] / wsum
+        lens = out.loc[out["source"] == src, "n_tokens"]
+        sigma = math.sqrt(row["rate"] * (1 - row["rate"]) * (lens**2).sum())
+        assert abs(row["kept"] - target) <= 6 * sigma + lens.max(), (
+            src,
+            row,
+            target,
+        )
+    # determinism under a different partitioning
+    out2 = (
+        mixture_resample(docs.repartition(7), weights=w, token_budget=5_000)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out.sort_values("doc_id", ignore_index=True).equals(out2)
