@@ -272,6 +272,28 @@ def cmd_corpus_dedup(args) -> int:
     return 0
 
 
+def cmd_corpus_curate(args) -> int:
+    """One-shot training-corpus materialization (corpus_pipeline.py):
+    dedup + curation + mixture + leak-free split + packing, exported
+    as split-partitioned sharded parquet with a _manifest.json audit
+    trail."""
+    from .corpus_pipeline import run_corpus_pipeline
+    from .session import get_spark
+
+    weights = json.loads(args.weights) if args.weights else None
+    spark = get_spark(app_name="corpus-curate")
+    manifest = run_corpus_pipeline(
+        spark,
+        args.corpus_dir,
+        args.out_dir,
+        weights=weights,
+        token_budget=args.token_budget,
+        pack_budget=args.pack_budget,
+    )
+    log.info("corpus-curate | manifest | %s", json.dumps(manifest, default=str))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m inpe_queimadas_etl_spark",
@@ -343,6 +365,33 @@ def build_parser() -> argparse.ArgumentParser:
         "sign-LSH band index instead of documents",
     )
     cdp.add_argument("--log-dir")
+
+    cur = sub.add_parser(
+        "corpus-curate",
+        help="materialize a training corpus: dedup + curation + "
+        "mixture + leak-free split + packing + sharded export",
+    )
+    cur.add_argument(
+        "--corpus-dir",
+        required=True,
+        help="dir holding documents.parquet",
+    )
+    cur.add_argument("--out-dir", required=True, help="export root")
+    cur.add_argument(
+        "--weights",
+        help='JSON source->weight mixture target, e.g. \'{"src0": 2, '
+        '"src1": 1}\' (default: uniform over sources)',
+    )
+    cur.add_argument(
+        "--token-budget",
+        type=int,
+        default=None,
+        help="cap total kept tokens (water-filling allocation)",
+    )
+    cur.add_argument(
+        "--pack-budget", type=int, default=512, help="tokens per pack"
+    )
+    cur.add_argument("--log-dir")
     return ap
 
 
@@ -357,6 +406,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_validate_repo(args)
     if args.cmd == "corpus-dedup":
         return cmd_corpus_dedup(args)
+    if args.cmd == "corpus-curate":
+        return cmd_corpus_curate(args)
     return 2
 
 

@@ -1,0 +1,178 @@
+"""End-to-end training-corpus materialization: one pass from a raw
+document table to a packed, split-partitioned, sharded export.
+
+The suite's training-data operators are individually oracle-checked
+(suite/llmdata.py); this module composes them the way a real pipeline
+runs them, sharing expensive intermediates instead of recomputing:
+
+1. **dd7 labels once** — the iterative near-dup component labeling is
+   the most expensive stage, and THREE downstream stages consume it
+   (curation's cluster-aware keep, the leak-free split, and the audit
+   manifest). The labels are computed once and localCheckpointed;
+   at cluster scale they would be persisted parquet, bucketed by
+   doc_id, making every downstream join shuffle-free.
+2. **Curation** (cur1 semantics via ``curation_decisions``): quality
+   gate + language heuristic + lowest-id-gate-passing-member-per-
+   cluster dedup, with per-row drop_reason lineage.
+3. **Repetition gate** (cur3 semantics via ``repetition_stats``):
+   Gopher-style top-word/dup-3gram flags — map-side, fused into the
+   survivor scan.
+4. **Mixture** (operators/mixture.py): weighted water-filling
+   downsampling under an optional token budget, deterministic salted
+   hash thresholds.
+5. **Split** (cur6 semantics via ``split_from_clusters``): near-dup-
+   closed train/validation/test over the SHARED dd7 labels — a
+   near-dup pair can never straddle eval and train.
+6. **Packing** (pack1 semantics via ``pack_doc_assignments``): token-
+   budget pack ids within (split, lang, shard).
+7. **Export** (export.py): parquet partitioned by split, shard-count
+   and shard-size bounded, plus a ``_manifest.json`` audit trail with
+   per-stage counts and per-split token mass.
+
+Scale shape: two corpus-sized shuffles total (dd7's banding join and
+the packing window; curation's cluster window rides dd7's
+partitioning), everything else is scan-shaped or K-row driver math.
+The audit aggregates are three extra small jobs over already-computed
+frames — the price of a manifest, paid once per materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .export import export_sharded_parquet
+from .operators.mixture import mixture_resample
+from .session import load_table
+from .suite.llmdata import (
+    curation_decisions,
+    dd7_dedup_clusters,
+    pack_doc_assignments,
+    repetition_stats,
+    split_from_clusters,
+)
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    *,
+    weights: dict[str, float] | None = None,
+    token_budget: int | None = None,
+    pack_budget: int = 512,
+    pack_shards: int = 8,
+    n_shards: int | None = None,
+    max_records_per_file: int | None = 100_000,
+) -> dict:
+    """Materialize ``corpus_dir``'s documents table into
+    ``out_dir/corpus`` (parquet, partitioned by split) and return the
+    audit manifest (also written to ``out_dir/_manifest.json``).
+
+    Output rows carry the full document plus its lineage: cluster_id,
+    split, shard, pack_id, tokens. Every decision is deterministic
+    (content/cluster hashes, not rand), so re-running over the same
+    input reproduces the same corpus byte for byte."""
+    os.makedirs(out_dir, exist_ok=True)
+    docs = load_table(spark, corpus_dir, "documents")
+
+    # stage 1: near-dup component labels, computed once and shared
+    labels = dd7_dedup_clusters(spark, corpus_dir).localCheckpoint(
+        eager=True
+    )
+
+    # stage 2+3: curation decisions + repetition gate
+    decisions = curation_decisions(docs, labels)
+    rep = repetition_stats(docs).select("doc_id", "repetitive")
+    kept = (
+        decisions.filter(F.col("keep"))
+        .join(rep, "doc_id", "left")
+        .filter(~F.coalesce("repetitive", F.lit(False)))
+        .select("doc_id")
+    )
+    survivors = docs.join(kept, "doc_id", "left_semi")
+
+    # stage 4: mixture downsampling (no-op rates when neither weights
+    # nor budget given would still equalize sources; callers wanting
+    # a pure pass-through skip by weights={s: tokens_s} — the default
+    # here is the uniform cur5 contract)
+    mix = mixture_resample(
+        survivors, weights=weights, token_budget=token_budget
+    )
+    sampled = survivors.join(
+        mix.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # stage 5: near-dup-closed split over the SHARED labels
+    split = split_from_clusters(labels).select(
+        "doc_id", "cluster_id", "split"
+    )
+    final = sampled.join(split, "doc_id")
+
+    # stage 6: pack assignment within (split, lang, shard)
+    packed = pack_doc_assignments(
+        final,
+        budget=pack_budget,
+        shards=pack_shards,
+        group_cols=("split", "lang"),
+    ).select("doc_id", "shard", "tokens", "pack_id")
+    out = final.join(packed, "doc_id")
+
+    # stage 7: export, partitioned by split, ordered so each pack's
+    # docs are contiguous within a shard file
+    corpus_path = os.path.join(out_dir, "corpus")
+    export_sharded_parquet(
+        out,
+        corpus_path,
+        n_shards=n_shards,
+        max_records_per_file=max_records_per_file,
+        order_cols=["shard", "pack_id", "doc_id"],
+        partition_cols=["split"],
+    )
+
+    # audit manifest: per-stage counts + per-split mass
+    drop_counts = {
+        (r["drop_reason"] or "kept"): r["n"]
+        for r in decisions.groupBy("drop_reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    mix_row = mix.agg(
+        F.count("*").alias("n_in"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    ).first()
+    written = spark.read.parquet(corpus_path)
+    per_split = {
+        r["split"]: {"docs": r["docs"], "tokens": r["tokens"]}
+        for r in written.groupBy("split")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("tokens").alias("tokens"),
+        )
+        .collect()
+    }
+    manifest = {
+        "input_docs": docs.count(),
+        "curation": drop_counts,
+        "repetition_dropped": int(
+            drop_counts.get("kept", 0) - mix_row["n_in"]
+        ),
+        "mixture": {
+            "in": mix_row["n_in"],
+            "kept": int(mix_row["n_kept"] or 0),
+            "weights": weights,
+            "token_budget": token_budget,
+        },
+        "splits": per_split,
+        "pack_budget": pack_budget,
+        "pack_shards": pack_shards,
+        "output": corpus_path,
+    }
+    with open(
+        os.path.join(out_dir, "_manifest.json"), "w", encoding="utf-8"
+    ) as f:
+        json.dump(manifest, f, indent=2, default=str)
+    return manifest

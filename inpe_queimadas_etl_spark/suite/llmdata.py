@@ -1229,11 +1229,23 @@ def cur1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster ids are min doc_ids, near-dup clusters are small, no
     skew). drop_reason gives per-row lineage for curation audits.
     """
+    return curation_decisions(
+        load_table(spark, sf_dir, "documents"),
+        dd7_dedup_clusters(spark, sf_dir),
+    )
+
+
+def curation_decisions(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """DataFrame-level body of cur1 (see its docstring): ``clusters``
+    is dd7's label frame, injectable so a pipeline computing labels
+    once can share them across curation, keeper selection, and the
+    split (corpus_pipeline.py) instead of re-running the iterative
+    component labeling per stage."""
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
-    gate = load_table(spark, sf_dir, "documents").select(
+    gate = docs.select(
         "doc_id",
         n_words.alias("n_words"),
         F.when(n_stop >= 2, "en")
@@ -1241,9 +1253,7 @@ def cur1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unk")
         .alias("pred_lang"),
     )
-    clusters = dd7_dedup_clusters(spark, sf_dir).select(
-        "doc_id", "cluster_id", "cluster_size"
-    )
+    clusters = clusters.select("doc_id", "cluster_id", "cluster_size")
     j = clusters.join(gate, "doc_id").withColumn(
         "passes", F.col("n_words").between(10, 1000) & (F.col("pred_lang") == "en")
     )
@@ -1881,7 +1891,12 @@ def cur3_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. Mirrors the repetition-removal rules of Gopher (Rae et al.
     2021, §A1.1); the reference has no counterpart (its dedup is the
     seen-set hash, transform/inpe_focos_diario.py:166-169)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """DataFrame-level body of cur3 (see its docstring) — injectable
+    for pipeline composition (corpus_pipeline.py)."""
     w = F.split(F.col("text"), " ")
     d = (
         docs.withColumn("w", w)
@@ -1993,6 +2008,35 @@ _PACK_BUDGET = 512  # whitespace tokens per packed sequence
 _PACK_SHARDS = 8
 
 
+def pack_doc_assignments(
+    docs: DataFrame,
+    budget: int = _PACK_BUDGET,
+    shards: int = _PACK_SHARDS,
+    group_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Per-document pack assignment: ``(doc_id, *group_cols, shard,
+    tokens, cum, pack_id)`` — the cumulative-sum packing pack1 rolls
+    up, exposed row-level so a pipeline can materialize the packed
+    corpus (corpus_pipeline.py writes one file group per pack). The
+    window partitions on (*group_cols, doc_id % shards), so a
+    dominant group cannot serialize into one reducer."""
+    t = docs.select(
+        "doc_id",
+        *group_cols,
+        (F.col("doc_id") % shards).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("tokens"),
+    )
+    w = (
+        Window.partitionBy(*group_cols, "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.withColumn("cum", F.sum("tokens").over(w)).withColumn(
+        "pack_id",
+        F.floor((F.col("cum") - F.col("tokens")) / budget),
+    )
+
+
 @query(
     "pack1_token_packing",
     oracle=f"""
@@ -2032,23 +2076,8 @@ def pack1_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the same keys (no second shuffle thanks to the shared
     partitioning)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        "lang",
-        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
-        F.size(F.split(F.col("text"), " ")).alias("tokens"),
-    )
-    w = (
-        Window.partitionBy("lang", "shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = t.withColumn("cum", F.sum("tokens").over(w))
     return (
-        c.withColumn(
-            "pack_id",
-            F.floor((F.col("cum") - F.col("tokens")) / _PACK_BUDGET),
-        )
+        pack_doc_assignments(docs)
         .groupBy("lang", "shard", "pack_id")
         .agg(
             F.count("*").alias("n_docs"),
@@ -2419,7 +2448,13 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes); the split itself is a hash projection over
     cluster_id, and the label join is shuffle-free when the dedup
     stage persisted labels bucketed by doc_id."""
-    labels = dd7_dedup_clusters(spark, sf_dir)
+    return split_from_clusters(dd7_dedup_clusters(spark, sf_dir))
+
+
+def split_from_clusters(labels: DataFrame) -> DataFrame:
+    """DataFrame-level body of cluster_aware_split over an existing
+    dd7 label frame — injectable so a pipeline shares one label
+    computation across stages (corpus_pipeline.py)."""
     frac = _hash_frac_spark(
         F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
     )

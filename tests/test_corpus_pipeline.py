@@ -1,0 +1,138 @@
+"""End-to-end corpus materialization (corpus_pipeline.py): the
+oracle-checked operators composed into one deterministic pipeline with
+a shared dd7 label computation, a split-partitioned export, and an
+audit manifest."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from inpe_queimadas_etl_spark.corpus_pipeline import run_corpus_pipeline
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("corpus_out"))
+    manifest = run_corpus_pipeline(spark, SF0001, out)
+    return out, manifest
+
+
+def test_manifest_counts_are_consistent(spark, pipeline_out):
+    out, manifest = pipeline_out
+    assert manifest["input_docs"] == 500
+    # curation reasons partition the input
+    assert sum(manifest["curation"].values()) == manifest["input_docs"]
+    kept = manifest["curation"]["kept"]
+    assert manifest["mixture"]["in"] == kept - manifest["repetition_dropped"]
+    assert 0 < manifest["mixture"]["kept"] <= manifest["mixture"]["in"]
+    # written rows == per-split docs == mixture keepers
+    written = spark.read.parquet(os.path.join(out, "corpus"))
+    assert written.count() == manifest["mixture"]["kept"]
+    assert (
+        sum(s["docs"] for s in manifest["splits"].values())
+        == manifest["mixture"]["kept"]
+    )
+    # the manifest file round-trips
+    with open(os.path.join(out, "_manifest.json"), encoding="utf-8") as f:
+        assert json.load(f)["input_docs"] == 500
+
+
+def test_output_is_split_partitioned_with_lineage(spark, pipeline_out):
+    out, _ = pipeline_out
+    corpus = os.path.join(out, "corpus")
+    parts = {e for e in os.listdir(corpus) if e.startswith("split=")}
+    assert parts == {"split=train", "split=validation", "split=test"}
+    written = spark.read.parquet(corpus)
+    cols = set(written.columns)
+    assert {
+        "doc_id",
+        "text",
+        "cluster_id",
+        "split",
+        "shard",
+        "pack_id",
+        "tokens",
+    } <= cols
+    assert written.select("doc_id").distinct().count() == written.count()
+
+
+def test_no_cluster_straddles_splits_and_no_dups_survive(spark, pipeline_out):
+    out, _ = pipeline_out
+    pdf = (
+        spark.read.parquet(os.path.join(out, "corpus"))
+        .select("doc_id", "text", "cluster_id", "split")
+        .toPandas()
+    )
+    assert (pdf.groupby("cluster_id")["split"].nunique() == 1).all()
+    # near-dup dedup kept at most one member per cluster, so exact
+    # duplicate texts cannot survive either
+    assert (pdf.groupby("cluster_id").size() == 1).all()
+    assert pdf["text"].nunique() == len(pdf)
+
+
+def test_rerun_is_deterministic(spark, pipeline_out, tmp_path):
+    out, manifest = pipeline_out
+    out2 = str(tmp_path / "rerun")
+    manifest2 = run_corpus_pipeline(spark, SF0001, out2)
+    assert manifest2 == manifest or {
+        k: v for k, v in manifest2.items() if k != "output"
+    } == {k: v for k, v in manifest.items() if k != "output"}
+    a = (
+        spark.read.parquet(os.path.join(out, "corpus"))
+        .select("doc_id", "split", "pack_id")
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        spark.read.parquet(os.path.join(out2, "corpus"))
+        .select("doc_id", "split", "pack_id")
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert a.equals(b)
+
+
+def test_budgeted_weighted_run_respects_budget(spark, tmp_path):
+    out = str(tmp_path / "budgeted")
+    manifest = run_corpus_pipeline(
+        spark, SF0001, out, token_budget=2_000
+    )
+    total_tokens = sum(s["tokens"] for s in manifest["splits"].values())
+    # expected kept mass is the budget; allow sampling variance (the
+    # keep decisions are per-doc Bernoulli via deterministic hash)
+    assert total_tokens <= 2_000 * 1.5
+    assert total_tokens > 0
+
+
+@pytest.fixture()
+def _preserve_root_logging():
+    """cli.main's _setup_logging(force=True) rebinds the root logger
+    to pytest's per-test captured stream; restore the original
+    handlers so later tests/teardown don't log to a closed file."""
+    import logging
+
+    root = logging.getLogger()
+    saved = root.handlers[:], root.level
+    yield
+    root.handlers[:], root.level = saved[0], saved[1]
+
+
+def test_cli_corpus_curate(spark, tmp_path, _preserve_root_logging):
+    from inpe_queimadas_etl_spark import cli
+
+    out = str(tmp_path / "cli_out")
+    rc = cli.main(
+        [
+            "corpus-curate",
+            "--corpus-dir", SF0001,
+            "--out-dir", out,
+            "--token-budget", "3000",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "_manifest.json"))
