@@ -65,13 +65,17 @@ def mixture_rates(
         raise ValueError("no positive weight for any present source")
 
     weighted_sources = {s for s in tokens if w[s] > 0 and tokens[s] > 0}
-    # largest budget needing no upsampling: min_s T_s/w_s per unit
-    # weight, scaled back to tokens by the total weight
-    feasible = (
-        min((tokens[s] / w[s] for s in weighted_sources), default=0.0)
-        * wsum
-    )
     total_weighted = sum(tokens[s] for s in weighted_sources)
+    # largest budget needing no upsampling: min_s T_s/w_s per unit
+    # weight, scaled back to tokens by the total weight. In exact
+    # arithmetic this is <= total_weighted (a min is bounded by the
+    # weighted mean), so the clamp is a no-op — it only guards the
+    # float overflow of T/w under absurdly small weights
+    feasible = min(
+        min((tokens[s] / w[s] for s in weighted_sources), default=0.0)
+        * wsum,
+        float(total_weighted),
+    )
     if token_budget is None:
         budget = feasible
     else:

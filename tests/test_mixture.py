@@ -136,3 +136,82 @@ def test_spark_budgeted_mixture_hits_target(spark):
         .sort_values("doc_id", ignore_index=True)
     )
     assert out.sort_values("doc_id", ignore_index=True).equals(out2)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        tokens=st.dictionaries(
+            st.sampled_from([f"s{i}" for i in range(6)]),
+            st.integers(min_value=1, max_value=10_000),
+            min_size=1,
+        ),
+        weights=st.one_of(
+            st.none(),
+            st.dictionaries(
+                st.sampled_from([f"s{i}" for i in range(6)]),
+                st.floats(
+                    min_value=0.0,
+                    max_value=10.0,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+                min_size=1,
+            ),
+        ),
+        budget=st.one_of(
+            st.none(), st.integers(min_value=0, max_value=100_000)
+        ),
+    )
+    def test_water_filling_invariants(tokens, weights, budget):
+        """For ANY inputs: rates in [0,1]; expected kept token mass
+        equals the effective budget (min of requested budget, feasible
+        allocation, and total weighted mass); unsaturated sources stay
+        exactly weight-proportional to each other."""
+        if weights is not None and not any(
+            weights.get(s, 0) > 0 for s in tokens
+        ):
+            with pytest.raises(ValueError):
+                mixture_rates(tokens, weights, budget)
+            return
+        rates = mixture_rates(tokens, weights, budget)
+        assert set(rates) == set(tokens)
+        assert all(0.0 <= r <= 1.0 + 1e-12 for r in rates.values())
+        w = (
+            {s: 1.0 for s in tokens}
+            if weights is None
+            else {s: float(weights.get(s, 0.0)) for s in tokens}
+        )
+        weighted = {s for s in tokens if w[s] > 0}
+        total_weighted = sum(tokens[s] for s in weighted)
+        wsum = sum(w.values())
+        feasible = min(
+            min(tokens[s] / w[s] for s in weighted) * wsum,
+            float(total_weighted),
+        )
+        effective = (
+            feasible
+            if budget is None
+            else min(float(budget), float(total_weighted))
+        )
+        kept = sum(rates[s] * tokens[s] for s in tokens)
+        assert kept == pytest.approx(effective, rel=1e-9, abs=1e-6)
+        # zero-weight sources are dropped entirely
+        assert all(rates[s] == 0.0 for s in tokens if w[s] == 0)
+        # unsaturated sources are mutually weight-proportional
+        unsat = [
+            s for s in weighted if rates[s] < 1.0 and rates[s] > 0.0
+        ]
+        shares = [rates[s] * tokens[s] / w[s] for s in unsat]
+        for x in shares[1:]:
+            assert x == pytest.approx(shares[0], rel=1e-9)
