@@ -286,6 +286,7 @@ def cmd_corpus_curate(args) -> int:
         spark,
         args.corpus_dir,
         args.out_dir,
+        eval_dir=args.eval_dir,
         weights=weights,
         token_budget=args.token_budget,
         pack_budget=args.pack_budget,
@@ -377,6 +378,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="dir holding documents.parquet",
     )
     cur.add_argument("--out-dir", required=True, help="export root")
+    cur.add_argument(
+        "--eval-dir",
+        help="dir holding an eval suite's documents.parquet; training "
+        "docs sharing any 3-word shingle with it are dropped",
+    )
     cur.add_argument(
         "--weights",
         help='JSON source->weight mixture target, e.g. \'{"src0": 2, '

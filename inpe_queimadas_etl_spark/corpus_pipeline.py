@@ -50,6 +50,7 @@ from .session import load_table
 from .suite.llmdata import (
     curation_decisions,
     dd7_dedup_clusters,
+    decontamination_report,
     pack_doc_assignments,
     repetition_stats,
     split_from_clusters,
@@ -61,6 +62,7 @@ def run_corpus_pipeline(
     corpus_dir: str,
     out_dir: str,
     *,
+    eval_dir: str | None = None,
     weights: dict[str, float] | None = None,
     token_budget: int | None = None,
     pack_budget: int = 512,
@@ -94,6 +96,22 @@ def run_corpus_pipeline(
         .select("doc_id")
     )
     survivors = docs.join(kept, "doc_id", "left_semi")
+
+    # stage 3b (optional): benchmark decontamination — drop any doc
+    # sharing a 3-word shingle with the eval suite (cur2 semantics
+    # via decontamination_report); eval sets are tiny, so the join's
+    # eval side broadcasts
+    n_contaminated = 0
+    if eval_dir is not None:
+        eval_docs = load_table(spark, eval_dir, "documents")
+        contam = (
+            decontamination_report(survivors, eval_docs)
+            .filter(F.col("contaminated"))
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        n_contaminated = contam.count()
+        survivors = survivors.join(contam, "doc_id", "left_anti")
 
     # stage 4: mixture downsampling (no-op rates when neither weights
     # nor budget given would still equalize sources; callers wanting
@@ -158,8 +176,9 @@ def run_corpus_pipeline(
         "input_docs": docs.count(),
         "curation": drop_counts,
         "repetition_dropped": int(
-            drop_counts.get("kept", 0) - mix_row["n_in"]
+            drop_counts.get("kept", 0) - n_contaminated - mix_row["n_in"]
         ),
+        "contaminated_dropped": n_contaminated,
         "mixture": {
             "in": mix_row["n_in"],
             "kept": int(mix_row["n_kept"] or 0),

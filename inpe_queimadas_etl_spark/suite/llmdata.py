@@ -1323,8 +1323,22 @@ def cur2_benchmark_decontamination(
     the final left join against the corpus scan."""
     docs = load_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % 41 == 0
+    return decontamination_report(
+        docs.filter(~is_bench), docs.filter(is_bench)
+    )
+
+
+def decontamination_report(
+    corpus_docs: DataFrame, eval_docs: DataFrame
+) -> DataFrame:
+    """DataFrame-level body of cur2 over an EXPLICIT eval set (see its
+    docstring for the scale design): per corpus doc, how many distinct
+    3-word shingles it shares with any eval doc and how many eval docs
+    they touch, plus the boolean ``contaminated`` verdict. Injectable
+    so a pipeline can decontaminate against its real benchmark suite
+    (corpus_pipeline.py's eval_dir stage)."""
     bench_sh = (
-        _shingles_spark(docs.filter(is_bench))
+        _shingles_spark(eval_docs)
         .select(
             F.col("doc_id").alias("bench_id"),
             F.explode("shingles").alias("s"),
@@ -1332,7 +1346,7 @@ def cur2_benchmark_decontamination(
         .select("bench_id", F.xxhash64("s").alias("h"))
     )
     corp_sh = (
-        _shingles_spark(docs.filter(~is_bench))
+        _shingles_spark(corpus_docs)
         .select("doc_id", F.explode("shingles").alias("s"))
         .select("doc_id", F.xxhash64("s").alias("h"))
     )
@@ -1345,8 +1359,7 @@ def cur2_benchmark_decontamination(
         )
     )
     return (
-        docs.filter(~is_bench)
-        .select("doc_id")
+        corpus_docs.select("doc_id")
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",

@@ -28,7 +28,12 @@ def test_manifest_counts_are_consistent(spark, pipeline_out):
     # curation reasons partition the input
     assert sum(manifest["curation"].values()) == manifest["input_docs"]
     kept = manifest["curation"]["kept"]
-    assert manifest["mixture"]["in"] == kept - manifest["repetition_dropped"]
+    assert (
+        manifest["mixture"]["in"]
+        == kept
+        - manifest["repetition_dropped"]
+        - manifest["contaminated_dropped"]
+    )
     assert 0 < manifest["mixture"]["kept"] <= manifest["mixture"]["in"]
     # written rows == per-split docs == mixture keepers
     written = spark.read.parquet(os.path.join(out, "corpus"))
@@ -136,3 +141,55 @@ def test_cli_corpus_curate(spark, tmp_path, _preserve_root_logging):
     )
     assert rc == 0
     assert os.path.exists(os.path.join(out, "_manifest.json"))
+
+
+def test_eval_decontamination_drops_leaked_docs(spark, tmp_path):
+    """An eval set built from real corpus texts: every surviving
+    corpus doc that shares a 3-word shingle with it is dropped, and
+    clean docs are untouched relative to a run without an eval set."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_out = str(tmp_path / "base")
+    base = run_corpus_pipeline(spark, SF0001, base_out)
+    written = (
+        spark.read.parquet(os.path.join(base_out, "corpus"))
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # eval suite = verbatim copies of two surviving docs
+    leak = written.head(2).copy()
+    leak["doc_id"] = [900_000, 900_001]
+    eval_dir = tmp_path / "eval"
+    eval_dir.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {"doc_id": leak["doc_id"], "text": leak["text"]}
+            ),
+            preserve_index=False,
+        ),
+        str(eval_dir / "documents.parquet"),
+    )
+    out = str(tmp_path / "decon")
+    manifest = run_corpus_pipeline(
+        spark, SF0001, out, eval_dir=str(eval_dir)
+    )
+    assert manifest["contaminated_dropped"] >= 2
+    survivors = set(
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(out, "corpus"))
+        .select("doc_id")
+        .collect()
+    )
+    for leaked_id in written.head(2)["doc_id"]:
+        assert leaked_id not in survivors
+    # NOT a strict subset of the base run: dropping contaminated docs
+    # shrinks per-source token totals, so the mixture stage's rates
+    # (min-source / tokens) shift and different docs pass the sampling
+    # threshold — correct coupling, pinned here so a refactor that
+    # accidentally freezes rates across stages gets noticed
+    assert len(survivors) > 0
+    assert base["mixture"]["in"] > manifest["mixture"]["in"]
