@@ -17,9 +17,10 @@ runs them, sharing expensive intermediates instead of recomputing:
 3. **Repetition gate** (cur3 semantics via ``repetition_stats``):
    Gopher-style top-word/dup-3gram flags — map-side, fused into the
    survivor scan.
-4. **Mixture** (operators/mixture.py): weighted water-filling
-   downsampling under an optional token budget, deterministic salted
-   hash thresholds.
+4. **Mixture** (operators/mixture.py, optional): weighted
+   water-filling downsampling under an optional token budget,
+   deterministic salted hash thresholds. Runs only when weights or a
+   budget are given — the default materialization never downsamples.
 5. **Split** (cur6 semantics via ``split_from_clusters``): near-dup-
    closed train/validation/test over the SHARED dd7 labels — a
    near-dup pair can never straddle eval and train.
@@ -113,16 +114,42 @@ def run_corpus_pipeline(
         n_contaminated = contam.count()
         survivors = survivors.join(contam, "doc_id", "left_anti")
 
-    # stage 4: mixture downsampling (no-op rates when neither weights
-    # nor budget given would still equalize sources; callers wanting
-    # a pure pass-through skip by weights={s: tokens_s} — the default
-    # here is the uniform cur5 contract)
-    mix = mixture_resample(
-        survivors, weights=weights, token_budget=token_budget
-    )
-    sampled = survivors.join(
-        mix.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
-    )
+    # stage 4 (optional): mixture downsampling. Runs ONLY when the
+    # caller asked for a mixture (weights) or a cap (token_budget) —
+    # the uniform cur5 default would downsample every source to the
+    # scarcest one's mass, which on a skewed corpus silently discards
+    # almost everything; a curation run must not destroy data the
+    # user never asked to rebalance
+    if weights is not None or token_budget is not None:
+        mix = mixture_resample(
+            survivors, weights=weights, token_budget=token_budget
+        )
+        sampled = survivors.join(
+            mix.filter(F.col("keep")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        mix_row = mix.agg(
+            F.count("*").alias("n_in"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        ).first()
+        mix_stats = {
+            "in": mix_row["n_in"],
+            "kept": int(mix_row["n_kept"] or 0),
+            "weights": weights,
+            "token_budget": token_budget,
+            "skipped": False,
+        }
+    else:
+        sampled = survivors
+        n_surv = survivors.count()
+        mix_stats = {
+            "in": n_surv,
+            "kept": n_surv,
+            "weights": None,
+            "token_budget": None,
+            "skipped": True,
+        }
 
     # stage 5: near-dup-closed split over the SHARED labels
     split = split_from_clusters(labels).select(
@@ -140,14 +167,20 @@ def run_corpus_pipeline(
     out = final.join(packed, "doc_id")
 
     # stage 7: export, partitioned by split, ordered so each pack's
-    # docs are contiguous within a shard file
+    # docs are contiguous within a shard file. pack_id is only unique
+    # within (split, lang, shard), so lang MUST be in the sort key —
+    # without it, same-numbered packs of different langs interleave
+    # and a contiguity-based consumer would merge them. split leads
+    # the key because the dynamic-partition writer re-sorts each task
+    # by the partition column unless the data already arrives ordered
+    # by it — a trailing split would silently shuffle pack runs apart
     corpus_path = os.path.join(out_dir, "corpus")
     export_sharded_parquet(
         out,
         corpus_path,
         n_shards=n_shards,
         max_records_per_file=max_records_per_file,
-        order_cols=["shard", "pack_id", "doc_id"],
+        order_cols=["split", "shard", "lang", "pack_id", "doc_id"],
         partition_cols=["split"],
     )
 
@@ -158,10 +191,6 @@ def run_corpus_pipeline(
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    mix_row = mix.agg(
-        F.count("*").alias("n_in"),
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
-    ).first()
     written = spark.read.parquet(corpus_path)
     per_split = {
         r["split"]: {"docs": r["docs"], "tokens": r["tokens"]}
@@ -176,15 +205,10 @@ def run_corpus_pipeline(
         "input_docs": docs.count(),
         "curation": drop_counts,
         "repetition_dropped": int(
-            drop_counts.get("kept", 0) - n_contaminated - mix_row["n_in"]
+            drop_counts.get("kept", 0) - n_contaminated - mix_stats["in"]
         ),
         "contaminated_dropped": n_contaminated,
-        "mixture": {
-            "in": mix_row["n_in"],
-            "kept": int(mix_row["n_kept"] or 0),
-            "weights": weights,
-            "token_budget": token_budget,
-        },
+        "mixture": mix_stats,
         "splits": per_split,
         "pack_budget": pack_budget,
         "pack_shards": pack_shards,

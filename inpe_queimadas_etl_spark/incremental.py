@@ -201,15 +201,47 @@ def incremental_dedup(
 
 def infer_embedding_dim(vecs: DataFrame) -> int | None:
     """Vector dimensionality of an (vec_id, embedding) frame: the
-    length of the first non-null embedding, or None when the frame is
-    empty. One tiny Spark job (LocalLimit 1) — callers that already
-    know the dim pass it explicitly and skip the probe."""
-    row = (
-        vecs.select(F.size(F.col("embedding")).alias("d"))
-        .filter(F.col("d") > 0)
-        .first()
+    single length shared by every non-empty embedding, or None when
+    the frame is empty. Raises on a MIXED-dimensionality frame — the
+    sign-LSH banding maps any wrong-length vector to one bucket, so a
+    frame mixing embedding models would silently lose the mismatched
+    rows' near-dups; checking only the first row would miss exactly
+    that. One aggregate pass (collect_set over sizes merges map-side;
+    the set is as small as the number of distinct models)."""
+    dims = (
+        vecs.agg(
+            F.collect_set(F.size(F.col("embedding"))).alias("ds")
+        ).first()["ds"]
+        or []
     )
-    return None if row is None else int(row["d"])
+    dims = sorted(int(d) for d in dims if d > 0)
+    if len(dims) > 1:
+        raise ValueError(
+            f"mixed embedding dimensionalities {dims}: sign-LSH "
+            "hyperplanes are dim-specific, so one frame must carry one "
+            "embedding model. Split the frame by dim (or fix the "
+            "upstream embedder) before indexing/probing."
+        )
+    return dims[0] if dims else None
+
+
+def index_geometry(index: DataFrame) -> tuple[int, int, int | None] | None:
+    """``(n_bands, band_bits, dim)`` recorded in an embedding band
+    index, or None for an empty index. Pre-dim indexes (built before
+    dim was recorded) were only ever valid at the fixed default, so
+    they report that. One small Spark job — the streaming drain calls
+    this once per batch and passes the result down instead of letting
+    every consumer re-probe."""
+    cols = ["n_bands", "band_bits"] + (
+        ["dim"] if "dim" in index.columns else []
+    )
+    row = index.select(*cols).first()
+    if row is None:
+        return None
+    from .suite.llmdata import _EMB_DIM
+
+    dim = row["dim"] if "dim" in cols else _EMB_DIM
+    return (row["n_bands"], row["band_bits"], dim)
 
 
 def embedding_band_index(
@@ -289,30 +321,25 @@ def incremental_embedding_neardup(
     maybe_bc = F.broadcast if broadcast_batch else (lambda df: df)
     if index is None:
         index = embedding_band_index(corpus_vecs)
-    if geometry is not None:
-        n_bands, band_bits, dim = geometry
+    if geometry is None:
+        geometry = index_geometry(index)
+    batch_dim = infer_embedding_dim(new_vecs)  # raises on mixed dims
+    if geometry is None:
+        # empty corpus: no candidates possible; band the batch at its
+        # own dim so the plan still materializes
+        n_bands, band_bits = _dd6_geometry(0)
+        dim = batch_dim
     else:
-        geom_cols = (
-            ["n_bands", "band_bits", "dim"]
-            if "dim" in index.columns
-            else ["n_bands", "band_bits"]
-        )
-        geom_row = index.select(*geom_cols).first()
-        if geom_row is None:
-            # empty corpus: no candidates possible; band the batch at
-            # its own dim so the plan still materializes
-            n_bands, band_bits = _dd6_geometry(0)
-            dim = infer_embedding_dim(new_vecs)
-        else:
-            n_bands, band_bits = geom_row["n_bands"], geom_row["band_bits"]
-            # pre-dim indexes (built before dim was recorded) were
-            # only ever valid at the fixed default
-            dim = geom_row["dim"] if "dim" in geom_cols else None
+        # a caller-provided triple may carry dim=None ("index empty,
+        # use the batch's own dim") — the streaming drain's first
+        # batch passes this instead of making us re-probe the index
+        n_bands, band_bits, dim = geometry
+    if dim is None:
+        dim = batch_dim
     if dim is None:
         from .suite.llmdata import _EMB_DIM
 
         dim = _EMB_DIM
-    batch_dim = infer_embedding_dim(new_vecs)
     if batch_dim is not None and batch_dim != dim:
         raise ValueError(
             f"batch embeddings are {batch_dim}-dimensional but the "

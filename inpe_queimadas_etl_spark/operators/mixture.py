@@ -127,14 +127,24 @@ def mixture_resample(
     """
     from ..suite.llmdata import _hash_frac_spark
 
+    # NULL sources join through a sentinel key (an equi-join on the
+    # raw column would silently DROP null-source docs from the
+    # output, losing them from the audit trail); under uniform
+    # weights the null group is its own source, under explicit
+    # weights it gets weight 0 like any unlisted source — either way
+    # its rows stay in the output with an explicit keep decision
+    null_key = "\x00<null source>"
     tok = docs.select(
         F.col(id_col),
         F.col(source_col),
+        F.coalesce(F.col(source_col).cast("string"), F.lit(null_key)).alias(
+            "__src_key"
+        ),
         F.size(F.split(text_col, " ")).cast("long").alias("n_tokens"),
     )
     per_source = {
-        r[source_col]: r["tokens_total"]
-        for r in tok.groupBy(source_col)
+        r["__src_key"]: r["tokens_total"]
+        for r in tok.groupBy("__src_key")
         .agg(F.sum("n_tokens").alias("tokens_total"))
         .collect()
     }
@@ -142,12 +152,12 @@ def mixture_resample(
     spark = docs.sparkSession
     rate_df = spark.createDataFrame(
         [(s, float(r)) for s, r in rates.items()],
-        f"{source_col} string, keep_rate double",
+        "__src_key string, keep_rate double",
     )
     frac = _hash_frac_spark(
         F.concat(F.lit("mix:"), F.col(id_col).cast("string"))
     )
-    return tok.join(F.broadcast(rate_df), source_col).select(
+    return tok.join(F.broadcast(rate_df), "__src_key").select(
         id_col,
         source_col,
         "n_tokens",

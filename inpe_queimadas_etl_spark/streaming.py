@@ -277,15 +277,25 @@ def _bind_drain_identity(checkpoint_dir: str, sink_dirs) -> None:
     if os.path.exists(ckpt_marker):
         with open(ckpt_marker, encoding="utf-8") as f:
             ckpt_id = f.read().strip()
-    if ckpt_id is None:
-        stale = []
-        for d in sink_dirs:
-            marker = os.path.exists(os.path.join(d, _STREAM_ID_FILE))
-            populated = os.path.isdir(d) and any(
-                e.startswith("batch_id=") for e in os.listdir(d)
-            )
-            if marker or populated:
-                stale.append(d)
+    # a checkpoint with real streaming state (offsets log) but no
+    # stamp predates the stamping scheme — ADOPT it (stamp everything
+    # now) instead of refusing: its sinks were written under its own
+    # lineage, and bricking every pre-upgrade drain on restart would
+    # be a migration regression. Legacy resets remain covered by the
+    # per-batch id check, exactly as before the stamp existed.
+    legacy_resume = ckpt_id is None and os.path.isdir(
+        os.path.join(checkpoint_dir, "offsets")
+    )
+    if ckpt_id is None and not legacy_resume:
+        # only batch partitions count as history worth refusing over:
+        # a marker WITHOUT data is the residue of a start that crashed
+        # mid-stamping before any batch ran — safe to re-stamp
+        stale = [
+            d
+            for d in sink_dirs
+            if os.path.isdir(d)
+            and any(e.startswith("batch_id=") for e in os.listdir(d))
+        ]
         if stale:
             raise RuntimeError(
                 f"fresh streaming checkpoint {checkpoint_dir!r} pointed "
@@ -295,17 +305,21 @@ def _bind_drain_identity(checkpoint_dir: str, sink_dirs) -> None:
                 "original checkpoint, or start with fresh out/index "
                 "dirs."
             )
+    if ckpt_id is None:
         new_id = uuid.uuid4().hex
         os.makedirs(checkpoint_dir, exist_ok=True)
+        # sinks first, checkpoint marker LAST: the checkpoint stamp is
+        # the commit point, so a crash mid-stamping leaves only
+        # data-less sink markers (re-stamped above), never a stamped
+        # checkpoint with unstamped sinks that every restart refuses
         for d in sink_dirs:
             os.makedirs(d, exist_ok=True)
-        for marker_dir in (checkpoint_dir, *sink_dirs):
             with open(
-                os.path.join(marker_dir, _STREAM_ID_FILE),
-                "w",
-                encoding="utf-8",
+                os.path.join(d, _STREAM_ID_FILE), "w", encoding="utf-8"
             ) as f:
                 f.write(new_id)
+        with open(ckpt_marker, "w", encoding="utf-8") as f:
+            f.write(new_id)
         return
     bad = []
     for d in sink_dirs:
@@ -603,29 +617,27 @@ def start_embedding_dedup_stream(
         # probe the index's recorded geometry ONCE per batch (it is a
         # constant-column read, but still a Spark job over the index
         # parquet) and share it between the dedup probe and the index
-        # increment; only an empty index (first batch) auto-tunes
-        geom_cols = ["n_bands", "band_bits"] + (
-            ["dim"] if "dim" in bi.columns else []
-        )
-        geom_row = bi.select(*geom_cols).first()
-        if geom_row is None:
+        # increment; only an empty index (first batch) auto-tunes. On
+        # batch 0 the probe returns None and a dim=None triple is
+        # passed down — "index empty, band the batch at its own dim" —
+        # so the dedup call never re-probes the index itself.
+        from .incremental import index_geometry
+
+        geom = index_geometry(bi)
+        if geom is None:
+            from .suite.llmdata import _dd6_geometry
+
+            probe_geometry = (*_dd6_geometry(0), None)
             geometry = dim = None
         else:
-            geometry = (geom_row["n_bands"], geom_row["band_bits"])
-            if "dim" in geom_cols:
-                dim = geom_row["dim"]
-            else:
-                # pre-dim on-disk index: it was only ever built at the
-                # fixed default — keep the increment consistent with it
-                from .suite.llmdata import _EMB_DIM
-
-                dim = _EMB_DIM
+            probe_geometry = geom
+            geometry, dim = (geom[0], geom[1]), geom[2]
         verdicts = incremental_embedding_neardup(
             uniq,
             accepted,
             index=bi,
             threshold=thr,
-            geometry=(*geometry, dim) if geometry else None,
+            geometry=probe_geometry,
         ).localCheckpoint(eager=True)
 
         survivors = uniq.join(

@@ -193,3 +193,34 @@ def test_eval_decontamination_drops_leaked_docs(spark, tmp_path):
     # accidentally freezes rates across stages gets noticed
     assert len(survivors) > 0
     assert base["mixture"]["in"] > manifest["mixture"]["in"]
+
+
+def test_pack_rows_are_contiguous_within_files(pipeline_out):
+    """pack_id is only unique within (split, lang, shard), so the
+    export sort must include lang: within any written file, the rows
+    of one (lang, shard, pack_id) pack form a single contiguous run —
+    the contract a consumer rebuilding training sequences relies on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out, _ = pipeline_out
+    files = glob.glob(os.path.join(out, "corpus", "split=*", "*.parquet"))
+    assert files
+    checked = 0
+    for f in files:
+        pdf = pq.read_table(
+            f, columns=["lang", "shard", "pack_id"]
+        ).to_pandas()
+        if len(pdf) < 2:
+            continue
+        key = list(zip(pdf["lang"], pdf["shard"], pdf["pack_id"]))
+        seen = set()
+        prev = object()
+        for k in key:
+            if k != prev:
+                assert k not in seen, (f, k)
+                seen.add(k)
+                prev = k
+        checked += 1
+    assert checked > 0
