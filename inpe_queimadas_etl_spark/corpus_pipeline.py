@@ -191,16 +191,23 @@ def run_corpus_pipeline(
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    written = spark.read.parquet(corpus_path)
-    per_split = {
-        r["split"]: {"docs": r["docs"], "tokens": r["tokens"]}
-        for r in written.groupBy("split")
-        .agg(
-            F.count("*").alias("docs"),
-            F.sum("tokens").alias("tokens"),
-        )
-        .collect()
-    }
+    try:
+        written = spark.read.parquet(corpus_path)
+        per_split = {
+            r["split"]: {"docs": r["docs"], "tokens": r["tokens"]}
+            for r in written.groupBy("split")
+            .agg(
+                F.count("*").alias("docs"),
+                F.sum("tokens").alias("tokens"),
+            )
+            .collect()
+        }
+    except Exception:
+        # every doc dropped (e.g. a corpus that fails the language
+        # gate entirely): the export wrote no readable parquet —
+        # record empty splits instead of crashing after the fact,
+        # so the manifest still explains WHERE the corpus died
+        per_split = {}
     manifest = {
         "input_docs": docs.count(),
         "curation": drop_counts,

@@ -1,0 +1,143 @@
+"""Scaling validation for the end-to-end corpus pipeline
+(corpus_pipeline.run_corpus_pipeline).
+
+The composed materialization (dd7 labels -> curation -> repetition ->
+mixture -> split -> pack -> export) should scale like its dominant
+stage — dd7's banded label propagation (measured exponent ~0.88 in
+scaling_dedup.py) — because every other stage is scan-shaped or
+K-row driver math and the labels are computed ONCE and shared. A
+super-linear pipeline exponent would mean a stage recomputes or
+joins something it should share.
+
+Protocol: the same realistic Zipfian generator as scaling_dedup.py at
+5k / 15.8k / 50k docs; one warm-up run at the smallest size, then the
+min of 2 timed full-pipeline runs per size (each run includes the
+parquet export and manifest aggregation — the real end-to-end cost).
+Exponent = log-log least-squares slope. Recorded in SCALING.md.
+
+Usage: python scripts/scaling_pipeline.py  [env: SPARK_GRAFT_CPUS]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scaling_common import fit_exponent  # noqa: E402
+from scaling_dedup import gen_documents as _gen_documents  # noqa: E402
+
+SIZES = {"5k": 5_000, "15k": 15_811, "50k": 50_000}
+
+_STOPS = ["the", "a", "of", "and", "to", "in"]
+
+
+def gen_documents(n: int, seed: int):
+    """scaling_dedup's Zipfian corpus, made curation-compatible. Two
+    deterministic rewrites (identical for exact-dup copies, so the
+    dup tail the dedup stages chew on is preserved):
+
+    - interleave English stopwords (every 4th word) — the w0..w9999
+      vocabulary carries none, so cur1's language heuristic (>= 2
+      stopwords) would otherwise drop EVERY doc;
+    - suffix each remaining word with its position mod 5 — the a=1.3
+      Zipf draw gives the top word a ~25 % share (real text: ~5 %),
+      so cur3's top-word gate would otherwise flag ~97 % of docs and
+      the sweep would time a near-empty materialization."""
+    import pyarrow as pa
+
+    tbl = _gen_documents(n, seed)
+    texts = []
+    for t in tbl.column("text").to_pylist():
+        w = t.split(" ")
+        for i in range(len(w)):
+            if i % 4 == 0:
+                w[i] = _STOPS[(i // 4) % len(_STOPS)]
+            else:
+                w[i] = f"{w[i]}{i % 5}"
+        texts.append(" ".join(w))
+    return tbl.set_column(
+        tbl.schema.get_field_index("text"),
+        "text",
+        pa.array(texts, type=pa.string()),
+    ).set_column(
+        tbl.schema.get_field_index("n_chars"),
+        "n_chars",
+        pa.array([len(t) for t in texts], type=pa.int64()),
+    )
+
+
+def main() -> None:
+    from inpe_queimadas_etl_spark.corpus_pipeline import run_corpus_pipeline
+    from inpe_queimadas_etl_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(
+        app_name="scaling-pipeline",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+        extra_conf={"spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+    kept: dict[str, int] = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        dirs = {}
+        for label, n in SIZES.items():
+            d = os.path.join(tmp, f"in_{label}")
+            os.makedirs(d)
+            pq.write_table(
+                gen_documents(n, seed=42),
+                os.path.join(d, "documents.parquet"),
+            )
+            dirs[label] = d
+
+        def run(label: str, tag: str) -> dict:
+            out = os.path.join(tmp, f"out_{label}_{tag}")
+            try:
+                return run_corpus_pipeline(spark, dirs[label], out)
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+
+        run(min(SIZES, key=SIZES.get), "warmup")  # JVM/codegen warm-up
+
+        for label in SIZES:
+            samples = []
+            for i in range(2):
+                t0 = time.perf_counter()
+                manifest = run(label, f"r{i}")
+                samples.append(time.perf_counter() - t0)
+            times[label] = round(min(samples), 3)
+            kept[label] = sum(
+                s["docs"] for s in manifest["splits"].values()
+            )
+            print(
+                f"# pipeline {label}: {times[label]}s "
+                f"({kept[label]} docs written)",
+                file=sys.stderr,
+            )
+
+    print(
+        json.dumps(
+            {
+                "sizes": SIZES,
+                "times_sec": times,
+                "docs_written": kept,
+                "scaling_exponent": fit_exponent(SIZES, times),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
