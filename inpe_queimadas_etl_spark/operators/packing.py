@@ -1,0 +1,81 @@
+"""Pack materialization and epoch ordering: the last mile between a
+packed corpus (suite/llmdata.pack_doc_assignments / corpus_pipeline)
+and a trainer's input stream.
+
+- :func:`materialize_packs` turns per-doc pack assignments into one
+  row per pack with the member texts concatenated in deterministic
+  doc_id order — the actual training sequence, plus its token/doc
+  accounting.
+- :func:`with_epoch_order` adds a deterministic pseudo-random sort
+  key per epoch, so each training epoch reads the packs in a
+  different — but exactly reproducible — order without ever
+  materializing a permutation driver-side. Write the frame with
+  ``export_sharded_parquet(order_cols=["epoch_order"])`` and the
+  shards come out range-clustered in that epoch's order.
+
+Scale design: materialization is ONE groupBy on (split, lang, shard,
+pack_id) — the same keys the packing window already partitioned by,
+so at cluster scale the exchange reuses the window's shuffle; packs
+are token-budget-bounded (a few docs each), so collect_list per group
+is O(budget), never a skew risk. The epoch key is a scan-shaped
+xxhash projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PACK_KEYS = ("split", "lang", "shard", "pack_id")
+
+
+def materialize_packs(
+    assigned_docs: DataFrame,
+    *,
+    sep: str = "\n\n",
+    keys: tuple[str, ...] = PACK_KEYS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """One row per pack: ``(*keys, n_docs, total_tokens, doc_ids,
+    text)`` with member texts joined by ``sep`` in ascending
+    ``id_col`` order (array_sort on a (id, text) struct — no window,
+    no second shuffle beyond the groupBy itself)."""
+    member = F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t"))
+    return (
+        assigned_docs.groupBy(*keys)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(tokens_col).cast("long").alias("total_tokens"),
+            F.array_sort(F.collect_list(member)).alias("ms"),
+        )
+        .select(
+            *keys,
+            "n_docs",
+            "total_tokens",
+            F.expr("transform(ms, x -> x.i)").alias("doc_ids"),
+            F.array_join(F.expr("transform(ms, x -> x.t)"), sep).alias(
+                "text"
+            ),
+        )
+    )
+
+
+def with_epoch_order(
+    packs: DataFrame,
+    epoch: int,
+    *,
+    keys: tuple[str, ...] = PACK_KEYS,
+) -> DataFrame:
+    """Add an ``epoch`` column and an ``epoch_order`` sort key:
+    xxhash64 of (epoch, *keys). Sorting by it yields a uniform
+    pseudo-random pack order that is (a) different every epoch,
+    (b) byte-reproducible for a given epoch, and (c) computed
+    scan-side — no driver-held permutation, no shuffle until the
+    consumer orders by it (range-partition on write, or a sort the
+    trainer's reader does per shard)."""
+    return packs.withColumn("epoch", F.lit(int(epoch))).withColumn(
+        "epoch_order",
+        F.xxhash64(F.lit(int(epoch)), *[F.col(k) for k in keys]),
+    )
