@@ -58,6 +58,39 @@ from .suite.llmdata import (
 )
 
 
+def _resolve_corpus(
+    spark: SparkSession, corpus_dir: str, out_dir: str
+) -> tuple[DataFrame, str]:
+    """(documents frame, table dir) for ``corpus_dir``.
+
+    A dir holding ``documents.parquet`` (the testdata layout) is used
+    as-is. Any OTHER parquet dir — e.g. a streaming dedup drain's
+    ``out/accepted`` sink, the natural upstream of this pipeline — is
+    normalized once into ``out_dir/_staged/documents.parquet``:
+    sink bookkeeping (batch_id) dropped, missing optional columns
+    filled (lang 'und', source 'unknown', n_chars from the text), so
+    the suite operators (which read the table layout) run unchanged.
+    The staging write is one corpus copy, paid once per
+    materialization; a deployment running this daily at scale would
+    point corpus_dir at a maintained table instead."""
+    if os.path.exists(os.path.join(corpus_dir, "documents.parquet")):
+        return load_table(spark, corpus_dir, "documents"), corpus_dir
+    df = spark.read.parquet(corpus_dir)
+    if "batch_id" in df.columns:
+        df = df.drop("batch_id")
+    if "lang" not in df.columns:
+        df = df.withColumn("lang", F.lit("und"))
+    if "source" not in df.columns:
+        df = df.withColumn("source", F.lit("unknown"))
+    if "n_chars" not in df.columns:
+        df = df.withColumn("n_chars", F.length("text").cast("long"))
+    staged = os.path.join(out_dir, "_staged")
+    df.write.mode("overwrite").parquet(
+        os.path.join(staged, "documents.parquet")
+    )
+    return load_table(spark, staged, "documents"), staged
+
+
 def run_corpus_pipeline(
     spark: SparkSession,
     corpus_dir: str,
@@ -80,10 +113,10 @@ def run_corpus_pipeline(
     (content/cluster hashes, not rand), so re-running over the same
     input reproduces the same corpus byte for byte."""
     os.makedirs(out_dir, exist_ok=True)
-    docs = load_table(spark, corpus_dir, "documents")
+    docs, table_dir = _resolve_corpus(spark, corpus_dir, out_dir)
 
     # stage 1: near-dup component labels, computed once and shared
-    labels = dd7_dedup_clusters(spark, corpus_dir).localCheckpoint(
+    labels = dd7_dedup_clusters(spark, table_dir).localCheckpoint(
         eager=True
     )
 

@@ -224,3 +224,40 @@ def test_pack_rows_are_contiguous_within_files(pipeline_out):
                 prev = k
         checked += 1
     assert checked > 0
+
+
+def test_drain_accepted_sink_feeds_pipeline(spark, tmp_path):
+    """The streaming dedup drain's out/accepted sink (batch_id
+    partitions, minimal doc schema) is a valid corpus_dir: the
+    pipeline stages it into the table layout, fills the optional
+    columns, and materializes normally — the drain -> curate chain."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stops = "the a of and to in"
+    accepted = tmp_path / "accepted"
+    for batch, ids in ((0, (1, 2, 3)), (1, (10, 11))):
+        d = accepted / f"batch_id={batch}"
+        d.mkdir(parents=True)
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "doc_id": list(ids),
+                        "text": [
+                            f"{stops} doc{z} body words here extra tail {z}"
+                            for z in ids
+                        ],
+                    }
+                ),
+                preserve_index=False,
+            ),
+            str(d / "part.parquet"),
+        )
+    out = str(tmp_path / "out")
+    manifest = run_corpus_pipeline(spark, str(accepted), out)
+    assert manifest["input_docs"] == 5
+    written = spark.read.parquet(os.path.join(out, "corpus"))
+    assert written.count() == manifest["mixture"]["kept"] > 0
+    assert {r["lang"] for r in written.select("lang").collect()} == {"und"}
