@@ -290,6 +290,7 @@ def cmd_corpus_curate(args) -> int:
         weights=weights,
         token_budget=args.token_budget,
         pack_budget=args.pack_budget,
+        write_packs=args.write_packs,
     )
     log.info("corpus-curate | manifest | %s", json.dumps(manifest, default=str))
     return 0
@@ -396,6 +397,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cur.add_argument(
         "--pack-budget", type=int, default=512, help="tokens per pack"
+    )
+    cur.add_argument(
+        "--write-packs",
+        action="store_true",
+        help="also materialize out-dir/packs: one row per training "
+        "sequence, member texts concatenated in doc_id order",
     )
     cur.add_argument("--log-dir")
     return ap

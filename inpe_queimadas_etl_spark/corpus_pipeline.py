@@ -99,10 +99,12 @@ def run_corpus_pipeline(
     eval_dir: str | None = None,
     weights: dict[str, float] | None = None,
     token_budget: int | None = None,
+    split_bounds: tuple[float, float] = (0.8, 0.9),
     pack_budget: int = 512,
     pack_shards: int = 8,
     n_shards: int | None = None,
     max_records_per_file: int | None = 100_000,
+    write_packs: bool = False,
 ) -> dict:
     """Materialize ``corpus_dir``'s documents table into
     ``out_dir/corpus`` (parquet, partitioned by split) and return the
@@ -185,7 +187,7 @@ def run_corpus_pipeline(
         }
 
     # stage 5: near-dup-closed split over the SHARED labels
-    split = split_from_clusters(labels).select(
+    split = split_from_clusters(labels, bounds=split_bounds).select(
         "doc_id", "cluster_id", "split"
     )
     final = sampled.join(split, "doc_id")
@@ -216,6 +218,22 @@ def run_corpus_pipeline(
         order_cols=["split", "shard", "lang", "pack_id", "doc_id"],
         partition_cols=["split"],
     )
+
+    # stage 7b (optional): materialized packs — one row per training
+    # sequence, member texts concatenated in doc_id order — the frame
+    # a trainer reads directly (operators/packing.py; add an epoch
+    # order with with_epoch_order at read time)
+    if write_packs:
+        from .operators.packing import materialize_packs
+
+        export_sharded_parquet(
+            materialize_packs(out),
+            os.path.join(out_dir, "packs"),
+            n_shards=n_shards,
+            max_records_per_file=max_records_per_file,
+            order_cols=["split", "lang", "shard", "pack_id"],
+            partition_cols=["split"],
+        )
 
     # audit manifest: per-stage counts + per-split mass
     drop_counts = {

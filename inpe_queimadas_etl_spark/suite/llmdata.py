@@ -2464,18 +2464,25 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_from_clusters(dd7_dedup_clusters(spark, sf_dir))
 
 
-def split_from_clusters(labels: DataFrame) -> DataFrame:
+def split_from_clusters(
+    labels: DataFrame, bounds: tuple[float, float] = _CUR6_BOUNDS
+) -> DataFrame:
     """DataFrame-level body of cluster_aware_split over an existing
     dd7 label frame — injectable so a pipeline shares one label
-    computation across stages (corpus_pipeline.py)."""
+    computation across stages (corpus_pipeline.py). ``bounds`` are
+    the hash-fraction cut points: train < bounds[0] <= validation <
+    bounds[1] <= test (default 80/10/10)."""
+    lo, hi = bounds
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(f"split bounds must satisfy 0<=lo<=hi<=1: {bounds}")
     frac = _hash_frac_spark(
         F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
     )
     return labels.select(
         "doc_id",
         "cluster_id",
-        F.when(frac < _CUR6_BOUNDS[0], "train")
-        .when(frac < _CUR6_BOUNDS[1], "validation")
+        F.when(frac < lo, "train")
+        .when(frac < hi, "validation")
         .otherwise("test")
         .alias("split"),
     )

@@ -261,3 +261,27 @@ def test_drain_accepted_sink_feeds_pipeline(spark, tmp_path):
     written = spark.read.parquet(os.path.join(out, "corpus"))
     assert written.count() == manifest["mixture"]["kept"] > 0
     assert {r["lang"] for r in written.select("lang").collect()} == {"und"}
+
+
+def test_custom_split_bounds_and_written_packs(spark, tmp_path):
+    """split_bounds reshape the hash cut points (90/5/5 here) and
+    write_packs materializes out/packs with conserved token mass."""
+    out = str(tmp_path / "o")
+    manifest = run_corpus_pipeline(
+        spark,
+        SF0001,
+        out,
+        split_bounds=(0.9, 0.95),
+        write_packs=True,
+    )
+    splits = manifest["splits"]
+    assert splits["train"]["docs"] > splits.get("validation", {"docs": 0})[
+        "docs"
+    ] + splits.get("test", {"docs": 0})["docs"]
+    packs = spark.read.parquet(os.path.join(out, "packs"))
+    written = spark.read.parquet(os.path.join(out, "corpus"))
+    assert packs.agg({"n_docs": "sum"}).first()[0] == written.count()
+    assert (
+        packs.agg({"total_tokens": "sum"}).first()[0]
+        == written.agg({"tokens": "sum"}).first()[0]
+    )
