@@ -114,6 +114,22 @@ def run_corpus_pipeline(
     split, shard, pack_id, tokens. Every decision is deterministic
     (content/cluster hashes, not rand), so re-running over the same
     input reproduces the same corpus byte for byte."""
+    # validate the cheap parameters BEFORE the expensive stages: a
+    # malformed bounds tuple or weight vector failing only at stage
+    # 4/5 would waste the dd7 + curation cost (minutes to hours at
+    # cluster scale) on an error knowable at entry
+    lo, hi = split_bounds
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(
+            f"split_bounds must satisfy 0<=lo<=hi<=1: {split_bounds}"
+        )
+    if weights is not None:
+        if any(v < 0 for v in weights.values()):
+            raise ValueError(f"negative mixture weight in {weights}")
+        if not any(v > 0 for v in weights.values()):
+            raise ValueError("weights must contain a positive entry")
+    if token_budget is not None and token_budget < 0:
+        raise ValueError(f"negative token_budget {token_budget}")
     os.makedirs(out_dir, exist_ok=True)
     docs, table_dir = _resolve_corpus(spark, corpus_dir, out_dir)
 
@@ -242,6 +258,8 @@ def run_corpus_pipeline(
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    from pyspark.errors import AnalysisException
+
     try:
         written = spark.read.parquet(corpus_path)
         per_split = {
@@ -253,7 +271,12 @@ def run_corpus_pipeline(
             )
             .collect()
         }
-    except Exception:
+    except AnalysisException as ex:
+        probe = getattr(ex, "getCondition", None) or getattr(
+            ex, "getErrorClass", lambda: None
+        )
+        if probe() not in ("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND"):
+            raise  # a real read failure must not masquerade as empty
         # every doc dropped (e.g. a corpus that fails the language
         # gate entirely): the export wrote no readable parquet —
         # record empty splits instead of crashing after the fact,

@@ -214,6 +214,12 @@ def infer_embedding_dim(vecs: DataFrame) -> int | None:
         ).first()["ds"]
         or []
     )
+    return _single_dim(dims)
+
+
+def _single_dim(dims) -> int | None:
+    """The one positive dimensionality in a collect_set(size(...))
+    result, None if empty — raising on a mixed-model frame."""
     dims = sorted(int(d) for d in dims if d > 0)
     if len(dims) > 1:
         raise ValueError(
@@ -267,10 +273,21 @@ def embedding_band_index(
     must still materialize)."""
     from .suite.llmdata import _dd6_geometry, _EMB_DIM, _emb_band_rows
 
-    if geometry is None:
-        geometry = _dd6_geometry(vecs.count())
-    if dim is None:
-        dim = infer_embedding_dim(vecs) or _EMB_DIM
+    if geometry is None or dim is None:
+        # ONE fused aggregate scan for whatever is missing (count for
+        # the geometry auto-tune, dim set for the hyperplanes) — two
+        # separate full passes over a huge embedding column would
+        # contradict the module's no-corpus-rescan stance
+        aggs = [F.count("*").alias("n")]
+        if dim is None:
+            aggs.append(
+                F.collect_set(F.size(F.col("embedding"))).alias("ds")
+            )
+        row = vecs.agg(*aggs).first()
+        if geometry is None:
+            geometry = _dd6_geometry(row["n"])
+        if dim is None:
+            dim = _single_dim(row["ds"] or []) or _EMB_DIM
     n_bands, band_bits = geometry
     v = vecs.select(
         F.col("vec_id").alias("corpus_vec_id"),

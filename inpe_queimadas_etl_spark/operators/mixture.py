@@ -124,8 +124,16 @@ def mixture_resample(
     Two corpus scans (rate aggregate + keep projection), zero corpus
     shuffles: the K-row rate table is computed with map-side partials,
     collected to the driver for the water-filling, and broadcast back.
-    """
+
+    ``weights`` are matched against the STRINGIFIED source values
+    (the rate join casts the source column to string so NULL and
+    non-string sources survive); non-string weight keys are
+    stringified to match, so ``{1: 3.0}`` works against an integer
+    source column."""
     from ..suite.llmdata import _hash_frac_spark
+
+    if weights is not None:
+        weights = {str(k): v for k, v in weights.items()}
 
     # NULL sources join through a sentinel key (an equi-join on the
     # raw column would silently DROP null-source docs from the

@@ -41,8 +41,15 @@ def materialize_packs(
     """One row per pack: ``(*keys, n_docs, total_tokens, doc_ids,
     text)`` with member texts joined by ``sep`` in ascending
     ``id_col`` order (array_sort on a (id, text) struct — no window,
-    no second shuffle beyond the groupBy itself)."""
-    member = F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t"))
+    no second shuffle beyond the groupBy itself). A NULL text
+    contributes an empty member (coalesce to '') rather than being
+    silently skipped — Spark's array_join drops null elements, which
+    would leave n_docs/doc_ids/total_tokens counting a document the
+    emitted sequence no longer contains."""
+    member = F.struct(
+        F.col(id_col).alias("i"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
     return (
         assigned_docs.groupBy(*keys)
         .agg(

@@ -286,6 +286,26 @@ def _bind_drain_identity(checkpoint_dir: str, sink_dirs) -> None:
     legacy_resume = ckpt_id is None and os.path.isdir(
         os.path.join(checkpoint_dir, "offsets")
     )
+    if ckpt_id is None:
+        # a sink already stamped by SOME drain can never belong to an
+        # unstamped checkpoint — legacy (pre-stamp) drains never
+        # stamped anything, so adopting here would overwrite the
+        # owning drain's identity and un-detectably mix two streams
+        foreign = [
+            d
+            for d in sink_dirs
+            if os.path.exists(os.path.join(d, _STREAM_ID_FILE))
+            and os.path.isdir(d)
+            and any(e.startswith("batch_id=") for e in os.listdir(d))
+        ]
+        if foreign:
+            raise RuntimeError(
+                f"checkpoint {checkpoint_dir!r} carries no drain stamp "
+                f"but these sink dirs are stamped by another drain: "
+                f"{foreign}. Writing into them would mix two streams "
+                "and orphan the owner. Use the owning checkpoint, or "
+                "fresh out/index dirs."
+            )
     if ckpt_id is None and not legacy_resume:
         # only batch partitions count as history worth refusing over:
         # a marker WITHOUT data is the residue of a start that crashed

@@ -285,3 +285,18 @@ def test_custom_split_bounds_and_written_packs(spark, tmp_path):
         packs.agg({"total_tokens": "sum"}).first()[0]
         == written.agg({"tokens": "sum"}).first()[0]
     )
+
+
+def test_cheap_params_validated_before_expensive_stages(spark, tmp_path):
+    """Malformed bounds/weights/budget fail at entry — before dd7 and
+    curation have burned their cost."""
+    out = str(tmp_path / "x")
+    with pytest.raises(ValueError, match="split_bounds"):
+        run_corpus_pipeline(spark, SF0001, out, split_bounds=(0.9, 0.5))
+    with pytest.raises(ValueError, match="negative mixture weight"):
+        run_corpus_pipeline(spark, SF0001, out, weights={"a": -1.0})
+    with pytest.raises(ValueError, match="positive entry"):
+        run_corpus_pipeline(spark, SF0001, out, weights={"a": 0.0})
+    with pytest.raises(ValueError, match="negative token_budget"):
+        run_corpus_pipeline(spark, SF0001, out, token_budget=-1)
+    assert not os.path.exists(os.path.join(out, "corpus"))

@@ -222,3 +222,25 @@ if _HYP:
         shares = [rates[s] * tokens[s] / w[s] for s in unsat]
         for x in shares[1:]:
             assert x == pytest.approx(shares[0], rel=1e-9)
+
+
+def test_non_string_weight_keys_match_stringified_sources(spark):
+    """weights keyed by non-string values (e.g. an int source column)
+    are stringified to match the rate join's key domain."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "source": [1, 1, 2, 2],
+                "text": ["a b", "c d", "e f", "g h"],
+            }
+        )
+    )
+    out = mixture_resample(
+        docs, weights={1: 3.0, 2: 1.0}, token_budget=4
+    ).toPandas()
+    per = out.groupby("source")["keep_rate"].first()
+    assert per[1] == pytest.approx(0.75)
+    assert per[2] == pytest.approx(0.25)

@@ -9,6 +9,8 @@ from inpe_queimadas_etl_spark.operators.packing import (
     with_epoch_order,
 )
 
+from .conftest import SF0001
+
 
 def _assigned(spark):
     rows = [
@@ -81,7 +83,7 @@ def test_pipeline_output_materializes(spark, tmp_path):
     from inpe_queimadas_etl_spark.corpus_pipeline import run_corpus_pipeline
 
     out = str(tmp_path / "o")
-    run_corpus_pipeline(spark, "/root/testdata/sf0.001", out)
+    run_corpus_pipeline(spark, SF0001, out)
     written = spark.read.parquet(os.path.join(out, "corpus"))
     packs = materialize_packs(written)
     pdf = packs.toPandas()
@@ -93,3 +95,25 @@ def test_pipeline_output_materializes(spark, tmp_path):
     assert (pdf["total_tokens"] <= 512 + written.agg(
         {"tokens": "max"}
     ).first()[0]).all()
+
+
+def test_null_text_member_kept_as_empty(spark):
+    """A NULL-text member contributes an empty segment instead of
+    vanishing from the sequence while still being counted."""
+    pdf = pd.DataFrame(
+        [
+            (1, "a", "train", "en", 0, 0, 1),
+            (2, None, "train", "en", 0, 0, 3),
+            (3, "c", "train", "en", 0, 0, 1),
+        ],
+        columns=[
+            "doc_id", "text", "split", "lang", "shard", "pack_id", "tokens",
+        ],
+    )
+    out = materialize_packs(
+        spark.createDataFrame(pdf), sep="|"
+    ).toPandas()
+    assert len(out) == 1
+    assert out.loc[0, "text"] == "a||c"
+    assert out.loc[0, "n_docs"] == 3
+    assert out.loc[0, "total_tokens"] == 5

@@ -441,3 +441,57 @@ def test_cross_batch_dedup_and_restart(spark, dirs):
     accepted2 = spark.read.parquet(f"{dirs['out']}/accepted")
     assert accepted2.count() == 4
     assert spark.read.parquet(f"{dirs['out']}/flags").count() == 7
+
+
+def test_legacy_checkpoint_cannot_adopt_foreign_stamped_sinks(spark, dirs):
+    """A pre-stamp (legacy) checkpoint must not adopt sinks already
+    stamped by ANOTHER drain: overwriting the owner's identity would
+    mix two streams undetectably. Refused at start."""
+    import os
+
+    rows = [(0, _doc(91)), (1, _doc(92))]
+    _write_batch(spark, dirs["docs"], rows, "b1")
+    _drain(spark, dirs)  # drain A: stamps checkpoint + sinks, batch 0
+    # a different, legacy-era checkpoint: streaming offsets, no stamp
+    legacy_ckpt = dirs["ckpt"] + "_legacy"
+    os.makedirs(os.path.join(legacy_ckpt, "offsets"))
+    with pytest.raises(RuntimeError, match="stamped by another drain"):
+        start_corpus_dedup_stream(
+            spark,
+            docs_dir=dirs["docs"],
+            index_dir=dirs["index"],
+            out_dir=dirs["out"],
+            checkpoint_dir=legacy_ckpt,
+            available_now=True,
+        )
+    # drain A's own restart still works (stamp untouched)
+    _drain(spark, dirs)
+
+
+def test_legacy_checkpoint_adopts_unstamped_sinks(spark, dirs):
+    """A legacy checkpoint over UNSTAMPED sinks (the pre-upgrade
+    deployment shape) is adopted: stamped on start, drain proceeds."""
+    import os
+
+    from inpe_queimadas_etl_spark.streaming import _STREAM_ID_FILE
+
+    rows = [(0, _doc(95)), (1, _doc(96))]
+    _write_batch(spark, dirs["docs"], rows, "b1")
+    _drain(spark, dirs)
+    # simulate a pre-upgrade deployment: strip every stamp, keep the
+    # checkpoint's streaming state and the sink data
+    for d in (
+        dirs["ckpt"],
+        f"{dirs['out']}/flags",
+        f"{dirs['out']}/accepted",
+        f"{dirs['index']}/exact",
+        f"{dirs['index']}/bands",
+    ):
+        m = os.path.join(d, _STREAM_ID_FILE)
+        if os.path.exists(m):
+            os.remove(m)
+    _write_batch(spark, dirs["docs"], [(5, _doc(97))], "b2")
+    _drain(spark, dirs)  # adopted, not refused
+    accepted = spark.read.parquet(f"{dirs['out']}/accepted")
+    assert sorted(r.doc_id for r in accepted.collect()) == [0, 1, 5]
+    assert os.path.exists(os.path.join(dirs["ckpt"], _STREAM_ID_FILE))
