@@ -64,8 +64,11 @@ def _resolve_corpus(
     """(documents frame, table dir) for ``corpus_dir``.
 
     A dir holding ``documents.parquet`` (the testdata layout) is used
-    as-is. Any OTHER parquet dir — e.g. a streaming dedup drain's
-    ``out/accepted`` sink, the natural upstream of this pipeline — is
+    as-is. Any OTHER input — a parquet dir (e.g. a streaming dedup
+    drain's ``out/accepted`` sink, the natural upstream of this
+    pipeline) or a dir of JSONL shards (`*.jsonl`/`*.jsonl.gz`, the
+    crawl-dump interchange format; must carry ``text``, with
+    ``doc_id`` synthesized from the line position when absent) — is
     normalized once into ``out_dir/_staged/documents.parquet``:
     sink bookkeeping (batch_id) dropped, missing optional columns
     filled (lang 'und', source 'unknown', n_chars from the text), so
@@ -75,7 +78,28 @@ def _resolve_corpus(
     point corpus_dir at a maintained table instead."""
     if os.path.exists(os.path.join(corpus_dir, "documents.parquet")):
         return load_table(spark, corpus_dir, "documents"), corpus_dir
-    df = spark.read.parquet(corpus_dir)
+    jsonl = [
+        e
+        for e in (os.listdir(corpus_dir) if os.path.isdir(corpus_dir) else [])
+        if e.endswith((".jsonl", ".jsonl.gz", ".json", ".json.gz"))
+    ]
+    if jsonl:
+        df = spark.read.json(
+            [os.path.join(corpus_dir, e) for e in jsonl]
+        )
+        if "text" not in df.columns:
+            raise ValueError(
+                f"JSONL corpus {corpus_dir!r} has no 'text' field "
+                f"(columns: {df.columns})"
+            )
+        if "doc_id" not in df.columns:
+            # deterministic surrogate ids: zipWithIndex would be an
+            # RDD round-trip; a monotonic id is partition-stable for
+            # a fixed file set, which staging freezes
+            df = df.withColumn("doc_id", F.monotonically_increasing_id())
+        df = df.withColumn("doc_id", F.col("doc_id").cast("long"))
+    else:
+        df = spark.read.parquet(corpus_dir)
     if "batch_id" in df.columns:
         df = df.drop("batch_id")
     if "lang" not in df.columns:

@@ -300,3 +300,45 @@ def test_cheap_params_validated_before_expensive_stages(spark, tmp_path):
     with pytest.raises(ValueError, match="negative token_budget"):
         run_corpus_pipeline(spark, SF0001, out, token_budget=-1)
     assert not os.path.exists(os.path.join(out, "corpus"))
+
+
+def test_jsonl_corpus_input(spark, tmp_path):
+    """A dir of JSONL shards (crawl-dump interchange) is a valid
+    corpus_dir: text required, doc_id synthesized when absent,
+    optional columns defaulted, pipeline materializes normally."""
+    import gzip
+    import json as json_mod
+
+    stops = "the a of and to in"
+    src = tmp_path / "dump"
+    src.mkdir()
+    with open(src / "part0.jsonl", "w", encoding="utf-8") as f:
+        for z in range(4):
+            f.write(
+                json_mod.dumps(
+                    {"text": f"{stops} shard0 doc{z} unique words {z}"}
+                )
+                + "\n"
+            )
+    with gzip.open(src / "part1.jsonl.gz", "wt", encoding="utf-8") as f:
+        for z in range(4, 7):
+            f.write(
+                json_mod.dumps(
+                    {"text": f"{stops} shard1 doc{z} other words {z}"}
+                )
+                + "\n"
+            )
+    out = str(tmp_path / "out")
+    manifest = run_corpus_pipeline(spark, str(src), out)
+    assert manifest["input_docs"] == 7
+    written = spark.read.parquet(os.path.join(out, "corpus"))
+    assert written.count() == manifest["mixture"]["kept"] > 0
+    assert written.select("doc_id").distinct().count() == written.count()
+
+    # a dump without text fails loudly
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    with open(bad / "x.jsonl", "w", encoding="utf-8") as f:
+        f.write('{"body": "no text field"}\n')
+    with pytest.raises(ValueError, match="no 'text' field"):
+        run_corpus_pipeline(spark, str(bad), str(tmp_path / "out2"))
