@@ -2532,3 +2532,86 @@ def card1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
     )
+
+
+# --- tx7: model-based quality scoring (hashed linear classifier) -----------
+# The fasttext-shaped quality filter real curation pipelines run
+# (CCNet / LLaMA wiki-ref style): a linear model over hashed
+# bag-of-words features. The FEATURE PLUMBING is the Spark-relevant
+# part — per-word bucket hashing, weight lookup, and the per-doc fold
+# all run as array higher-order functions inside whole-stage codegen:
+# zero shuffle, zero UDF, a pure scan at any corpus scale. The weight
+# vector here is deterministic synthetic (splitmix64 per bucket,
+# scaled to exact dyadic rationals so the fold is EXACT in double and
+# the DuckDB oracle is bit-identical regardless of summation order);
+# a trained model drops in as a literal array of the same shape.
+#
+# UNREGISTERED (50-entry driver snapshot cap) — oracle-compared in
+# tests/test_suite_oracle.py, like geo8/dd8/cur5.
+
+_TX7_BUCKETS = 64
+_TX7_BIAS = -3.0  # dyadic, exact
+
+
+def _tx7_weights() -> list[float]:
+    """Deterministic per-bucket weights in [-1000, 1000]/1024 —
+    dyadic rationals, so any summation order yields the same double."""
+    from ..operators.similarity import _splitmix64
+
+    return [
+        ((_splitmix64(7_777_777 + b) % 2001) - 1000) / 1024.0
+        for b in range(_TX7_BUCKETS)
+    ]
+
+
+TX7_SQL = f"""
+WITH scored AS (
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           list_sum(list_transform(w, x ->
+               ([{", ".join(repr(x) for x in _tx7_weights())}])
+               [1 + ({_hex_to_int_sql("substr(md5(x),1,8)")}) % {_TX7_BUCKETS}]
+           )) + {_TX7_BIAS!r} AS logit
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT doc_id, n_words, logit, logit > 0 AS quality_pass
+FROM scored
+"""
+
+
+def tx7_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality classifier over bag-of-words features:
+    logit = bias + sum over words of weight[hash(word) % K].
+
+    Scale design: the whole model evaluation is one array transform +
+    fold per row (JVM codegen, weights as a constant array literal) —
+    no explode, no join, no shuffle; at 100 TB this pipelines into
+    the curation scan like any other gate. A trained model replaces
+    the synthetic weight vector; K scales to real vocab-hash sizes
+    (2^18+) without changing the plan shape (element_at on a literal
+    array, or a broadcast lookup once the array passes the codegen
+    constant-size comfort zone)."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = F.array(*[F.lit(x) for x in _tx7_weights()])
+    w = F.split(F.col("text"), " ")
+    per_word = F.transform(
+        w,
+        lambda x: F.element_at(
+            weights,
+            (
+                F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
+                % _TX7_BUCKETS
+                + 1
+            ).cast("int"),
+        ),
+    )
+    logit = (
+        F.aggregate(per_word, F.lit(0.0), lambda acc, x: acc + x)
+        + F.lit(_TX7_BIAS)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        logit.alias("logit"),
+        (logit > 0).alias("quality_pass"),
+    )

@@ -320,3 +320,27 @@ def test_card1_corpus_manifest_matches_oracle(spark):
     )
 
     _compare_to_oracle(spark, "card1_corpus_manifest", card1_corpus_manifest, CARD1_SQL)
+
+
+def test_tx7_model_quality_score_matches_oracle(spark):
+    """tx7 is unregistered (50-entry snapshot cap) but oracle-checked
+    here: hashed-linear quality classifier; dyadic weights make the
+    fold order-independent and bit-identical across engines."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        TX7_SQL,
+        tx7_model_quality_score,
+    )
+
+    _compare_to_oracle(
+        spark, "tx7_model_quality_score", tx7_model_quality_score, TX7_SQL
+    )
+
+
+def test_tx7_scores_discriminate(spark):
+    """The classifier is non-degenerate on the corpus: both classes
+    occur, logits vary, and n_words matches the whitespace split."""
+    from inpe_queimadas_etl_spark.suite.llmdata import tx7_model_quality_score
+
+    pdf = tx7_model_quality_score(spark, SF0001).toPandas()
+    assert pdf["logit"].nunique() > 10
+    assert 0 < pdf["quality_pass"].sum() < len(pdf)
