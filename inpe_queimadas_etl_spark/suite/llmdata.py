@@ -2615,3 +2615,123 @@ def tx7_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.alias("logit"),
         (logit > 0).alias("quality_pass"),
     )
+
+
+# --- sim5: int8 scalar-quantized ANN -------------------------------------
+# The memory-bounded similarity path: 100 TB of float64 embeddings is
+# 12.5 TB as int8 codes (8x), which is the difference between an index
+# that fits executor memory and one that spills. Per-vector min/max
+# scalar quantization (code = floor((x - vmin)/scale + 0.5)); search
+# dequantizes on the fly and reranks exactly like sim1. floor(x+0.5)
+# rather than round() keeps Spark and DuckDB bit-identical (their
+# round() tie rules differ), so the whole quantize -> dequantize ->
+# score pipeline is oracle-exact.
+#
+# UNREGISTERED (50-entry driver snapshot cap) — oracle-compared and
+# recall-gated in tests/test_suite_oracle.py.
+
+SIM5_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < 8
+),
+enc AS (
+    SELECT vec_id, v, vmin,
+           CASE WHEN vmax > vmin THEN (vmax - vmin) / 255.0 ELSE 1.0 END
+               AS vscale
+    FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_min(CAST(embedding AS DOUBLE[])) AS vmin,
+               list_max(CAST(embedding AS DOUBLE[])) AS vmax
+        FROM embeddings
+    )
+),
+deq AS (
+    SELECT vec_id,
+           list_transform(v, x ->
+               vmin + floor((x - vmin) / vscale + 0.5) * vscale) AS dv
+    FROM enc
+),
+scored AS (
+    SELECT q.query_id, d.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qv, d.dv) AS sim
+    FROM q CROSS JOIN deq d
+    WHERE d.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(rank AS BIGINT) AS rank, round(sim, 4) AS sim
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+def sim5_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors over int8 scalar-quantized embeddings:
+    queries stay full-precision, the corpus side is
+    quantize-dequantized (what a code-store index serves), scoring
+    mirrors sim1's two-phase top-k.
+
+    Scale design: encoding is a map-side array pass (min/max/
+    transform HOFs, no shuffle); the 8x-smaller code arrays are what
+    a 100-TB deployment materializes and scans — recall loss vs the
+    exact float path is measured and gated in
+    tests/test_suite_oracle.py rather than assumed."""
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    vmin = F.array_min("v")
+    vmax = F.array_max("v")
+    vscale = F.when(vmax > vmin, (vmax - vmin) / 255.0).otherwise(F.lit(1.0))
+    enc = emb.select(
+        "vec_id",
+        "v",
+        vmin.alias("vmin"),
+        vscale.alias("vscale"),
+    )
+    dv = F.transform(
+        "v",
+        lambda x: F.col("vmin")
+        + F.floor((x - F.col("vmin")) / F.col("vscale") + 0.5)
+        * F.col("vscale"),
+    )
+    deq = enc.select("vec_id", dv.alias("dv")).withColumn("nd", norm(F.col("dv")))
+    queries = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+        )
+        .withColumn("nq", norm(F.col("qv")))
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "dv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        deq.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", F.try_divide(dot, F.col("nq") * F.col("nd")))
+    )
+    order = [F.desc("sim"), F.asc("vec_id")]
+    w_local = Window.partitionBy("query_id", "pid").orderBy(*order)
+    w_global = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("r_loc", F.row_number().over(w_local))
+        .filter(F.col("r_loc") <= 5)
+        .withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("sim", 4).alias("sim"),
+        )
+    )

@@ -344,3 +344,36 @@ def test_tx7_scores_discriminate(spark):
     pdf = tx7_model_quality_score(spark, SF0001).toPandas()
     assert pdf["logit"].nunique() > 10
     assert 0 < pdf["quality_pass"].sum() < len(pdf)
+
+
+def test_sim5_sq8_ann_matches_oracle(spark):
+    """sim5 is unregistered (50-entry snapshot cap) but oracle-checked
+    here: int8 scalar-quantized cosine top-k; floor(x+0.5) rounding
+    keeps the quantize->dequantize->score pipeline bit-identical."""
+    from inpe_queimadas_etl_spark.suite.llmdata import SIM5_SQL, sim5_sq8_ann
+
+    _compare_to_oracle(spark, "sim5_sq8_ann", sim5_sq8_ann, SIM5_SQL)
+
+
+def test_sim5_recall_vs_exact(spark):
+    """Measured quality of the 8x-compressed path: top-5 recall vs
+    sim1's exact float results. int8 quantization error is tiny next
+    to the corpus's cos 0.3-0.5 neighbor gaps, so recall should be
+    near-perfect — gate at >= 0.9 overall and require the top-1
+    neighbor to survive for every query."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        sim1_knn_cosine_topk,
+        sim5_sq8_ann,
+    )
+
+    exact = sim1_knn_cosine_topk(spark, SF0001).toPandas()
+    sq = sim5_sq8_ann(spark, SF0001).toPandas()
+    hits = total = 0
+    for qid, grp in exact.groupby("query_id"):
+        want = set(grp["neighbor_id"])
+        got = set(sq[sq["query_id"] == qid]["neighbor_id"])
+        hits += len(want & got)
+        total += len(want)
+        top1 = grp.sort_values("rank").iloc[0]["neighbor_id"]
+        assert top1 in got, (qid, top1, got)
+    assert hits / total >= 0.9, f"sq8 recall {hits}/{total}"
