@@ -51,6 +51,8 @@ HEADLINE = [
     "cur5_mixture_resample",
     "cur6_leakfree_split",
     "card1_corpus_manifest",
+    "tx7_model_quality_score",
+    "sim5_sq8_ann",
 ]
 
 TRANSFORM_ROWS = 100_000
@@ -74,6 +76,8 @@ UNREGISTERED = (
     "cur5_mixture_resample",
     "cur6_leakfree_split",
     "card1_corpus_manifest",
+    "tx7_model_quality_score",
+    "sim5_sq8_ann",
 )
 
 
@@ -194,6 +198,8 @@ def main() -> None:
         cur6_leakfree_split,
         dd8_passage_dedup,
         dd9_canonical_keeper,
+        sim5_sq8_ann,
+        tx7_model_quality_score,
     )
     from inpe_queimadas_etl_spark.suite.relational import p7_stable_event_hash
     from inpe_queimadas_etl_spark.suite.skewdemo import (
@@ -208,6 +214,8 @@ def main() -> None:
     queries.setdefault("cur5_mixture_resample", cur5_mixture_resample)
     queries.setdefault("cur6_leakfree_split", cur6_leakfree_split)
     queries.setdefault("card1_corpus_manifest", card1_corpus_manifest)
+    queries.setdefault("tx7_model_quality_score", tx7_model_quality_score)
+    queries.setdefault("sim5_sq8_ann", sim5_sq8_ann)
     # skew demo pair: the recorded gap (naive single hot reducer vs
     # salted two-phase) is the artifact — see suite/skewdemo.py
     queries.setdefault("skew_hot_distinct_naive", skew_hot_distinct_naive)
