@@ -58,6 +58,44 @@ from .suite.llmdata import (
 )
 
 
+def _jsonl_doc_ids(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Long doc_ids for a JSONL corpus, deterministic across
+    machines and session configs (doc_id feeds every downstream join,
+    the mixture keep-hash, and dd7's min-id keeper choice, so an id
+    scheme that shifts with partition planning would change the KEPT
+    SET between environments):
+
+    - no doc_id field: synthesize xxhash64(file, position-in-file) —
+      per-file line positions are a function of the file bytes only
+      (one window at staging time, paid once);
+    - integral doc_id: cast to long; NULLs are refused loudly (a NULL
+      key silently vanishes from every equi-join downstream);
+    - string doc_id (urn/uuid-style): map to xxhash64 of the string,
+      keeping the original as ``source_doc_id`` lineage."""
+    from pyspark.sql import Window, types as T
+
+    if "doc_id" not in df.columns:
+        w = Window.partitionBy(F.input_file_name()).orderBy(
+            F.monotonically_increasing_id()
+        )
+        return df.withColumn(
+            "doc_id",
+            F.xxhash64(F.input_file_name(), F.row_number().over(w)),
+        )
+    n_null = df.filter(F.col("doc_id").isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"JSONL corpus has {n_null} rows with null doc_id: a NULL "
+            "key silently drops out of every downstream join. Fill or "
+            "remove the field (absent = positional ids are synthesized)."
+        )
+    if isinstance(df.schema["doc_id"].dataType, (T.StringType,)):
+        return df.withColumn(
+            "source_doc_id", F.col("doc_id")
+        ).withColumn("doc_id", F.xxhash64(F.col("doc_id")))
+    return df.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
 def _resolve_corpus(
     spark: SparkSession, corpus_dir: str, out_dir: str
 ) -> tuple[DataFrame, str]:
@@ -78,28 +116,28 @@ def _resolve_corpus(
     point corpus_dir at a maintained table instead."""
     if os.path.exists(os.path.join(corpus_dir, "documents.parquet")):
         return load_table(spark, corpus_dir, "documents"), corpus_dir
-    jsonl = [
-        e
-        for e in (os.listdir(corpus_dir) if os.path.isdir(corpus_dir) else [])
-        if e.endswith((".jsonl", ".jsonl.gz", ".json", ".json.gz"))
-    ]
-    if jsonl:
-        df = spark.read.json(
-            [os.path.join(corpus_dir, e) for e in jsonl]
-        )
+    listing = os.listdir(corpus_dir) if os.path.isdir(corpus_dir) else []
+    jsonl = [e for e in listing if e.endswith((".jsonl", ".jsonl.gz"))]
+    has_parquet = any(
+        e.endswith(".parquet") or e.startswith("batch_id=") for e in listing
+    )
+    if jsonl and not has_parquet:
+        # *.jsonl / *.jsonl.gz only, and only when the dir holds no
+        # parquet — a stray JSON sidecar in a parquet corpus must not
+        # flip the whole dir to the JSONL reader
+        df = spark.read.json([os.path.join(corpus_dir, e) for e in jsonl])
         if "text" not in df.columns:
             raise ValueError(
                 f"JSONL corpus {corpus_dir!r} has no 'text' field "
                 f"(columns: {df.columns})"
             )
-        if "doc_id" not in df.columns:
-            # deterministic surrogate ids: zipWithIndex would be an
-            # RDD round-trip; a monotonic id is partition-stable for
-            # a fixed file set, which staging freezes
-            df = df.withColumn("doc_id", F.monotonically_increasing_id())
-        df = df.withColumn("doc_id", F.col("doc_id").cast("long"))
+        df = _jsonl_doc_ids(spark, df)
     else:
-        df = spark.read.parquet(corpus_dir)
+        # pathGlobFilter: a sidecar (stats.jsonl, notes.json, ...)
+        # sitting next to the parquet files must not break the scan
+        df = spark.read.option("pathGlobFilter", "*.parquet").parquet(
+            corpus_dir
+        )
     if "batch_id" in df.columns:
         df = df.drop("batch_id")
     if "lang" not in df.columns:

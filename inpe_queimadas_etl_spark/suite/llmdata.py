@@ -1552,13 +1552,22 @@ def sim1_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nv").alias("nq"),
     )
+    return _cosine_top5(emb.select("vec_id", "v", "nv"), queries)
+
+
+def _cosine_top5(corpus: DataFrame, queries: DataFrame) -> DataFrame:
+    """Shared cosine two-phase top-5 over ``corpus`` (vec_id, v, nv)
+    against broadcast ``queries`` (query_id, qv, nq) — the scoring
+    tail of sim1, reused verbatim by sim5's quantized path so a
+    tie-break or k change can never drift between the exact and
+    compressed variants."""
     dot = F.aggregate(
         F.zip_with("qv", "v", lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     scored = (
-        emb.crossJoin(F.broadcast(queries))
+        corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         # try_divide: a zero-norm embedding scores NULL instead of
         # raising ANSI DIVIDE_BY_ZERO (same IEEE division otherwise)
@@ -2598,11 +2607,7 @@ def tx7_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         w,
         lambda x: F.element_at(
             weights,
-            (
-                F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
-                % _TX7_BUCKETS
-                + 1
-            ).cast("int"),
+            (_word_hash_spark(x) % _TX7_BUCKETS + 1).cast("int"),
         ),
     )
     logit = (
@@ -2700,7 +2705,9 @@ def sim5_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.floor((x - F.col("vmin")) / F.col("vscale") + 0.5)
         * F.col("vscale"),
     )
-    deq = enc.select("vec_id", dv.alias("dv")).withColumn("nd", norm(F.col("dv")))
+    deq = enc.select("vec_id", dv.alias("v")).withColumn(
+        "nv", norm(F.col("v"))
+    )
     queries = (
         emb.filter(F.col("vec_id") < 8)
         .select(
@@ -2709,29 +2716,4 @@ def sim5_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("nq", norm(F.col("qv")))
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "dv", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        deq.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("sim", F.try_divide(dot, F.col("nq") * F.col("nd")))
-    )
-    order = [F.desc("sim"), F.asc("vec_id")]
-    w_local = Window.partitionBy("query_id", "pid").orderBy(*order)
-    w_global = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        scored.withColumn("pid", F.spark_partition_id())
-        .withColumn("r_loc", F.row_number().over(w_local))
-        .filter(F.col("r_loc") <= 5)
-        .withColumn("rank", F.row_number().over(w_global))
-        .filter(F.col("rank") <= 5)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("rank").cast("long").alias("rank"),
-            F.round("sim", 4).alias("sim"),
-        )
-    )
+    return _cosine_top5(deq, queries)

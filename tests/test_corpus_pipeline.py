@@ -342,3 +342,65 @@ def test_jsonl_corpus_input(spark, tmp_path):
         f.write('{"body": "no text field"}\n')
     with pytest.raises(ValueError, match="no 'text' field"):
         run_corpus_pipeline(spark, str(bad), str(tmp_path / "out2"))
+
+
+def test_jsonl_id_policy(spark, tmp_path):
+    """String doc_ids map to stable hashed longs (original kept as
+    source_doc_id lineage); null doc_ids are refused loudly; a JSON
+    sidecar inside a parquet corpus does not flip the reader."""
+    import json as json_mod
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stops = "the a of and to in"
+    # string ids
+    src = tmp_path / "sdump"
+    src.mkdir()
+    with open(src / "a.jsonl", "w", encoding="utf-8") as f:
+        for z in range(3):
+            f.write(
+                json_mod.dumps(
+                    {
+                        "doc_id": f"urn:uuid:{z}",
+                        "text": f"{stops} stringid doc words {z}",
+                    }
+                )
+                + "\n"
+            )
+    out = str(tmp_path / "out")
+    manifest = run_corpus_pipeline(spark, str(src), out)
+    assert manifest["input_docs"] == 3
+    written = spark.read.parquet(os.path.join(out, "corpus"))
+    assert "source_doc_id" in written.columns
+    got = {r["source_doc_id"] for r in written.collect()}
+    assert got <= {f"urn:uuid:{z}" for z in range(3)}
+
+    # null ids refused
+    bad = tmp_path / "ndump"
+    bad.mkdir()
+    with open(bad / "a.jsonl", "w", encoding="utf-8") as f:
+        f.write(json_mod.dumps({"doc_id": 1, "text": "x y"}) + "\n")
+        f.write(json_mod.dumps({"doc_id": None, "text": "y z"}) + "\n")
+    with pytest.raises(ValueError, match="null doc_id"):
+        run_corpus_pipeline(spark, str(bad), str(tmp_path / "out2"))
+
+    # sidecar json next to parquet: parquet wins
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": [f"{stops} pq doc one", f"{stops} pq doc two"],
+                }
+            ),
+            preserve_index=False,
+        ),
+        str(mixed / "part.parquet"),
+    )
+    (mixed / "stats.jsonl").write_text('{"rows": 2}\n')
+    m2 = run_corpus_pipeline(spark, str(mixed), str(tmp_path / "out3"))
+    assert m2["input_docs"] == 2
