@@ -224,3 +224,25 @@ def test_cur5_rates_broadcast_corpus_never_shuffled(spark):
     assert "SortMergeJoin" not in plan, (
         f"cur5 corpus-side shuffle join:\n{plan}"
     )
+
+
+def test_tx7_model_eval_shuffle_free(spark):
+    """tx7's whole model evaluation is an array transform + fold per
+    row: any Exchange means the classifier stopped being a free gate
+    in the curation scan."""
+    from inpe_queimadas_etl_spark.suite.llmdata import tx7_model_quality_score
+
+    plan = _plan(tx7_model_quality_score(spark, SF0001), "simple")
+    assert "Exchange" not in plan, f"tx7 gained a shuffle:\n{plan}"
+
+
+def test_sim5_broadcasts_queries_like_sim1(spark):
+    """sim5 must keep sim1's scale shape: the query side broadcast
+    (BroadcastNestedLoopJoin from the crossJoin), never a shuffled
+    join or unbroadcast cartesian of corpus x queries."""
+    from inpe_queimadas_etl_spark.suite.llmdata import sim5_sq8_ann
+
+    plan = _plan(sim5_sq8_ann(spark, SF0001), "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
