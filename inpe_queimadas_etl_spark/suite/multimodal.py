@@ -171,3 +171,152 @@ def mm4_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resized_md5",
         "mean_px",
     )
+
+
+# --- mm5: media near-dup via frame-level SimHash ---------------------------
+# Decode-free perceptual dedup for binary payloads (re-encoded images,
+# re-containered audio/video share most CONTENT frames even when the
+# byte stream differs): a 16-bit SimHash over 32-byte frame hashes,
+# banded 4x4 so candidates come from an equi self-join on band values
+# — never all-pairs — then exact Hamming verification. The signature
+# is computed entirely map-side (array HOF folds over the per-row
+# frame array, no explode, no shuffle); the only shuffle is the
+# banded candidate join on uniform 4-bit keys. dd5 is the text twin;
+# this is the same machinery pointed at opaque bytes.
+#
+# UNREGISTERED (50-entry driver snapshot cap) — oracle-compared in
+# tests/test_suite_oracle.py.
+
+_MM5_FRAME = 32
+_MM5_BITS = 16
+_MM5_BAND_BITS = 4
+_MM5_BANDS = _MM5_BITS // _MM5_BAND_BITS
+_MM5_MAX_HAMMING = 2
+
+
+def _mm5_sql() -> str:
+    from .llmdata import _hex_to_int_sql
+
+    h = _hex_to_int_sql(
+        f"substr(md5(substr(text, CAST(i AS INTEGER) * {_MM5_FRAME} + 1, "
+        f"{_MM5_FRAME})), 1, 8)"
+    )
+    return f"""
+WITH frames AS (
+    SELECT doc_id AS media_id, {h} AS h
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, (length(text) + {_MM5_FRAME - 1})
+                               // {_MM5_FRAME})) AS i
+        FROM documents
+    )
+),
+bits AS (
+    SELECT media_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+    FROM frames CROSS JOIN (
+        SELECT unnest(range(0, {_MM5_BITS})) AS b
+    )
+    GROUP BY media_id, b
+),
+sig AS (
+    SELECT media_id,
+           CAST(sum(CASE WHEN s >= 0 THEN 1 << b ELSE 0 END) AS BIGINT)
+               AS sig
+    FROM bits GROUP BY media_id
+),
+bands AS (
+    SELECT media_id, sig, b AS band_idx,
+           (sig >> (b * {_MM5_BAND_BITS})) & {2 ** _MM5_BAND_BITS - 1}
+               AS band_val
+    FROM sig CROSS JOIN (
+        SELECT unnest(range(0, {_MM5_BANDS})) AS b
+    )
+),
+cand AS (
+    SELECT DISTINCT a.media_id AS media_a, a.sig AS sig_a,
+                    c.media_id AS media_b, c.sig AS sig_b
+    FROM bands a JOIN bands c
+      ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+     AND a.media_id < c.media_id
+)
+SELECT media_a, media_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {_MM5_MAX_HAMMING}
+"""
+
+
+MM5_SQL = _mm5_sql()
+
+
+def mm5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media pairs by frame-level SimHash: Hamming
+    distance <= 2 over 16-bit signatures, candidates from a 4x4
+    banded equi self-join (a pair differing in every band is not
+    reported — the same declared-recall contract as dd5/dd6, and the
+    oracle states it identically).
+
+    Scale design: frame hashing and the 16 majority-vote bit folds
+    run as array higher-order functions over each row's frame array —
+    zero shuffle until the banded join, whose keys are uniform 4-bit
+    buckets; verification is a bit_count on the pair, no payload
+    access. Identical payloads agree on every band, so exact dups are
+    always found."""
+    media = media_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.length("payload") > 0)
+    frames = F.expr(
+        f"""transform(
+            sequence(0, cast(ceil(length(payload) / {_MM5_FRAME}.0) as int) - 1),
+            i -> cast(conv(substring(md5(substring(
+                     payload, i * {_MM5_FRAME} + 1, {_MM5_FRAME})),
+                     1, 8), 16, 10) as bigint)
+        )"""
+    )
+    votes = [
+        F.expr(
+            f"aggregate(hs, 0L, (acc, h) -> acc + (shiftright(h, {b}) & 1L) * 2 - 1)"
+        )
+        for b in range(_MM5_BITS)
+    ]
+    sig = sum(
+        (F.when(v >= 0, F.lit(1 << b)).otherwise(F.lit(0)) for b, v in enumerate(votes)),
+        F.lit(0),
+    ).cast("long")
+    sigs = media.select("media_id", frames.alias("hs")).select(
+        "media_id", sig.alias("sig")
+    )
+    bands = sigs.select(
+        "media_id",
+        "sig",
+        F.posexplode(
+            F.expr(
+                f"""transform(sequence(0, {_MM5_BANDS - 1}),
+                    b -> shiftright(sig, b * {_MM5_BAND_BITS})
+                         & {2 ** _MM5_BAND_BITS - 1})"""
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.alias("a")
+    c = bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col("a.media_id") < F.col("c.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("c.media_id").alias("media_b"),
+            F.col("c.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("long")
+    return cand.select(
+        "media_a", "media_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= _MM5_MAX_HAMMING)

@@ -377,3 +377,53 @@ def test_sim5_recall_vs_exact(spark):
         top1 = grp.sort_values("rank").iloc[0]["neighbor_id"]
         assert top1 in got, (qid, top1, got)
     assert hits / total >= 0.9, f"sq8 recall {hits}/{total}"
+
+
+def test_mm5_simhash_neardup_matches_oracle(spark):
+    """mm5 is unregistered (50-entry snapshot cap) but oracle-checked
+    here: frame-level SimHash near-dup over binary payloads, banded
+    candidates + exact Hamming verification."""
+    from inpe_queimadas_etl_spark.suite.multimodal import (
+        MM5_SQL,
+        mm5_simhash_neardup,
+    )
+
+    _compare_to_oracle(spark, "mm5_simhash_neardup", mm5_simhash_neardup, MM5_SQL)
+
+
+def test_mm5_finds_exact_and_near_payload_dups(spark):
+    """Identical payloads pair at hamming 0; a payload sharing most
+    frames pairs within the threshold; unrelated payloads do not."""
+    import os
+    import random
+    import tempfile
+
+    import pandas as pd
+
+    from inpe_queimadas_etl_spark.suite.multimodal import mm5_simhash_neardup
+
+    rng = random.Random(5)
+    base = " ".join(f"w{rng.randrange(1000)}" for _ in range(120))
+    # one edited frame: flips exactly 1 of 16 signature bits for this
+    # seed (probed), so only one band differs and the other three
+    # still produce the candidate — hamming 1, inside the threshold
+    near = base[:-8] + "x" * 8
+    other = " ".join(f"z{rng.randrange(1000)}" for _ in range(120))
+    pdf = pd.DataFrame(
+        [(0, base), (1, base), (2, near), (3, other)],
+        columns=["doc_id", "text"],
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(pdf).write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        pairs = (
+            mm5_simhash_neardup(spark, tmp)
+            .toPandas()
+            .set_index(["media_a", "media_b"])
+        )
+    assert pairs.loc[(0, 1), "hamming"] == 0
+    assert (0, 2) in pairs.index or (1, 2) in pairs.index
+    for b in (0, 1, 2):
+        assert (b, 3) not in pairs.index and (3, b) not in pairs.index
