@@ -53,6 +53,7 @@ HEADLINE = [
     "card1_corpus_manifest",
     "tx7_model_quality_score",
     "sim5_sq8_ann",
+    "mm5_simhash_neardup",
 ]
 
 TRANSFORM_ROWS = 100_000
@@ -78,6 +79,7 @@ UNREGISTERED = (
     "card1_corpus_manifest",
     "tx7_model_quality_score",
     "sim5_sq8_ann",
+    "mm5_simhash_neardup",
 )
 
 
@@ -201,6 +203,7 @@ def main() -> None:
         sim5_sq8_ann,
         tx7_model_quality_score,
     )
+    from inpe_queimadas_etl_spark.suite.multimodal import mm5_simhash_neardup
     from inpe_queimadas_etl_spark.suite.relational import p7_stable_event_hash
     from inpe_queimadas_etl_spark.suite.skewdemo import (
         skew_hot_distinct_naive,
@@ -216,6 +219,7 @@ def main() -> None:
     queries.setdefault("card1_corpus_manifest", card1_corpus_manifest)
     queries.setdefault("tx7_model_quality_score", tx7_model_quality_score)
     queries.setdefault("sim5_sq8_ann", sim5_sq8_ann)
+    queries.setdefault("mm5_simhash_neardup", mm5_simhash_neardup)
     # skew demo pair: the recorded gap (naive single hot reducer vs
     # salted two-phase) is the artifact — see suite/skewdemo.py
     queries.setdefault("skew_hot_distinct_naive", skew_hot_distinct_naive)
