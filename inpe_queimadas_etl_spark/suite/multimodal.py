@@ -195,6 +195,9 @@ _MM5_MAX_HAMMING = 2
 
 
 def _mm5_sql() -> str:
+    # the oracle frames TEXT where Spark frames the payload BYTES —
+    # exact because the testdata payloads are the UTF-8 bytes of
+    # ASCII text (the same parity convention mm3/mm4 state)
     from .llmdata import _hex_to_int_sql
 
     h = _hex_to_int_sql(
