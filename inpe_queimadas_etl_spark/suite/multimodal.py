@@ -176,22 +176,32 @@ def mm4_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- mm5: media near-dup via frame-level SimHash ---------------------------
 # Decode-free perceptual dedup for binary payloads (re-encoded images,
 # re-containered audio/video share most CONTENT frames even when the
-# byte stream differs): a 16-bit SimHash over 32-byte frame hashes,
-# banded 4x4 so candidates come from an equi self-join on band values
-# — never all-pairs — then exact Hamming verification. The signature
-# is computed entirely map-side (array HOF folds over the per-row
-# frame array, no explode, no shuffle); the only shuffle is the
-# banded candidate join on uniform 4-bit keys. dd5 is the text twin;
-# this is the same machinery pointed at opaque bytes.
+# byte stream differs): a 64-bit SimHash over 32-byte frame hashes,
+# banded 4 x 16 bits so candidates come from an equi self-join on
+# 16-bit band values, then exact Hamming verification (<= 3, which by
+# pigeonhole over 4 bands always leaves a shared band — the same
+# declared-recall contract as dd5/dd6). Geometry math, not vibes:
+# a RANDOM pair collides in one 16-bit band with probability 2^-16,
+# so candidates ~ 4 n^2 / 2^17, and a random pair passes hamming <= 3
+# of 64 bits at C(64,<=3)/2^64 ~ 2e-15 — false positives are
+# practically zero (the first cut of this operator used 16-bit
+# signatures with 4-bit bands, which admitted 25 % of ALL pairs as
+# candidates and passed unrelated pairs at 0.2 % — the exact
+# quadratic cliff SCALING.md documents for dd6's original 4x4
+# geometry; review caught it, this is the fix). The signature is two
+# 32-bit words (BIGINT-safe everywhere); votes fold map-side over the
+# per-row frame array — no explode, no shuffle until the banded join.
+# The majority tie rule (sum >= 0 -> bit set) matches dd5's
+# 2*count >= n convention (llmdata.py dd5); the frame hash is the
+# md5-hex-to-int convention every dedup oracle shares.
 #
 # UNREGISTERED (50-entry driver snapshot cap) — oracle-compared in
 # tests/test_suite_oracle.py.
 
 _MM5_FRAME = 32
-_MM5_BITS = 16
-_MM5_BAND_BITS = 4
-_MM5_BANDS = _MM5_BITS // _MM5_BAND_BITS
-_MM5_MAX_HAMMING = 2
+_MM5_WORD_BITS = 32          # per signature word; 2 words = 64 bits
+_MM5_BAND_BITS = 16          # 2 bands per word, 4 bands total
+_MM5_MAX_HAMMING = 3
 
 
 def _mm5_sql() -> str:
@@ -200,13 +210,29 @@ def _mm5_sql() -> str:
     # ASCII text (the same parity convention mm3/mm4 state)
     from .llmdata import _hex_to_int_sql
 
-    h = _hex_to_int_sql(
-        f"substr(md5(substr(text, CAST(i AS INTEGER) * {_MM5_FRAME} + 1, "
-        f"{_MM5_FRAME})), 1, 8)"
+    frame = (
+        f"substr(text, CAST(i AS INTEGER) * {_MM5_FRAME} + 1, {_MM5_FRAME})"
     )
+    h1 = _hex_to_int_sql(f"substr(md5({frame}), 1, 8)")
+    h2 = _hex_to_int_sql(f"substr(md5({frame}), 9, 8)")
+
+    def word_sig(col: str, alias: str) -> str:
+        return f"""
+    SELECT media_id,
+           CAST(sum(CASE WHEN s >= 0 THEN 1 << b ELSE 0 END) AS BIGINT)
+               AS {alias}
+    FROM (
+        SELECT media_id, b, sum((({col} >> b) & 1) * 2 - 1) AS s
+        FROM frames CROSS JOIN (
+            SELECT unnest(range(0, {_MM5_WORD_BITS})) AS b
+        )
+        GROUP BY media_id, b
+    ) GROUP BY media_id
+"""
+
     return f"""
 WITH frames AS (
-    SELECT doc_id AS media_id, {h} AS h
+    SELECT doc_id AS media_id, {h1} AS h1, {h2} AS h2
     FROM (
         SELECT doc_id, text,
                unnest(range(0, (length(text) + {_MM5_FRAME - 1})
@@ -214,38 +240,35 @@ WITH frames AS (
         FROM documents
     )
 ),
-bits AS (
-    SELECT media_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
-    FROM frames CROSS JOIN (
-        SELECT unnest(range(0, {_MM5_BITS})) AS b
-    )
-    GROUP BY media_id, b
-),
+sig_hi AS ({word_sig("h1", "hi")}),
+sig_lo AS ({word_sig("h2", "lo")}),
 sig AS (
-    SELECT media_id,
-           CAST(sum(CASE WHEN s >= 0 THEN 1 << b ELSE 0 END) AS BIGINT)
-               AS sig
-    FROM bits GROUP BY media_id
+    SELECT sig_hi.media_id, hi, lo
+    FROM sig_hi JOIN sig_lo ON sig_hi.media_id = sig_lo.media_id
 ),
 bands AS (
-    SELECT media_id, sig, b AS band_idx,
-           (sig >> (b * {_MM5_BAND_BITS})) & {2 ** _MM5_BAND_BITS - 1}
-               AS band_val
-    FROM sig CROSS JOIN (
-        SELECT unnest(range(0, {_MM5_BANDS})) AS b
-    )
+    SELECT media_id, hi, lo, b AS band_idx,
+           CASE WHEN b < 2
+                THEN (hi >> (b * {_MM5_BAND_BITS}))
+                     & {2 ** _MM5_BAND_BITS - 1}
+                ELSE (lo >> ((b - 2) * {_MM5_BAND_BITS}))
+                     & {2 ** _MM5_BAND_BITS - 1}
+           END AS band_val
+    FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
 ),
 cand AS (
-    SELECT DISTINCT a.media_id AS media_a, a.sig AS sig_a,
-                    c.media_id AS media_b, c.sig AS sig_b
+    SELECT DISTINCT a.media_id AS media_a, a.hi AS hi_a, a.lo AS lo_a,
+                    c.media_id AS media_b, c.hi AS hi_b, c.lo AS lo_b
     FROM bands a JOIN bands c
       ON a.band_idx = c.band_idx AND a.band_val = c.band_val
      AND a.media_id < c.media_id
 )
 SELECT media_a, media_b,
-       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+            AS BIGINT) AS hamming
 FROM cand
-WHERE bit_count(xor(sig_a, sig_b)) <= {_MM5_MAX_HAMMING}
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+      <= {_MM5_MAX_HAMMING}
 """
 
 
@@ -254,51 +277,77 @@ MM5_SQL = _mm5_sql()
 
 def mm5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate media pairs by frame-level SimHash: Hamming
-    distance <= 2 over 16-bit signatures, candidates from a 4x4
-    banded equi self-join (a pair differing in every band is not
-    reported — the same declared-recall contract as dd5/dd6, and the
-    oracle states it identically).
+    distance <= 3 over 64-bit signatures, candidates from a 4 x
+    16-bit banded equi self-join.
 
-    Scale design: frame hashing and the 16 majority-vote bit folds
-    run as array higher-order functions over each row's frame array —
-    zero shuffle until the banded join, whose keys are uniform 4-bit
-    buckets; verification is a bit_count on the pair, no payload
-    access. Identical payloads agree on every band, so exact dups are
-    always found."""
+    Scale design: frame hashing and the per-bit majority folds run as
+    array higher-order functions over each row's frame array — the
+    signature pass is scan-shaped; the signature table (three longs
+    per item) is localCheckpointed before the self-join so the
+    payload scan + hashing pipeline runs ONCE, not once per join side
+    (the dd4 lesson). Candidate volume is ~4 n^2 / 2^17 on random
+    signatures — at 1M items ~3e7 pairs, each verified by two
+    bit_counts with no payload access; genuinely-correlated corpora
+    (near-dup heavy) grow candidates with true pairs, which is the
+    output size. Identical payloads agree on every band, so exact
+    dups are always found; a pair at hamming <= 3 always shares a
+    band (4 bands, 3 flipped bits), so recall within the declared
+    threshold is exact."""
     media = media_from_documents(
         load_table(spark, sf_dir, "documents")
     ).filter(F.length("payload") > 0)
+    frame = (
+        f"substring(payload, i * {_MM5_FRAME} + 1, {_MM5_FRAME})"
+    )
     frames = F.expr(
         f"""transform(
             sequence(0, cast(ceil(length(payload) / {_MM5_FRAME}.0) as int) - 1),
-            i -> cast(conv(substring(md5(substring(
-                     payload, i * {_MM5_FRAME} + 1, {_MM5_FRAME})),
-                     1, 8), 16, 10) as bigint)
+            i -> struct(
+                cast(conv(substring(md5({frame}), 1, 8), 16, 10) as bigint)
+                    as h1,
+                cast(conv(substring(md5({frame}), 9, 8), 16, 10) as bigint)
+                    as h2
+            )
         )"""
     )
-    votes = [
-        F.expr(
-            f"aggregate(hs, 0L, (acc, h) -> acc + (shiftright(h, {b}) & 1L) * 2 - 1)"
+
+    def word_sig(field: str):
+        votes = [
+            F.expr(
+                f"aggregate(hs, 0L, (acc, f) -> "
+                f"acc + (shiftright(f.{field}, {b}) & 1L) * 2 - 1)"
+            )
+            for b in range(_MM5_WORD_BITS)
+        ]
+        return sum(
+            (
+                F.when(v >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b, v in enumerate(votes)
+            ),
+            F.lit(0),
+        ).cast("long")
+
+    sigs = (
+        media.select("media_id", frames.alias("hs"))
+        .select(
+            "media_id",
+            word_sig("h1").alias("hi"),
+            word_sig("h2").alias("lo"),
         )
-        for b in range(_MM5_BITS)
-    ]
-    sig = sum(
-        (F.when(v >= 0, F.lit(1 << b)).otherwise(F.lit(0)) for b, v in enumerate(votes)),
-        F.lit(0),
-    ).cast("long")
-    sigs = media.select("media_id", frames.alias("hs")).select(
-        "media_id", sig.alias("sig")
+        .localCheckpoint(eager=True)
+    )
+    band_arr = F.expr(
+        f"""transform(sequence(0, 3), b -> CASE WHEN b < 2
+            THEN shiftright(hi, b * {_MM5_BAND_BITS})
+                 & {2 ** _MM5_BAND_BITS - 1}
+            ELSE shiftright(lo, (b - 2) * {_MM5_BAND_BITS})
+                 & {2 ** _MM5_BAND_BITS - 1} END)"""
     )
     bands = sigs.select(
         "media_id",
-        "sig",
-        F.posexplode(
-            F.expr(
-                f"""transform(sequence(0, {_MM5_BANDS - 1}),
-                    b -> shiftright(sig, b * {_MM5_BAND_BITS})
-                         & {2 ** _MM5_BAND_BITS - 1})"""
-            )
-        ).alias("band_idx", "band_val"),
+        "hi",
+        "lo",
+        F.posexplode(band_arr).alias("band_idx", "band_val"),
     )
     a = bands.alias("a")
     c = bands.alias("c")
@@ -311,14 +360,17 @@ def mm5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("a.media_id").alias("media_a"),
-            F.col("a.sig").alias("sig_a"),
+            F.col("a.hi").alias("hi_a"),
+            F.col("a.lo").alias("lo_a"),
             F.col("c.media_id").alias("media_b"),
-            F.col("c.sig").alias("sig_b"),
+            F.col("c.hi").alias("hi_b"),
+            F.col("c.lo").alias("lo_b"),
         )
         .distinct()
     )
-    hamming = F.bit_count(
-        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
     ).cast("long")
     return cand.select(
         "media_a", "media_b", hamming.alias("hamming")

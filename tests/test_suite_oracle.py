@@ -403,12 +403,13 @@ def test_mm5_finds_exact_and_near_payload_dups(spark):
     from inpe_queimadas_etl_spark.suite.multimodal import mm5_simhash_neardup
 
     rng = random.Random(5)
-    base = " ".join(f"w{rng.randrange(1000)}" for _ in range(120))
-    # one edited frame: flips exactly 1 of 16 signature bits for this
-    # seed (probed), so only one band differs and the other three
-    # still produce the candidate — hamming 1, inside the threshold
+    # ~92 frames: enough mass that one edited frame only moves bits
+    # with tiny majority margins — probed hamming for this seed is
+    # exactly 3, the declared threshold boundary (larger payloads
+    # dilute further; at 367 frames the same edit measures hamming 0)
+    base = " ".join(f"w{rng.randrange(1000)}" for _ in range(600))
     near = base[:-8] + "x" * 8
-    other = " ".join(f"z{rng.randrange(1000)}" for _ in range(120))
+    other = " ".join(f"z{rng.randrange(1000)}" for _ in range(600))
     pdf = pd.DataFrame(
         [(0, base), (1, base), (2, near), (3, other)],
         columns=["doc_id", "text"],
