@@ -3,10 +3,19 @@
 Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
 recorded number is the MEDIAN, so one machine-load spike cannot poison
 the round artifact (VERDICT r2: recorded 31.7s vs 18.9s reproducible).
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
-"sec", "queries": {name: sec}, "sf": ...} plus per-query min/max
-spread. The driver records this as BENCH_r{N}.json; compare against
-BASELINE.md.
+Prints ONE compact JSON line: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec}, "sf": ...}. The driver records
+this as BENCH_r{N}.json; the FULL record (per-query spread, protocol
+doc) additionally goes to repo-side `bench_last.json` so the round
+artifact never depends on the driver's tail-capture buffer (BENCH_r05
+was `parsed: null` after the dual-protocol line outgrew it).
+
+Timings are checksum-consumed (`_consume_checksum`, unprunable) —
+adopted round 5; the r1-r4 `.count()` protocol ran one transition
+round and was dropped in round 6 per VERDICT r5 #1. Cross-round
+comparisons must normalize by `cpu_marker` (±20 % driver-VM variance
+is proven), never raw seconds: r5 anchors were checksum comparable
+subset 10.893 s at cpu_marker {numpy 0.0213, loop 0.0772} (judge VM).
 """
 
 from __future__ import annotations
@@ -235,7 +244,6 @@ def main() -> None:
     cpu_marker = _cpu_marker()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    count_style: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
@@ -268,13 +276,6 @@ def main() -> None:
         spread[name] = [lo, hi]
         print(f"# {name}: median {med}s over {n_runs} runs "
               f"[{lo}, {hi}]", file=sys.stderr)
-        # One transition round of old-style (.count()) numbers so
-        # BENCH_r05 stays comparable to r1-r4; dropped next round.
-        if not name.startswith("skew_"):
-            cmed, _, _ = _time_runs(lambda: fn(spark, SF_DIR).count())
-            count_style[name] = cmed
-        else:
-            count_style[name] = med
 
     # Transform canonicalize bench: CSV -> curated (P1-P9) over a
     # deterministic 100k-row file; measures the Arrow batch + JVM md5
@@ -322,41 +323,29 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": {"default": RUNS, **_EXTRA_RUNS},
-        "spread": spread,
-        "consume": "bit_xor(xxhash64(struct(*))) — unprunable; see _consume_checksum",
         "comparable_r1_subset_total": round(
             sum(timings[q] for q in comparable if q in timings), 3
-        ),
-        # transition-round twin measured with the r1-r4 .count()
-        # protocol, so the r1 anchor (22.09 s) stays apples-to-apples
-        "queries_count_style": count_style,
-        "comparable_r1_subset_total_count_style": round(
-            sum(count_style[q] for q in comparable if q in count_style), 3
         ),
         # machine-load markers (VERDICT r4 #2: prove/deny env drift)
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
         "cpu_marker": cpu_marker,
         "cpus": CPUS,
-        "notes": (
-            "'queries' = checksum-consumed (unprunable) timings, adopted "
-            "r5; 'queries_count_style' = one transition round of the "
-            "r1-r4 .count() protocol. Drift analysis (VERDICT r4 #2) — "
-            "two root causes FOUND and instrumented: (1) cross-query "
-            "interference inside the bench process (Python-held "
-            "localCheckpoint RDDs keep executor blocks alive; isolated "
-            "dd7 1.55 s vs 2.2 s late in a run) — fixed with a "
-            "gc.collect() between queries; (2) driver-VM instance "
-            "variance: IDENTICAL code measured a 7.44 s count-style "
-            "comparable subset on one r5 VM and 9.12 s idle on a fresh "
-            "VM the same round (r4's 8.75 s sits inside that band, "
-            "r3's 7.68 s at its fast edge) — no per-query plan story "
-            "survives a uniform ±20 % band. 'cpu_marker' records a "
-            "Spark-independent speed probe so future rounds can "
-            "normalize for it; compare rounds via count_style/"
-            "cpu_marker, not raw seconds."
-        ),
+        "notes": "checksum protocol (r5+); anchors+spread in bench_last.json/SCALING.md",
     }
+    # The full record (per-query spread, consume-protocol doc) goes to a
+    # repo-side file so the round artifact never again depends on the
+    # driver's tail-capture buffer (BENCH_r05 was `parsed: null` — the
+    # dual-protocol line outgrew it). The stdout line stays compact.
+    full = dict(result)
+    full["spread"] = spread
+    full["consume"] = (
+        "bit_xor(xxhash64(struct(*))) — unprunable; see _consume_checksum"
+    )
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_last.json"), "w") as f:
+        json.dump(full, f, indent=2, sort_keys=True)
+        f.write("\n")
     print(json.dumps(result))
     spark.stop()
 

@@ -65,22 +65,42 @@ def _jsonl_doc_ids(spark: SparkSession, df: DataFrame) -> DataFrame:
     scheme that shifts with partition planning would change the KEPT
     SET between environments):
 
-    - no doc_id field: synthesize xxhash64(file, position-in-file) —
-      per-file line positions are a function of the file bytes only
-      (one window at staging time, paid once);
+    - no doc_id field: synthesize xxhash64(file, position-in-file).
+      Position is derived SPLIT-ROBUSTLY from the hidden ``_metadata``
+      file-source column: order by ``_metadata.file_block_start`` (the
+      byte offset of the split the row was read from), then
+      ``monotonically_increasing_id()`` (byte order within a split).
+      This makes the position a pure function of the file bytes even
+      when a plain >maxPartitionBytes ``.jsonl`` shard is cut into
+      several splits — the r5 scheme ordered by mono-id alone, which
+      rides FilePartition's size-descending bin packing and is only
+      offset-ordered by the accident of a stable sort (VERDICT r5
+      "What's wrong" #2); ``file_block_start`` is offset order by
+      construction, independent of ``maxPartitionBytes`` and packing.
     - integral doc_id: cast to long; NULLs are refused loudly (a NULL
       key silently vanishes from every equi-join downstream);
     - string doc_id (urn/uuid-style): map to xxhash64 of the string,
-      keeping the original as ``source_doc_id`` lineage."""
+      keeping the original as ``source_doc_id`` lineage; a 64-bit
+      collision between two DISTINCT source ids is refused loudly
+      (the pair would silently merge in every downstream join, dedup
+      keeper choice, and split assignment — ADVICE r5)."""
     from pyspark.sql import Window, types as T
 
     if "doc_id" not in df.columns:
-        w = Window.partitionBy(F.input_file_name()).orderBy(
-            F.monotonically_increasing_id()
+        w = Window.partitionBy(F.col("_metadata.file_path")).orderBy(
+            F.col("_metadata.file_block_start"),
+            F.monotonically_increasing_id(),
         )
-        return df.withColumn(
-            "doc_id",
-            F.xxhash64(F.input_file_name(), F.row_number().over(w)),
+        return (
+            df.withColumn(
+                "doc_id",
+                F.xxhash64(
+                    F.col("_metadata.file_path"), F.row_number().over(w)
+                ),
+            )
+            # the hidden struct materializes once referenced — drop it
+            # so the staged table carries only corpus columns
+            .drop("_metadata")
         )
     n_null = df.filter(F.col("doc_id").isNull()).count()
     if n_null:
@@ -90,10 +110,44 @@ def _jsonl_doc_ids(spark: SparkSession, df: DataFrame) -> DataFrame:
             "remove the field (absent = positional ids are synthesized)."
         )
     if isinstance(df.schema["doc_id"].dataType, (T.StringType,)):
-        return df.withColumn(
+        hashed = df.withColumn(
             "source_doc_id", F.col("doc_id")
         ).withColumn("doc_id", F.xxhash64(F.col("doc_id")))
+        _assert_no_id_collisions(hashed)
+        return hashed
     return df.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+def _assert_no_id_collisions(hashed: DataFrame) -> None:
+    """Refuse 64-bit hash collisions between DISTINCT source ids
+    loudly — the pair would otherwise silently merge in every
+    downstream join, dedup keeper choice, and split assignment
+    (ADVICE r5; null doc_ids were already checked loudly while a
+    collision was not). One staging-time map-side-combined agg, paid
+    once per materialization; the collider listing runs on the error
+    path only."""
+    n = hashed.agg(
+        F.countDistinct("doc_id").alias("ids"),
+        F.countDistinct("source_doc_id").alias("src"),
+    ).first()
+    if n["ids"] != n["src"]:
+        colliding = (
+            hashed.groupBy("doc_id")
+            .agg(F.collect_set("source_doc_id").alias("srcs"))
+            .filter(F.size("srcs") > 1)
+            .limit(5)
+            .collect()
+        )
+        pairs = "; ".join(
+            f"{r['doc_id']} <- {sorted(r['srcs'])}" for r in colliding
+        )
+        raise ValueError(
+            "xxhash64 collision between distinct string doc_ids — "
+            "the documents would silently merge in every downstream "
+            f"join/dedup/split. Colliding (first 5): {pairs}. "
+            "Rename the affected source ids or pre-assign integral "
+            "doc_ids."
+        )
 
 
 def _resolve_corpus(

@@ -233,21 +233,47 @@ def _single_dim(dims) -> int | None:
 
 def index_geometry(index: DataFrame) -> tuple[int, int, int | None] | None:
     """``(n_bands, band_bits, dim)`` recorded in an embedding band
-    index, or None for an empty index. Pre-dim indexes (built before
-    dim was recorded) were only ever valid at the fixed default, so
-    they report that. One small Spark job — the streaming drain calls
-    this once per batch and passes the result down instead of letting
-    every consumer re-probe."""
-    cols = ["n_bands", "band_bits"] + (
-        ["dim"] if "dim" in index.columns else []
-    )
-    row = index.select(*cols).first()
-    if row is None:
-        return None
+    index, or None for an empty index.
+
+    Aggregated over EVERY row, not ``.first()`` (ADVICE r5): an index
+    mixing pre-dim and post-dim partitions reads with null dim on the
+    legacy rows (or a nondeterministic schema with mergeSchema off),
+    and trusting whichever row ``.first()`` happened to return could
+    silently hand a consumer the wrong geometry. Null dims coalesce to
+    the pre-dim era's only valid value (_EMB_DIM); genuinely MIXED
+    geometries raise — band buckets are only comparable under one
+    (bands, bits, dim). The three columns are constant (parquet RLE),
+    so the distinct-set scan merges map-side and stays one small job —
+    the streaming drain calls this once per batch and passes the
+    result down instead of letting every consumer re-probe."""
     from .suite.llmdata import _EMB_DIM
 
-    dim = row["dim"] if "dim" in cols else _EMB_DIM
-    return (row["n_bands"], row["band_bits"], dim)
+    dim_col = (
+        F.coalesce(F.col("dim"), F.lit(_EMB_DIM))
+        if "dim" in index.columns
+        else F.lit(_EMB_DIM)
+    )
+    geoms = index.agg(
+        F.collect_set(
+            F.struct(
+                F.col("n_bands"), F.col("band_bits"), dim_col.alias("dim")
+            )
+        ).alias("gs")
+    ).first()["gs"]
+    if not geoms:
+        return None
+    if len(geoms) > 1:
+        listing = sorted(
+            (g["n_bands"], g["band_bits"], g["dim"]) for g in geoms
+        )
+        raise ValueError(
+            f"embedding band index mixes geometries {listing}: buckets "
+            "are only comparable under one (n_bands, band_bits, dim). "
+            "Rebuild the index with one geometry (reindex the legacy "
+            "partitions) before probing."
+        )
+    g = geoms[0]
+    return (g["n_bands"], g["band_bits"], g["dim"])
 
 
 def embedding_band_index(

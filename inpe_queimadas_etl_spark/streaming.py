@@ -243,6 +243,21 @@ def _exclude_current(df: DataFrame, batch_id: int) -> DataFrame:
 _STREAM_ID_FILE = "_graft_stream_id"
 
 
+def _read_stamp(path: str) -> tuple[str, str | None]:
+    """(stream_id, owning_checkpoint_path_or_None). Sink stamps are
+    two lines — id then the owning checkpoint's realpath — so an
+    unstamped checkpoint can tell ITS OWN crashed mid-stamping residue
+    from another drain's not-yet-written sink (ADVICE r5: with
+    id-only stamps those were indistinguishable, and the foreign
+    drain's lineage got silently hijacked). Legacy one-line stamps
+    return owner=None."""
+    with open(path, encoding="utf-8") as f:
+        lines = f.read().splitlines()
+    sid = lines[0].strip() if lines else ""
+    owner = lines[1].strip() if len(lines) > 1 and lines[1].strip() else None
+    return sid, owner
+
+
 def _bind_drain_identity(checkpoint_dir: str, sink_dirs) -> None:
     """Driver-side start guard: a checkpoint and its sink dirs must
     belong to the same drain lineage.
@@ -287,17 +302,32 @@ def _bind_drain_identity(checkpoint_dir: str, sink_dirs) -> None:
         os.path.join(checkpoint_dir, "offsets")
     )
     if ckpt_id is None:
-        # a sink already stamped by SOME drain can never belong to an
-        # unstamped checkpoint — legacy (pre-stamp) drains never
+        # a sink already stamped by SOME OTHER drain can never belong
+        # to an unstamped checkpoint — legacy (pre-stamp) drains never
         # stamped anything, so adopting here would overwrite the
-        # owning drain's identity and un-detectably mix two streams
-        foreign = [
-            d
-            for d in sink_dirs
-            if os.path.exists(os.path.join(d, _STREAM_ID_FILE))
-            and os.path.isdir(d)
-            and any(e.startswith("batch_id=") for e in os.listdir(d))
-        ]
+        # owning drain's identity and un-detectably mix two streams.
+        # The stamp's owner line makes this decidable BEFORE the owner
+        # writes its first batch (ADVICE r5): a stamp owned by a
+        # different checkpoint is foreign regardless of batch data; a
+        # stamp owned by THIS checkpoint is our own crashed
+        # mid-stamping residue, safe to re-stamp. Legacy one-line
+        # stamps (no owner) fall back to the data-conditioned check —
+        # the pre-upgrade residual hole, closed for every stamp
+        # written from now on.
+        me = os.path.realpath(checkpoint_dir)
+        foreign = []
+        for d in sink_dirs:
+            m = os.path.join(d, _STREAM_ID_FILE)
+            if not os.path.exists(m):
+                continue
+            _, owner = _read_stamp(m)
+            if owner is not None:
+                if os.path.realpath(owner) != me:
+                    foreign.append(d)
+            elif os.path.isdir(d) and any(
+                e.startswith("batch_id=") for e in os.listdir(d)
+            ):
+                foreign.append(d)
         if foreign:
             raise RuntimeError(
                 f"checkpoint {checkpoint_dir!r} carries no drain stamp "
@@ -337,7 +367,11 @@ def _bind_drain_identity(checkpoint_dir: str, sink_dirs) -> None:
             with open(
                 os.path.join(d, _STREAM_ID_FILE), "w", encoding="utf-8"
             ) as f:
-                f.write(new_id)
+                # two lines: id + owning checkpoint realpath (see
+                # _read_stamp — lets a restart after a crash
+                # mid-stamping tell its own residue from a foreign
+                # drain's fresh sink)
+                f.write(f"{new_id}\n{os.path.realpath(checkpoint_dir)}\n")
         with open(ckpt_marker, "w", encoding="utf-8") as f:
             f.write(new_id)
         return
@@ -347,9 +381,9 @@ def _bind_drain_identity(checkpoint_dir: str, sink_dirs) -> None:
         if not os.path.exists(m):
             bad.append(f"{d} (stamp missing — dir wiped or replaced)")
             continue
-        with open(m, encoding="utf-8") as f:
-            if f.read().strip() != ckpt_id:
-                bad.append(f"{d} (stamped by a different drain)")
+        sid, _ = _read_stamp(m)
+        if sid != ckpt_id:
+            bad.append(f"{d} (stamped by a different drain)")
     if bad:
         raise RuntimeError(
             f"streaming checkpoint {checkpoint_dir!r} does not match "

@@ -2040,12 +2040,15 @@ def pack_doc_assignments(
     tokens, cum, pack_id)`` — the cumulative-sum packing pack1 rolls
     up, exposed row-level so a pipeline can materialize the packed
     corpus (corpus_pipeline.py writes one file group per pack). The
-    window partitions on (*group_cols, doc_id % shards), so a
-    dominant group cannot serialize into one reducer."""
+    window partitions on (*group_cols, pmod(doc_id, shards)), so a
+    dominant group cannot serialize into one reducer. pmod, not %:
+    corpus_pipeline synthesizes xxhash64 doc_ids for JSONL input,
+    and half of those are negative — % would yield 2*shards-1
+    distinct shard values (ADVICE r5)."""
     t = docs.select(
         "doc_id",
         *group_cols,
-        (F.col("doc_id") % shards).alias("shard"),
+        F.pmod(F.col("doc_id"), F.lit(shards)).alias("shard"),
         F.size(F.split(F.col("text"), " ")).alias("tokens"),
     )
     w = (
@@ -2063,7 +2066,8 @@ def pack_doc_assignments(
     "pack1_token_packing",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, lang, doc_id % {_PACK_SHARDS} AS shard,
+        SELECT doc_id, lang,
+               ((doc_id % {_PACK_SHARDS}) + {_PACK_SHARDS}) % {_PACK_SHARDS} AS shard,
                len(string_split(text, ' ')) AS tokens
         FROM documents
     ), c AS (
@@ -2091,7 +2095,7 @@ def pack1_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-fit bin packing: deterministic, one window, and each pack
     overshoots the budget by at most one document.
 
-    Scale design: the window partitions on (lang, doc_id % shards), so
+    Scale design: the window partitions on (lang, pmod(doc_id, shards)), so
     a dominant language cannot serialize into one reducer — shard
     count scales with the cluster, window state per partition is one
     running sum, and the final rollup is a map-side-combined groupBy

@@ -201,3 +201,47 @@ def test_nondefault_dim_neardup_end_to_end(spark):
         assert res.loc[1000 + i, "sim"] >= 0.9999
         assert res.loc[2000 + i, "dup_of"] == src
         assert res.loc[2000 + i, "sim"] >= 0.99
+
+
+def test_index_geometry_legacy_and_mixed_partitions(spark):
+    """index_geometry aggregates EVERY row (ADVICE r5), not .first():
+    legacy pre-dim partitions (null dim after a schema-merge read)
+    coalesce to the pre-dim era's only valid value; a genuinely mixed
+    geometry raises instead of silently handing back whichever row
+    happened to come first."""
+    from inpe_queimadas_etl_spark.incremental import index_geometry
+    from inpe_queimadas_etl_spark.suite.llmdata import _EMB_DIM
+
+    schema = (
+        "corpus_vec_id long, band_idx int, band_bucket long, "
+        "n_bands int, band_bits int, dim int"
+    )
+    # legacy rows: null dim; modern rows: recorded default dim
+    mixed_era = spark.createDataFrame(
+        [
+            (1, 0, 11, 8, 16, None),
+            (2, 0, 12, 8, 16, _EMB_DIM),
+        ],
+        schema,
+    )
+    assert index_geometry(mixed_era) == (8, 16, _EMB_DIM)
+
+    # mixed MODELS: legacy (-> _EMB_DIM) vs a 384-dim partition
+    mixed_model = spark.createDataFrame(
+        [
+            (1, 0, 11, 8, 16, None),
+            (2, 0, 12, 8, 16, 384),
+        ],
+        schema,
+    )
+    with pytest.raises(ValueError, match="mixes geometries"):
+        index_geometry(mixed_model)
+
+    # empty index -> None; dim column absent entirely -> default dim
+    assert index_geometry(mixed_era.limit(0)) is None
+    no_dim = spark.createDataFrame(
+        [(1, 0, 11, 8, 16)],
+        "corpus_vec_id long, band_idx int, band_bucket long, "
+        "n_bands int, band_bits int",
+    )
+    assert index_geometry(no_dim) == (8, 16, _EMB_DIM)

@@ -495,3 +495,59 @@ def test_legacy_checkpoint_adopts_unstamped_sinks(spark, dirs):
     accepted = spark.read.parquet(f"{dirs['out']}/accepted")
     assert sorted(r.doc_id for r in accepted.collect()) == [0, 1, 5]
     assert os.path.exists(os.path.join(dirs["ckpt"], _STREAM_ID_FILE))
+
+def test_fresh_stamped_sink_not_hijacked_before_first_batch(dirs, tmp_path):
+    """A sink stamped by another drain that has NOT yet written its
+    first batch must still be refused by a second fresh checkpoint
+    (ADVICE r5: the r5 guard only refused once batch_id= partitions
+    existed, so a pre-first-batch sink got silently re-stamped and the
+    OWNING drain refused on its own next restart)."""
+    from inpe_queimadas_etl_spark.streaming import _bind_drain_identity
+
+    sinks = (
+        f"{dirs['out']}/flags",
+        f"{dirs['out']}/accepted",
+        f"{dirs['index']}/exact",
+        f"{dirs['index']}/bands",
+    )
+    # drain A: completes identity binding, has not run a batch yet
+    _bind_drain_identity(dirs["ckpt"], sinks)
+    # drain B: different fresh checkpoint over the same sinks
+    ckpt_b = str(tmp_path / "ckpt_b")
+    with pytest.raises(RuntimeError, match="stamped by another drain"):
+        _bind_drain_identity(ckpt_b, sinks)
+    # drain A's own restart is unaffected (stamps untouched)
+    _bind_drain_identity(dirs["ckpt"], sinks)
+
+
+def test_crash_mid_stamping_recovers(dirs):
+    """Sink stamps owned by THIS checkpoint with no checkpoint marker
+    are the residue of a start that crashed between sink-stamping and
+    the checkpoint-marker commit point — a restart re-stamps and
+    proceeds instead of refusing its own residue."""
+    from inpe_queimadas_etl_spark.streaming import (
+        _STREAM_ID_FILE,
+        _bind_drain_identity,
+    )
+
+    sinks = (
+        f"{dirs['out']}/flags",
+        f"{dirs['out']}/accepted",
+        f"{dirs['index']}/exact",
+        f"{dirs['index']}/bands",
+    )
+    for d in sinks:
+        os.makedirs(d)
+        with open(os.path.join(d, _STREAM_ID_FILE), "w") as f:
+            f.write(f"deadbeef\n{os.path.realpath(dirs['ckpt'])}\n")
+    _bind_drain_identity(dirs["ckpt"], sinks)  # no raise
+    assert os.path.exists(os.path.join(dirs["ckpt"], _STREAM_ID_FILE))
+    # every stamp now carries the SAME fresh id, owner unchanged
+    with open(os.path.join(dirs["ckpt"], _STREAM_ID_FILE)) as f:
+        new_id = f.read().strip()
+    assert new_id != "deadbeef"
+    for d in sinks:
+        with open(os.path.join(d, _STREAM_ID_FILE)) as f:
+            sid, owner = f.read().splitlines()
+        assert sid == new_id
+        assert os.path.realpath(owner) == os.path.realpath(dirs["ckpt"])
