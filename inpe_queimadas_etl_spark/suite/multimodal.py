@@ -176,63 +176,91 @@ def mm4_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- mm5: media near-dup via frame-level SimHash ---------------------------
 # Decode-free perceptual dedup for binary payloads (re-encoded images,
 # re-containered audio/video share most CONTENT frames even when the
-# byte stream differs): a 64-bit SimHash over 32-byte frame hashes,
-# banded 4 x 16 bits so candidates come from an equi self-join on
-# 16-bit band values, then exact Hamming verification (<= 3, which by
-# pigeonhole over 4 bands always leaves a shared band — the same
-# declared-recall contract as dd5/dd6). Geometry math, not vibes:
-# a RANDOM pair collides in one 16-bit band with probability 2^-16,
-# so candidates ~ 4 n^2 / 2^17, and a random pair passes hamming <= 3
-# of 64 bits at C(64,<=3)/2^64 ~ 2e-15 — false positives are
-# practically zero (the first cut of this operator used 16-bit
-# signatures with 4-bit bands, which admitted 25 % of ALL pairs as
-# candidates and passed unrelated pairs at 0.2 % — the exact
+# byte stream differs): a per-band SimHash over 32-byte frame hashes,
+# banded so candidates come from an equi self-join on band values,
+# then exact Hamming verification (<= 3, which by pigeonhole over the
+# fixed 4 bands always leaves a shared band — the same declared-recall
+# contract as dd5/dd6). Geometry math, not vibes: a RANDOM pair
+# collides in one b-bit band with probability 2^-b, so candidates
+# ~ 4 n^2 / 2^(b+1); band WIDTH grows with corpus size
+# (_mm5_geometry, mirroring llmdata._dd6_geometry — VERDICT r5 #2:
+# the r5 fixed 4x16 put ~3e9 candidate pairs on a 10M-item corpus,
+# the same decade cliff dd6 auto-escapes) while the band COUNT stays
+# 4, because the pigeonhole recall guarantee at hamming <= 3 needs
+# >= 4 disjoint bands and each extra band adds candidate mass
+# linearly. Widening is paid from md5's 128-bit budget: band b draws
+# its frame-hash word from hex chars [8b+1, 8b+8) of the frame md5,
+# so each band has an independent 32-bit word to vote over and up to
+# 4 x 32 signature bits exist — no second hash pass at any geometry.
+# (The first cut of this operator used 16-bit signatures with 4-bit
+# bands, which admitted 25 % of ALL pairs as candidates — the exact
 # quadratic cliff SCALING.md documents for dd6's original 4x4
-# geometry; review caught it, this is the fix). The signature is two
-# 32-bit words (BIGINT-safe everywhere); votes fold map-side over the
-# per-row frame array — no explode, no shuffle until the banded join.
-# The majority tie rule (sum >= 0 -> bit set) matches dd5's
+# geometry; review caught it.) The signature is array<bigint>[4]
+# (BIGINT-safe everywhere); votes fold map-side over the per-row
+# frame array — no explode, no shuffle until the banded join. The
+# majority tie rule (sum >= 0 -> bit set) matches dd5's
 # 2*count >= n convention (llmdata.py dd5); the frame hash is the
 # md5-hex-to-int convention every dedup oracle shares.
 #
 # UNREGISTERED (50-entry driver snapshot cap) — oracle-compared in
-# tests/test_suite_oracle.py.
+# tests/test_suite_oracle.py; geometry swept in tests/test_mm5_geometry.py.
 
 _MM5_FRAME = 32
-_MM5_WORD_BITS = 32          # per signature word; 2 words = 64 bits
-_MM5_BAND_BITS = 16          # 2 bands per word, 4 bands total
+_MM5_BANDS = 4               # pigeonhole: hamming <= 3 always shares a band
+_MM5_BAND_BITS = 16          # <= 30k items; wider per decade (_mm5_geometry)
 _MM5_MAX_HAMMING = 3
+
+
+def _mm5_geometry(n_items: int) -> tuple[int, int]:
+    """(n_bands, band_bits) tuned to media-corpus size.
+
+    Bands stay 4 (the hamming<=3 pigeonhole recall contract); bits per
+    band grow ~log2(n^2) = 6.6/decade so the RANDOM-collision
+    candidate mass 4 n^2 / 2^(bits+1) stays roughly constant (~2e4
+    pairs) instead of quadratic, capping at md5's 4x32-bit budget.
+    Quantized to decade-wide steps so the whole driver/oracle scale
+    range (<= 30k items: sf0.001 through sf1.0 documents) keeps the
+    measured 4x16 geometry — the static DuckDB oracle states that
+    exact contract (the same convention as _dd6_geometry). Analytic
+    collision mass per step (verified empirically in
+    tests/test_mm5_geometry.py):
+
+      <=30k:  4x16 — 4n^2/2^17: <= 2.7e4 pairs (0.006 % of pairs)
+      <=300k: 4x23 — 4n^2/2^24: <= 2.1e4
+      <=3M:   4x30 — 4n^2/2^31: <= 1.7e4
+      else:   4x32 — md5 budget cap; ~4.2e5 at 30M items
+
+    Wider bands lower per-band recall for DILUTED near-dups (a flipped
+    bit is more likely to land inside any given band), but the
+    DECLARED contract — every pair within hamming 3 of the full
+    signature is found — is geometry-independent by pigeonhole, and
+    identical payloads agree on every band at any width."""
+    if n_items <= 30_000:
+        return (_MM5_BANDS, _MM5_BAND_BITS)
+    if n_items <= 300_000:
+        return (_MM5_BANDS, 23)
+    if n_items <= 3_000_000:
+        return (_MM5_BANDS, 30)
+    return (_MM5_BANDS, 32)
 
 
 def _mm5_sql() -> str:
     # the oracle frames TEXT where Spark frames the payload BYTES —
     # exact because the testdata payloads are the UTF-8 bytes of
-    # ASCII text (the same parity convention mm3/mm4 state)
+    # ASCII text (the same parity convention mm3/mm4 state). States
+    # the <= 30k-item geometry (4 x 16), exactly as dd6's oracle
+    # states its <= 30k geometry — the driver corpora never leave
+    # that decade.
     from .llmdata import _hex_to_int_sql
 
     frame = (
         f"substr(text, CAST(i AS INTEGER) * {_MM5_FRAME} + 1, {_MM5_FRAME})"
     )
-    h1 = _hex_to_int_sql(f"substr(md5({frame}), 1, 8)")
-    h2 = _hex_to_int_sql(f"substr(md5({frame}), 9, 8)")
-
-    def word_sig(col: str, alias: str) -> str:
-        return f"""
-    SELECT media_id,
-           CAST(sum(CASE WHEN s >= 0 THEN 1 << b ELSE 0 END) AS BIGINT)
-               AS {alias}
-    FROM (
-        SELECT media_id, b, sum((({col} >> b) & 1) * 2 - 1) AS s
-        FROM frames CROSS JOIN (
-            SELECT unnest(range(0, {_MM5_WORD_BITS})) AS b
-        )
-        GROUP BY media_id, b
-    ) GROUP BY media_id
-"""
+    w = _hex_to_int_sql("substr(h, b * 8 + 1, 8)")
 
     return f"""
 WITH frames AS (
-    SELECT doc_id AS media_id, {h1} AS h1, {h2} AS h2
+    SELECT doc_id AS media_id, md5({frame}) AS h
     FROM (
         SELECT doc_id, text,
                unnest(range(0, (length(text) + {_MM5_FRAME - 1})
@@ -240,118 +268,100 @@ WITH frames AS (
         FROM documents
     )
 ),
-sig_hi AS ({word_sig("h1", "hi")}),
-sig_lo AS ({word_sig("h2", "lo")}),
-sig AS (
-    SELECT sig_hi.media_id, hi, lo
-    FROM sig_hi JOIN sig_lo ON sig_hi.media_id = sig_lo.media_id
+words AS (
+    SELECT media_id, b, {w} AS w
+    FROM frames CROSS JOIN (SELECT unnest(range(0, {_MM5_BANDS})) AS b)
 ),
-bands AS (
-    SELECT media_id, hi, lo, b AS band_idx,
-           CASE WHEN b < 2
-                THEN (hi >> (b * {_MM5_BAND_BITS}))
-                     & {2 ** _MM5_BAND_BITS - 1}
-                ELSE (lo >> ((b - 2) * {_MM5_BAND_BITS}))
-                     & {2 ** _MM5_BAND_BITS - 1}
-           END AS band_val
-    FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+votes AS (
+    SELECT media_id, b, j, sum(((w >> j) & 1) * 2 - 1) AS s
+    FROM words CROSS JOIN (
+        SELECT unnest(range(0, {_MM5_BAND_BITS})) AS j
+    )
+    GROUP BY media_id, b, j
+),
+sig AS (
+    SELECT media_id, b,
+           CAST(sum(CASE WHEN s >= 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+               AS sigw
+    FROM votes GROUP BY media_id, b
 ),
 cand AS (
-    SELECT DISTINCT a.media_id AS media_a, a.hi AS hi_a, a.lo AS lo_a,
-                    c.media_id AS media_b, c.hi AS hi_b, c.lo AS lo_b
-    FROM bands a JOIN bands c
-      ON a.band_idx = c.band_idx AND a.band_val = c.band_val
-     AND a.media_id < c.media_id
+    SELECT DISTINCT a.media_id AS media_a, c.media_id AS media_b
+    FROM sig a JOIN sig c
+      ON a.b = c.b AND a.sigw = c.sigw AND a.media_id < c.media_id
+),
+ham AS (
+    SELECT cand.media_a, cand.media_b,
+           CAST(sum(bit_count(xor(sa.sigw, sb.sigw))) AS BIGINT) AS hamming
+    FROM cand
+    JOIN sig sa ON sa.media_id = cand.media_a
+    JOIN sig sb ON sb.media_id = cand.media_b AND sb.b = sa.b
+    GROUP BY cand.media_a, cand.media_b
 )
-SELECT media_a, media_b,
-       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
-            AS BIGINT) AS hamming
-FROM cand
-WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
-      <= {_MM5_MAX_HAMMING}
+SELECT media_a, media_b, hamming FROM ham
+WHERE hamming <= {_MM5_MAX_HAMMING}
 """
 
 
 MM5_SQL = _mm5_sql()
 
 
-def mm5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate media pairs by frame-level SimHash: Hamming
-    distance <= 3 over 64-bit signatures, candidates from a 4 x
-    16-bit banded equi self-join.
-
-    Scale design: frame hashing and the per-bit majority folds run as
-    array higher-order functions over each row's frame array — the
-    signature pass is scan-shaped; the signature table (three longs
-    per item) is localCheckpointed before the self-join so the
-    payload scan + hashing pipeline runs ONCE, not once per join side
-    (the dd4 lesson). Candidate volume is ~4 n^2 / 2^17 on random
-    signatures — at 1M items ~3e7 pairs, each verified by two
-    bit_counts with no payload access; genuinely-correlated corpora
-    (near-dup heavy) grow candidates with true pairs, which is the
-    output size. Identical payloads agree on every band, so exact
-    dups are always found; a pair at hamming <= 3 always shares a
-    band (4 bands, 3 flipped bits), so recall within the declared
-    threshold is exact."""
-    media = media_from_documents(
-        load_table(spark, sf_dir, "documents")
-    ).filter(F.length("payload") > 0)
-    frame = (
-        f"substring(payload, i * {_MM5_FRAME} + 1, {_MM5_FRAME})"
-    )
-    frames = F.expr(
-        f"""transform(
-            sequence(0, cast(ceil(length(payload) / {_MM5_FRAME}.0) as int) - 1),
-            i -> struct(
-                cast(conv(substring(md5({frame}), 1, 8), 16, 10) as bigint)
-                    as h1,
-                cast(conv(substring(md5({frame}), 9, 8), 16, 10) as bigint)
-                    as h2
-            )
-        )"""
+def _mm5_signatures(media: DataFrame, band_bits: int) -> DataFrame:
+    """``(media_id, sig array<bigint>[4])`` — per-band SimHash words
+    over 32-byte frame md5s. Band b votes over the low ``band_bits``
+    bits of the frame word drawn from md5 hex chars [8b+1, 8b+8], so
+    every geometry up to 4 x 32 costs exactly one md5 per frame. The
+    frame-word array materializes once per row (``ws``) and the four
+    band folds reuse it — 4 array passes total, not 4 x band_bits
+    single-bit folds."""
+    frame = f"substring(payload, i * {_MM5_FRAME} + 1, {_MM5_FRAME})"
+    with_words = media.select(
+        "media_id",
+        F.expr(
+            f"""transform(
+                transform(
+                    sequence(0,
+                        cast(ceil(length(payload) / {_MM5_FRAME}.0) as int)
+                        - 1),
+                    i -> md5({frame})),
+                h -> transform(sequence(0, {_MM5_BANDS - 1}),
+                    b -> cast(conv(substring(h, b * 8 + 1, 8), 16, 10)
+                              as bigint)))"""
+        ).alias("ws"),
     )
 
-    def word_sig(field: str):
-        votes = [
-            F.expr(
-                f"aggregate(hs, 0L, (acc, f) -> "
-                f"acc + (shiftright(f.{field}, {b}) & 1L) * 2 - 1)"
-            )
-            for b in range(_MM5_WORD_BITS)
-        ]
-        return sum(
-            (
-                F.when(v >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-                for b, v in enumerate(votes)
-            ),
-            F.lit(0),
-        ).cast("long")
-
-    sigs = (
-        media.select("media_id", frames.alias("hs"))
-        .select(
-            "media_id",
-            word_sig("h1").alias("hi"),
-            word_sig("h2").alias("lo"),
+    def band_sig(b: int):
+        votes = (
+            f"aggregate(ws, array_repeat(0L, {band_bits}), "
+            f"(acc, w) -> zip_with(acc, "
+            f"transform(sequence(0, {band_bits - 1}), "
+            f"j -> (shiftright(w[{b}], j) & 1L) * 2L - 1L), "
+            f"(x, y) -> x + y))"
         )
-        .localCheckpoint(eager=True)
+        return F.expr(
+            f"aggregate(zip_with({votes}, sequence(0, {band_bits - 1}), "
+            f"(v, j) -> IF(v >= 0, shiftleft(1L, j), 0L)), "
+            f"0L, (a, x) -> a + x)"
+        )
+
+    return with_words.select(
+        "media_id",
+        F.array(*[band_sig(b) for b in range(_MM5_BANDS)]).alias("sig"),
     )
-    band_arr = F.expr(
-        f"""transform(sequence(0, 3), b -> CASE WHEN b < 2
-            THEN shiftright(hi, b * {_MM5_BAND_BITS})
-                 & {2 ** _MM5_BAND_BITS - 1}
-            ELSE shiftright(lo, (b - 2) * {_MM5_BAND_BITS})
-                 & {2 ** _MM5_BAND_BITS - 1} END)"""
-    )
+
+
+def _mm5_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """``(media_a, sig_a, media_b, sig_b)`` pairs agreeing on at least
+    one band value — an equi self-join on (band_idx, band_val),
+    uniform hash keys, skew-free at any scale."""
     bands = sigs.select(
         "media_id",
-        "hi",
-        "lo",
-        F.posexplode(band_arr).alias("band_idx", "band_val"),
+        "sig",
+        F.posexplode("sig").alias("band_idx", "band_val"),
     )
     a = bands.alias("a")
     c = bands.alias("c")
-    cand = (
+    return (
         a.join(
             c,
             (F.col("a.band_idx") == F.col("c.band_idx"))
@@ -360,17 +370,51 @@ def mm5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("a.media_id").alias("media_a"),
-            F.col("a.hi").alias("hi_a"),
-            F.col("a.lo").alias("lo_a"),
+            F.col("a.sig").alias("sig_a"),
             F.col("c.media_id").alias("media_b"),
-            F.col("c.hi").alias("hi_b"),
-            F.col("c.lo").alias("lo_b"),
+            F.col("c.sig").alias("sig_b"),
         )
         .distinct()
     )
-    hamming = (
-        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+
+
+def mm5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media pairs by frame-level SimHash: Hamming
+    distance <= 3 over the 4-band signature, candidates from a banded
+    equi self-join at the corpus-size-tuned geometry (_mm5_geometry).
+
+    Scale design: frame hashing and the per-band majority folds run
+    as array higher-order functions over each row's frame array — the
+    signature pass is scan-shaped; the signature table (four longs
+    per item) is localCheckpointed before the self-join so the
+    payload scan + hashing pipeline runs ONCE, not once per join side
+    (the dd4 lesson). Candidate volume is ~4 n^2 / 2^(bits+1) on
+    random signatures and the geometry holds it ~2e4 pairs per decade
+    (the r5 fixed 4x16 would have put ~3e9 candidates on a 10M-item
+    corpus); each candidate is verified by four bit_counts with no
+    payload access; genuinely-correlated corpora (near-dup heavy)
+    grow candidates with true pairs, which is the output size.
+    Identical payloads agree on every band, so exact dups are always
+    found; a pair at hamming <= 3 always shares a band (4 bands, 3
+    flipped bits), so recall within the declared threshold is exact
+    at every geometry. The size probe is one count() over the media
+    frame — the same one-small-job convention as dd6's auto-tune."""
+    media = media_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.length("payload") > 0)
+    _, band_bits = _mm5_geometry(media.count())
+    sigs = _mm5_signatures(media, band_bits).localCheckpoint(eager=True)
+    return _mm5_pairs_from_sigs(sigs)
+
+
+def _mm5_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """Banded candidates -> exact Hamming verification (<= 3) over a
+    signature table — mm5's tail, factored so the geometry sweep test
+    can drive every band width through the production path."""
+    cand = _mm5_candidate_pairs(sigs)
+    hamming = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> bit_count(x ^ y)), "
+        "0, (a, v) -> a + v)"
     ).cast("long")
     return cand.select(
         "media_a", "media_b", hamming.alias("hamming")
