@@ -62,6 +62,7 @@ HEADLINE = [
     "card1_corpus_manifest",
     "tx7_model_quality_score",
     "sim5_sq8_ann",
+    "sim6_ivf_sq8_ann",
     "mm5_simhash_neardup",
 ]
 
@@ -88,6 +89,7 @@ UNREGISTERED = (
     "card1_corpus_manifest",
     "tx7_model_quality_score",
     "sim5_sq8_ann",
+    "sim6_ivf_sq8_ann",
     "mm5_simhash_neardup",
 )
 
@@ -210,6 +212,7 @@ def main() -> None:
         dd8_passage_dedup,
         dd9_canonical_keeper,
         sim5_sq8_ann,
+        sim6_ivf_sq8_ann,
         tx7_model_quality_score,
     )
     from inpe_queimadas_etl_spark.suite.multimodal import mm5_simhash_neardup
@@ -228,6 +231,7 @@ def main() -> None:
     queries.setdefault("card1_corpus_manifest", card1_corpus_manifest)
     queries.setdefault("tx7_model_quality_score", tx7_model_quality_score)
     queries.setdefault("sim5_sq8_ann", sim5_sq8_ann)
+    queries.setdefault("sim6_ivf_sq8_ann", sim6_ivf_sq8_ann)
     queries.setdefault("mm5_simhash_neardup", mm5_simhash_neardup)
     # skew demo pair: the recorded gap (naive single hot reducer vs
     # salted two-phase) is the artifact — see suite/skewdemo.py

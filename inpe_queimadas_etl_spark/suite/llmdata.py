@@ -1561,17 +1561,29 @@ def _cosine_top5(corpus: DataFrame, queries: DataFrame) -> DataFrame:
     tail of sim1, reused verbatim by sim5's quantized path so a
     tie-break or k change can never drift between the exact and
     compressed variants."""
+    paired = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    return _score_rank_top5(paired)
+
+
+def _score_rank_top5(paired: DataFrame) -> DataFrame:
+    """Score + rank ``(vec_id, v, nv, query_id, qv, nq)`` candidate
+    pairs: cosine via one zip_with fold, then the two-phase top-5
+    (per-partition prune, then global rank). Factored out of
+    _cosine_top5 so IVF-style paths (sim6), which pair by a cluster
+    equi-join instead of a crossJoin, share the EXACT same scoring
+    expression, tie-break and k — the drift-proofing VERDICT r5 #3
+    asks for."""
     dot = F.aggregate(
         F.zip_with("qv", "v", lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = (
-        corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        # try_divide: a zero-norm embedding scores NULL instead of
-        # raising ANSI DIVIDE_BY_ZERO (same IEEE division otherwise)
-        .withColumn("sim", F.try_divide(dot, F.col("nq") * F.col("nv")))
+    # try_divide: a zero-norm embedding scores NULL instead of
+    # raising ANSI DIVIDE_BY_ZERO (same IEEE division otherwise)
+    scored = paired.withColumn(
+        "sim", F.try_divide(dot, F.col("nq") * F.col("nv"))
     )
     order = [F.desc("sim"), F.asc("vec_id")]
     w_local = Window.partitionBy("query_id", "pid").orderBy(*order)
@@ -2721,3 +2733,201 @@ def sim5_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nq", norm(F.col("qv")))
     )
     return _cosine_top5(deq, queries)
+
+
+# --- sim6: IVF over SQ8 codes ----------------------------------------------
+# The composite 100-TB serving shape (VERDICT r5 #3): sim4's coarse
+# IVF probing to shrink the candidate set to ~nprobe*n/K, OVER sim5's
+# int8 code store so the scanned bytes are 8x smaller — probe nprobe
+# clusters, dequantize ONLY the probed candidates (the dequantize
+# expression lives in the post-join projection, never over the full
+# corpus), rerank with the same shared _score_rank_top5 tail sim1 and
+# sim5 use. The code store carries (codes, vmin, vscale, centroid_id,
+# nv) per vector — quantization, assignment, and the dequantized norm
+# are all computed map-side at build time; the float vector is
+# dropped, which is the 8x memory point.
+#
+# UNREGISTERED (50-entry driver snapshot cap) — oracle-compared and
+# recall-gated in tests/test_suite_oracle.py; plan pinned in
+# tests/test_plans.py.
+
+SIM6_SQL = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {_IVF_K}
+),
+ranked AS (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                        c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cent c
+),
+enc AS (
+    SELECT vec_id, centroid_id, v, vmin,
+           CASE WHEN vmax > vmin THEN (vmax - vmin) / 255.0 ELSE 1.0 END
+               AS vscale
+    FROM (
+        SELECT vec_id, centroid_id, v,
+               list_min(v) AS vmin, list_max(v) AS vmax
+        FROM ranked WHERE rn = 1
+    )
+),
+deq AS (
+    SELECT vec_id, centroid_id,
+           list_transform(v, x ->
+               vmin + floor((x - vmin) / vscale + 0.5) * vscale) AS dv
+    FROM enc
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv, centroid_id AS qcluster
+    FROM ranked
+    WHERE rn <= {_IVF_NPROBE} AND vec_id >= 8 AND vec_id < 16
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(sim, 4) AS sim
+FROM (
+    SELECT q.query_id, a.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qv, a.dv) AS sim,
+           row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.qv, a.dv) DESC,
+                        a.vec_id ASC) AS rank
+    FROM q JOIN deq a
+      ON a.centroid_id = q.qcluster AND a.vec_id <> q.query_id
+) WHERE rank <= 5
+"""
+
+
+def sim6_code_store(emb: DataFrame) -> DataFrame:
+    """Build the IVF+SQ8 code store from ``(vec_id, v, nrm)``:
+    ``(vec_id, centroid_id, codes array<int>, vmin, vscale, nv)``.
+
+    Everything here is map-side given the broadcast codebook: nearest
+    centroid (argmax over K cosines), min/max scalar quantization,
+    and the DEQUANTIZED norm (stored so search never recomputes it).
+    The float vector is dropped — at 100 TB this table is the ~12.5
+    TB artifact a deployment materializes, bucketed by centroid_id so
+    the probe join needs no corpus shuffle."""
+    from ..operators.similarity import dot_product
+
+    cent = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("centroid_id")
+    )
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .withColumn(
+            "csim",
+            F.try_divide(dot_product("v", "cv"), F.col("nrm") * F.col("cn")),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "v")
+    )
+    vmin = F.array_min("v")
+    vmax = F.array_max("v")
+    vscale = F.when(vmax > vmin, (vmax - vmin) / 255.0).otherwise(F.lit(1.0))
+    enc = assigned.select(
+        "vec_id",
+        "centroid_id",
+        "v",
+        vmin.alias("vmin"),
+        vscale.alias("vscale"),
+    )
+    codes = F.transform(
+        "v",
+        lambda x: F.floor((x - F.col("vmin")) / F.col("vscale") + 0.5).cast(
+            "int"
+        ),
+    )
+    store = enc.select(
+        "vec_id", "centroid_id", "vmin", "vscale", codes.alias("codes")
+    )
+    deq = _sim6_dequantize()
+    nv = F.sqrt(
+        F.aggregate(deq, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return store.withColumn("nv", nv)
+
+
+def _sim6_dequantize():
+    """codes -> dequantized double array (vmin + code * vscale); the
+    same reconstruction sim5 states, applied to stored int codes."""
+    return F.transform(
+        "codes", lambda c: F.col("vmin") + c * F.col("vscale")
+    )
+
+
+def sim6_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine ANN probing IVF clusters over an int8 code store:
+    queries (vec_id 8..16, full precision, the sim4 convention) probe
+    their nprobe=2 nearest clusters; only the probed clusters'
+    candidates are dequantized and scored.
+
+    Scale design: the candidate set shrinks to ~nprobe*n/K BEFORE any
+    float reconstruction — the dequantize transform sits in the
+    projection AFTER the cluster equi-join (plan-pinned), so a 100-TB
+    deployment scans int8 codes, reconstructs only ~2/K of the
+    corpus, and reranks with the identical _score_rank_top5 tail as
+    sim1/sim5 (shared code, no drift). The probe join's stream side
+    is the code store partitioned by centroid_id (uniform small-K
+    key; at cluster scale, bucket the store by centroid_id and the
+    join is shuffle-free) with the query table broadcast."""
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    store = sim6_code_store(emb)
+
+    # query-side probe list: nprobe nearest centroids, full precision
+    from ..operators.similarity import dot_product
+
+    cent = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    qw = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("centroid_id")
+    )
+    q = (
+        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+        .join(F.broadcast(cent))
+        .withColumn(
+            "csim",
+            F.try_divide(dot_product("v", "cv"), F.col("nrm") * F.col("cn")),
+        )
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("nq"),
+            F.col("centroid_id").alias("qcluster"),
+        )
+    )
+    paired = store.join(
+        F.broadcast(q),
+        (F.col("centroid_id") == F.col("qcluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "vec_id",
+        _sim6_dequantize().alias("v"),
+        "nv",
+        "query_id",
+        "qv",
+        "nq",
+    )
+    return _score_rank_top5(paired)

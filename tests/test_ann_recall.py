@@ -100,3 +100,23 @@ def test_sim3_high_similarity_recall_near_perfect(spark, tmp_path):
         by_q.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
     found = sum(1 for q in range(8) if (n - 8 + q) in by_q.get(q, set()))
     assert found == 8, (found, {q: sorted(by_q.get(q, set())) for q in range(8)})
+
+
+def test_sim6_ivf_sq8_recall_matches_sim4_at_equal_candidates(spark):
+    """The IVF x SQ8 composite must hold the float IVF path's recall
+    at the same candidate budget (same K, same nprobe): int8
+    reconstruction error is ~vscale/2 per component, far below the
+    cos 0.3-0.5 neighbor gaps of this corpus. Measured: both 0.625 on
+    the driver testdata."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        sim4_ivf_ann,
+        sim6_ivf_sq8_ann,
+    )
+
+    V, ids = _load_testdata()
+    qidx = [int(np.nonzero(ids == q)[0][0]) for q in range(8, 16)]
+    exact = _exact_top5(V, ids, qidx)
+    r4 = _recall_at_5(sim4_ivf_ann, spark, SF001, exact)
+    r6 = _recall_at_5(sim6_ivf_sq8_ann, spark, SF001, exact)
+    assert r6 >= r4, (r6, r4)
+    assert r6 >= 0.5, r6

@@ -246,3 +246,37 @@ def test_sim5_broadcasts_queries_like_sim1(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sim6_dequantizes_only_probed_candidates(spark):
+    """sim6's 100-TB contract: the scoring-time reconstruction
+    (zip_with(qv, transform(codes, ...))) must sit ABOVE the cluster
+    probe join — only probed candidates are dequantized — and the
+    probe join must broadcast the query table, never shuffle the code
+    store. Below the join, the corpus side carries only build-time
+    encode work (quantize + stored norm), which a deployment pays
+    once at index build, not per query."""
+    from inpe_queimadas_etl_spark.suite.llmdata import sim6_ivf_sq8_ann
+
+    df = sim6_ivf_sq8_ann(spark, SF0001)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.split("\n")
+    probe_join = next(
+        i for i, l in enumerate(lines) if "Join" in l and "qcluster" in l
+    )
+    assert "strategy=broadcast" in lines[probe_join], lines[probe_join]
+    score_deq = next(
+        i
+        for i, l in enumerate(lines)
+        if "zip_with" in l and "transform(codes" in l
+    )
+    # smaller index = closer to the plan root = above the join
+    assert score_deq < probe_join, (
+        f"scoring dequantize at line {score_deq} is NOT above the probe "
+        f"join at {probe_join}:\n{plan}"
+    )
+    # and the physical plan keeps the store side shuffle-free into the
+    # probe join (queries broadcast; no SortMergeJoin anywhere)
+    phys = _plan(df, "simple")
+    assert "SortMergeJoin" not in phys, phys
+    assert "CartesianProduct" not in phys, phys

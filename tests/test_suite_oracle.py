@@ -428,3 +428,14 @@ def test_mm5_finds_exact_and_near_payload_dups(spark):
     assert (0, 2) in pairs.index or (1, 2) in pairs.index
     for b in (0, 1, 2):
         assert (b, 3) not in pairs.index and (3, b) not in pairs.index
+
+def test_sim6_ivf_sq8_matches_oracle(spark):
+    """sim6 is unregistered (50-entry snapshot cap) but oracle-checked
+    here: IVF probing over an int8 code store, dequantize only the
+    probed candidates, shared rerank tail (VERDICT r5 #3)."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        SIM6_SQL,
+        sim6_ivf_sq8_ann,
+    )
+
+    _compare_to_oracle(spark, "sim6_ivf_sq8_ann", sim6_ivf_sq8_ann, SIM6_SQL)
