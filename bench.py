@@ -61,6 +61,7 @@ HEADLINE = [
     "cur6_leakfree_split",
     "card1_corpus_manifest",
     "tx7_model_quality_score",
+    "tx7_broadcast_quality_score",
     "sim5_sq8_ann",
     "sim6_ivf_sq8_ann",
     "mm5_simhash_neardup",
@@ -88,6 +89,7 @@ UNREGISTERED = (
     "cur6_leakfree_split",
     "card1_corpus_manifest",
     "tx7_model_quality_score",
+    "tx7_broadcast_quality_score",
     "sim5_sq8_ann",
     "sim6_ivf_sq8_ann",
     "mm5_simhash_neardup",
@@ -213,6 +215,7 @@ def main() -> None:
         dd9_canonical_keeper,
         sim5_sq8_ann,
         sim6_ivf_sq8_ann,
+        tx7_broadcast_quality_score,
         tx7_model_quality_score,
     )
     from inpe_queimadas_etl_spark.suite.multimodal import mm5_simhash_neardup
@@ -230,6 +233,9 @@ def main() -> None:
     queries.setdefault("cur6_leakfree_split", cur6_leakfree_split)
     queries.setdefault("card1_corpus_manifest", card1_corpus_manifest)
     queries.setdefault("tx7_model_quality_score", tx7_model_quality_score)
+    queries.setdefault(
+        "tx7_broadcast_quality_score", tx7_broadcast_quality_score
+    )
     queries.setdefault("sim5_sq8_ann", sim5_sq8_ann)
     queries.setdefault("sim6_ivf_sq8_ann", sim6_ivf_sq8_ann)
     queries.setdefault("mm5_simhash_neardup", mm5_simhash_neardup)

@@ -2575,17 +2575,18 @@ def card1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_suite_oracle.py, like geo8/dd8/cur5.
 
 _TX7_BUCKETS = 64
+_TX7_BIG_BUCKETS = 1 << 18  # realistic vocab-hash size (broadcast path)
 _TX7_BIAS = -3.0  # dyadic, exact
 
 
-def _tx7_weights() -> list[float]:
+def _tx7_weights(buckets: int = _TX7_BUCKETS) -> list[float]:
     """Deterministic per-bucket weights in [-1000, 1000]/1024 —
     dyadic rationals, so any summation order yields the same double."""
     from ..operators.similarity import _splitmix64
 
     return [
         ((_splitmix64(7_777_777 + b) % 2001) - 1000) / 1024.0
-        for b in range(_TX7_BUCKETS)
+        for b in range(buckets)
     ]
 
 
@@ -2631,6 +2632,55 @@ def tx7_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(_TX7_BIAS)
     )
     return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        logit.alias("logit"),
+        (logit > 0).alias("quality_pass"),
+    )
+
+
+def tx7_broadcast_quality_score(
+    spark: SparkSession, sf_dir: str, buckets: int = _TX7_BIG_BUCKETS
+) -> DataFrame:
+    """tx7 at realistic vocab-hash size (VERDICT r5 #4): the same
+    hashed-linear model with the weight table past the literal-array
+    comfort zone (default 2^18 buckets = 2 MB of doubles — a literal
+    array of 262144 F.lit nodes would blow up analysis/codegen).
+
+    The weight table ships as a SINGLE-ROW broadcast DataFrame
+    carrying the whole array, crossJoined in (BroadcastNestedLoopJoin
+    against a 1-row side — each output row references the broadcast
+    array, nothing is per-row copied in the fused stage), and the
+    per-word lookup stays the same element_at + fold in codegen:
+    zero corpus shuffle, zero UDF, same plan family as the literal
+    path. This is deliberately NOT explode + equi-join + re-agg: that
+    shape re-shuffles one row per document for the re-aggregation and
+    leaves the scan, for no benefit at any K that fits a broadcast
+    (a 2^18 x 8B table is 2 MB; even 2^27 is 1 GB — broadcastable on
+    real executors).
+
+    Value parity with the literal-array path at the demo K, the
+    oracle check at the demo K, and the no-shuffle plan pin live in
+    tests/test_suite_oracle.py and tests/test_plans.py. Weights are
+    the same dyadic splitmix64 synthesis (a trained model drops in as
+    a (bucket, weight) table collected to one array row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wdf = spark.createDataFrame(
+        [(_tx7_weights(buckets),)], "warr array<double>"
+    )
+    w = F.split(F.col("text"), " ")
+    per_word = F.transform(
+        w,
+        lambda x: F.element_at(
+            F.col("warr"),
+            (_word_hash_spark(x) % buckets + 1).cast("int"),
+        ),
+    )
+    logit = (
+        F.aggregate(per_word, F.lit(0.0), lambda acc, x: acc + x)
+        + F.lit(_TX7_BIAS)
+    )
+    return docs.crossJoin(F.broadcast(wdf)).select(
         "doc_id",
         F.size(w).cast("long").alias("n_words"),
         logit.alias("logit"),

@@ -280,3 +280,22 @@ def test_sim6_dequantizes_only_probed_candidates(spark):
     phys = _plan(df, "simple")
     assert "SortMergeJoin" not in phys, phys
     assert "CartesianProduct" not in phys, phys
+
+
+def test_tx7_broadcast_path_no_corpus_shuffle(spark):
+    """tx7's 2^18-bucket variant must keep the literal path's scale
+    shape: the weight table joins as a broadcast (single-row side),
+    the fold stays in the scan stage, and the corpus never shuffles —
+    explode + equi-join + re-agg would re-shuffle one row per doc."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        tx7_broadcast_quality_score,
+    )
+
+    plan = _plan(tx7_broadcast_quality_score(spark, SF0001), "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the weight table's BroadcastExchange is the point; any OTHER
+    # exchange is a corpus shuffle and fails
+    assert plan.count("Exchange") == plan.count("BroadcastExchange"), (
+        f"tx7 broadcast path gained a shuffle:\n{plan}"
+    )
+    assert "SortMergeJoin" not in plan, plan
