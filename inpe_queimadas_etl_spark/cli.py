@@ -291,6 +291,7 @@ def cmd_corpus_curate(args) -> int:
         token_budget=args.token_budget,
         pack_budget=args.pack_budget,
         write_packs=args.write_packs,
+        split_by=args.split_by,
     )
     log.info("corpus-curate | manifest | %s", json.dumps(manifest, default=str))
     return 0
@@ -403,6 +404,15 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="also materialize out-dir/packs: one row per training "
         "sequence, member texts concatenated in doc_id order",
+    )
+    cur.add_argument(
+        "--split-by",
+        choices=("clusters", "content"),
+        default="clusters",
+        help="split closure: 'clusters' (default) moves whole near-dup "
+        "clusters as one unit; 'content' is the cheaper exact-dup-"
+        "closed content-hash split for corpora that arrive already "
+        "near-dup-deduped",
     )
     cur.add_argument("--log-dir")
     return ap

@@ -55,6 +55,7 @@ from .suite.llmdata import (
     pack_doc_assignments,
     repetition_stats,
     split_from_clusters,
+    split_from_content,
 )
 
 
@@ -221,6 +222,7 @@ def run_corpus_pipeline(
     n_shards: int | None = None,
     max_records_per_file: int | None = 100_000,
     write_packs: bool = False,
+    split_by: str = "clusters",
 ) -> dict:
     """Materialize ``corpus_dir``'s documents table into
     ``out_dir/corpus`` (parquet, partitioned by split) and return the
@@ -238,6 +240,10 @@ def run_corpus_pipeline(
     if not 0.0 <= lo <= hi <= 1.0:
         raise ValueError(
             f"split_bounds must satisfy 0<=lo<=hi<=1: {split_bounds}"
+        )
+    if split_by not in ("clusters", "content"):
+        raise ValueError(
+            f"split_by must be 'clusters' or 'content', got {split_by!r}"
         )
     if weights is not None:
         if any(v < 0 for v in weights.values()):
@@ -318,11 +324,26 @@ def run_corpus_pipeline(
             "skipped": True,
         }
 
-    # stage 5: near-dup-closed split over the SHARED labels
-    split = split_from_clusters(labels, bounds=split_bounds).select(
-        "doc_id", "cluster_id", "split"
-    )
-    final = sampled.join(split, "doc_id")
+    # stage 5: the split. Default "clusters" = near-dup-closed over
+    # the SHARED labels (a near-dup pair can never straddle eval and
+    # train); "content" = the cheaper exact-dup-closed content-hash
+    # assignment (cur6 semantics) for corpora that arrive ALREADY
+    # near-dup-deduped — there the closure has nothing left to close
+    # and the content hash skips the label join entirely. cluster_id
+    # lineage is carried in both modes (labels exist either way — the
+    # curation stage already paid for them).
+    if split_by == "clusters":
+        split = split_from_clusters(labels, bounds=split_bounds).select(
+            "doc_id", "cluster_id", "split"
+        )
+        final = sampled.join(split, "doc_id")
+    else:
+        split = split_from_content(sampled, bounds=split_bounds).select(
+            "doc_id", "split"
+        )
+        final = sampled.join(split, "doc_id").join(
+            labels.select("doc_id", "cluster_id"), "doc_id"
+        )
 
     # stage 6: pack assignment within (split, lang, shard)
     packed = pack_doc_assignments(
@@ -406,6 +427,7 @@ def run_corpus_pipeline(
         ),
         "contaminated_dropped": n_contaminated,
         "mixture": mix_stats,
+        "split_by": split_by,
         "splits": per_split,
         "pack_budget": pack_budget,
         "pack_shards": pack_shards,

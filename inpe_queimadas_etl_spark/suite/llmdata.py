@@ -2456,13 +2456,25 @@ def cur6_leakfree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: pure scan-shaped projection — two md5s and a CASE
     per row, zero shuffle, pipelines into the writer's partitionBy
     ("split") for a one-pass materialization at any corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
+    return split_from_content(load_table(spark, sf_dir, "documents"))
+
+
+def split_from_content(
+    docs: DataFrame, bounds: tuple[float, float] = _CUR6_BOUNDS
+) -> DataFrame:
+    """DataFrame-level body of cur6_leakfree_split — injectable so
+    corpus_pipeline's ``split_by="content"`` mode shares the exact
+    registered semantics (the cheaper split for ALREADY-DEDUPED
+    corpora, where near-dup closure has nothing left to close)."""
+    lo, hi = bounds
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(f"split bounds must satisfy 0<=lo<=hi<=1: {bounds}")
     frac = _hash_frac_spark(F.concat(F.lit("split:"), F.md5("text")))
     return docs.select(
         "doc_id",
         F.md5("text").alias("content_hash"),
-        F.when(frac < _CUR6_BOUNDS[0], "train")
-        .when(frac < _CUR6_BOUNDS[1], "validation")
+        F.when(frac < lo, "train")
+        .when(frac < hi, "validation")
         .otherwise("test")
         .alias("split"),
     )

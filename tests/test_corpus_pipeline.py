@@ -478,3 +478,71 @@ def test_string_id_collision_guard(spark):
     )
     with _pytest.raises(ValueError, match="collision.*urn:a.*urn:b"):
         _assert_no_id_collisions(collided)
+
+
+def test_split_by_content_mode(spark, tmp_path):
+    """--split-by content (VERDICT r5 #7): the pipeline's content
+    mode assigns splits by md5(text) hash — byte-identical documents
+    co-assign, assignments match the registered cur6 semantics
+    (split_from_content), cluster_id lineage is still carried, and
+    the manifest records the mode."""
+    from inpe_queimadas_etl_spark.suite.llmdata import split_from_content
+
+    out = str(tmp_path / "out_content")
+    manifest = run_corpus_pipeline(
+        spark, SF0001, out, split_by="content"
+    )
+    assert manifest["split_by"] == "content"
+    written = spark.read.parquet(os.path.join(out, "corpus"))
+    assert "cluster_id" in written.columns
+    # assignment matches the registered operator's semantics row-f-row
+    expected = {
+        r["doc_id"]: r["split"]
+        for r in split_from_content(
+            spark.read.parquet(f"{SF0001}/documents.parquet")
+        ).collect()
+    }
+    rows = written.select("doc_id", "split").collect()
+    assert rows
+    for r in rows:
+        assert expected[r["doc_id"]] == r["split"], r
+    # invalid mode refused before any work
+    with pytest.raises(ValueError, match="split_by"):
+        run_corpus_pipeline(
+            spark, SF0001, str(tmp_path / "bad"), split_by="rand"
+        )
+
+
+def test_split_by_cli_flag(tmp_path, monkeypatch):
+    """The corpus-curate CLI passes --split-by through."""
+    import inpe_queimadas_etl_spark.cli as cli
+
+    seen = {}
+
+    def fake_run(spark, corpus_dir, out_dir, **kw):
+        seen.update(kw)
+        return {"ok": True}
+
+    monkeypatch.setattr(
+        "inpe_queimadas_etl_spark.corpus_pipeline.run_corpus_pipeline",
+        fake_run,
+    )
+    monkeypatch.setattr(
+        cli, "_setup_logging", lambda *a, **k: None, raising=False
+    )
+    import inpe_queimadas_etl_spark.session as sess
+
+    class _FakeSpark:
+        pass
+
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: _FakeSpark())
+    rc = cli.main(
+        [
+            "corpus-curate",
+            "--corpus-dir", SF0001,
+            "--out-dir", str(tmp_path / "o"),
+            "--split-by", "content",
+        ]
+    )
+    assert rc == 0
+    assert seen["split_by"] == "content"
