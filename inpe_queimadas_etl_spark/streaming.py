@@ -211,11 +211,20 @@ _BENIGN_MISSING = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
 def _read_or_empty(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
     """Read a parquet dir that may not exist yet (first micro-batch);
     fall back to an empty frame with ``like``'s schema. Only the
-    missing-path / empty-dir error classes are swallowed."""
+    missing-path / empty-dir error classes are swallowed.
+
+    mergeSchema=true: sink dirs accumulate one partition per batch
+    across UPGRADES, so partitions can disagree on optional columns
+    (the embedding index's pre-dim era is the live case — ADVICE r5).
+    Without merging, Spark resolves the schema from an arbitrary
+    footer: a mixed-era index could read WITHOUT its dim column and
+    index_geometry's mixed-geometry guard would never see the modern
+    rows' dim to compare. Merged, legacy rows surface as null dim and
+    the guard's coalesce/raise logic is reliable."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(path)
+        return spark.read.option("mergeSchema", "true").parquet(path)
     except AnalysisException as ex:
         probe = getattr(ex, "getCondition", None) or getattr(
             ex, "getErrorClass", lambda: None
@@ -636,6 +645,8 @@ def start_embedding_dedup_stream(
     )
     src = spark.readStream.schema(schema).parquet(vecs_dir)
     empty_vecs = spark.createDataFrame([], schema)
+    # per-drain geometry memo (see the probe comment in run_batch)
+    geom_cache: dict = {}
 
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)
@@ -668,16 +679,22 @@ def start_embedding_dedup_stream(
         )
         accepted = _exclude_current(accepted_all, batch_id)
         bi = _exclude_current(bi_all, batch_id)
-        # probe the index's recorded geometry ONCE per batch (it is a
-        # constant-column read, but still a Spark job over the index
-        # parquet) and share it between the dedup probe and the index
-        # increment; only an empty index (first batch) auto-tunes. On
-        # batch 0 the probe returns None and a dim=None triple is
-        # passed down — "index empty, band the batch at its own dim" —
-        # so the dedup call never re-probes the index itself.
+        # probe the index's recorded geometry ONCE per drain, cached
+        # across batches (ADVICE-r5-follow-up: the probe aggregates
+        # the distinct-geometry set over the whole index, so paying
+        # it per batch grows linearly with index size for three
+        # constants that CANNOT change once set — the index writer
+        # always re-records the learned geometry and mismatches are
+        # refused). Only while the index is still empty (geom None)
+        # does the next batch re-probe. On batch 0 a dim=None triple
+        # is passed down — "index empty, band the batch at its own
+        # dim" — so the dedup call never re-probes the index itself.
         from .incremental import index_geometry
 
-        geom = index_geometry(bi)
+        geom = geom_cache.get("geom")
+        if geom is None:
+            geom = index_geometry(bi)
+            geom_cache["geom"] = geom
         if geom is None:
             from .suite.llmdata import _dd6_geometry
 

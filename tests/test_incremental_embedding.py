@@ -245,3 +245,33 @@ def test_index_geometry_legacy_and_mixed_partitions(spark):
         "n_bands int, band_bits int",
     )
     assert index_geometry(no_dim) == (8, 16, _EMB_DIM)
+
+
+def test_mixed_era_index_parquet_read_surfaces_dim(spark, tmp_path):
+    """The drain's sink reads merge schemas (ADVICE r5 follow-up): a
+    legacy pre-dim partition next to a modern one must read WITH the
+    dim column (null on legacy rows) — without mergeSchema Spark can
+    resolve the no-dim footer and index_geometry's mixed-model guard
+    would never see the modern rows' dim to compare against."""
+    from inpe_queimadas_etl_spark.incremental import index_geometry
+    from inpe_queimadas_etl_spark.streaming import _read_or_empty
+
+    legacy = spark.createDataFrame(
+        [(1, 0, 11, 8, 16)],
+        "corpus_vec_id long, band_idx int, band_bucket long, "
+        "n_bands int, band_bits int",
+    )
+    modern = spark.createDataFrame(
+        [(2, 0, 12, 8, 16, 384)],
+        "corpus_vec_id long, band_idx int, band_bucket long, "
+        "n_bands int, band_bits int, dim int",
+    )
+    root = str(tmp_path / "bands")
+    legacy.write.parquet(f"{root}/batch_id=0")
+    modern.write.parquet(f"{root}/batch_id=1")
+    df = _read_or_empty(spark, root, modern)
+    assert "dim" in df.columns
+    # legacy rows coalesce to the pre-dim default (64) vs modern 384:
+    # a genuinely mixed-model index, refused loudly
+    with pytest.raises(ValueError, match="mixes geometries"):
+        index_geometry(df.drop("batch_id") if "batch_id" in df.columns else df)

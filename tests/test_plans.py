@@ -282,20 +282,56 @@ def test_sim6_dequantizes_only_probed_candidates(spark):
     assert "CartesianProduct" not in phys, phys
 
 
-def test_tx7_broadcast_path_no_corpus_shuffle(spark):
-    """tx7's 2^18-bucket variant must keep the literal path's scale
-    shape: the weight table joins as a broadcast (single-row side),
-    the fold stays in the scan stage, and the corpus never shuffles —
-    explode + equi-join + re-agg would re-shuffle one row per doc."""
+def test_tx7_broadcast_lookup_plan_shape(spark):
+    """tx7's 2^18-bucket variant: the model table joins as a
+    BroadcastHashJoin (O(1) bucket probe per word — never a shuffled
+    join of the exploded corpus against the model), and the only
+    shuffle is the per-document re-aggregation, whose rows are
+    map-side-combined (doc_id, n_words, partial) triples — one per
+    document, independent of model size. The rejected shapes are
+    documented in the operator: the single-row array attach memcpys
+    the whole model per row; a SortMergeJoin would shuffle every
+    exploded word."""
     from inpe_queimadas_etl_spark.suite.llmdata import (
         tx7_broadcast_quality_score,
     )
 
     plan = _plan(tx7_broadcast_quality_score(spark, SF0001), "simple")
-    assert "BroadcastNestedLoopJoin" in plan, plan
-    # the weight table's BroadcastExchange is the point; any OTHER
-    # exchange is a corpus shuffle and fails
-    assert plan.count("Exchange") == plan.count("BroadcastExchange"), (
-        f"tx7 broadcast path gained a shuffle:\n{plan}"
-    )
+    assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # exactly one shuffle: the doc_id re-agg (plus the model table's
+    # BroadcastExchange, which is the point)
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles == 1, f"expected exactly the re-agg shuffle:\n{plan}"
+    # and it is preceded by a partial aggregate (map-side combine)
+    assert "partial_sum" in plan or "HashAggregate" in plan, plan
+
+
+def test_sim6_code_store_build_is_window_free(spark):
+    """sim6's index BUILD must not rank the K-times-expanded corpus
+    through a window (that shuffles ~K x the corpus at build time):
+    the nearest-centroid argmax is a per-row array_max over the
+    collected codebook, so the only shuffle exchange left is the
+    K-row centroid fold itself."""
+    from pyspark.sql import functions as F
+
+    from inpe_queimadas_etl_spark.session import load_table
+    from inpe_queimadas_etl_spark.suite.llmdata import sim6_code_store
+
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+
+    emb = (
+        load_table(spark, SF0001, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", vec_norm("v"))
+    )
+    plan = _plan(sim6_code_store(emb), "simple")
+    assert "Window" not in plan, f"build ranks via window:\n{plan}"
+    assert "SortMergeJoin" not in plan, plan
+    # one exchange pair for the K-row centroid fold (partial + final
+    # single-partition agg), nothing corpus-sized
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles <= 1, f"corpus-sized exchange in build:\n{plan}"
