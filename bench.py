@@ -48,6 +48,8 @@ HEADLINE = [
     "dd7_dedup_clusters",
     "dd8_passage_dedup",
     "dd9_canonical_keeper",
+    "dd10_duplicate_spans",
+    "dd11_span_scrub",
     "sim1_knn_cosine_topk",
     "tx2_token_counts",
     "tx6_ngram_topk",
@@ -85,6 +87,8 @@ UNREGISTERED = (
     "skew_hot_distinct_two_phase",
     "dd8_passage_dedup",
     "dd9_canonical_keeper",
+    "dd10_duplicate_spans",
+    "dd11_span_scrub",
     "cur5_mixture_resample",
     "cur6_leakfree_split",
     "card1_corpus_manifest",
@@ -210,6 +214,8 @@ def main() -> None:
     from inpe_queimadas_etl_spark.suite.llmdata import (
         card1_corpus_manifest,
         cur5_mixture_resample,
+        dd10_duplicate_spans,
+        dd11_span_scrub,
         cur6_leakfree_split,
         dd8_passage_dedup,
         dd9_canonical_keeper,
@@ -229,6 +235,8 @@ def main() -> None:
     queries.setdefault("geo8_dense_pip", geo8_dense_pip)
     queries.setdefault("dd8_passage_dedup", dd8_passage_dedup)
     queries.setdefault("dd9_canonical_keeper", dd9_canonical_keeper)
+    queries.setdefault("dd10_duplicate_spans", dd10_duplicate_spans)
+    queries.setdefault("dd11_span_scrub", dd11_span_scrub)
     queries.setdefault("cur5_mixture_resample", cur5_mixture_resample)
     queries.setdefault("cur6_leakfree_split", cur6_leakfree_split)
     queries.setdefault("card1_corpus_manifest", card1_corpus_manifest)

@@ -2894,18 +2894,21 @@ FROM (
 """
 
 
-def _ivf_centroids(emb: DataFrame) -> DataFrame:
-    """``(centroid_id, cv, cn)`` coarse codebook — the first K
+def _ivf_centroids(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
+    """``(centroid_id, cv, cn)`` coarse codebook — the first ``k``
     vectors, shared by sim6's build and probe sides so the scoring
-    columns and K can never drift between them."""
-    return emb.filter(F.col("vec_id") < _IVF_K).select(
+    columns and K can never drift between them. ``k`` defaults to the
+    oracle-stated demo codebook; the scaling sweep drives larger K
+    (candidate fraction = nprobe/K is THE serving knob — see
+    scripts/scaling_ann_media.py)."""
+    return emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
     )
 
 
-def sim6_code_store(emb: DataFrame) -> DataFrame:
+def sim6_code_store(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
     """Build the IVF+SQ8 code store from ``(vec_id, v, nrm)``:
     ``(vec_id, centroid_id, codes array<int>, vmin, vscale, nv)``.
 
@@ -2927,7 +2930,7 @@ def sim6_code_store(emb: DataFrame) -> DataFrame:
     bucketed by centroid_id so the probe join needs no corpus
     shuffle. Plan-pinned Window-free in tests/test_plans.py."""
     cents = (
-        _ivf_centroids(emb)
+        _ivf_centroids(emb, k)
         .select(F.struct("centroid_id", "cv", "cn").alias("c"))
         .agg(F.sort_array(F.collect_list("c")).alias("cents"))
     )
@@ -3041,3 +3044,244 @@ def sim6_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nq",
     )
     return _score_rank_top5(paired)
+
+
+# --- dd10: unaligned duplicate-span detection ------------------------------
+# Exact-substring dedup in the Lee et al. 2021 ("Deduplicating
+# Training Data Makes Language Models Better") sense: find repeated
+# token RUNS of >= _DD10_WIN tokens anywhere in the corpus, at any
+# offset. dd8 (passage dedup) hashes fixed-boundary chunks, so a
+# duplicated paragraph that starts mid-chunk is invisible to it; dd10
+# slides a stride-1 window, so any repeated run of >= WIN tokens
+# produces at least one repeated window hash regardless of alignment.
+# The reference tool is a suffix array on one big machine; the
+# Spark-first equivalent is the shingle table: O(corpus tokens) rows
+# of (doc_id, pos, 60-bit window hash), grouped on the uniform hash —
+# no suffix structure, same detection contract for runs >= WIN.
+#
+# Output is the ACTION LIST (doc_id, span_start, span_end) of maximal
+# duplicated spans — merged from overlapping window hits via
+# gaps-and-islands — never a corpus projection (the dd9 convention).
+#
+# UNREGISTERED (50-entry driver snapshot cap) — oracle-compared in
+# tests/test_suite_oracle.py.
+
+_DD10_WIN = 20  # tokens per window (Lee et al. use 50 BPE tokens)
+
+
+def _hex15_to_int_sql(h: str) -> str:
+    """60-bit variant of _hex_to_int_sql for window fingerprints: at
+    corpus scale the shingle count makes 32-bit birthday collisions
+    routine (1e9 shingles -> ~1e8 colliding pairs), and a collision
+    here fabricates a duplicated span; 60 bits keeps the fingerprint
+    bigint-safe (< 2^63) in both engines."""
+    return (
+        "("
+        + "+".join(
+            f"(strpos('0123456789abcdef', substr({h},{i},1))-1)"
+            f"*{16 ** (15 - i)}"
+            for i in range(1, 16)
+        )
+        + ")"
+    )
+
+
+def _dd10_sql(win: int = _DD10_WIN) -> str:
+    whash = _hex15_to_int_sql(
+        f"md5(array_to_string(w[i:i+{win - 1}], ' '))"
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, {whash} AS whash
+    FROM (
+        SELECT doc_id, w, unnest(range(1, len(w) - {win} + 2)) AS i
+        FROM t WHERE len(w) >= {win}
+    )
+),
+rep AS (SELECT whash FROM sh GROUP BY whash HAVING count(*) >= 2),
+hits AS (SELECT sh.doc_id, sh.pos FROM sh JOIN rep USING (whash)),
+isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > coalesce(max(pos + {win}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -1)
+                THEN 1 ELSE 0 END AS new_isl
+    FROM hits
+),
+runs AS (
+    SELECT doc_id, pos,
+           sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM isl
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {win} AS BIGINT) AS span_end,
+       CAST(max(pos) + {win} - min(pos) AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM runs GROUP BY doc_id, island
+"""
+
+
+DD10_SQL = _dd10_sql()
+
+
+def dd10_duplicate_spans(
+    spark: SparkSession, sf_dir: str, win: int = _DD10_WIN
+) -> DataFrame:
+    """Maximal duplicated token spans per document: every stride-1
+    window of ``win`` tokens whose 60-bit fingerprint occurs more
+    than once in the corpus (cross- OR within-document — both are
+    training-harmful repetition), with overlapping hits merged into
+    maximal ``[span_start, span_end)`` token ranges via
+    gaps-and-islands.
+
+    Scale design, stage by stage:
+    - shingle pass: one scan; per row an array HOF emits
+      tokens-win+1 fingerprints (md5 over the joined window — the
+      rolling-hash recurrence would drop the x``win`` re-concat
+      factor and is the named upgrade, but md5 keeps the exact
+      convention every dedup oracle here shares). The shingle table
+      is O(corpus tokens) rows of 24 bytes — the Spark-shaped stand-in
+      for Lee et al.'s single-machine suffix array.
+    - repeat detection: groupBy on the 60-bit hash (uniform key, map-
+      side partial count) then an equi join back — candidates only,
+      never all-pairs.
+    - span merge: two window functions over (doc_id, pos) — per-doc
+      row count is bounded by the doc's own token count, so the skew
+      ceiling is max doc length, not corpus size.
+    Docs shorter than ``win`` produce no windows (filtered before
+    sequence(), which would otherwise generate a DESCENDING bogus
+    range for negative spans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).filter(F.size("toks") >= win)
+    whashes = F.expr(
+        f"transform(sequence(1, size(toks) - {win} + 1), "
+        f"i -> cast(conv(substring(md5(concat_ws(' ', "
+        f"slice(toks, i, {win}))), 1, 15), 16, 10) as bigint))"
+    )
+    shingles = base.select(
+        "doc_id", F.posexplode(whashes).alias("pos", "whash")
+    )
+    repeated = (
+        shingles.groupBy("whash")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("whash")
+    )
+    hits = shingles.join(repeated, "whash").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_isl = hits.withColumn(
+        "new_isl",
+        F.when(
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + win).over(w_prev), F.lit(-1)
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_isl").over(w_run))
+    return (
+        with_isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + win).cast("long").alias("span_end"),
+            (F.max("pos") + win - F.min("pos"))
+            .cast("long")
+            .alias("span_tokens"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("island")
+    )
+
+
+# --- dd11: duplicate-span scrub --------------------------------------------
+# The ACTION for dd10's findings: rewrite each document with every
+# flagged span dropped — the Lee et al. ExactSubstr convention
+# (remove ALL occurrences of a duplicated run; the paper measured
+# that keeping zero copies of boilerplate does not hurt, and it makes
+# the operator embarrassingly parallel — no keeper election across
+# documents). UNREGISTERED; oracle-compared in tests/test_suite_oracle.py.
+
+DD11_SQL = f"""
+WITH spans AS ({DD10_SQL}),
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (
+    SELECT t.doc_id, w[i] AS tok, i,
+           NOT EXISTS (
+               SELECT 1 FROM spans s
+               WHERE s.doc_id = t.doc_id
+                 AND i - 1 >= s.span_start AND i - 1 < s.span_end
+           ) AS keep
+    FROM t, unnest(range(1, len(w) + 1)) AS r(i)
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY i),
+                '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_tokens_before,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_tokens_removed
+FROM tok GROUP BY doc_id
+"""
+
+
+def remove_duplicate_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """``(doc_id, clean_text, n_tokens_before, n_tokens_removed)`` —
+    every token covered by a flagged ``[span_start, span_end)`` range
+    dropped from the document.
+
+    Scale design: the span list folds to ONE row per flagged doc
+    (collect_list over dozens-sized maximal spans — bounded by doc
+    length / win, never corpus size), left-joins back (broadcastable
+    when few docs are flagged; an equi shuffle join otherwise), and
+    the rewrite is a single index-aware array filter per row — an
+    O(tokens x spans_per_doc) scan expression in codegen, no explode,
+    no second shuffle. Docs with no flagged span coalesce to an empty
+    span list and pass through verbatim."""
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("spans")
+    )
+    j = docs.join(per_doc, "doc_id", "left")
+    toks = F.split("text", " ")
+    spans_c = F.coalesce(
+        "spans", F.array().cast("array<struct<s:bigint,e:bigint>>")
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            spans_c, lambda sp: (i >= sp["s"]) & (i < sp["e"])
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(toks).cast("long").alias("n_tokens_before"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )
+
+
+def dd11_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd10's spans applied: the corpus with duplicated runs removed,
+    plus per-doc removal accounting. In a pipeline the spans frame is
+    computed once and shared; standalone, this recomputes dd10."""
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, dd10_duplicate_spans(spark, sf_dir))

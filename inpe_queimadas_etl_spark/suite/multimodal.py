@@ -234,7 +234,17 @@ def _mm5_geometry(n_items: int) -> tuple[int, int]:
     bit is more likely to land inside any given band), but the
     DECLARED contract — every pair within hamming 3 of the full
     signature is found — is geometry-independent by pigeonhole, and
-    identical payloads agree on every band at any width."""
+    identical payloads agree on every band at any width.
+
+    Caveat measured in scripts/scaling_ann_media.py: the collision
+    numbers above assume UNBIASED signature bits, which holds for
+    payloads with several frames. Items with an EVEN tiny frame count
+    (especially 2) tie the majority vote on ~half their bits, and the
+    tie rule (sum >= 0 -> set) biases those bits to 1 — measured
+    ~170x candidate inflation over 2^-bits theory on a 2-frame
+    corpus. Real media (many frames) is unaffected; a corpus of
+    2-frame thumbnails would want a deterministic tie-BREAK (e.g.
+    hash parity) instead of a constant tie value."""
     if n_items <= 30_000:
         return (_MM5_BANDS, _MM5_BAND_BITS)
     if n_items <= 300_000:

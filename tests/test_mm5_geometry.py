@@ -52,7 +52,14 @@ def test_geometry_policy_steps():
 def _sweep_media(spark, n: int):
     """n two-frame payloads, every frame unique per item (md5 makes
     the signatures effectively random), plus N_PLANTED exact
-    duplicates of items 0..N_PLANTED-1 as ids n+j."""
+    duplicates of items 0..N_PLANTED-1 as ids n+j.
+
+    Two frames is deliberately the ADVERSARIAL case: the even frame
+    count ties the majority vote on ~half the bits and the tie rule
+    biases them to 1, inflating band collisions well above the
+    2^-bits random theory (see _mm5_geometry's caveat) — so the
+    <= 0.5 % collision gate below is passed under bias, not under
+    best-case unbiased signatures."""
     payload = [f"{i:0{_MM5_FRAME}d}" + f"{i:0{_MM5_FRAME}x}" for i in range(n)]
     pdf = pd.DataFrame(
         {

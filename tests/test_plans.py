@@ -335,3 +335,16 @@ def test_sim6_code_store_build_is_window_free(spark):
     # single-partition agg), nothing corpus-sized
     n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n_shuffles <= 1, f"corpus-sized exchange in build:\n{plan}"
+
+
+def test_dd10_shuffles_on_uniform_hash_and_doc(spark):
+    """dd10's two shuffles must be the designed ones: repeat
+    detection partitions on the 60-bit window hash (uniform — no hot
+    key can exist) and the span merge partitions on doc_id (per-doc
+    row count bounded by doc length). No cartesian anywhere."""
+    from inpe_queimadas_etl_spark.suite.llmdata import dd10_duplicate_spans
+
+    plan = _plan(dd10_duplicate_spans(spark, SF0001))
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(whash" in plan, plan
+    assert "hashpartitioning(doc_id" in plan, plan

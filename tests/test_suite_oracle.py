@@ -480,3 +480,114 @@ def test_tx7_broadcast_path_matches_literal_and_oracle(spark):
     # scores must actually differ from the demo-K model (the lookup
     # is genuinely indexing the big table, not clamping)
     assert (big["logit"] != bc["logit"]).any()
+
+def test_dd10_duplicate_spans_matches_oracle(spark):
+    """dd10 is unregistered (50-entry snapshot cap) but oracle-checked
+    here: unaligned duplicate-span detection via stride-1 window
+    fingerprints + gaps-and-islands merge."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        DD10_SQL,
+        dd10_duplicate_spans,
+    )
+
+    _compare_to_oracle(
+        spark, "dd10_duplicate_spans", dd10_duplicate_spans, DD10_SQL
+    )
+
+
+def test_dd10_finds_unaligned_repeats_dd8_misses(spark, tmp_path):
+    """The reason dd10 exists: a duplicated 30-token run planted at
+    DIFFERENT offsets in two documents (so fixed-boundary chunking
+    sees different chunks) is found with exact token boundaries; a
+    document with no repeated run of >= win tokens reports nothing;
+    and within-doc repetition is flagged too."""
+    import random
+
+    import pandas as pd
+
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        _DD10_WIN,
+        dd10_duplicate_spans,
+    )
+
+    rng = random.Random(17)
+
+    def words(n, tag):
+        return [f"{tag}{rng.randrange(10**9)}" for _ in range(n)]
+
+    shared = words(30, "s")  # the duplicated run, 30 tokens
+    d0 = words(7, "a") + shared + words(11, "b")   # run at offset 7
+    d1 = words(13, "c") + shared + words(5, "d")   # run at offset 13
+    d2 = words(60, "e")                             # clean
+    rep = words(25, "r")
+    d3 = rep + words(4, "f") + rep                  # within-doc repeat
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [" ".join(d) for d in (d0, d1, d2, d3)],
+        }
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in dd10_duplicate_spans(spark, str(tmp_path)).collect()
+    }
+    # the shared run is exactly tokens [7, 37) in d0 and [13, 43) in d1
+    assert spans[0] == (7, 7 + 30), spans
+    assert spans[1] == (13, 13 + 30), spans
+    assert 2 not in spans
+    assert 3 in spans  # within-doc repetition flagged
+    assert _DD10_WIN <= 30
+
+def test_dd11_span_scrub_matches_oracle(spark):
+    """dd11 is unregistered (50-entry snapshot cap) but oracle-checked
+    here: the Lee et al. all-occurrences span removal."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        DD11_SQL,
+        dd11_span_scrub,
+    )
+
+    _compare_to_oracle(spark, "dd11_span_scrub", dd11_span_scrub, DD11_SQL)
+
+
+def test_dd11_scrubs_exactly_the_planted_run(spark, tmp_path):
+    """Planted duplicated run removed from BOTH carriers token-exact;
+    clean docs untouched; token accounting adds up."""
+    import random
+
+    import pandas as pd
+
+    from inpe_queimadas_etl_spark.suite.llmdata import dd11_span_scrub
+
+    rng = random.Random(23)
+
+    def words(n, tag):
+        return [f"{tag}{rng.randrange(10**9)}" for _ in range(n)]
+
+    shared = words(30, "s")
+    d0 = words(7, "a") + shared + words(11, "b")
+    d1 = words(13, "c") + shared + words(5, "d")
+    d2 = words(60, "e")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [" ".join(d) for d in (d0, d1, d2)],
+        }
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in dd11_span_scrub(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["clean_text"] == " ".join(d0[:7] + d0[37:])
+    assert out[0]["n_tokens_removed"] == 30
+    assert out[1]["clean_text"] == " ".join(d1[:13] + d1[43:])
+    assert out[1]["n_tokens_removed"] == 30
+    assert out[2]["clean_text"] == " ".join(d2)
+    assert out[2]["n_tokens_removed"] == 0
+    for r in out.values():
+        assert r["n_tokens_before"] - r["n_tokens_removed"] == len(
+            r["clean_text"].split(" ")
+        ) if r["clean_text"] else True
