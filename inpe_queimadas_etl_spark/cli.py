@@ -292,6 +292,7 @@ def cmd_corpus_curate(args) -> int:
         pack_budget=args.pack_budget,
         write_packs=args.write_packs,
         split_by=args.split_by,
+        scrub_spans=args.scrub_spans,
     )
     log.info("corpus-curate | manifest | %s", json.dumps(manifest, default=str))
     return 0
@@ -404,6 +405,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="also materialize out-dir/packs: one row per training "
         "sequence, member texts concatenated in doc_id order",
+    )
+    cur.add_argument(
+        "--scrub-spans",
+        action="store_true",
+        help="also remove duplicated token runs (>= 20 tokens, any "
+        "offset) from surviving documents before mixture/packing — "
+        "the Lee et al. exact-substring scrub (dd10/dd11 semantics)",
     )
     cur.add_argument(
         "--split-by",

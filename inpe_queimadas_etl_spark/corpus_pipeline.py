@@ -223,6 +223,7 @@ def run_corpus_pipeline(
     max_records_per_file: int | None = 100_000,
     write_packs: bool = False,
     split_by: str = "clusters",
+    scrub_spans: bool = False,
 ) -> dict:
     """Materialize ``corpus_dir``'s documents table into
     ``out_dir/corpus`` (parquet, partitioned by split) and return the
@@ -286,6 +287,42 @@ def run_corpus_pipeline(
         )
         n_contaminated = contam.count()
         survivors = survivors.join(contam, "doc_id", "left_anti")
+
+    # stage 3c (optional): unaligned duplicate-span scrub (dd10/dd11
+    # semantics) over the CURATED survivors — whole-doc dedup already
+    # removed exact/near duplicate documents above; this removes
+    # repeated RUNS (boilerplate, licence blocks, navigation chrome)
+    # that survive inside otherwise-distinct documents. Runs BEFORE
+    # mixture and packing so their token accounting sees the scrubbed
+    # text. Off by default: rewriting text is a destructive choice
+    # the user must ask for (the same stance as mixture).
+    scrub_stats = {"enabled": False, "docs_scrubbed": 0, "tokens_removed": 0}
+    if scrub_spans:
+        from .suite.llmdata import duplicate_spans, remove_duplicate_spans
+
+        spans = duplicate_spans(survivors).localCheckpoint(eager=True)
+        scrubbed = remove_duplicate_spans(survivors, spans)
+        srow = scrubbed.agg(
+            F.sum(
+                (F.col("n_tokens_removed") > 0).cast("long")
+            ).alias("docs"),
+            F.sum("n_tokens_removed").alias("toks"),
+        ).first()
+        scrub_stats = {
+            "enabled": True,
+            "docs_scrubbed": int(srow["docs"] or 0),
+            "tokens_removed": int(srow["toks"] or 0),
+        }
+        survivors = (
+            survivors.drop("text", "n_chars")
+            .join(
+                scrubbed.select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
+                "doc_id",
+            )
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
 
     # stage 4 (optional): mixture downsampling. Runs ONLY when the
     # caller asked for a mixture (weights) or a cap (token_budget) —
@@ -427,6 +464,7 @@ def run_corpus_pipeline(
         ),
         "contaminated_dropped": n_contaminated,
         "mixture": mix_stats,
+        "span_scrub": scrub_stats,
         "split_by": split_by,
         "splits": per_split,
         "pack_budget": pack_budget,

@@ -3133,6 +3133,12 @@ DD10_SQL = _dd10_sql()
 def dd10_duplicate_spans(
     spark: SparkSession, sf_dir: str, win: int = _DD10_WIN
 ) -> DataFrame:
+    """Suite entry for :func:`duplicate_spans` over the documents
+    table — see that function for the semantics and scale design."""
+    return duplicate_spans(load_table(spark, sf_dir, "documents"), win)
+
+
+def duplicate_spans(docs: DataFrame, win: int = _DD10_WIN) -> DataFrame:
     """Maximal duplicated token spans per document: every stride-1
     window of ``win`` tokens whose 60-bit fingerprint occurs more
     than once in the corpus (cross- OR within-document — both are
@@ -3156,8 +3162,9 @@ def dd10_duplicate_spans(
       ceiling is max doc length, not corpus size.
     Docs shorter than ``win`` produce no windows (filtered before
     sequence(), which would otherwise generate a DESCENDING bogus
-    range for negative spans)."""
-    docs = load_table(spark, sf_dir, "documents")
+    range for negative spans). DataFrame-level (injectable) so
+    corpus_pipeline's optional scrub stage runs it over the CURATED
+    survivors instead of re-reading the raw table."""
     base = docs.select(
         "doc_id", F.split("text", " ").alias("toks")
     ).filter(F.size("toks") >= win)

@@ -9,6 +9,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from inpe_queimadas_etl_spark.corpus_pipeline import run_corpus_pipeline
 
@@ -546,3 +547,60 @@ def test_split_by_cli_flag(tmp_path, monkeypatch):
     )
     assert rc == 0
     assert seen["split_by"] == "content"
+
+
+def test_scrub_spans_stage(spark, tmp_path):
+    """--scrub-spans: duplicated runs planted inside otherwise
+    distinct documents are removed from the written corpus, the
+    manifest records the accounting, and token counts downstream see
+    the scrubbed text."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(31)
+    stops = "the a of and to in"
+
+    def words(n, tag):
+        return [f"{tag}{rng.randrange(10**9)}" for _ in range(n)]
+
+    boiler = words(25, "s")  # duplicated run carried by several docs
+    rows = []
+    for i in range(30):
+        body = words(40, f"w{i}x")
+        if i < 6:  # six docs carry the boilerplate at varying offsets
+            body = body[: 5 + i] + boiler + body[5 + i :]
+        rows.append((i, f"{stops} " + " ".join(body)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf["lang"] = "en"
+    pdf["source"] = "src0"
+    src = tmp_path / "corpus"
+    src.mkdir()
+    pdf.to_parquet(src / "documents.parquet")
+
+    out = str(tmp_path / "out")
+    manifest = run_corpus_pipeline(
+        spark, str(src), out, scrub_spans=True
+    )
+    assert manifest["span_scrub"]["enabled"]
+    assert manifest["span_scrub"]["docs_scrubbed"] >= 1
+    assert manifest["span_scrub"]["tokens_removed"] >= 25
+    written = spark.read.parquet(os.path.join(out, "corpus"))
+    # no written doc still contains the boilerplate run
+    needle = " ".join(boiler)
+    hits = written.filter(written.text.contains(needle)).count()
+    assert hits == 0
+    # and n_chars matches the scrubbed text
+    bad = written.filter(
+        F.length("text").cast("long") != written.n_chars
+    ).count()
+    assert bad == 0
+
+    # default: stage off, manifest says so
+    m2 = run_corpus_pipeline(spark, str(src), str(tmp_path / "out2"))
+    assert m2["span_scrub"] == {
+        "enabled": False,
+        "docs_scrubbed": 0,
+        "tokens_removed": 0,
+    }
