@@ -301,7 +301,14 @@ def run_corpus_pipeline(
         from .suite.llmdata import duplicate_spans, remove_duplicate_spans
 
         spans = duplicate_spans(survivors).localCheckpoint(eager=True)
-        scrubbed = remove_duplicate_spans(survivors, spans)
+        # checkpoint the rewrite too: the stats agg, the mixture
+        # count, and the split/pack/export all consume it, and an
+        # unmaterialized scrub would re-run the span join + per-token
+        # array filter (and the whole curation lineage above it) per
+        # consumer
+        scrubbed = remove_duplicate_spans(
+            survivors, spans
+        ).localCheckpoint(eager=True)
         srow = scrubbed.agg(
             F.sum(
                 (F.col("n_tokens_removed") > 0).cast("long")

@@ -31,14 +31,21 @@ from . import query
 # int value of the first 8 hex chars of md5(word); identical in Spark
 # (conv(substr(md5(w),1,8),16,10)) and DuckDB (digit arithmetic below).
 
-_HEX_TO_INT_SQL = "+".join(
-    f"(strpos('0123456789abcdef', substr({{h}},{i},1))-1)*{16 ** (8 - i)}"
-    for i in range(1, 9)
-)
-
-
-def _hex_to_int_sql(h: str) -> str:
-    return "(" + _HEX_TO_INT_SQL.format(h=h) + ")"
+def _hex_to_int_sql(h: str, n_chars: int = 8) -> str:
+    """DuckDB int value of the first ``n_chars`` hex chars of ``h`` —
+    digit arithmetic, no engine-specific conv(). 8 chars (32 bits) is
+    the shared word-hash convention; dd10 uses 15 (60 bits, still
+    bigint-safe) because shingle-scale corpora birthday-collide 32-bit
+    fingerprints."""
+    return (
+        "("
+        + "+".join(
+            f"(strpos('0123456789abcdef', substr({h},{i},1))-1)"
+            f"*{16 ** (n_chars - i)}"
+            for i in range(1, n_chars + 1)
+        )
+        + ")"
+    )
 
 
 def _word_hash_spark(col):
@@ -3069,26 +3076,13 @@ def sim6_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DD10_WIN = 20  # tokens per window (Lee et al. use 50 BPE tokens)
 
 
-def _hex15_to_int_sql(h: str) -> str:
-    """60-bit variant of _hex_to_int_sql for window fingerprints: at
-    corpus scale the shingle count makes 32-bit birthday collisions
-    routine (1e9 shingles -> ~1e8 colliding pairs), and a collision
-    here fabricates a duplicated span; 60 bits keeps the fingerprint
-    bigint-safe (< 2^63) in both engines."""
-    return (
-        "("
-        + "+".join(
-            f"(strpos('0123456789abcdef', substr({h},{i},1))-1)"
-            f"*{16 ** (15 - i)}"
-            for i in range(1, 16)
-        )
-        + ")"
-    )
-
-
 def _dd10_sql(win: int = _DD10_WIN) -> str:
-    whash = _hex15_to_int_sql(
-        f"md5(array_to_string(w[i:i+{win - 1}], ' '))"
+    # 60-bit fingerprints (n_chars=15): at corpus scale the shingle
+    # count makes 32-bit birthday collisions routine (1e9 shingles ->
+    # ~1e8 colliding pairs), and a collision here fabricates a
+    # duplicated span; 60 bits stays bigint-safe in both engines.
+    whash = _hex_to_int_sql(
+        f"md5(array_to_string(w[i:i+{win - 1}], ' '))", n_chars=15
     )
     return f"""
 WITH t AS (
@@ -3153,7 +3147,11 @@ def duplicate_spans(docs: DataFrame, win: int = _DD10_WIN) -> DataFrame:
       factor and is the named upgrade, but md5 keeps the exact
       convention every dedup oracle here shares). The shingle table
       is O(corpus tokens) rows of 24 bytes — the Spark-shaped stand-in
-      for Lee et al.'s single-machine suffix array.
+      for Lee et al.'s single-machine suffix array — and it is
+      localCheckpointed before feeding BOTH the repeat groupBy and
+      the hits join, so the md5-window pass genuinely runs once, not
+      once per consumer (the mm5 signature-table convention; at
+      cluster scale persist it to parquet instead).
     - repeat detection: groupBy on the 60-bit hash (uniform key, map-
       side partial count) then an equi join back — candidates only,
       never all-pairs.
@@ -3175,7 +3173,7 @@ def duplicate_spans(docs: DataFrame, win: int = _DD10_WIN) -> DataFrame:
     )
     shingles = base.select(
         "doc_id", F.posexplode(whashes).alias("pos", "whash")
-    )
+    ).localCheckpoint(eager=True)
     repeated = (
         shingles.groupBy("whash")
         .agg(F.count("*").alias("n_occ"))

@@ -54,7 +54,7 @@ def gen_embeddings(n: int, seed: int) -> pa.Table:
     )
 
 
-def gen_media(n: int, seed: int):
+def gen_media(n: int):
     """(media_id, payload) pandas frame: FIVE unique 32-byte frames
     per item — md5 makes the signatures effectively random, which is
     the WORST case for banded candidate volume (correlated corpora
@@ -88,9 +88,11 @@ def _t(fn, runs: int = 2) -> float:
 
 
 def main() -> None:
-    sys.path.insert(
-        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.dirname(here))
+    sys.path.insert(0, here)  # scaling_common, regardless of invoker cwd
+    from scaling_common import fit_exponent  # fail fast, not after the sweep
+
     from pyspark.sql import functions as F
 
     from inpe_queimadas_etl_spark.operators.similarity import vec_norm
@@ -207,7 +209,7 @@ def main() -> None:
     mm5_auto: dict[str, dict] = {}
     mm5_fixed: dict[str, dict] = {}
     for label, n in MM_SIZES.items():
-        pdf = gen_media(n, seed=3)
+        pdf = gen_media(n)
         media = spark.createDataFrame(pdf).select(
             "media_id", F.encode("payload_s", "utf-8").alias("payload")
         )
@@ -217,15 +219,15 @@ def main() -> None:
         ):
             sigs = _mm5_signatures(media, bits).localCheckpoint(eager=True)
             cand = _mm5_candidate_pairs(sigs)
-            n_cand = cand.count()
-            t = _t(lambda: cand.count(), runs=1)
+            n_cand = cand.count()  # doubles as the warm-up run
+            t0 = time.perf_counter()
+            cand.count()
+            t = round(time.perf_counter() - t0, 3)
             bucket[label] = {"bits": bits, "candidates": n_cand, "sec": t}
             print(
                 f"# mm5 {label} bits={bits}: {n_cand} candidates, {t}s",
                 file=sys.stderr,
             )
-
-    from scaling_common import fit_exponent
 
     print(
         json.dumps(
