@@ -50,6 +50,7 @@ HEADLINE = [
     "dd9_canonical_keeper",
     "dd10_duplicate_spans",
     "dd11_span_scrub",
+    "dd12_semantic_dedup",
     "sim1_knn_cosine_topk",
     "tx2_token_counts",
     "tx6_ngram_topk",
@@ -61,6 +62,7 @@ HEADLINE = [
     "skew_hot_distinct_two_phase",
     "cur5_mixture_resample",
     "cur6_leakfree_split",
+    "cur7_semantic_decontamination",
     "card1_corpus_manifest",
     "tx7_model_quality_score",
     "tx7_broadcast_quality_score",
@@ -89,8 +91,10 @@ UNREGISTERED = (
     "dd9_canonical_keeper",
     "dd10_duplicate_spans",
     "dd11_span_scrub",
+    "dd12_semantic_dedup",
     "cur5_mixture_resample",
     "cur6_leakfree_split",
+    "cur7_semantic_decontamination",
     "card1_corpus_manifest",
     "tx7_model_quality_score",
     "tx7_broadcast_quality_score",
@@ -216,7 +220,9 @@ def main() -> None:
         cur5_mixture_resample,
         dd10_duplicate_spans,
         dd11_span_scrub,
+        dd12_semantic_dedup,
         cur6_leakfree_split,
+        cur7_semantic_decontamination,
         dd8_passage_dedup,
         dd9_canonical_keeper,
         sim5_sq8_ann,
@@ -237,8 +243,12 @@ def main() -> None:
     queries.setdefault("dd9_canonical_keeper", dd9_canonical_keeper)
     queries.setdefault("dd10_duplicate_spans", dd10_duplicate_spans)
     queries.setdefault("dd11_span_scrub", dd11_span_scrub)
+    queries.setdefault("dd12_semantic_dedup", dd12_semantic_dedup)
     queries.setdefault("cur5_mixture_resample", cur5_mixture_resample)
     queries.setdefault("cur6_leakfree_split", cur6_leakfree_split)
+    queries.setdefault(
+        "cur7_semantic_decontamination", cur7_semantic_decontamination
+    )
     queries.setdefault("card1_corpus_manifest", card1_corpus_manifest)
     queries.setdefault("tx7_model_quality_score", tx7_model_quality_score)
     queries.setdefault(

@@ -260,3 +260,109 @@ def cosine(a_col: str, b_col: str) -> Column:
     return F.try_divide(
         dot_product(a_col, b_col), vec_norm(a_col) * vec_norm(b_col)
     )
+
+
+def nearest_centroid(
+    vec_col: str,
+    nrm_col: str,
+    centroids: list[tuple[int, list[float], float]],
+    dim: int,
+    block: int = 1024,
+) -> Column:
+    """Arrow-batched nearest-centroid argmax over a driver-collected
+    codebook: ``struct(csim double, centroid_id bigint)`` — max cosine,
+    ties to the LOWEST centroid id, the exact (desc csim, asc id)
+    order every IVF oracle here states.
+
+    Why a Pandas UDF (the lsh_band_buckets argument, same shape): the
+    JVM reference form folds K interpreted HOF dot products per row —
+    fine at the demo K=4, but assignment cost is n*K*dim and a
+    realistic codebook (SemDeDup runs K ~ n/10k; IVF serving wants
+    K in the thousands) turns the interpreted fold into THE build
+    bottleneck. One numpy pass computes a whole Arrow batch against
+    the codebook at memory bandwidth, with the same IEEE sequence as
+    the fold —
+
+      fold step d:   acc = acc + (v_d * c_d)      (2 roundings)
+      numpy step d:  acc += V[:, d:d+1] * C[d, :] (same 2 roundings)
+
+    — then ``csim = dot / (nrm * cn)`` (one multiply, one divide,
+    both replayed), so the argmax is BIT-IDENTICAL to the JVM
+    array_max-over-structs expression (pinned by
+    tests/test_similarity_fastpath.py, including exact-tie codebooks).
+    ``block`` bounds peak memory to rows_per_batch x block doubles;
+    blocks ascend by centroid id and updates use strict ``>``, which
+    is exactly ties-to-lowest-id.
+
+    try_divide parity: a zero denominator (zero-norm vector or
+    centroid) scores NULL JVM-side and loses the max to any non-null
+    csim; here it scores -inf and loses identically. A row with NO
+    non-null csim (zero-norm vector) collapses to (NULL, 0) — the
+    JVM's max-of-all-null-csim structs resolves by neg_id to centroid
+    0. ``centroids`` must be sorted ascending by centroid_id with ids
+    0..K-1 (the _ivf_centroids contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ids = [c[0] for c in centroids]
+    assert ids == sorted(ids), "codebook must ascend by centroid_id"
+    cmat = np.array([c[1] for c in centroids], dtype=np.float64).T  # dim,K
+    cns = np.array([c[2] for c in centroids], dtype=np.float64)  # (K,)
+    k = len(centroids)
+
+    def _assign_fn(vs, nrms):
+        if len(vs) == 0:
+            return pd.DataFrame(
+                {
+                    "csim": pd.Series([], dtype="float64"),
+                    "centroid_id": pd.Series([], dtype="int64"),
+                }
+            )
+        mat = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
+        nrm = nrms.to_numpy(dtype=np.float64)
+        n = mat.shape[0]
+        best_sim = np.full(n, -np.inf)
+        best_id = np.zeros(n, dtype=np.int64)
+        for lo in range(0, k, block):
+            hi = min(lo + block, k)
+            acc = np.zeros((n, hi - lo), dtype=np.float64)
+            for d in range(dim):
+                acc += mat[:, d : d + 1] * cmat[d, lo:hi]
+            denom = nrm[:, None] * cns[None, lo:hi]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                csim = acc / denom
+            csim[denom == 0.0] = -np.inf
+            # strict > in ascending-id order == ties to lowest id;
+            # argmax within the block keeps the block's lowest id too
+            # (np.argmax returns the FIRST maximum)
+            bi = np.argmax(csim, axis=1)
+            bs = csim[np.arange(n), bi]
+            upd = bs > best_sim
+            best_sim[upd] = bs[upd]
+            best_id[upd] = bi[upd] + lo
+        out_sim = pd.Series(best_sim, dtype="float64")
+        out_sim[~np.isfinite(best_sim)] = None  # all-null csim row
+        return pd.DataFrame(
+            {"csim": out_sim, "centroid_id": pd.Series(best_id)}
+        )
+
+    _assign_fn.__annotations__ = {
+        "vs": pd.Series,
+        "nrms": pd.Series,
+        "return": pd.DataFrame,
+    }
+    out_type = StructType(
+        [
+            StructField("csim", DoubleType()),
+            StructField("centroid_id", LongType()),
+        ]
+    )
+    _assign = pandas_udf(out_type)(_assign_fn)
+    return _assign(vec_col, nrm_col)

@@ -2915,27 +2915,19 @@ def _ivf_centroids(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
     )
 
 
-def sim6_code_store(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
-    """Build the IVF+SQ8 code store from ``(vec_id, v, nrm)``:
-    ``(vec_id, centroid_id, codes array<int>, vmin, vscale, nv)``.
-
-    Everything here is map-side given the collected codebook: the
-    K-row centroid table folds into ONE array-of-structs row
-    (K * dim doubles — 2 KB at the demo geometry), attaches to the
-    scan via a broadcast crossJoin, and the nearest-centroid argmax
-    is an array_max over per-centroid (csim, -centroid_id) structs —
-    max cosine, ties to the LOWEST centroid id, the exact
-    (desc csim, asc centroid_id) order the oracle states. No Window:
-    the r6 first cut ranked via row_number over vec_id, which
-    shuffles the K-times-expanded corpus at build time — at 100 TB
-    that is ~4x the corpus through one exchange for an argmax each
-    row can compute locally (review caught it; the only exchange
-    left is the K-row centroid fold itself). Quantization and the
-    DEQUANTIZED norm (stored so search never recomputes it) are
-    array passes in the same projection. The float vector is dropped
-    — this table is the ~12.5 TB artifact a deployment materializes,
-    bucketed by centroid_id so the probe join needs no corpus
-    shuffle. Plan-pinned Window-free in tests/test_plans.py."""
+def _ivf_assign_ref(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
+    """JVM-expression REFERENCE form of the nearest-centroid
+    assignment (kept as the parity anchor for the Arrow fast path —
+    tests/test_similarity_fastpath.py pins the two bit-identical; the
+    lsh_band_buckets convention): the K-row centroid table folds into
+    ONE array-of-structs row, attaches to the scan via a broadcast
+    crossJoin, and the argmax is an array_max over per-centroid
+    (csim, -centroid_id) structs — max cosine, ties to the LOWEST
+    centroid id, the exact (desc csim, asc centroid_id) order the
+    oracles state. No Window: the r6 first cut of sim6 ranked via
+    row_number over vec_id, which shuffles the K-times-expanded
+    corpus at build time — at 100 TB that is ~K x the corpus through
+    one exchange for an argmax each row can compute locally."""
     cents = (
         _ivf_centroids(emb, k)
         .select(F.struct("centroid_id", "cv", "cn").alias("c"))
@@ -2947,15 +2939,70 @@ def sim6_code_store(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
         "(acc, x) -> acc + x), nrm * c.cn) AS csim, "
         "-c.centroid_id AS neg_id)))"
     )
-    assigned = (
+    return (
         emb.crossJoin(F.broadcast(cents))
         .withColumn("best", best)
         .select(
             "vec_id",
-            (-F.col("best.neg_id")).cast("long").alias("centroid_id"),
             "v",
+            "nrm",
+            (-F.col("best.neg_id")).cast("long").alias("centroid_id"),
+            F.col("best.csim").alias("csim"),
         )
     )
+
+
+def _ivf_assign(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
+    """Window-free nearest-centroid assignment over ``(vec_id, v,
+    nrm)``: ``(vec_id, v, nrm, centroid_id, csim)``.
+
+    Production path: the K-row codebook is collected to the driver
+    (K x dim doubles — the same artifact the reference form
+    broadcasts) and the per-row argmax runs as ONE Arrow-batched
+    numpy pass (:func:`..operators.similarity.nearest_centroid`),
+    bit-identical to the JVM reference form `_ivf_assign_ref` by IEEE
+    replay (pinned). Why: the interpreted HOF fold is n*K*dim per
+    scan — fine at the demo K=4, but SemDeDup runs K ~ n/10k and IVF
+    serving wants K in the thousands, where the fold is THE build
+    bottleneck and the numpy pass runs at memory bandwidth (the
+    lsh_band_buckets argument; measured in
+    scripts/scaling_ann_media.py). Zero corpus shuffle either way.
+    Shared by sim6's code store and dd12's semantic dedup so the
+    assignment convention can never drift between them. Plan-pinned
+    Window-free in tests/test_plans.py."""
+    from ..operators.similarity import nearest_centroid
+
+    cents = sorted(
+        (r["centroid_id"], list(r["cv"]), r["cn"])
+        for r in _ivf_centroids(emb, k).collect()
+    )
+    dim = len(cents[0][1]) if cents else _EMB_DIM
+    return emb.select(
+        "vec_id",
+        "v",
+        "nrm",
+        nearest_centroid("v", "nrm", cents, dim).alias("best"),
+    ).select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.col("best.centroid_id").alias("centroid_id"),
+        F.col("best.csim").alias("csim"),
+    )
+
+
+def sim6_code_store(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
+    """Build the IVF+SQ8 code store from ``(vec_id, v, nrm)``:
+    ``(vec_id, centroid_id, codes array<int>, vmin, vscale, nv)``.
+
+    Assignment is the shared window-free map-side argmax
+    (:func:`_ivf_assign`). Quantization and the DEQUANTIZED norm
+    (stored so search never recomputes it) are array passes in the
+    same projection. The float vector is dropped — this table is the
+    ~12.5 TB artifact a deployment materializes, bucketed by
+    centroid_id so the probe join needs no corpus shuffle.
+    Plan-pinned Window-free in tests/test_plans.py."""
+    assigned = _ivf_assign(emb, k).select("vec_id", "centroid_id", "v")
     vmin = F.array_min("v")
     vmax = F.array_max("v")
     vscale = F.when(vmax > vmin, (vmax - vmin) / 255.0).otherwise(F.lit(1.0))
@@ -3290,3 +3337,229 @@ def dd11_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed once and shared; standalone, this recomputes dd10."""
     docs = load_table(spark, sf_dir, "documents")
     return remove_duplicate_spans(docs, dd10_duplicate_spans(spark, sf_dir))
+
+
+# --- dd12: semantic dedup (SemDeDup) ---------------------------------------
+# Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication"): cluster the embedding space with a
+# small codebook, then prune near-duplicate PAIRS only WITHIN each
+# cluster — the pairwise cosine work drops from n^2 to ~n^2/K without
+# any LSH recall loss inside a cluster, and the keeper rule ("keep the
+# example FARTHEST from its centroid", i.e. lowest centroid cosine —
+# the paper's best-performing variant) falls out of columns the
+# assignment already computed. dd6 is the complementary design: global
+# sign-LSH recall at a fixed cosine floor; dd12 trades global recall
+# (cross-cluster near-dups are invisible BY DESIGN) for an exact
+# within-cluster sweep and a semantically meaningful keeper.
+#
+# Deterministic greedy form of the paper's rule: order each cluster by
+# (csim ASC, vec_id ASC); a vector is REMOVED iff some earlier vector
+# in its cluster has cosine >= tau with it. Output is the ACTION LIST
+# (the dd9/dd10 convention), never a corpus projection.
+#
+# Cross-engine stability: the precedence comparison is on raw csim
+# doubles computed independently by Spark and DuckDB (~1e-15 drift);
+# the minimum within-cluster csim gap on the test corpora is 6.3e-7,
+# and identical vectors tie at bit-equal csim in each engine and fall
+# to the vec_id tie-break, so the order never flips. tau = 0.40 sits
+# >= 1.2e-4 from every pair cosine at both oracle SFs (measured).
+#
+# UNREGISTERED (50-entry driver snapshot cap) — oracle-compared in
+# tests/test_suite_oracle.py, benched in bench.py.
+
+_DD12_TAU = 0.40
+
+
+def _dd12_sql(k: int = _IVF_K, tau: float = _DD12_TAU) -> str:
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {k}
+    ),
+    ranked AS (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               list_cosine_similarity(e.v, c.cv) AS csim,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                            c.centroid_id ASC) AS rn
+        FROM e CROSS JOIN cent c
+    ),
+    a AS (SELECT vec_id, v, centroid_id, csim FROM ranked WHERE rn = 1)
+    SELECT y.vec_id, y.centroid_id,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           round(max(list_cosine_similarity(x.v, y.v)), 4) AS max_sim
+    FROM a x JOIN a y
+      ON x.centroid_id = y.centroid_id
+     AND (x.csim < y.csim
+          OR (x.csim = y.csim AND x.vec_id < y.vec_id))
+     AND list_cosine_similarity(x.v, y.v) >= {tau}
+    GROUP BY y.vec_id, y.centroid_id
+    """
+
+
+DD12_SQL = _dd12_sql()
+
+
+def semantic_dedup_removals(
+    emb: DataFrame, k: int = _IVF_K, tau: float = _DD12_TAU
+) -> DataFrame:
+    """SemDeDup removal list over ``(vec_id, v, nrm)``: ``(vec_id,
+    centroid_id, n_dups, max_sim)`` — one row per PRUNED vector, with
+    how many preceding in-cluster near-dups justified the pruning and
+    the strongest of them.
+
+    Scale design: assignment is the shared window-free map-side
+    argmax (:func:`_ivf_assign` — zero corpus shuffle); the only
+    corpus-sized exchange is the within-cluster self-join's hash on
+    centroid_id. That join is deliberately cluster-scoped all-pairs —
+    the SemDeDup contract — so K is THE knob: per-cluster pair volume
+    is (n/K)^2 and the paper runs K ~ n/10k (11k clusters for 100M
+    embeddings). The demo K=_IVF_K matches the sim4/sim6 codebook
+    the oracle states; at 100 TB you'd raise K with corpus size
+    (keeping cluster cardinality roughly constant) and cap runaway
+    clusters by re-sharding, exactly as the paper does. The pair
+    verify is the same JVM zip_with fold dd6 measured faster than an
+    Arrow UDF; norms are computed once per vector, never per pair."""
+    from ..operators.similarity import dot_product
+
+    a = _ivf_assign(emb, k)
+    keep = a.select(
+        F.col("centroid_id").alias("kc"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("v").alias("kv"),
+        F.col("nrm").alias("kn"),
+        F.col("csim").alias("kcsim"),
+    )
+    precedes = (F.col("kcsim") < F.col("csim")) | (
+        (F.col("kcsim") == F.col("csim"))
+        & (F.col("keep_id") < F.col("vec_id"))
+    )
+    sim = F.try_divide(dot_product("v", "kv"), F.col("nrm") * F.col("kn"))
+    return (
+        a.join(keep, (F.col("centroid_id") == F.col("kc")) & precedes)
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= tau)
+        .groupBy("vec_id", "centroid_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.round(F.max("sim_raw"), 4).alias("max_sim"),
+        )
+    )
+
+
+def dd12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table at the oracle-stated demo
+    geometry (K=_IVF_K first-vector codebook, tau=_DD12_TAU)."""
+    from ..operators.similarity import vec_norm
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", vec_norm("v"))
+    )
+    return semantic_dedup_removals(emb)
+
+
+# --- cur7: semantic decontamination ----------------------------------------
+# cur2's embedding-space twin: cur2 catches benchmark leakage by exact
+# n-gram shingle overlap; cur7 catches PARAPHRASED leakage — training
+# documents semantically close to a held-out eval set — by cosine
+# against the eval embeddings (the screen production pipelines run
+# alongside string decontamination; same shape as Phi/Llama-style
+# "fuzzy decontamination"). Eval sets are small BY DEFINITION
+# (thousands of items), so the corpus side never shuffles: eval rows
+# broadcast, every (corpus x eval) cosine is scored JVM-side in the
+# scan stage, and the per-document rollup's groupBy key is the corpus
+# row key itself — every pair for a document lives in the partition
+# that scanned it, so the partial aggregate collapses map-side and
+# the exchange carries only the ~flagged-sized final rows.
+#
+# tau reuses dd6's 0.35 near-dup convention; the demo eval set is the
+# label-0 slice of the embeddings table (the oracle states it).
+#
+# UNREGISTERED (50-entry driver snapshot cap) — oracle-compared in
+# tests/test_suite_oracle.py, benched in bench.py.
+
+_CUR7_TAU = _DD6_THRESHOLD
+_CUR7_EVAL_LABEL = 0
+
+
+def _cur7_sql(tau: float = _CUR7_TAU, eval_label: int = _CUR7_EVAL_LABEL) -> str:
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    ev AS (SELECT v FROM e WHERE label = {eval_label}),
+    c AS (SELECT vec_id, v FROM e WHERE label <> {eval_label}),
+    s AS (
+        SELECT c.vec_id, list_cosine_similarity(c.v, ev.v) AS s
+        FROM c CROSS JOIN ev
+    )
+    SELECT vec_id,
+           CAST(count(*) FILTER (s >= {tau}) AS BIGINT) AS n_eval_hits,
+           round(max(s), 4) AS max_sim
+    FROM s GROUP BY vec_id HAVING max(s) >= {tau}
+    """
+
+
+CUR7_SQL = _cur7_sql()
+
+
+def semantic_decontamination(
+    corpus: DataFrame, eval_set: DataFrame, tau: float = _CUR7_TAU
+) -> DataFrame:
+    """Flag corpus vectors semantically close to a held-out eval set:
+    ``(vec_id, n_eval_hits, max_sim)`` — one row per CONTAMINATED
+    corpus vector (max cosine to any eval vector >= tau), with how
+    many eval items it hits. ``corpus``/``eval_set`` carry
+    ``(vec_id, v, nrm)``; the output is the drop/review action list a
+    pipeline anti-joins against the corpus (the dd9 convention)."""
+    from ..operators.similarity import dot_product
+
+    ev = eval_set.select(
+        F.col("v").alias("ev"), F.col("nrm").alias("en")
+    )
+    sim = F.try_divide(dot_product("v", "ev"), F.col("nrm") * F.col("en"))
+    return (
+        corpus.crossJoin(F.broadcast(ev))
+        .withColumn("s", sim)
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("s") >= tau).cast("long")).alias("n_eval_hits"),
+            F.max("s").alias("ms"),
+        )
+        .filter(F.col("ms") >= tau)
+        .select(
+            "vec_id",
+            "n_eval_hits",
+            F.round("ms", 4).alias("max_sim"),
+        )
+    )
+
+
+def cur7_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic decontamination at the oracle-stated demo split: eval
+    = the label-0 slice of the embeddings table, corpus = the rest."""
+    from ..operators.similarity import vec_norm
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", vec_norm("v"))
+    )
+    return semantic_decontamination(
+        emb.filter(F.col("label") != _CUR7_EVAL_LABEL),
+        emb.filter(F.col("label") == _CUR7_EVAL_LABEL),
+    )

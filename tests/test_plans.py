@@ -348,3 +348,38 @@ def test_dd10_shuffles_on_uniform_hash_and_doc(spark):
     assert "CartesianProduct" not in plan, plan
     assert "hashpartitioning(whash" in plan, plan
     assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_dd12_pairs_only_within_clusters(spark):
+    """dd12's 100-TB contract: the ONLY corpus-sized join is the
+    within-cluster self-join — an equi hash on centroid_id, never a
+    global cartesian. The two nested-loop joins in the plan are the
+    1-row collected-codebook attaches (bounded build side); the
+    assignment itself is window-free (shared _ivf_assign)."""
+    from inpe_queimadas_etl_spark.suite.llmdata import dd12_semantic_dedup
+
+    plan = _plan(dd12_semantic_dedup(spark, SF0001), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "centroid_id" in plan, plan
+    # nested loops only for the two 1-row codebook attaches
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_cur7_corpus_rollup_collapses_map_side(spark):
+    """cur7's 100-TB contract: eval rows broadcast (the bounded
+    nested-loop build side), pair scoring happens in the corpus scan
+    stage, and the per-document rollup keys on the corpus row id —
+    partial aggregation collapses every document's pairs in the
+    partition that scanned it, so the single exchange carries only
+    final per-document rows, never the n x |eval| pair stream."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        cur7_semantic_decontamination,
+    )
+
+    plan = _plan(cur7_semantic_decontamination(spark, SF0001), "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles == 1, f"expected only the final-rows exchange:\n{plan}"
+    assert "partial" in plan.lower(), plan

@@ -208,3 +208,79 @@ def test_fastpath_matches_bucket_slices(spark):
             ).collect()
         }
         assert {k: v[b] for k, v in got.items()} == ref
+
+
+def _assign_parity(emb, k):
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        _ivf_assign,
+        _ivf_assign_ref,
+    )
+
+    ref = {
+        r["vec_id"]: (r["csim"], r["centroid_id"])
+        for r in _ivf_assign_ref(emb, k).collect()
+    }
+    fast = {
+        r["vec_id"]: (r["csim"], r["centroid_id"])
+        for r in _ivf_assign(emb, k).collect()
+    }
+    assert set(ref) == set(fast)
+    for vid in ref:
+        rs, ri = ref[vid]
+        fs, fi = fast[vid]
+        assert ri == fi, (vid, ref[vid], fast[vid])
+        # bit-identical csim, not approximately equal
+        assert rs == fs or (rs is None and fs is None), (
+            vid,
+            ref[vid],
+            fast[vid],
+        )
+
+
+def test_centroid_assign_fastpath_matches_jvm_on_real_embeddings(spark):
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+
+    emb = (
+        load_table(spark, SF001, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", vec_norm("v"))
+    )
+    _assign_parity(emb, 4)
+    _assign_parity(emb, 64)  # past the fast path's block-internal argmax
+
+
+def test_centroid_assign_fastpath_tie_goes_to_lowest_id(spark):
+    """Adversarial codebook: centroids 1 and 2 are IDENTICAL vectors,
+    so every row's csim ties exactly between them — both paths must
+    resolve to centroid 1. Rows 0..3 double as the codebook (the
+    first-K convention), rows 10+ are member-only."""
+    import pandas as pd
+
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.25],
+        2: [0.0, 1.0, 0.25],  # == centroid 1
+        3: [0.0, 0.0, 1.0],
+        10: [0.0, 0.9, 0.3],  # nearest the duplicated direction
+        11: [0.0, 2.0, 0.5],  # exact scalar multiple: csim == 1.0 twice
+    }
+    pdf = pd.DataFrame(
+        {"vec_id": list(vecs), "v": [list(v) for v in vecs.values()]}
+    )
+    emb = (
+        spark.createDataFrame(pdf)
+        .select("vec_id", F.col("v").cast("array<double>").alias("v"))
+        .withColumn("nrm", vec_norm("v"))
+    )
+    _assign_parity(emb, 4)
+    from inpe_queimadas_etl_spark.suite.llmdata import _ivf_assign
+
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _ivf_assign(emb, 4).collect()
+    }
+    assert got[10] == 1 and got[11] == 1  # never the duplicate id 2

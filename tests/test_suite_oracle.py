@@ -591,3 +591,34 @@ def test_dd11_scrubs_exactly_the_planted_run(spark, tmp_path):
         assert r["n_tokens_before"] - r["n_tokens_removed"] == len(
             r["clean_text"].split(" ")
         ) if r["clean_text"] else True
+
+
+def test_dd12_semantic_dedup_matches_oracle(spark):
+    """dd12 is unregistered (50-entry snapshot cap) but oracle-checked
+    here and benched in bench.py: SemDeDup cluster-scoped near-dup
+    pruning with the paper's farthest-from-centroid keeper."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        DD12_SQL,
+        dd12_semantic_dedup,
+    )
+
+    _compare_to_oracle(
+        spark, "dd12_semantic_dedup", dd12_semantic_dedup, DD12_SQL
+    )
+
+
+def test_cur7_semantic_decontamination_matches_oracle(spark):
+    """cur7 is unregistered (50-entry snapshot cap) but oracle-checked
+    here and benched in bench.py: embedding-space decontamination
+    against the label-0 eval slice (cur2's paraphrase-leak twin)."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        CUR7_SQL,
+        cur7_semantic_decontamination,
+    )
+
+    _compare_to_oracle(
+        spark,
+        "cur7_semantic_decontamination",
+        cur7_semantic_decontamination,
+        CUR7_SQL,
+    )
