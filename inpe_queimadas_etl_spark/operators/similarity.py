@@ -366,3 +366,41 @@ def nearest_centroid(
     )
     _assign = pandas_udf(out_type)(_assign_fn)
     return _assign(vec_col, nrm_col)
+
+
+def cosine_block(V, nv, W, nw):
+    """All-pairs cosine block ``(n, m)`` between row matrices ``V``
+    ``(n, dim)`` and ``W`` ``(m, dim)`` with precomputed norms,
+    IEEE-replaying the JVM pair expression
+    ``try_divide(dot_product(v, w), nv * nw)`` so every entry is
+    BIT-IDENTICAL to the zip_with/fold form (the nearest_centroid
+    convention):
+
+      fold step d:   acc = acc + (v_d * w_d)        (2 roundings)
+      numpy step d:  acc += V[:, d:d+1] * W[:, d]   (same 2 roundings)
+
+    then one multiply (``nv * nw``) and one divide, both replayed.
+    A zero denominator scores ``-inf`` where try_divide scores NULL —
+    and NULL loses every ``>= tau`` comparison and every ``max``
+    exactly as ``-inf`` does, so threshold counts and maxima match
+    (pinned by tests/test_similarity_fastpath.py).
+
+    Why this exists (vs the vec_norm docstring's measured rejection of
+    an Arrow PER-PAIR cosine UDF): there each candidate pair shipped
+    BOTH vectors across the Python boundary — O(pairs * dim) transfer.
+    Here each vector crosses ONCE per batch/group and the n*m sims are
+    dense numpy work — O(rows * dim) transfer for O(n*m*dim) flops at
+    memory bandwidth, which is the regime where Arrow wins (the
+    cluster-scoped SemDeDup sweep and broadcast-eval decontamination
+    scorer, suite/llmdata.py)."""
+    import numpy as np
+
+    n, dim = V.shape
+    acc = np.zeros((n, W.shape[0]), dtype=np.float64)
+    for d in range(dim):
+        acc += V[:, d : d + 1] * W[:, d][None, :]
+    denom = nv[:, None] * nw[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = acc / denom
+    sim[denom == 0.0] = -np.inf
+    return sim

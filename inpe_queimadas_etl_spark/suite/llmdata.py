@@ -3403,26 +3403,15 @@ def _dd12_sql(k: int = _IVF_K, tau: float = _DD12_TAU) -> str:
 DD12_SQL = _dd12_sql()
 
 
-def semantic_dedup_removals(
+def _semantic_dedup_removals_ref(
     emb: DataFrame, k: int = _IVF_K, tau: float = _DD12_TAU
 ) -> DataFrame:
-    """SemDeDup removal list over ``(vec_id, v, nrm)``: ``(vec_id,
-    centroid_id, n_dups, max_sim)`` — one row per PRUNED vector, with
-    how many preceding in-cluster near-dups justified the pruning and
-    the strongest of them.
-
-    Scale design: assignment is the shared window-free map-side
-    argmax (:func:`_ivf_assign` — zero corpus shuffle); the only
-    corpus-sized exchange is the within-cluster self-join's hash on
-    centroid_id. That join is deliberately cluster-scoped all-pairs —
-    the SemDeDup contract — so K is THE knob: per-cluster pair volume
-    is (n/K)^2 and the paper runs K ~ n/10k (11k clusters for 100M
-    embeddings). The demo K=_IVF_K matches the sim4/sim6 codebook
-    the oracle states; at 100 TB you'd raise K with corpus size
-    (keeping cluster cardinality roughly constant) and cap runaway
-    clusters by re-sharding, exactly as the paper does. The pair
-    verify is the same JVM zip_with fold dd6 measured faster than an
-    Arrow UDF; norms are computed once per vector, never per pair."""
+    """JVM-expression REFERENCE form of the SemDeDup sweep (the parity
+    anchor for the Arrow fast path — tests/test_similarity_fastpath.py
+    pins the two bit-identical; the _ivf_assign_ref convention): the
+    within-cluster self-join hashes both sides on centroid_id, the
+    greedy precedence is the join condition, and each surviving pair
+    pays one interpreted zip_with/fold cosine."""
     from ..operators.similarity import dot_product
 
     a = _ivf_assign(emb, k)
@@ -3446,6 +3435,114 @@ def semantic_dedup_removals(
         .agg(
             F.count("*").cast("long").alias("n_dups"),
             F.round(F.max("sim_raw"), 4).alias("max_sim"),
+        )
+    )
+
+
+def semantic_dedup_removals(
+    emb: DataFrame,
+    k: int = _IVF_K,
+    tau: float = _DD12_TAU,
+    block: int = 2048,
+) -> DataFrame:
+    """SemDeDup removal list over ``(vec_id, v, nrm)``: ``(vec_id,
+    centroid_id, n_dups, max_sim)`` — one row per PRUNED vector, with
+    how many preceding in-cluster near-dups justified the pruning and
+    the strongest of them.
+
+    Scale design: assignment is the shared window-free map-side
+    argmax (:func:`_ivf_assign` — zero corpus shuffle); the ONLY
+    corpus-sized exchange is the hash on centroid_id that forms the
+    cluster groups (plan-pinned: one Exchange, no join, no Window).
+    The cluster-scoped all-pairs sweep — the SemDeDup contract — runs
+    as ONE Arrow batch per cluster: each vector crosses the Python
+    boundary once and the (n_c)^2 cosines are blocked numpy work
+    (:func:`..operators.similarity.cosine_block`), IEEE-bit-identical
+    to the JVM join form `_semantic_dedup_removals_ref` (pinned).
+    Measured at the bench demo (2k vectors, K=4): 6.0 s JVM folds ->
+    the fold paid ~n_c^2*dim interpreted steps per cluster; the numpy
+    block pays the same flops at memory bandwidth. K is THE knob:
+    per-cluster pair volume is (n/K)^2 and the paper runs K ~ n/10k
+    (11k clusters for 100M embeddings) — cluster cardinality stays
+    ~constant as the corpus grows, so per-group memory (bounded to
+    ``block**2`` sims regardless of cluster size) and per-group time
+    hold; runaway clusters are re-sharded upstream, exactly as the
+    paper does."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    a = _ivf_assign(emb, k)
+    out_schema = T.StructType(
+        [
+            a.schema["vec_id"],
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("n_dups", T.LongType()),
+            T.StructField("max_sim", T.DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series([], dtype="int64"),
+            "centroid_id": pd.Series([], dtype="int64"),
+            "n_dups": pd.Series([], dtype="int64"),
+            "max_sim": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def _sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..operators.similarity import cosine_block
+
+        # NULL-csim rows (zero-norm vectors) neither precede nor get
+        # removed in the JVM form (every comparison with NULL fails) —
+        # drop them from the greedy order entirely.
+        pdf = pdf[pdf["csim"].notna()]
+        n = len(pdf)
+        if n < 2:
+            return empty
+        # greedy order: (csim ASC, vec_id ASC) — mergesort is stable
+        # and the vec_id tie-break makes the order total.
+        pdf = pdf.sort_values(["csim", "vec_id"], kind="mergesort")
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+        nr = pdf["nrm"].to_numpy(dtype=np.float64)
+        n_dups = np.zeros(n, dtype=np.int64)
+        mx = np.full(n, -np.inf)
+        for jlo in range(1, n, block):  # order-first row is never pruned
+            jhi = min(jlo + block, n)
+            hits = np.zeros(jhi - jlo, dtype=np.int64)
+            cmax = np.full(jhi - jlo, -np.inf)
+            cols = np.arange(jlo, jhi)[None, :]
+            for ilo in range(0, jhi, block):
+                ihi = min(ilo + block, jhi)
+                sim = cosine_block(
+                    V[ilo:ihi], nr[ilo:ihi], V[jlo:jhi], nr[jlo:jhi]
+                )
+                # only strictly-earlier rows precede
+                sim[np.arange(ilo, ihi)[:, None] >= cols] = -np.inf
+                hits += (sim >= tau).sum(axis=0)
+                cmax = np.maximum(cmax, sim.max(axis=0))
+            n_dups[jlo:jhi] = hits
+            mx[jlo:jhi] = cmax
+        keep = n_dups > 0
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy()[keep],
+                "centroid_id": pdf["centroid_id"].to_numpy()[keep],
+                "n_dups": n_dups[keep],
+                "max_sim": mx[keep],
+            }
+        )
+
+    return (
+        a.groupBy("centroid_id")
+        .applyInPandas(_sweep, out_schema)
+        .select(
+            "vec_id",
+            "centroid_id",
+            "n_dups",
+            F.round("max_sim", 4).alias("max_sim"),
         )
     )
 
@@ -3511,15 +3608,15 @@ def _cur7_sql(tau: float = _CUR7_TAU, eval_label: int = _CUR7_EVAL_LABEL) -> str
 CUR7_SQL = _cur7_sql()
 
 
-def semantic_decontamination(
+def _semantic_decontamination_ref(
     corpus: DataFrame, eval_set: DataFrame, tau: float = _CUR7_TAU
 ) -> DataFrame:
-    """Flag corpus vectors semantically close to a held-out eval set:
-    ``(vec_id, n_eval_hits, max_sim)`` — one row per CONTAMINATED
-    corpus vector (max cosine to any eval vector >= tau), with how
-    many eval items it hits. ``corpus``/``eval_set`` carry
-    ``(vec_id, v, nrm)``; the output is the drop/review action list a
-    pipeline anti-joins against the corpus (the dd9 convention)."""
+    """JVM-expression REFERENCE form of the decontamination scorer
+    (the parity anchor for the Arrow fast path — bit-identical, pinned
+    in tests/test_similarity_fastpath.py): eval rows broadcast into a
+    nested-loop join, every pair pays one interpreted zip_with/fold,
+    and the per-document rollup keys on the corpus row id so partial
+    aggregation collapses map-side (one exchange of final rows)."""
     from ..operators.similarity import dot_product
 
     ev = eval_set.select(
@@ -3540,6 +3637,86 @@ def semantic_decontamination(
             "n_eval_hits",
             F.round("ms", 4).alias("max_sim"),
         )
+    )
+
+
+def semantic_decontamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    tau: float = _CUR7_TAU,
+    block: int = 4096,
+) -> DataFrame:
+    """Flag corpus vectors semantically close to a held-out eval set:
+    ``(vec_id, n_eval_hits, max_sim)`` — one row per CONTAMINATED
+    corpus vector (max cosine to any eval vector >= tau), with how
+    many eval items it hits. ``corpus``/``eval_set`` carry
+    ``(vec_id, v, nrm)``; the output is the drop/review action list a
+    pipeline anti-joins against the corpus (the dd9 convention).
+
+    Scale design: eval sets are small BY DEFINITION (thousands of
+    items), so the eval matrix is collected once (the same artifact
+    the reference form broadcasts) and the whole scorer runs INSIDE
+    the corpus scan as one Arrow pass per batch — each corpus vector
+    crosses the Python boundary once, the n x |eval| cosines are
+    blocked numpy work (:func:`..operators.similarity.cosine_block`,
+    IEEE-bit-identical to the broadcast-join form
+    `_semantic_decontamination_ref`, pinned), and each row's rollup
+    (hit count + max) completes in the batch that scanned it. ZERO
+    exchanges, zero joins (plan-pinned) — the reference form's one
+    final-rows exchange is gone because nothing needs grouping."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ev_rows = eval_set.select("v", "nrm").collect()
+    out_schema = T.StructType(
+        [
+            corpus.schema["vec_id"],
+            T.StructField("n_eval_hits", T.LongType()),
+            T.StructField("max_sim", T.DoubleType()),
+        ]
+    )
+    src = corpus.select("vec_id", "v", "nrm")
+    if not ev_rows:
+        # JVM: crossJoin with an empty build side yields no pairs
+        return src.sparkSession.createDataFrame([], out_schema)
+    E = np.array([list(r["v"]) for r in ev_rows], dtype=np.float64)
+    en = np.array([r["nrm"] for r in ev_rows], dtype=np.float64)
+    m = len(ev_rows)
+
+    def _score(batches):
+        from ..operators.similarity import cosine_block
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            nr = pdf["nrm"].to_numpy(dtype=np.float64)
+            hits = np.zeros(n, dtype=np.int64)
+            mx = np.full(n, -np.inf)
+            for elo in range(0, m, block):
+                ehi = min(elo + block, m)
+                sim = cosine_block(V, nr, E[elo:ehi], en[elo:ehi])
+                hits += (sim >= tau).sum(axis=1)
+                mx = np.maximum(mx, sim.max(axis=1))
+            keep = mx >= tau
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "n_eval_hits": hits[keep],
+                    "max_sim": mx[keep],
+                }
+            )
+
+    return src.mapInPandas(_score, out_schema).select(
+        "vec_id",
+        "n_eval_hits",
+        F.round("max_sim", 4).alias("max_sim"),
     )
 
 

@@ -16,6 +16,7 @@ import io
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from inpe_queimadas_etl_spark.suite import all_queries
 
@@ -350,36 +351,59 @@ def test_dd10_shuffles_on_uniform_hash_and_doc(spark):
     assert "hashpartitioning(doc_id" in plan, plan
 
 
-def test_dd12_pairs_only_within_clusters(spark):
-    """dd12's 100-TB contract: the ONLY corpus-sized join is the
-    within-cluster self-join — an equi hash on centroid_id, never a
-    global cartesian. The two nested-loop joins in the plan are the
-    1-row collected-codebook attaches (bounded build side); the
-    assignment itself is window-free (shared _ivf_assign)."""
+def test_dd12_one_exchange_no_join(spark):
+    """dd12's 100-TB contract: assignment is map-side (collected
+    codebook, Arrow argmax — no join, no Window), and the ONLY
+    corpus-sized exchange is the hash on centroid_id that forms the
+    cluster groups for the Arrow sweep (FlatMapGroupsInPandas). The
+    (n_c)^2 pair volume never materializes as rows — it lives inside
+    the per-cluster numpy block."""
     from inpe_queimadas_etl_spark.suite.llmdata import dd12_semantic_dedup
 
     plan = _plan(dd12_semantic_dedup(spark, SF0001), "simple")
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "hashpartitioning(centroid_id" in plan, plan
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles == 1, f"expected only the grouping exchange:\n{plan}"
+
+
+def test_dd12_ref_pairs_only_within_clusters(spark):
+    """The JVM parity anchor keeps ITS contract too: the only
+    corpus-sized join is the within-cluster self-join — an equi hash
+    on centroid_id, never a global cartesian."""
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+    from inpe_queimadas_etl_spark.session import load_table
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        _semantic_dedup_removals_ref,
+    )
+
+    emb = (
+        load_table(spark, SF0001, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", vec_norm("v"))
+    )
+    plan = _plan(_semantic_dedup_removals_ref(emb), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
     assert "centroid_id" in plan, plan
-    # nested loops only for the two 1-row codebook attaches
-    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
 
 
-def test_cur7_corpus_rollup_collapses_map_side(spark):
-    """cur7's 100-TB contract: eval rows broadcast (the bounded
-    nested-loop build side), pair scoring happens in the corpus scan
-    stage, and the per-document rollup keys on the corpus row id —
-    partial aggregation collapses every document's pairs in the
-    partition that scanned it, so the single exchange carries only
-    final per-document rows, never the n x |eval| pair stream."""
+def test_cur7_zero_exchange_scan_side_scorer(spark):
+    """cur7's 100-TB contract: the eval matrix is collected (small by
+    definition) and the whole scorer — every n x |eval| cosine AND the
+    per-document rollup — runs inside the corpus scan as one Arrow
+    pass (MapInPandas). ZERO exchanges, zero joins: nothing needs
+    grouping because each row's rollup completes in the batch that
+    scanned it."""
     from inpe_queimadas_etl_spark.suite.llmdata import (
         cur7_semantic_decontamination,
     )
 
     plan = _plan(cur7_semantic_decontamination(spark, SF0001), "simple")
-    assert "BroadcastNestedLoopJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
     n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
-    assert n_shuffles == 1, f"expected only the final-rows exchange:\n{plan}"
-    assert "partial" in plan.lower(), plan
+    assert n_shuffles == 0, f"expected a pure scan-side plan:\n{plan}"

@@ -284,3 +284,162 @@ def test_centroid_assign_fastpath_tie_goes_to_lowest_id(spark):
         for r in _ivf_assign(emb, 4).collect()
     }
     assert got[10] == 1 and got[11] == 1  # never the duplicate id 2
+
+
+def _norm_emb(spark, vecs):
+    import pandas as pd
+
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+
+    pdf = pd.DataFrame(
+        {"vec_id": list(vecs), "v": [list(map(float, v)) for v in vecs.values()]}
+    )
+    return (
+        spark.createDataFrame(pdf)
+        .select("vec_id", F.col("v").cast("array<double>").alias("v"))
+        .withColumn("nrm", vec_norm("v"))
+    )
+
+
+def _dd12_parity(emb, k, tau):
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        _semantic_dedup_removals_ref,
+        semantic_dedup_removals,
+    )
+
+    ref = {
+        r["vec_id"]: (r["centroid_id"], r["n_dups"], r["max_sim"])
+        for r in _semantic_dedup_removals_ref(emb, k, tau).collect()
+    }
+    fast = {
+        r["vec_id"]: (r["centroid_id"], r["n_dups"], r["max_sim"])
+        for r in semantic_dedup_removals(emb, k, tau).collect()
+    }
+    assert fast == ref  # bit-for-bit incl. max_sim doubles
+
+
+def test_semantic_dedup_fastpath_matches_jvm_on_real_embeddings(spark):
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+
+    emb = (
+        load_table(spark, SF001, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", vec_norm("v"))
+    )
+    _dd12_parity(emb, 4, 0.40)
+    # low tau makes MANY pairs qualify -> exercises counts and maxima
+    _dd12_parity(emb, 4, 0.05)
+
+
+def test_semantic_dedup_fastpath_matches_jvm_adversarial(spark):
+    """Exact-duplicate vectors (csim ties -> vec_id tie-break), a
+    zero-norm vector (NULL csim: neither precedes nor is removed),
+    exact scalar multiples (pair cosine exactly 1.0), and a cluster
+    of size 1 — all bit-identical between the Arrow sweep and the
+    JVM join, across blocking boundaries (block=2 forces multi-block
+    row AND column sweeps)."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        _semantic_dedup_removals_ref,
+        semantic_dedup_removals,
+    )
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        10: [1.0, 0.05, 0.0, 0.0],
+        11: [1.0, 0.05, 0.0, 0.0],  # == 10: csim tie, cosine 1.0
+        12: [2.0, 0.10, 0.0, 0.0],  # scalar multiple of 10
+        13: [0.0, 0.0, 0.0, 0.0],  # zero norm: NULL csim
+        14: [1.0, 0.20, 0.0, 0.0],
+        15: [1.0, 0.30, 0.0, 0.0],
+        16: [1.0, 0.40, 0.0, 0.0],
+        20: [0.0, 1.0, 0.05, 0.0],  # cluster 1: just one member pair
+        21: [0.0, 1.0, 0.06, 0.0],
+    }
+    emb = _norm_emb(spark, vecs)
+    ref = {
+        r["vec_id"]: (r["centroid_id"], r["n_dups"], r["max_sim"])
+        for r in _semantic_dedup_removals_ref(emb, 2, 0.9).collect()
+    }
+    fast = {
+        r["vec_id"]: (r["centroid_id"], r["n_dups"], r["max_sim"])
+        for r in semantic_dedup_removals(emb, 2, 0.9, block=2).collect()
+    }
+    assert fast == ref
+    assert 13 not in fast  # the zero-norm vector is untouchable
+    # the order-first member of each cluster never appears
+    assert ref  # the plant actually produced removals
+
+
+def test_cur7_fastpath_matches_jvm(spark):
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        _semantic_decontamination_ref,
+        semantic_decontamination,
+    )
+
+    emb = (
+        load_table(spark, SF001, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", vec_norm("v"))
+    )
+    corpus = emb.filter(F.col("label") != 0)
+    ev = emb.filter(F.col("label") == 0)
+    for tau in (0.35, 0.05):  # sparse and dense hit regimes
+        ref = {
+            r["vec_id"]: (r["n_eval_hits"], r["max_sim"])
+            for r in _semantic_decontamination_ref(corpus, ev, tau).collect()
+        }
+        fast = {
+            r["vec_id"]: (r["n_eval_hits"], r["max_sim"])
+            for r in semantic_decontamination(
+                corpus, ev, tau, block=3
+            ).collect()
+        }
+        assert fast == ref, tau
+
+
+def test_cur7_fastpath_empty_eval_set(spark):
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        semantic_decontamination,
+    )
+
+    corpus = _norm_emb(spark, {1: [1.0, 0.0], 2: [0.0, 1.0]})
+    out = semantic_decontamination(corpus, corpus.filter("vec_id < 0"))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id",
+        "n_eval_hits",
+        "max_sim",
+    ]
+
+
+def test_cur7_fastpath_zero_norm_rows(spark):
+    """A zero-norm corpus vector scores NULL against every eval item
+    in the JVM form (never flagged); a zero-norm EVAL vector is a
+    dead column (hits nothing). Both replayed."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        _semantic_decontamination_ref,
+        semantic_decontamination,
+    )
+
+    corpus = _norm_emb(
+        spark, {1: [1.0, 0.0], 2: [0.0, 0.0], 3: [0.9, 0.1]}
+    )
+    ev = _norm_emb(spark, {100: [1.0, 0.0], 101: [0.0, 0.0]})
+    ref = {
+        r["vec_id"]: (r["n_eval_hits"], r["max_sim"])
+        for r in _semantic_decontamination_ref(corpus, ev, 0.5).collect()
+    }
+    fast = {
+        r["vec_id"]: (r["n_eval_hits"], r["max_sim"])
+        for r in semantic_decontamination(corpus, ev, 0.5).collect()
+    }
+    assert fast == ref
+    assert 2 not in fast
