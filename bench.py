@@ -66,6 +66,10 @@ HEADLINE = [
     "card1_corpus_manifest",
     "tx7_model_quality_score",
     "tx7_broadcast_quality_score",
+    "tx8_lm_perplexity",
+    "cur8_dsir_selection",
+    "cur9_dsir_resample",
+    "tx9_bpe_tokenize",
     "sim5_sq8_ann",
     "sim6_ivf_sq8_ann",
     "mm5_simhash_neardup",
@@ -98,6 +102,10 @@ UNREGISTERED = (
     "card1_corpus_manifest",
     "tx7_model_quality_score",
     "tx7_broadcast_quality_score",
+    "tx8_lm_perplexity",
+    "cur8_dsir_selection",
+    "cur9_dsir_resample",
+    "tx9_bpe_tokenize",
     "sim5_sq8_ann",
     "sim6_ivf_sq8_ann",
     "mm5_simhash_neardup",
@@ -229,6 +237,10 @@ def main() -> None:
         sim6_ivf_sq8_ann,
         tx7_broadcast_quality_score,
         tx7_model_quality_score,
+        tx8_lm_perplexity,
+        cur8_dsir_selection,
+        cur9_dsir_resample,
+        tx9_bpe_tokenize,
     )
     from inpe_queimadas_etl_spark.suite.multimodal import mm5_simhash_neardup
     from inpe_queimadas_etl_spark.suite.relational import p7_stable_event_hash
@@ -251,6 +263,10 @@ def main() -> None:
     )
     queries.setdefault("card1_corpus_manifest", card1_corpus_manifest)
     queries.setdefault("tx7_model_quality_score", tx7_model_quality_score)
+    queries.setdefault("tx8_lm_perplexity", tx8_lm_perplexity)
+    queries.setdefault("cur8_dsir_selection", cur8_dsir_selection)
+    queries.setdefault("cur9_dsir_resample", cur9_dsir_resample)
+    queries.setdefault("tx9_bpe_tokenize", tx9_bpe_tokenize)
     queries.setdefault(
         "tx7_broadcast_quality_score", tx7_broadcast_quality_score
     )

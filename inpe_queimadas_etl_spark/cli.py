@@ -293,6 +293,9 @@ def cmd_corpus_curate(args) -> int:
         write_packs=args.write_packs,
         split_by=args.split_by,
         scrub_spans=args.scrub_spans,
+        min_lm_logprob=args.min_lm_logprob,
+        dsir_target_dir=args.dsir_target_dir,
+        dsir_keep=args.dsir_keep,
     )
     log.info("corpus-curate | manifest | %s", json.dumps(manifest, default=str))
     return 0
@@ -412,6 +415,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="also remove duplicated token runs (>= 20 tokens, any "
         "offset) from surviving documents before mixture/packing — "
         "the Lee et al. exact-substring scrub (dd10/dd11 semantics)",
+    )
+    cur.add_argument(
+        "--min-lm-logprob",
+        type=float,
+        default=None,
+        help="bigram-LM quality gate (tx8/CCNet semantics): drop "
+        "documents whose average bigram log-probability under a "
+        "self-trained LM falls below this; sub-2-token docs carry "
+        "no score and are dropped too",
+    )
+    cur.add_argument(
+        "--dsir-target-dir",
+        help="dir holding a target-domain documents.parquet; keeps "
+        "only the --dsir-keep documents drawn ~ exp(DSIR importance "
+        "weight) toward it (deterministic Gumbel-top-k)",
+    )
+    cur.add_argument(
+        "--dsir-keep",
+        type=int,
+        default=None,
+        help="sample size for --dsir-target-dir (required with it)",
     )
     cur.add_argument(
         "--split-by",

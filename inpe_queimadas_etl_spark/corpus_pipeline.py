@@ -224,6 +224,9 @@ def run_corpus_pipeline(
     write_packs: bool = False,
     split_by: str = "clusters",
     scrub_spans: bool = False,
+    min_lm_logprob: float | None = None,
+    dsir_target_dir: str | None = None,
+    dsir_keep: int | None = None,
 ) -> dict:
     """Materialize ``corpus_dir``'s documents table into
     ``out_dir/corpus`` (parquet, partitioned by split) and return the
@@ -253,6 +256,12 @@ def run_corpus_pipeline(
             raise ValueError("weights must contain a positive entry")
     if token_budget is not None and token_budget < 0:
         raise ValueError(f"negative token_budget {token_budget}")
+    if (dsir_target_dir is None) != (dsir_keep is None):
+        raise ValueError(
+            "dsir_target_dir and dsir_keep must be given together"
+        )
+    if dsir_keep is not None and dsir_keep <= 0:
+        raise ValueError(f"dsir_keep must be positive, got {dsir_keep}")
     os.makedirs(out_dir, exist_ok=True)
     docs, table_dir = _resolve_corpus(spark, corpus_dir, out_dir)
 
@@ -288,7 +297,35 @@ def run_corpus_pipeline(
         n_contaminated = contam.count()
         survivors = survivors.join(contam, "doc_id", "left_anti")
 
-    # stage 3c (optional): unaligned duplicate-span scrub (dd10/dd11
+    # stage 3c (optional): bigram-LM quality gate (tx8 semantics,
+    # the CCNet-shaped perplexity filter): keep only docs whose
+    # avg bigram log-probability under a model trained on the
+    # surviving corpus itself clears the threshold. Self-training is
+    # the demo shape — a deployment trains on a held-out reference
+    # slice (ngram_lm_scores takes any (doc_id, text) frame) — and
+    # docs too short to carry a bigram score no row, so the gate
+    # DROPS them (sub-2-token docs are noise under any LM gate).
+    lm_stats = {"enabled": False, "dropped": 0}
+    if min_lm_logprob is not None:
+        from .suite.llmdata import ngram_lm_scores
+
+        passed = (
+            ngram_lm_scores(survivors.select("doc_id", "text"))
+            .filter(F.col("avg_logprob") >= min_lm_logprob)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        n_lm_dropped = survivors.join(
+            passed, "doc_id", "left_anti"
+        ).count()
+        survivors = survivors.join(passed, "doc_id", "left_semi")
+        lm_stats = {
+            "enabled": True,
+            "dropped": n_lm_dropped,
+            "min_lm_logprob": min_lm_logprob,
+        }
+
+    # stage 3d (optional): unaligned duplicate-span scrub (dd10/dd11
     # semantics) over the CURATED survivors — whole-doc dedup already
     # removed exact/near duplicate documents above; this removes
     # repeated RUNS (boilerplate, licence blocks, navigation chrome)
@@ -330,6 +367,38 @@ def run_corpus_pipeline(
             )
             .withColumn("n_chars", F.length("text").cast("long"))
         )
+
+    # stage 3e (optional): DSIR domain selection (cur8/cur9
+    # semantics): keep the dsir_keep-document Gumbel-top-k draw
+    # ~ exp(importance weight) toward the target directory's
+    # documents table. Runs AFTER the scrub so the weights see final
+    # text, BEFORE mixture so the token accounting sees the drawn
+    # set. The draw is deterministic (salted-md5 Gumbel), so
+    # re-running reproduces the same corpus.
+    dsir_stats = {"enabled": False, "dropped": 0}
+    if dsir_target_dir is not None:
+        from .suite.llmdata import dsir_gumbel_topk
+
+        target = load_table(spark, dsir_target_dir, "documents").select(
+            "doc_id", "text"
+        )
+        drawn = (
+            dsir_gumbel_topk(
+                survivors.select("doc_id", "text"), target, k=dsir_keep
+            )
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        n_dsir_dropped = survivors.join(
+            drawn, "doc_id", "left_anti"
+        ).count()
+        survivors = survivors.join(drawn, "doc_id", "left_semi")
+        dsir_stats = {
+            "enabled": True,
+            "dropped": n_dsir_dropped,
+            "target_dir": dsir_target_dir,
+            "keep": dsir_keep,
+        }
 
     # stage 4 (optional): mixture downsampling. Runs ONLY when the
     # caller asked for a mixture (weights) or a cap (token_budget) —
@@ -467,9 +536,15 @@ def run_corpus_pipeline(
         "input_docs": docs.count(),
         "curation": drop_counts,
         "repetition_dropped": int(
-            drop_counts.get("kept", 0) - n_contaminated - mix_stats["in"]
+            drop_counts.get("kept", 0)
+            - n_contaminated
+            - lm_stats["dropped"]
+            - dsir_stats["dropped"]
+            - mix_stats["in"]
         ),
         "contaminated_dropped": n_contaminated,
+        "lm_gate": lm_stats,
+        "dsir": dsir_stats,
         "mixture": mix_stats,
         "span_scrub": scrub_stats,
         "split_by": split_by,

@@ -1,0 +1,180 @@
+"""Byte-pair-encoding tokenization as a Spark pipeline operator.
+
+The reference engine's text tier stops at whitespace/regex token
+counting; a training-data pipeline ultimately feeds a SUBWORD
+tokenizer, and "how many BPE tokens is this corpus" is the number
+every mixture/packing/budget decision is denominated in. This module
+implements classic BPE (Sennrich et al. 2016) Spark-first:
+
+- **Train** (small by construction): one corpus pass builds the
+  top-K word-frequency table (TakeOrdered — per-partition heaps, no
+  global sort; the standard practice of training BPE on a capped
+  vocabulary rather than the raw stream). The merge loop itself runs
+  driver-side over that K-row dict — it is inherently sequential
+  (merge i+1's pair counts depend on merge i) and touches only the
+  K-row table, never the corpus.
+- **Apply** (the 100-TB path): the learned merge ranks broadcast to
+  executors inside an Arrow-batched ``mapInPandas``; encoding is one
+  scan with ZERO exchanges (plan-pinned), with a per-batch word->
+  tokens memo so each distinct word is encoded once per batch (word
+  frequency follows Zipf — the memo hit rate is the point).
+
+Determinism: merge selection ties break lexicographically on the
+pair, so the same corpus always learns the same merge table and the
+draw is reproducible across runs, partitionings, and cluster sizes.
+
+No SQL oracle: greedy iterative merging is not expressible in ANSI
+SQL — correctness is pinned by a pure-Python mirror (the same
+algorithm run outside Spark), the paper's worked example, and the
+reconstruction invariant (concatenating a word's subword tokens
+reproduces the word). The suite query (tx9) is therefore
+benched-but-unregistered with a rows-only driver check.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_END = "</w>"
+
+
+def train_bpe(
+    word_counts: Iterable[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` BPE merges from ``(word, count)``
+    pairs (pure Python, driver-side): each step merges the most
+    frequent adjacent symbol pair, ties broken lexicographically so
+    the table is deterministic. Words carry a terminal ``</w>``
+    marker (the paper's setup) so merges never cross word ends."""
+    words: list[tuple[list[str], int]] = [
+        (list(w) + [_END], c) for w, c in word_counts if w
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in words:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], _neg_lex(kv[0])))
+        if best[1] < 2:
+            break  # merging singletons adds vocab without compression
+        pair = best[0]
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        for syms, _ in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == pair[0] and syms[i + 1] == pair[1]:
+                    syms[i : i + 2] = [merged]
+                else:
+                    i += 1
+    return merges
+
+
+class _neg_lex:
+    """Ordering adapter: max() picks the HIGHEST count, and among
+    equal counts the LEXICOGRAPHICALLY SMALLEST pair."""
+
+    __slots__ = ("pair",)
+
+    def __init__(self, pair: tuple[str, str]):
+        self.pair = pair
+
+    def __lt__(self, other: "_neg_lex") -> bool:
+        return self.pair > other.pair
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with a trained merge-rank table: repeatedly
+    merge the present pair with the LOWEST rank (GPT-2's application
+    order — identical to replaying training merges in sequence, but
+    O(len * merges-applied) instead of O(len * table))."""
+    syms = list(word) + [_END]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def corpus_word_counts(
+    docs: DataFrame, top_k: int = 50_000
+) -> list[tuple[str, int]]:
+    """Top-``top_k`` word-frequency table over ``(doc_id, text)`` —
+    the training input. TakeOrdered (count DESC, word ASC), never a
+    global sort; the K-row result is the ONLY thing that leaves the
+    cluster."""
+    rows = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(top_k)
+        .collect()
+    )
+    return [(r["w"], r["c"]) for r in rows]
+
+
+def bpe_token_stats(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Per-document subword accounting under a trained merge table:
+    ``(doc_id, n_ws_tokens, n_bpe_tokens, compression)`` where
+    compression = whitespace tokens / BPE tokens (rounded to 4).
+
+    Scale design: ``merges`` rides the closure of the Arrow UDF
+    (broadcast with the task binary — a merge table is ~100k small
+    string pairs), encoding is one ``mapInPandas`` scan with zero
+    exchanges (plan-pinned), and a per-batch word->len memo collapses
+    Zipf-repeated words to dict hits."""
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def n_bpe(text: str) -> int:
+            total = 0
+            for w in text.split(" "):
+                if not w:
+                    continue
+                n = memo.get(w)
+                if n is None:
+                    n = len(encode_word(w, ranks))
+                    memo[w] = n
+                total += n
+            return total
+
+        for pdf in batches:
+            ws = pdf["text"].map(lambda t: sum(1 for w in t.split(" ") if w))
+            bpe = pdf["text"].map(n_bpe)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_ws_tokens": ws.astype("int64"),
+                    "n_bpe_tokens": bpe.astype("int64"),
+                    "compression": (ws / bpe).round(4),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode_batches,
+        schema=(
+            "doc_id long, n_ws_tokens long, n_bpe_tokens long, "
+            "compression double"
+        ),
+    )

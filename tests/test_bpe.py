@@ -1,0 +1,148 @@
+"""BPE tokenization (operators/bpe.py, tx9): the documented
+no-SQL-oracle exception — pinned instead by the paper's worked
+example, a training-order replay equivalence, the reconstruction
+invariant, and Spark/pure-Python parity."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from inpe_queimadas_etl_spark.operators.bpe import (
+    _END,
+    bpe_token_stats,
+    corpus_word_counts,
+    encode_word,
+    train_bpe,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_paper_worked_example():
+    """Sennrich et al.'s vocabulary {low:5, lower:2, newest:6,
+    widest:3}: the highest-frequency pairs merge first, count ties
+    break lexicographically."""
+    counts = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe(counts, 6)
+    assert merges[:6] == [
+        # e-s / s-t / t-</w> all occur 9 times -> lex order
+        ("e", "s"),
+        ("es", "t"),
+        ("est", "</w>"),
+        # l-o and o-w occur 7 times (low + lower) -> lex order
+        ("l", "o"),
+        ("lo", "w"),
+        # n-e / e-w / w-est</w> all occur 6 times (newest) -> lex
+        ("e", "w"),
+    ]
+
+
+def test_encode_matches_training_replay():
+    """GPT-2-style lowest-rank-first application == replaying the
+    training merges in learned order (the equivalence encode_word
+    relies on), checked on every word of a random corpus."""
+    rng = random.Random(7)
+    alphabet = "abcdef"
+    words = {
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 9)))
+        for _ in range(120)
+    }
+    counts = [(w, rng.randrange(1, 50)) for w in sorted(words)]
+    merges = train_bpe(counts, 60)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def replay(word: str) -> list[str]:
+        syms = list(word) + [_END]
+        for a, b in merges:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [a + b]
+                else:
+                    i += 1
+        return syms
+
+    for w, _ in counts:
+        assert encode_word(w, ranks) == replay(w), w
+
+
+def test_reconstruction_invariant():
+    """Concatenating a word's subword tokens reproduces the word (plus
+    the terminal marker) — for trained words AND unseen words."""
+    counts = [("banana", 9), ("bandana", 4), ("anagram", 2)]
+    ranks = {p: i for i, p in enumerate(train_bpe(counts, 20))}
+    for w in ("banana", "bandana", "anagram", "unseen", "nab", "x"):
+        assert "".join(encode_word(w, ranks)) == w + _END
+
+
+def test_singleton_pairs_never_merge():
+    """Merging a pair that occurs once adds vocab without compression;
+    training stops instead (the < 2 guard)."""
+    merges = train_bpe([("abc", 1)], 10)
+    assert merges == []
+
+
+def test_spark_parity_and_compression(spark):
+    """bpe_token_stats == the pure-Python encoder on every row, and a
+    corpus dominated by few words compresses (multi-char merges)."""
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the cats sat on the mats",
+        2: "cat mat the cat",
+        3: "",
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    docs = spark.createDataFrame(pdf)
+    counts = corpus_word_counts(docs, top_k=100)
+    # TakeOrdered contract: count desc, word asc
+    assert counts == sorted(counts, key=lambda wc: (-wc[1], wc[0]))
+    merges = train_bpe(counts, 50)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"], r["compression"])
+        for r in bpe_token_stats(docs, merges).collect()
+    }
+    for d, t in texts.items():
+        ws = [w for w in t.split(" ") if w]
+        bpe = sum(len(encode_word(w, ranks)) for w in ws)
+        assert got[d][0] == len(ws)
+        assert got[d][1] == bpe
+        if bpe:
+            assert got[d][2] == pytest.approx(round(len(ws) / bpe, 4))
+    # "the" (freq 5) must have fully merged into one token
+    assert len(encode_word("the", ranks)) == 1
+    # empty doc: 0 tokens, null compression
+    assert got[3][0] == 0 and got[3][1] == 0
+    assert got[3][2] is None or got[3][2] != got[3][2]
+
+
+def test_tx9_apply_is_zero_exchange_scan(spark):
+    """The 100-TB contract: after the (driver-side, K-row) training
+    collect, the encoding pass is ONE mapInPandas scan with zero
+    exchanges — the merge table rides the UDF closure."""
+    from inpe_queimadas_etl_spark.suite.llmdata import tx9_bpe_tokenize
+
+    df = tx9_bpe_tokenize(spark, SF0001)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_tx9_runs_at_demo_geometry(spark):
+    from inpe_queimadas_etl_spark.suite.llmdata import tx9_bpe_tokenize
+
+    pdf = tx9_bpe_tokenize(spark, SF0001).toPandas()
+    assert len(pdf) == 500
+    assert (pdf["n_bpe_tokens"] >= pdf["n_ws_tokens"] * 0).all()
+    # trained merges must compress the corpus it was trained on
+    assert pdf["n_bpe_tokens"].sum() < 3 * pdf["n_ws_tokens"].sum()
+    assert (pdf["n_bpe_tokens"] > 0).all()

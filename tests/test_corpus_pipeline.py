@@ -604,3 +604,102 @@ def test_scrub_spans_stage(spark, tmp_path):
         "docs_scrubbed": 0,
         "tokens_removed": 0,
     }
+
+
+def test_lm_gate_and_dsir_selection_stages(spark, tmp_path):
+    """--min-lm-logprob + --dsir-target-dir/--dsir-keep: the bigram-LM
+    gate drops the incoherent docs, the DSIR draw then keeps k
+    target-like ones, and the manifest arithmetic stays consistent
+    with both gates accounted."""
+    import random
+
+    import pandas as pd
+
+    from inpe_queimadas_etl_spark.suite.llmdata import ngram_lm_scores
+
+    rng = random.Random(97)
+    # 100 fixed word PAIRS: fluent docs draw 25 pairs each, so pair
+    # bigrams recur across docs (predictable transitions = high LM
+    # score) while whole-shingle overlap between any two docs stays
+    # far below near-dup range. All tokens distinct within a doc (no
+    # repeated 3-grams, top-word frac ~1/52 -> survives cur3).
+    pairs = [(f"a{i}", f"b{i}") for i in range(100)]
+    fluent = []
+    for i in range(20):
+        sel = rng.sample(pairs, 25)
+        fluent.append("the a " + " ".join(w for p in sel for w in p))
+    # junk: unique one-off tokens -> every bigram unseen elsewhere
+    junk = [
+        "the a " + " ".join(f"j{i}x{k}" for k in range(50))
+        for i in range(5)
+    ]
+    texts = fluent + junk
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf["lang"] = "en"
+    pdf["source"] = "src0"
+    src = tmp_path / "corpus"
+    src.mkdir()
+    pdf.to_parquet(src / "documents.parquet")
+
+    # target domain: fresh draws from the same pair vocabulary
+    tgt = pd.DataFrame(
+        {
+            "doc_id": range(1000, 1008),
+            "text": [
+                "the a "
+                + " ".join(w for p in rng.sample(pairs, 25) for w in p)
+                for _ in range(8)
+            ],
+        }
+    )
+    tdir = tmp_path / "target"
+    tdir.mkdir()
+    tgt.to_parquet(tdir / "documents.parquet")
+
+    # threshold: midpoint of the (asserted) fluent/junk separation
+    scores = (
+        ngram_lm_scores(
+            spark.createDataFrame(pdf[["doc_id", "text"]])
+        )
+        .toPandas()
+        .set_index("doc_id")["avg_logprob"]
+    )
+    fluent_min = scores.loc[range(20)].min()
+    junk_max = scores.loc[range(20, 25)].max()
+    assert fluent_min > junk_max, (fluent_min, junk_max)
+    thresh = (fluent_min + junk_max) / 2
+
+    out = str(tmp_path / "out")
+    manifest = run_corpus_pipeline(
+        spark,
+        str(src),
+        out,
+        min_lm_logprob=thresh,
+        dsir_target_dir=str(tdir),
+        dsir_keep=10,
+    )
+    assert manifest["lm_gate"]["enabled"]
+    assert manifest["lm_gate"]["dropped"] == 5
+    assert manifest["dsir"]["enabled"]
+    assert manifest["dsir"]["dropped"] == 10  # 20 fluent -> 10 drawn
+    assert (
+        manifest["mixture"]["in"]
+        == manifest["curation"]["kept"]
+        - manifest["repetition_dropped"]
+        - manifest["contaminated_dropped"]
+        - manifest["lm_gate"]["dropped"]
+        - manifest["dsir"]["dropped"]
+    )
+    written = spark.read.parquet(os.path.join(out, "corpus"))
+    ids = {r["doc_id"] for r in written.select("doc_id").collect()}
+    assert len(ids) == 10
+    assert ids <= set(range(20)), ids  # every junk doc is gone
+
+    # the two gates must be asked for together
+    with pytest.raises(ValueError, match="together"):
+        run_corpus_pipeline(
+            spark, str(src), str(tmp_path / "o2"), dsir_keep=5
+        )

@@ -407,3 +407,53 @@ def test_cur7_zero_exchange_scan_side_scorer(spark):
     assert "MapInPandas" in plan, plan
     n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n_shuffles == 0, f"expected a pure scan-side plan:\n{plan}"
+
+
+def test_tx8_model_joins_broadcast_corpus_never_token_shuffled(spark):
+    """tx8's 100-TB contract: the model is small by construction
+    (top-V vocab via TakeOrdered, <= (V+1)^2 bigram rows), so every
+    model-side join BROADCASTS — the corpus is never hashed on a
+    token key. The only exchanges carry map-side-combined partials
+    over distinct keys (vocab, C1, C2) and final per-doc score rows."""
+    from inpe_queimadas_etl_spark.suite.llmdata import tx8_lm_perplexity
+
+    plan = _plan(tx8_lm_perplexity(spark, SF0001), "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles == 3, f"C1 + C2 + per-doc rollup:\n{plan}"
+    # the vocab is a materialized local relation, never re-derived
+    # inside broadcast build sides (each re-derivation would be a
+    # full corpus token scan at 100 TB)
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_cur8_model_broadcasts_corpus_never_feature_shuffled(spark):
+    """cur8's 100-TB contract: the model is B rows by construction, so
+    the B-row log-ratio table BROADCASTS into the scoring pass and the
+    corpus feature stream is never hashed on a bucket key for a join.
+    The only exchanges carry map-side-combined partials over <= B
+    distinct keys (tc, rc), single-row totals (nt, nr), or final
+    per-document score rows (the doc_id rollup)."""
+    from inpe_queimadas_etl_spark.suite.llmdata import cur8_dsir_selection
+
+    plan = _plan(cur8_dsir_selection(spark, SF0001), "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_cur9_takeordered_no_global_sort(spark):
+    """cur9's selection is TakeOrdered — per-partition k-row heaps
+    merged on the driver — never a full corpus sort, and it inherits
+    cur8's broadcast-only model joins."""
+    from inpe_queimadas_etl_spark.suite.llmdata import cur9_dsir_resample
+
+    plan = _plan(cur9_dsir_resample(spark, SF0001), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
