@@ -70,6 +70,7 @@ HEADLINE = [
     "cur8_dsir_selection",
     "cur9_dsir_resample",
     "tx9_bpe_tokenize",
+    "tx10_trained_quality_score",
     "sim5_sq8_ann",
     "sim6_ivf_sq8_ann",
     "mm5_simhash_neardup",
@@ -106,6 +107,7 @@ UNREGISTERED = (
     "cur8_dsir_selection",
     "cur9_dsir_resample",
     "tx9_bpe_tokenize",
+    "tx10_trained_quality_score",
     "sim5_sq8_ann",
     "sim6_ivf_sq8_ann",
     "mm5_simhash_neardup",
@@ -241,6 +243,7 @@ def main() -> None:
         cur8_dsir_selection,
         cur9_dsir_resample,
         tx9_bpe_tokenize,
+        tx10_trained_quality_score,
     )
     from inpe_queimadas_etl_spark.suite.multimodal import mm5_simhash_neardup
     from inpe_queimadas_etl_spark.suite.relational import p7_stable_event_hash
@@ -267,6 +270,7 @@ def main() -> None:
     queries.setdefault("cur8_dsir_selection", cur8_dsir_selection)
     queries.setdefault("cur9_dsir_resample", cur9_dsir_resample)
     queries.setdefault("tx9_bpe_tokenize", tx9_bpe_tokenize)
+    queries.setdefault("tx10_trained_quality_score", tx10_trained_quality_score)
     queries.setdefault(
         "tx7_broadcast_quality_score", tx7_broadcast_quality_score
     )
