@@ -71,6 +71,7 @@ HEADLINE = [
     "cur9_dsir_resample",
     "tx9_bpe_tokenize",
     "tx10_trained_quality_score",
+    "sim7_trained_ivf_ann",
     "sim5_sq8_ann",
     "sim6_ivf_sq8_ann",
     "mm5_simhash_neardup",
@@ -108,6 +109,7 @@ UNREGISTERED = (
     "cur9_dsir_resample",
     "tx9_bpe_tokenize",
     "tx10_trained_quality_score",
+    "sim7_trained_ivf_ann",
     "sim5_sq8_ann",
     "sim6_ivf_sq8_ann",
     "mm5_simhash_neardup",
@@ -244,6 +246,7 @@ def main() -> None:
         cur9_dsir_resample,
         tx9_bpe_tokenize,
         tx10_trained_quality_score,
+        sim7_trained_ivf_ann,
     )
     from inpe_queimadas_etl_spark.suite.multimodal import mm5_simhash_neardup
     from inpe_queimadas_etl_spark.suite.relational import p7_stable_event_hash
@@ -271,6 +274,7 @@ def main() -> None:
     queries.setdefault("cur9_dsir_resample", cur9_dsir_resample)
     queries.setdefault("tx9_bpe_tokenize", tx9_bpe_tokenize)
     queries.setdefault("tx10_trained_quality_score", tx10_trained_quality_score)
+    queries.setdefault("sim7_trained_ivf_ann", sim7_trained_ivf_ann)
     queries.setdefault(
         "tx7_broadcast_quality_score", tx7_broadcast_quality_score
     )

@@ -404,3 +404,38 @@ def cosine_block(V, nv, W, nw):
         sim = acc / denom
     sim[denom == 0.0] = -np.inf
     return sim
+
+
+def train_ivf_codebook(
+    emb, k: int, max_iter: int = 20, seed: int = 13
+):
+    """Train an IVF coarse codebook with MLlib KMeans over ``(vec_id,
+    v, nrm)`` and return it in the shared ``(centroid_id, cv, cn)``
+    contract `_ivf_centroids` established — so a TRAINED codebook
+    drops into `_ivf_assign` / `sim6_code_store` / `_ivf_sq8_topk`
+    unchanged (sim7's path).
+
+    Scale design: KMeans is the one genuinely iterative step in the
+    similarity tier and MLlib already implements it Spark-shaped
+    (per-iteration broadcast of K centers + map-side partial sums —
+    the same aggregation shape our assignment uses); training runs on
+    a SAMPLE by design (a codebook needs ~256*K training vectors, not
+    the corpus), and the exported K-row table is the only artifact.
+    Determinism: fixed seed + fixed init mode; the returned
+    centroid_id is the KMeans center index."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    vecs = emb.select(array_to_vector(F.col("v")).alias("features"))
+    model = KMeans(
+        k=k, maxIter=max_iter, seed=seed, initMode="k-means||"
+    ).fit(vecs)
+    rows = [
+        (i, [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    cdf = emb.sparkSession.createDataFrame(
+        rows, "centroid_id bigint, cv array<double>"
+    )
+    return cdf.withColumn("cn", vec_norm("cv"))

@@ -2952,7 +2952,9 @@ def _ivf_assign_ref(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
     )
 
 
-def _ivf_assign(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
+def _ivf_assign(
+    emb: DataFrame, k: int = _IVF_K, centroids: DataFrame | None = None
+) -> DataFrame:
     """Window-free nearest-centroid assignment over ``(vec_id, v,
     nrm)``: ``(vec_id, v, nrm, centroid_id, csim)``.
 
@@ -2972,9 +2974,11 @@ def _ivf_assign(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
     Window-free in tests/test_plans.py."""
     from ..operators.similarity import nearest_centroid
 
+    if centroids is None:
+        centroids = _ivf_centroids(emb, k)
     cents = sorted(
         (r["centroid_id"], list(r["cv"]), r["cn"])
-        for r in _ivf_centroids(emb, k).collect()
+        for r in centroids.collect()
     )
     dim = len(cents[0][1]) if cents else _EMB_DIM
     return emb.select(
@@ -2991,7 +2995,9 @@ def _ivf_assign(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
     )
 
 
-def sim6_code_store(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
+def sim6_code_store(
+    emb: DataFrame, k: int = _IVF_K, centroids: DataFrame | None = None
+) -> DataFrame:
     """Build the IVF+SQ8 code store from ``(vec_id, v, nrm)``:
     ``(vec_id, centroid_id, codes array<int>, vmin, vscale, nv)``.
 
@@ -3002,7 +3008,9 @@ def sim6_code_store(emb: DataFrame, k: int = _IVF_K) -> DataFrame:
     ~12.5 TB artifact a deployment materializes, bucketed by
     centroid_id so the probe join needs no corpus shuffle.
     Plan-pinned Window-free in tests/test_plans.py."""
-    assigned = _ivf_assign(emb, k).select("vec_id", "centroid_id", "v")
+    assigned = _ivf_assign(emb, k, centroids).select(
+        "vec_id", "centroid_id", "v"
+    )
     vmin = F.array_min("v")
     vmax = F.array_max("v")
     vscale = F.when(vmax > vmin, (vmax - vmin) / 255.0).otherwise(F.lit(1.0))
@@ -3052,20 +3060,35 @@ def sim6_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the code store partitioned by centroid_id (uniform small-K
     key; at cluster scale, bucket the store by centroid_id and the
     join is shuffle-free) with the query table broadcast."""
-    from ..operators.similarity import dot_product, vec_norm
+    from ..operators.similarity import vec_norm
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("nrm", vec_norm("v"))
     )
-    store = sim6_code_store(emb)
+    return _ivf_sq8_topk(emb, _ivf_centroids(emb))
+
+
+def _ivf_sq8_topk(
+    emb: DataFrame,
+    cent: DataFrame,
+    k: int = _IVF_K,
+    nprobe: int = _IVF_NPROBE,
+) -> DataFrame:
+    """The IVF+SQ8 search tail shared by sim6 (first-K demo codebook)
+    and sim7 (KMeans-trained codebook) — one implementation, so the
+    two paths cannot drift: build the code store under ``cent``,
+    probe each query's ``nprobe`` nearest centroids, dequantize only
+    probed candidates, rerank with the shared _score_rank_top5."""
+    from ..operators.similarity import dot_product
+
+    store = sim6_code_store(emb, k, centroids=cent)
 
     # query-side probe list: nprobe nearest centroids, full
     # precision. Queries are few by definition, so the ranked-window
     # shape is fine HERE (n_queries x K rows) — it is the CORPUS
     # assignment in sim6_code_store that must stay window-free.
-    cent = _ivf_centroids(emb)
     qw = Window.partitionBy("vec_id").orderBy(
         F.desc("csim"), F.asc("centroid_id")
     )
@@ -3077,7 +3100,7 @@ def sim6_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(dot_product("v", "cv"), F.col("nrm") * F.col("cn")),
         )
         .withColumn("rn", F.row_number().over(qw))
-        .filter(F.col("rn") <= _IVF_NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
@@ -4338,3 +4361,38 @@ def tx10_trained_quality_score(
         F.round("logit", 4).alias("logit"),
         (F.col("logit") > 0).alias("gate_pred"),
     )
+
+
+# --- sim7: IVF x SQ8 over a TRAINED codebook --------------------------------
+# sim6 with the missing production piece: the coarse codebook comes
+# from MLlib KMeans (operators/similarity.py::train_ivf_codebook)
+# instead of the first-K demo pick. Same (centroid_id, cv, cn)
+# contract, same shared search tail (_ivf_sq8_topk), so the ONLY
+# delta is codebook quality — measured on the oracle corpus:
+# quantization tightens (mean centroid cosine up) and recall@5 vs
+# exact is >= sim6's at equal nprobe (tests/test_sim7.py pins both).
+#
+# UNREGISTERED and NO SQL ORACLE (KMeans training; the tx9 exception
+# class) — pinned by the quality/recall gates; benched in bench.py.
+
+_SIM7_CODEBOOK_CACHE: dict = {}
+
+
+def sim7_trained_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim6's search over a KMeans-trained codebook (trained once per
+    session — the tx9/tx10 model-artifact cache convention)."""
+    from ..operators.similarity import train_ivf_codebook, vec_norm
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", vec_norm("v"))
+    )
+    key = (sf_dir, _IVF_K)
+    cent = _SIM7_CODEBOOK_CACHE.get(key)
+    if cent is None:
+        cent = train_ivf_codebook(emb, k=_IVF_K).localCheckpoint(
+            eager=True
+        )
+        _SIM7_CODEBOOK_CACHE[key] = cent
+    return _ivf_sq8_topk(emb, cent)
