@@ -804,3 +804,113 @@ def streaming_first_seen_dedup(
     return stream_df.groupBy(key_col).applyInPandasWithState(
         first_seen, out_schema, state_schema, "append", timeout
     )
+
+
+def start_quality_gate_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    weights,
+    intercept: float,
+    threshold: float = 0.0,
+    available_now: bool = True,
+    on_batch=None,
+    schema: T.StructType | None = None,
+):
+    """Always-on quality gating under a TRAINED hashed-linear model
+    (operators/classifier.py — the tx10 artifact): each micro-batch
+    of newly landed document files is scored map-side and routed —
+    accepted docs to ``out_dir/accepted``, rejected to
+    ``out_dir/rejected``, one verdict row per doc (logit + decision)
+    to ``out_dir/scores``.
+
+    The gate is STATELESS across batches (scoring needs no history),
+    which makes this the simplest member of the drain family — but
+    the delivery contract is identical to the dedup drains: per-batch
+    ``batch_id=<id>`` overwrite partitions (crash replays overwrite
+    their own partition, never double-append), the two-line identity
+    stamp binding checkpoint to sinks, and the checkpoint-reset
+    refusal (a reset restarts ids at 0 and would OVERWRITE historical
+    partitions with new data — refused before anything is written;
+    statelessness protects correctness of SCORES, not of the sink
+    history).
+
+    Scale: the D-row weight table rides each batch's plan as a
+    broadcast local relation (hashed_linear_logits — zero UDF, zero
+    SortMergeJoin); per-batch cost is one scan of the batch. The
+    model is pinned at start time — rolling a retrained model means
+    starting a new drain over a new out_dir, never mutating a running
+    one (scores must be attributable to one model version).
+
+    Returns the StreamingQuery.
+    """
+    from .operators.classifier import hashed_linear_logits
+
+    schema = _resolve_stream_schema(spark, docs_dir, schema)
+    if "doc_id" not in schema.fieldNames() or "text" not in schema.fieldNames():
+        raise ValueError(
+            "quality gate input needs doc_id and text columns; got "
+            f"{schema.fieldNames()}"
+        )
+    _bind_drain_identity(
+        checkpoint_dir,
+        (
+            f"{out_dir}/scores",
+            f"{out_dir}/accepted",
+            f"{out_dir}/rejected",
+        ),
+    )
+    src = spark.readStream.schema(schema).parquet(docs_dir)
+    empty_docs = spark.createDataFrame([], schema)
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        scores_all = _read_or_empty(
+            spark,
+            f"{out_dir}/scores",
+            spark.createDataFrame(
+                [], "doc_id long, logit double, accepted boolean"
+            ),
+        )
+        acc_all = _read_or_empty(spark, f"{out_dir}/accepted", empty_docs)
+        _refuse_checkpoint_reset(
+            (
+                (f"{out_dir}/scores", scores_all),
+                (f"{out_dir}/accepted", acc_all),
+            ),
+            batch_id,
+        )
+        verdicts = (
+            hashed_linear_logits(
+                batch.select("doc_id", "text"), weights, intercept
+            )
+            .withColumn("accepted", F.col("logit") >= F.lit(threshold))
+            .localCheckpoint(eager=True)
+        )
+        keep = batch.join(
+            verdicts.filter("accepted").select("doc_id"), "doc_id", "left_semi"
+        )
+        drop = batch.join(
+            verdicts.filter("accepted").select("doc_id"), "doc_id", "left_anti"
+        )
+        _write_partition(verdicts, f"{out_dir}/scores", batch_id)
+        _write_partition(keep, f"{out_dir}/accepted", batch_id)
+        _write_partition(drop, f"{out_dir}/rejected", batch_id)
+        if on_batch is not None:
+            on_batch(
+                batch_id,
+                {
+                    "n_in": batch.count(),
+                    "n_accepted": keep.count(),
+                },
+            )
+
+    writer = (
+        src.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -551,3 +551,133 @@ def test_crash_mid_stamping_recovers(dirs):
             sid, owner = f.read().splitlines()
         assert sid == new_id
         assert os.path.realpath(owner) == os.path.realpath(dirs["ckpt"])
+
+
+# --- quality-gate drain ------------------------------------------------------
+
+
+def test_quality_gate_stream_routes_and_replays(spark, dirs):
+    """The stateless drain: scores land per batch, accepted/rejected
+    route on the logit threshold, a second landed file becomes a
+    second batch, and restart with no new files is a no-op."""
+    import numpy as np
+
+    from inpe_queimadas_etl_spark.streaming import (
+        start_quality_gate_stream,
+    )
+    from pyspark.sql import functions as F
+
+    D = 64
+    b_good, b_bad = (
+        spark.createDataFrame(
+            [("good",), ("bad",)], "word string"
+        )
+        .select(F.pmod(F.hash("word"), F.lit(D)).cast("int").alias("b"))
+        .collect()
+    )
+    weights = [0.0] * D
+    weights[b_good["b"]] += 1.0
+    weights[b_bad["b"]] -= 1.0
+
+    def drain():
+        q = start_quality_gate_stream(
+            spark,
+            docs_dir=dirs["docs"],
+            out_dir=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+            weights=weights,
+            intercept=0.0,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    _write_batch(
+        spark,
+        dirs["docs"],
+        [
+            (1, "good good content here"),
+            (2, "bad bad bad content"),
+            (3, "good and bad balanced neither"),  # logit == 0 -> accepted
+        ],
+        "b0",
+    )
+    drain()
+    scores = spark.read.parquet(f"{dirs['out']}/scores").toPandas()
+    assert len(scores) == 3
+    byid = scores.set_index("doc_id")
+    assert byid.loc[1, "accepted"] and byid.loc[1, "logit"] > 0
+    assert not byid.loc[2, "accepted"]
+    assert byid.loc[3, "accepted"] and byid.loc[3, "logit"] == 0.0
+    acc = spark.read.parquet(f"{dirs['out']}/accepted").toPandas()
+    rej = spark.read.parquet(f"{dirs['out']}/rejected").toPandas()
+    assert sorted(acc["doc_id"]) == [1, 3]
+    assert sorted(rej["doc_id"]) == [2]
+
+    # second file -> second batch; earlier partitions untouched
+    _write_batch(spark, dirs["docs"], [(4, "bad stuff")], "b1")
+    drain()
+    acc2 = spark.read.parquet(f"{dirs['out']}/accepted").toPandas()
+    rej2 = spark.read.parquet(f"{dirs['out']}/rejected").toPandas()
+    assert sorted(acc2["doc_id"]) == [1, 3]
+    assert sorted(rej2["doc_id"]) == [2, 4]
+    assert set(rej2["batch_id"].astype(int)) == {0, 1}
+
+    # restart with nothing new: no-op, nothing rewritten
+    drain()
+    assert (
+        spark.read.parquet(f"{dirs['out']}/scores").count()
+        == len(scores) + 1
+    )
+
+
+def test_quality_gate_checkpoint_reset_refuses(spark, dirs, tmp_path):
+    """A reset checkpoint against surviving sink dirs must refuse at
+    start (identity stamp), exactly like the dedup drains."""
+    from inpe_queimadas_etl_spark.streaming import (
+        start_quality_gate_stream,
+    )
+
+    weights = [0.0] * 16
+    _write_batch(spark, dirs["docs"], [(1, "alpha"), (2, "beta")], "b0")
+    q = start_quality_gate_stream(
+        spark,
+        docs_dir=dirs["docs"],
+        out_dir=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+        weights=weights,
+        intercept=0.0,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        start_quality_gate_stream(
+            spark,
+            docs_dir=dirs["docs"],
+            out_dir=dirs["out"],
+            checkpoint_dir=str(tmp_path / "fresh_ckpt"),
+            weights=weights,
+            intercept=0.0,
+            available_now=True,
+        )
+
+
+def test_quality_gate_requires_doc_columns(spark, dirs):
+    from pyspark.sql import types as T
+
+    from inpe_queimadas_etl_spark.streaming import (
+        start_quality_gate_stream,
+    )
+
+    with pytest.raises(ValueError, match="doc_id and text"):
+        start_quality_gate_stream(
+            spark,
+            docs_dir=dirs["docs"],
+            out_dir=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+            weights=[0.0] * 8,
+            intercept=0.0,
+            schema=T.StructType(
+                [T.StructField("body", T.StringType())]
+            ),
+        )
