@@ -72,6 +72,7 @@ HEADLINE = [
     "tx9_bpe_tokenize",
     "tx10_trained_quality_score",
     "sim7_trained_ivf_ann",
+    "emb1_hashed_encoder",
     "sim5_sq8_ann",
     "sim6_ivf_sq8_ann",
     "mm5_simhash_neardup",
@@ -110,6 +111,7 @@ UNREGISTERED = (
     "tx9_bpe_tokenize",
     "tx10_trained_quality_score",
     "sim7_trained_ivf_ann",
+    "emb1_hashed_encoder",
     "sim5_sq8_ann",
     "sim6_ivf_sq8_ann",
     "mm5_simhash_neardup",
@@ -247,6 +249,7 @@ def main() -> None:
         tx9_bpe_tokenize,
         tx10_trained_quality_score,
         sim7_trained_ivf_ann,
+        emb1_hashed_encoder,
     )
     from inpe_queimadas_etl_spark.suite.multimodal import mm5_simhash_neardup
     from inpe_queimadas_etl_spark.suite.relational import p7_stable_event_hash
@@ -275,6 +278,7 @@ def main() -> None:
     queries.setdefault("tx9_bpe_tokenize", tx9_bpe_tokenize)
     queries.setdefault("tx10_trained_quality_score", tx10_trained_quality_score)
     queries.setdefault("sim7_trained_ivf_ann", sim7_trained_ivf_ann)
+    queries.setdefault("emb1_hashed_encoder", emb1_hashed_encoder)
     queries.setdefault(
         "tx7_broadcast_quality_score", tx7_broadcast_quality_score
     )

@@ -4396,3 +4396,105 @@ def sim7_trained_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _SIM7_CODEBOOK_CACHE[key] = cent
     return _ivf_sq8_topk(emb, cent)
+
+
+# --- emb1: deterministic hashed document encoder ----------------------------
+# Embedding GENERATION plumbing: every semantic tier here (dd6, dd12,
+# sim*, cur7) consumes an embedding column that some encoder produced
+# upstream. A real encoder is a model-serving call (stubbed in this
+# container by design — the mm* stance); emb1 is the deterministic
+# stand-in with the REAL Spark shape: one zero-shuffle projection
+# mapping text -> dim-vector via hashed word components (feature
+# hashing; Weinberger et al. 2009), mean-free SUM pooling.
+#
+#   comp(word, d) = ((hexint(md5(word ':' d/4)[8*(d%4) .. +8]) % 2001)
+#                    - 1000) / 1024          -- a dyadic rational
+#   v[d] = sum over words of comp(word, d)
+#
+# Components are dyadic (denominator 1024) and |comp| <= 1000/1024,
+# so every sum is EXACT in IEEE doubles in any order — the oracle
+# comparison is bit-for-bit without round() and the vector is
+# reproducible across engines, partitionings, and runs. One md5 per
+# (word, salt) yields FOUR components (8 hex chars each), so dim=16
+# costs 4 md5 calls per word occurrence.
+#
+# Output is the scalar digest (three fixed components + the exact L1
+# mass), not the array — the driver compare is scalar-typed; the
+# array form is `hashed_doc_vectors` for downstream composition.
+#
+# UNREGISTERED (50-entry driver snapshot cap) — oracle-compared in
+# tests/test_suite_oracle.py, benched in bench.py.
+
+_EMB1_DIM = 16
+
+
+def _emb1_comp_sql(d_expr: str) -> str:
+    """DuckDB: the component value for dim expression ``d_expr`` of
+    word column ``x`` — digit arithmetic with a DYNAMIC slice offset
+    (the _hex_to_int_sql pattern, offset depending on d)."""
+    h = f"md5(x || ':' || CAST(({d_expr}) // 4 AS VARCHAR))"
+    digits = "+".join(
+        f"(strpos('0123456789abcdef',"
+        f" substr({h}, (({d_expr}) % 4) * 8 + {i}, 1)) - 1)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"((({digits}) % 2001) - 1000) / 1024.0"
+
+
+EMB1_SQL = f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+tok AS (SELECT doc_id, unnest(w) AS x FROM w),
+comps AS (
+    SELECT doc_id, d.d AS d, {_emb1_comp_sql("d.d")} AS val
+    FROM tok CROSS JOIN (SELECT unnest(range({_EMB1_DIM})) AS d) d
+),
+dims AS (
+    SELECT doc_id, d, sum(val) AS vd FROM comps GROUP BY doc_id, d
+)
+SELECT doc_id,
+       sum(CASE WHEN d = 0 THEN vd ELSE 0 END) AS c0,
+       sum(CASE WHEN d = 7 THEN vd ELSE 0 END) AS c7,
+       sum(CASE WHEN d = 15 THEN vd ELSE 0 END) AS c15,
+       sum(abs(vd)) AS l1
+FROM dims GROUP BY doc_id
+"""
+
+
+def hashed_doc_vectors(docs: DataFrame, dim: int = _EMB1_DIM) -> DataFrame:
+    """``(doc_id, v array<double>)`` — the full hashed embedding, one
+    zero-shuffle projection per document (plan-pinned): the whole
+    dim x words fold runs inside the scan via nested array HOFs, no
+    explode, no UDF. Drop-in input for dd6/dd12/sim* after a
+    vec_norm column is added."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), d ->"
+            " aggregate(split(text, ' '), cast(0.0 as double),"
+            " (acc, x) -> acc +"
+            " (cast(conv(substr(md5(concat(x, ':',"
+            " cast(d div 4 as string))),"
+            " pmod(d, 4) * 8 + 1, 8), 16, 10) as bigint)"
+            " % 2001 - 1000) / 1024D))"
+        ).alias("v"),
+    )
+
+
+def emb1_hashed_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar digest of the hashed encoder over the documents table:
+    ``(doc_id, c0, c7, c15, l1)`` — exact dyadic sums, bit-identical
+    to the DuckDB oracle with no rounding."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v = hashed_doc_vectors(docs)
+    return v.select(
+        "doc_id",
+        F.element_at("v", 1).alias("c0"),
+        F.element_at("v", 8).alias("c7"),
+        F.element_at("v", 16).alias("c15"),
+        F.expr(
+            "aggregate(v, cast(0.0 as double), (a, x) -> a + abs(x))"
+        ).alias("l1"),
+    )

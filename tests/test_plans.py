@@ -457,3 +457,16 @@ def test_cur9_takeordered_no_global_sort(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_emb1_encoder_is_zero_exchange_scan(spark):
+    """emb1's 100-TB contract: the whole dim x words fold runs inside
+    the scan projection (nested array HOFs) — zero exchanges, zero
+    UDFs, no explode-induced row blowup."""
+    from inpe_queimadas_etl_spark.suite.llmdata import hashed_doc_vectors
+    from inpe_queimadas_etl_spark.session import load_table
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    plan = _plan(hashed_doc_vectors(docs), "simple")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan

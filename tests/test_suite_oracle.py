@@ -900,3 +900,62 @@ def test_cur9_matches_pure_python_mirror(spark):
     assert {d for d, *_ in draw("dsir")} != {
         d for d, *_ in draw("dsir-seed2")
     }, "two salts drew the identical sample on this corpus"
+
+
+def test_emb1_hashed_encoder_matches_oracle(spark):
+    """emb1 is unregistered (50-entry snapshot cap) but oracle-checked
+    here and benched in bench.py: deterministic hashed document
+    encoder digest — dyadic components, so the compare is bit-exact
+    with NO rounding anywhere."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        EMB1_SQL,
+        emb1_hashed_encoder,
+    )
+
+    _compare_to_oracle(
+        spark, "emb1_hashed_encoder", emb1_hashed_encoder, EMB1_SQL
+    )
+
+
+def test_emb1_vectors_compose_with_similarity_tier(spark):
+    """hashed_doc_vectors is a drop-in embedding source: identical
+    texts get identical vectors, distinct texts differ, and the dd12
+    assignment path consumes it unchanged."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        _ivf_assign,
+        hashed_doc_vectors,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat sat on the mat",
+                "the cat sat on the mat",
+                "a completely different document body",
+                "yet another unrelated text here",
+            ],
+        }
+    )
+    v = hashed_doc_vectors(spark.createDataFrame(pdf)).toPandas()
+    vecs = {r["doc_id"]: list(r["v"]) for _, r in v.iterrows()}
+    assert vecs[0] == vecs[1]
+    assert vecs[0] != vecs[2] != vecs[3]
+    assert all(len(x) == 16 for x in vecs.values())
+
+    emb = (
+        hashed_doc_vectors(spark.createDataFrame(pdf))
+        .select(F.col("doc_id").alias("vec_id"), "v")
+        .withColumn("nrm", vec_norm("v"))
+    )
+    assigned = _ivf_assign(emb, 2).toPandas()
+    assert len(assigned) == 4
+    # identical texts land in the same cluster with the same csim
+    byid = assigned.set_index("vec_id")
+    assert byid.loc[0, "centroid_id"] == byid.loc[1, "centroid_id"]
+    assert byid.loc[0, "csim"] == byid.loc[1, "csim"]
