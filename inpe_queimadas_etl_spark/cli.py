@@ -289,6 +289,7 @@ def cmd_corpus_curate(args) -> int:
         eval_dir=args.eval_dir,
         weights=weights,
         token_budget=args.token_budget,
+        mixture_temperature=args.mixture_temperature,
         pack_budget=args.pack_budget,
         write_packs=args.write_packs,
         split_by=args.split_by,
@@ -393,6 +394,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--weights",
         help='JSON source->weight mixture target, e.g. \'{"src0": 2, '
         '"src1": 1}\' (default: uniform over sources)',
+    )
+    cur.add_argument(
+        "--mixture-temperature",
+        type=float,
+        default=None,
+        help="derive the mixture weights from observed per-source "
+        "token masses as share^alpha (mBERT/XLM convention: 0 = "
+        "uniform, 1 = natural mix, 0<a<1 upweights scarce sources); "
+        "mutually exclusive with --weights",
     )
     cur.add_argument(
         "--token-budget",

@@ -227,6 +227,7 @@ def run_corpus_pipeline(
     min_lm_logprob: float | None = None,
     dsir_target_dir: str | None = None,
     dsir_keep: int | None = None,
+    mixture_temperature: float | None = None,
 ) -> dict:
     """Materialize ``corpus_dir``'s documents table into
     ``out_dir/corpus`` (parquet, partitioned by split) and return the
@@ -254,6 +255,15 @@ def run_corpus_pipeline(
             raise ValueError(f"negative mixture weight in {weights}")
         if not any(v > 0 for v in weights.values()):
             raise ValueError("weights must contain a positive entry")
+    if mixture_temperature is not None:
+        if weights is not None:
+            raise ValueError(
+                "pass weights OR mixture_temperature, not both"
+            )
+        if mixture_temperature < 0:
+            raise ValueError(
+                f"mixture_temperature must be >= 0: {mixture_temperature}"
+            )
     if token_budget is not None and token_budget < 0:
         raise ValueError(f"negative token_budget {token_budget}")
     if (dsir_target_dir is None) != (dsir_keep is None):
@@ -406,9 +416,16 @@ def run_corpus_pipeline(
     # scarcest one's mass, which on a skewed corpus silently discards
     # almost everything; a curation run must not destroy data the
     # user never asked to rebalance
-    if weights is not None or token_budget is not None:
+    if (
+        weights is not None
+        or token_budget is not None
+        or mixture_temperature is not None
+    ):
         mix = mixture_resample(
-            survivors, weights=weights, token_budget=token_budget
+            survivors,
+            weights=weights,
+            token_budget=token_budget,
+            temperature=mixture_temperature,
         )
         sampled = survivors.join(
             mix.filter(F.col("keep")).select("doc_id"),
@@ -423,6 +440,7 @@ def run_corpus_pipeline(
             "in": mix_row["n_in"],
             "kept": int(mix_row["n_kept"] or 0),
             "weights": weights,
+            "temperature": mixture_temperature,
             "token_budget": token_budget,
             "skipped": False,
         }
@@ -433,6 +451,7 @@ def run_corpus_pipeline(
             "in": n_surv,
             "kept": n_surv,
             "weights": None,
+            "temperature": None,
             "token_budget": None,
             "skipped": True,
         }

@@ -106,11 +106,38 @@ def mixture_rates(
     return rates
 
 
+def temperature_weights(
+    tokens: dict[str, int], alpha: float
+) -> dict[str, float]:
+    """Temperature-based mixture weights (the mBERT / XLM-R
+    multilingual rebalancing convention): target weight
+    w_s = (T_s / sum T)^alpha over available token masses.
+
+    alpha = 1 preserves the natural mix, alpha = 0 is uniform (the
+    cur5 default), 0 < alpha < 1 flattens — scarce sources get a
+    LARGER share than their natural one, the standard low-resource
+    upweighting — and alpha > 1 sharpens toward the dominant source.
+    Output plugs straight into :func:`mixture_rates` /
+    :func:`mixture_resample` (weights are ratio-scaled there, so the
+    missing 1/Z normalization is deliberate — the unnormalized-weight
+    bit-parity convention)."""
+    if alpha < 0:
+        raise ValueError(f"temperature alpha must be >= 0, got {alpha}")
+    total = sum(tokens.values())
+    if total <= 0:
+        return {s: 0.0 for s in tokens}
+    return {
+        s: (t / total) ** alpha if t > 0 else 0.0
+        for s, t in tokens.items()
+    }
+
+
 def mixture_resample(
     docs: DataFrame,
     weights: dict[str, float] | None = None,
     token_budget: int | None = None,
     *,
+    temperature: float | None = None,
     id_col: str = "doc_id",
     source_col: str = "source",
     text_col: str = "text",
@@ -156,6 +183,14 @@ def mixture_resample(
         .agg(F.sum("n_tokens").alias("tokens_total"))
         .collect()
     }
+    if temperature is not None:
+        if weights is not None:
+            raise ValueError(
+                "pass weights OR temperature, not both: temperature "
+                "derives the weight vector from the observed token "
+                "masses"
+            )
+        weights = temperature_weights(per_source, temperature)
     rates = mixture_rates(per_source, weights, token_budget)
     spark = docs.sparkSession
     rate_df = spark.createDataFrame(

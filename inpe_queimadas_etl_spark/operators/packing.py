@@ -39,16 +39,24 @@ def materialize_packs(
     tokens_col: str = "tokens",
 ) -> DataFrame:
     """One row per pack: ``(*keys, n_docs, total_tokens, doc_ids,
-    text)`` with member texts joined by ``sep`` in ascending
-    ``id_col`` order (array_sort on a (id, text) struct — no window,
-    no second shuffle beyond the groupBy itself). A NULL text
-    contributes an empty member (coalesce to '') rather than being
-    silently skipped — Spark's array_join drops null elements, which
-    would leave n_docs/doc_ids/total_tokens counting a document the
-    emitted sequence no longer contains."""
+    member_tokens, token_offsets, text)`` with member texts joined by
+    ``sep`` in ascending ``id_col`` order (array_sort on a (id, text)
+    struct — no window, no second shuffle beyond the groupBy itself).
+    A NULL text contributes an empty member (coalesce to '') rather
+    than being silently skipped — Spark's array_join drops null
+    elements, which would leave n_docs/doc_ids/total_tokens counting
+    a document the emitted sequence no longer contains.
+
+    ``token_offsets`` is the EXCLUSIVE prefix sum of member_tokens —
+    where each member starts in the packed token stream — the
+    boundary list a trainer needs for document-level attention /
+    loss masks over packed sequences. Computed in-row (HOF prefix
+    sum; packs hold a handful of members by construction, so the
+    quadratic slice cost is bounded by the pack budget)."""
     member = F.struct(
         F.col(id_col).alias("i"),
         F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+        F.col(tokens_col).cast("long").alias("k"),
     )
     return (
         assigned_docs.groupBy(*keys)
@@ -62,6 +70,11 @@ def materialize_packs(
             "n_docs",
             "total_tokens",
             F.expr("transform(ms, x -> x.i)").alias("doc_ids"),
+            F.expr("transform(ms, x -> x.k)").alias("member_tokens"),
+            F.expr(
+                "transform(ms, (x, j) -> aggregate(slice(ms, 1, j),"
+                " cast(0 as long), (a, y) -> a + y.k))"
+            ).alias("token_offsets"),
             F.array_join(F.expr("transform(ms, x -> x.t)"), sep).alias(
                 "text"
             ),

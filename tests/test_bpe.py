@@ -146,3 +146,31 @@ def test_tx9_runs_at_demo_geometry(spark):
     # trained merges must compress the corpus it was trained on
     assert pdf["n_bpe_tokens"].sum() < 3 * pdf["n_ws_tokens"].sum()
     assert (pdf["n_bpe_tokens"] > 0).all()
+
+
+def test_reconstruction_invariant_property():
+    """Hypothesis: for ANY corpus and ANY word (unicode included),
+    encoding reconstructs the word, and token count never exceeds
+    len(word) + 1."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        corpus=st.dictionaries(word, st.integers(1, 30), max_size=25),
+        probe=word,
+    )
+    def run(corpus, probe):
+        merges = train_bpe(sorted(corpus.items()), 40)
+        ranks = {p: i for i, p in enumerate(merges)}
+        toks = encode_word(probe, ranks)
+        assert "".join(toks) == probe + _END
+        assert 1 <= len(toks) <= len(probe) + 1
+
+    run()

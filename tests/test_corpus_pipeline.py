@@ -703,3 +703,44 @@ def test_lm_gate_and_dsir_selection_stages(spark, tmp_path):
         run_corpus_pipeline(
             spark, str(src), str(tmp_path / "o2"), dsir_keep=5
         )
+
+
+def test_mixture_temperature_pipeline_flag(spark, tmp_path):
+    """--mixture-temperature: weights derive from observed token
+    masses (share^alpha); the manifest records the temperature and
+    the flag is exclusive with --weights."""
+    import pandas as pd
+
+    rows = []
+    stops = "the a of and to in"
+    for i in range(30):
+        rows.append((i, f"{stops} " + " ".join(f"w{i}x{k}" for k in range(40)), "big"))
+    for i in range(30, 34):
+        rows.append((i, f"{stops} " + " ".join(f"s{i}x{k}" for k in range(40)), "small"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf["lang"] = "en"
+    src = tmp_path / "corpus"
+    src.mkdir()
+    pdf.to_parquet(src / "documents.parquet")
+
+    out = str(tmp_path / "out")
+    manifest = run_corpus_pipeline(
+        spark, str(src), out, mixture_temperature=0.5
+    )
+    assert manifest["mixture"]["temperature"] == 0.5
+    assert not manifest["mixture"]["skipped"]
+    written = spark.read.parquet(os.path.join(out, "corpus")).toPandas()
+    by_src = written.groupby("source").size()
+    # scarce source saturates (kept whole), dominant is downsampled
+    assert by_src.get("small", 0) == 4
+    assert by_src["big"] < 30
+
+    with pytest.raises(ValueError, match="not both"):
+        run_corpus_pipeline(
+            spark,
+            str(src),
+            str(tmp_path / "o2"),
+            weights={"big": 1.0},
+            mixture_temperature=0.5,
+        )

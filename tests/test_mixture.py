@@ -244,3 +244,92 @@ def test_non_string_weight_keys_match_stringified_sources(spark):
     per = out.groupby("source")["keep_rate"].first()
     assert per[1] == pytest.approx(0.75)
     assert per[2] == pytest.approx(0.25)
+
+
+def test_temperature_weights_regimes():
+    """alpha=0 -> uniform (the cur5 default), alpha=1 -> the natural
+    mix, 0<alpha<1 -> flattened: scarce sources take a larger share
+    than natural, dominant ones smaller."""
+    from inpe_queimadas_etl_spark.operators.mixture import (
+        temperature_weights,
+    )
+
+    tokens = {"big": 9000, "mid": 900, "small": 100}
+    u = temperature_weights(tokens, 0.0)
+    assert u == {"big": 1.0, "mid": 1.0, "small": 1.0}
+    nat = temperature_weights(tokens, 1.0)
+    assert nat["big"] == 0.9 and nat["small"] == 0.01
+    flat = temperature_weights(tokens, 0.5)
+    # flattening: weight RATIO small/big exceeds the natural ratio
+    assert flat["small"] / flat["big"] > nat["small"] / nat["big"]
+    # but ordering is preserved
+    assert flat["big"] > flat["mid"] > flat["small"]
+    # sharpening goes the other way
+    sharp = temperature_weights(tokens, 2.0)
+    assert sharp["small"] / sharp["big"] < nat["small"] / nat["big"]
+
+
+def test_temperature_weights_property():
+    """Hypothesis: rates from temperature weights are valid for any
+    corpus shape, and expected kept tokens are proportional to the
+    temperature weights wherever no source saturates."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from inpe_queimadas_etl_spark.operators.mixture import (
+        mixture_rates,
+        temperature_weights,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        tokens=st.dictionaries(
+            st.text(st.characters(codec="ascii"), min_size=1, max_size=4),
+            st.integers(1, 10**7),
+            min_size=1,
+            max_size=6,
+        ),
+        alpha=st.floats(0.0, 3.0, allow_nan=False),
+    )
+    def run(tokens, alpha):
+        w = temperature_weights(tokens, alpha)
+        rates = mixture_rates(tokens, w)
+        assert all(0.0 <= r <= 1.0 for r in rates.values())
+        # sources with positive mass keep a positive share
+        assert all(rates[s] > 0 for s, t in tokens.items() if t > 0)
+        unsat = {s for s, r in rates.items() if r < 1.0}
+        if len(unsat) >= 2:
+            # kept_s / kept_t == w_s / w_t for two unsaturated sources
+            a, b = sorted(unsat)[:2]
+            ka = rates[a] * tokens[a]
+            kb = rates[b] * tokens[b]
+            assert ka * w[b] == pytest.approx(kb * w[a], rel=1e-9)
+
+    run()
+
+
+def test_mixture_resample_temperature_kwarg(spark):
+    """temperature= derives the weight vector from observed masses;
+    passing both weights and temperature is refused."""
+    import pandas as pd
+
+    from inpe_queimadas_etl_spark.operators.mixture import (
+        mixture_resample,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "big", "w " * 50))
+    for i in range(40, 44):
+        rows.append((i, "small", "w " * 50))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    )
+    out = mixture_resample(docs, temperature=0.5).toPandas()
+    kept = out[out["keep"]].groupby("source").size()
+    # the scarce source keeps everything (saturates); the dominant
+    # one is downsampled toward the flattened mix
+    assert kept.get("small", 0) == 4
+    assert kept["big"] < 40
+    with pytest.raises(ValueError, match="not both"):
+        mixture_resample(docs, weights={"big": 1}, temperature=0.5)

@@ -117,3 +117,19 @@ def test_null_text_member_kept_as_empty(spark):
     assert out.loc[0, "text"] == "a||c"
     assert out.loc[0, "n_docs"] == 3
     assert out.loc[0, "total_tokens"] == 5
+
+
+def test_token_offsets_are_exclusive_prefix_sums(spark):
+    """token_offsets[j] = sum of member_tokens[:j] — the boundary
+    list for per-document attention masks over packed sequences —
+    and the last offset + last member's tokens == total_tokens."""
+    packs = materialize_packs(_assigned(spark)).toPandas()
+    for _, r in packs.iterrows():
+        mt = list(r["member_tokens"])
+        off = list(r["token_offsets"])
+        assert len(mt) == len(off) == len(r["doc_ids"]) == r["n_docs"]
+        run = 0
+        for m, o in zip(mt, off):
+            assert o == run
+            run += m
+        assert run == r["total_tokens"]
