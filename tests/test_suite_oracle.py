@@ -959,3 +959,26 @@ def test_emb1_vectors_compose_with_similarity_tier(spark):
     byid = assigned.set_index("vec_id")
     assert byid.loc[0, "centroid_id"] == byid.loc[1, "centroid_id"]
     assert byid.loc[0, "csim"] == byid.loc[1, "csim"]
+
+
+def test_emb1_arrow_matches_jvm_ref_bitwise(spark):
+    """The Arrow production encoder replays the JVM reference form
+    bit-for-bit: dyadic components make every summation order yield
+    the identical doubles (the lsh_band_buckets parity convention) —
+    asserted with EXACT equality, no tolerance."""
+    from inpe_queimadas_etl_spark.session import load_table
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        _hashed_doc_vectors_ref,
+        hashed_doc_vectors,
+    )
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    fast = {
+        r["doc_id"]: list(r["v"])
+        for r in hashed_doc_vectors(docs).collect()
+    }
+    ref = {
+        r["doc_id"]: list(r["v"])
+        for r in _hashed_doc_vectors_ref(docs).collect()
+    }
+    assert fast == ref
