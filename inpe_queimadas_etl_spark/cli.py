@@ -294,6 +294,7 @@ def cmd_corpus_curate(args) -> int:
         write_packs=args.write_packs,
         split_by=args.split_by,
         scrub_spans=args.scrub_spans,
+        scrub_pii=args.scrub_pii,
         min_lm_logprob=args.min_lm_logprob,
         dsir_target_dir=args.dsir_target_dir,
         dsir_keep=args.dsir_keep,
@@ -418,6 +419,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="also materialize out-dir/packs: one row per training "
         "sequence, member texts concatenated in doc_id order",
+    )
+    cur.add_argument(
+        "--scrub-pii",
+        action="store_true",
+        help="redact emails/phone numbers in surviving documents "
+        "(<EMAIL>/<PHONE> placeholders) before token accounting",
     )
     cur.add_argument(
         "--scrub-spans",

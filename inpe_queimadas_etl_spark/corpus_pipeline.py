@@ -228,6 +228,7 @@ def run_corpus_pipeline(
     dsir_target_dir: str | None = None,
     dsir_keep: int | None = None,
     mixture_temperature: float | None = None,
+    scrub_pii: bool = False,
 ) -> dict:
     """Materialize ``corpus_dir``'s documents table into
     ``out_dir/corpus`` (parquet, partitioned by split) and return the
@@ -306,6 +307,34 @@ def run_corpus_pipeline(
         )
         n_contaminated = contam.count()
         survivors = survivors.join(contam, "doc_id", "left_anti")
+
+    # stage 3b2 (optional): PII redaction (tx5 semantics, applying
+    # form): emails/phones replaced with placeholders IN the surviving
+    # text, before any stage that reads or counts tokens. Scan-shaped
+    # JVM regexes, zero shuffle; off by default — rewriting text is a
+    # destructive choice the user must ask for (the span-scrub
+    # stance).
+    pii_stats = {"enabled": False, "docs_redacted": 0, "matches": 0}
+    if scrub_pii:
+        from .suite.llmdata import pii_redact
+
+        red = pii_redact(survivors.select("doc_id", "text")).localCheckpoint(
+            eager=True
+        )
+        prow = red.agg(
+            F.sum((F.col("n_pii") > 0).cast("long")).alias("docs"),
+            F.sum("n_pii").alias("matches"),
+        ).first()
+        pii_stats = {
+            "enabled": True,
+            "docs_redacted": int(prow["docs"] or 0),
+            "matches": int(prow["matches"] or 0),
+        }
+        survivors = (
+            survivors.drop("text", "n_chars")
+            .join(red.select("doc_id", "text"), "doc_id")
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
 
     # stage 3c (optional): bigram-LM quality gate (tx8 semantics,
     # the CCNet-shaped perplexity filter): keep only docs whose
@@ -562,6 +591,7 @@ def run_corpus_pipeline(
             - mix_stats["in"]
         ),
         "contaminated_dropped": n_contaminated,
+        "pii_scrub": pii_stats,
         "lm_gate": lm_stats,
         "dsir": dsir_stats,
         "mixture": mix_stats,

@@ -2220,6 +2220,27 @@ def tx5_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """The APPLYING form of tx5 over ``(doc_id, text)``: ``(doc_id,
+    text, n_pii)`` with emails/phones replaced by <EMAIL>/<PHONE>
+    placeholders and the match count carried for auditing. Same JVM
+    regex expressions as the tx5 report — scan-shaped, zero shuffle,
+    pipelines with whatever stage follows (corpus-curate --scrub-pii
+    consumes it)."""
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _TX5_EMAIL_RE, "<EMAIL>"),
+        _TX5_PHONE_RE,
+        "<PHONE>",
+    )
+    n = F.regexp_count("text", F.lit(_TX5_EMAIL_RE)) + F.regexp_count(
+        "text", F.lit(_TX5_PHONE_RE)
+    )
+    return docs.select(
+        "doc_id", redacted.alias("text"), n.cast("long").alias("n_pii")
+    )
+
+
+
 @query(
     "tx6_ngram_topk",
     oracle="""
@@ -3864,7 +3885,9 @@ def _tx8_map_to_vocab(df: DataFrame, vocab: DataFrame, *cols: str) -> DataFrame:
 
 
 def ngram_lm_scores(
-    docs: DataFrame, vocab_size: int = _TX8_VOCAB
+    docs: DataFrame,
+    vocab_size: int = _TX8_VOCAB,
+    reference: DataFrame | None = None,
 ) -> DataFrame:
     """Bigram-LM quality score per document over ``(doc_id, text)``:
     ``(doc_id, n_bigrams, avg_logprob)`` — higher = more typical of
@@ -3884,9 +3907,18 @@ def ngram_lm_scores(
     — the paper's shape — and only the single scoring pass reads the
     full corpus. Raising V past broadcast range turns the scoring
     join into a hash shuffle on (w1, w2); the vocab gate exists
-    precisely to avoid that regime."""
+    precisely to avoid that regime.
+
+    ``reference`` (optional, ``(doc_id, text)``) is the held-out
+    slice the model trains on — the CCNet deployment shape: the
+    vocab, C1, and C2 counts come from the reference and only the
+    scoring pass reads ``docs``. Default None = self-scoring (the
+    oracle-stated demo)."""
+    train = docs if reference is None else reference
     w = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    tw = train.select(F.split(F.col("text"), " ").alias("w"))
     toks = w.select("doc_id", F.explode("w").alias("t"))
+    ttoks = tw.select(F.explode("w").alias("t"))
     # Materialize the vocab ONCE (it IS the model artifact, <= V
     # strings): fed back as a local relation, not a plan — otherwise
     # every broadcast build side that maps through the vocab re-derives
@@ -3894,7 +3926,7 @@ def ngram_lm_scores(
     # (caught by the plan pin: 8 exchanges instead of 3).
     vocab_toks = [
         r["t"]
-        for r in toks.groupBy("t")
+        for r in ttoks.groupBy("t")
         .count()
         .orderBy(F.desc("count"), F.asc("t"))
         .limit(vocab_size)
@@ -3906,31 +3938,41 @@ def ngram_lm_scores(
     )
     vt = F.lit(len(vocab_toks) + 1)
     uni = (
-        _tx8_map_to_vocab(toks, vocab, "t")
+        _tx8_map_to_vocab(ttoks, vocab, "t")
         .groupBy("t")
         .agg(F.count("*").alias("c1"))
     )
-    big = w.filter(F.size("w") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(w) - 2),"
-                " i -> struct(w[i] AS w1, w[i + 1] AS w2))"
-            )
-        ).alias("g"),
-    )
+
+    def _bigrams(frame):
+        return frame.filter(F.size("w") >= 2).select(
+            *[c for c in frame.columns if c != "w"],
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("g"),
+        )
+
     mbig = _tx8_map_to_vocab(
-        big.select("doc_id", "g.w1", "g.w2"), vocab, "w1", "w2"
+        _bigrams(w).select("doc_id", "g.w1", "g.w2"), vocab, "w1", "w2"
     )
-    bi = mbig.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    tbig = _tx8_map_to_vocab(
+        _bigrams(tw).select("g.w1", "g.w2"), vocab, "w1", "w2"
+    )
+    bi = tbig.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     scored = (
-        mbig.join(F.broadcast(bi), ["w1", "w2"])
-        .join(F.broadcast(uni), uni["t"] == mbig["w1"])
+        # LEFT joins: a scored bigram/unigram the reference never saw
+        # carries a Laplace zero count (self-scoring makes every key
+        # match, so the demo oracle is unchanged)
+        mbig.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), uni["t"] == mbig["w1"], "left")
         .select(
             "doc_id",
-            F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + vt)).alias(
-                "lp"
-            ),
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + vt)
+            ).alias("lp"),
         )
     )
     return scored.groupBy("doc_id").agg(

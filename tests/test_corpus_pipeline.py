@@ -744,3 +744,51 @@ def test_mixture_temperature_pipeline_flag(spark, tmp_path):
             weights={"big": 1.0},
             mixture_temperature=0.5,
         )
+
+
+def test_scrub_pii_stage(spark, tmp_path):
+    """--scrub-pii: planted emails/phones are redacted in the written
+    corpus, the manifest records the accounting, n_chars matches the
+    redacted text, and the default leaves text untouched."""
+    import pandas as pd
+
+    stops = "the a of and to in"
+    rows = []
+    for i in range(12):
+        body = " ".join(f"w{i}x{k}" for k in range(30))
+        if i < 3:
+            body += f" contact w{i}@example.com or 555-0199 now"
+        rows.append((i, f"{stops} {body}"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf["lang"] = "en"
+    pdf["source"] = "src0"
+    src = tmp_path / "corpus"
+    src.mkdir()
+    pdf.to_parquet(src / "documents.parquet")
+
+    out = str(tmp_path / "out")
+    manifest = run_corpus_pipeline(spark, str(src), out, scrub_pii=True)
+    assert manifest["pii_scrub"]["enabled"]
+    assert manifest["pii_scrub"]["docs_redacted"] == 3
+    assert manifest["pii_scrub"]["matches"] == 6  # email + phone x 3
+    written = spark.read.parquet(os.path.join(out, "corpus"))
+    pii_left = written.filter(
+        written.text.contains("@example.com")
+        | written.text.contains("555-0199")
+    ).count()
+    assert pii_left == 0
+    assert written.filter(written.text.contains("<EMAIL>")).count() == 3
+    bad = written.filter(
+        F.length("text").cast("long") != written.n_chars
+    ).count()
+    assert bad == 0
+
+    m2 = run_corpus_pipeline(spark, str(src), str(tmp_path / "o2"))
+    assert m2["pii_scrub"] == {
+        "enabled": False,
+        "docs_redacted": 0,
+        "matches": 0,
+    }
+    w2 = spark.read.parquet(os.path.join(str(tmp_path / "o2"), "corpus"))
+    assert w2.filter(w2.text.contains("@example.com")).count() == 3

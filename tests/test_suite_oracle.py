@@ -982,3 +982,62 @@ def test_emb1_arrow_matches_jvm_ref_bitwise(spark):
         for r in _hashed_doc_vectors_ref(docs).collect()
     }
     assert fast == ref
+
+
+def test_tx8_heldout_reference_matches_mirror(spark):
+    """The deployment shape: the LM trains on a held-out reference
+    slice and only scores the corpus — checked against a pure-Python
+    mirror including Laplace zero counts for bigrams/unigrams the
+    reference never saw."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from inpe_queimadas_etl_spark.suite.llmdata import ngram_lm_scores
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the dog sat on the log",
+        2: "totally novel words appearing nowhere else",
+        3: "the cat ate the dog",
+    }
+    ref_ids = {0, 1}
+    V = 6
+
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    ref_toks = [toks[d] for d in sorted(ref_ids)]
+    cnt = Counter(t for ts in ref_toks for t in ts)
+    vocab = {
+        t
+        for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    }
+    vt = len(vocab) + 1
+    m = lambda t: t if t in vocab else "<unk>"  # noqa: E731
+    uni = Counter(m(t) for ts in ref_toks for t in ts)
+    bi = Counter(
+        (m(a), m(b)) for ts in ref_toks for a, b in zip(ts, ts[1:])
+    )
+    expect = {}
+    for d, ts in toks.items():
+        grams = [(m(a), m(b)) for a, b in zip(ts, ts[1:])]
+        if not grams:
+            continue
+        lps = [
+            math.log((bi.get(g, 0) + 1) / (uni.get(g[0], 0) + vt))
+            for g in grams
+        ]
+        expect[d] = (len(grams), round(sum(lps) / len(lps), 4))
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}
+    )
+    docs = spark.createDataFrame(pdf)
+    ref = docs.filter(docs.doc_id.isin(list(ref_ids)))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in ngram_lm_scores(
+            docs, vocab_size=V, reference=ref
+        ).collect()
+    }
+    assert got == expect
