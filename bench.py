@@ -73,6 +73,7 @@ HEADLINE = [
     "tx10_trained_quality_score",
     "sim7_trained_ivf_ann",
     "emb1_hashed_encoder",
+    "cur10_substring_decontamination",
     "sim5_sq8_ann",
     "sim6_ivf_sq8_ann",
     "mm5_simhash_neardup",
@@ -112,6 +113,7 @@ UNREGISTERED = (
     "tx10_trained_quality_score",
     "sim7_trained_ivf_ann",
     "emb1_hashed_encoder",
+    "cur10_substring_decontamination",
     "sim5_sq8_ann",
     "sim6_ivf_sq8_ann",
     "mm5_simhash_neardup",
@@ -250,6 +252,7 @@ def main() -> None:
         tx10_trained_quality_score,
         sim7_trained_ivf_ann,
         emb1_hashed_encoder,
+        cur10_substring_decontamination,
     )
     from inpe_queimadas_etl_spark.suite.multimodal import mm5_simhash_neardup
     from inpe_queimadas_etl_spark.suite.relational import p7_stable_event_hash
@@ -279,6 +282,7 @@ def main() -> None:
     queries.setdefault("tx10_trained_quality_score", tx10_trained_quality_score)
     queries.setdefault("sim7_trained_ivf_ann", sim7_trained_ivf_ann)
     queries.setdefault("emb1_hashed_encoder", emb1_hashed_encoder)
+    queries.setdefault("cur10_substring_decontamination", cur10_substring_decontamination)
     queries.setdefault(
         "tx7_broadcast_quality_score", tx7_broadcast_quality_score
     )

@@ -287,6 +287,7 @@ def cmd_corpus_curate(args) -> int:
         args.corpus_dir,
         args.out_dir,
         eval_dir=args.eval_dir,
+        decontaminate_by=args.decontaminate_by,
         weights=weights,
         token_budget=args.token_budget,
         mixture_temperature=args.mixture_temperature,
@@ -390,6 +391,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--eval-dir",
         help="dir holding an eval suite's documents.parquet; training "
         "docs sharing any 3-word shingle with it are dropped",
+    )
+    cur.add_argument(
+        "--decontaminate-by",
+        choices=("shingles", "substrings", "both"),
+        default="shingles",
+        help="eval-leak tier for --eval-dir: 'shingles' (any shared "
+        "3-word shingle, recall-heavy), 'substrings' (exact >=13-"
+        "token overlap, the GPT-3 standard), or 'both'",
     )
     cur.add_argument(
         "--weights",

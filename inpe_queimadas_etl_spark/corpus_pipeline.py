@@ -229,6 +229,7 @@ def run_corpus_pipeline(
     dsir_keep: int | None = None,
     mixture_temperature: float | None = None,
     scrub_pii: bool = False,
+    decontaminate_by: str = "shingles",
 ) -> dict:
     """Materialize ``corpus_dir``'s documents table into
     ``out_dir/corpus`` (parquet, partitioned by split) and return the
@@ -250,6 +251,11 @@ def run_corpus_pipeline(
     if split_by not in ("clusters", "content"):
         raise ValueError(
             f"split_by must be 'clusters' or 'content', got {split_by!r}"
+        )
+    if decontaminate_by not in ("shingles", "substrings", "both"):
+        raise ValueError(
+            "decontaminate_by must be 'shingles', 'substrings', or "
+            f"'both', got {decontaminate_by!r}"
         )
     if weights is not None:
         if any(v < 0 for v in weights.values()):
@@ -293,18 +299,36 @@ def run_corpus_pipeline(
     survivors = docs.join(kept, "doc_id", "left_semi")
 
     # stage 3b (optional): benchmark decontamination — drop any doc
-    # sharing a 3-word shingle with the eval suite (cur2 semantics
-    # via decontamination_report); eval sets are tiny, so the join's
-    # eval side broadcasts
+    # leaking eval content, by the selected tier(s): "shingles"
+    # (cur2 semantics, ANY shared 3-word shingle — recall-heavy),
+    # "substrings" (cur10 semantics, exact >= 13-token overlap — the
+    # GPT-3 standard, precision-heavy), or "both" (union of flags).
+    # Eval sets are tiny, so every eval side broadcasts.
     n_contaminated = 0
     if eval_dir is not None:
+        from .suite.llmdata import substring_contamination
+
         eval_docs = load_table(spark, eval_dir, "documents")
-        contam = (
-            decontamination_report(survivors, eval_docs)
-            .filter(F.col("contaminated"))
-            .select("doc_id")
-            .localCheckpoint(eager=True)
-        )
+        flagged = []
+        if decontaminate_by in ("shingles", "both"):
+            flagged.append(
+                decontamination_report(survivors, eval_docs)
+                .filter(F.col("contaminated"))
+                .select("doc_id")
+            )
+        if decontaminate_by in ("substrings", "both"):
+            flagged.append(
+                substring_contamination(
+                    survivors.select("doc_id", "text"),
+                    eval_docs.select("doc_id", "text"),
+                )
+                .filter(F.col("contaminated"))
+                .select("doc_id")
+            )
+        contam = flagged[0]
+        for extra in flagged[1:]:
+            contam = contam.unionByName(extra)
+        contam = contam.distinct().localCheckpoint(eager=True)
         n_contaminated = contam.count()
         survivors = survivors.join(contam, "doc_id", "left_anti")
 
@@ -591,6 +615,7 @@ def run_corpus_pipeline(
             - mix_stats["in"]
         ),
         "contaminated_dropped": n_contaminated,
+        "decontaminate_by": decontaminate_by if eval_dir else None,
         "pii_scrub": pii_stats,
         "lm_gate": lm_stats,
         "dsir": dsir_stats,

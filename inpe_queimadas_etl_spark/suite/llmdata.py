@@ -4604,3 +4604,111 @@ def emb1_hashed_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(v, cast(0.0 as double), (a, x) -> a + abs(x))"
         ).alias("l1"),
     )
+
+
+# --- cur10: exact-substring decontamination ---------------------------------
+# The strictest of the three decontamination tiers: cur2 flags
+# 3-shingle overlap (recall-heavy), cur7 flags embedding cosine
+# (paraphrase), cur10 flags EXACT >= 13-token overlap — the GPT-3
+# standard (Brown et al. 2020 filter eval leaks by 13-gram match) —
+# by pointing dd10's stride-1 window-fingerprint machinery at the
+# eval set instead of the corpus itself. 60-bit fingerprints (the
+# dd10 argument: 32-bit birthday-collides at corpus scale) on BOTH
+# engines, so the oracle shares the false-positive envelope exactly.
+#
+# Demo geometry (oracle-stated): eval = doc_id % 41 == 0 (cur2's
+# slice convention), corpus = the rest; measured 3 contaminated docs
+# / 113 leaked windows at sf0.001.
+#
+# UNREGISTERED (50-entry driver snapshot cap) — oracle-compared in
+# tests/test_suite_oracle.py, benched in bench.py.
+
+_CUR10_WIN = 13
+
+
+def _cur10_sql(win: int = _CUR10_WIN) -> str:
+    h = _hex_to_int_sql("substr(md5(ws),1,15)", 15)
+    return f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    win AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - {win - 1}),
+                      i -> list_aggregate(list_slice(toks, i, i + {win - 1}),
+                                          'string_agg', ' '))) AS ws
+        FROM w WHERE len(toks) >= {win}
+    ),
+    wh AS (SELECT doc_id, ({h}) AS whash FROM win),
+    ev AS (SELECT DISTINCT whash FROM wh WHERE doc_id % 41 = 0),
+    hits AS (
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n
+        FROM wh c JOIN ev USING (whash)
+        WHERE c.doc_id % 41 <> 0 GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hit_windows,
+           coalesce(hits.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    WHERE d.doc_id % 41 <> 0
+    """
+
+
+CUR10_SQL = _cur10_sql()
+
+
+def _window_hashes(df: DataFrame, win: int) -> DataFrame:
+    """``(doc_id, whash)`` — one 60-bit fingerprint per stride-1
+    ``win``-token window (dd10's shingle convention; docs shorter
+    than ``win`` emit nothing)."""
+    base = df.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= win
+    )
+    whashes = F.expr(
+        f"transform(sequence(1, size(toks) - {win} + 1), "
+        f"i -> cast(conv(substring(md5(concat_ws(' ', "
+        f"slice(toks, i, {win}))), 1, 15), 16, 10) as bigint))"
+    )
+    return base.select("doc_id", F.explode(whashes).alias("whash"))
+
+
+def substring_contamination(
+    corpus: DataFrame, evalset: DataFrame, win: int = _CUR10_WIN
+) -> DataFrame:
+    """Per corpus document over ``(doc_id, text)`` inputs:
+    ``(doc_id, n_hit_windows, contaminated)`` where contaminated =
+    the document shares at least one EXACT ``win``-token run with
+    the eval set.
+
+    Scale design: both sides reduce to 60-bit window fingerprints
+    map-side (strings never shuffle); the eval side is distinct-
+    reduced and BROADCAST into the corpus window stream (an eval
+    suite is tiny by definition — the cur2/cur7 argument), and the
+    per-doc rollup keys on doc_id so partials collapse in the scan
+    partition. One corpus-sized exchange carrying final per-doc
+    rows; zero SortMergeJoin (plan-pinned)."""
+    ev = _window_hashes(evalset, win).select("whash").distinct()
+    hits = (
+        _window_hashes(corpus, win)
+        .join(F.broadcast(ev), "whash")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return corpus.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_hit_windows"),
+        (F.coalesce("n", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def cur10_substring_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-substring decontamination at the oracle-stated demo
+    geometry: eval = the doc_id % 41 == 0 slice, corpus = the rest,
+    win=_CUR10_WIN."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_contamination(
+        docs.filter(F.col("doc_id") % 41 != 0),
+        docs.filter(F.col("doc_id") % 41 == 0),
+    )

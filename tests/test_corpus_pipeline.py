@@ -792,3 +792,70 @@ def test_scrub_pii_stage(spark, tmp_path):
     }
     w2 = spark.read.parquet(os.path.join(str(tmp_path / "o2"), "corpus"))
     assert w2.filter(w2.text.contains("@example.com")).count() == 3
+
+
+def test_decontaminate_by_substrings_mode(spark, tmp_path):
+    """--decontaminate-by substrings: a 13-token eval run drops only
+    docs carrying it verbatim (cur2's 3-shingle tier would also flag
+    the doc sharing a mere 3-gram — the precision/recall difference
+    the flag exists for); 'both' is their union."""
+    import pandas as pd
+
+    stops = "the a of and to in"
+    leak = " ".join(f"e{i}" for i in range(13))
+    tri = "e0 e1 e2"  # one 3-shingle of the leak, not 13 tokens
+    rows = [
+        (0, f"{stops} {leak} " + " ".join(f"w0x{k}" for k in range(25))),
+        (1, f"{stops} {tri} " + " ".join(f"w1x{k}" for k in range(30))),
+        (2, f"{stops} " + " ".join(f"w2x{k}" for k in range(35))),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf["lang"] = "en"
+    pdf["source"] = "src0"
+    src = tmp_path / "corpus"
+    src.mkdir()
+    pdf.to_parquet(src / "documents.parquet")
+    ev = pd.DataFrame(
+        {"doc_id": [100], "text": [f"prefix {leak} suffix"]}
+    )
+    ed = tmp_path / "eval"
+    ed.mkdir()
+    ev.to_parquet(ed / "documents.parquet")
+
+    m_sub = run_corpus_pipeline(
+        spark,
+        str(src),
+        str(tmp_path / "o_sub"),
+        eval_dir=str(ed),
+        decontaminate_by="substrings",
+    )
+    assert m_sub["decontaminate_by"] == "substrings"
+    assert m_sub["contaminated_dropped"] == 1  # only the verbatim doc
+
+    m_sh = run_corpus_pipeline(
+        spark,
+        str(src),
+        str(tmp_path / "o_sh"),
+        eval_dir=str(ed),
+        decontaminate_by="shingles",
+    )
+    assert m_sh["contaminated_dropped"] == 2  # verbatim + 3-gram doc
+
+    m_both = run_corpus_pipeline(
+        spark,
+        str(src),
+        str(tmp_path / "o_both"),
+        eval_dir=str(ed),
+        decontaminate_by="both",
+    )
+    assert m_both["contaminated_dropped"] == 2
+
+    with pytest.raises(ValueError, match="decontaminate_by"):
+        run_corpus_pipeline(
+            spark,
+            str(src),
+            str(tmp_path / "o_bad"),
+            eval_dir=str(ed),
+            decontaminate_by="bogus",
+        )

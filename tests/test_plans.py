@@ -477,3 +477,19 @@ def test_emb1_encoder_is_zero_exchange_scan(spark):
     ref_plan = _plan(_hashed_doc_vectors_ref(docs), "simple")
     assert "Exchange" not in ref_plan, ref_plan
     assert "MapInPandas" not in ref_plan, ref_plan
+
+
+def test_cur10_eval_broadcasts_corpus_rolls_up_once(spark):
+    """cur10's 100-TB contract: the eval window set broadcasts into
+    the corpus window stream (strings never shuffle — both sides are
+    60-bit fingerprints before any exchange), no SortMergeJoin for
+    the hit join, and the per-doc rollup carries map-side partials.
+    The final zero-fill left join keys on doc_id."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        cur10_substring_decontamination,
+    )
+
+    plan = _plan(cur10_substring_decontamination(spark, SF0001), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial" in plan.lower(), plan

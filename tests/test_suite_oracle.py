@@ -1041,3 +1041,60 @@ def test_tx8_heldout_reference_matches_mirror(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_cur10_substring_decontamination_matches_oracle(spark):
+    """cur10 is unregistered (50-entry snapshot cap) but
+    oracle-checked here and benched in bench.py: exact >= 13-token
+    overlap decontamination (the GPT-3 standard), 60-bit window
+    fingerprints on both engines."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        CUR10_SQL,
+        cur10_substring_decontamination,
+    )
+
+    _compare_to_oracle(
+        spark,
+        "cur10_substring_decontamination",
+        cur10_substring_decontamination,
+        CUR10_SQL,
+    )
+
+
+def test_cur10_finds_planted_exact_overlap(spark):
+    """A 13-token run planted verbatim from an eval doc into two
+    corpus docs flags exactly those two; a 12-token overlap (one
+    short of the window) does NOT flag."""
+    import pandas as pd
+
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        substring_contamination,
+    )
+
+    leak = " ".join(f"e{i}" for i in range(13))
+    near = " ".join(f"e{i}" for i in range(12))  # 12 tokens only
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b " + leak + " c d",          # leaked mid-doc
+                leak,                              # leaked whole doc
+                "x y " + near + " z different",  # 12-token: clean
+                "totally unrelated words here padding out the doc",
+            ],
+        }
+    )
+    evalset = pd.DataFrame(
+        {"doc_id": [100], "text": ["prefix " + leak + " suffix"]}
+    )
+    got = (
+        substring_contamination(
+            spark.createDataFrame(corpus), spark.createDataFrame(evalset)
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "contaminated"] and got.loc[2, "contaminated"]
+    assert not got.loc[3, "contaminated"]
+    assert not got.loc[4, "contaminated"]
+    assert got.loc[1, "n_hit_windows"] >= 1
