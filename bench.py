@@ -92,6 +92,7 @@ _EXTRA_RUNS = {"dd2_ngram_jaccard_pairs": 5, "transform_canonicalize_100k": 5}
 # every other HEADLINE entry exists in the registry
 UNREGISTERED = (
     "p7_stable_event_hash",
+    "j7_crossjoin_zerofill",
     "geo8_dense_pip",
     "skew_hot_distinct_naive",
     "skew_hot_distinct_two_phase",
@@ -255,13 +256,19 @@ def main() -> None:
         cur10_substring_decontamination,
     )
     from inpe_queimadas_etl_spark.suite.multimodal import mm5_simhash_neardup
-    from inpe_queimadas_etl_spark.suite.relational import p7_stable_event_hash
+    from inpe_queimadas_etl_spark.suite.relational import (
+        j7_crossjoin_zerofill,
+        p7_stable_event_hash,
+    )
     from inpe_queimadas_etl_spark.suite.skewdemo import (
         skew_hot_distinct_naive,
         skew_hot_distinct_two_phase,
     )
 
     queries.setdefault("p7_stable_event_hash", p7_stable_event_hash)
+    # j7 left the 50-slot registry in round 7 (slot went to
+    # llm_ops_battery) but stays benched as an r1-comparable anchor
+    queries.setdefault("j7_crossjoin_zerofill", j7_crossjoin_zerofill)
     queries.setdefault("geo8_dense_pip", geo8_dense_pip)
     queries.setdefault("dd8_passage_dedup", dd8_passage_dedup)
     queries.setdefault("dd9_canonical_keeper", dd9_canonical_keeper)

@@ -4712,3 +4712,197 @@ def cur10_substring_decontamination(
         docs.filter(F.col("doc_id") % 41 != 0),
         docs.filter(F.col("doc_id") % 41 == 0),
     )
+
+
+# --- llm_ops_battery: registered composite for the r5/r6 tier ---------------
+# The 50-slot driver registry cannot grow (snapshot cap, round-4
+# convention), so the ten operators added in rounds 5-6 that still
+# lacked a hard driver-CORRECTNESS row — dd10, dd11, dd12, cur7, cur8,
+# cur9, cur10, tx8, emb1, sim6 — register through ONE composite entry,
+# mirroring `micro_ops_battery` (suite/relational.py): each operator's
+# full output is melted to (chk, key_s, n, v) rows and unioned, and the
+# oracle unions the same per-operator DuckDB SQL (the exact constants
+# the pytest oracle suite already compares one by one), so a single
+# wrong span / weight / logprob / neighbor flips the battery's value
+# hash. It takes the registry slot j7_crossjoin_zerofill vacated this
+# round (J7 keeps its registered pass through geo4_uf_choropleth_day,
+# which shares the dense cross-join + zero-fill shape, plus its own
+# pytest oracle) — total stays EXACTLY 50.
+
+
+def _melt_battery(df: DataFrame, chk: str, key_s, n, v) -> DataFrame:
+    return df.select(
+        F.lit(chk).alias("chk"),
+        key_s.cast("string").alias("key_s"),
+        n.cast("long").alias("n"),
+        v.cast("double").alias("v"),
+    )
+
+
+@query(
+    "llm_ops_battery",
+    oracle=f"""
+    SELECT 'dd10' AS chk,
+           concat_ws(':', CAST(doc_id AS VARCHAR),
+                     CAST(span_start AS VARCHAR),
+                     CAST(span_end AS VARCHAR)) AS key_s,
+           n_windows AS n, CAST(span_tokens AS DOUBLE) AS v
+    FROM ({DD10_SQL})
+    UNION ALL
+    SELECT 'dd11', concat_ws(':', CAST(doc_id AS VARCHAR), md5(clean_text)),
+           n_tokens_before, CAST(n_tokens_removed AS DOUBLE)
+    FROM ({DD11_SQL})
+    UNION ALL
+    SELECT 'dd12',
+           concat_ws(':', CAST(vec_id AS VARCHAR),
+                     CAST(centroid_id AS VARCHAR)),
+           n_dups, max_sim
+    FROM ({DD12_SQL})
+    UNION ALL
+    SELECT 'cur7', CAST(vec_id AS VARCHAR), n_eval_hits, max_sim
+    FROM ({CUR7_SQL})
+    UNION ALL
+    SELECT 'cur8', CAST(doc_id AS VARCHAR), n_feats, dsir_logweight
+    FROM ({CUR8_SQL})
+    UNION ALL
+    SELECT 'cur9', CAST(doc_id AS VARCHAR), n_feats, sample_key
+    FROM ({CUR9_SQL})
+    UNION ALL
+    SELECT 'cur10',
+           concat_ws(':', CAST(doc_id AS VARCHAR),
+                     CAST(contaminated AS VARCHAR)),
+           n_hit_windows, CAST(NULL AS DOUBLE)
+    FROM ({CUR10_SQL})
+    UNION ALL
+    SELECT 'tx8', CAST(doc_id AS VARCHAR), n_bigrams, avg_logprob
+    FROM ({TX8_SQL})
+    UNION ALL
+    SELECT e.chk, CAST(e.doc_id AS VARCHAR), CAST(NULL AS BIGINT), e.v
+    FROM (
+        SELECT doc_id, 'emb1_c0' AS chk, c0 AS v FROM ({EMB1_SQL})
+        UNION ALL
+        SELECT doc_id, 'emb1_c7', c7 FROM ({EMB1_SQL})
+        UNION ALL
+        SELECT doc_id, 'emb1_c15', c15 FROM ({EMB1_SQL})
+        UNION ALL
+        SELECT doc_id, 'emb1_l1', l1 FROM ({EMB1_SQL})
+    ) e
+    UNION ALL
+    SELECT 'sim6',
+           concat_ws(':', CAST(query_id AS VARCHAR),
+                     CAST(neighbor_id AS VARCHAR)),
+           rank, sim
+    FROM ({SIM6_SQL})
+    """,
+)
+def llm_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite driver-correctness battery for the ten r5/r6 operators
+    outside the 50-slot registry: dd10 duplicate spans, dd11 span
+    scrub, dd12 SemDeDup, cur7 semantic decontamination, cur8 DSIR
+    selection, cur9 DSIR Gumbel-top-k resample, cur10 substring
+    decontamination, tx8 bigram-LM perplexity, emb1 hashed doc
+    encoder, sim6 IVF x SQ8 ANN. Every operator's complete value set
+    is hashed (spans+window counts, scrubbed-text md5, removal sets
+    with similarities, DSIR weights and Gumbel keys, contamination
+    flags, per-doc logprobs, exact encoder components, ranked
+    neighbors); each sub-operator also keeps its own standalone
+    oracle test in tests/test_suite_oracle.py. The union is a pure
+    composition — each branch is the operator's registered-shape plan
+    unchanged, so the battery adds no shuffles beyond what the ten
+    operators themselves cost."""
+    longn = F.lit(None).cast("long")
+    dbln = F.lit(None).cast("double")
+    dd10 = dd10_duplicate_spans(spark, sf_dir)
+    dd11 = dd11_span_scrub(spark, sf_dir)
+    dd12 = dd12_semantic_dedup(spark, sf_dir)
+    cur7 = cur7_semantic_decontamination(spark, sf_dir)
+    cur8 = cur8_dsir_selection(spark, sf_dir)
+    cur9 = cur9_dsir_resample(spark, sf_dir)
+    cur10 = cur10_substring_decontamination(spark, sf_dir)
+    tx8 = tx8_lm_perplexity(spark, sf_dir)
+    emb1 = emb1_hashed_encoder(spark, sf_dir)
+    sim6 = sim6_ivf_sq8_ann(spark, sf_dir)
+    parts = [
+        _melt_battery(
+            dd10,
+            "dd10",
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("span_start").cast("string"),
+                F.col("span_end").cast("string"),
+            ),
+            F.col("n_windows"),
+            F.col("span_tokens"),
+        ),
+        _melt_battery(
+            dd11,
+            "dd11",
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.md5("clean_text")
+            ),
+            F.col("n_tokens_before"),
+            F.col("n_tokens_removed"),
+        ),
+        _melt_battery(
+            dd12,
+            "dd12",
+            F.concat_ws(
+                ":",
+                F.col("vec_id").cast("string"),
+                F.col("centroid_id").cast("string"),
+            ),
+            F.col("n_dups"),
+            F.col("max_sim"),
+        ),
+        _melt_battery(
+            cur7, "cur7", F.col("vec_id"), F.col("n_eval_hits"),
+            F.col("max_sim"),
+        ),
+        _melt_battery(
+            cur8, "cur8", F.col("doc_id"), F.col("n_feats"),
+            F.col("dsir_logweight"),
+        ),
+        _melt_battery(
+            cur9, "cur9", F.col("doc_id"), F.col("n_feats"),
+            F.col("sample_key"),
+        ),
+        _melt_battery(
+            cur10,
+            "cur10",
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("contaminated").cast("string"),
+            ),
+            F.col("n_hit_windows"),
+            dbln,
+        ),
+        _melt_battery(
+            tx8, "tx8", F.col("doc_id"), F.col("n_bigrams"),
+            F.col("avg_logprob"),
+        ),
+    ]
+    for comp in ("c0", "c7", "c15", "l1"):
+        parts.append(
+            _melt_battery(
+                emb1, f"emb1_{comp}", F.col("doc_id"), longn, F.col(comp)
+            )
+        )
+    parts.append(
+        _melt_battery(
+            sim6,
+            "sim6",
+            F.concat_ws(
+                ":",
+                F.col("query_id").cast("string"),
+                F.col("neighbor_id").cast("string"),
+            ),
+            F.col("rank"),
+            F.col("sim"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -246,9 +246,12 @@ def j5_dim_join_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "j7_crossjoin_zerofill",
-    oracle=f"""
+# UNREGISTERED since round 7: the J7 dense cross-join + zero-fill
+# shape keeps its registered driver row through geo4_uf_choropleth_day
+# (same pattern over the geo dims), and this entry's 50-slot place went
+# to llm_ops_battery (suite/llmdata.py) per VERDICT r6 "Next round" #1.
+# Still oracle-compared in tests/test_suite_oracle.py and benched.
+J7_SQL = f"""
     WITH daily AS ({_DAILY_SQL}),
     days AS (SELECT DISTINCT day FROM daily),
     types AS (SELECT DISTINCT event_type FROM daily)
@@ -259,8 +262,9 @@ def j5_dim_join_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM days d
     CROSS JOIN types t
     LEFT JOIN daily f ON f.day = d.day AND f.event_type = t.event_type
-    """,
-)
+"""
+
+
 def j7_crossjoin_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense choropleth frame: days x categories cross join, zero-fill,
     log-scale viz floor (J7, reference

@@ -32,6 +32,10 @@ QUERIES = all_queries()
 #   a handful of driver-built rows.
 NESTED_LOOP_OK = {
     "j7_crossjoin_zerofill",
+    # the battery unions cur7's plan, whose K-row eval-matrix broadcast
+    # crossJoin is the intentional BNLJ pinned by
+    # test_cur7_plan_single_exchange_no_join below
+    "llm_ops_battery",
     "geo4_uf_choropleth_day",
     "geo7_mun_choropleth_day",
     "sim1_knn_cosine_topk",

@@ -1098,3 +1098,18 @@ def test_cur10_finds_planted_exact_overlap(spark):
     assert not got.loc[3, "contaminated"]
     assert not got.loc[4, "contaminated"]
     assert got.loc[1, "n_hit_windows"] >= 1
+
+
+def test_j7_crossjoin_zerofill_matches_oracle(spark):
+    """j7 gave up its registry slot to llm_ops_battery in round 7
+    (J7's dense cross-join + zero-fill shape keeps a registered driver
+    row via geo4_uf_choropleth_day); its own full oracle comparison
+    lives on here."""
+    from inpe_queimadas_etl_spark.suite.relational import (
+        J7_SQL,
+        j7_crossjoin_zerofill,
+    )
+
+    _compare_to_oracle(
+        spark, "j7_crossjoin_zerofill", j7_crossjoin_zerofill, J7_SQL
+    )
