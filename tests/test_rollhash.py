@@ -1,0 +1,162 @@
+"""Pins for the Karp-Rabin rolling window fingerprint
+(operators/rollhash.py) that round 7 swapped into dd10/dd11/cur10's
+shingle pass (VERDICT r6 "Next round" #2):
+
+1. the vectorized uint64 math equals a pure-Python big-int mirror of
+   the polynomial definition (no wraparound/overflow bugs);
+2. fingerprint EQUALITY STRUCTURE matches token-window equality — two
+   windows hash equal iff their tokens are equal (hypothesis-fuzzed on
+   a tiny vocabulary to force collisions-by-content);
+3. dd10's span output under the rolling generator is identical to the
+   round-6 md5-over-concat reference (`_md5_window_shingles`) on the
+   real sf0.001 corpus and on a planted-overlap fixture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from inpe_queimadas_etl_spark.operators.rollhash import (
+    _B1,
+    _B2,
+    _M1,
+    _M2,
+    _shingle_batch,
+    rolling_window_shingles,
+    window_fingerprints,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _mirror_fingerprints(th: list[int], win: int) -> list[int]:
+    """Direct big-int restatement of the 60-bit fingerprint: two
+    polynomial lanes h = sum t[i+j] * B^j mod M, combined
+    h1 * 2^30 + h2."""
+    out = []
+    for i in range(len(th) - win + 1):
+        h1 = sum(
+            (th[i + j] % _M1) * pow(_B1, j, _M1) for j in range(win)
+        ) % _M1
+        h2 = sum(
+            ((th[i + j] >> 32) % _M2) * pow(_B2, j, _M2) for j in range(win)
+        ) % _M2
+        out.append((h1 << 30) + h2)
+    return out
+
+
+def test_vectorized_math_equals_bigint_mirror():
+    rng = np.random.RandomState(7)
+    for n, win in [(1, 1), (5, 5), (40, 13), (200, 20), (500, 50)]:
+        th = rng.randint(0, 2**63, size=n).astype(np.uint64)
+        got = window_fingerprints(th, win).tolist()
+        want = _mirror_fingerprints([int(x) for x in th], win)
+        assert got == want, (n, win)
+
+
+def test_short_docs_emit_nothing():
+    th = np.arange(5, dtype=np.uint64)
+    assert len(window_fingerprints(th, 6)) == 0
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "a b c d"]})
+    out = _shingle_batch(pdf, 3)
+    assert out["doc_id"].tolist() == [2, 2]
+    assert out["pos"].tolist() == [0, 1]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y"]), min_size=1, max_size=20),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_fingerprint_equality_is_window_equality(docs):
+    """On a 2-token vocabulary nearly every batch contains repeated
+    windows: the fingerprint must induce EXACTLY the partition that
+    literal window strings induce (no false merges from the rolling
+    arithmetic, no false splits)."""
+    win = 3
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(docs))),
+            "text": [" ".join(t) for t in docs],
+        }
+    )
+    out = _shingle_batch(pdf, win)
+    lit = {}
+    for did, toks in enumerate(docs):
+        for i in range(len(toks) - win + 1):
+            lit[(did, i)] = " ".join(toks[i : i + win])
+    assert set(zip(out["doc_id"], out["pos"])) == set(lit)
+    by_hash: dict[int, set[str]] = {}
+    for did, pos, wh in zip(out["doc_id"], out["pos"], out["whash"]):
+        by_hash.setdefault(int(wh), set()).add(lit[(did, pos)])
+    # each hash maps to exactly one window string...
+    assert all(len(v) == 1 for v in by_hash.values())
+    # ...and each window string to exactly one hash
+    assert len(by_hash) == len(set(lit.values()))
+
+
+def _spans_from(shingles_df, docs, win):
+    """Run dd10's downstream (repeat groupBy + gaps-and-islands) over
+    an injected shingle table by monkey-free composition: reuse
+    duplicate_spans but on a corpus whose shingle stage we compare
+    directly instead."""
+    rep = (
+        shingles_df.groupBy("whash")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("whash")
+    )
+    return (
+        shingles_df.join(rep, "whash")
+        .select("doc_id", "pos")
+        .orderBy("doc_id", "pos")
+        .collect()
+    )
+
+
+def test_rolling_spans_equal_md5_reference_on_corpus(spark):
+    """End-to-end anchor: repeated-window (doc_id, pos) hit sets —
+    the exact input to the gaps-and-islands merge — are identical
+    under the rolling generator and the round-6 md5 reference on the
+    real sf0.001 documents table, at dd10's win=20 and cur10's
+    win=13."""
+    from inpe_queimadas_etl_spark.session import load_table
+    from inpe_queimadas_etl_spark.suite.llmdata import _md5_window_shingles
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    for win in (13, 20):
+        roll = _spans_from(rolling_window_shingles(docs, win), docs, win)
+        md5 = _spans_from(_md5_window_shingles(docs, win), docs, win)
+        assert [tuple(r) for r in roll] == [tuple(r) for r in md5], win
+
+
+def test_rolling_dd10_finds_planted_overlap(spark, tmp_path):
+    """A 30-token run planted in two documents at different offsets
+    must surface as the same spans dd10 reported in round 6."""
+    from inpe_queimadas_etl_spark.suite.llmdata import duplicate_spans
+
+    run = " ".join(f"dup{i}" for i in range(30))
+    pad_a = " ".join(f"a{i}" for i in range(7))
+    pad_b = " ".join(f"b{i}" for i in range(11))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"{pad_a} {run}",
+                f"{pad_b} {run} tail0 tail1",
+                " ".join(f"c{i}" for i in range(40)),
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicate_spans(docs, win=20).collect()
+    }
+    assert got == {(1, 7, 37, 11), (2, 11, 41, 11)}
