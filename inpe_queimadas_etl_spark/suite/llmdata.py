@@ -3097,38 +3097,84 @@ def _ivf_sq8_topk(
     cent: DataFrame,
     k: int = _IVF_K,
     nprobe: int = _IVF_NPROBE,
+    candidate_frac: float | None = None,
 ) -> DataFrame:
     """The IVF+SQ8 search tail shared by sim6 (first-K demo codebook)
     and sim7 (KMeans-trained codebook) — one implementation, so the
     two paths cannot drift: build the code store under ``cent``,
-    probe each query's ``nprobe`` nearest centroids, dequantize only
-    probed candidates, rerank with the shared _score_rank_top5."""
+    probe each query's nearest centroids, dequantize only probed
+    candidates, rerank with the shared _score_rank_top5.
+
+    Probe policy: with ``candidate_frac=None`` (sim6, the
+    oracle-stated contract) each query probes exactly ``nprobe``
+    centroids. With ``candidate_frac`` set (sim7, VERDICT r6 #4),
+    probing is MULTI-PROBE: centroids are taken in descending
+    query-centroid cosine order until the CUMULATIVE cluster size
+    reaches ``candidate_frac`` of the corpus — the candidate BUDGET
+    becomes the contract instead of the probe count, so a trained
+    codebook's balanced (smaller) clusters buy more probes rather
+    than silently shrinking recall (the r6 floor-pinned-at-0.5
+    finding). Cluster sizes are a K-row collect off the code store
+    (the codebook-collect convention); the per-query prefix is a
+    running sum over K rows on the few-queries side — the corpus
+    side stays window-free and is never fully scanned (plan-pinned:
+    the probe join is unchanged)."""
     from ..operators.similarity import dot_product
 
     store = sim6_code_store(emb, k, centroids=cent)
+    if candidate_frac is not None:
+        store = store.localCheckpoint(eager=True)
 
-    # query-side probe list: nprobe nearest centroids, full
-    # precision. Queries are few by definition, so the ranked-window
-    # shape is fine HERE (n_queries x K rows) — it is the CORPUS
-    # assignment in sim6_code_store that must stay window-free.
+    # query-side probe list: nearest centroids, full precision.
+    # Queries are few by definition, so the ranked-window shape is
+    # fine HERE (n_queries x K rows) — it is the CORPUS assignment in
+    # sim6_code_store that must stay window-free.
     qw = Window.partitionBy("vec_id").orderBy(
         F.desc("csim"), F.asc("centroid_id")
     )
-    q = (
+    scored = (
         emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
         .join(F.broadcast(cent))
         .withColumn(
             "csim",
             F.try_divide(dot_product("v", "cv"), F.col("nrm") * F.col("cn")),
         )
-        .withColumn("rn", F.row_number().over(qw))
-        .filter(F.col("rn") <= nprobe)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("nq"),
-            F.col("centroid_id").alias("qcluster"),
+    )
+    if candidate_frac is None:
+        probed = scored.withColumn("rn", F.row_number().over(qw)).filter(
+            F.col("rn") <= nprobe
         )
+    else:
+        sizes = {
+            r["centroid_id"]: r["n"]
+            for r in store.groupBy("centroid_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        target = max(1, int(sum(sizes.values()) * candidate_frac))
+        size_map = F.create_map(
+            *[F.lit(x) for cid_n in sizes.items() for x in cid_n]
+        )
+        probed = (
+            scored.withColumn(
+                "csz", F.coalesce(size_map[F.col("centroid_id")], F.lit(0))
+            )
+            .withColumn(
+                "cum_before",
+                F.coalesce(
+                    F.sum("csz").over(
+                        qw.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .filter(F.col("cum_before") < target)
+        )
+    q = probed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("nq"),
+        F.col("centroid_id").alias("qcluster"),
     )
     paired = store.join(
         F.broadcast(q),
@@ -4423,7 +4469,11 @@ _SIM7_CODEBOOK_CACHE: dict = {}
 
 def sim7_trained_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim6's search over a KMeans-trained codebook (trained once per
-    session — the tx9/tx10 model-artifact cache convention)."""
+    session — the tx9/tx10 model-artifact cache convention), with
+    MULTI-PROBE at sim6's nominal candidate budget nprobe/K (VERDICT
+    r6 #4): balanced trained clusters buy extra probes instead of
+    silently shrinking the candidate set, so recall at equal budget
+    is >= sim6's (pinned in tests/test_sim7.py)."""
     from ..operators.similarity import train_ivf_codebook, vec_norm
 
     emb = (
@@ -4438,7 +4488,9 @@ def sim7_trained_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=True
         )
         _SIM7_CODEBOOK_CACHE[key] = cent
-    return _ivf_sq8_topk(emb, cent)
+    return _ivf_sq8_topk(
+        emb, cent, candidate_frac=_IVF_NPROBE / _IVF_K
+    )
 
 
 # --- emb1: deterministic hashed document encoder ----------------------------
