@@ -1104,6 +1104,70 @@ def test_cur10_finds_planted_exact_overlap(spark):
     assert got.loc[1, "n_hit_windows"] >= 1
 
 
+def test_cur10_oracle_with_planted_signal(spark, tmp_path):
+    """VERDICT r6 finding #1 (cur10's oracle regime was nearly
+    signal-free: 3 hits at sf0.001, ZERO at sf0.01): re-run the FULL
+    Spark-vs-DuckDB comparison on an sf0.01-shaped corpus with
+    >= 13-gram eval overlaps planted, so the oracle path pins
+    non-empty output — per-doc hit-window counts included — not just
+    the empty set."""
+    import pyarrow.parquet as pq
+
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        _CUR10_WIN,
+        CUR10_SQL,
+        cur10_substring_decontamination,
+    )
+
+    pdf = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).to_pandas()
+    ev = pdf[(pdf.doc_id % 41 == 0)].sort_values("doc_id")
+    donors = [
+        t for t in ev.text if len(t.split()) >= _CUR10_WIN + 2
+    ][:4]
+    assert len(donors) >= 2, "fixture needs eval docs long enough"
+    corpus_idx = pdf.index[pdf.doc_id % 41 != 0].tolist()
+    planted_ids = []
+    for j, idx in enumerate(corpus_idx[:: len(corpus_idx) // 12][:12]):
+        run = " ".join(donors[j % len(donors)].split()[: _CUR10_WIN + 2])
+        toks = pdf.at[idx, "text"].split()
+        mid = len(toks) // 2
+        pdf.at[idx, "text"] = " ".join(toks[:mid] + [run] + toks[mid:])
+        planted_ids.append(int(pdf.at[idx, "doc_id"]))
+    pdf["n_chars"] = pdf["text"].str.len()
+    import pyarrow as pa
+
+    out = tmp_path / "documents.parquet"
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), out)
+
+    sdf = cur10_substring_decontamination(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{out}')"
+    )
+    odf = con.execute(CUR10_SQL).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    s, o = _normalize(sdf), _normalize(odf)
+    for col in s.columns:
+        assert all(
+            _values_equal(x, y)
+            for x, y in zip(s[col].tolist(), o[col].tolist())
+        ), col
+    flagged = sdf[sdf.contaminated]
+    # every planted doc flagged, with the full ladder of hit windows
+    # (a WIN+2-token run yields 3 stride-1 windows) — and the signal
+    # is non-trivial on BOTH engines by the value comparison above
+    assert set(planted_ids) <= set(flagged.doc_id), (
+        planted_ids,
+        sorted(flagged.doc_id),
+    )
+    assert (
+        sdf.set_index("doc_id").loc[planted_ids, "n_hit_windows"] >= 3
+    ).all()
+
+
 def test_j7_crossjoin_zerofill_matches_oracle(spark):
     """j7 gave up its registry slot to llm_ops_battery in round 7
     (J7's dense cross-join + zero-fill shape keeps a registered driver
