@@ -174,3 +174,55 @@ def test_reconstruction_invariant_property():
         assert 1 <= len(toks) <= len(probe) + 1
 
     run()
+
+
+def test_incremental_trainer_matches_naive_reference():
+    """VERDICT r6 #6: the incremental (heap + inverted index) trainer
+    must produce the BYTE-IDENTICAL merge table the r6 full-recount
+    reference produced — random Zipf-ish corpora, exhaustive merge
+    counts, including running past exhaustion."""
+    from inpe_queimadas_etl_spark.operators.bpe import train_bpe_ref
+
+    rng = random.Random(23)
+    for trial in range(6):
+        words = {
+            "".join(
+                rng.choice("abcdefgh")
+                for _ in range(rng.randrange(1, 10))
+            )
+            for _ in range(rng.randrange(5, 150))
+        }
+        counts = [(w, rng.randrange(1, 40)) for w in sorted(words)]
+        for n_merges in (1, 7, 40, 10_000):
+            fast = train_bpe(counts, n_merges)
+            ref = train_bpe_ref(counts, n_merges)
+            assert fast == ref, (trial, n_merges)
+
+
+def test_incremental_trainer_matches_naive_reference_property():
+    """Hypothesis fuzz of the same equality on tiny adversarial
+    corpora (repeated letters force overlapping-pair edge cases)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from inpe_queimadas_etl_spark.operators.bpe import train_bpe_ref
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(alphabet="ab", min_size=1, max_size=8),
+                st.integers(min_value=1, max_value=9),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(counts):
+        merged = {}
+        for w, c in counts:
+            merged[w] = merged.get(w, 0) + c
+        wc = sorted(merged.items())
+        assert train_bpe(wc, 25) == train_bpe_ref(wc, 25)
+
+    check()
