@@ -76,6 +76,7 @@ HEADLINE = [
     "cur10_substring_decontamination",
     "sim5_sq8_ann",
     "sim6_ivf_sq8_ann",
+    "sim8_pq_adc",
     "mm5_simhash_neardup",
 ]
 
@@ -117,6 +118,7 @@ UNREGISTERED = (
     "cur10_substring_decontamination",
     "sim5_sq8_ann",
     "sim6_ivf_sq8_ann",
+    "sim8_pq_adc",
     "mm5_simhash_neardup",
 )
 
@@ -252,6 +254,7 @@ def main() -> None:
         tx9_bpe_tokenize,
         tx10_trained_quality_score,
         sim7_trained_ivf_ann,
+        sim8_pq_adc,
         emb1_hashed_encoder,
         cur10_substring_decontamination,
     )
@@ -295,6 +298,7 @@ def main() -> None:
     )
     queries.setdefault("sim5_sq8_ann", sim5_sq8_ann)
     queries.setdefault("sim6_ivf_sq8_ann", sim6_ivf_sq8_ann)
+    queries.setdefault("sim8_pq_adc", sim8_pq_adc)
     queries.setdefault("mm5_simhash_neardup", mm5_simhash_neardup)
     # skew demo pair: the recorded gap (naive single hot reducer vs
     # salted two-phase) is the artifact — see suite/skewdemo.py

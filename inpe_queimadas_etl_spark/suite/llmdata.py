@@ -4974,3 +4974,188 @@ def llm_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- sim8: product-quantization ANN (ADC) ----------------------------------
+# The memory-floor serving shape: PQ codes (operators/pq.py, Jégou et
+# al. 2011) store each 64-dim vector as m=8 4-bit-range codes — 32x
+# smaller than float32, 4x beyond sim5's SQ8 — and the search scan
+# never touches a float vector: a per-query m x ks lookup table of
+# sub-inner-products (ADC) turns each row's score into m array
+# lookups of pure unrolled JVM arithmetic (no UDF, no HOF lambda).
+# Top-C candidates under the ADC order are then reranked EXACTLY by
+# the shared _score_rank_top5 tail over only those C vectors per
+# query (the sim6 "reconstruct only probed candidates" discipline).
+#
+# Cross-engine: every expression downstream of the trained codebook
+# is emitted by one generator in two dialects with identical literal
+# text and left-associated order (operators/pq.py), so the codes and
+# the candidate SET are bit-identical between Spark and DuckDB by
+# construction — the oracle comparison pins the full pipeline, not a
+# rounded projection of it.
+#
+# UNREGISTERED (50-entry driver snapshot cap) — oracle-compared and
+# recall-gated in tests/test_pq.py, benched in bench.py.
+
+_SIM8_M = 8
+_SIM8_KS = 16
+_SIM8_CAND = 100
+_SIM8_CB_CACHE: dict[str, list] = {}
+
+
+def _sim8_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import vec_norm
+
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", vec_norm("v"))
+    )
+
+
+def _sim8_codebook(emb: DataFrame, key: str) -> list:
+    """Train-once PQ codebook per corpus (session cache, the
+    _TX7_WDF_CACHE convention): m sub-k-means on a bounded
+    deterministic sample — model artifacts are K-row driver state,
+    never corpus-sized."""
+    if key not in _SIM8_CB_CACHE:
+        from ..operators.pq import train_pq_codebook
+
+        _SIM8_CB_CACHE[key] = train_pq_codebook(
+            emb, m=_SIM8_M, ks=_SIM8_KS
+        )
+    return _SIM8_CB_CACHE[key]
+
+
+def sim8_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine ANN over PQ codes with ADC candidate generation:
+    queries (vec_id < 8, full precision — the sim1/sim5 convention)
+    build their LUTs once; the corpus scan reads (vec_id, codes)
+    only; top-C=100 ADC candidates per query are fetched and reranked
+    exactly (C is a fixed serving constant: 20% of this demo corpus,
+    0.0001% of a 100M-vector shard).
+
+    Scale design: the scan side is 8 bytes of codes per row (100 TB
+    of float32 -> ~3 TB of codes); the LUT table is m*ks doubles per
+    query attached via a broadcast of the FEW-row query table (never
+    the model-array-crossJoin anti-pattern — the LUT is per-query
+    data, K-row sized); the candidate prune is the same two-phase
+    partial top-k _score_rank_top5 uses, so only ~C rows per query
+    cross the exchange; the exact rerank fetches full vectors for
+    C*queries rows via joins that broadcast the tiny side.
+    Plan-pinned in tests/test_pq.py: encoding has zero Exchange and
+    the ADC scan carries no Python boundary."""
+    from ..operators.pq import (
+        pq_adc_score_expr,
+        pq_encode,
+        pq_lut_arrays,
+    )
+
+    emb = _sim8_emb(spark, sf_dir)
+    cb = _sim8_codebook(emb, sf_dir)
+    codes = pq_encode(emb, cb)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("nq"),
+    )
+    qlut = q.select(
+        "query_id",
+        *[
+            F.expr(e).alias(f"lut_{j}")
+            for j, e in enumerate(pq_lut_arrays(cb, "spark", "qv"))
+        ],
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qlut))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("pq_score", F.expr(pq_adc_score_expr(cb, "spark")))
+    )
+    order = [F.desc("pq_score"), F.asc("vec_id")]
+    w_local = Window.partitionBy("query_id", "pid").orderBy(*order)
+    w_global = Window.partitionBy("query_id").orderBy(*order)
+    cand = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("r_loc", F.row_number().over(w_local))
+        .filter(F.col("r_loc") <= _SIM8_CAND)
+        .withColumn("rn", F.row_number().over(w_global))
+        .filter(F.col("rn") <= _SIM8_CAND)
+        .select("query_id", "vec_id")
+    )
+    paired = cand.join(
+        emb.select("vec_id", "v", F.col("nrm").alias("nv")), "vec_id"
+    ).join(F.broadcast(q), "query_id")
+    return _score_rank_top5(paired)
+
+
+def sim8_oracle_sql(spark: SparkSession, sf_dir: str) -> str:
+    """The DuckDB mirror of sim8_pq_adc, generated from the SAME
+    trained codebook through the same two-dialect expression
+    generator — encode, LUT, ADC score, top-C cut and exact rerank
+    all replayed; only the final rerank cosine uses DuckDB's
+    list_cosine_similarity (the SIM5_SQL convention, compared at
+    round(sim, 4))."""
+    from ..operators.pq import (
+        pq_adc_score_expr,
+        pq_argmin_expr,
+        pq_dist_arrays,
+        pq_lut_arrays,
+    )
+
+    emb = _sim8_emb(spark, sf_dir)
+    cb = _sim8_codebook(emb, sf_dir)
+    m = len(cb)
+    dist_cols = ", ".join(
+        f"{e} AS d{j}" for j, e in enumerate(pq_dist_arrays(cb, "duckdb"))
+    )
+    codes = ", ".join(pq_argmin_expr(f"d{j}", "duckdb") for j in range(m))
+    lut_cols = ", ".join(
+        f"{e} AS lut_{j}"
+        for j, e in enumerate(pq_lut_arrays(cb, "duckdb", "qv"))
+    )
+    score = pq_adc_score_expr(cb, "duckdb")
+    return f"""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dists AS (
+    SELECT vec_id, {dist_cols} FROM base
+),
+enc AS (
+    SELECT vec_id, [{codes}] AS codes FROM dists
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 8
+),
+lut AS (
+    SELECT query_id, {lut_cols} FROM q
+),
+scored AS (
+    SELECT l.query_id, e.vec_id, {score} AS pq_score
+    FROM enc e CROSS JOIN lut l
+    WHERE e.vec_id <> l.query_id
+),
+cand AS (
+    SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY pq_score DESC, vec_id ASC
+        ) AS rn FROM scored
+    ) WHERE rn <= {_SIM8_CAND}
+),
+rerank AS (
+    SELECT c.query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qv, b.v) AS sim
+    FROM cand c
+    JOIN base b ON b.vec_id = c.vec_id
+    JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(sim, 4) AS sim
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+    ) AS rank FROM rerank
+) WHERE rank <= 5
+"""
