@@ -15,6 +15,19 @@ min of 2 timed full-pipeline runs per size (each run includes the
 parquet export and manifest aggregation — the real end-to-end cost).
 Exponent = log-log least-squares slope. Recorded in SCALING.md.
 
+Two variants are measured (VERDICT r6 #7):
+- "base": the r5 default stack (curation -> repetition -> split ->
+  pack -> export), refreshing the 0.79 exponent;
+- "full": every selection gate ON in the one invocation —
+  decontaminate-by both (20-doc eval set carved from corpus text so
+  the broadcast joins have real work), scrub-pii, min-lm-logprob
+  (permissive threshold: the cost is the corpus-wide scoring, not
+  the drops), scrub-spans, DSIR toward an n/10-doc target slice with
+  keep=0.4n, and mixture-temperature 0.7. Every gate's cost scales
+  with the corpus, so the composed exponent should stay ~linear or
+  below; a super-linear exponent means a stage recomputes shared
+  lineage.
+
 Usage: python scripts/scaling_pipeline.py  [env: SPARK_GRAFT_CPUS]
 """
 
@@ -88,8 +101,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    times: dict[str, float] = {}
-    kept: dict[str, int] = {}
+    results: dict[str, dict] = {}
     with tempfile.TemporaryDirectory() as tmp:
         dirs = {}
         for label, n in SIZES.items():
@@ -101,41 +113,88 @@ def main() -> None:
             )
             dirs[label] = d
 
-        def run(label: str, tag: str) -> dict:
+        # full-stack side inputs: an eval set carved from corpus text
+        # (so the decontamination joins flag real rows) and a
+        # same-distribution DSIR target slice per size
+        import pyarrow as pa
+
+        eval_dir = os.path.join(tmp, "eval")
+        os.makedirs(eval_dir)
+        small = gen_documents(200, seed=42)
+        ev_texts = [
+            " ".join(t.split(" ")[3:40])
+            for t in small.column("text").to_pylist()[:20]
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        range(10**9, 10**9 + len(ev_texts)), pa.int64()
+                    ),
+                    "text": pa.array(ev_texts, pa.string()),
+                }
+            ),
+            os.path.join(eval_dir, "documents.parquet"),
+        )
+        tdirs = {}
+        for label, n in SIZES.items():
+            td = os.path.join(tmp, f"target_{label}")
+            os.makedirs(td)
+            pq.write_table(
+                gen_documents(max(200, n // 10), seed=7),
+                os.path.join(td, "documents.parquet"),
+            )
+            tdirs[label] = td
+
+        def gates(label: str) -> dict:
+            return dict(
+                eval_dir=eval_dir,
+                decontaminate_by="both",
+                scrub_pii=True,
+                min_lm_logprob=-20.0,
+                scrub_spans=True,
+                dsir_target_dir=tdirs[label],
+                dsir_keep=max(1, int(0.4 * SIZES[label])),
+                mixture_temperature=0.7,
+            )
+
+        def run(label: str, tag: str, **kw) -> dict:
             out = os.path.join(tmp, f"out_{label}_{tag}")
             try:
-                return run_corpus_pipeline(spark, dirs[label], out)
+                return run_corpus_pipeline(spark, dirs[label], out, **kw)
             finally:
                 shutil.rmtree(out, ignore_errors=True)
 
-        run(min(SIZES, key=SIZES.get), "warmup")  # JVM/codegen warm-up
+        smallest = min(SIZES, key=SIZES.get)
+        run(smallest, "warmup")  # JVM/codegen warm-up
+        run(smallest, "warmup_full", **gates(smallest))
 
-        for label in SIZES:
-            samples = []
-            for i in range(2):
-                t0 = time.perf_counter()
-                manifest = run(label, f"r{i}")
-                samples.append(time.perf_counter() - t0)
-            times[label] = round(min(samples), 3)
-            kept[label] = sum(
-                s["docs"] for s in manifest["splits"].values()
-            )
-            print(
-                f"# pipeline {label}: {times[label]}s "
-                f"({kept[label]} docs written)",
-                file=sys.stderr,
-            )
-
-    print(
-        json.dumps(
-            {
-                "sizes": SIZES,
+        for variant in ("base", "full"):
+            times: dict[str, float] = {}
+            kept: dict[str, int] = {}
+            for label in SIZES:
+                kw = gates(label) if variant == "full" else {}
+                samples = []
+                for i in range(2):
+                    t0 = time.perf_counter()
+                    manifest = run(label, f"{variant}_r{i}", **kw)
+                    samples.append(time.perf_counter() - t0)
+                times[label] = round(min(samples), 3)
+                kept[label] = sum(
+                    s["docs"] for s in manifest["splits"].values()
+                )
+                print(
+                    f"# pipeline[{variant}] {label}: {times[label]}s "
+                    f"({kept[label]} docs written)",
+                    file=sys.stderr,
+                )
+            results[variant] = {
                 "times_sec": times,
                 "docs_written": kept,
                 "scaling_exponent": fit_exponent(SIZES, times),
             }
-        )
-    )
+
+    print(json.dumps({"sizes": SIZES, **results}))
     spark.stop()
 
 

@@ -859,3 +859,248 @@ def test_decontaminate_by_substrings_mode(spark, tmp_path):
             eval_dir=str(ed),
             decontaminate_by="bogus",
         )
+
+
+def test_full_selection_stack_single_invocation(spark, tmp_path):
+    """VERDICT r6 #7: the ENTIRE selection tier in one corpus-curate
+    invocation — --decontaminate-by both + --scrub-pii +
+    --min-lm-logprob + --scrub-spans + --dsir-* +
+    --mixture-temperature on the same corpus — with the manifest
+    arithmetic holding across the whole stack and each stage's effect
+    visible in the written corpus. Each gate is designed to fire on a
+    DISTINCT planted slice so the per-stage counts are exact:
+    curation keeps everything, decontam drops the two leak docs, PII
+    redacts three, the LM gate drops the five junk docs, the span
+    scrub rewrites the six boilerplate carriers, DSIR drops four, and
+    the temperature mixture downsamples the dominant source."""
+    import random
+
+    import pandas as pd
+
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        ngram_lm_scores,
+        pii_redact,
+    )
+
+    rng = random.Random(41)
+    stops = "the a"
+    pairs = [(f"a{i}", f"b{i}") for i in range(100)]
+    boiler = [f"s{rng.randrange(10**9)}" for _ in range(25)]
+    leak = " ".join(f"e{i}" for i in range(13))
+
+    rows = []
+    for i in range(20):  # fluent dominant-source docs
+        body = [w for p in rng.sample(pairs, 25) for w in p]
+        if 3 <= i <= 8:  # six carry the duplicated run, offsets vary
+            body = body[: 5 + i] + boiler + body[5 + i :]
+        text = f"{stops} " + " ".join(body)
+        if i < 3:  # three carry PII (email + phone = 2 matches each)
+            text += f" contact u{i}@example.com or 555-0199 now"
+        rows.append((i, text, "big"))
+    for i in range(20, 25):  # junk: every bigram unseen elsewhere
+        rows.append(
+            (i, f"{stops} " + " ".join(f"j{i}x{k}" for k in range(50)), "big")
+        )
+    rows.append(  # shares ONE 3-shingle of the eval run
+        (25, f"{stops} e0 e1 e2 " + " ".join(f"w25x{k}" for k in range(30)), "big")
+    )
+    rows.append(  # carries the 13-token eval run verbatim
+        (26, f"{stops} {leak} " + " ".join(f"w26x{k}" for k in range(30)), "big")
+    )
+    for i in range(27, 31):  # scarce source, same fluent vocabulary
+        # (the mixture keys on the `source` label, not the text; a
+        # private vocabulary would recur only ~2x across 4 docs and
+        # score junk-like under the self-trained LM)
+        body = [w for p in rng.sample(pairs, 18) for w in p]
+        rows.append((i, f"{stops} " + " ".join(body), "small"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf["lang"] = "en"
+    src = tmp_path / "corpus"
+    src.mkdir()
+    pdf.to_parquet(src / "documents.parquet")
+
+    ed = tmp_path / "eval"
+    ed.mkdir()
+    pd.DataFrame(
+        {"doc_id": [900], "text": [f"prefix {leak} suffix"]}
+    ).to_parquet(ed / "documents.parquet")
+
+    tdir = tmp_path / "target"  # DSIR target: fresh fluent draws
+    tdir.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": range(1000, 1008),
+            "text": [
+                f"{stops} "
+                + " ".join(w for p in rng.sample(pairs, 15) for w in p)
+                for _ in range(8)
+            ],
+        }
+    ).to_parquet(tdir / "documents.parquet")
+
+    # LM threshold: replicate the pipeline prefix exactly (decontam
+    # removes 25/26, PII redaction rewrites the text the LM sees),
+    # assert the fluent/junk separation, take the midpoint
+    surv = pdf[~pdf.doc_id.isin([25, 26])]
+    red = pii_redact(
+        spark.createDataFrame(surv[["doc_id", "text"]])
+    ).select("doc_id", "text")
+    scores = (
+        ngram_lm_scores(red).toPandas().set_index("doc_id")["avg_logprob"]
+    )
+    fluent_min = scores.loc[list(range(20)) + list(range(27, 31))].min()
+    junk_max = scores.loc[range(20, 25)].max()
+    assert fluent_min > junk_max, (fluent_min, junk_max)
+    thresh = (fluent_min + junk_max) / 2
+
+    out = str(tmp_path / "out")
+    manifest = run_corpus_pipeline(
+        spark,
+        str(src),
+        out,
+        eval_dir=str(ed),
+        decontaminate_by="both",
+        scrub_pii=True,
+        min_lm_logprob=thresh,
+        scrub_spans=True,
+        dsir_target_dir=str(tdir),
+        dsir_keep=20,
+        mixture_temperature=0.5,
+    )
+
+    # per-stage counts, each pinned by its planted slice
+    assert manifest["decontaminate_by"] == "both"
+    assert manifest["contaminated_dropped"] == 2
+    assert manifest["pii_scrub"]["docs_redacted"] == 3
+    assert manifest["pii_scrub"]["matches"] == 6
+    assert manifest["lm_gate"]["dropped"] == 5
+    assert manifest["span_scrub"]["docs_scrubbed"] == 6
+    assert manifest["span_scrub"]["tokens_removed"] >= 6 * 20
+    assert manifest["dsir"]["dropped"] == 4
+    assert manifest["mixture"]["in"] == 20
+    assert manifest["mixture"]["temperature"] == 0.5
+    assert not manifest["mixture"]["skipped"]
+
+    # the arithmetic identity across the WHOLE stack
+    assert (
+        manifest["mixture"]["in"]
+        == manifest["curation"]["kept"]
+        - manifest["repetition_dropped"]
+        - manifest["contaminated_dropped"]
+        - manifest["lm_gate"]["dropped"]
+        - manifest["dsir"]["dropped"]
+    )
+
+    # written corpus reflects every stage
+    written = spark.read.parquet(os.path.join(out, "corpus"))
+    n_written = written.count()
+    assert n_written == manifest["mixture"]["kept"]
+    assert sum(s["docs"] for s in manifest["splits"].values()) == n_written
+    ids = {r["doc_id"] for r in written.select("doc_id").collect()}
+    assert not ids & set(range(20, 27)), ids  # junk + leaks all gone
+    assert (
+        written.filter(
+            written.text.contains("@example.com")
+            | written.text.contains("555-0199")
+        ).count()
+        == 0
+    )
+    needle = " ".join(boiler)
+    assert written.filter(written.text.contains(needle)).count() == 0
+    assert (
+        written.filter(
+            F.length("text").cast("long") != written.n_chars
+        ).count()
+        == 0
+    )
+    for col in ("split", "cluster_id", "shard", "pack_id", "tokens"):
+        assert col in written.columns, col
+
+
+def test_bpe_merges_packing_stage(spark, tmp_path):
+    """--bpe-merges: the pipeline trains a tx9 merge table on the
+    final kept documents, packs in BPE subword tokens, writes the BPE
+    count as the `tokens` lineage, and records the measured
+    compression in the manifest."""
+    import random
+
+    import pandas as pd
+
+    from inpe_queimadas_etl_spark.operators.bpe import (
+        bpe_token_stats,
+        corpus_word_counts,
+        train_bpe,
+    )
+
+    rng = random.Random(67)
+    stops = "the a"
+    # 60 repeated word FORMS (so BPE has pairs worth merging), drawn
+    # per doc in independent random order (so 3-gram shingle overlap
+    # stays far below near-dup range and every doc survives curation)
+    vocab = [
+        "".join(rng.choice("abcdef") for _ in range(rng.randrange(4, 9)))
+        for _ in range(60)
+    ]
+    rows = []
+    for i in range(20):
+        body = rng.sample(vocab, 35)
+        rows.append((i, f"{stops} " + " ".join(body)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf["lang"] = "en"
+    pdf["source"] = "src0"
+    src = tmp_path / "corpus"
+    src.mkdir()
+    pdf.to_parquet(src / "documents.parquet")
+
+    out = str(tmp_path / "out")
+    manifest = run_corpus_pipeline(
+        spark, str(src), out, bpe_merges=60, pack_budget=64
+    )
+    tok = manifest["tokenizer"]
+    assert tok["enabled"]
+    assert tok["merges_requested"] == 60
+    assert 0 < tok["merges_learned"] <= 60
+    assert tok["bpe_tokens"] > tok["ws_tokens"] > 0  # subwords >= words
+    assert tok["compression"] == round(
+        tok["ws_tokens"] / tok["bpe_tokens"], 4
+    )
+
+    # written `tokens` lineage equals per-doc BPE counts under the
+    # same trainer run on the same survivor set (everything survives
+    # here, so retraining reproduces the merge table exactly)
+    docs_sdf = spark.createDataFrame(pdf[["doc_id", "text"]])
+    merges = train_bpe(corpus_word_counts(docs_sdf), 60)
+    assert len(merges) == tok["merges_learned"]
+    expect = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_stats(docs_sdf, merges).collect()
+    }
+    written = spark.read.parquet(os.path.join(out, "corpus")).toPandas()
+    assert len(written) == 20
+    for _, r in written.iterrows():
+        assert r["tokens"] == expect[r["doc_id"]], r["doc_id"]
+    assert "n_bpe_tokens" not in written.columns
+
+    # pack assignment property in BPE units: within each
+    # (split, lang, shard) group ordered by doc_id,
+    # pack_id == floor(tokens-before-doc / budget)
+    for (_, _, _), grp in written.groupby(["split", "lang", "shard"]):
+        grp = grp.sort_values("doc_id")
+        cum_before = grp["tokens"].cumsum() - grp["tokens"]
+        assert (grp["pack_id"] == cum_before // 64).all()
+
+    # manifest split token masses are in BPE units too
+    assert sum(
+        s["tokens"] for s in manifest["splits"].values()
+    ) == sum(expect.values())
+
+    # default: stage off
+    m2 = run_corpus_pipeline(spark, str(src), str(tmp_path / "o2"))
+    assert m2["tokenizer"] == {"enabled": False}
+
+    with pytest.raises(ValueError, match="bpe_merges"):
+        run_corpus_pipeline(
+            spark, str(src), str(tmp_path / "o3"), bpe_merges=0
+        )
