@@ -299,6 +299,7 @@ def cmd_corpus_curate(args) -> int:
         min_lm_logprob=args.min_lm_logprob,
         dsir_target_dir=args.dsir_target_dir,
         dsir_keep=args.dsir_keep,
+        bpe_merges=args.bpe_merges,
     )
     log.info("corpus-curate | manifest | %s", json.dumps(manifest, default=str))
     return 0
@@ -462,6 +463,15 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=None,
         help="sample size for --dsir-target-dir (required with it)",
+    )
+    cur.add_argument(
+        "--bpe-merges",
+        type=int,
+        default=None,
+        help="train a tx9 BPE merge table of this size on the final "
+        "kept documents and pack in BPE subword tokens instead of "
+        "whitespace tokens (--pack-budget becomes model tokens); "
+        "the manifest records the measured compression",
     )
     cur.add_argument(
         "--split-by",

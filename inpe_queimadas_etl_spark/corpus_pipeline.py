@@ -230,6 +230,7 @@ def run_corpus_pipeline(
     mixture_temperature: float | None = None,
     scrub_pii: bool = False,
     decontaminate_by: str = "shingles",
+    bpe_merges: int | None = None,
 ) -> dict:
     """Materialize ``corpus_dir``'s documents table into
     ``out_dir/corpus`` (parquet, partitioned by split) and return the
@@ -279,6 +280,8 @@ def run_corpus_pipeline(
         )
     if dsir_keep is not None and dsir_keep <= 0:
         raise ValueError(f"dsir_keep must be positive, got {dsir_keep}")
+    if bpe_merges is not None and bpe_merges <= 0:
+        raise ValueError(f"bpe_merges must be positive, got {bpe_merges}")
     os.makedirs(out_dir, exist_ok=True)
     docs, table_dir = _resolve_corpus(spark, corpus_dir, out_dir)
 
@@ -530,14 +533,61 @@ def run_corpus_pipeline(
             labels.select("doc_id", "cluster_id"), "doc_id"
         )
 
+    # stage 5b (optional): tx9 trained-BPE tokenization. The merge
+    # table is trained on the documents that will ACTUALLY be packed
+    # (post-every-gate — training on pre-gate text would burn merges
+    # on junk the pipeline just dropped), then packing proceeds in
+    # MODEL tokens: a trainer's sequence budget is subword tokens,
+    # and a whitespace budget mis-fills packs by exactly the corpus's
+    # BPE compression ratio. Training is one TakeOrdered word count
+    # (K rows leave the cluster, tx9's shape); the per-doc subword
+    # counts are one zero-exchange Arrow scan, checkpointed because
+    # the packing window, the manifest aggregate, and the export all
+    # consume them.
+    tok_stats: dict = {"enabled": False}
+    tokens_col = None
+    if bpe_merges is not None:
+        from .operators.bpe import (
+            bpe_token_stats,
+            corpus_word_counts,
+            train_bpe,
+        )
+
+        merges = train_bpe(
+            corpus_word_counts(final.select("doc_id", "text")), bpe_merges
+        )
+        bstats = bpe_token_stats(
+            final.select("doc_id", "text"), merges
+        ).localCheckpoint(eager=True)
+        trow = bstats.agg(
+            F.sum("n_ws_tokens").alias("ws"),
+            F.sum("n_bpe_tokens").alias("bpe"),
+        ).first()
+        ws, bpe = int(trow["ws"] or 0), int(trow["bpe"] or 0)
+        final = final.join(
+            bstats.select("doc_id", "n_bpe_tokens"), "doc_id"
+        )
+        tokens_col = "n_bpe_tokens"
+        tok_stats = {
+            "enabled": True,
+            "merges_requested": bpe_merges,
+            "merges_learned": len(merges),
+            "ws_tokens": ws,
+            "bpe_tokens": bpe,
+            "compression": round(ws / bpe, 4) if bpe else None,
+        }
+
     # stage 6: pack assignment within (split, lang, shard)
     packed = pack_doc_assignments(
         final,
         budget=pack_budget,
         shards=pack_shards,
         group_cols=("split", "lang"),
+        tokens_col=tokens_col,
     ).select("doc_id", "shard", "tokens", "pack_id")
-    out = final.join(packed, "doc_id")
+    # drop the raw BPE count after the join: `tokens` (from packed)
+    # carries the same value and is the lineage column consumers read
+    out = final.join(packed, "doc_id").drop("n_bpe_tokens")
 
     # stage 7: export, partitioned by split, ordered so each pack's
     # docs are contiguous within a shard file. pack_id is only unique
@@ -621,6 +671,7 @@ def run_corpus_pipeline(
         "dsir": dsir_stats,
         "mixture": mix_stats,
         "span_scrub": scrub_stats,
+        "tokenizer": tok_stats,
         "split_by": split_by,
         "splits": per_split,
         "pack_budget": pack_budget,

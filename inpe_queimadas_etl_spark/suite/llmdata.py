@@ -2055,6 +2055,7 @@ def pack_doc_assignments(
     budget: int = _PACK_BUDGET,
     shards: int = _PACK_SHARDS,
     group_cols: tuple[str, ...] = ("lang",),
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document pack assignment: ``(doc_id, *group_cols, shard,
     tokens, cum, pack_id)`` — the cumulative-sum packing pack1 rolls
@@ -2064,12 +2065,23 @@ def pack_doc_assignments(
     dominant group cannot serialize into one reducer. pmod, not %:
     corpus_pipeline synthesizes xxhash64 doc_ids for JSONL input,
     and half of those are negative — % would yield 2*shards-1
-    distinct shard values (ADVICE r5)."""
+    distinct shard values (ADVICE r5).
+
+    ``tokens_col``: pack in a caller-supplied token unit (e.g. tx9
+    BPE subword counts from the pipeline's --bpe-merges stage)
+    instead of the default whitespace count — the budget a trainer
+    cares about is MODEL tokens, and a whitespace budget under- or
+    over-fills packs by the corpus's measured BPE compression."""
+    tokens = (
+        F.col(tokens_col).cast("int")
+        if tokens_col is not None
+        else F.size(F.split(F.col("text"), " "))
+    )
     t = docs.select(
         "doc_id",
         *group_cols,
         F.pmod(F.col("doc_id"), F.lit(shards)).alias("shard"),
-        F.size(F.split(F.col("text"), " ")).alias("tokens"),
+        tokens.alias("tokens"),
     )
     w = (
         Window.partitionBy(*group_cols, "shard")
