@@ -317,3 +317,71 @@ def pq_encode(
 
     out_schema = f"{id_col} long, codes array<int>"
     return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+# --------------------------------------------------------------------------
+# the DuckDB search mirror
+# --------------------------------------------------------------------------
+
+
+def pq_search_oracle_sql(cb: Codebook, cand: int) -> str:
+    """The DuckDB mirror of the full PQ/ADC search (encode -> LUT ->
+    ADC score -> top-``cand`` cut -> exact rerank -> top-5), generated
+    from a codebook through the same two-dialect expression generator
+    the Spark side uses — identical literal text, left-associated
+    order — so the candidate set matches bit for bit; only the final
+    rerank cosine uses DuckDB's list_cosine_similarity (the SIM5_SQL
+    convention, compared at round(sim, 4))."""
+    m = len(cb)
+    dist_cols = ", ".join(
+        f"{e} AS d{j}" for j, e in enumerate(pq_dist_arrays(cb, "duckdb"))
+    )
+    codes = ", ".join(pq_argmin_expr(f"d{j}", "duckdb") for j in range(m))
+    lut_cols = ", ".join(
+        f"{e} AS lut_{j}"
+        for j, e in enumerate(pq_lut_arrays(cb, "duckdb", "qv"))
+    )
+    score = pq_adc_score_expr(cb, "duckdb")
+    return f"""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dists AS (
+    SELECT vec_id, {dist_cols} FROM base
+),
+enc AS (
+    SELECT vec_id, [{codes}] AS codes FROM dists
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 8
+),
+lut AS (
+    SELECT query_id, {lut_cols} FROM q
+),
+scored AS (
+    SELECT l.query_id, e.vec_id, {score} AS pq_score
+    FROM enc e CROSS JOIN lut l
+    WHERE e.vec_id <> l.query_id
+),
+cand AS (
+    SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY pq_score DESC, vec_id ASC
+        ) AS rn FROM scored
+    ) WHERE rn <= {cand}
+),
+rerank AS (
+    SELECT c.query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qv, b.v) AS sim
+    FROM cand c
+    JOIN base b ON b.vec_id = c.vec_id
+    JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(sim, 4) AS sim
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+    ) AS rank FROM rerank
+) WHERE rank <= 5
+"""

@@ -4794,6 +4794,26 @@ def cur10_substring_decontamination(
     )
 
 
+# sim8 serving constants + the baked-codebook static oracle. Defined
+# ABOVE the battery because its @query decorator's oracle f-string
+# evaluates at import time; the sim8 operator section lives further
+# down in this file.
+_SIM8_M = 8
+_SIM8_KS = 16
+_SIM8_CAND = 100
+_SIM8_CB_CACHE: dict[str, list] = {}
+
+
+def _sim8_static_sql() -> str:
+    from ..operators.pq import pq_search_oracle_sql
+    from .sim8_model import SIM8_BATTERY_CB
+
+    return pq_search_oracle_sql(SIM8_BATTERY_CB, _SIM8_CAND)
+
+
+SIM8_STATIC_SQL = _sim8_static_sql()
+
+
 # --- llm_ops_battery: registered composite for the r5/r6 tier ---------------
 # The 50-slot driver registry cannot grow (snapshot cap, round-4
 # convention), so the ten operators added in rounds 5-6 that still
@@ -4873,15 +4893,22 @@ def _melt_battery(df: DataFrame, chk: str, key_s, n, v) -> DataFrame:
                      CAST(neighbor_id AS VARCHAR)),
            rank, sim
     FROM ({SIM6_SQL})
+    UNION ALL
+    SELECT 'sim8',
+           concat_ws(':', CAST(query_id AS VARCHAR),
+                     CAST(neighbor_id AS VARCHAR)),
+           rank, sim
+    FROM ({SIM8_STATIC_SQL})
     """,
 )
 def llm_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite driver-correctness battery for the ten r5/r6 operators
-    outside the 50-slot registry: dd10 duplicate spans, dd11 span
-    scrub, dd12 SemDeDup, cur7 semantic decontamination, cur8 DSIR
-    selection, cur9 DSIR Gumbel-top-k resample, cur10 substring
-    decontamination, tx8 bigram-LM perplexity, emb1 hashed doc
-    encoder, sim6 IVF x SQ8 ANN. Every operator's complete value set
+    """Composite driver-correctness battery for the eleven r5/r6/r7
+    operators outside the 50-slot registry: dd10 duplicate spans,
+    dd11 span scrub, dd12 SemDeDup, cur7 semantic decontamination,
+    cur8 DSIR selection, cur9 DSIR Gumbel-top-k resample, cur10
+    substring decontamination, tx8 bigram-LM perplexity, emb1 hashed
+    doc encoder, sim6 IVF x SQ8 ANN, sim8 PQ/ADC ANN under the baked
+    serving codebook (static oracle from the same frozen constant). Every operator's complete value set
     is hashed (spans+window counts, scrubbed-text md5, removal sets
     with similarities, DSIR weights and Gumbel keys, contamination
     flags, per-doc logprobs, exact encoder components, ranked
@@ -4902,6 +4929,7 @@ def llm_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx8 = tx8_lm_perplexity(spark, sf_dir)
     emb1 = emb1_hashed_encoder(spark, sf_dir)
     sim6 = sim6_ivf_sq8_ann(spark, sf_dir)
+    sim8 = sim8_static_pq_adc(spark, sf_dir)
     parts = [
         _melt_battery(
             dd10,
@@ -4982,6 +5010,19 @@ def llm_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sim"),
         )
     )
+    parts.append(
+        _melt_battery(
+            sim8,
+            "sim8",
+            F.concat_ws(
+                ":",
+                F.col("query_id").cast("string"),
+                F.col("neighbor_id").cast("string"),
+            ),
+            F.col("rank"),
+            F.col("sim"),
+        )
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -5008,12 +5049,6 @@ def llm_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # UNREGISTERED (50-entry driver snapshot cap) — oracle-compared and
 # recall-gated in tests/test_pq.py, benched in bench.py.
-
-_SIM8_M = 8
-_SIM8_KS = 16
-_SIM8_CAND = 100
-_SIM8_CB_CACHE: dict[str, list] = {}
-
 
 def _sim8_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import vec_norm
@@ -5059,14 +5094,34 @@ def sim8_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     C*queries rows via joins that broadcast the tiny side.
     Plan-pinned in tests/test_pq.py: encoding has zero Exchange and
     the ADC scan carries no Python boundary."""
+    emb = _sim8_emb(spark, sf_dir)
+    return _sim8_topk(emb, _sim8_codebook(emb, sf_dir))
+
+
+def sim8_static_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim8 under the BAKED serving codebook (suite/sim8_model.py):
+    the deployment shape — a quantizer is trained once and then
+    applied as a constant to whatever corpus arrives (the tx7/tx10
+    weights-as-artifact stance). Same search tail as sim8_pq_adc;
+    only the codebook source differs (the sim6-vs-sim7 convention).
+    This is the llm_ops_battery branch, so it carries a hard driver
+    CORRECTNESS row against the static oracle generated from the
+    same frozen constant."""
+    from .sim8_model import SIM8_BATTERY_CB
+
+    return _sim8_topk(_sim8_emb(spark, sf_dir), SIM8_BATTERY_CB)
+
+
+def _sim8_topk(emb: DataFrame, cb: list) -> DataFrame:
+    """The PQ/ADC search tail shared by sim8_pq_adc (per-corpus
+    trained codebook) and sim8_static_pq_adc (baked battery codebook)
+    — one implementation, so the two paths cannot drift."""
     from ..operators.pq import (
         pq_adc_score_expr,
         pq_encode,
         pq_lut_arrays,
     )
 
-    emb = _sim8_emb(spark, sf_dir)
-    cb = _sim8_codebook(emb, sf_dir)
     codes = pq_encode(emb, cb)
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
@@ -5109,65 +5164,8 @@ def sim8_oracle_sql(spark: SparkSession, sf_dir: str) -> str:
     all replayed; only the final rerank cosine uses DuckDB's
     list_cosine_similarity (the SIM5_SQL convention, compared at
     round(sim, 4))."""
-    from ..operators.pq import (
-        pq_adc_score_expr,
-        pq_argmin_expr,
-        pq_dist_arrays,
-        pq_lut_arrays,
-    )
+    from ..operators.pq import pq_search_oracle_sql
 
     emb = _sim8_emb(spark, sf_dir)
     cb = _sim8_codebook(emb, sf_dir)
-    m = len(cb)
-    dist_cols = ", ".join(
-        f"{e} AS d{j}" for j, e in enumerate(pq_dist_arrays(cb, "duckdb"))
-    )
-    codes = ", ".join(pq_argmin_expr(f"d{j}", "duckdb") for j in range(m))
-    lut_cols = ", ".join(
-        f"{e} AS lut_{j}"
-        for j, e in enumerate(pq_lut_arrays(cb, "duckdb", "qv"))
-    )
-    score = pq_adc_score_expr(cb, "duckdb")
-    return f"""
-WITH base AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-dists AS (
-    SELECT vec_id, {dist_cols} FROM base
-),
-enc AS (
-    SELECT vec_id, [{codes}] AS codes FROM dists
-),
-q AS (
-    SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 8
-),
-lut AS (
-    SELECT query_id, {lut_cols} FROM q
-),
-scored AS (
-    SELECT l.query_id, e.vec_id, {score} AS pq_score
-    FROM enc e CROSS JOIN lut l
-    WHERE e.vec_id <> l.query_id
-),
-cand AS (
-    SELECT query_id, vec_id FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY pq_score DESC, vec_id ASC
-        ) AS rn FROM scored
-    ) WHERE rn <= {_SIM8_CAND}
-),
-rerank AS (
-    SELECT c.query_id, c.vec_id AS neighbor_id,
-           list_cosine_similarity(q.qv, b.v) AS sim
-    FROM cand c
-    JOIN base b ON b.vec_id = c.vec_id
-    JOIN q ON q.query_id = c.query_id
-)
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-       round(sim, 4) AS sim
-FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
-    ) AS rank FROM rerank
-) WHERE rank <= 5
-"""
+    return pq_search_oracle_sql(cb, _SIM8_CAND)
