@@ -77,6 +77,7 @@ HEADLINE = [
     "sim5_sq8_ann",
     "sim6_ivf_sq8_ann",
     "sim8_pq_adc",
+    "sim9_ivfpq_ann",
     "mm5_simhash_neardup",
 ]
 
@@ -119,6 +120,7 @@ UNREGISTERED = (
     "sim5_sq8_ann",
     "sim6_ivf_sq8_ann",
     "sim8_pq_adc",
+    "sim9_ivfpq_ann",
     "mm5_simhash_neardup",
 )
 
@@ -255,6 +257,7 @@ def main() -> None:
         tx10_trained_quality_score,
         sim7_trained_ivf_ann,
         sim8_pq_adc,
+        sim9_ivfpq_ann,
         emb1_hashed_encoder,
         cur10_substring_decontamination,
     )
@@ -299,6 +302,7 @@ def main() -> None:
     queries.setdefault("sim5_sq8_ann", sim5_sq8_ann)
     queries.setdefault("sim6_ivf_sq8_ann", sim6_ivf_sq8_ann)
     queries.setdefault("sim8_pq_adc", sim8_pq_adc)
+    queries.setdefault("sim9_ivfpq_ann", sim9_ivfpq_ann)
     queries.setdefault("mm5_simhash_neardup", mm5_simhash_neardup)
     # skew demo pair: the recorded gap (naive single hot reducer vs
     # salted two-phase) is the artifact — see suite/skewdemo.py

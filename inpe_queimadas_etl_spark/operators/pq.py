@@ -225,6 +225,35 @@ def pq_centroid_sqnorms(cb: Codebook) -> list[list[float]]:
     return out
 
 
+def pq_adc_ip_expr(
+    cb: Codebook,
+    dialect: str,
+    codes_col: str = "codes",
+    lut_prefix: str = "lut_",
+) -> str:
+    """``sum_j lut_j[code_j]`` — the ADC inner-product chain."""
+    ip_terms = []
+    for j in range(len(cb)):
+        code_j = _el(codes_col, j, dialect)
+        ip_terms.append(_el_dyn(f"{lut_prefix}{j}", code_j, dialect))
+    return _chain_add(ip_terms)
+
+
+def pq_res_norm2_expr(
+    cb: Codebook, dialect: str, codes_col: str = "codes"
+) -> str:
+    """``sum_j ||c_j,code_j||^2`` — the reconstructed-vector squared
+    norm under pure PQ (subspaces are an orthogonal decomposition,
+    so the cross terms are zero), from baked literal tables."""
+    nsq = pq_centroid_sqnorms(cb)
+    n2_terms = []
+    for j in range(len(cb)):
+        code_j = _el(codes_col, j, dialect)
+        nsq_arr = _arr([_flit(x, dialect) for x in nsq[j]], dialect)
+        n2_terms.append(_el_dyn(nsq_arr, code_j, dialect))
+    return _chain_add(n2_terms)
+
+
 def pq_adc_score_expr(
     cb: Codebook,
     dialect: str,
@@ -236,17 +265,57 @@ def pq_adc_score_expr(
     The query norm is a per-query constant, so dividing by it cannot
     change any per-query ordering — the exact rerank restores true
     cosine values for the final k."""
-    nsq = pq_centroid_sqnorms(cb)
-    ip_terms = []
-    n2_terms = []
+    ip = pq_adc_ip_expr(cb, dialect, codes_col, lut_prefix)
+    n2 = pq_res_norm2_expr(cb, dialect, codes_col)
+    return f"({ip}) / sqrt({n2})"
+
+
+def dot_unrolled(a_col: str, b_col: str, dim: int, dialect: str) -> str:
+    """``<a, b>`` over two array COLUMNS, unrolled element-by-element
+    and summed left-associated — bit-identical across engines for
+    identical inputs (same ops, same order), unlike fold-vs-list_sum
+    constructs whose accumulation internals differ."""
+    terms = [
+        f"{_el(a_col, i, dialect)} * {_el(b_col, i, dialect)}"
+        for i in range(dim)
+    ]
+    return _chain_add(terms)
+
+
+def arr_sub(a_col: str, b_col: str, dim: int, dialect: str) -> str:
+    """Elementwise ``a - b`` as an unrolled array constructor — one
+    IEEE op per element, identical in both engines."""
+    return _arr(
+        [
+            f"{_el(a_col, i, dialect)} - {_el(b_col, i, dialect)}"
+            for i in range(dim)
+        ],
+        dialect,
+    )
+
+
+def pq_ivf_norm2_expr(
+    cb: Codebook,
+    dialect: str,
+    codes_col: str = "codes",
+    cvlut_prefix: str = "cvlut_",
+    cvn2_col: str = "cvn2",
+) -> str:
+    """``||cv + r_hat||^2 = ||cv||^2 + 2<cv, r_hat> + ||r_hat||^2``
+    for IVF-PQ residual codes: the cross term is ``sum_j
+    cvlut_j[code_j]`` (per-cluster LUT of <cv_j, c_jk>, computed once
+    on the K-row centroid table), the residual norm comes from the
+    baked literal tables. Fixed order: (cvn2 + 2*cross) + rn2."""
+    cross_terms = []
     for j in range(len(cb)):
         code_j = _el(codes_col, j, dialect)
-        ip_terms.append(_el_dyn(f"{lut_prefix}{j}", code_j, dialect))
-        nsq_arr = _arr([_flit(x, dialect) for x in nsq[j]], dialect)
-        n2_terms.append(_el_dyn(nsq_arr, code_j, dialect))
-    return (
-        f"({_chain_add(ip_terms)}) / sqrt({_chain_add(n2_terms)})"
-    )
+        cross_terms.append(
+            _el_dyn(f"{cvlut_prefix}{j}", code_j, dialect)
+        )
+    cross = _chain_add(cross_terms)
+    rn2 = pq_res_norm2_expr(cb, dialect, codes_col)
+    two = _flit(2.0, dialect)
+    return f"(({cvn2_col} + ({two} * ({cross}))) + ({rn2}))"
 
 
 # --------------------------------------------------------------------------
@@ -255,7 +324,11 @@ def pq_adc_score_expr(
 
 
 def pq_encode_ref(
-    df: DataFrame, cb: Codebook, vec_col: str = "v", id_col: str = "vec_id"
+    df: DataFrame,
+    cb: Codebook,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """JVM-expression reference encoder: ``(id, codes)`` via the
     unrolled literal distance arrays — zero shuffle, zero Python, the
@@ -268,10 +341,12 @@ def pq_encode_ref(
     dists = pq_dist_arrays(cb, "spark", vec_col)
     staged = df.select(
         id_col,
+        *carry_cols,
         *[F.expr(d).alias(f"_d{j}") for j, d in enumerate(dists)],
     )
     return staged.select(
         id_col,
+        *carry_cols,
         F.array(
             *[
                 F.expr(pq_argmin_expr(f"_d{j}", "spark"))
@@ -282,7 +357,11 @@ def pq_encode_ref(
 
 
 def pq_encode(
-    df: DataFrame, cb: Codebook, vec_col: str = "v", id_col: str = "vec_id"
+    df: DataFrame,
+    cb: Codebook,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Production encoder: one Arrow-batched mapInPandas scan, numpy
     replaying the EXACT left-to-right accumulation order of the
@@ -311,12 +390,20 @@ def pq_encode(
                     t = (C[j][None, :, i] - S[:, i : i + 1]) ** 2
                     acc = acc + t
                 codes[:, j] = acc.argmin(axis=1)  # ties -> lowest k
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].values, "codes": list(codes)}
-            )
+            out = {id_col: pdf[id_col].values}
+            for c in carry_cols:
+                out[c] = pdf[c].values
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
 
-    out_schema = f"{id_col} long, codes array<int>"
-    return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
+    carry_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}"
+        for c in carry_cols
+    )
+    out_schema = f"{id_col} long{carry_schema}, codes array<int>"
+    return df.select(id_col, *carry_cols, vec_col).mapInPandas(
+        encode, out_schema
+    )
 
 
 # --------------------------------------------------------------------------
@@ -376,6 +463,112 @@ rerank AS (
     FROM cand c
     JOIN base b ON b.vec_id = c.vec_id
     JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(sim, 4) AS sim
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+    ) AS rank FROM rerank
+) WHERE rank <= 5
+"""
+
+
+def pq_ivf_search_oracle_sql(
+    cb: Codebook, k: int, nprobe: int, cand: int
+) -> str:
+    """The DuckDB mirror of the IVF-PQ search (sim9): coarse
+    assignment (first-``k`` centroids, max cosine — the SIM6_SQL
+    convention), residual PQ encode, per-cluster <cv_j, c_jk> LUTs
+    and exact reconstruction norms, probe-scoped ADC scoring, top-
+    ``cand`` cut, exact rerank. Everything downstream of (assignment,
+    codebook) is unrolled fixed-order arithmetic, so the candidate
+    set matches the Spark side bit for bit given the same assignment
+    (itself pinned by the sim6-green cosine-rank convention)."""
+    m, dsub = len(cb), len(cb[0][0])
+    dim = m * dsub
+    r = arr_sub("v", "cv", dim, "duckdb")
+    dist_cols = ", ".join(
+        f"{e} AS d{j}"
+        for j, e in enumerate(pq_dist_arrays(cb, "duckdb", "r"))
+    )
+    codes = ", ".join(pq_argmin_expr(f"d{j}", "duckdb") for j in range(m))
+    cvlut_cols = ", ".join(
+        f"{e} AS cvlut_{j}"
+        for j, e in enumerate(pq_lut_arrays(cb, "duckdb", "cv"))
+    )
+    qlut_cols = ", ".join(
+        f"{e} AS lut_{j}"
+        for j, e in enumerate(pq_lut_arrays(cb, "duckdb", "qv"))
+    )
+    cvn2 = dot_unrolled("cv", "cv", dim, "duckdb")
+    qip = dot_unrolled("qv", "cv", dim, "duckdb")
+    n2 = pq_ivf_norm2_expr(cb, "duckdb")
+    ip = pq_adc_ip_expr(cb, "duckdb")
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {k}
+),
+ranked AS (
+    SELECT e.vec_id, e.v, c.centroid_id, c.cv,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                        c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cent c
+),
+res AS (
+    SELECT vec_id, centroid_id, {r} AS r
+    FROM ranked WHERE rn = 1
+),
+dists AS (
+    SELECT vec_id, centroid_id, {dist_cols} FROM res
+),
+enc AS (
+    SELECT vec_id, centroid_id, [{codes}] AS codes FROM dists
+),
+aux AS (
+    SELECT centroid_id, {cvn2} AS cvn2, {cvlut_cols} FROM cent
+),
+store AS (
+    SELECT enc.vec_id, enc.centroid_id, enc.codes, {n2} AS n2
+    FROM enc JOIN aux ON aux.centroid_id = enc.centroid_id
+),
+probe AS (
+    SELECT vec_id AS query_id, v AS qv, centroid_id AS qcluster, cv
+    FROM ranked
+    WHERE rn <= {nprobe} AND vec_id >= 8 AND vec_id < 16
+),
+qlut AS (
+    SELECT query_id, qcluster, {qip} AS qip_c, {qlut_cols} FROM probe
+),
+scored AS (
+    SELECT ql.query_id, s.vec_id,
+           (ql.qip_c + ({ip})) / sqrt(s.n2) AS adc
+    FROM store s
+    JOIN qlut ql
+      ON s.centroid_id = ql.qcluster AND s.vec_id <> ql.query_id
+),
+cand AS (
+    SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc DESC, vec_id ASC
+        ) AS rn FROM scored
+    ) WHERE rn <= {cand}
+),
+qq AS (
+    SELECT vec_id AS query_id, v AS qv FROM e
+    WHERE vec_id >= 8 AND vec_id < 16
+),
+rerank AS (
+    SELECT c.query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qv, b.v) AS sim
+    FROM cand c
+    JOIN e b ON b.vec_id = c.vec_id
+    JOIN qq q ON q.query_id = c.query_id
 )
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        round(sim, 4) AS sim

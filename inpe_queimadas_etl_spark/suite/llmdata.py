@@ -5169,3 +5169,171 @@ def sim8_oracle_sql(spark: SparkSession, sf_dir: str) -> str:
     emb = _sim8_emb(spark, sf_dir)
     cb = _sim8_codebook(emb, sf_dir)
     return pq_search_oracle_sql(cb, _SIM8_CAND)
+
+
+# --- sim9: IVF-PQ over residuals (the Faiss-canonical composite) ------------
+# sim6 contributes the candidate-fraction knob (probe nprobe/K of the
+# corpus), sim8 the memory floor (PQ codes + ADC); sim9 composes them
+# the way Jégou et al. 2011 / Faiss IVFPQ do: assign each vector to
+# its coarse centroid, PQ-encode the RESIDUAL v - cv (residuals
+# cluster tighter than raw vectors, so the same code budget buys less
+# quantization error), and serve with per-cluster ADC. The stored row
+# is (centroid_id, 8 codes, 1 reconstruction norm) ~ 16 bytes vs 256
+# of float32; the scan touches only probed clusters.
+#
+# Reconstruction is exact algebra, not approximation: ||cv + r_hat||^2
+# = ||cv||^2 + 2<cv, r_hat> + ||r_hat||^2, with the cross term a
+# per-cluster m x ks LUT (pq_lut_arrays over cv on the K-row centroid
+# table) and the residual norm from baked literal tables — all emitted
+# by the same two-dialect fixed-order generator as sim8 (including
+# dot_unrolled for the column-column dots), so given the same coarse
+# assignment (the sim6-green cosine-rank convention) the candidate set
+# is bit-identical between Spark and DuckDB.
+#
+# UNREGISTERED (50-entry driver snapshot cap) — oracle-compared and
+# recall-gated in tests/test_pq.py, benched in bench.py.
+
+_SIM9_CB_CACHE: dict[str, list] = {}
+
+
+def _sim9_residuals(emb: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm, centroid_id, r): coarse assignment via the
+    shared _ivf_assign (Arrow argmax, bit-pinned to the JVM fold),
+    residual via the unrolled elementwise subtraction (one IEEE op
+    per element — identical in both engines)."""
+    from ..operators.pq import arr_sub
+
+    cent = _ivf_centroids(emb)
+    return _ivf_assign(emb).join(
+        F.broadcast(cent.select("centroid_id", "cv")), "centroid_id"
+    ).withColumn("r", F.expr(arr_sub("v", "cv", _EMB_DIM, "spark")))
+
+
+def _sim9_codebook(emb: DataFrame, key: str) -> list:
+    """Residual PQ codebook (train-once, session-cached): the same
+    deterministic sample-based trainer as sim8, fit on residuals —
+    which cluster tighter than raw vectors, the IVF-PQ win."""
+    if key not in _SIM9_CB_CACHE:
+        from ..operators.pq import train_pq_codebook
+
+        res = _sim9_residuals(emb).select(
+            "vec_id", F.col("r").alias("v")
+        )
+        _SIM9_CB_CACHE[key] = train_pq_codebook(
+            res, m=_SIM8_M, ks=_SIM8_KS
+        )
+    return _SIM9_CB_CACHE[key]
+
+
+def sim9_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine ANN over IVF-PQ residual codes: queries (vec_id
+    8..16, the sim6 convention) probe their nprobe=2 nearest coarse
+    clusters; only probed clusters' rows are ADC-scored (approximate
+    cosine from qip_c + residual LUT lookups over the stored exact
+    reconstruction norm); top-C=100 candidates rerank exactly through
+    the shared _score_rank_top5 tail.
+
+    Scale design: the store is ~16 bytes/row (codes + n2 +
+    centroid_id; 16x less than float32) and, bucketed by centroid_id,
+    the probe join is shuffle-free at cluster scale (the sim6
+    argument); the ADC scan is unrolled JVM arithmetic with zero
+    Python; the aux tables (per-cluster LUTs, per-query LUTs) are
+    K-row and Q-row sized, broadcast. Plan-pinned in
+    tests/test_pq.py."""
+    from ..operators.pq import (
+        dot_unrolled,
+        pq_adc_ip_expr,
+        pq_encode,
+        pq_ivf_norm2_expr,
+        pq_lut_arrays,
+    )
+    from ..operators.similarity import dot_product
+
+    emb = _sim8_emb(spark, sf_dir)
+    cb = _sim9_codebook(emb, sf_dir)
+    cent = _ivf_centroids(emb)
+    codes = pq_encode(
+        _sim9_residuals(emb),
+        cb,
+        vec_col="r",
+        carry_cols=("centroid_id",),
+    )
+    aux = cent.select(
+        "centroid_id",
+        F.expr(dot_unrolled("cv", "cv", _EMB_DIM, "spark")).alias("cvn2"),
+        *[
+            F.expr(e).alias(f"cvlut_{j}")
+            for j, e in enumerate(pq_lut_arrays(cb, "spark", "cv"))
+        ],
+    )
+    store = (
+        codes.join(F.broadcast(aux), "centroid_id")
+        .withColumn("n2", F.expr(pq_ivf_norm2_expr(cb, "spark")))
+        .select("vec_id", "centroid_id", "codes", "n2")
+    )
+    qw = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("centroid_id")
+    )
+    probe = (
+        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+        .join(F.broadcast(cent))
+        .withColumn(
+            "csim",
+            F.try_divide(
+                dot_product("v", "cv"), F.col("nrm") * F.col("cn")
+            ),
+        )
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+    )
+    qlut = probe.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("centroid_id").alias("qcluster"),
+        F.expr(dot_unrolled("v", "cv", _EMB_DIM, "spark")).alias("qip_c"),
+        *[
+            F.expr(e).alias(f"lut_{j}")
+            for j, e in enumerate(pq_lut_arrays(cb, "spark", "v"))
+        ],
+    )
+    scored = store.join(
+        F.broadcast(qlut),
+        (F.col("centroid_id") == F.col("qcluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn(
+        "adc",
+        F.expr(
+            f"(qip_c + ({pq_adc_ip_expr(cb, 'spark')})) / sqrt(n2)"
+        ),
+    )
+    order = [F.desc("adc"), F.asc("vec_id")]
+    w_local = Window.partitionBy("query_id", "pid").orderBy(*order)
+    w_global = Window.partitionBy("query_id").orderBy(*order)
+    cand = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("r_loc", F.row_number().over(w_local))
+        .filter(F.col("r_loc") <= _SIM8_CAND)
+        .withColumn("rn", F.row_number().over(w_global))
+        .filter(F.col("rn") <= _SIM8_CAND)
+        .select("query_id", "vec_id")
+    )
+    q = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("nq"),
+    )
+    paired = cand.join(
+        emb.select("vec_id", "v", F.col("nrm").alias("nv")), "vec_id"
+    ).join(F.broadcast(q), "query_id")
+    return _score_rank_top5(paired)
+
+
+def sim9_oracle_sql(spark: SparkSession, sf_dir: str) -> str:
+    """DuckDB mirror of sim9_ivfpq_ann from the SAME residual
+    codebook (pq_ivf_search_oracle_sql)."""
+    from ..operators.pq import pq_ivf_search_oracle_sql
+
+    emb = _sim8_emb(spark, sf_dir)
+    cb = _sim9_codebook(emb, sf_dir)
+    return pq_ivf_search_oracle_sql(cb, _IVF_K, _IVF_NPROBE, _SIM8_CAND)
