@@ -546,32 +546,62 @@ def run_corpus_pipeline(
     # consume them.
     tok_stats: dict = {"enabled": False}
     tokens_col = None
+    has_token_ids = False
     if bpe_merges is not None:
         from .operators.bpe import (
+            bpe_encode_ids,
             bpe_token_stats,
+            bpe_vocab,
             corpus_word_counts,
             train_bpe,
         )
 
-        merges = train_bpe(
-            corpus_word_counts(final.select("doc_id", "text")), bpe_merges
-        )
-        bstats = bpe_token_stats(
-            final.select("doc_id", "text"), merges
-        ).localCheckpoint(eager=True)
-        trow = bstats.agg(
-            F.sum("n_ws_tokens").alias("ws"),
-            F.sum("n_bpe_tokens").alias("bpe"),
-        ).first()
+        counts = corpus_word_counts(final.select("doc_id", "text"))
+        merges = train_bpe(counts, bpe_merges)
+        vocab_size = None
+        if write_packs:
+            # packs will carry trainer-ready id sequences, so encode
+            # ids once (counts come free as their lengths)
+            vocab = bpe_vocab(counts, merges)
+            vocab_size = len(vocab)
+            enc = bpe_encode_ids(
+                final.select("doc_id", "text"), merges, vocab
+            ).localCheckpoint(eager=True)
+            ws_row = final.agg(
+                F.sum(
+                    F.size(
+                        F.filter(
+                            F.split(F.col("text"), " "),
+                            lambda w: w != "",
+                        )
+                    ).cast("long")
+                ).alias("ws")
+            ).first()
+            bpe_row = enc.agg(F.sum("n_bpe_tokens").alias("bpe")).first()
+            trow = {"ws": ws_row["ws"], "bpe": bpe_row["bpe"]}
+            final = final.join(
+                enc.select("doc_id", "token_ids", "n_bpe_tokens"),
+                "doc_id",
+            )
+            has_token_ids = True
+        else:
+            bstats = bpe_token_stats(
+                final.select("doc_id", "text"), merges
+            ).localCheckpoint(eager=True)
+            trow = bstats.agg(
+                F.sum("n_ws_tokens").alias("ws"),
+                F.sum("n_bpe_tokens").alias("bpe"),
+            ).first()
+            final = final.join(
+                bstats.select("doc_id", "n_bpe_tokens"), "doc_id"
+            )
         ws, bpe = int(trow["ws"] or 0), int(trow["bpe"] or 0)
-        final = final.join(
-            bstats.select("doc_id", "n_bpe_tokens"), "doc_id"
-        )
         tokens_col = "n_bpe_tokens"
         tok_stats = {
             "enabled": True,
             "merges_requested": bpe_merges,
             "merges_learned": len(merges),
+            "vocab_size": vocab_size,
             "ws_tokens": ws,
             "bpe_tokens": bpe,
             "compression": round(ws / bpe, 4) if bpe else None,
@@ -598,8 +628,11 @@ def run_corpus_pipeline(
     # by the partition column unless the data already arrives ordered
     # by it — a trailing split would silently shuffle pack runs apart
     corpus_path = os.path.join(out_dir, "corpus")
+    # per-doc id arrays stay out of the corpus export (they would
+    # roughly double it); the packs artifact is where trainers read
+    # token ids, already concatenated per sequence
     export_sharded_parquet(
-        out,
+        out.drop("token_ids") if has_token_ids else out,
         corpus_path,
         n_shards=n_shards,
         max_records_per_file=max_records_per_file,
@@ -615,7 +648,9 @@ def run_corpus_pipeline(
         from .operators.packing import materialize_packs
 
         export_sharded_parquet(
-            materialize_packs(out),
+            materialize_packs(
+                out, ids_col="token_ids" if has_token_ids else None
+            ),
             os.path.join(out_dir, "packs"),
             n_shards=n_shards,
             max_records_per_file=max_records_per_file,

@@ -259,3 +259,77 @@ def bpe_token_stats(
             "compression double"
         ),
     )
+
+
+def bpe_vocab(
+    word_counts: Iterable[tuple[str, int]],
+    merges: list[tuple[str, str]],
+) -> dict[str, int]:
+    """Deterministic symbol->id table for a trained merge list
+    (GPT-2's layout): id 0 is reserved for <unk> (a character never
+    seen in the training word table — possible because the table is
+    top-K-capped), then the base characters of the training words
+    (sorted, plus the end-of-word marker), then one id per merge in
+    LEARNED ORDER. Ids are a pure function of (word table, merges),
+    so they are stable across runs, engines, and partitionings."""
+    chars = sorted({ch for w, _ in word_counts for ch in w})
+    vocab: dict[str, int] = {"<unk>": 0}
+    for ch in chars:
+        vocab[ch] = len(vocab)
+    vocab[_END] = len(vocab)
+    for a, b in merges:
+        sym = a + b
+        if sym not in vocab:
+            vocab[sym] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+) -> DataFrame:
+    """Trainer-ready encoding: ``(doc_id, token_ids, n_bpe_tokens)``
+    with token_ids the document's subword id sequence in word order
+    (unknown symbols -> id 0). One zero-exchange Arrow scan; the
+    per-batch word->ids memo collapses Zipf-repeated words to dict
+    hits, so the Python cost tracks DISTINCT words per batch, not
+    tokens (the bpe_token_stats argument). The merge table and vocab
+    ride the UDF closure — a 32k-merge tokenizer is ~2 MB of strings,
+    broadcast with the task binary."""
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[int]] = {}
+
+        def ids(text: str) -> list[int]:
+            out: list[int] = []
+            for w in text.split(" "):
+                if not w:
+                    continue
+                got = memo.get(w)
+                if got is None:
+                    got = [
+                        vocab.get(sym, 0)
+                        for sym in encode_word(w, ranks)
+                    ]
+                    memo[w] = got
+                out.extend(got)
+            return out
+
+        for pdf in batches:
+            seqs = pdf["text"].map(ids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "token_ids": seqs,
+                    "n_bpe_tokens": seqs.map(len).astype("int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode_batches,
+        schema="doc_id long, token_ids array<int>, n_bpe_tokens long",
+    )

@@ -226,3 +226,53 @@ def test_incremental_trainer_matches_naive_reference_property():
         assert train_bpe(wc, 25) == train_bpe_ref(wc, 25)
 
     check()
+
+
+def test_vocab_and_ids_roundtrip(spark):
+    """bpe_vocab is a pure function of (word table, merges) with
+    <unk>=0; bpe_encode_ids emits decodable sequences: mapping ids
+    back through the inverse vocab and splitting on the end-of-word
+    marker reconstructs each document's words. Characters outside the
+    training table map to 0."""
+    from inpe_queimadas_etl_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+        corpus_word_counts,
+        train_bpe,
+    )
+
+    texts = [
+        "lower lowest newer newest new low",
+        "newer newer lowest wider",
+        "low low low wider wider new",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    counts = corpus_word_counts(docs)
+    merges = train_bpe(counts, 30)
+    vocab = bpe_vocab(counts, merges)
+    assert vocab["<unk>"] == 0
+    assert bpe_vocab(counts, merges) == vocab  # deterministic
+    # base chars + </w> + each NEW merged symbol, ids dense
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+
+    inv = {i: s for s, i in vocab.items()}
+    rows = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_bpe_tokens"])
+        for r in bpe_encode_ids(docs, merges, vocab).collect()
+    }
+    for i, text in enumerate(texts):
+        ids, n = rows[i]
+        assert n == len(ids)
+        assert 0 not in ids  # every symbol known here
+        decoded = "".join(inv[x] for x in ids)
+        words = [w for w in decoded.split("</w>") if w]
+        assert words == [w for w in text.split(" ") if w]
+
+    # an unseen character maps to <unk>=0
+    alien = spark.createDataFrame(
+        [(9, "low Zow")], "doc_id long, text string"
+    )
+    arow = bpe_encode_ids(alien, merges, vocab).collect()[0]
+    assert 0 in list(arow["token_ids"])

@@ -1104,3 +1104,70 @@ def test_bpe_merges_packing_stage(spark, tmp_path):
         run_corpus_pipeline(
             spark, str(src), str(tmp_path / "o3"), bpe_merges=0
         )
+
+
+def test_bpe_packs_carry_token_ids(spark, tmp_path):
+    """--bpe-merges + --write-packs: pack rows carry trainer-ready
+    token_ids — members' subword id sequences concatenated in doc_id
+    order — aligned with member_tokens/token_offsets in the same BPE
+    unit; the corpus export does NOT carry per-doc id arrays; the
+    manifest records the vocab size."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(71)
+    stops = "the a"
+    vocab_words = [
+        "".join(rng.choice("abcdef") for _ in range(rng.randrange(4, 9)))
+        for _ in range(60)
+    ]
+    rows = []
+    for i in range(20):
+        body = rng.sample(vocab_words, 35)
+        rows.append((i, f"{stops} " + " ".join(body)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf["lang"] = "en"
+    pdf["source"] = "src0"
+    src = tmp_path / "corpus"
+    src.mkdir()
+    pdf.to_parquet(src / "documents.parquet")
+
+    out = str(tmp_path / "out")
+    manifest = run_corpus_pipeline(
+        spark,
+        str(src),
+        out,
+        bpe_merges=60,
+        pack_budget=64,
+        write_packs=True,
+    )
+    assert manifest["tokenizer"]["vocab_size"] > 0
+
+    written = spark.read.parquet(os.path.join(out, "corpus"))
+    assert "token_ids" not in written.columns
+
+    packs = spark.read.parquet(os.path.join(out, "packs")).toPandas()
+    assert len(packs) > 0
+    assert "token_ids" in packs.columns
+    per_doc = {
+        r["doc_id"]: r["tokens"]
+        for _, r in written.toPandas().iterrows()
+    }
+    for _, p in packs.iterrows():
+        ids = list(p["token_ids"])
+        mt = list(p["member_tokens"])
+        offs = list(p["token_offsets"])
+        assert len(ids) == p["total_tokens"] == sum(mt)
+        # offsets are the exclusive prefix sum of member lengths
+        acc = 0
+        for k, m in zip(offs, mt):
+            assert k == acc
+            acc += m
+        # members appear in ascending doc_id order with their own
+        # BPE lengths (the written per-doc `tokens` lineage)
+        dids = list(p["doc_ids"])
+        assert dids == sorted(dids)
+        for d, m in zip(dids, mt):
+            assert per_doc[d] == m
