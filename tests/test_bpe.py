@@ -276,3 +276,30 @@ def test_vocab_and_ids_roundtrip(spark):
     )
     arow = bpe_encode_ids(alien, merges, vocab).collect()[0]
     assert 0 in list(arow["token_ids"])
+
+
+def test_ids_encode_is_zero_exchange_scan(spark):
+    """bpe_encode_ids keeps tx9's scan contract: one mapInPandas,
+    zero exchanges — merges and vocab ride the UDF closure."""
+    import contextlib
+    import io
+
+    from inpe_queimadas_etl_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+        corpus_word_counts,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest")], "doc_id long, text string"
+    )
+    counts = corpus_word_counts(docs)
+    merges = train_bpe(counts, 10)
+    df = bpe_encode_ids(docs, merges, bpe_vocab(counts, merges))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
