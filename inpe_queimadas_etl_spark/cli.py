@@ -300,6 +300,7 @@ def cmd_corpus_curate(args) -> int:
         dsir_target_dir=args.dsir_target_dir,
         dsir_keep=args.dsir_keep,
         bpe_merges=args.bpe_merges,
+        export_format=args.export_format,
     )
     log.info("corpus-curate | manifest | %s", json.dumps(manifest, default=str))
     return 0
@@ -463,6 +464,14 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=None,
         help="sample size for --dsir-target-dir (required with it)",
+    )
+    cur.add_argument(
+        "--export-format",
+        choices=("parquet", "jsonl"),
+        default="parquet",
+        help="corpus/packs output format: split-partitioned sharded "
+        "parquet (default) or JSON-lines shards (the interchange "
+        "format tokenizer/training workers stream)",
     )
     cur.add_argument(
         "--bpe-merges",

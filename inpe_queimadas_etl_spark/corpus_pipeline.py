@@ -45,7 +45,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .export import export_sharded_parquet
+from .export import export_jsonl, export_sharded_parquet
 from .operators.mixture import mixture_resample
 from .session import load_table
 from .suite.llmdata import (
@@ -231,6 +231,7 @@ def run_corpus_pipeline(
     scrub_pii: bool = False,
     decontaminate_by: str = "shingles",
     bpe_merges: int | None = None,
+    export_format: str = "parquet",
 ) -> dict:
     """Materialize ``corpus_dir``'s documents table into
     ``out_dir/corpus`` (parquet, partitioned by split) and return the
@@ -282,6 +283,11 @@ def run_corpus_pipeline(
         raise ValueError(f"dsir_keep must be positive, got {dsir_keep}")
     if bpe_merges is not None and bpe_merges <= 0:
         raise ValueError(f"bpe_merges must be positive, got {bpe_merges}")
+    if export_format not in ("parquet", "jsonl"):
+        raise ValueError(
+            "export_format must be 'parquet' or 'jsonl', got "
+            f"{export_format!r}"
+        )
     os.makedirs(out_dir, exist_ok=True)
     docs, table_dir = _resolve_corpus(spark, corpus_dir, out_dir)
 
@@ -631,7 +637,12 @@ def run_corpus_pipeline(
     # per-doc id arrays stay out of the corpus export (they would
     # roughly double it); the packs artifact is where trainers read
     # token ids, already concatenated per sequence
-    export_sharded_parquet(
+    exporter = (
+        export_sharded_parquet
+        if export_format == "parquet"
+        else export_jsonl
+    )
+    exporter(
         out.drop("token_ids") if has_token_ids else out,
         corpus_path,
         n_shards=n_shards,
@@ -647,7 +658,7 @@ def run_corpus_pipeline(
     if write_packs:
         from .operators.packing import materialize_packs
 
-        export_sharded_parquet(
+        exporter(
             materialize_packs(
                 out, ids_col="token_ids" if has_token_ids else None
             ),
@@ -668,7 +679,11 @@ def run_corpus_pipeline(
     from pyspark.errors import AnalysisException
 
     try:
-        written = spark.read.parquet(corpus_path)
+        written = (
+            spark.read.parquet(corpus_path)
+            if export_format == "parquet"
+            else spark.read.json(corpus_path)
+        )
         per_split = {
             r["split"]: {"docs": r["docs"], "tokens": r["tokens"]}
             for r in written.groupBy("split")
@@ -707,6 +722,7 @@ def run_corpus_pipeline(
         "mixture": mix_stats,
         "span_scrub": scrub_stats,
         "tokenizer": tok_stats,
+        "export_format": export_format,
         "split_by": split_by,
         "splits": per_split,
         "pack_budget": pack_budget,

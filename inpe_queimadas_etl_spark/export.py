@@ -70,6 +70,7 @@ def export_jsonl(
     order_cols: list[str] | None = None,
     mode: str = "overwrite",
     compression: str | None = None,
+    partition_cols: list[str] | None = None,
 ) -> None:
     """Write ``df`` as JSON-lines shards (the interchange format
     tokenizer/training workers consume), same layout controls as the
@@ -81,4 +82,6 @@ def export_jsonl(
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if compression:
         writer = writer.option("compression", compression)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
     writer.json(path)

@@ -1171,3 +1171,38 @@ def test_bpe_packs_carry_token_ids(spark, tmp_path):
         assert dids == sorted(dids)
         for d, m in zip(dids, mt):
             assert per_doc[d] == m
+
+
+def test_export_format_jsonl(spark, tmp_path):
+    """--export-format jsonl: the corpus (and packs) write as
+    split-partitioned JSON-lines shards — the interchange format
+    tokenizer/training workers stream — with the same manifest
+    accounting, read back from what was actually written."""
+    import glob
+
+    out = str(tmp_path / "out")
+    manifest = run_corpus_pipeline(
+        spark, SF0001, out, export_format="jsonl", write_packs=True
+    )
+    assert manifest["export_format"] == "jsonl"
+    files = glob.glob(os.path.join(out, "corpus", "split=*", "*.json"))
+    assert files, os.listdir(os.path.join(out, "corpus"))
+    assert not glob.glob(
+        os.path.join(out, "corpus", "split=*", "*.parquet")
+    )
+    written = spark.read.json(os.path.join(out, "corpus"))
+    assert written.count() == manifest["mixture"]["kept"]
+    assert {"doc_id", "text", "tokens", "pack_id", "split"} <= set(
+        written.columns
+    )
+    # first line of a shard is a JSON object with the lineage keys
+    with open(files[0], encoding="utf-8") as f:
+        row = json.loads(f.readline())
+    assert "doc_id" in row and "text" in row
+    packs = spark.read.json(os.path.join(out, "packs"))
+    assert packs.count() > 0 and "token_offsets" in packs.columns
+
+    with pytest.raises(ValueError, match="export_format"):
+        run_corpus_pipeline(
+            spark, SF0001, str(tmp_path / "o2"), export_format="orc"
+        )
