@@ -252,7 +252,11 @@ def bpe_token_stats(
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    # Null text -> empty string (0 tokens): a None reaching
+    # text.split inside the Arrow UDF would kill the task (ADVICE r7).
+    return docs.select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    ).mapInPandas(
         encode_batches,
         schema=(
             "doc_id long, n_ws_tokens long, n_bpe_tokens long, "
@@ -329,7 +333,12 @@ def bpe_encode_ids(
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    # Null text -> empty string (empty id list), the bpe_token_stats
+    # convention (ADVICE r7): user-supplied JSONL corpora may carry a
+    # missing text field.
+    return docs.select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    ).mapInPandas(
         encode_batches,
         schema="doc_id long, token_ids array<int>, n_bpe_tokens long",
     )

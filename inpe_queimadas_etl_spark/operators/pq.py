@@ -121,12 +121,16 @@ def train_pq_codebook(
 def _flit(x: float, dialect: str) -> str:
     """A float literal that parses to the exact same double in both
     engines. Spark REQUIRES the D suffix (a bare decimal literal is
-    DECIMAL and silently rounds — the r6 emb1 trap); DuckDB parses
-    17-significant-digit decimals exactly (DECIMAL(38) -> correctly
-    rounded DOUBLE == direct parse) and scientific notation directly
-    as DOUBLE."""
+    DECIMAL and silently rounds — the r6 emb1 trap); DuckDB gets an
+    exponent appended (``e0``) when repr produced none, so the literal
+    is typed DOUBLE at parse time and strtod-parsed directly — never
+    routed through DECIMAL and its decimal->DOUBLE cast, whose
+    rounding for >2^53 integer parts is not guaranteed to match a
+    direct parse (ADVICE r7)."""
     r = repr(float(x))
-    return f"{r}D" if dialect == "spark" else r
+    if dialect == "spark":
+        return f"{r}D"
+    return r if ("e" in r or "E" in r) else f"{r}e0"
 
 
 def _el(arr: str, i: int, dialect: str) -> str:

@@ -50,7 +50,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 # Two independent 30-bit prime moduli; products stay < 2^60 in uint64.
 _M1, _B1 = 1073741789, 1000003
@@ -155,6 +155,12 @@ def rolling_window_shingles(docs: DataFrame, win: int) -> DataFrame:
         for pdf in batches:
             yield _shingle_batch(pdf, win)
 
-    return docs.select("doc_id", "text").mapInPandas(
-        gen, "doc_id long, pos long, whash long"
+    # Null-text docs are DROPPED, matching the replaced JVM md5 path
+    # (F.split on null -> null row, filtered) — without this, a None
+    # reaching _shingle_batch's t.split would kill the Arrow task
+    # (ADVICE r7).
+    return (
+        docs.select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .mapInPandas(gen, "doc_id long, pos long, whash long")
     )

@@ -303,3 +303,33 @@ def test_ids_encode_is_zero_exchange_scan(spark):
     plan = buf.getvalue()
     assert "MapInPandas" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_null_text_encodes_as_empty(spark):
+    """ADVICE r7: a missing text field (None) coalesces to the empty
+    encoding instead of killing the Arrow task — user-supplied JSONL
+    corpora may omit text."""
+    from inpe_queimadas_etl_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_token_stats,
+        bpe_vocab,
+        corpus_word_counts,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, None)], "doc_id long, text string"
+    )
+    counts = corpus_word_counts(docs)
+    merges = train_bpe(counts, 5)
+    stats = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_stats(docs, merges).collect()
+    }
+    assert stats[2] == 0 and stats[1] > 0
+    ids = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode_ids(docs, merges, bpe_vocab(counts, merges))
+        .collect()
+    }
+    assert ids[2] == [] and len(ids[1]) > 0

@@ -160,3 +160,19 @@ def test_rolling_dd10_finds_planted_overlap(spark, tmp_path):
         for r in duplicate_spans(docs, win=20).collect()
     }
     assert got == {(1, 7, 37, 11), (2, 11, 41, 11)}
+
+
+def test_null_text_docs_are_dropped(spark):
+    """ADVICE r7: a null text row must be DROPPED (the replaced JVM
+    md5 path's semantics — F.split(null) -> null, filtered), not
+    crash the Arrow task with AttributeError."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    rows = rolling_window_shingles(docs, win=3).collect()
+    assert {r["doc_id"] for r in rows} == {1, 3}
+    # the two non-null docs share all window fingerprints
+    h1 = sorted(r["whash"] for r in rows if r["doc_id"] == 1)
+    h3 = sorted(r["whash"] for r in rows if r["doc_id"] == 3)
+    assert h1 == h3 and len(h1) == 3
