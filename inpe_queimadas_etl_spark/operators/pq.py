@@ -411,6 +411,198 @@ def pq_encode(
 
 
 # --------------------------------------------------------------------------
+# the Arrow ADC search fast path (VERDICT r7 #1)
+# --------------------------------------------------------------------------
+# The JVM unrolled ADC expressions are the cross-engine parity anchor,
+# but at the demo geometry they exceed janino's 64 KB generated-method
+# limit (interpreted-eval fallback) and cost a Catalyst analysis +
+# compile attempt per run. These scans replay the EXACT left-to-right
+# accumulation of the unrolled chains in numpy (the pq_encode
+# convention — identical literals, identical operation order, IEEE
+# ops are deterministic, Math.sqrt and np.sqrt are both correctly
+# rounded), so scores and therefore candidate SETS are bit-identical
+# to the JVM form — pinned in tests/test_pq.py at sf0.001/sf0.01.
+
+
+def _np_lut(cb: Codebook, vec: Sequence[float]) -> "object":
+    """(m, ks) float64 LUT replaying pq_lut_arrays' left-associated
+    chain per element: lut[j][k] = ((c0*v0 + c1*v1) + ...)."""
+    import numpy as np
+
+    m, ks, dsub = len(cb), len(cb[0]), len(cb[0][0])
+    C = np.array(cb, dtype=np.float64)  # (m, ks, dsub)
+    v = np.asarray(vec, dtype=np.float64)
+    lut = np.empty((m, ks), dtype=np.float64)
+    for j in range(m):
+        acc = C[j][:, 0] * v[j * dsub]
+        for i in range(1, dsub):
+            acc = acc + C[j][:, i] * v[j * dsub + i]
+        lut[j] = acc
+    return lut
+
+
+def _np_dot(a: Sequence[float], b: Sequence[float]) -> float:
+    """dot_unrolled's left-associated chain in Python floats (IEEE
+    doubles, same ops, same order)."""
+    acc = a[0] * b[0]
+    for i in range(1, len(a)):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+def pq_adc_search_scan(
+    codes: DataFrame,
+    cb: Codebook,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    cand: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow ADC scoring over a ``(id, codes)`` store for a FEW-row
+    query set (collected driver-side — Q-row bounded by the serving
+    contract, the codebook-collect convention): per batch, each row's
+    approximate score is m LUT lookups accumulated in the JVM chain
+    order, then a per-batch top-``cand`` prune under (score DESC, id
+    ASC) — a superset of the global top-``cand``, so the downstream
+    window cut returns the identical candidate set while only
+    ``cand x n_batches`` rows per query ever leave the scan.
+    Returns ``(query_id, vec_id, pq_score)``."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(cb)
+    nsq = np.array(pq_centroid_sqnorms(cb), dtype=np.float64)
+    luts = [(int(qid), _np_lut(cb, qv)) for qid, qv in queries]
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            cm = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            # rn2 chain: ((nsq0[c0] + nsq1[c1]) + ...) — the
+            # pq_res_norm2_expr order
+            n2 = nsq[0][cm[:, 0]]
+            for j in range(1, m):
+                n2 = n2 + nsq[j][cm[:, j]]
+            den = np.sqrt(n2)
+            oq, oi, os = [], [], []
+            for qid, lut in luts:
+                ip = lut[0][cm[:, 0]]
+                for j in range(1, m):
+                    ip = ip + lut[j][cm[:, j]]
+                score = ip / den
+                mask = ids != qid
+                s, v = score[mask], ids[mask]
+                if len(v) > cand:
+                    keep = np.lexsort((v, -s))[:cand]
+                    s, v = s[keep], v[keep]
+                oq.append(np.full(len(v), qid, dtype=np.int64))
+                oi.append(v)
+                os.append(s)
+            if oq:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(oq),
+                        "vec_id": np.concatenate(oi),
+                        "pq_score": np.concatenate(os),
+                    }
+                )
+
+    return codes.select(id_col, "codes").mapInPandas(
+        scan, "query_id long, vec_id long, pq_score double"
+    )
+
+
+def pq_ivf_adc_search_scan(
+    codes: DataFrame,
+    cb: Codebook,
+    cents: Sequence[tuple[int, Sequence[float]]],
+    probes: Sequence[tuple[int, int, Sequence[float]]],
+    cand: int,
+) -> DataFrame:
+    """Arrow IVF-PQ ADC scoring over a ``(vec_id, centroid_id,
+    codes)`` residual store. ``cents`` is the K-row coarse codebook
+    and ``probes`` the Q*nprobe probe list (query_id, qcluster, qv) —
+    both collected driver-side, both bounded model/serving state.
+    Per batch: rows are scored ONLY against queries probing their
+    cluster, with the reconstruction norm ||cv||^2 + 2<cv,r_hat> +
+    ||r_hat||^2 and the ADC numerator replayed in the exact JVM chain
+    order (pq_ivf_norm2_expr / pq_adc_ip_expr), then per-batch
+    per-query top-``cand`` pruned. Returns
+    ``(query_id, vec_id, pq_score)``."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(cb)
+    nsq = np.array(pq_centroid_sqnorms(cb), dtype=np.float64)
+    cvd = {int(cid): list(cv) for cid, cv in cents}
+    caux = {
+        cid: (_np_dot(cv, cv), _np_lut(cb, cv))
+        for cid, cv in cvd.items()
+    }
+    by_cluster: dict[int, list] = {}
+    for qid, qcl, qv in probes:
+        qip_c = _np_dot(list(qv), cvd[int(qcl)])
+        by_cluster.setdefault(int(qcl), []).append(
+            (int(qid), qip_c, _np_lut(cb, qv))
+        )
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            cids = pdf["centroid_id"].to_numpy(np.int64)
+            cm = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            per_query: dict[int, list] = {}
+            for cid in np.unique(cids):
+                plist = by_cluster.get(int(cid))
+                if not plist:
+                    continue
+                sel = cids == cid
+                sub_ids, sub_cm = ids[sel], cm[sel]
+                cvn2, cvlut = caux[int(cid)]
+                cross = cvlut[0][sub_cm[:, 0]]
+                for j in range(1, m):
+                    cross = cross + cvlut[j][sub_cm[:, j]]
+                rn2 = nsq[0][sub_cm[:, 0]]
+                for j in range(1, m):
+                    rn2 = rn2 + nsq[j][sub_cm[:, j]]
+                den = np.sqrt((cvn2 + (2.0 * cross)) + rn2)
+                for qid, qip_c, lut in plist:
+                    ip = lut[0][sub_cm[:, 0]]
+                    for j in range(1, m):
+                        ip = ip + lut[j][sub_cm[:, j]]
+                    score = (qip_c + ip) / den
+                    mask = sub_ids != qid
+                    per_query.setdefault(qid, []).append(
+                        (score[mask], sub_ids[mask])
+                    )
+            oq, oi, os = [], [], []
+            for qid, parts in per_query.items():
+                s = np.concatenate([p[0] for p in parts])
+                v = np.concatenate([p[1] for p in parts])
+                if len(v) > cand:
+                    keep = np.lexsort((v, -s))[:cand]
+                    s, v = s[keep], v[keep]
+                oq.append(np.full(len(v), qid, dtype=np.int64))
+                oi.append(v)
+                os.append(s)
+            if oq:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(oq),
+                        "vec_id": np.concatenate(oi),
+                        "pq_score": np.concatenate(os),
+                    }
+                )
+
+    return codes.select("vec_id", "centroid_id", "codes").mapInPandas(
+        scan, "query_id long, vec_id long, pq_score double"
+    )
+
+
+# --------------------------------------------------------------------------
 # the DuckDB search mirror
 # --------------------------------------------------------------------------
 
@@ -479,7 +671,12 @@ FROM (
 
 
 def pq_ivf_search_oracle_sql(
-    cb: Codebook, k: int, nprobe: int, cand: int
+    cb: Codebook,
+    k: int,
+    nprobe: int,
+    cand: int,
+    multiprobe_frac: float | None = None,
+    cent_sql: str | None = None,
 ) -> str:
     """The DuckDB mirror of the IVF-PQ search (sim9): coarse
     assignment (first-``k`` centroids, max cosine — the SIM6_SQL
@@ -488,7 +685,16 @@ def pq_ivf_search_oracle_sql(
     ``cand`` cut, exact rerank. Everything downstream of (assignment,
     codebook) is unrolled fixed-order arithmetic, so the candidate
     set matches the Spark side bit for bit given the same assignment
-    (itself pinned by the sim6-green cosine-rank convention)."""
+    (itself pinned by the sim6-green cosine-rank convention).
+
+    ``multiprobe_frac`` switches the probe CTE to the budgeted
+    MULTI-PROBE rule (VERDICT r7 #3): clusters in descending
+    query-centroid cosine order until the cumulative assigned size
+    reaches ``GREATEST(1, FLOOR(n * frac))`` — the exact integer the
+    Spark side computes (``max(1, int(n * frac))``; same IEEE
+    multiply, floor == trunc for positives). ``cent_sql`` overrides
+    the coarse-codebook CTE body (used by the baked-model battery
+    branch, where centroids are frozen literals)."""
     m, dsub = len(cb), len(cb[0][0])
     dim = m * dsub
     r = arr_sub("v", "cv", dim, "duckdb")
@@ -509,12 +715,49 @@ def pq_ivf_search_oracle_sql(
     qip = dot_unrolled("qv", "cv", dim, "duckdb")
     n2 = pq_ivf_norm2_expr(cb, "duckdb")
     ip = pq_adc_ip_expr(cb, "duckdb")
+    if cent_sql is None:
+        cent_sql = (
+            f"SELECT vec_id AS centroid_id, v AS cv FROM e"
+            f" WHERE vec_id < {k}"
+        )
+    if multiprobe_frac is None:
+        probe_sql = f"""
+    SELECT vec_id AS query_id, v AS qv, centroid_id AS qcluster, cv
+    FROM ranked
+    WHERE rn <= {nprobe} AND vec_id >= 8 AND vec_id < 16
+"""
+        size_ctes = ""
+    else:
+        frac = _flit(multiprobe_frac, "duckdb")
+        size_ctes = f"""
+sizes AS (
+    SELECT centroid_id, COUNT(*) AS csz FROM res GROUP BY centroid_id
+),
+tgt AS (
+    SELECT GREATEST(1, CAST(FLOOR(SUM(csz) * {frac}) AS BIGINT))
+               AS target
+    FROM sizes
+),"""
+        probe_sql = f"""
+    SELECT query_id, qv, qcluster, cv FROM (
+        SELECT r.vec_id AS query_id, r.v AS qv,
+               r.centroid_id AS qcluster, r.cv,
+               COALESCE(SUM(COALESCE(s.csz, 0)) OVER (
+                   PARTITION BY r.vec_id ORDER BY r.rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM ranked r LEFT JOIN sizes s
+          ON s.centroid_id = r.centroid_id
+        WHERE r.vec_id >= 8 AND r.vec_id < 16
+    ), tgt
+    WHERE cum_before < tgt.target
+"""
     return f"""
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 cent AS (
-    SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {k}
+    {cent_sql}
 ),
 ranked AS (
     SELECT e.vec_id, e.v, c.centroid_id, c.cv,
@@ -540,12 +783,9 @@ aux AS (
 store AS (
     SELECT enc.vec_id, enc.centroid_id, enc.codes, {n2} AS n2
     FROM enc JOIN aux ON aux.centroid_id = enc.centroid_id
-),
+),{size_ctes}
 probe AS (
-    SELECT vec_id AS query_id, v AS qv, centroid_id AS qcluster, cv
-    FROM ranked
-    WHERE rn <= {nprobe} AND vec_id >= 8 AND vec_id < 16
-),
+{probe_sql}),
 qlut AS (
     SELECT query_id, qcluster, {qip} AS qip_c, {qlut_cols} FROM probe
 ),

@@ -5115,7 +5115,52 @@ def sim8_static_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sim8_topk(emb: DataFrame, cb: list) -> DataFrame:
     """The PQ/ADC search tail shared by sim8_pq_adc (per-corpus
     trained codebook) and sim8_static_pq_adc (baked battery codebook)
-    — one implementation, so the two paths cannot drift."""
+    — one implementation, so the two paths cannot drift.
+
+    PRODUCTION path (VERDICT r7 #1): the ADC scoring runs as one
+    Arrow scan over the codes store (operators/pq.py::
+    pq_adc_search_scan), replaying the unrolled JVM chains bit-
+    exactly in numpy — no janino 64 KB interpreted fallback, no
+    per-run Catalyst analysis of the ~1k-term literal expression.
+    Candidate sets are IDENTICAL to the JVM reference `_sim8_topk_ref`
+    (pinned in tests/test_pq.py at sf0.001/sf0.01). The query set
+    is a driver collect — Q-row bounded by the serving contract."""
+    from ..operators.pq import pq_adc_search_scan, pq_encode
+
+    codes = pq_encode(emb, cb)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("nq"),
+    )
+    queries = [
+        (r["query_id"], list(r["qv"]))
+        for r in q.select("query_id", "qv").collect()
+    ]
+    scored = pq_adc_search_scan(codes, cb, queries, _SIM8_CAND)
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.desc("pq_score"), F.asc("vec_id")
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w_global))
+        .filter(F.col("rn") <= _SIM8_CAND)
+        .select("query_id", "vec_id")
+    )
+    paired = cand.join(
+        emb.select("vec_id", "v", F.col("nrm").alias("nv")), "vec_id"
+    ).join(F.broadcast(q), "query_id")
+    return _score_rank_top5(paired)
+
+
+def _sim8_topk_ref(emb: DataFrame, cb: list) -> DataFrame:
+    """JVM-expression REFERENCE form of the PQ/ADC search (the
+    pq_encode_ref convention): per-query LUT columns via the unrolled
+    literal expressions, ADC score as the pure-JVM lookup chain.
+    Kept as the cross-engine parity anchor — candidate sets must
+    match the Arrow production path bit for bit (tests/test_pq.py).
+    Slow in practice: the ~1k-term expressions exceed janino's 64 KB
+    method limit (interpreted fallback) and cost a Catalyst analysis
+    per run — the r7 bench's 2.4 s fixed overhead at sf0.1."""
     from ..operators.pq import (
         pq_adc_score_expr,
         pq_encode,
@@ -5194,6 +5239,25 @@ def sim8_oracle_sql(spark: SparkSession, sf_dir: str) -> str:
 # recall-gated in tests/test_pq.py, benched in bench.py.
 
 _SIM9_CB_CACHE: dict[str, list] = {}
+# Multi-probe candidate budget (VERDICT r7 #3, the sim7 lesson):
+# sim6's nominal probe fraction nprobe/K becomes the CONTRACT — probe
+# clusters in centroid-score order until the cumulative size reaches
+# this fraction of the corpus, so skewed first-K coarse clusters buy
+# extra probes instead of silently shrinking recall.
+_SIM9_FRAC = _IVF_NPROBE / _IVF_K
+
+
+def _sim9_sizes(emb: DataFrame, cent: DataFrame) -> dict:
+    """K-row cluster-size table off the coarse assignment (the
+    _ivf_sq8_topk codebook-collect convention — at cluster scale this
+    is a side artifact of the store build, never recomputed)."""
+    return {
+        r["centroid_id"]: r["n"]
+        for r in _ivf_assign(emb, centroids=cent)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
 
 
 def _sim9_residuals(emb: DataFrame) -> DataFrame:
@@ -5225,21 +5289,143 @@ def _sim9_codebook(emb: DataFrame, key: str) -> list:
     return _SIM9_CB_CACHE[key]
 
 
+def _sim9_probe(
+    emb: DataFrame,
+    cent: DataFrame,
+    nprobe: int = _IVF_NPROBE,
+    sizes: dict | None = None,
+    candidate_frac: float | None = None,
+) -> DataFrame:
+    """Per-query probe list (vec_id, centroid_id, v, csim): queries
+    vec_id 8..16 (the sim6 convention) ranked against the K-row
+    coarse codebook. Queries are few by definition — the
+    ranked-window shape is Q x K rows.
+
+    Probe policy (the _ivf_sq8_topk convention): with
+    ``candidate_frac=None`` each query probes exactly ``nprobe``
+    clusters. With ``candidate_frac`` set (sim9's default since r8 —
+    VERDICT r7 #3, the sim7 r7 lesson), probing is MULTI-PROBE:
+    centroids are taken in descending query-centroid cosine order
+    until the CUMULATIVE cluster size (from ``sizes``, a K-row
+    collect) reaches ``candidate_frac`` of the corpus — the candidate
+    BUDGET is the contract, so skewed coarse clusters buy extra
+    probes instead of silently shrinking recall."""
+    from ..operators.similarity import dot_product
+
+    qw = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("centroid_id")
+    )
+    scored = (
+        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+        .join(F.broadcast(cent))
+        .withColumn(
+            "csim",
+            F.try_divide(
+                dot_product("v", "cv"), F.col("nrm") * F.col("cn")
+            ),
+        )
+    )
+    if candidate_frac is None:
+        return scored.withColumn(
+            "rn", F.row_number().over(qw)
+        ).filter(F.col("rn") <= nprobe)
+    target = max(1, int(sum(sizes.values()) * candidate_frac))
+    size_map = F.create_map(
+        *[F.lit(x) for cid_n in sizes.items() for x in cid_n]
+    )
+    return (
+        scored.withColumn(
+            "csz", F.coalesce(size_map[F.col("centroid_id")], F.lit(0))
+        )
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("csz").over(
+                    qw.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("cum_before") < target)
+    )
+
+
 def sim9_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine ANN over IVF-PQ residual codes: queries (vec_id
     8..16, the sim6 convention) probe their nprobe=2 nearest coarse
     clusters; only probed clusters' rows are ADC-scored (approximate
-    cosine from qip_c + residual LUT lookups over the stored exact
+    cosine from qip_c + residual LUT lookups over the exact
     reconstruction norm); top-C=100 candidates rerank exactly through
     the shared _score_rank_top5 tail.
 
-    Scale design: the store is ~16 bytes/row (codes + n2 +
-    centroid_id; 16x less than float32) and, bucketed by centroid_id,
-    the probe join is shuffle-free at cluster scale (the sim6
-    argument); the ADC scan is unrolled JVM arithmetic with zero
-    Python; the aux tables (per-cluster LUTs, per-query LUTs) are
-    K-row and Q-row sized, broadcast. Plan-pinned in
-    tests/test_pq.py."""
+    PRODUCTION path (VERDICT r7 #1): the ADC scoring runs as one
+    Arrow scan over the (vec_id, centroid_id, codes) store
+    (operators/pq.py::pq_ivf_adc_search_scan) with the coarse
+    codebook and probe list collected driver-side (K-row and
+    Q*nprobe-row bounded) — the numpy replay is bit-exact to the JVM
+    reference `sim9_ivfpq_ann_ref`, so candidate sets are IDENTICAL
+    (pinned in tests/test_pq.py).
+
+    Scale design: the store is ~12 bytes/row (codes + centroid_id;
+    the reconstruction norm is recomputed from the codes inside the
+    scan — 16x less than float32) and the scan touches only probed
+    clusters' rows; candidate prune is per-batch partial top-C, so
+    only C x batches rows per query reach the single exchange."""
+    from ..operators.pq import pq_encode, pq_ivf_adc_search_scan
+
+    emb = _sim8_emb(spark, sf_dir)
+    cb = _sim9_codebook(emb, sf_dir)
+    cent = _ivf_centroids(emb)
+    codes = pq_encode(
+        _sim9_residuals(emb),
+        cb,
+        vec_col="r",
+        carry_cols=("centroid_id",),
+    )
+    cents = [
+        (r["centroid_id"], list(r["cv"]))
+        for r in cent.select("centroid_id", "cv").collect()
+    ]
+    probes = [
+        (r["vec_id"], r["centroid_id"], list(r["v"]))
+        for r in _sim9_probe(
+            emb,
+            cent,
+            sizes=_sim9_sizes(emb, cent),
+            candidate_frac=_SIM9_FRAC,
+        )
+        .select("vec_id", "centroid_id", "v")
+        .collect()
+    ]
+    scored = pq_ivf_adc_search_scan(codes, cb, cents, probes, _SIM8_CAND)
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.desc("pq_score"), F.asc("vec_id")
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w_global))
+        .filter(F.col("rn") <= _SIM8_CAND)
+        .select("query_id", "vec_id")
+    )
+    q = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("nq"),
+    )
+    paired = cand.join(
+        emb.select("vec_id", "v", F.col("nrm").alias("nv")), "vec_id"
+    ).join(F.broadcast(q), "query_id")
+    return _score_rank_top5(paired)
+
+
+def sim9_ivfpq_ann_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-expression REFERENCE form of the IVF-PQ search (the
+    pq_encode_ref / _sim8_topk_ref convention): per-cluster LUTs and
+    reconstruction norms as unrolled literal expressions, ADC scoring
+    via broadcast joins. Kept as the cross-engine parity anchor —
+    candidate sets must match the Arrow production path bit for bit
+    (tests/test_pq.py)."""
     from ..operators.pq import (
         dot_unrolled,
         pq_adc_ip_expr,
@@ -5247,7 +5433,6 @@ def sim9_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_ivf_norm2_expr,
         pq_lut_arrays,
     )
-    from ..operators.similarity import dot_product
 
     emb = _sim8_emb(spark, sf_dir)
     cb = _sim9_codebook(emb, sf_dir)
@@ -5271,20 +5456,8 @@ def sim9_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n2", F.expr(pq_ivf_norm2_expr(cb, "spark")))
         .select("vec_id", "centroid_id", "codes", "n2")
     )
-    qw = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("centroid_id")
-    )
-    probe = (
-        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
-        .join(F.broadcast(cent))
-        .withColumn(
-            "csim",
-            F.try_divide(
-                dot_product("v", "cv"), F.col("nrm") * F.col("cn")
-            ),
-        )
-        .withColumn("rn", F.row_number().over(qw))
-        .filter(F.col("rn") <= _IVF_NPROBE)
+    probe = _sim9_probe(
+        emb, cent, sizes=_sim9_sizes(emb, cent), candidate_frac=_SIM9_FRAC
     )
     qlut = probe.select(
         F.col("vec_id").alias("query_id"),
@@ -5331,9 +5504,12 @@ def sim9_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sim9_oracle_sql(spark: SparkSession, sf_dir: str) -> str:
     """DuckDB mirror of sim9_ivfpq_ann from the SAME residual
-    codebook (pq_ivf_search_oracle_sql)."""
+    codebook (pq_ivf_search_oracle_sql), including the budgeted
+    multi-probe rule."""
     from ..operators.pq import pq_ivf_search_oracle_sql
 
     emb = _sim8_emb(spark, sf_dir)
     cb = _sim9_codebook(emb, sf_dir)
-    return pq_ivf_search_oracle_sql(cb, _IVF_K, _IVF_NPROBE, _SIM8_CAND)
+    return pq_ivf_search_oracle_sql(
+        cb, _IVF_K, _IVF_NPROBE, _SIM8_CAND, multiprobe_frac=_SIM9_FRAC
+    )

@@ -81,7 +81,9 @@ def main() -> None:
         dot_unrolled,
         pq_adc_ip_expr,
         pq_adc_score_expr,
+        pq_adc_search_scan,
         pq_encode,
+        pq_ivf_adc_search_scan,
         pq_ivf_norm2_expr,
         pq_lut_arrays,
         train_pq_codebook,
@@ -112,6 +114,7 @@ def main() -> None:
     out: dict = {
         "sim8_build": {},
         "sim8_search": {},
+        "sim8_search_jvm": {},
         "brute": {},
         "sim9_1m": {},
         "bytes_1m": {},
@@ -155,7 +158,30 @@ def main() -> None:
                 ],
             ).localCheckpoint(eager=True)
 
+            queries = [
+                (r["query_id"], list(r["qv"]))
+                for r in q.select("query_id", "qv").collect()
+            ]
+
             def sim8_search():
+                # the PRODUCTION Arrow path (r8): numpy ADC replay
+                scored = pq_adc_search_scan(codes, cb, queries, CAND)
+                w_g = Window.partitionBy("query_id").orderBy(
+                    F.desc("pq_score"), F.asc("vec_id")
+                )
+                cand = (
+                    scored.withColumn("rn", F.row_number().over(w_g))
+                    .filter(F.col("rn") <= CAND)
+                    .select("query_id", "vec_id")
+                )
+                paired = cand.join(
+                    emb.select("vec_id", "v", F.col("nrm").alias("nv")),
+                    "vec_id",
+                ).join(F.broadcast(q), "query_id")
+                _score_rank_top5(paired).collect()
+
+            def sim8_search_jvm():
+                # the unrolled-JVM reference form (the r7 shape)
                 scored = (
                     codes.crossJoin(F.broadcast(qlut))
                     .filter(F.col("vec_id") != F.col("query_id"))
@@ -186,10 +212,12 @@ def main() -> None:
                 ).collect()
 
             out["sim8_search"][label] = _t(sim8_search)
+            out["sim8_search_jvm"][label] = _t(sim8_search_jvm)
             out["brute"][label] = _t(brute)
             print(
                 f"# {label}: sim8 build {out['sim8_build'][label]}s, "
-                f"search {out['sim8_search'][label]}s, "
+                f"search {out['sim8_search'][label]}s "
+                f"(jvm {out['sim8_search_jvm'][label]}s), "
                 f"brute {out['brute'][label]}s",
                 file=sys.stderr,
             )
@@ -254,7 +282,39 @@ def main() -> None:
                 ],
             ).localCheckpoint(eager=True)
 
+            cents9 = [
+                (r["centroid_id"], list(r["cv"]))
+                for r in cent.select("centroid_id", "cv").collect()
+            ]
+            probes9 = [
+                (r["vec_id"], r["centroid_id"], list(r["v"]))
+                for r in probe.select("vec_id", "centroid_id", "v")
+                .collect()
+            ]
+
             def sim9_search():
+                # the PRODUCTION Arrow path (r8)
+                scored = pq_ivf_adc_search_scan(
+                    store9, rescb, cents9, probes9, CAND
+                )
+                w_g = Window.partitionBy("query_id").orderBy(
+                    F.desc("pq_score"), F.asc("vec_id")
+                )
+                cand = (
+                    scored.withColumn("rn", F.row_number().over(w_g))
+                    .filter(F.col("rn") <= CAND)
+                    .select("query_id", "vec_id")
+                )
+                paired = cand.join(
+                    emb.select("vec_id", "v", F.col("nrm").alias("nv")),
+                    "vec_id",
+                ).join(
+                    F.broadcast(q.select("query_id", "qv", "nq")),
+                    "query_id",
+                )
+                _score_rank_top5(paired).collect()
+
+            def sim9_search_jvm():
                 scored = store9.join(
                     F.broadcast(qlut9),
                     (F.col("centroid_id") == F.col("qcluster"))
@@ -289,10 +349,12 @@ def main() -> None:
                 _score_rank_top5(paired).collect()
 
             out["sim9_1m"]["search_sec"] = _t(sim9_search)
+            out["sim9_1m"]["search_jvm_sec"] = _t(sim9_search_jvm)
             print(
                 f"# 1M sim9 K={K}/nprobe={NPROBE}: build "
                 f"{out['sim9_1m']['build_sec']}s, search "
-                f"{out['sim9_1m']['search_sec']}s",
+                f"{out['sim9_1m']['search_sec']}s "
+                f"(jvm {out['sim9_1m']['search_jvm_sec']}s)",
                 file=sys.stderr,
             )
 

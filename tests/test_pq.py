@@ -169,9 +169,12 @@ def test_sim9_recall_vs_exact_within_probes(spark):
       residual-PQ ADC ranking must recover nearly everything, since
       C=100 candidates out of ~n/2 probed rows leave little room for
       quantization error to hide the true neighbors;
-    - vs the GLOBAL exact top-5: recall is bounded by the nprobe=2/
-      K=4 probe fraction, reported via a floor rather than asserted
-      tightly (the sim6/sim7 honesty convention)."""
+    - vs the GLOBAL exact top-5: bounded by the probed candidate
+      fraction. Under r8's budgeted multi-probe (VERDICT r7 #3) the
+      measured global recall rose 0.5 -> 0.65 at the SAME nominal
+      nprobe/K = 0.5 budget (most queries buy a third, smaller
+      cluster), so the floor is raised above the old probe-fraction
+      bound (the sim6/sim7 honesty convention: floor, not tight)."""
     from inpe_queimadas_etl_spark.suite.llmdata import (
         _cosine_top5,
         _ivf_assign,
@@ -212,38 +215,34 @@ def test_sim9_recall_vs_exact_within_probes(spark):
         total += len(want_probed)
         ghits += len(set(want_all) & got)
     assert hits / total >= 0.9, f"probe-scoped recall {hits}/{total}"
-    # global recall floor (probe-fraction bounded, not PQ's fault)
-    assert ghits / (5 * len(probed)) >= 0.5, ghits
+    # global recall floor — RAISED above the fixed-probe bound (0.5)
+    # by the budgeted multi-probe (measured 0.65 at sf0.01)
+    assert ghits / (5 * len(probed)) >= 0.6, ghits
 
 
 def sim9_probe_map(spark):
-    """Each query's probed centroid ids (the operator's own probe
-    rule, recomputed)."""
-    from pyspark.sql import Window
+    """Each query's probed centroid ids — the operator's OWN probe
+    rule (budgeted multi-probe since r8), recomputed through the
+    shared `_sim9_probe`."""
     from pyspark.sql import functions as F
 
-    from inpe_queimadas_etl_spark.operators.similarity import dot_product
     from inpe_queimadas_etl_spark.suite.llmdata import (
+        _SIM9_FRAC,
         _ivf_centroids,
         _sim8_emb,
+        _sim9_probe,
+        _sim9_sizes,
     )
 
     emb = _sim8_emb(spark, SF001)
     cent = _ivf_centroids(emb)
-    qw = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("centroid_id")
-    )
     return (
-        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
-        .join(F.broadcast(cent))
-        .withColumn(
-            "csim",
-            F.try_divide(
-                dot_product("v", "cv"), F.col("nrm") * F.col("cn")
-            ),
+        _sim9_probe(
+            emb,
+            cent,
+            sizes=_sim9_sizes(emb, cent),
+            candidate_frac=_SIM9_FRAC,
         )
-        .withColumn("rn", F.row_number().over(qw))
-        .filter(F.col("rn") <= 2)
         .groupBy(F.col("vec_id").alias("query_id"))
         .agg(F.collect_set("centroid_id").alias("cids"))
     )
@@ -264,3 +263,98 @@ def test_sim9_plan_shapes(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "BroadcastExchange" in plan
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_sim8_arrow_search_matches_jvm_ref_exactly(spark, sf):
+    """VERDICT r7 #1: the Arrow ADC search path (production) must
+    return IDENTICAL rows to the unrolled-JVM reference form — same
+    neighbors, same ranks, bit-equal sims (the candidate sets are
+    bit-identical by IEEE replay, and the shared rerank tail maps
+    identical sets to identical rows)."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        _sim8_topk,
+        _sim8_topk_ref,
+    )
+
+    emb = _sim8_emb(spark, sf)
+    cb = _sim8_codebook(emb, sf)
+    fast = _norm(_sim8_topk(emb, cb).toPandas())
+    ref = _norm(_sim8_topk_ref(emb, cb).toPandas())
+    assert fast.equals(ref), (fast, ref)
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_sim8_arrow_scores_match_jvm_exactly(spark, sf):
+    """Score-level pin (stronger than the row pin): every per-batch
+    surviving ADC score from pq_adc_search_scan equals the JVM
+    unrolled pq_adc_score_expr bit for bit for the same
+    (query, vec) pair."""
+    from inpe_queimadas_etl_spark.operators.pq import (
+        pq_adc_score_expr,
+        pq_adc_search_scan,
+        pq_encode,
+        pq_lut_arrays,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _sim8_emb(spark, sf)
+    cb = _sim8_codebook(emb, sf)
+    codes = pq_encode(emb, cb)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    queries = [(r["query_id"], list(r["qv"])) for r in q.collect()]
+    got = {
+        (r["query_id"], r["vec_id"]): r["pq_score"]
+        for r in pq_adc_search_scan(codes, cb, queries, 10**9).collect()
+    }
+    qlut = q.select(
+        "query_id",
+        *[
+            F.expr(e).alias(f"lut_{j}")
+            for j, e in enumerate(pq_lut_arrays(cb, "spark", "qv"))
+        ],
+    )
+    want = {
+        (r["query_id"], r["vec_id"]): r["pq_score"]
+        for r in codes.crossJoin(F.broadcast(qlut))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("pq_score", F.expr(pq_adc_score_expr(cb, "spark")))
+        .select("query_id", "vec_id", "pq_score")
+        .collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_sim9_arrow_search_matches_jvm_ref_exactly(spark, sf):
+    """VERDICT r7 #1 for the IVF-PQ tier: Arrow production path ==
+    unrolled-JVM reference, row for row."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        sim9_ivfpq_ann,
+        sim9_ivfpq_ann_ref,
+    )
+
+    fast = _norm(sim9_ivfpq_ann(spark, sf).toPandas())
+    ref = _norm(sim9_ivfpq_ann_ref(spark, sf).toPandas())
+    assert fast.equals(ref), (fast, ref)
+
+
+def test_pq_search_plan_shapes(spark):
+    """The production search plans carry the Arrow scan (MapInPandas)
+    and no row-at-a-time Python; the rerank still broadcasts the
+    query side; the giant unrolled literal expressions are GONE from
+    the plan text (no janino 64 KB fallback, no per-run analysis of
+    ~1k-term chains)."""
+    from inpe_queimadas_etl_spark.suite.llmdata import sim9_ivfpq_ann
+
+    for df in (
+        sim8_pq_adc(spark, SF0001),
+        sim9_ivfpq_ann(spark, SF0001),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" in plan
+        assert "BroadcastExchange" in plan
+        assert "lut_0" not in plan  # the unrolled LUT columns
