@@ -410,6 +410,22 @@ def pq_encode(
     )
 
 
+def cent_values_sql(
+    cents: Sequence[tuple[int, Sequence[float]]]
+) -> str:
+    """DuckDB VALUES body for a baked coarse codebook: every
+    component through ``_flit`` so it strtod-parses to the exact
+    Python double the Spark side builds its literal DataFrame from
+    (the baked-model battery convention)."""
+    rows = ", ".join(
+        "({}, [{}])".format(
+            int(cid), ", ".join(_flit(x, "duckdb") for x in cv)
+        )
+        for cid, cv in cents
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(centroid_id, cv)"
+
+
 # --------------------------------------------------------------------------
 # the Arrow ADC search fast path (VERDICT r7 #1)
 # --------------------------------------------------------------------------

@@ -4813,6 +4813,12 @@ def _sim8_static_sql() -> str:
 
 SIM8_STATIC_SQL = _sim8_static_sql()
 
+# sim7/sim9 baked-model static oracles (VERDICT r7 #2) — generated at
+# import time from the frozen constants in suite/sim7_model.py /
+# suite/sim9_model.py, consumed by the battery oracle f-string below.
+from .sim7_model import SIM7_STATIC_SQL  # noqa: E402
+from .sim9_model import SIM9_STATIC_SQL  # noqa: E402
+
 
 # --- llm_ops_battery: registered composite for the r5/r6 tier ---------------
 # The 50-slot driver registry cannot grow (snapshot cap, round-4
@@ -4899,23 +4905,38 @@ def _melt_battery(df: DataFrame, chk: str, key_s, n, v) -> DataFrame:
                      CAST(neighbor_id AS VARCHAR)),
            rank, sim
     FROM ({SIM8_STATIC_SQL})
+    UNION ALL
+    SELECT 'sim7',
+           concat_ws(':', CAST(query_id AS VARCHAR),
+                     CAST(neighbor_id AS VARCHAR)),
+           rank, sim
+    FROM ({SIM7_STATIC_SQL})
+    UNION ALL
+    SELECT 'sim9',
+           concat_ws(':', CAST(query_id AS VARCHAR),
+                     CAST(neighbor_id AS VARCHAR)),
+           rank, sim
+    FROM ({SIM9_STATIC_SQL})
     """,
 )
 def llm_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite driver-correctness battery for the eleven r5/r6/r7
-    operators outside the 50-slot registry: dd10 duplicate spans,
-    dd11 span scrub, dd12 SemDeDup, cur7 semantic decontamination,
-    cur8 DSIR selection, cur9 DSIR Gumbel-top-k resample, cur10
-    substring decontamination, tx8 bigram-LM perplexity, emb1 hashed
-    doc encoder, sim6 IVF x SQ8 ANN, sim8 PQ/ADC ANN under the baked
-    serving codebook (static oracle from the same frozen constant). Every operator's complete value set
-    is hashed (spans+window counts, scrubbed-text md5, removal sets
-    with similarities, DSIR weights and Gumbel keys, contamination
-    flags, per-doc logprobs, exact encoder components, ranked
-    neighbors); each sub-operator also keeps its own standalone
-    oracle test in tests/test_suite_oracle.py. The union is a pure
-    composition — each branch is the operator's registered-shape plan
-    unchanged, so the battery adds no shuffles beyond what the ten
+    """Composite driver-correctness battery for the thirteen
+    r5/r6/r7/r8 operators outside the 50-slot registry: dd10
+    duplicate spans, dd11 span scrub, dd12 SemDeDup, cur7 semantic
+    decontamination, cur8 DSIR selection, cur9 DSIR Gumbel-top-k
+    resample, cur10 substring decontamination, tx8 bigram-LM
+    perplexity, emb1 hashed doc encoder, sim6 IVF x SQ8 ANN, and the
+    three baked-model ANN tiers — sim8 PQ/ADC, sim7 trained-IVF
+    multi-probe, sim9 IVF-PQ residual multi-probe — each under its
+    frozen serving model (suite/sim*_model.py) with a static oracle
+    generated from the same constant (VERDICT r7 #2). Every
+    operator's complete value set is hashed (spans+window counts,
+    scrubbed-text md5, removal sets with similarities, DSIR weights
+    and Gumbel keys, contamination flags, per-doc logprobs, exact
+    encoder components, ranked neighbors); each sub-operator also
+    keeps its own standalone oracle test in tests/. The union is a
+    pure composition — each branch is the operator's registered-shape
+    plan unchanged, so the battery adds no shuffles beyond what the
     operators themselves cost."""
     longn = F.lit(None).cast("long")
     dbln = F.lit(None).cast("double")
@@ -4930,6 +4951,8 @@ def llm_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb1 = emb1_hashed_encoder(spark, sf_dir)
     sim6 = sim6_ivf_sq8_ann(spark, sf_dir)
     sim8 = sim8_static_pq_adc(spark, sf_dir)
+    sim7 = sim7_static_trained_ivf(spark, sf_dir)
+    sim9 = sim9_static_ivfpq(spark, sf_dir)
     parts = [
         _melt_battery(
             dd10,
@@ -5010,19 +5033,20 @@ def llm_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sim"),
         )
     )
-    parts.append(
-        _melt_battery(
-            sim8,
-            "sim8",
-            F.concat_ws(
-                ":",
-                F.col("query_id").cast("string"),
-                F.col("neighbor_id").cast("string"),
-            ),
-            F.col("rank"),
-            F.col("sim"),
+    for chk, df in (("sim8", sim8), ("sim7", sim7), ("sim9", sim9)):
+        parts.append(
+            _melt_battery(
+                df,
+                chk,
+                F.concat_ws(
+                    ":",
+                    F.col("query_id").cast("string"),
+                    F.col("neighbor_id").cast("string"),
+                ),
+                F.col("rank"),
+                F.col("sim"),
+            )
         )
-    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -5260,15 +5284,19 @@ def _sim9_sizes(emb: DataFrame, cent: DataFrame) -> dict:
     }
 
 
-def _sim9_residuals(emb: DataFrame) -> DataFrame:
+def _sim9_residuals(
+    emb: DataFrame, cent: DataFrame | None = None
+) -> DataFrame:
     """(vec_id, v, nrm, centroid_id, r): coarse assignment via the
     shared _ivf_assign (Arrow argmax, bit-pinned to the JVM fold),
     residual via the unrolled elementwise subtraction (one IEEE op
-    per element — identical in both engines)."""
+    per element — identical in both engines). ``cent`` overrides the
+    first-K demo codebook (the baked-model battery branch)."""
     from ..operators.pq import arr_sub
 
-    cent = _ivf_centroids(emb)
-    return _ivf_assign(emb).join(
+    if cent is None:
+        cent = _ivf_centroids(emb)
+    return _ivf_assign(emb, centroids=cent).join(
         F.broadcast(cent.select("centroid_id", "cv")), "centroid_id"
     ).withColumn("r", F.expr(arr_sub("v", "cv", _EMB_DIM, "spark")))
 
@@ -5371,13 +5399,21 @@ def sim9_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — 16x less than float32) and the scan touches only probed
     clusters' rows; candidate prune is per-batch partial top-C, so
     only C x batches rows per query reach the single exchange."""
+    emb = _sim8_emb(spark, sf_dir)
+    return _sim9_topk(
+        emb, _sim9_codebook(emb, sf_dir), _ivf_centroids(emb)
+    )
+
+
+def _sim9_topk(emb: DataFrame, cb: list, cent: DataFrame) -> DataFrame:
+    """The Arrow IVF-PQ search tail shared by sim9_ivfpq_ann
+    (first-K demo coarse codebook + per-corpus residual codebook) and
+    sim9_static_ivfpq (baked battery model) — one implementation, so
+    the two paths cannot drift (the _sim8_topk convention)."""
     from ..operators.pq import pq_encode, pq_ivf_adc_search_scan
 
-    emb = _sim8_emb(spark, sf_dir)
-    cb = _sim9_codebook(emb, sf_dir)
-    cent = _ivf_centroids(emb)
     codes = pq_encode(
-        _sim9_residuals(emb),
+        _sim9_residuals(emb, cent),
         cb,
         vec_col="r",
         carry_cols=("centroid_id",),
@@ -5512,4 +5548,64 @@ def sim9_oracle_sql(spark: SparkSession, sf_dir: str) -> str:
     cb = _sim9_codebook(emb, sf_dir)
     return pq_ivf_search_oracle_sql(
         cb, _IVF_K, _IVF_NPROBE, _SIM8_CAND, multiprobe_frac=_SIM9_FRAC
+    )
+
+
+def _baked_centroids(
+    spark: SparkSession, cents: list
+) -> DataFrame:
+    """A baked coarse codebook as the shared (centroid_id, cv, cn)
+    contract: literal Python floats -> exact doubles via
+    createDataFrame (no literal parsing on the Spark side), cn
+    through the same vec_norm expression the dynamic codebooks use."""
+    from ..operators.similarity import vec_norm
+
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+        "centroid_id bigint, cv array<double>",
+    )
+    return cdf.withColumn("cn", vec_norm("cv"))
+
+
+def sim7_static_trained_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """sim7 under the BAKED KMeans coarse codebook
+    (suite/sim7_model.py) — the deployment shape (train once, serve
+    as a constant; the sim8_static convention). Same budgeted
+    multi-probe search tail as sim7_trained_ivf_ann (_ivf_sq8_topk,
+    candidate_frac = nprobe/K); only the codebook source differs.
+    This is the llm_ops_battery sim7 branch, so it carries a hard
+    driver CORRECTNESS row against SIM7_STATIC_SQL (generated from
+    the same frozen constant)."""
+    from ..operators.similarity import vec_norm
+    from .sim7_model import SIM7_BATTERY_CENT
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", vec_norm("v"))
+    )
+    return _ivf_sq8_topk(
+        emb,
+        _baked_centroids(spark, SIM7_BATTERY_CENT),
+        candidate_frac=_IVF_NPROBE / _IVF_K,
+    )
+
+
+def sim9_static_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim9 under the BAKED model (suite/sim9_model.py: frozen coarse
+    centroids + residual PQ codebook) — the deployment shape, and the
+    llm_ops_battery sim9 branch with a hard driver CORRECTNESS row
+    against SIM9_STATIC_SQL (both generated from the same frozen
+    constants through the same two-dialect expression generator, so
+    codes and ADC candidate sets match bit for bit)."""
+    from .sim9_model import SIM9_BATTERY_CB, SIM9_COARSE
+
+    return _sim9_topk(
+        _sim8_emb(spark, sf_dir),
+        SIM9_BATTERY_CB,
+        _baked_centroids(spark, SIM9_COARSE),
     )

@@ -358,3 +358,45 @@ def test_pq_search_plan_shapes(spark):
         assert "MapInPandas" in plan
         assert "BroadcastExchange" in plan
         assert "lut_0" not in plan  # the unrolled LUT columns
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_sim7_static_matches_static_oracle(spark, sf):
+    """VERDICT r7 #2: the baked-KMeans sim7 battery branch vs the
+    static DuckDB oracle generated from the same frozen centroids
+    (budgeted multi-probe on both sides)."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        sim7_static_trained_ivf,
+    )
+    from inpe_queimadas_etl_spark.suite.sim7_model import SIM7_STATIC_SQL
+
+    sdf = _norm(sim7_static_trained_ivf(spark, sf).toPandas())
+    odf = _norm(_duck(sf, SIM7_STATIC_SQL))
+    assert len(sdf) == len(odf)
+    for col in ("query_id", "neighbor_id", "rank"):
+        assert sdf[col].astype("int64").tolist() == odf[col].astype(
+            "int64"
+        ).tolist(), col
+    assert sdf["sim"].tolist() == pytest.approx(
+        odf["sim"].tolist(), abs=1e-9
+    )
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_sim9_static_matches_static_oracle(spark, sf):
+    """VERDICT r7 #2: the baked-model sim9 battery branch (frozen
+    coarse centroids + residual codebook) vs the static DuckDB oracle
+    from the same constants."""
+    from inpe_queimadas_etl_spark.suite.llmdata import sim9_static_ivfpq
+    from inpe_queimadas_etl_spark.suite.sim9_model import SIM9_STATIC_SQL
+
+    sdf = _norm(sim9_static_ivfpq(spark, sf).toPandas())
+    odf = _norm(_duck(sf, SIM9_STATIC_SQL))
+    assert len(sdf) == len(odf)
+    for col in ("query_id", "neighbor_id", "rank"):
+        assert sdf[col].astype("int64").tolist() == odf[col].astype(
+            "int64"
+        ).tolist(), col
+    assert sdf["sim"].tolist() == pytest.approx(
+        odf["sim"].tolist(), abs=1e-9
+    )
