@@ -3,6 +3,10 @@
 Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
 recorded number is the MEDIAN, so one machine-load spike cannot poison
 the round artifact (VERDICT r2: recorded 31.7s vs 18.9s reproducible).
+Entries whose 3-run spread exceeds 30 % of the median adaptively widen
+to 5 runs with a trimmed [lo, hi] band (VERDICT r7 #5 — sub-second
+entries on a loaded VM were uninterpretable at 3 runs); `runs_used`
+lands in the JSON's runs_per_query.
 Prints ONE compact JSON line: {"metric": ..., "value": total_sec,
 "unit": "sec", "queries": {name: sec}, "sf": ...}. The driver records
 this as BENCH_r{N}.json; the FULL record (per-query spread, protocol
@@ -143,21 +147,50 @@ def _write_transform_csv(path: str, n: int) -> None:
             )
 
 
-def _time_runs(fn, runs: int = RUNS) -> tuple[float, float, float]:
-    """(median, min, max) over `runs` executions of fn(), after ONE
-    discarded warm-up run so first-run JIT/codegen/shuffle-file warm-up
-    does not pollute the recorded spread (VERDICT r3 "What's wrong"
-    #3)."""
+_ADAPTIVE_MAX_RUNS = 5
+_ADAPTIVE_SPREAD_TOL = 0.30
+
+
+def _time_runs(
+    fn, runs: int = RUNS
+) -> tuple[float, float, float, int]:
+    """(median, lo, hi, n_runs) over `runs` executions of fn(), after
+    ONE discarded warm-up run so first-run JIT/codegen/shuffle-file
+    warm-up does not pollute the recorded spread (VERDICT r3 "What's
+    wrong" #3).
+
+    ADAPTIVE WIDENING (VERDICT r7 #5): sub-second entries on a loaded
+    VM showed up to 63 % spread at 3 runs, making per-query moves
+    uninterpretable. If the initial spread (max-min) exceeds 30 % of
+    the median, sampling widens to 5 runs and the recorded [lo, hi]
+    is the TRIMMED middle-(n-2) range (one outlier dropped each side)
+    — the median is over ALL samples, only the reported band is
+    trimmed, and n_runs records how many were taken."""
     fn()  # warm-up, not measured
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
         fn()
         samples.append(time.perf_counter() - t0)
+    med = statistics.median(samples)
+    if (
+        len(samples) < _ADAPTIVE_MAX_RUNS
+        and med > 0
+        and (max(samples) - min(samples)) / med > _ADAPTIVE_SPREAD_TOL
+    ):
+        for _ in range(_ADAPTIVE_MAX_RUNS - len(samples)):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        med = statistics.median(samples)
+        band = sorted(samples)[1:-1]
+    else:
+        band = sorted(samples)
     return (
-        round(statistics.median(samples), 3),
-        round(min(samples), 3),
-        round(max(samples), 3),
+        round(med, 3),
+        round(band[0], 3),
+        round(band[-1], 3),
+        len(samples),
     )
 
 
@@ -319,6 +352,7 @@ def main() -> None:
     cpu_marker = _cpu_marker()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    runs_used: dict[str, int] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
@@ -345,11 +379,13 @@ def main() -> None:
         import gc
 
         gc.collect()
-        n_runs = _EXTRA_RUNS.get(name, RUNS)
-        med, lo, hi = _time_runs(runner, n_runs)
+        med, lo, hi, n_used = _time_runs(
+            runner, _EXTRA_RUNS.get(name, RUNS)
+        )
         timings[name] = med
         spread[name] = [lo, hi]
-        print(f"# {name}: median {med}s over {n_runs} runs "
+        runs_used[name] = n_used
+        print(f"# {name}: median {med}s over {n_used} runs "
               f"[{lo}, {hi}]", file=sys.stderr)
 
     # Transform canonicalize bench: CSV -> curated (P1-P9) over a
@@ -367,12 +403,14 @@ def main() -> None:
             raw = read_csv_all_string(spark, csv_path)
             curated_from_raw(raw, file_date).count()
 
-        n_runs = _EXTRA_RUNS["transform_canonicalize_100k"]
-        med, lo, hi = _time_runs(run_transform, n_runs)
+        med, lo, hi, n_used = _time_runs(
+            run_transform, _EXTRA_RUNS["transform_canonicalize_100k"]
+        )
         timings["transform_canonicalize_100k"] = med
         spread["transform_canonicalize_100k"] = [lo, hi]
+        runs_used["transform_canonicalize_100k"] = n_used
         print(f"# transform_canonicalize_100k: median {med}s over "
-              f"{n_runs} runs [{lo}, {hi}]", file=sys.stderr)
+              f"{n_used} runs [{lo}, {hi}]", file=sys.stderr)
 
     sf_label = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -397,7 +435,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "runs_per_query": {"default": RUNS, **_EXTRA_RUNS},
+        "runs_per_query": {
+            "default": RUNS,
+            **{n: k for n, k in sorted(runs_used.items()) if k != RUNS},
+        },
         "comparable_r1_subset_total": round(
             sum(timings[q] for q in comparable if q in timings), 3
         ),
@@ -406,7 +447,9 @@ def main() -> None:
         "loadavg_after": _loadavg(),
         "cpu_marker": cpu_marker,
         "cpus": CPUS,
-        "notes": "checksum protocol (r5+); anchors+spread in bench_last.json/SCALING.md",
+        "notes": "checksum protocol (r5+); adaptive 5-run widening + "
+        "trimmed band when 3-run spread >30% (r8); anchors+spread in "
+        "bench_last.json/SCALING.md",
     }
     # The full record (per-query spread, consume-protocol doc) goes to a
     # repo-side file so the round artifact never again depends on the

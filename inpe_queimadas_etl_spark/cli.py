@@ -300,6 +300,7 @@ def cmd_corpus_curate(args) -> int:
         dsir_target_dir=args.dsir_target_dir,
         dsir_keep=args.dsir_keep,
         bpe_merges=args.bpe_merges,
+        bpe_tokenizer=args.bpe_tokenizer,
         export_format=args.export_format,
     )
     log.info("corpus-curate | manifest | %s", json.dumps(manifest, default=str))
@@ -480,7 +481,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="train a tx9 BPE merge table of this size on the final "
         "kept documents and pack in BPE subword tokens instead of "
         "whitespace tokens (--pack-budget becomes model tokens); "
-        "the manifest records the measured compression",
+        "the trained tokenizer is persisted to OUT_DIR/tokenizer.json "
+        "and the manifest records its path + sha256 and the measured "
+        "compression",
+    )
+    cur.add_argument(
+        "--bpe-tokenizer",
+        default=None,
+        help="encode under a FROZEN tokenizer artifact from a prior "
+        "--bpe-merges run (path to its tokenizer.json) instead of "
+        "retraining — the id space is guaranteed identical "
+        "(hash-verifiable via the manifest fingerprint); mutually "
+        "exclusive with --bpe-merges",
     )
     cur.add_argument(
         "--split-by",

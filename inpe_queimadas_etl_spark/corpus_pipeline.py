@@ -231,6 +231,7 @@ def run_corpus_pipeline(
     scrub_pii: bool = False,
     decontaminate_by: str = "shingles",
     bpe_merges: int | None = None,
+    bpe_tokenizer: str | None = None,
     export_format: str = "parquet",
 ) -> dict:
     """Materialize ``corpus_dir``'s documents table into
@@ -283,6 +284,11 @@ def run_corpus_pipeline(
         raise ValueError(f"dsir_keep must be positive, got {dsir_keep}")
     if bpe_merges is not None and bpe_merges <= 0:
         raise ValueError(f"bpe_merges must be positive, got {bpe_merges}")
+    if bpe_merges is not None and bpe_tokenizer is not None:
+        raise ValueError(
+            "pass bpe_merges (train a fresh tokenizer) OR "
+            "bpe_tokenizer (encode under a frozen artifact), not both"
+        )
     if export_format not in ("parquet", "jsonl"):
         raise ValueError(
             "export_format must be 'parquet' or 'jsonl', got "
@@ -549,27 +555,51 @@ def run_corpus_pipeline(
     # (K rows leave the cluster, tx9's shape); the per-doc subword
     # counts are one zero-exchange Arrow scan, checkpointed because
     # the packing window, the manifest aggregate, and the export all
-    # consume them.
+    # consume them. The tokenizer is a PERSISTED artifact
+    # (out_dir/tokenizer.json, sha256 in the manifest); pass
+    # bpe_tokenizer=<path> to encode a later corpus under the frozen
+    # table instead of retraining (VERDICT r7 #4).
     tok_stats: dict = {"enabled": False}
     tokens_col = None
     has_token_ids = False
-    if bpe_merges is not None:
+    if bpe_merges is not None or bpe_tokenizer is not None:
         from .operators.bpe import (
             bpe_encode_ids,
             bpe_token_stats,
             bpe_vocab,
             corpus_word_counts,
+            save_tokenizer,
+            load_tokenizer,
+            tokenizer_sha256,
             train_bpe,
         )
 
-        counts = corpus_word_counts(final.select("doc_id", "text"))
-        merges = train_bpe(counts, bpe_merges)
-        vocab_size = None
+        if bpe_tokenizer is not None:
+            # FROZEN tokenizer (VERDICT r7 #4): encode under a prior
+            # run's artifact — no training pass, and the id space is
+            # guaranteed identical to the run that produced it
+            # (hash-verifiable via the manifest fingerprint)
+            merges, vocab = load_tokenizer(bpe_tokenizer)
+            artifact = {
+                "path": bpe_tokenizer,
+                "sha256": tokenizer_sha256(merges, vocab),
+                "trained": False,
+            }
+        else:
+            counts = corpus_word_counts(final.select("doc_id", "text"))
+            merges = train_bpe(counts, bpe_merges)
+            vocab = bpe_vocab(counts, merges)
+            # persist the trained tokenizer next to the export so a
+            # later run (or the streaming drain) encodes new documents
+            # under THIS table, never a retrain
+            artifact = save_tokenizer(
+                os.path.join(out_dir, "tokenizer.json"), merges, vocab
+            )
+            artifact["trained"] = True
+        vocab_size = len(vocab)
         if write_packs:
             # packs will carry trainer-ready id sequences, so encode
             # ids once (counts come free as their lengths)
-            vocab = bpe_vocab(counts, merges)
-            vocab_size = len(vocab)
             enc = bpe_encode_ids(
                 final.select("doc_id", "text"), merges, vocab
             ).localCheckpoint(eager=True)
@@ -611,6 +641,7 @@ def run_corpus_pipeline(
             "ws_tokens": ws,
             "bpe_tokens": bpe,
             "compression": round(ws / bpe, 4) if bpe else None,
+            "tokenizer": artifact,
         }
 
     # stage 6: pack assignment within (split, lang, shard)

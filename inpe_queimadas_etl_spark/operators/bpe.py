@@ -288,6 +288,80 @@ def bpe_vocab(
     return vocab
 
 
+def save_tokenizer(
+    path: str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+) -> dict:
+    """Persist a trained tokenizer (merge table + vocab) as one
+    canonical JSON artifact and return ``{"path", "sha256"}`` for the
+    manifest — the weights-as-artifact stance tx7/tx10/sim8 take,
+    applied to the tokenizer (VERDICT r7 #4): a corpus is tokenized
+    ONCE under a frozen table; later runs (or the streaming drain)
+    must load it, never retrain, or the id space silently shifts
+    under the trainer. Canonical form: sorted keys, no whitespace —
+    the sha256 identifies the tokenizer content, not a formatting."""
+    import hashlib
+    import os
+
+    payload = _tokenizer_payload(merges, vocab)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)  # atomic publish, the WAP convention
+    return {"path": path, "sha256": hashlib.sha256(payload).hexdigest()}
+
+
+def _tokenizer_payload(
+    merges: list[tuple[str, str]], vocab: dict[str, int]
+) -> bytes:
+    import json
+
+    return json.dumps(
+        {
+            "format": "bpe-tokenizer-v1",
+            "end_marker": _END,
+            "merges": [list(p) for p in merges],
+            "vocab": vocab,
+        },
+        sort_keys=True,
+        separators=(",", ":"),
+    ).encode()
+
+
+def tokenizer_sha256(
+    merges: list[tuple[str, str]], vocab: dict[str, int]
+) -> str:
+    """Content fingerprint of a tokenizer — identical whether the
+    table was just trained or loaded from an artifact (same canonical
+    payload `save_tokenizer` writes), so a manifest consumer can
+    verify two runs used the SAME tokenizer by hash equality."""
+    import hashlib
+
+    return hashlib.sha256(_tokenizer_payload(merges, vocab)).hexdigest()
+
+
+def load_tokenizer(
+    path: str,
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Load a `save_tokenizer` artifact: ``(merges, vocab)`` with the
+    exact tuple/dict shapes `bpe_encode_ids`/`bpe_token_stats`
+    consume — round-trip-pinned in tests/test_bpe.py."""
+    import json
+
+    with open(path, "rb") as f:
+        data = json.loads(f.read())
+    if data.get("format") != "bpe-tokenizer-v1":
+        raise ValueError(
+            f"not a bpe-tokenizer-v1 artifact: {path!r} "
+            f"(format={data.get('format')!r})"
+        )
+    merges = [(a, b) for a, b in data["merges"]]
+    vocab = {str(k): int(v) for k, v in data["vocab"].items()}
+    return merges, vocab
+
+
 def bpe_encode_ids(
     docs: DataFrame,
     merges: list[tuple[str, str]],

@@ -1206,3 +1206,91 @@ def test_export_format_jsonl(spark, tmp_path):
         run_corpus_pipeline(
             spark, SF0001, str(tmp_path / "o2"), export_format="orc"
         )
+
+
+def test_bpe_tokenizer_artifact_and_frozen_reuse(spark, tmp_path):
+    """VERDICT r7 #4: a --bpe-merges run PERSISTS the tokenizer
+    (out_dir/tokenizer.json + manifest path/sha256); a later run over
+    a DIFFERENT corpus with --bpe-tokenizer encodes under the frozen
+    table — no retrain, same fingerprint, token counts exactly what
+    the frozen table produces."""
+    import random
+
+    import pandas as pd
+
+    from inpe_queimadas_etl_spark.operators.bpe import (
+        bpe_token_stats,
+        load_tokenizer,
+        tokenizer_sha256,
+    )
+
+    rng = random.Random(41)
+    vocab = [
+        "".join(rng.choice("abcdef") for _ in range(rng.randrange(4, 9)))
+        for _ in range(60)
+    ]
+
+    def mk_corpus(path, n, seed_off):
+        rows = []
+        r2 = random.Random(seed_off)
+        for i in range(n):
+            rows.append((i, "the a " + " ".join(r2.sample(vocab, 35))))
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        pdf["n_chars"] = pdf["text"].str.len()
+        pdf["lang"] = "en"
+        pdf["source"] = "src0"
+        path.mkdir()
+        pdf.to_parquet(path / "documents.parquet")
+        return pdf
+
+    mk_corpus(tmp_path / "corpus_a", 20, 7)
+    mk_corpus(tmp_path / "corpus_b", 15, 99)
+
+    out_a = str(tmp_path / "out_a")
+    m_a = run_corpus_pipeline(
+        spark, str(tmp_path / "corpus_a"), out_a, bpe_merges=60
+    )
+    art = m_a["tokenizer"]["tokenizer"]
+    assert art["trained"] is True
+    assert os.path.exists(art["path"])
+    assert art["path"] == os.path.join(out_a, "tokenizer.json")
+    merges, voc = load_tokenizer(art["path"])
+    assert tokenizer_sha256(merges, voc) == art["sha256"]
+    assert m_a["tokenizer"]["vocab_size"] == len(voc)
+
+    # frozen reuse over corpus B: no retrain, same fingerprint
+    out_b = str(tmp_path / "out_b")
+    m_b = run_corpus_pipeline(
+        spark,
+        str(tmp_path / "corpus_b"),
+        out_b,
+        bpe_tokenizer=art["path"],
+    )
+    art_b = m_b["tokenizer"]["tokenizer"]
+    assert art_b["trained"] is False
+    assert art_b["sha256"] == art["sha256"]
+    assert m_b["tokenizer"]["merges_requested"] is None
+    assert m_b["tokenizer"]["merges_learned"] == len(merges)
+    assert not os.path.exists(os.path.join(out_b, "tokenizer.json"))
+
+    # written token lineage == counts under the FROZEN table
+    docs_b = spark.read.parquet(
+        str(tmp_path / "corpus_b" / "documents.parquet")
+    ).select("doc_id", "text")
+    expect = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_stats(docs_b, merges).collect()
+    }
+    written = spark.read.parquet(os.path.join(out_b, "corpus")).toPandas()
+    for _, r in written.iterrows():
+        assert r["tokens"] == expect[r["doc_id"]], r["doc_id"]
+
+    # train-vs-freeze are mutually exclusive
+    with pytest.raises(ValueError, match="not both"):
+        run_corpus_pipeline(
+            spark,
+            str(tmp_path / "corpus_b"),
+            str(tmp_path / "o_x"),
+            bpe_merges=10,
+            bpe_tokenizer=art["path"],
+        )
