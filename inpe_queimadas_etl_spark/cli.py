@@ -235,6 +235,13 @@ def cmd_corpus_dedup(args) -> int:
         else start_corpus_dedup_stream
     )
     src_kw = "vecs_dir" if args.embeddings else "docs_dir"
+    extra = {}
+    if not args.embeddings and args.bpe_tokenizer:
+        extra["tokenizer_path"] = args.bpe_tokenizer
+    elif args.embeddings and args.bpe_tokenizer:
+        raise SystemExit(
+            "--bpe-tokenizer applies to the document drain only"
+        )
     q = starter(
         spark,
         **{src_kw: args.docs_dir},
@@ -245,6 +252,7 @@ def cmd_corpus_dedup(args) -> int:
         threshold=args.threshold,
         on_batch=on_batch,
         schema=schema,
+        **extra,
     )
     q.awaitTermination()
     if not run_batch_ids:
@@ -376,6 +384,15 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="dedup embedding snapshots (vec_id + embedding) via the "
         "sign-LSH band index instead of documents",
+    )
+    cdp.add_argument(
+        "--bpe-tokenizer",
+        default=None,
+        help="frozen tokenizer artifact (a corpus-curate run's "
+        "tokenizer.json): each batch's accepted survivors are "
+        "additionally encoded under it into OUT_DIR/tokens — ids "
+        "identical to the training run's, never a retrain (document "
+        "drain only)",
     )
     cdp.add_argument("--log-dir")
 

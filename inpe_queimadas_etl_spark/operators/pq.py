@@ -32,8 +32,14 @@ a PQ codebook is fit on a bounded sample, never the corpus); encoding
 is one zero-shuffle scan (Arrow-batched numpy in production,
 ``pq_encode``; the JVM unrolled-expression form ``pq_encode_ref`` is
 the parity anchor, exact-equality-pinned in tests/test_pq.py); the
-ADC scan is pure unrolled JVM arithmetic over the codes column —
-whole-stage-codegen friendly, no UDF, no HOF lambda interpretation.
+ADC SEARCH is the same convention since r8 (VERDICT r7 #1): the
+production scan is Arrow-batched numpy replaying the unrolled chains
+(``pq_adc_search_scan`` / ``pq_ivf_adc_search_scan``, per-batch
+partial top-C), with the pure-JVM expression forms kept as parity
+anchors — at the demo geometry the ~1k-term unrolled expressions
+exceed janino's 64 KB method limit (interpreted fallback) and cost a
+Catalyst analysis per run, which the Arrow path removes (1M-vector
+full-ADC search 16.9 s -> 9.2 s, SCALING.md).
 
 Reference parity: the reference engine has no ANN surface; sim8 is
 part of the brief's similarity-search tier (brute-force sim1 baseline

@@ -471,6 +471,7 @@ def start_corpus_dedup_stream(
     threshold: float | None = None,
     on_batch=None,
     schema: T.StructType | None = None,
+    tokenizer_path: str | None = None,
 ):
     """Streaming incremental corpus dedup: each micro-batch of newly
     landed document files is flagged against the ever-growing accepted
@@ -508,7 +509,19 @@ def start_corpus_dedup_stream(
     ``schema`` (optional StructType) lets the drain start on a
     still-empty ``docs_dir`` (the always-on deployment); without it
     the schema is inferred from the files already landed, and an
-    empty dir raises with instructions. Returns the StreamingQuery.
+    empty dir raises with instructions.
+
+    ``tokenizer_path`` (optional, VERDICT r7 #4's load-path applied to
+    the drain): a `save_tokenizer` artifact from a prior corpus-curate
+    run. Each batch's accepted survivors are additionally encoded
+    UNDER THE FROZEN TABLE (bpe_encode_ids — one zero-exchange Arrow
+    scan per batch) into ``out_dir/tokens`` as (doc_id, token_ids,
+    n_bpe_tokens), batch-partitioned with the same overwrite
+    idempotency as every other sink. The accepted sink's schema stays
+    untouched (the dedup loop reads it back every batch); trainers
+    join tokens on doc_id knowing the id space is IDENTICAL to the
+    curate run that trained the artifact — hash-verifiable via
+    tokenizer_sha256. Returns the StreamingQuery.
     """
     from .incremental import (
         NEAR_DUP_THRESHOLD,
@@ -518,16 +531,21 @@ def start_corpus_dedup_stream(
     )
 
     thr = NEAR_DUP_THRESHOLD if threshold is None else threshold
+    tok = None
+    if tokenizer_path is not None:
+        from .operators.bpe import load_tokenizer
+
+        tok = load_tokenizer(tokenizer_path)  # load ONCE, never retrain
     schema = _resolve_stream_schema(spark, docs_dir, schema)
-    _bind_drain_identity(
-        checkpoint_dir,
-        (
-            f"{out_dir}/flags",
-            f"{out_dir}/accepted",
-            f"{index_dir}/exact",
-            f"{index_dir}/bands",
-        ),
-    )
+    sink_dirs = [
+        f"{out_dir}/flags",
+        f"{out_dir}/accepted",
+        f"{index_dir}/exact",
+        f"{index_dir}/bands",
+    ]
+    if tok is not None:
+        sink_dirs.append(f"{out_dir}/tokens")
+    _bind_drain_identity(checkpoint_dir, tuple(sink_dirs))
     src = spark.readStream.schema(schema).parquet(docs_dir)
     empty_docs = spark.createDataFrame([], schema)
 
@@ -587,6 +605,16 @@ def start_corpus_dedup_stream(
         _write_partition(
             minhash_band_index(survivors), f"{index_dir}/bands", batch_id
         )
+        if tok is not None:
+            from .operators.bpe import bpe_encode_ids
+
+            _write_partition(
+                bpe_encode_ids(
+                    survivors.select("doc_id", "text"), *tok
+                ),
+                f"{out_dir}/tokens",
+                batch_id,
+            )
         if on_batch is not None:
             on_batch(
                 batch_id,

@@ -5433,7 +5433,16 @@ def _sim9_topk(emb: DataFrame, cb: list, cent: DataFrame) -> DataFrame:
         .select("vec_id", "centroid_id", "v")
         .collect()
     ]
-    scored = pq_ivf_adc_search_scan(codes, cb, cents, probes, _SIM8_CAND)
+    # probed-cluster filter BELOW the scan: rows of unprobed clusters
+    # can never score, and the literal IN over the K-row probe set is
+    # a pushable predicate — on a store partitioned/bucketed by
+    # centroid_id this is PARTITION PRUNING (only probed clusters'
+    # files are read), the sim6 "scan touches only probed clusters"
+    # claim made physical. Candidate sets unchanged by construction
+    # (the Arrow scan only scores rows whose cluster has probes).
+    probed_cids = sorted({int(qcl) for _, qcl, _ in probes})
+    pruned = codes.filter(F.col("centroid_id").isin(probed_cids))
+    scored = pq_ivf_adc_search_scan(pruned, cb, cents, probes, _SIM8_CAND)
     w_global = Window.partitionBy("query_id").orderBy(
         F.desc("pq_score"), F.asc("vec_id")
     )

@@ -681,3 +681,78 @@ def test_quality_gate_requires_doc_columns(spark, dirs):
                 [T.StructField("body", T.StringType())]
             ),
         )
+
+
+def test_drain_encodes_under_frozen_tokenizer(spark, dirs, tmp_path):
+    """VERDICT r7 #4 load-path on the drain: with tokenizer_path set,
+    each batch's accepted survivors are additionally encoded under
+    the FROZEN artifact into out/tokens — identical ids to encoding
+    under the loaded table in-session, cross-batch, and never a
+    retrain (the artifact's vocab decides every id)."""
+    from inpe_queimadas_etl_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+        corpus_word_counts,
+        load_tokenizer,
+        save_tokenizer,
+        train_bpe,
+    )
+
+    # train the tokenizer on a PRIOR corpus (the curate-run stand-in)
+    train_docs = spark.createDataFrame(
+        [(i, _doc(100 + i)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    counts = corpus_word_counts(train_docs)
+    merges = train_bpe(counts, 40)
+    art = save_tokenizer(
+        str(tmp_path / "tok.json"), merges, bpe_vocab(counts, merges)
+    )
+
+    def drain():
+        q = start_corpus_dedup_stream(
+            spark,
+            docs_dir=dirs["docs"],
+            index_dir=dirs["index"],
+            out_dir=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+            available_now=True,
+            tokenizer_path=art["path"],
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # batch 1: three docs, one exact dup (dropped -> no token row)
+    _write_batch(
+        spark, dirs["docs"], [(0, _doc(1)), (1, _doc(2)), (2, _doc(1))],
+        "b1",
+    )
+    drain()
+    # batch 2: one new doc
+    _write_batch(spark, dirs["docs"], [(3, _doc(4))], "b2")
+    drain()
+
+    accepted = spark.read.parquet(
+        os.path.join(dirs["out"], "accepted")
+    )
+    tokens = spark.read.parquet(os.path.join(dirs["out"], "tokens"))
+    acc_ids = {r["doc_id"] for r in accepted.select("doc_id").collect()}
+    tok_rows = {
+        r["doc_id"]: list(r["token_ids"]) for r in tokens.collect()
+    }
+    assert set(tok_rows) == acc_ids  # every survivor, only survivors
+    # ids equal a fresh encode under the LOADED artifact (no retrain)
+    m2, v2 = load_tokenizer(art["path"])
+    expect = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode_ids(
+            accepted.select("doc_id", "text"), m2, v2
+        ).collect()
+    }
+    assert tok_rows == expect
+    # both batch partitions present (idempotent batch_id layout)
+    parts = {
+        r["batch_id"]
+        for r in tokens.select("batch_id").distinct().collect()
+    }
+    assert parts == {0, 1}
