@@ -400,3 +400,38 @@ def test_sim9_static_matches_static_oracle(spark, sf):
     assert sdf["sim"].tolist() == pytest.approx(
         odf["sim"].tolist(), abs=1e-9
     )
+
+
+def test_sim9_store_partition_pruning(spark, tmp_path):
+    """The probed-cluster IN filter sits below the ADC scan, so a
+    store MATERIALIZED partitioned by centroid_id (the deployment
+    shape sim9's docstring claims) prunes at the source: the filter
+    must surface as a PartitionFilter on the parquet scan, and the
+    read must touch only probed clusters' partitions."""
+    from pyspark.sql import functions as F
+
+    from inpe_queimadas_etl_spark.operators.pq import pq_encode
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        _sim9_codebook,
+        _sim9_residuals,
+    )
+
+    emb = _sim8_emb(spark, SF0001)
+    cb = _sim9_codebook(emb, SF0001)
+    codes = pq_encode(
+        _sim9_residuals(emb), cb, vec_col="r", carry_cols=("centroid_id",)
+    )
+    path = str(tmp_path / "store9")
+    codes.write.partitionBy("centroid_id").parquet(path)
+    disk = spark.read.parquet(path)
+    pruned = disk.filter(F.col("centroid_id").isin([0, 2]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1].split(
+        "]"
+    )[0], plan
+    got = {
+        r["centroid_id"]
+        for r in pruned.select("centroid_id").distinct().collect()
+    }
+    assert got <= {0, 2} and got
