@@ -82,6 +82,7 @@ HEADLINE = [
     "sim6_ivf_sq8_ann",
     "sim8_pq_adc",
     "sim9_ivfpq_ann",
+    "sim10_trained_ivfpq",
     "mm5_simhash_neardup",
 ]
 
@@ -125,6 +126,7 @@ UNREGISTERED = (
     "sim6_ivf_sq8_ann",
     "sim8_pq_adc",
     "sim9_ivfpq_ann",
+    "sim10_trained_ivfpq",
     "mm5_simhash_neardup",
 )
 
@@ -291,6 +293,7 @@ def main() -> None:
         sim7_trained_ivf_ann,
         sim8_pq_adc,
         sim9_ivfpq_ann,
+        sim10_trained_ivfpq,
         emb1_hashed_encoder,
         cur10_substring_decontamination,
     )
@@ -336,6 +339,7 @@ def main() -> None:
     queries.setdefault("sim6_ivf_sq8_ann", sim6_ivf_sq8_ann)
     queries.setdefault("sim8_pq_adc", sim8_pq_adc)
     queries.setdefault("sim9_ivfpq_ann", sim9_ivfpq_ann)
+    queries.setdefault("sim10_trained_ivfpq", sim10_trained_ivfpq)
     queries.setdefault("mm5_simhash_neardup", mm5_simhash_neardup)
     # skew demo pair: the recorded gap (naive single hot reducer vs
     # salted two-phase) is the artifact — see suite/skewdemo.py

@@ -5560,6 +5560,98 @@ def sim9_oracle_sql(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def sim10_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ under a TRAINED coarse codebook — the full
+    Faiss-canonical IVFPQ composition (Jégou et al. 2011 §V: learned
+    coarse quantizer + PQ over its residuals), closing the
+    deliberate demo gap in sim9, whose coarse codebook is the
+    first-K convention. sim7 contributes the MLlib-KMeans coarse
+    quantizer (train-once, session-cached, the shared (centroid_id,
+    cv, cn) contract); the residual PQ codebook is trained on
+    residuals w.r.t. THOSE centroids (trained-coarse residuals
+    cluster tighter than first-K residuals — the same argument that
+    makes residual PQ beat raw PQ); the search is the identical
+    `_sim9_topk` Arrow tail (budgeted multi-probe, probed-cluster
+    prune, ADC, exact rerank), so the ONLY delta vs sim9 is model
+    quality — measured, not assumed, in tests/test_pq.py
+    (quantization error strictly below sim9's on the oracle corpus).
+
+    Oracle: the same two-dialect generator, with the trained
+    centroids emitted as literal VALUES (cent_values_sql) — candidate
+    sets bit-identical cross-engine given the rank-convention
+    assignment. UNREGISTERED (50-slot cap) — oracle-compared in
+    tests/test_pq.py, benched in bench.py."""
+    from ..operators.pq import train_pq_codebook
+    from ..operators.similarity import train_ivf_codebook
+
+    emb = _sim8_emb(spark, sf_dir)
+    ckey = (sf_dir, _IVF_K)
+    cent = _SIM7_CODEBOOK_CACHE.get(ckey)
+    if cent is None:
+        cent = train_ivf_codebook(emb, k=_IVF_K).localCheckpoint(
+            eager=True
+        )
+        _SIM7_CODEBOOK_CACHE[ckey] = cent
+    cb = _SIM10_CB_CACHE.get(ckey)
+    if cb is None:
+        cb = train_pq_codebook(
+            _sim9_residuals(emb, cent).select(
+                "vec_id", F.col("r").alias("v")
+            ),
+            m=_SIM8_M,
+            ks=_SIM8_KS,
+        )
+        _SIM10_CB_CACHE[ckey] = cb
+    return _sim9_topk(emb, cb, cent)
+
+
+_SIM10_CB_CACHE: dict = {}
+
+
+def sim10_oracle_sql(spark: SparkSession, sf_dir: str) -> str:
+    """DuckDB mirror of sim10 from the SAME trained models: coarse
+    centroids as literal VALUES, residual codebook through the
+    two-dialect generator, budgeted multi-probe."""
+    from ..operators.pq import (
+        cent_values_sql,
+        pq_ivf_search_oracle_sql,
+    )
+    from ..operators.similarity import train_ivf_codebook
+
+    emb = _sim8_emb(spark, sf_dir)
+    ckey = (sf_dir, _IVF_K)
+    cent = _SIM7_CODEBOOK_CACHE.get(ckey)
+    if cent is None:
+        cent = train_ivf_codebook(emb, k=_IVF_K).localCheckpoint(
+            eager=True
+        )
+        _SIM7_CODEBOOK_CACHE[ckey] = cent
+    cents = [
+        (r["centroid_id"], list(r["cv"]))
+        for r in cent.select("centroid_id", "cv").collect()
+    ]
+    cb = _SIM10_CB_CACHE.get(ckey)
+    if cb is None:
+        from ..operators.pq import train_pq_codebook
+
+        cb = train_pq_codebook(
+            _sim9_residuals(emb, cent).select(
+                "vec_id", F.col("r").alias("v")
+            ),
+            m=_SIM8_M,
+            ks=_SIM8_KS,
+        )
+        _SIM10_CB_CACHE[ckey] = cb
+    return pq_ivf_search_oracle_sql(
+        cb,
+        _IVF_K,
+        _IVF_NPROBE,
+        _SIM8_CAND,
+        multiprobe_frac=_SIM9_FRAC,
+        cent_sql=cent_values_sql(cents),
+    )
+
+
 def _baked_centroids(
     spark: SparkSession, cents: list
 ) -> DataFrame:
