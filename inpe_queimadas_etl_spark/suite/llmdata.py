@@ -4813,11 +4813,12 @@ def _sim8_static_sql() -> str:
 
 SIM8_STATIC_SQL = _sim8_static_sql()
 
-# sim7/sim9 baked-model static oracles (VERDICT r7 #2) — generated at
-# import time from the frozen constants in suite/sim7_model.py /
-# suite/sim9_model.py, consumed by the battery oracle f-string below.
+# sim7/sim9/sim10 baked-model static oracles (VERDICT r7 #2 + the r8
+# sim10 tier) — generated at import time from the frozen constants in
+# suite/sim{7,9,10}_model.py, consumed by the battery oracle below.
 from .sim7_model import SIM7_STATIC_SQL  # noqa: E402
 from .sim9_model import SIM9_STATIC_SQL  # noqa: E402
+from .sim10_model import SIM10_STATIC_SQL  # noqa: E402
 
 
 # --- llm_ops_battery: registered composite for the r5/r6 tier ---------------
@@ -4917,6 +4918,12 @@ def _melt_battery(df: DataFrame, chk: str, key_s, n, v) -> DataFrame:
                      CAST(neighbor_id AS VARCHAR)),
            rank, sim
     FROM ({SIM9_STATIC_SQL})
+    UNION ALL
+    SELECT 'sim10',
+           concat_ws(':', CAST(query_id AS VARCHAR),
+                     CAST(neighbor_id AS VARCHAR)),
+           rank, sim
+    FROM ({SIM10_STATIC_SQL})
     """,
 )
 def llm_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4953,6 +4960,7 @@ def llm_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim8 = sim8_static_pq_adc(spark, sf_dir)
     sim7 = sim7_static_trained_ivf(spark, sf_dir)
     sim9 = sim9_static_ivfpq(spark, sf_dir)
+    sim10 = sim10_static_ivfpq(spark, sf_dir)
     parts = [
         _melt_battery(
             dd10,
@@ -5033,7 +5041,12 @@ def llm_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sim"),
         )
     )
-    for chk, df in (("sim8", sim8), ("sim7", sim7), ("sim9", sim9)):
+    for chk, df in (
+        ("sim8", sim8),
+        ("sim7", sim7),
+        ("sim9", sim9),
+        ("sim10", sim10),
+    ):
         parts.append(
             _melt_battery(
                 df,
@@ -5412,12 +5425,23 @@ def _sim9_topk(emb: DataFrame, cb: list, cent: DataFrame) -> DataFrame:
     the two paths cannot drift (the _sim8_topk convention)."""
     from ..operators.pq import pq_encode, pq_ivf_adc_search_scan
 
+    # materialize the code store once (the deployment shape — the
+    # store IS a persisted artifact) and derive the multi-probe
+    # cluster sizes from IT, instead of a second full-corpus
+    # assignment scan (the sizes are a K-row side artifact of the
+    # store build; values identical to _sim9_sizes by construction)
     codes = pq_encode(
         _sim9_residuals(emb, cent),
         cb,
         vec_col="r",
         carry_cols=("centroid_id",),
-    )
+    ).localCheckpoint(eager=True)
+    sizes = {
+        r["centroid_id"]: r["n"]
+        for r in codes.groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
     cents = [
         (r["centroid_id"], list(r["cv"]))
         for r in cent.select("centroid_id", "cv").collect()
@@ -5425,10 +5449,7 @@ def _sim9_topk(emb: DataFrame, cb: list, cent: DataFrame) -> DataFrame:
     probes = [
         (r["vec_id"], r["centroid_id"], list(r["v"]))
         for r in _sim9_probe(
-            emb,
-            cent,
-            sizes=_sim9_sizes(emb, cent),
-            candidate_frac=_SIM9_FRAC,
+            emb, cent, sizes=sizes, candidate_frac=_SIM9_FRAC
         )
         .select("vec_id", "centroid_id", "v")
         .collect()
@@ -5709,4 +5730,20 @@ def sim9_static_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sim8_emb(spark, sf_dir),
         SIM9_BATTERY_CB,
         _baked_centroids(spark, SIM9_COARSE),
+    )
+
+
+def sim10_static_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim10 under the BAKED model — sim7's frozen KMeans coarse
+    codebook (suite/sim7_model.py) + the residual PQ codebook fit on
+    ITS residuals (suite/sim10_model.py) — the llm_ops_battery sim10
+    branch with a hard driver CORRECTNESS row against
+    SIM10_STATIC_SQL (same frozen constants, same generator)."""
+    from .sim10_model import SIM10_BATTERY_CB
+    from .sim7_model import SIM7_BATTERY_CENT
+
+    return _sim9_topk(
+        _sim8_emb(spark, sf_dir),
+        SIM10_BATTERY_CB,
+        _baked_centroids(spark, SIM7_BATTERY_CENT),
     )

@@ -501,3 +501,25 @@ def test_sim10_recall_beats_sim9(spark):
     r9, r10 = recall(sim9_ivfpq_ann), recall(sim10_trained_ivfpq)
     assert r10 >= 0.75, (r9, r10)
     assert r10 > r9 - 1e-9, (r9, r10)
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_sim10_static_matches_static_oracle(spark, sf):
+    """The baked-model sim10 battery branch (sim7's frozen coarse
+    codebook + the residual codebook fit on its residuals) vs the
+    static DuckDB oracle from the same constants."""
+    from inpe_queimadas_etl_spark.suite.llmdata import sim10_static_ivfpq
+    from inpe_queimadas_etl_spark.suite.sim10_model import (
+        SIM10_STATIC_SQL,
+    )
+
+    sdf = _norm(sim10_static_ivfpq(spark, sf).toPandas())
+    odf = _norm(_duck(sf, SIM10_STATIC_SQL))
+    assert len(sdf) == len(odf)
+    for col in ("query_id", "neighbor_id", "rank"):
+        assert sdf[col].astype("int64").tolist() == odf[col].astype(
+            "int64"
+        ).tolist(), col
+    assert sdf["sim"].tolist() == pytest.approx(
+        odf["sim"].tolist(), abs=1e-9
+    )
