@@ -378,3 +378,49 @@ def test_tokenizer_save_load_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="bpe-tokenizer-v1"):
         load_tokenizer(str(bad))
+
+
+def test_tokenizer_roundtrip_property(tmp_path):
+    """Hypothesis-fuzzed save/load round trip (pure Python, no
+    Spark): for ANY word table, the persisted artifact loads back to
+    the exact merge tuples and vocab ids, the fingerprint is stable
+    across save/load, and encoding under the loaded table equals
+    encoding under the in-session one word for word."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from inpe_queimadas_etl_spark.operators.bpe import (
+        bpe_vocab,
+        encode_word,
+        load_tokenizer,
+        save_tokenizer,
+        tokenizer_sha256,
+        train_bpe,
+    )
+
+    word = st.text(alphabet="abcde", min_size=1, max_size=8)
+    counts_strat = st.lists(
+        st.tuples(word, st.integers(min_value=1, max_value=9)),
+        min_size=1,
+        max_size=12,
+    )
+
+    idx = [0]
+
+    @settings(max_examples=30, deadline=None)
+    @given(counts=counts_strat, n_merges=st.integers(0, 20))
+    def run(counts, n_merges):
+        merges = train_bpe(counts, n_merges)
+        vocab = bpe_vocab(counts, merges)
+        idx[0] += 1
+        path = str(tmp_path / f"t{idx[0]}.json")
+        art = save_tokenizer(path, merges, vocab)
+        m2, v2 = load_tokenizer(path)
+        assert m2 == merges and v2 == vocab
+        assert tokenizer_sha256(m2, v2) == art["sha256"]
+        ranks = {p: i for i, p in enumerate(merges)}
+        ranks2 = {p: i for i, p in enumerate(m2)}
+        for w, _ in counts:
+            assert encode_word(w, ranks) == encode_word(w, ranks2)
+
+    run()
