@@ -357,6 +357,15 @@ def load_tokenizer(
             f"not a bpe-tokenizer-v1 artifact: {path!r} "
             f"(format={data.get('format')!r})"
         )
+    if data.get("end_marker") != _END:
+        # the artifact's id space is built around its end-of-word
+        # marker; encoding under a DIFFERENT module marker would
+        # mis-merge words and silently shift every id — the exact
+        # drift the frozen artifact exists to prevent
+        raise ValueError(
+            f"tokenizer artifact {path!r} uses end_marker "
+            f"{data.get('end_marker')!r}, this build uses {_END!r}"
+        )
     merges = [(a, b) for a, b in data["merges"]]
     vocab = {str(k): int(v) for k, v in data["vocab"].items()}
     return merges, vocab

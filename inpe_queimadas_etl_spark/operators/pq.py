@@ -472,6 +472,24 @@ def _np_dot(a: Sequence[float], b: Sequence[float]) -> float:
     return acc
 
 
+def _prune_topk(s, v, cand: int):
+    """Per-batch top-``cand`` cut under the EXACT order the global
+    window applies — (score DESC, id ASC) with Spark's NaN semantics
+    (NaN is the LARGEST double, so NaN-scored rows rank FIRST; a
+    naive lexsort on -s would rank them last and prune rows the JVM
+    form keeps). Keys, least to most significant: id asc, negated
+    score with NaNs neutralized, then a NaN-first flag."""
+    import numpy as np
+
+    if len(v) <= cand:
+        return s, v
+    nan = np.isnan(s)
+    keep = np.lexsort(
+        (v, np.where(nan, 0.0, -s), (~nan).astype(np.int8))
+    )[:cand]
+    return s[keep], v[keep]
+
+
 def pq_adc_search_scan(
     codes: DataFrame,
     cb: Codebook,
@@ -514,10 +532,7 @@ def pq_adc_search_scan(
                     ip = ip + lut[j][cm[:, j]]
                 score = ip / den
                 mask = ids != qid
-                s, v = score[mask], ids[mask]
-                if len(v) > cand:
-                    keep = np.lexsort((v, -s))[:cand]
-                    s, v = s[keep], v[keep]
+                s, v = _prune_topk(score[mask], ids[mask], cand)
                 oq.append(np.full(len(v), qid, dtype=np.int64))
                 oi.append(v)
                 os.append(s)
@@ -602,11 +617,11 @@ def pq_ivf_adc_search_scan(
                     )
             oq, oi, os = [], [], []
             for qid, parts in per_query.items():
-                s = np.concatenate([p[0] for p in parts])
-                v = np.concatenate([p[1] for p in parts])
-                if len(v) > cand:
-                    keep = np.lexsort((v, -s))[:cand]
-                    s, v = s[keep], v[keep]
+                s, v = _prune_topk(
+                    np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]),
+                    cand,
+                )
                 oq.append(np.full(len(v), qid, dtype=np.int64))
                 oi.append(v)
                 os.append(s)

@@ -21,6 +21,8 @@ replayed file harmless.
 from __future__ import annotations
 
 import datetime as dt
+import logging
+import os
 import re
 from pathlib import Path
 
@@ -31,6 +33,8 @@ from pyspark.sql import types as T
 from .pipeline import Warehouse, process_batch
 from .sources.csv_ingest import sniff_delimiter
 from .transform import curated_from_raw
+
+log = logging.getLogger(__name__)
 
 _SRC_COL = "__source_file"
 
@@ -267,7 +271,9 @@ def _read_stamp(path: str) -> tuple[str, str | None]:
     return sid, owner
 
 
-def _bind_drain_identity(checkpoint_dir: str, sink_dirs) -> None:
+def _bind_drain_identity(
+    checkpoint_dir: str, sink_dirs, optional_sink_dirs=()
+) -> None:
     """Driver-side start guard: a checkpoint and its sink dirs must
     belong to the same drain lineage.
 
@@ -287,12 +293,21 @@ def _bind_drain_identity(checkpoint_dir: str, sink_dirs) -> None:
       (sink wiped or swapped while the checkpoint remembers
       processed files — the drain would dedup against nothing).
 
+    ``optional_sink_dirs`` are sinks a drain can legitimately turn ON
+    mid-lineage (the tokens sink under ``tokenizer_path``): under a
+    stamped checkpoint, a missing stamp on a DATA-LESS optional sink
+    is late adoption (stamp it now), not a wiped dir — but an
+    optional sink WITH batch data and no stamp, or a foreign stamp,
+    refuses exactly like a required sink.
+
     Local-filesystem paths only (the drains' deployment shape here);
     URI-schemed paths (hdfs://, s3://) skip this guard and rely on
     the per-batch id check — stated limitation, not silent."""
     import os
     import uuid
 
+    optional = {str(p) for p in optional_sink_dirs}
+    sink_dirs = [*sink_dirs, *optional_sink_dirs]
     paths = [checkpoint_dir, *sink_dirs]
     if any("://" in str(p) for p in paths):
         return
@@ -388,6 +403,20 @@ def _bind_drain_identity(checkpoint_dir: str, sink_dirs) -> None:
     for d in sink_dirs:
         m = os.path.join(d, _STREAM_ID_FILE)
         if not os.path.exists(m):
+            has_data = os.path.isdir(d) and any(
+                e.startswith("batch_id=") for e in os.listdir(d)
+            )
+            if str(d) in optional and not has_data:
+                # optional sink newly ENABLED under an existing drain:
+                # no stamp and no data means it never existed — adopt
+                # it into this lineage instead of refusing
+                os.makedirs(d, exist_ok=True)
+                with open(m, "w", encoding="utf-8") as f:
+                    f.write(
+                        f"{ckpt_id}\n"
+                        f"{os.path.realpath(checkpoint_dir)}\n"
+                    )
+                continue
             bad.append(f"{d} (stamp missing — dir wiped or replaced)")
             continue
         sid, _ = _read_stamp(m)
@@ -537,15 +566,30 @@ def start_corpus_dedup_stream(
 
         tok = load_tokenizer(tokenizer_path)  # load ONCE, never retrain
     schema = _resolve_stream_schema(spark, docs_dir, schema)
-    sink_dirs = [
-        f"{out_dir}/flags",
-        f"{out_dir}/accepted",
-        f"{index_dir}/exact",
-        f"{index_dir}/bands",
-    ]
-    if tok is not None:
-        sink_dirs.append(f"{out_dir}/tokens")
-    _bind_drain_identity(checkpoint_dir, tuple(sink_dirs))
+    tokens_dir = f"{out_dir}/tokens"
+    if tok is None and os.path.isdir(tokens_dir) and any(
+        e.startswith("batch_id=") for e in os.listdir(tokens_dir)
+    ):
+        # the drain previously wrote tokens; running WITHOUT the
+        # tokenizer leaves that sink stale while accepted keeps
+        # growing — loud, because a trainer joining tokens on doc_id
+        # would silently miss every new batch
+        log.warning(
+            "corpus drain started without tokenizer_path but %s has "
+            "token history — it will NOT be updated this run; pass "
+            "tokenizer_path to keep encoding accepted batches",
+            tokens_dir,
+        )
+    _bind_drain_identity(
+        checkpoint_dir,
+        (
+            f"{out_dir}/flags",
+            f"{out_dir}/accepted",
+            f"{index_dir}/exact",
+            f"{index_dir}/bands",
+        ),
+        optional_sink_dirs=(tokens_dir,) if tok is not None else (),
+    )
     src = spark.readStream.schema(schema).parquet(docs_dir)
     empty_docs = spark.createDataFrame([], schema)
 

@@ -3104,6 +3104,37 @@ def sim6_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_sq8_topk(emb, _ivf_centroids(emb))
 
 
+def _budgeted_probe_filter(
+    scored: DataFrame, qw, sizes: dict, candidate_frac: float
+) -> DataFrame:
+    """THE multi-probe budget rule, shared by every budgeted-probe
+    path (sim7's _ivf_sq8_topk branch, sim9/sim10's _sim9_probe) so
+    the cross-engine contract — probe centroids in ``qw`` order until
+    the cumulative cluster size reaches
+    ``max(1, int(corpus * candidate_frac))`` — can never drift
+    between operators (each is pinned against a DuckDB mirror of this
+    exact rule). ``sizes`` is the K-row cluster-size table."""
+    target = max(1, int(sum(sizes.values()) * candidate_frac))
+    size_map = F.create_map(
+        *[F.lit(x) for cid_n in sizes.items() for x in cid_n]
+    )
+    return (
+        scored.withColumn(
+            "csz", F.coalesce(size_map[F.col("centroid_id")], F.lit(0))
+        )
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("csz").over(
+                    qw.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("cum_before") < target)
+    )
+
+
 def _ivf_sq8_topk(
     emb: DataFrame,
     cent: DataFrame,
@@ -3163,25 +3194,7 @@ def _ivf_sq8_topk(
             .agg(F.count("*").alias("n"))
             .collect()
         }
-        target = max(1, int(sum(sizes.values()) * candidate_frac))
-        size_map = F.create_map(
-            *[F.lit(x) for cid_n in sizes.items() for x in cid_n]
-        )
-        probed = (
-            scored.withColumn(
-                "csz", F.coalesce(size_map[F.col("centroid_id")], F.lit(0))
-            )
-            .withColumn(
-                "cum_before",
-                F.coalesce(
-                    F.sum("csz").over(
-                        qw.rowsBetween(Window.unboundedPreceding, -1)
-                    ),
-                    F.lit(0),
-                ),
-            )
-            .filter(F.col("cum_before") < target)
-        )
+        probed = _budgeted_probe_filter(scored, qw, sizes, candidate_frac)
     q = probed.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -4927,16 +4940,17 @@ def _melt_battery(df: DataFrame, chk: str, key_s, n, v) -> DataFrame:
     """,
 )
 def llm_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite driver-correctness battery for the thirteen
+    """Composite driver-correctness battery for the fourteen
     r5/r6/r7/r8 operators outside the 50-slot registry: dd10
     duplicate spans, dd11 span scrub, dd12 SemDeDup, cur7 semantic
     decontamination, cur8 DSIR selection, cur9 DSIR Gumbel-top-k
     resample, cur10 substring decontamination, tx8 bigram-LM
     perplexity, emb1 hashed doc encoder, sim6 IVF x SQ8 ANN, and the
-    three baked-model ANN tiers — sim8 PQ/ADC, sim7 trained-IVF
-    multi-probe, sim9 IVF-PQ residual multi-probe — each under its
-    frozen serving model (suite/sim*_model.py) with a static oracle
-    generated from the same constant (VERDICT r7 #2). Every
+    four baked-model ANN tiers — sim8 PQ/ADC, sim7 trained-IVF
+    multi-probe, sim9 IVF-PQ residual multi-probe, sim10
+    trained-coarse IVF-PQ — each under its frozen serving model
+    (suite/sim*_model.py) with a static oracle generated from the
+    same constant (VERDICT r7 #2 + the r8 sim10 tier). Every
     operator's complete value set is hashed (spans+window counts,
     scrubbed-text md5, removal sets with similarities, DSIR weights
     and Gumbel keys, contamination flags, per-doc logprobs, exact
@@ -5176,7 +5190,7 @@ def _sim8_topk(emb: DataFrame, cb: list) -> DataFrame:
     ]
     scored = pq_adc_search_scan(codes, cb, queries, _SIM8_CAND)
     w_global = Window.partitionBy("query_id").orderBy(
-        F.desc("pq_score"), F.asc("vec_id")
+        F.desc_nulls_first("pq_score"), F.asc("vec_id")
     )
     cand = (
         scored.withColumn("rn", F.row_number().over(w_global))
@@ -5370,25 +5384,7 @@ def _sim9_probe(
         return scored.withColumn(
             "rn", F.row_number().over(qw)
         ).filter(F.col("rn") <= nprobe)
-    target = max(1, int(sum(sizes.values()) * candidate_frac))
-    size_map = F.create_map(
-        *[F.lit(x) for cid_n in sizes.items() for x in cid_n]
-    )
-    return (
-        scored.withColumn(
-            "csz", F.coalesce(size_map[F.col("centroid_id")], F.lit(0))
-        )
-        .withColumn(
-            "cum_before",
-            F.coalesce(
-                F.sum("csz").over(
-                    qw.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .filter(F.col("cum_before") < target)
-    )
+    return _budgeted_probe_filter(scored, qw, sizes, candidate_frac)
 
 
 def sim9_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5465,7 +5461,7 @@ def _sim9_topk(emb: DataFrame, cb: list, cent: DataFrame) -> DataFrame:
     pruned = codes.filter(F.col("centroid_id").isin(probed_cids))
     scored = pq_ivf_adc_search_scan(pruned, cb, cents, probes, _SIM8_CAND)
     w_global = Window.partitionBy("query_id").orderBy(
-        F.desc("pq_score"), F.asc("vec_id")
+        F.desc_nulls_first("pq_score"), F.asc("vec_id")
     )
     cand = (
         scored.withColumn("rn", F.row_number().over(w_global))
@@ -5602,6 +5598,17 @@ def sim10_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets bit-identical cross-engine given the rank-convention
     assignment. UNREGISTERED (50-slot cap) — oracle-compared in
     tests/test_pq.py, benched in bench.py."""
+    emb, cent, cb = _sim10_models(spark, sf_dir)
+    return _sim9_topk(emb, cb, cent)
+
+
+_SIM10_CB_CACHE: dict = {}
+
+
+def _sim10_models(spark: SparkSession, sf_dir: str):
+    """(emb, trained coarse codebook, residual PQ codebook) for sim10
+    — ONE train/cache path shared by the operator and its oracle
+    generator, so the two sides can never train different models."""
     from ..operators.pq import train_pq_codebook
     from ..operators.similarity import train_ivf_codebook
 
@@ -5623,46 +5630,24 @@ def sim10_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ks=_SIM8_KS,
         )
         _SIM10_CB_CACHE[ckey] = cb
-    return _sim9_topk(emb, cb, cent)
-
-
-_SIM10_CB_CACHE: dict = {}
+    return emb, cent, cb
 
 
 def sim10_oracle_sql(spark: SparkSession, sf_dir: str) -> str:
-    """DuckDB mirror of sim10 from the SAME trained models: coarse
-    centroids as literal VALUES, residual codebook through the
-    two-dialect generator, budgeted multi-probe."""
+    """DuckDB mirror of sim10 from the SAME trained models
+    (_sim10_models): coarse centroids as literal VALUES, residual
+    codebook through the two-dialect generator, budgeted
+    multi-probe."""
     from ..operators.pq import (
         cent_values_sql,
         pq_ivf_search_oracle_sql,
     )
-    from ..operators.similarity import train_ivf_codebook
 
-    emb = _sim8_emb(spark, sf_dir)
-    ckey = (sf_dir, _IVF_K)
-    cent = _SIM7_CODEBOOK_CACHE.get(ckey)
-    if cent is None:
-        cent = train_ivf_codebook(emb, k=_IVF_K).localCheckpoint(
-            eager=True
-        )
-        _SIM7_CODEBOOK_CACHE[ckey] = cent
+    _, cent, cb = _sim10_models(spark, sf_dir)
     cents = [
         (r["centroid_id"], list(r["cv"]))
         for r in cent.select("centroid_id", "cv").collect()
     ]
-    cb = _SIM10_CB_CACHE.get(ckey)
-    if cb is None:
-        from ..operators.pq import train_pq_codebook
-
-        cb = train_pq_codebook(
-            _sim9_residuals(emb, cent).select(
-                "vec_id", F.col("r").alias("v")
-            ),
-            m=_SIM8_M,
-            ks=_SIM8_KS,
-        )
-        _SIM10_CB_CACHE[ckey] = cb
     return pq_ivf_search_oracle_sql(
         cb,
         _IVF_K,

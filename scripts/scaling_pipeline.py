@@ -190,10 +190,15 @@ def main() -> None:
             docs = spark.read.parquet(
                 os.path.join(out_dir, "corpus")
             ).select("doc_id", "text")
+            # checkpoint: the embedding scan feeds FOUR actions
+            # (codebook sample, store write, query collect, rerank
+            # join) — uncached it would re-run per action and bill
+            # ~4x the embed cost into the timed serve stage
             emb = (
                 hashed_doc_vectors(docs)  # dim 16 -> m=8, dsub=2
                 .select(F.col("doc_id").alias("vec_id"), "v")
                 .withColumn("nrm", vec_norm("v"))
+                .localCheckpoint(eager=True)
             )
             cb = train_pq_codebook(emb, m=8, ks=16)
             store_path = os.path.join(out_dir, "pq_store")
@@ -216,7 +221,7 @@ def main() -> None:
             ]
             scored = pq_adc_search_scan(codes, cb, queries, 100)
             w_g = Window.partitionBy("query_id").orderBy(
-                F.desc("pq_score"), F.asc("vec_id")
+                F.desc_nulls_first("pq_score"), F.asc("vec_id")
             )
             cand = (
                 scored.withColumn("rn", F.row_number().over(w_g))

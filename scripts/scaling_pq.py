@@ -167,7 +167,7 @@ def main() -> None:
                 # the PRODUCTION Arrow path (r8): numpy ADC replay
                 scored = pq_adc_search_scan(codes, cb, queries, CAND)
                 w_g = Window.partitionBy("query_id").orderBy(
-                    F.desc("pq_score"), F.asc("vec_id")
+                    F.desc_nulls_first("pq_score"), F.asc("vec_id")
                 )
                 cand = (
                     scored.withColumn("rn", F.row_number().over(w_g))
@@ -307,7 +307,7 @@ def main() -> None:
                     codes_src, rescb, cents9, probes9, CAND
                 )
                 w_g = Window.partitionBy("query_id").orderBy(
-                    F.desc("pq_score"), F.asc("vec_id")
+                    F.desc_nulls_first("pq_score"), F.asc("vec_id")
                 )
                 cand = (
                     scored.withColumn("rn", F.row_number().over(w_g))

@@ -523,3 +523,25 @@ def test_sim10_static_matches_static_oracle(spark, sf):
     assert sdf["sim"].tolist() == pytest.approx(
         odf["sim"].tolist(), abs=1e-9
     )
+
+
+def test_prune_topk_nan_matches_spark_desc_semantics(spark):
+    """Per-batch prune vs Spark NaN order (review r8): an all-zero PQ
+    centroid gives n2=0 and an ADC score of 0/0 = NaN. The JVM form
+    under F.desc treats NaN as the LARGEST double (NaN rows rank
+    FIRST), so the Arrow per-batch prune must keep them too — a naive
+    lexsort on -score drops them and breaks the
+    superset-of-global-top-C invariant. Arrow transfer surfaces those
+    NaN scores as NULL on the Spark side, which is why the production
+    global windows order by desc_nulls_first: null (née NaN) ranks
+    exactly where the JVM's NaN does."""
+    from inpe_queimadas_etl_spark.operators.pq import pq_adc_search_scan
+
+    cb = [[[0.0], [1.0]]]  # m=1, ks=2, dsub=1; centroid 0 is zero
+    codes = spark.createDataFrame(
+        [(10, [0]), (11, [0]), (12, [0]), (13, [1]), (14, [1])],
+        "vec_id long, codes array<int>",
+    ).coalesce(1)  # one Arrow batch, so the per-batch prune IS the cut
+    rows = pq_adc_search_scan(codes, cb, [(99, [2.0])], cand=2).collect()
+    assert {r["vec_id"] for r in rows} == {10, 11}  # NaN first, id asc
+    assert all(r["pq_score"] is None for r in rows)  # Arrow NaN->null

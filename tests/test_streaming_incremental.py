@@ -756,3 +756,62 @@ def test_drain_encodes_under_frozen_tokenizer(spark, dirs, tmp_path):
         for r in tokens.select("batch_id").distinct().collect()
     }
     assert parts == {0, 1}
+
+
+def test_tokenizer_enabled_mid_lineage_adopts_tokens_sink(
+    spark, dirs, tmp_path
+):
+    """Review r8: enabling --bpe-tokenizer on an EXISTING drain must
+    not refuse startup — the data-less tokens sink is adopted into
+    the lineage (stamped late) and carries only batches encoded from
+    then on; earlier batches' docs stay un-encoded by design."""
+    from inpe_queimadas_etl_spark.operators.bpe import (
+        bpe_vocab,
+        corpus_word_counts,
+        save_tokenizer,
+        train_bpe,
+    )
+
+    train_docs = spark.createDataFrame(
+        [(i, _doc(300 + i)) for i in range(4)],
+        "doc_id long, text string",
+    )
+    counts = corpus_word_counts(train_docs)
+    merges = train_bpe(counts, 20)
+    art = save_tokenizer(
+        str(tmp_path / "tok.json"), merges, bpe_vocab(counts, merges)
+    )
+
+    def drain(tokenizer=None):
+        q = start_corpus_dedup_stream(
+            spark,
+            docs_dir=dirs["docs"],
+            index_dir=dirs["index"],
+            out_dir=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+            available_now=True,
+            tokenizer_path=tokenizer,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # batch 0 runs WITHOUT a tokenizer (stamps ckpt + 4 sinks)
+    _write_batch(spark, dirs["docs"], [(0, _doc(1)), (1, _doc(2))], "b1")
+    drain()
+    assert not os.path.exists(os.path.join(dirs["out"], "tokens"))
+    # batch 1 enables the tokenizer mid-lineage — must ADOPT, not
+    # refuse, and encode only this batch's survivors
+    _write_batch(spark, dirs["docs"], [(2, _doc(3))], "b2")
+    drain(tokenizer=art["path"])
+    tokens = spark.read.parquet(
+        os.path.join(dirs["out"], "tokens")
+    ).toPandas()
+    assert set(tokens["doc_id"]) == {2}
+    assert set(tokens["batch_id"]) == {1}
+    # and a THIRD run with the tokenizer still on resumes cleanly
+    _write_batch(spark, dirs["docs"], [(3, _doc(4))], "b3")
+    drain(tokenizer=art["path"])
+    tokens = spark.read.parquet(
+        os.path.join(dirs["out"], "tokens")
+    ).toPandas()
+    assert set(tokens["doc_id"]) == {2, 3}
