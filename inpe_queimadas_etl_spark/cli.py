@@ -525,7 +525,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if (
+        args.cmd == "corpus-dedup"
+        and args.embeddings
+        and args.bpe_tokenizer
+    ):
+        # reject the incompatible pair BEFORE Spark session startup
+        # (ADVICE r8): the runtime check inside cmd_corpus_dedup made
+        # the user pay JVM spin-up to learn the flags don't combine
+        parser.error(
+            "--bpe-tokenizer applies to the document drain only "
+            "(drop it or drop --embeddings)"
+        )
     _setup_logging(getattr(args, "log_dir", None))
     if args.cmd == "run":
         return cmd_run(args)

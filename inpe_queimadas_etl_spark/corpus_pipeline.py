@@ -570,7 +570,6 @@ def run_corpus_pipeline(
             corpus_word_counts,
             save_tokenizer,
             load_tokenizer,
-            tokenizer_sha256,
             train_bpe,
         )
 
@@ -580,11 +579,18 @@ def run_corpus_pipeline(
             # guaranteed identical to the run that produced it
             # (hash-verifiable via the manifest fingerprint)
             merges, vocab = load_tokenizer(bpe_tokenizer)
-            artifact = {
-                "path": bpe_tokenizer,
-                "sha256": tokenizer_sha256(merges, vocab),
-                "trained": False,
-            }
+            # re-save a co-located copy into out_dir (ADVICE r8): the
+            # caller's path may be relative or later moved/deleted,
+            # and the export must be self-contained — a downstream
+            # consumer gets a resolvable artifact to verify against
+            # the manifest sha256, not just the fingerprint. The
+            # canonical payload is identical, so the copy's sha256
+            # equals the source's by construction.
+            artifact = save_tokenizer(
+                os.path.join(out_dir, "tokenizer.json"), merges, vocab
+            )
+            artifact["source_path"] = bpe_tokenizer
+            artifact["trained"] = False
         else:
             counts = corpus_word_counts(final.select("doc_id", "text"))
             merges = train_bpe(counts, bpe_merges)

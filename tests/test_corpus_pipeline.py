@@ -1271,7 +1271,13 @@ def test_bpe_tokenizer_artifact_and_frozen_reuse(spark, tmp_path):
     assert art_b["sha256"] == art["sha256"]
     assert m_b["tokenizer"]["merges_requested"] is None
     assert m_b["tokenizer"]["merges_learned"] == len(merges)
-    assert not os.path.exists(os.path.join(out_b, "tokenizer.json"))
+    # the frozen path re-saves a CO-LOCATED copy so the export is
+    # self-contained (ADVICE r8): same canonical payload, same sha,
+    # with the caller's source path recorded alongside
+    assert art_b["path"] == os.path.join(out_b, "tokenizer.json")
+    assert art_b["source_path"] == art["path"]
+    m2, v2 = load_tokenizer(art_b["path"])
+    assert tokenizer_sha256(m2, v2) == art["sha256"]
 
     # written token lineage == counts under the FROZEN table
     docs_b = spark.read.parquet(

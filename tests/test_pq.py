@@ -228,10 +228,11 @@ def sim9_probe_map(spark):
 
     from inpe_queimadas_etl_spark.suite.llmdata import (
         _SIM9_FRAC,
+        _cluster_sizes,
+        _ivf_assign,
         _ivf_centroids,
         _sim8_emb,
         _sim9_probe,
-        _sim9_sizes,
     )
 
     emb = _sim8_emb(spark, SF001)
@@ -240,7 +241,7 @@ def sim9_probe_map(spark):
         _sim9_probe(
             emb,
             cent,
-            sizes=_sim9_sizes(emb, cent),
+            sizes=_cluster_sizes(_ivf_assign(emb, centroids=cent)),
             candidate_frac=_SIM9_FRAC,
         )
         .groupBy(F.col("vec_id").alias("query_id"))
