@@ -427,6 +427,89 @@ def pq_encode(
     )
 
 
+def pq_ivf_encode(
+    df: DataFrame,
+    cents: Sequence[tuple[int, Sequence[float], float]],
+    cb: Codebook,
+    vec_col: str = "v",
+    nrm_col: str = "nrm",
+    id_col: str = "vec_id",
+    block: int = 1024,
+) -> DataFrame:
+    """FUSED IVF-PQ store build (VERDICT r8 #3): coarse assignment +
+    residual + PQ encode in ONE Arrow-batched mapInPandas scan —
+    ``(id, centroid_id, codes)`` — replacing the three-stage
+    compositional path (JVM/Arrow assign -> broadcast join + unrolled
+    ``arr_sub`` residual -> separate ``pq_encode`` scan), whose cost
+    dominated the sim9/sim10 build (37.2 s vs sim8's 7.7 s at 1M,
+    SCALING.md).
+
+    Bit-exactness is by SHARED CODE and IEEE replay, not argument:
+
+    - assignment calls the same ``assign_nearest_block`` core the
+      production `_ivf_assign` UDF runs (max cosine, ties to lowest
+      centroid id; a zero-norm row keeps centroid 0 exactly like the
+      compositional join);
+    - the residual is ONE numpy subtraction per element —
+      bit-identical to the unrolled ``arr_sub`` expression (one IEEE
+      op per element, no reassociation);
+    - the encode replays ``pq_encode``'s left-to-right ``(c - r)^2``
+      accumulation chain verbatim.
+
+    Pinned equal to the compositional path at sf0.001/sf0.01 in
+    tests/test_pq.py. ``cents`` is the driver-collected K-row coarse
+    codebook ``(centroid_id, cv, cn)`` ascending by id with ids
+    0..K-1 (the `_ivf_centroids` contract — ``best_id`` indexes the
+    centroid matrix directly). Zero shuffle; per-batch cost is the
+    assignment GEMM plus m encode matrix ops, all at memory
+    bandwidth."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import assign_nearest_block
+
+    ids = [c[0] for c in cents]
+    if ids != list(range(len(ids))):
+        raise ValueError(
+            "coarse codebook must ascend with centroid_id 0..K-1, got "
+            f"{ids[:8]}..."
+        )
+    cmat = np.array([c[1] for c in cents], dtype=np.float64).T  # dim,K
+    cns = np.array([c[2] for c in cents], dtype=np.float64)  # (K,)
+    CV = cmat.T.copy()  # (K, dim) row-major for the residual gather
+    m, ks, dsub = len(cb), len(cb[0]), len(cb[0][0])
+    C = np.array(cb, dtype=np.float64)  # (m, ks, dsub)
+
+    def fused(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nrm = pdf[nrm_col].to_numpy(np.float64)
+            _, best_id = assign_nearest_block(X, nrm, cmat, cns, block)
+            R = X - CV[best_id]  # one IEEE sub per element == arr_sub
+            n = R.shape[0]
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                S = R[:, j * dsub : (j + 1) * dsub]
+                acc = (C[j][None, :, 0] - S[:, 0:1]) ** 2
+                for i in range(1, dsub):
+                    t = (C[j][None, :, i] - S[:, i : i + 1]) ** 2
+                    acc = acc + t
+                codes[:, j] = acc.argmin(axis=1)  # ties -> lowest k
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "centroid_id": best_id,
+                    "codes": list(codes),
+                }
+            )
+
+    return df.select(id_col, vec_col, nrm_col).mapInPandas(
+        fused, f"{id_col} long, centroid_id long, codes array<int>"
+    )
+
+
 def cent_values_sql(
     cents: Sequence[tuple[int, Sequence[float]]]
 ) -> str:

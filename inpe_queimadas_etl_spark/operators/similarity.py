@@ -262,6 +262,48 @@ def cosine(a_col: str, b_col: str) -> Column:
     )
 
 
+def assign_nearest_block(mat, nrm, cmat, cns, block: int = 1024):
+    """THE blocked nearest-centroid argmax core, shared by
+    :func:`nearest_centroid` (the Arrow assignment UDF) and the fused
+    IVF-PQ store build (``operators.pq.pq_ivf_encode``) so the two
+    paths are bit-identical by SHARED CODE, not by argument.
+
+    ``mat`` is ``(n, dim)`` float64 vectors, ``nrm`` their ``(n,)``
+    norms, ``cmat`` the ``(dim, K)`` centroid matrix, ``cns`` the
+    ``(K,)`` centroid norms. Returns ``(best_sim, best_id)`` float64 /
+    int64 arrays — max cosine, ties to the LOWEST centroid id, IEEE
+    sequence identical to the JVM zip_with/fold expression (see
+    :func:`nearest_centroid`'s docstring for the replay argument).
+    A row with no finite csim (zero-norm vector) keeps
+    ``best_sim=-inf`` and ``best_id=0`` — the caller decides whether
+    that maps to NULL (the UDF) or stays centroid 0 (the encoder,
+    matching `_ivf_assign`'s join behavior)."""
+    import numpy as np
+
+    n = mat.shape[0]
+    dim, k = cmat.shape
+    best_sim = np.full(n, -np.inf)
+    best_id = np.zeros(n, dtype=np.int64)
+    for lo in range(0, k, block):
+        hi = min(lo + block, k)
+        acc = np.zeros((n, hi - lo), dtype=np.float64)
+        for d in range(dim):
+            acc += mat[:, d : d + 1] * cmat[d, lo:hi]
+        denom = nrm[:, None] * cns[None, lo:hi]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            csim = acc / denom
+        csim[denom == 0.0] = -np.inf
+        # strict > in ascending-id order == ties to lowest id;
+        # argmax within the block keeps the block's lowest id too
+        # (np.argmax returns the FIRST maximum)
+        bi = np.argmax(csim, axis=1)
+        bs = csim[np.arange(n), bi]
+        upd = bs > best_sim
+        best_sim[upd] = bs[upd]
+        best_id[upd] = bi[upd] + lo
+    return best_sim, best_id
+
+
 def nearest_centroid(
     vec_col: str,
     nrm_col: str,
@@ -315,7 +357,6 @@ def nearest_centroid(
     assert ids == sorted(ids), "codebook must ascend by centroid_id"
     cmat = np.array([c[1] for c in centroids], dtype=np.float64).T  # dim,K
     cns = np.array([c[2] for c in centroids], dtype=np.float64)  # (K,)
-    k = len(centroids)
 
     def _assign_fn(vs, nrms):
         if len(vs) == 0:
@@ -327,26 +368,7 @@ def nearest_centroid(
             )
         mat = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
         nrm = nrms.to_numpy(dtype=np.float64)
-        n = mat.shape[0]
-        best_sim = np.full(n, -np.inf)
-        best_id = np.zeros(n, dtype=np.int64)
-        for lo in range(0, k, block):
-            hi = min(lo + block, k)
-            acc = np.zeros((n, hi - lo), dtype=np.float64)
-            for d in range(dim):
-                acc += mat[:, d : d + 1] * cmat[d, lo:hi]
-            denom = nrm[:, None] * cns[None, lo:hi]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                csim = acc / denom
-            csim[denom == 0.0] = -np.inf
-            # strict > in ascending-id order == ties to lowest id;
-            # argmax within the block keeps the block's lowest id too
-            # (np.argmax returns the FIRST maximum)
-            bi = np.argmax(csim, axis=1)
-            bs = csim[np.arange(n), bi]
-            upd = bs > best_sim
-            best_sim[upd] = bs[upd]
-            best_id[upd] = bi[upd] + lo
+        best_sim, best_id = assign_nearest_block(mat, nrm, cmat, cns, block)
         out_sim = pd.Series(best_sim, dtype="float64")
         out_sim[~np.isfinite(best_sim)] = None  # all-null csim row
         return pd.DataFrame(

@@ -5416,24 +5416,24 @@ def _sim9_topk(emb: DataFrame, cb: list, cent: DataFrame) -> DataFrame:
     (first-K demo coarse codebook + per-corpus residual codebook) and
     sim9_static_ivfpq (baked battery model) — one implementation, so
     the two paths cannot drift (the _sim8_topk convention)."""
-    from ..operators.pq import pq_encode, pq_ivf_adc_search_scan
+    from ..operators.pq import pq_ivf_encode, pq_ivf_adc_search_scan
 
     # materialize the code store once (the deployment shape — the
     # store IS a persisted artifact) and derive the multi-probe
     # cluster sizes from IT, instead of a second full-corpus
     # assignment scan (the sizes are a K-row side artifact of the
-    # store build — _cluster_sizes, the one implementation)
-    codes = pq_encode(
-        _sim9_residuals(emb, cent),
-        cb,
-        vec_col="r",
-        carry_cols=("centroid_id",),
-    ).localCheckpoint(eager=True)
+    # store build — _cluster_sizes, the one implementation).
+    # The build is the FUSED Arrow pass since r9 (VERDICT r8 #3):
+    # assign + residual + encode in one numpy scan, bit-equal to the
+    # compositional _sim9_residuals -> pq_encode path kept in
+    # sim9_ivfpq_ann_ref (pinned in tests/test_pq.py).
+    cents3 = sorted(
+        (r["centroid_id"], list(r["cv"]), r["cn"])
+        for r in cent.select("centroid_id", "cv", "cn").collect()
+    )
+    codes = pq_ivf_encode(emb, cents3, cb).localCheckpoint(eager=True)
     sizes = _cluster_sizes(codes)
-    cents = [
-        (r["centroid_id"], list(r["cv"]))
-        for r in cent.select("centroid_id", "cv").collect()
-    ]
+    cents = [(cid, cv) for cid, cv, _ in cents3]
     probes = [
         (r["vec_id"], r["centroid_id"], list(r["v"]))
         for r in _sim9_probe(

@@ -546,3 +546,55 @@ def test_prune_topk_nan_matches_spark_desc_semantics(spark):
     rows = pq_adc_search_scan(codes, cb, [(99, [2.0])], cand=2).collect()
     assert {r["vec_id"] for r in rows} == {10, 11}  # NaN first, id asc
     assert all(r["pq_score"] is None for r in rows)  # Arrow NaN->null
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_fused_ivfpq_encode_matches_compositional_exactly(spark, sf):
+    """VERDICT r8 #3: the fused Arrow store build (assign + residual +
+    encode in one numpy scan, pq_ivf_encode) must be BIT-EQUAL to the
+    compositional path (_ivf_assign -> broadcast-join residual via the
+    unrolled arr_sub expression -> separate pq_encode scan) — same
+    assignment, same codes, every row."""
+    from inpe_queimadas_etl_spark.operators.pq import (
+        pq_encode,
+        pq_ivf_encode,
+    )
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        _ivf_centroids,
+        _sim9_codebook,
+        _sim9_residuals,
+    )
+
+    emb = _sim8_emb(spark, sf)
+    cb = _sim9_codebook(emb, sf)
+    cent = _ivf_centroids(emb)
+    cents3 = sorted(
+        (r["centroid_id"], list(r["cv"]), r["cn"])
+        for r in cent.select("centroid_id", "cv", "cn").collect()
+    )
+    fused = {
+        r["vec_id"]: (r["centroid_id"], tuple(r["codes"]))
+        for r in pq_ivf_encode(emb, cents3, cb).collect()
+    }
+    comp = {
+        r["vec_id"]: (r["centroid_id"], tuple(r["codes"]))
+        for r in pq_encode(
+            _sim9_residuals(emb, cent),
+            cb,
+            vec_col="r",
+            carry_cols=("centroid_id",),
+        ).collect()
+    }
+    assert fused == comp
+
+
+def test_fused_ivfpq_encode_rejects_sparse_codebook(spark):
+    """best_id indexes the centroid matrix positionally, so ids must
+    be 0..K-1 — a gapped codebook is a contract violation, refused
+    loudly instead of silently mis-assigning."""
+    from inpe_queimadas_etl_spark.operators.pq import pq_ivf_encode
+
+    emb = _sim8_emb(spark, SF0001)
+    cb = _sim8_codebook(emb, SF0001)
+    with pytest.raises(ValueError, match="0..K-1"):
+        pq_ivf_encode(emb, [(0, [0.0] * 64, 0.0), (2, [0.0] * 64, 0.0)], cb)
