@@ -297,6 +297,140 @@ def _ep_validate(ctx: ApiContext, params: dict) -> dict:
     return out
 
 
+def _ann_budget_probes(
+    cents3: list, query_vecs: list, sizes: dict, frac: float
+) -> list:
+    """Driver-side replay of THE budgeted multi-probe rule
+    (`suite.llmdata._budgeted_probe_filter` — probe centroids in
+    (desc csim, asc centroid_id) order until the cumulative assigned
+    cluster size reaches ``max(1, int(corpus * frac))``), over
+    CALLER-SUPPLIED query vectors. Bit-faithful to the Spark form:
+    the cosine is the same left-associated dot chain / one multiply /
+    one divide (`_np_dot`, `_vec_norm_replay` — the IEEE replay
+    argument), try_divide's NULL on a zero denominator maps to
+    rank-last exactly like desc-nulls-last, and the budget integer is
+    the same ``int()`` truncation. K-row x Q work on the driver — the
+    probe list is bounded serving state, never a Spark job.
+
+    Returns ``[(query_id, centroid_id, qv), ...]`` — the
+    `pq_ivf_adc_search_scan` probe contract."""
+    from .operators.pq import _np_dot, _vec_norm_replay
+
+    target = max(1, int(sum(sizes.values()) * frac))
+    probes = []
+    for qid, qv in query_vecs:
+        qv = [float(x) for x in qv]
+        nq = _vec_norm_replay(qv)
+        ranked = []
+        for cid, cv, cn in cents3:
+            den = nq * cn
+            csim = None if den == 0.0 else _np_dot(qv, cv) / den
+            ranked.append((cid, csim))
+        ranked.sort(
+            key=lambda t: (t[1] is None, -(t[1] or 0.0), t[0])
+        )
+        cum = 0
+        for cid, _csim in ranked:
+            if cum >= target:
+                break
+            probes.append((int(qid), int(cid), qv))
+            cum += sizes.get(cid, 0)
+    return probes
+
+
+def ann_topk(
+    spark: SparkSession,
+    store_path: str,
+    model_path: str,
+    query_vecs: list,
+    k: int = 5,
+    rerank_with: DataFrame | None = None,
+    expected_sha256: str | None = None,
+) -> DataFrame:
+    """Parameterized ANN serving over FROZEN artifacts (VERDICT r8 #1
+    — the §2.11 posture, reference api/app/main.py:1509-1594's
+    parameterized top-k, applied to similarity search): load a
+    `save_ann_model` artifact, probe CALLER-SUPPLIED query vectors
+    against its coarse codebook under the budgeted multi-probe rule,
+    ADC-score ONLY probed clusters of the persisted
+    centroid_id-partitioned code store (physically partition pruning
+    — only probed clusters' files are read), and return top-``k`` per
+    query.
+
+    ``query_vecs`` is ``[(query_id, [float, ...]), ...]`` — few-row
+    serving state by contract (each query's LUT rides the scan
+    closure). A store row whose vec_id equals a query_id is treated
+    as that query's self-match and skipped (the sim8/sim9
+    convention). ``rerank_with`` (optional ``(vec_id, v)`` DataFrame,
+    e.g. the raw embeddings table) switches the tail to exact cosine
+    rerank over the top-``cand`` ADC candidates — the shared
+    `_score_rank_top5` tail with ``k`` passed through, so served
+    rows CANNOT drift from the oracle-pinned sim9/sim10 semantics;
+    without it, results rank by ADC score alone (the store carries no
+    raw vectors — 100 TB serving reads 12-16 B/vector of codes).
+
+    Refusals (the load_tokenizer stance): a model artifact failing
+    ``expected_sha256``, and a store stamped with a DIFFERENT model's
+    sha (`read_ann_store`) — mismatched codes decode to plausible
+    garbage, so they must never be served."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators.pq import (
+        load_ann_model,
+        pq_ivf_adc_search_scan,
+        read_ann_store,
+    )
+    from .operators.similarity import vec_norm
+    from .suite.llmdata import _cluster_sizes, _score_rank_top5
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    model = load_ann_model(model_path, expected_sha256=expected_sha256)
+    if any(len(qv) != model["dim"] for _, qv in query_vecs):
+        raise ValueError(
+            f"query vectors must have dim {model['dim']} (the model's)"
+        )
+    store = read_ann_store(spark, store_path, model)
+    sizes = _cluster_sizes(store)
+    probes = _ann_budget_probes(
+        model["cents3"], query_vecs, sizes, model["frac"]
+    )
+    probed_cids = sorted({cid for _, cid, _ in probes})
+    # literal IN below the scan == partition pruning on the
+    # partitioned store (the sim9 PartitionFilter pin, now physical)
+    pruned = store.filter(F.col("centroid_id").isin(probed_cids))
+    cand = max(int(model["cand"]), k)
+    scored = pq_ivf_adc_search_scan(
+        pruned, model["cb"], model["cents"], probes, cand
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_first("pq_score"), F.asc("vec_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w_global))
+    if rerank_with is None:
+        return ranked.filter(F.col("rn") <= k).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rn").cast("long").alias("rank"),
+            F.col("pq_score").alias("score"),
+        )
+    q = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in query_vecs],
+        "query_id long, qv array<double>",
+    ).withColumn("nq", vec_norm("qv"))
+    cand_ids = ranked.filter(F.col("rn") <= cand).select(
+        "query_id", "vec_id"
+    )
+    vecs = rerank_with.select("vec_id", "v")
+    if "nrm" in rerank_with.columns:
+        vecs = rerank_with.select("vec_id", "v", F.col("nrm").alias("nv"))
+    else:
+        vecs = vecs.withColumn("nv", vec_norm("v"))
+    paired = cand_ids.join(vecs, "vec_id").join(F.broadcast(q), "query_id")
+    return _score_rank_top5(paired, k=k)
+
+
 _ROUTES = {
     "/health": (_ep_health, False),
     "/api/timeseries/total": (_ep_timeseries_total, True),

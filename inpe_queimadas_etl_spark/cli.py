@@ -242,6 +242,10 @@ def cmd_corpus_dedup(args) -> int:
         raise SystemExit(
             "--bpe-tokenizer applies to the document drain only"
         )
+    if not args.embeddings and args.ann_model:
+        extra["ann_model_path"] = args.ann_model
+    elif args.embeddings and args.ann_model:
+        raise SystemExit("--ann-model applies to the document drain only")
     q = starter(
         spark,
         **{src_kw: args.docs_dir},
@@ -394,6 +398,16 @@ def build_parser() -> argparse.ArgumentParser:
         "identical to the training run's, never a retrain (document "
         "drain only)",
     )
+    cdp.add_argument(
+        "--ann-model",
+        default=None,
+        help="frozen IVF-PQ model artifact (save_ann_model): each "
+        "batch's accepted survivors are embedded and residual-PQ "
+        "encoded under it into OUT_DIR/ann_store — append-only "
+        "serving-store maintenance under frozen codebooks; a "
+        "different model against an existing ann_store is refused "
+        "(document drain only)",
+    )
     cdp.add_argument("--log-dir")
 
     cur = sub.add_parser(
@@ -527,18 +541,20 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
-    if (
-        args.cmd == "corpus-dedup"
-        and args.embeddings
-        and args.bpe_tokenizer
-    ):
-        # reject the incompatible pair BEFORE Spark session startup
+    if args.cmd == "corpus-dedup" and args.embeddings:
+        # reject incompatible pairs BEFORE Spark session startup
         # (ADVICE r8): the runtime check inside cmd_corpus_dedup made
         # the user pay JVM spin-up to learn the flags don't combine
-        parser.error(
-            "--bpe-tokenizer applies to the document drain only "
-            "(drop it or drop --embeddings)"
-        )
+        if args.bpe_tokenizer:
+            parser.error(
+                "--bpe-tokenizer applies to the document drain only "
+                "(drop it or drop --embeddings)"
+            )
+        if args.ann_model:
+            parser.error(
+                "--ann-model applies to the document drain only "
+                "(drop it or drop --embeddings)"
+            )
     _setup_logging(getattr(args, "log_dir", None))
     if args.cmd == "run":
         return cmd_run(args)

@@ -91,6 +91,17 @@ def train_pq_codebook(
         .collect()
     )
     X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    return _pq_lloyd(X, m, ks, iters)
+
+
+def _pq_lloyd(X, m: int, ks: int, iters: int) -> list[list[list[float]]]:
+    """The per-subspace Lloyd loop over an in-memory sample matrix —
+    extracted so `train_pq_codebook` (DataFrame front) and
+    `train_ann_model` (residual-sample front) fit codebooks through
+    ONE implementation (identical init, tie and empty-centroid rules,
+    so the same training matrix always yields the same codebook)."""
+    import numpy as np
+
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -959,3 +970,281 @@ FROM (
     ) AS rank FROM rerank
 ) WHERE rank <= 5
 """
+
+
+# --------------------------------------------------------------------------
+# the persisted ANN model artifact + store (VERDICT r8 #1)
+# --------------------------------------------------------------------------
+# The tokenizer pattern (operators/bpe.py save_tokenizer/load_tokenizer)
+# applied to the PQ tier: an IVF-PQ model — coarse centroids + residual
+# codebook + the serving knobs (frac, cand) — becomes ONE canonical,
+# sha256-stamped JSON artifact. Train once, serve forever: a fresh
+# session loads the frozen model and searches the persisted code store
+# with results identical to the training session (floats round-trip
+# exactly through JSON repr; everything downstream is the same IEEE
+# replay). The store itself is stamped with the model's sha at build
+# time, so serving a store under the WRONG model is refused instead of
+# silently returning garbage codes decoded by mismatched tables.
+
+ANN_MODEL_FORMAT = "ann-ivfpq-v1"
+ANN_STORE_META = "_ann_model.json"  # underscore: parquet readers skip it
+
+
+def _ann_payload(
+    cents: Sequence[tuple[int, Sequence[float]]],
+    cb: Codebook,
+    frac: float,
+    cand: int,
+) -> bytes:
+    """Canonical artifact bytes (sorted keys, no whitespace — the
+    save_tokenizer convention): the sha256 identifies model CONTENT,
+    not formatting. Floats serialize via json's repr-shortest form,
+    which round-trips every IEEE double exactly."""
+    import json
+
+    return json.dumps(
+        {
+            "format": ANN_MODEL_FORMAT,
+            "dim": len(cents[0][1]),
+            "m": len(cb),
+            "ks": len(cb[0]),
+            "frac": float(frac),
+            "cand": int(cand),
+            "coarse": [
+                [int(cid), [float(x) for x in cv]] for cid, cv in cents
+            ],
+            "codebook": [
+                [[float(x) for x in c] for c in sub] for sub in cb
+            ],
+        },
+        sort_keys=True,
+        separators=(",", ":"),
+    ).encode()
+
+
+def ann_model_sha256(
+    cents: Sequence[tuple[int, Sequence[float]]],
+    cb: Codebook,
+    frac: float,
+    cand: int = 100,
+) -> str:
+    """Content fingerprint — identical whether the model was just
+    trained or loaded from an artifact (same canonical payload), so a
+    consumer verifies two runs used the SAME model by hash equality
+    (the tokenizer_sha256 convention)."""
+    import hashlib
+
+    return hashlib.sha256(_ann_payload(cents, cb, frac, cand)).hexdigest()
+
+
+def save_ann_model(
+    path: str,
+    cents: Sequence[tuple[int, Sequence[float]]],
+    cb: Codebook,
+    frac: float,
+    cand: int = 100,
+) -> dict:
+    """Persist a trained IVF-PQ model and return ``{"path", "sha256"}``
+    for the manifest. ``cents`` is the K-row coarse codebook as
+    ``(centroid_id, cv)`` pairs ascending with ids 0..K-1 (the
+    `_ivf_centroids` contract — enforced, because `pq_ivf_encode` and
+    the probe replay index it positionally); centroid norms are NOT
+    stored — they are derived at load time by the same IEEE chain
+    `vec_norm` runs, so they cannot drift from the vectors."""
+    import hashlib
+    import os
+
+    ids = [int(cid) for cid, _ in cents]
+    if ids != list(range(len(ids))):
+        raise ValueError(
+            f"coarse codebook must ascend with centroid_id 0..K-1, "
+            f"got {ids[:8]}..."
+        )
+    dim = len(cents[0][1])
+    if any(len(cv) != dim for _, cv in cents):
+        raise ValueError("coarse centroids must share one dimension")
+    if dim != len(cb) * len(cb[0][0]):
+        raise ValueError(
+            f"codebook geometry m*dsub = {len(cb)}*{len(cb[0][0])} "
+            f"does not cover dim {dim}"
+        )
+    payload = _ann_payload(cents, cb, frac, cand)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)  # atomic publish, the WAP convention
+    return {"path": path, "sha256": hashlib.sha256(payload).hexdigest()}
+
+
+def _vec_norm_replay(v: Sequence[float]) -> float:
+    """`vec_norm`'s fold in Python floats: sqrt of the left-to-right
+    sum of squares (the 0.0 seed is exact, math.sqrt and the JVM sqrt
+    are both correctly rounded) — bit-identical to the Spark column,
+    so norms derived from artifact floats equal the training
+    session's."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def load_ann_model(path: str, expected_sha256: str | None = None) -> dict:
+    """Load a `save_ann_model` artifact: ``{"cents": [(cid, cv)],
+    "cents3": [(cid, cv, cn)], "cb", "frac", "cand", "dim", "m", "ks",
+    "sha256"}`` — the exact shapes `pq_ivf_encode` /
+    `pq_ivf_adc_search_scan` / the probe replay consume.
+
+    Refuses non-artifacts (wrong format tag), geometry-inconsistent
+    payloads, and — when ``expected_sha256`` is given — content drift
+    (the load_tokenizer stance: a serving path pinned to a manifest
+    hash must fail loudly on a swapped model, never search under
+    it)."""
+    import hashlib
+    import json
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    sha = hashlib.sha256(raw).hexdigest()
+    if expected_sha256 is not None and sha != expected_sha256:
+        raise ValueError(
+            f"ANN model {path!r} sha256 {sha[:12]}... does not match "
+            f"expected {expected_sha256[:12]}... — the artifact "
+            "changed since it was pinned; retrain/re-pin instead of "
+            "serving under a drifted model"
+        )
+    data = json.loads(raw)
+    if data.get("format") != ANN_MODEL_FORMAT:
+        raise ValueError(
+            f"not an {ANN_MODEL_FORMAT} artifact: {path!r} "
+            f"(format={data.get('format')!r})"
+        )
+    cents = [(int(cid), [float(x) for x in cv]) for cid, cv in data["coarse"]]
+    cb = [
+        [[float(x) for x in c] for c in sub] for sub in data["codebook"]
+    ]
+    dim, m, ks = int(data["dim"]), int(data["m"]), int(data["ks"])
+    if (
+        len(cb) != m
+        or any(len(sub) != ks for sub in cb)
+        or dim != m * len(cb[0][0])
+        or any(len(cv) != dim for _, cv in cents)
+    ):
+        raise ValueError(f"ANN model {path!r} geometry is inconsistent")
+    return {
+        "cents": cents,
+        "cents3": [(cid, cv, _vec_norm_replay(cv)) for cid, cv in cents],
+        "cb": cb,
+        "frac": float(data["frac"]),
+        "cand": int(data["cand"]),
+        "dim": dim,
+        "m": m,
+        "ks": ks,
+        "sha256": sha,
+    }
+
+
+def build_ann_store(
+    emb: DataFrame,
+    model: dict,
+    store_path: str,
+    mode: str = "error",
+) -> None:
+    """Materialize the serving code store under a FROZEN model: one
+    fused Arrow scan (`pq_ivf_encode`) writing ``(vec_id, codes)``
+    parquet PARTITIONED BY centroid_id — the physical layout that
+    turns the probed-cluster filter into partition pruning (only
+    probed clusters' files are read; the deployment shape the sim9
+    PartitionFilter pin documents). The model's sha256 is stamped
+    into ``store_path/_ann_model.json`` so `ann_topk` can refuse a
+    store/model mismatch."""
+    import json
+    import os
+
+    pq_ivf_encode(emb, model["cents3"], model["cb"]).write.mode(
+        mode
+    ).partitionBy("centroid_id").parquet(store_path)
+    meta = {"format": ANN_MODEL_FORMAT, "model_sha256": model["sha256"]}
+    with open(os.path.join(store_path, ANN_STORE_META), "w") as f:
+        json.dump(meta, f)
+
+
+def read_ann_store(spark, store_path: str, model: dict) -> DataFrame:
+    """Open a `build_ann_store` parquet, refusing a model mismatch:
+    the codes are meaningless under any other codebook, so a swapped
+    model must fail loudly, not return plausible garbage."""
+    import json
+    import os
+
+    meta_path = os.path.join(store_path, ANN_STORE_META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("model_sha256") != model["sha256"]:
+            raise ValueError(
+                f"store {store_path!r} was encoded under model "
+                f"{str(meta.get('model_sha256'))[:12]}..., not the "
+                f"loaded {model['sha256'][:12]}... — rebuild the "
+                "store or load the matching artifact"
+            )
+    return spark.read.parquet(store_path)
+
+
+def train_ann_model(
+    emb: DataFrame,
+    k: int = 64,
+    m: int = 8,
+    ks: int = 16,
+    frac: float = 0.1,
+    cand: int = 100,
+    sample_n: int = 4096,
+) -> dict:
+    """One-call IVF-PQ model training over ``(vec_id, v, nrm)`` — the
+    sim10 composition (MLlib-KMeans coarse quantizer + residual PQ,
+    Jégou et al. 2011 §V) packaged for the artifact path: returns the
+    same dict shape `load_ann_model` yields, ready for
+    `save_ann_model` / `build_ann_store` / `api.ann_topk`.
+
+    The residual codebook trains on the first ``sample_n`` vectors'
+    residuals (the train_pq_codebook sampling convention — a codebook
+    is fit on a bounded sample, never the corpus), assigned and
+    subtracted through the same numpy replay the fused store build
+    runs, then fit by the shared `_pq_lloyd` loop — so a model trained
+    here and a store encoded under it are consistent by
+    construction."""
+    import numpy as np
+
+    from .similarity import assign_nearest_block, train_ivf_codebook
+
+    cent = train_ivf_codebook(emb, k=k)
+    cents3 = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["cv"]], float(r["cn"]))
+        for r in cent.select("centroid_id", "cv", "cn").collect()
+    )
+    rows = (
+        emb.select("vec_id", "v", "nrm")
+        .orderBy("vec_id")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    nrm = np.array([r["nrm"] for r in rows], dtype=np.float64)
+    cmat = np.array([c[1] for c in cents3], dtype=np.float64).T
+    cns = np.array([c[2] for c in cents3], dtype=np.float64)
+    _, best_id = assign_nearest_block(X, nrm, cmat, cns)
+    R = X - cmat.T[best_id]
+    cb = _pq_lloyd(R, m, ks, iters=8)
+    cents = [(cid, cv) for cid, cv, _ in cents3]
+    return {
+        "cents": cents,
+        "cents3": cents3,
+        "cb": cb,
+        "frac": float(frac),
+        "cand": int(cand),
+        "dim": X.shape[1],
+        "m": m,
+        "ks": ks,
+        "sha256": ann_model_sha256(cents, cb, frac, cand),
+    }

@@ -433,6 +433,36 @@ def _bind_drain_identity(
         )
 
 
+_ANN_MODEL_SHA_FILE = "_ann_model_sha"
+
+
+def _bind_ann_model_sha(ann_dir: str, sha: str) -> None:
+    """Stamp the drain's ANN code sink with the frozen model's sha256
+    on first use; REFUSE a later drain run under a different model
+    (VERDICT r8 #2). Codes are only meaningful under the codebook
+    that produced them — appending batches encoded under model B to a
+    store built under model A yields a store where every search
+    silently mixes two incompatible geometries. Retraining means a
+    NEW store (fresh ann sink dir), never an append."""
+    marker = os.path.join(ann_dir, _ANN_MODEL_SHA_FILE)
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            prev = f.read().strip()
+        if prev != sha:
+            raise RuntimeError(
+                f"ann_store {ann_dir!r} was built under model "
+                f"{prev[:12]}... but this drain loaded "
+                f"{sha[:12]}... — appending mixed-codebook codes "
+                "would corrupt the store. Point the drain at the "
+                "original artifact, or start a fresh ann sink dir "
+                "for the new model."
+            )
+        return
+    os.makedirs(ann_dir, exist_ok=True)
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(sha)
+
+
 def _refuse_checkpoint_reset(sinks, batch_id: int) -> None:
     """A genuine crash-replay re-delivers the LATEST batch, so sink
     partitions can only carry ids <= the current one; ids beyond it
@@ -501,6 +531,7 @@ def start_corpus_dedup_stream(
     on_batch=None,
     schema: T.StructType | None = None,
     tokenizer_path: str | None = None,
+    ann_model_path: str | None = None,
 ):
     """Streaming incremental corpus dedup: each micro-batch of newly
     landed document files is flagged against the ever-growing accepted
@@ -550,7 +581,24 @@ def start_corpus_dedup_stream(
     untouched (the dedup loop reads it back every batch); trainers
     join tokens on doc_id knowing the id space is IDENTICAL to the
     curate run that trained the artifact — hash-verifiable via
-    tokenizer_sha256. Returns the StreamingQuery.
+    tokenizer_sha256.
+
+    ``ann_model_path`` (optional, VERDICT r8 #2 — the dedup-index
+    stance applied to ANN serving): a `save_ann_model` IVF-PQ
+    artifact. Each batch's accepted survivors are embedded (the emb1
+    hashed encoder at the model's dim), then assigned + residual-PQ
+    encoded UNDER THE FROZEN MODEL in one fused Arrow scan
+    (`pq_ivf_encode`) and appended to ``out_dir/ann_store`` as
+    ``(vec_id=doc_id, centroid_id, codes)`` — at 100 TB you APPEND
+    codes under frozen codebooks, never rebuild the store. The sink
+    dir is stamped with the model's sha256 on first use and a later
+    drain passing a DIFFERENT model is REFUSED (codes under mixed
+    codebooks are garbage); a drain started WITHOUT the model after
+    ann history exists warns loudly (the stale-tokens-sink
+    convention). The drain-built store is row-identical to a
+    one-shot `build_ann_store` over the same accepted docs under the
+    same artifact (pinned in tests/test_streaming_ann.py). Returns
+    the StreamingQuery.
     """
     from .incremental import (
         NEAR_DUP_THRESHOLD,
@@ -565,11 +613,21 @@ def start_corpus_dedup_stream(
         from .operators.bpe import load_tokenizer
 
         tok = load_tokenizer(tokenizer_path)  # load ONCE, never retrain
+    ann = None
+    if ann_model_path is not None:
+        from .operators.pq import load_ann_model
+
+        ann = load_ann_model(ann_model_path)  # load ONCE, never retrain
     schema = _resolve_stream_schema(spark, docs_dir, schema)
     tokens_dir = f"{out_dir}/tokens"
-    if tok is None and os.path.isdir(tokens_dir) and any(
-        e.startswith("batch_id=") for e in os.listdir(tokens_dir)
-    ):
+    ann_dir = f"{out_dir}/ann_store"
+
+    def _has_history(d: str) -> bool:
+        return os.path.isdir(d) and any(
+            e.startswith("batch_id=") for e in os.listdir(d)
+        )
+
+    if tok is None and _has_history(tokens_dir):
         # the drain previously wrote tokens; running WITHOUT the
         # tokenizer leaves that sink stale while accepted keeps
         # growing — loud, because a trainer joining tokens on doc_id
@@ -580,6 +638,22 @@ def start_corpus_dedup_stream(
             "tokenizer_path to keep encoding accepted batches",
             tokens_dir,
         )
+    if ann is None and _has_history(ann_dir):
+        # same hazard, ANN flavor: a search over a stale store
+        # silently misses every newly accepted document
+        log.warning(
+            "corpus drain started without ann_model_path but %s has "
+            "code history — it will NOT be updated this run; pass "
+            "ann_model_path to keep appending accepted batches' codes",
+            ann_dir,
+        )
+    if ann is not None:
+        _bind_ann_model_sha(ann_dir, ann["sha256"])
+    optional = ()
+    if tok is not None:
+        optional += (tokens_dir,)
+    if ann is not None:
+        optional += (ann_dir,)
     _bind_drain_identity(
         checkpoint_dir,
         (
@@ -588,7 +662,7 @@ def start_corpus_dedup_stream(
             f"{index_dir}/exact",
             f"{index_dir}/bands",
         ),
-        optional_sink_dirs=(tokens_dir,) if tok is not None else (),
+        optional_sink_dirs=optional,
     )
     src = spark.readStream.schema(schema).parquet(docs_dir)
     empty_docs = spark.createDataFrame([], schema)
@@ -657,6 +731,28 @@ def start_corpus_dedup_stream(
                     survivors.select("doc_id", "text"), *tok
                 ),
                 f"{out_dir}/tokens",
+                batch_id,
+            )
+        if ann is not None:
+            from .operators.pq import pq_ivf_encode
+            from .operators.similarity import vec_norm
+            from .suite.llmdata import hashed_doc_vectors
+
+            # embed (emb1's hashed encoder at the model's dim) and
+            # encode under the FROZEN artifact — one Arrow scan each,
+            # appended with the same batch-partition idempotency as
+            # every other sink; vec_id IS doc_id, so serving joins
+            # back to accepted text directly
+            emb_b = (
+                hashed_doc_vectors(
+                    survivors.select("doc_id", "text"), dim=ann["dim"]
+                )
+                .withColumn("nrm", vec_norm("v"))
+                .select(F.col("doc_id").alias("vec_id"), "v", "nrm")
+            )
+            _write_partition(
+                pq_ivf_encode(emb_b, ann["cents3"], ann["cb"]),
+                ann_dir,
                 batch_id,
             )
         if on_batch is not None:

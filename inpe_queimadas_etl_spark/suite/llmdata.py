@@ -1575,14 +1575,17 @@ def _cosine_top5(corpus: DataFrame, queries: DataFrame) -> DataFrame:
     return _score_rank_top5(paired)
 
 
-def _score_rank_top5(paired: DataFrame) -> DataFrame:
+def _score_rank_top5(paired: DataFrame, k: int = 5) -> DataFrame:
     """Score + rank ``(vec_id, v, nv, query_id, qv, nq)`` candidate
-    pairs: cosine via one zip_with fold, then the two-phase top-5
+    pairs: cosine via one zip_with fold, then the two-phase top-k
     (per-partition prune, then global rank). Factored out of
     _cosine_top5 so IVF-style paths (sim6), which pair by a cluster
     equi-join instead of a crossJoin, share the EXACT same scoring
     expression, tie-break and k — the drift-proofing VERDICT r5 #3
-    asks for."""
+    asks for. ``k`` defaults to the suite's top-5 contract; the
+    parameterized serving front (`api.ann_topk`, VERDICT r8 #1) passes
+    the caller's k through the SAME tail so served results can never
+    drift from the oracle-pinned demo queries."""
     dot = F.aggregate(
         F.zip_with("qv", "v", lambda a, b: a * b),
         F.lit(0.0),
@@ -1599,9 +1602,9 @@ def _score_rank_top5(paired: DataFrame) -> DataFrame:
     return (
         scored.withColumn("pid", F.spark_partition_id())
         .withColumn("r_loc", F.row_number().over(w_local))
-        .filter(F.col("r_loc") <= 5)
+        .filter(F.col("r_loc") <= k)
         .withColumn("rank", F.row_number().over(w_global))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= k)
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),

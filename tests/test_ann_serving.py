@@ -1,0 +1,342 @@
+"""ANN serving artifacts (VERDICT r8 #1/#2): the sha256-stamped
+IVF-PQ model artifact (save/load round trip, refusals), the
+parameterized `api.ann_topk` search over a frozen model + persisted
+store (pinned IDENTICAL to the in-session sim10 pipeline), and the
+streaming drain's append-only store maintenance under the frozen
+artifact (drain-built store == batch-built store; model drift
+refused)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from inpe_queimadas_etl_spark.api import ann_topk
+from inpe_queimadas_etl_spark.operators.pq import (
+    ann_model_sha256,
+    build_ann_store,
+    load_ann_model,
+    save_ann_model,
+    train_ann_model,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    from inpe_queimadas_etl_spark.suite.llmdata import _sim8_emb
+
+    return _sim8_emb(spark, SF0001)
+
+
+def _demo_model(spark):
+    """The sim10 geometry (trained coarse K=4 + residual PQ m=8/ks=16,
+    budgeted multi-probe frac=0.5) through the one-call trainer."""
+    return train_ann_model(
+        _emb(spark), k=4, m=8, ks=16, frac=0.5, cand=100
+    )
+
+
+def test_ann_model_roundtrip_and_sha(spark, tmp_path):
+    """save -> load must reproduce the model EXACTLY (floats
+    round-trip through JSON repr), with the sha256 stable across the
+    trip and equal to the content fingerprint."""
+    model = _demo_model(spark)
+    path = str(tmp_path / "ann" / "model.json")
+    art = save_ann_model(
+        path, model["cents"], model["cb"], model["frac"], model["cand"]
+    )
+    assert art["sha256"] == model["sha256"]
+    got = load_ann_model(path)
+    assert got["cents"] == model["cents"]
+    assert got["cb"] == model["cb"]
+    assert got["cents3"] == model["cents3"]  # derived norms replay
+    assert (got["frac"], got["cand"]) == (model["frac"], model["cand"])
+    assert (got["dim"], got["m"], got["ks"]) == (64, 8, 16)
+    assert got["sha256"] == model["sha256"]
+    assert ann_model_sha256(
+        got["cents"], got["cb"], got["frac"], got["cand"]
+    ) == model["sha256"]
+
+
+def test_ann_model_load_refusals(spark, tmp_path):
+    model = _demo_model(spark)
+    path = str(tmp_path / "model.json")
+    save_ann_model(path, model["cents"], model["cb"], model["frac"])
+    # pinned-sha drift refused
+    with pytest.raises(ValueError, match="does not match expected"):
+        load_ann_model(path, expected_sha256="0" * 64)
+    # non-artifact refused by format tag
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        f.write('{"format": "something-else"}')
+    with pytest.raises(ValueError, match="not an ann-ivfpq-v1"):
+        load_ann_model(bad)
+    # gapped coarse ids refused at save time (pq_ivf_encode and the
+    # probe replay index the centroid matrix positionally)
+    with pytest.raises(ValueError, match="0..K-1"):
+        save_ann_model(
+            str(tmp_path / "gap.json"),
+            [(0, model["cents"][0][1]), (2, model["cents"][1][1])],
+            model["cb"],
+            0.5,
+        )
+    # geometry mismatch refused
+    with pytest.raises(ValueError, match="does not cover dim"):
+        save_ann_model(
+            str(tmp_path / "geom.json"),
+            model["cents"],
+            [sub[:2] for sub in model["cb"][:4]],  # m=4 over dim 64
+            0.5,
+        )
+
+
+def test_ann_topk_matches_in_session_sim10_exactly(spark, tmp_path):
+    """THE round-trip gate (VERDICT r8 #1 'done' bar): train -> save
+    -> load from disk -> build the partitioned store -> serve
+    caller-supplied query vectors -> rows IDENTICAL to the in-session
+    sim10 pipeline (same trained models, same budgeted multi-probe,
+    same ADC scan, same exact-rerank tail). Nothing here reads the
+    training session's caches — only the two on-disk artifacts."""
+    from pyspark.sql import functions as F
+
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        sim10_trained_ivfpq,
+    )
+
+    emb = _emb(spark)
+    model = _demo_model(spark)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(model_path), store_path)
+    assert os.path.exists(os.path.join(store_path, "_ann_model.json"))
+    # partitioned layout: one dir per coarse cluster (the partition-
+    # pruning regime ann_topk's probed-cluster filter rides)
+    assert any(
+        e.startswith("centroid_id=") for e in os.listdir(store_path)
+    )
+
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.filter(
+            (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
+        ).collect()
+    ]
+    got = (
+        ann_topk(
+            spark, store_path, model_path, queries, k=5,
+            rerank_with=emb,
+            expected_sha256=model["sha256"],
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        sim10_trained_ivfpq(spark, SF0001)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )
+
+
+def test_ann_topk_adc_only_and_validation(spark, tmp_path):
+    """Without rerank_with the tail ranks by ADC score alone: k rows
+    per query, rank 1..k, scores non-increasing (null-scored rows
+    first, the desc_nulls_first contract). Bad inputs are refused
+    before any Spark job."""
+    emb = _emb(spark)
+    model = _demo_model(spark)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"]
+    )
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(model_path), store_path)
+    queries = [(8, [0.5] * 64), (9, [1.0] + [0.0] * 63)]
+    df = ann_topk(spark, store_path, model_path, queries, k=3).toPandas()
+    assert sorted(df.columns) == ["neighbor_id", "query_id", "rank", "score"]
+    for qid, grp in df.groupby("query_id"):
+        assert list(grp.sort_values("rank")["rank"]) == [1, 2, 3]
+        s = grp.sort_values("rank")["score"].tolist()
+        finite = [x for x in s if x is not None and x == x]
+        assert finite == sorted(finite, reverse=True)
+    with pytest.raises(ValueError, match="k must be positive"):
+        ann_topk(spark, store_path, model_path, queries, k=0)
+    with pytest.raises(ValueError, match="dim"):
+        ann_topk(spark, store_path, model_path, [(1, [1.0, 2.0])], k=1)
+
+
+def test_ann_store_model_mismatch_refused(spark, tmp_path):
+    """A store stamped under model A must refuse to serve under model
+    B (the codes are meaningless under any other codebook)."""
+    emb = _emb(spark)
+    model_a = _demo_model(spark)
+    model_b = train_ann_model(emb, k=4, m=8, ks=16, frac=0.25, cand=50)
+    assert model_a["sha256"] != model_b["sha256"]
+    path_a = str(tmp_path / "a.json")
+    path_b = str(tmp_path / "b.json")
+    save_ann_model(path_a, model_a["cents"], model_a["cb"], model_a["frac"], model_a["cand"])
+    save_ann_model(path_b, model_b["cents"], model_b["cb"], model_b["frac"], model_b["cand"])
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(path_a), store_path)
+    with pytest.raises(ValueError, match="was encoded under model"):
+        ann_topk(spark, store_path, path_b, [(8, [0.5] * 64)], k=1)
+
+
+# --------------------------------------------------------------------------
+# streaming drain: append-only store maintenance under the frozen model
+# --------------------------------------------------------------------------
+
+
+def _doc(seed: int, n: int = 45) -> str:
+    import random
+
+    rng = random.Random(seed)
+    return " ".join(f"w{rng.randrange(1000)}" for _ in range(n))
+
+
+def _write_snapshot(docs_dir, rows, name):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(docs_dir, f"{name}.parquet"),
+    )
+
+
+def _doc_emb(spark, docs_df, dim=64):
+    from pyspark.sql import functions as F
+
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+    from inpe_queimadas_etl_spark.suite.llmdata import hashed_doc_vectors
+
+    return (
+        hashed_doc_vectors(docs_df.select("doc_id", "text"), dim=dim)
+        .withColumn("nrm", vec_norm("v"))
+        .select(F.col("doc_id").alias("vec_id"), "v", "nrm")
+    )
+
+
+def _train_doc_model(spark, docs_df, frac=0.5):
+    return train_ann_model(
+        _doc_emb(spark, docs_df), k=2, m=8, ks=4, frac=frac, cand=50
+    )
+
+
+def _store_rows(spark, path):
+    return {
+        (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(path).select(
+            "vec_id", "centroid_id", "codes"
+        ).collect()
+    }
+
+
+def test_drain_ann_store_equals_batch_built(spark, tmp_path):
+    """VERDICT r8 #2 'done' bar: the drain-built store (per-batch
+    embed + encode under the frozen artifact, appended across TWO
+    drain runs) must be row-identical to a one-shot build_ann_store
+    over the same accepted documents under the same artifact."""
+    from inpe_queimadas_etl_spark.streaming import (
+        start_corpus_dedup_stream,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    snap1 = [(i, _doc(i)) for i in range(12)]
+    # snapshot 2: new docs + one exact dup of doc 3 (must NOT reach
+    # the store — only accepted survivors are encoded)
+    snap2 = [(i, _doc(i)) for i in range(100, 108)] + [(999, _doc(3))]
+    _write_snapshot(docs_dir, snap1, "snap1")
+
+    all_docs = spark.createDataFrame(
+        pd.DataFrame(snap1 + snap2, columns=["doc_id", "text"])
+    )
+    model = _train_doc_model(spark, all_docs)
+    model_path = str(tmp_path / "ann_model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+
+    def drain():
+        q = start_corpus_dedup_stream(
+            spark,
+            docs_dir=docs_dir,
+            index_dir=str(tmp_path / "index"),
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+            ann_model_path=model_path,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    drain()
+    _write_snapshot(docs_dir, snap2, "snap2")
+    drain()
+
+    ann_dir = str(tmp_path / "out" / "ann_store")
+    accepted = spark.read.parquet(str(tmp_path / "out" / "accepted"))
+    assert 999 not in {
+        r["vec_id"]
+        for r in spark.read.parquet(ann_dir).select("vec_id").collect()
+    }
+    batch_store = str(tmp_path / "batch_store")
+    build_ann_store(
+        _doc_emb(spark, accepted), load_ann_model(model_path), batch_store
+    )
+    got = _store_rows(spark, ann_dir)
+    want = _store_rows(spark, batch_store)
+    assert got == want and len(got) == 20  # 12 + 8 accepted
+
+
+def test_drain_refuses_ann_model_drift(spark, tmp_path):
+    """Appending codes encoded under a DIFFERENT model to an existing
+    ann_store is refused at drain start — retraining means a new
+    store, never a mixed-codebook append."""
+    from inpe_queimadas_etl_spark.streaming import (
+        start_corpus_dedup_stream,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    rows = [(i, _doc(i)) for i in range(10)]
+    _write_snapshot(docs_dir, rows, "snap1")
+    docs_df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    model_a = _train_doc_model(spark, docs_df)
+    model_b = _train_doc_model(spark, docs_df, frac=0.25)
+    assert model_a["sha256"] != model_b["sha256"]
+    paths = {}
+    for name, m in (("a", model_a), ("b", model_b)):
+        p = str(tmp_path / f"model_{name}.json")
+        save_ann_model(p, m["cents"], m["cb"], m["frac"], m["cand"])
+        paths[name] = p
+
+    def drain(model_path):
+        q = start_corpus_dedup_stream(
+            spark,
+            docs_dir=docs_dir,
+            index_dir=str(tmp_path / "index"),
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+            ann_model_path=model_path,
+        )
+        q.awaitTermination(120)
+
+    drain(paths["a"])
+    with pytest.raises(RuntimeError, match="was built under model"):
+        drain(paths["b"])
