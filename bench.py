@@ -85,6 +85,7 @@ HEADLINE = [
     "sim8_pq_adc",
     "sim9_ivfpq_ann",
     "sim10_trained_ivfpq",
+    "sim11_opq_ivfpq",
     "mm5_simhash_neardup",
 ]
 
@@ -139,6 +140,7 @@ UNREGISTERED = (
     "sim8_pq_adc",
     "sim9_ivfpq_ann",
     "sim10_trained_ivfpq",
+    "sim11_opq_ivfpq",
     "mm5_simhash_neardup",
 )
 
@@ -314,6 +316,7 @@ def main() -> None:
         sim8_pq_adc,
         sim9_ivfpq_ann,
         sim10_trained_ivfpq,
+        sim11_opq_ivfpq,
         emb1_hashed_encoder,
         cur10_substring_decontamination,
     )
@@ -360,6 +363,7 @@ def main() -> None:
     queries.setdefault("sim8_pq_adc", sim8_pq_adc)
     queries.setdefault("sim9_ivfpq_ann", sim9_ivfpq_ann)
     queries.setdefault("sim10_trained_ivfpq", sim10_trained_ivfpq)
+    queries.setdefault("sim11_opq_ivfpq", sim11_opq_ivfpq)
     queries.setdefault("mm5_simhash_neardup", mm5_simhash_neardup)
     # skew demo pair: the recorded gap (naive single hot reducer vs
     # salted two-phase) is the artifact — see suite/skewdemo.py

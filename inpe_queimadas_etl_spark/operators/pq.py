@@ -130,6 +130,65 @@ def _pq_lloyd(X, m: int, ks: int, iters: int) -> list[list[list[float]]]:
     return cb
 
 
+def train_opq_rotation(
+    X, m: int, ks: int, opq_iters: int = 6, pq_iters: int = 8
+) -> tuple[list[list[float]], list[list[list[float]]], float, float]:
+    """Non-parametric OPQ (Ge, He, Ke & Sun, "Optimized Product
+    Quantization for Approximate Nearest Neighbor Search", CVPR 2013
+    — public method): learn an orthogonal rotation ``R`` so that
+    PQ quantizes ``X @ R^T`` with lower error than raw ``X`` —
+    alternate (a) fit the codebook on the rotated sample
+    (`_pq_lloyd`, the shared trainer) and (b) solve the orthogonal
+    Procrustes problem ``min_R ||X R^T - X_hat||_F`` via SVD of
+    ``X^T X_hat``.
+
+    Returns ``(R_rows, cb, err_opq, err_identity)``. The kept
+    ``(R, cb)`` is the BEST candidate by sample quantization error —
+    and the identity rotation (= plain PQ, exactly sim10's codebook
+    on the same sample) is iteration 0's candidate, so
+    ``err_opq <= err_identity`` holds BY CONSTRUCTION, not by
+    convergence argument (the alternation's Lloyd step re-seeds on
+    rotated data, which is not monotone across iterations).
+    Driver-side numpy on the bounded training sample; deterministic
+    for a given sample (eye init, deterministic Lloyd, LAPACK SVD)."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    d = X.shape[1]
+    dsub = d // m
+
+    def recon(Z, cb):
+        C = np.array(cb, dtype=np.float64)
+        out = np.empty_like(Z)
+        for j in range(m):
+            S = Z[:, j * dsub : (j + 1) * dsub]
+            d2 = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j * dsub : (j + 1) * dsub] = C[j][d2.argmin(axis=1)]
+        return out
+
+    R = np.eye(d)
+    best = None
+    err_identity = None
+    for it in range(opq_iters):
+        Z = X @ R.T
+        cb = _pq_lloyd(Z, m, ks, pq_iters)
+        Zh = recon(Z, cb)
+        err = float(((Z - Zh) ** 2).sum())
+        if it == 0:
+            err_identity = err  # R == I: exactly the plain-PQ error
+        if best is None or err < best[0]:
+            best = (err, R.copy(), cb)
+        U, _, Vt = np.linalg.svd(X.T @ Zh)
+        R = (U @ Vt).T  # argmin_A ||X A - Zh||_F, A orthogonal
+    err_opq, R_best, cb_best = best
+    return (
+        [[float(x) for x in row] for row in R_best],
+        cb_best,
+        err_opq,
+        float(err_identity),
+    )
+
+
 # --------------------------------------------------------------------------
 # the two-dialect expression generator
 # --------------------------------------------------------------------------
@@ -326,6 +385,42 @@ def arr_sub(a_col: str, b_col: str, dim: int, dialect: str) -> str:
     )
 
 
+Rotation = Sequence[Sequence[float]]  # [d_out][d_in], orthogonal
+
+
+def rot_vec_expr(rot: Rotation, dialect: str, vec_col: str) -> str:
+    """Rotated vector ``R @ v`` as an unrolled array constructor:
+    element ``i`` is the left-associated chain ``((R[i][0]*v[0] +
+    R[i][1]*v[1]) + ...)`` over literal rotation components — the
+    pq_lut_arrays term/order convention, so the numpy/scalar replays
+    (`pq_ivf_encode`'s rot step, `rot_apply`) are bit-identical by
+    IEEE replay. At dim 64 this is 64 chains x 64 terms; the oracle
+    applies it to the sample-scale corpus, the Spark side never
+    parses it (rotation runs inside the fused Arrow encode)."""
+    rows = []
+    for row in rot:
+        terms = [
+            f"{_flit(rij, dialect)} * {_el(vec_col, j, dialect)}"
+            for j, rij in enumerate(row)
+        ]
+        rows.append(_chain_add(terms))
+    return _arr(rows, dialect)
+
+
+def rot_apply(rot: Rotation, v: Sequence[float]) -> list[float]:
+    """`rot_vec_expr`'s chains in Python floats (same terms, same
+    left-associated order — IEEE multiply commutes bit-exactly), for
+    the K-row/Q-row driver-side model state (rotated centroids and
+    query vectors fed to the ADC scan)."""
+    out = []
+    for row in rot:
+        acc = row[0] * v[0]
+        for j in range(1, len(row)):
+            acc = acc + row[j] * v[j]
+        out.append(acc)
+    return out
+
+
 def pq_ivf_norm2_expr(
     cb: Codebook,
     dialect: str,
@@ -446,6 +541,7 @@ def pq_ivf_encode(
     nrm_col: str = "nrm",
     id_col: str = "vec_id",
     block: int = 1024,
+    rot: "Rotation | None" = None,
 ) -> DataFrame:
     """FUSED IVF-PQ store build (VERDICT r8 #3): coarse assignment +
     residual + PQ encode in ONE Arrow-batched mapInPandas scan —
@@ -473,7 +569,16 @@ def pq_ivf_encode(
     0..K-1 (the `_ivf_centroids` contract — ``best_id`` indexes the
     centroid matrix directly). Zero shuffle; per-batch cost is the
     assignment GEMM plus m encode matrix ops, all at memory
-    bandwidth."""
+    bandwidth.
+
+    ``rot`` (optional, sim11/OPQ): an orthogonal rotation applied to
+    the RESIDUAL before encoding (Ge et al. 2013 — codes quantize
+    ``R @ (v - cv)``). The numpy step accumulates input components in
+    ``j`` order — per output element the exact `rot_vec_expr` chain,
+    so rotated codes match the DuckDB mirror bit for bit. Assignment
+    and centroid_id stay in ORIGINAL space (rotation is applied below
+    the coarse quantizer, the Faiss OPQ-as-residual-transform
+    shape)."""
     import numpy as np
     import pandas as pd
 
@@ -490,6 +595,7 @@ def pq_ivf_encode(
     CV = cmat.T.copy()  # (K, dim) row-major for the residual gather
     m, ks, dsub = len(cb), len(cb[0]), len(cb[0][0])
     C = np.array(cb, dtype=np.float64)  # (m, ks, dsub)
+    RM = None if rot is None else np.array(rot, dtype=np.float64)
 
     def fused(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -499,6 +605,14 @@ def pq_ivf_encode(
             nrm = pdf[nrm_col].to_numpy(np.float64)
             _, best_id = assign_nearest_block(X, nrm, cmat, cns, block)
             R = X - CV[best_id]  # one IEEE sub per element == arr_sub
+            if RM is not None:
+                # rot_vec_expr's chain: component j's contribution
+                # added in j order, R[i][j]*r[j] per term (IEEE
+                # multiply commutes bit-exactly)
+                acc = R[:, 0:1] * RM[:, 0][None, :]
+                for j in range(1, R.shape[1]):
+                    acc = acc + R[:, j : j + 1] * RM[:, j][None, :]
+                R = acc
             n = R.shape[0]
             codes = np.empty((n, m), dtype=np.int32)
             for j in range(m):
@@ -825,6 +939,7 @@ def pq_ivf_search_oracle_sql(
     cand: int,
     multiprobe_frac: float | None = None,
     cent_sql: str | None = None,
+    rot: Rotation | None = None,
 ) -> str:
     """The DuckDB mirror of the IVF-PQ search (sim9): coarse
     assignment (first-``k`` centroids, max cosine — the SIM6_SQL
@@ -900,6 +1015,30 @@ tgt AS (
     ), tgt
     WHERE cum_before < tgt.target
 """
+    # rot (sim11/OPQ): PQ quantizes the ROTATED residual, so every
+    # vector feeding a LUT/dist/ADC expression is wrapped in the
+    # rot_vec_expr chains — while assignment ("ranked"), probe
+    # SELECTION and the exact rerank stay in ORIGINAL space (rotation
+    # sits below the coarse quantizer; cosine inputs to the rerank
+    # are the raw vectors, untouched). The Spark twin applies the
+    # identical chains in pq_ivf_encode's rot step and rot_apply'd
+    # driver-side cents/probes.
+    if rot is None:
+        res_src, aux_src, qlut_src = "res", "cent", "probe"
+    else:
+        rr = rot_vec_expr(rot, "duckdb", "r")
+        rcv = rot_vec_expr(rot, "duckdb", "cv")
+        rqv = rot_vec_expr(rot, "duckdb", "qv")
+        res_src = (
+            f"(SELECT vec_id, centroid_id, {rr} AS r FROM res) rot_res"
+        )
+        aux_src = (
+            f"(SELECT centroid_id, {rcv} AS cv FROM cent) rot_cent"
+        )
+        qlut_src = (
+            f"(SELECT query_id, qcluster, {rqv} AS qv, {rcv} AS cv "
+            f"FROM probe) rot_probe"
+        )
     return f"""
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -920,13 +1059,13 @@ res AS (
     FROM ranked WHERE rn = 1
 ),
 dists AS (
-    SELECT vec_id, centroid_id, {dist_cols} FROM res
+    SELECT vec_id, centroid_id, {dist_cols} FROM {res_src}
 ),
 enc AS (
     SELECT vec_id, centroid_id, [{codes}] AS codes FROM dists
 ),
 aux AS (
-    SELECT centroid_id, {cvn2} AS cvn2, {cvlut_cols} FROM cent
+    SELECT centroid_id, {cvn2} AS cvn2, {cvlut_cols} FROM {aux_src}
 ),
 store AS (
     SELECT enc.vec_id, enc.centroid_id, enc.codes, {n2} AS n2
@@ -935,7 +1074,7 @@ store AS (
 probe AS (
 {probe_sql}),
 qlut AS (
-    SELECT query_id, qcluster, {qip} AS qip_c, {qlut_cols} FROM probe
+    SELECT query_id, qcluster, {qip} AS qip_c, {qlut_cols} FROM {qlut_src}
 ),
 scored AS (
     SELECT ql.query_id, s.vec_id,

@@ -5414,12 +5414,29 @@ def sim9_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sim9_topk(emb: DataFrame, cb: list, cent: DataFrame) -> DataFrame:
+def _sim9_topk(
+    emb: DataFrame, cb: list, cent: DataFrame, rot: list | None = None
+) -> DataFrame:
     """The Arrow IVF-PQ search tail shared by sim9_ivfpq_ann
-    (first-K demo coarse codebook + per-corpus residual codebook) and
-    sim9_static_ivfpq (baked battery model) — one implementation, so
-    the two paths cannot drift (the _sim8_topk convention)."""
-    from ..operators.pq import pq_ivf_encode, pq_ivf_adc_search_scan
+    (first-K demo coarse codebook + per-corpus residual codebook),
+    sim9_static_ivfpq (baked battery model), sim10 (trained coarse)
+    and sim11 (OPQ rotation) — one implementation, so the paths
+    cannot drift (the _sim8_topk convention).
+
+    ``rot`` (sim11): the OPQ rotation. Codes quantize the ROTATED
+    residual (pq_ivf_encode's rot step), and the scan's K-row/Q-row
+    model state — centroid vectors and probe query vectors — is
+    rotated driver-side through the same chains (`rot_apply`), so
+    the whole ADC computation runs consistently in rotated
+    coordinates (inner products and norms are rotation-invariant
+    mathematically; bit-exactness vs the oracle holds because BOTH
+    engines compute in the same rotated coordinates). Probe
+    SELECTION and the exact rerank stay in original space."""
+    from ..operators.pq import (
+        pq_ivf_encode,
+        pq_ivf_adc_search_scan,
+        rot_apply,
+    )
 
     # materialize the code store once (the deployment shape — the
     # store IS a persisted artifact) and derive the multi-probe
@@ -5434,11 +5451,20 @@ def _sim9_topk(emb: DataFrame, cb: list, cent: DataFrame) -> DataFrame:
         (r["centroid_id"], list(r["cv"]), r["cn"])
         for r in cent.select("centroid_id", "cv", "cn").collect()
     )
-    codes = pq_ivf_encode(emb, cents3, cb).localCheckpoint(eager=True)
+    codes = pq_ivf_encode(emb, cents3, cb, rot=rot).localCheckpoint(
+        eager=True
+    )
     sizes = _cluster_sizes(codes)
-    cents = [(cid, cv) for cid, cv, _ in cents3]
+    if rot is None:
+        cents = [(cid, cv) for cid, cv, _ in cents3]
+    else:
+        cents = [(cid, rot_apply(rot, cv)) for cid, cv, _ in cents3]
     probes = [
-        (r["vec_id"], r["centroid_id"], list(r["v"]))
+        (
+            r["vec_id"],
+            r["centroid_id"],
+            list(r["v"]) if rot is None else rot_apply(rot, list(r["v"])),
+        )
         for r in _sim9_probe(
             emb, cent, sizes=sizes, candidate_frac=_SIM9_FRAC
         )
@@ -5650,6 +5676,96 @@ def sim10_oracle_sql(spark: SparkSession, sf_dir: str) -> str:
         _SIM8_CAND,
         multiprobe_frac=_SIM9_FRAC,
         cent_sql=cent_values_sql(cents),
+    )
+
+
+def sim11_opq_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with an OPQ-rotated residual quantizer — the standard
+    rung above sim10 (Ge et al., "Optimized Product Quantization",
+    CVPR 2013; Faiss's OPQ pre-transform, applied below the coarse
+    quantizer): sim10's trained coarse codebook and budgeted
+    multi-probe are UNCHANGED, but the residual PQ quantizes
+    ``R @ (v - cv)`` under a learned orthogonal rotation that spreads
+    variance across the m subspaces, cutting quantization error at
+    identical store bytes (rotation is free at serving time — it
+    folds into the per-query LUT construction and the one fused
+    build scan; the store is still m 4-bit codes + centroid_id).
+
+    Training alternates Lloyd fits with orthogonal-Procrustes
+    rotation updates on the SAME bounded residual sample sim10's
+    codebook trains on, keeping the best (R, codebook) by sample
+    error with the identity candidate included — so sim11's
+    quantization error <= sim10's BY CONSTRUCTION, and the measured
+    improvement is gated in tests/test_pq.py. Search is the shared
+    `_sim9_topk` tail with the rotation threaded (codes, centroid
+    vectors and query LUT vectors all in rotated coordinates — inner
+    products and norms are rotation-invariant, and the DuckDB oracle
+    computes in the SAME rotated coordinates via rot_vec_expr chains,
+    so candidate sets stay bit-identical cross-engine). Probe
+    selection and the exact rerank stay in original space.
+
+    UNREGISTERED (50-slot driver cap) — oracle-compared and
+    error/recall-gated in tests/test_pq.py, benched in bench.py."""
+    emb, cent, cb, rot = _sim11_models(spark, sf_dir)
+    return _sim9_topk(emb, cb, cent, rot=rot)
+
+
+_SIM11_CACHE: dict = {}
+
+
+def _sim11_models(spark: SparkSession, sf_dir: str):
+    """(emb, trained coarse, OPQ residual codebook, rotation) — ONE
+    train/cache path shared by the operator, its oracle generator and
+    the gate test, so no two sides can train different models. The
+    training sample is EXACTLY the one sim10's residual codebook fits
+    on (first 4096 residuals in vec_id order w.r.t. the shared
+    trained coarse), so the identity-rotation candidate reproduces
+    sim10's codebook and the error comparison is apples-to-apples."""
+    import numpy as np
+
+    from ..operators.pq import train_opq_rotation
+
+    emb, cent, _cb10 = _sim10_models(spark, sf_dir)
+    key = (sf_dir, _IVF_K)
+    got = _SIM11_CACHE.get(key)
+    if got is None:
+        rows = (
+            _sim9_residuals(emb, cent)
+            .select("vec_id", "r")
+            .orderBy("vec_id")
+            .limit(4096)
+            .collect()
+        )
+        X = np.array([list(r["r"]) for r in rows], dtype=np.float64)
+        got = train_opq_rotation(X, _SIM8_M, _SIM8_KS)
+        _SIM11_CACHE[key] = got
+    rot, cb, _err_opq, _err_id = got
+    return emb, cent, cb, rot
+
+
+def sim11_oracle_sql(spark: SparkSession, sf_dir: str) -> str:
+    """DuckDB mirror of sim11 from the SAME trained models: coarse
+    centroids as literal VALUES, residual codebook AND rotation
+    through the two-dialect generator (rot_vec_expr chains), budgeted
+    multi-probe."""
+    from ..operators.pq import (
+        cent_values_sql,
+        pq_ivf_search_oracle_sql,
+    )
+
+    _, cent, cb, rot = _sim11_models(spark, sf_dir)
+    cents = [
+        (r["centroid_id"], list(r["cv"]))
+        for r in cent.select("centroid_id", "cv").collect()
+    ]
+    return pq_ivf_search_oracle_sql(
+        cb,
+        _IVF_K,
+        _IVF_NPROBE,
+        _SIM8_CAND,
+        multiprobe_frac=_SIM9_FRAC,
+        cent_sql=cent_values_sql(cents),
+        rot=rot,
     )
 
 

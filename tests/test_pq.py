@@ -598,3 +598,92 @@ def test_fused_ivfpq_encode_rejects_sparse_codebook(spark):
     cb = _sim8_codebook(emb, SF0001)
     with pytest.raises(ValueError, match="0..K-1"):
         pq_ivf_encode(emb, [(0, [0.0] * 64, 0.0), (2, [0.0] * 64, 0.0)], cb)
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_sim11_matches_oracle(spark, sf):
+    """sim11 (OPQ-rotated IVF-PQ, Ge et al. 2013) vs the DuckDB
+    mirror from the SAME trained models — the rotation rides the
+    two-dialect generator (rot_vec_expr chains), so rotated codes and
+    ADC candidate sets stay bit-identical cross-engine."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        sim11_opq_ivfpq,
+        sim11_oracle_sql,
+    )
+
+    sdf = _norm(sim11_opq_ivfpq(spark, sf).toPandas())
+    odf = _norm(_duck(sf, sim11_oracle_sql(spark, sf)))
+    assert len(sdf) == len(odf)
+    for col in ("query_id", "neighbor_id", "rank"):
+        assert sdf[col].astype("int64").tolist() == odf[col].astype(
+            "int64"
+        ).tolist(), col
+    assert sdf["sim"].tolist() == pytest.approx(
+        odf["sim"].tolist(), abs=1e-9
+    )
+
+
+def test_sim11_opq_error_and_recall(spark):
+    """The OPQ value claim, measured not assumed: on the SAME
+    training sample sim10's codebook fits on, the learned rotation
+    must cut quantization error MATERIALLY (>= 5 %; the identity
+    candidate is in the kept set, so <= holds by construction —
+    measured ~15 % at sf0.001 and sf0.01). Recall@5 at equal budget
+    is reported and floored, NOT gated above sim10's: at demo scale
+    recall is step-quantized at 0.025/hit (sf0.01 measured sim10 0.80
+    -> sim11 0.75 — two of forty neighbors traded out of the
+    candidate set), so the trained objective (error) is the stable
+    signal and the honest gate."""
+    from pyspark.sql import functions as F
+
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        _SIM11_CACHE,
+        _cosine_top5,
+        _sim11_models,
+        sim11_opq_ivfpq,
+    )
+
+    _sim11_models(spark, SF001)
+    _rot, _cb, err_opq, err_id = _SIM11_CACHE[(SF001, 4)]
+    assert err_opq <= err_id  # by construction (identity candidate)
+    assert err_opq < 0.95 * err_id, (err_opq, err_id)  # material win
+
+    emb = _sim8_emb(spark, SF001)
+    queries = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("nq"),
+    )
+    exact = _cosine_top5(
+        emb.select("vec_id", "v", F.col("nrm").alias("nv")), queries
+    ).toPandas()
+    got = sim11_opq_ivfpq(spark, SF001).toPandas()
+    hits = 0
+    for qid, grp in exact.groupby("query_id"):
+        hits += len(
+            set(grp["neighbor_id"])
+            & set(got[got["query_id"] == qid]["neighbor_id"])
+        )
+    assert hits / len(exact) >= 0.70, hits / len(exact)
+
+
+def test_opq_rotation_is_orthogonal_and_kept_best(spark):
+    """The trainer's contract: R orthogonal (codes preserve norms, so
+    the ADC reconstruction algebra stays exact), err_opq <= the
+    identity candidate's error, determinism across calls on the same
+    sample."""
+    import numpy as np
+
+    from inpe_queimadas_etl_spark.operators.pq import train_opq_rotation
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(512, 16)
+    r1 = train_opq_rotation(X, m=4, ks=8, opq_iters=4, pq_iters=4)
+    r2 = train_opq_rotation(X, m=4, ks=8, opq_iters=4, pq_iters=4)
+    rot, _cb, err_opq, err_id = r1
+    R = np.array(rot)
+    assert np.abs(R @ R.T - np.eye(16)).max() < 1e-9
+    assert err_opq <= err_id
+    assert r1 == r2  # deterministic
