@@ -49,6 +49,12 @@ class ApiContext:
     # and the web municipality PolyFeature list
     chart_uf: DataFrame | None = None
     mun_web_feats: list | None = None
+    # optional ANN serving artifacts (r9): a save_ann_model JSON +
+    # its build_ann_store dir, and (optionally) a raw-vector table
+    # for exact rerank — /api/ann/topk 404s when absent
+    ann_model_path: str | None = None
+    ann_store_path: str | None = None
+    ann_rerank: DataFrame | None = None
     cache: ServingCache = field(default_factory=ServingCache)
 
 
@@ -386,6 +392,11 @@ def ann_topk(
 
     if k <= 0:
         raise ValueError("k must be positive")
+    qids = [int(qid) for qid, _ in query_vecs]
+    if len(set(qids)) != len(qids):
+        # duplicate ids would double-score their probes and inflate
+        # ranks — refuse rather than return silently wrong top-k
+        raise ValueError("query_vecs ids must be unique")
     model = load_ann_model(model_path, expected_sha256=expected_sha256)
     if any(len(qv) != model["dim"] for _, qv in query_vecs):
         raise ValueError(
@@ -431,6 +442,48 @@ def ann_topk(
     return _score_rank_top5(paired, k=k)
 
 
+def _ep_ann_topk(ctx: ApiContext, params: dict) -> dict:
+    """GET /api/ann/topk?vec=<comma floats>&k=5 — the parameterized
+    similarity search over the context's frozen artifacts (the
+    reference's parameterized-top-k posture, main.py:1509-1594,
+    applied to vectors). The ad-hoc query gets id -1 (store ids are
+    non-negative, so the self-match skip never fires)."""
+    if ctx.ann_model_path is None or ctx.ann_store_path is None:
+        raise LookupError("ANN model/store not loaded")
+    raw = params.get("vec")
+    if not raw:
+        raise ValueError("vec is required (comma-separated floats)")
+    try:
+        vec = [float(x) for x in raw.split(",")]
+    except ValueError as exc:
+        raise ValueError("vec must be comma-separated floats") from exc
+    k = int(params.get("k", 5))
+    if k <= 0 or k > 1000:
+        raise ValueError("k must be in 1..1000")
+    df = ann_topk(
+        ctx.spark,
+        ctx.ann_store_path,
+        ctx.ann_model_path,
+        [(-1, vec)],
+        k=k,
+        rerank_with=ctx.ann_rerank,
+    )
+    score_col = "sim" if ctx.ann_rerank is not None else "score"
+    items = [
+        {
+            "neighbor_id": int(r["neighbor_id"]),
+            "rank": int(r["rank"]),
+            "score": None if r[score_col] is None else float(r[score_col]),
+        }
+        for r in df.orderBy("rank").collect()
+    ]
+    return {
+        "k": k,
+        "reranked": ctx.ann_rerank is not None,
+        "items": items,
+    }
+
+
 _ROUTES = {
     "/health": (_ep_health, False),
     "/api/timeseries/total": (_ep_timeseries_total, True),
@@ -445,6 +498,7 @@ _ROUTES = {
     "/api/geo/qa": (_ep_geo_qa, True),
     "/api/points": (_ep_points, False),  # dedicated points cache
     "/api/validate": (_ep_validate, False),  # never cached (a check)
+    "/api/ann/topk": (_ep_ann_topk, True),  # frozen artifacts: cacheable
 }
 
 

@@ -319,6 +319,95 @@ def cmd_corpus_curate(args) -> int:
     return 0
 
 
+def _load_emb(spark, emb_dir: str):
+    """(vec_id, v, nrm) from a dir holding embeddings.parquet — the
+    shared contract every ANN path consumes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import vec_norm
+
+    return (
+        spark.read.parquet(os.path.join(emb_dir, "embeddings.parquet"))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", vec_norm("v"))
+    )
+
+
+def cmd_ann_train(args) -> int:
+    """Train an IVF-PQ model (trained coarse + residual PQ — the
+    sim10 composition) and persist it as a sha256-stamped artifact
+    (VERDICT r8 #1's train-once half)."""
+    from .operators.pq import save_ann_model, train_ann_model
+    from .session import get_spark
+
+    spark = get_spark(app_name="ann-train")
+    model = train_ann_model(
+        _load_emb(spark, args.embeddings_dir),
+        k=args.k,
+        m=args.m,
+        ks=args.ks,
+        frac=args.frac,
+        cand=args.cand,
+    )
+    art = save_ann_model(
+        args.out, model["cents"], model["cb"], model["frac"], model["cand"]
+    )
+    log.info("ann-train | artifact | %s", json.dumps(art))
+    return 0
+
+
+def cmd_ann_build(args) -> int:
+    """Materialize the serving code store under a FROZEN model: one
+    fused Arrow scan, parquet partitioned by centroid_id, stamped
+    with the model sha."""
+    from .operators.pq import build_ann_store, load_ann_model
+    from .session import get_spark
+
+    model = load_ann_model(args.model)  # fail BEFORE Spark startup
+    spark = get_spark(app_name="ann-build")
+    build_ann_store(
+        _load_emb(spark, args.embeddings_dir),
+        model,
+        args.store,
+        mode="overwrite" if args.overwrite else "error",
+    )
+    log.info(
+        "ann-build | store | %s",
+        json.dumps({"store": args.store, "model_sha256": model["sha256"]}),
+    )
+    return 0
+
+
+def cmd_ann_search(args) -> int:
+    """Top-k search over the frozen artifacts for query vectors read
+    from a JSON file (``[[id, [floats...]], ...]``) — the api.ann_topk
+    path from the shell."""
+    from .api import ann_topk
+    from .session import get_spark
+
+    with open(args.queries, encoding="utf-8") as f:
+        query_vecs = [(int(q[0]), [float(x) for x in q[1]]) for q in json.load(f)]
+    spark = get_spark(app_name="ann-search")
+    rerank = (
+        _load_emb(spark, args.rerank_embeddings_dir)
+        if args.rerank_embeddings_dir
+        else None
+    )
+    rows = ann_topk(
+        spark, args.store, args.model, query_vecs, k=args.k,
+        rerank_with=rerank,
+    ).collect()
+    for r in rows:
+        log.info("ann-search | hit | %s", json.dumps(r.asDict()))
+    print(json.dumps([r.asDict() for r in rows]))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m inpe_queimadas_etl_spark",
@@ -535,6 +624,55 @@ def build_parser() -> argparse.ArgumentParser:
         "near-dup-deduped",
     )
     cur.add_argument("--log-dir")
+
+    at = sub.add_parser(
+        "ann-train",
+        help="train an IVF-PQ model (trained coarse + residual PQ) "
+        "and persist it as a sha256-stamped artifact",
+    )
+    at.add_argument(
+        "--embeddings-dir", required=True,
+        help="dir holding embeddings.parquet (vec_id, embedding)",
+    )
+    at.add_argument("--out", required=True, help="artifact JSON path")
+    at.add_argument("--k", type=int, default=64, help="coarse centroids")
+    at.add_argument("--m", type=int, default=8, help="PQ subspaces")
+    at.add_argument("--ks", type=int, default=16, help="codes per subspace")
+    at.add_argument(
+        "--frac", type=float, default=0.1,
+        help="multi-probe candidate budget as a corpus fraction",
+    )
+    at.add_argument(
+        "--cand", type=int, default=100, help="rerank candidate cut"
+    )
+    at.add_argument("--log-dir")
+
+    ab = sub.add_parser(
+        "ann-build",
+        help="encode a corpus into the serving code store under a "
+        "frozen model (centroid_id-partitioned, model-sha-stamped)",
+    )
+    ab.add_argument("--embeddings-dir", required=True)
+    ab.add_argument("--model", required=True, help="ann-train artifact")
+    ab.add_argument("--store", required=True, help="output store dir")
+    ab.add_argument("--overwrite", action="store_true")
+    ab.add_argument("--log-dir")
+
+    asr = sub.add_parser(
+        "ann-search",
+        help="top-k ANN over a frozen model + store for query vectors "
+        "from a JSON file [[id, [floats...]], ...]",
+    )
+    asr.add_argument("--store", required=True)
+    asr.add_argument("--model", required=True)
+    asr.add_argument("--queries", required=True, help="query JSON path")
+    asr.add_argument("-k", type=int, default=5)
+    asr.add_argument(
+        "--rerank-embeddings-dir",
+        help="optional raw-vector dir for exact rerank of the ADC "
+        "candidates",
+    )
+    asr.add_argument("--log-dir")
     return ap
 
 
@@ -566,6 +704,12 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_corpus_dedup(args)
     if args.cmd == "corpus-curate":
         return cmd_corpus_curate(args)
+    if args.cmd == "ann-train":
+        return cmd_ann_train(args)
+    if args.cmd == "ann-build":
+        return cmd_ann_build(args)
+    if args.cmd == "ann-search":
+        return cmd_ann_search(args)
     return 2
 
 

@@ -340,3 +340,122 @@ def test_drain_refuses_ann_model_drift(spark, tmp_path):
     drain(paths["a"])
     with pytest.raises(RuntimeError, match="was built under model"):
         drain(paths["b"])
+
+
+@pytest.fixture()
+def _preserve_root_logging():
+    """cli.main's _setup_logging(force=True) rebinds the root logger
+    to pytest's per-test captured stream; restore the original
+    handlers so later tests/teardown don't log to a closed file."""
+    import logging
+
+    root = logging.getLogger()
+    saved = (root.handlers[:], root.level)
+    yield
+    root.handlers[:] = saved[0]
+    root.setLevel(saved[1])
+
+
+def test_cli_ann_train_build_search(
+    spark, tmp_path, capsys, _preserve_root_logging
+):
+    """The shell path end to end: ann-train -> ann-build ->
+    ann-search over sf0.001's embeddings — the served rows (exact
+    rerank) must EQUAL api.ann_topk's for the same artifacts (the CLI
+    is a veneer, not a second implementation)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from inpe_queimadas_etl_spark import cli
+
+    model_path = str(tmp_path / "model.json")
+    store_path = str(tmp_path / "store")
+    args_common = ["--embeddings-dir", SF0001]
+    assert cli.main(
+        ["ann-train", *args_common, "--out", model_path,
+         "--k", "4", "--m", "8", "--ks", "16", "--frac", "0.5",
+         "--cand", "100"]
+    ) == 0
+    assert cli.main(
+        ["ann-build", *args_common, "--model", model_path,
+         "--store", store_path]
+    ) == 0
+    queries = [
+        [int(r["vec_id"]), list(r["v"])]
+        for r in _emb(spark)
+        .filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 10))
+        .collect()
+    ]
+    qpath = str(tmp_path / "q.json")
+    with open(qpath, "w") as f:
+        json.dump(queries, f)
+    capsys.readouterr()
+    assert cli.main(
+        ["ann-search", "--store", store_path, "--model", model_path,
+         "--queries", qpath, "-k", "3",
+         "--rerank-embeddings-dir", SF0001]
+    ) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = [
+        r.asDict()
+        for r in ann_topk(
+            spark, store_path, model_path,
+            [(q[0], q[1]) for q in queries], k=3, rerank_with=_emb(spark),
+        ).collect()
+    ]
+    key = lambda d: (d["query_id"], d["rank"])
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_http_ann_topk_endpoint(spark, tmp_path):
+    """GET /api/ann/topk over the frozen artifacts: 200 with ranked
+    items matching a direct ann_topk call; 404 when artifacts absent;
+    422 on malformed vec/k (the reference's pydantic-validation
+    posture)."""
+    from inpe_queimadas_etl_spark.api import ApiContext, handle_request
+
+    emb = _emb(spark)
+    model = _demo_model(spark)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(model_path), store_path)
+
+    ctx = ApiContext(
+        spark=spark, fact=None, all_ufs=None,
+        ann_model_path=model_path, ann_store_path=store_path,
+        ann_rerank=emb,
+    )
+    qv = [float(x) for x in emb.filter("vec_id = 8").first()["v"]]
+    vec = ",".join(repr(x) for x in qv)
+    status, body = handle_request(
+        ctx, "/api/ann/topk", {"vec": vec, "k": "3"}
+    )
+    assert status == 200, body
+    assert body["k"] == 3 and body["reranked"] is True
+    assert [i["rank"] for i in body["items"]] == [1, 2, 3]
+    want = [
+        int(r["neighbor_id"])
+        for r in ann_topk(
+            spark, store_path, model_path, [(-1, qv)], k=3,
+            rerank_with=emb,
+        ).orderBy("rank").collect()
+    ]
+    assert [i["neighbor_id"] for i in body["items"]] == want
+    # vec_id 8 itself IS in the store under query id -1 (no self-skip)
+    # and an identical vector scores sim 1.0 at rank 1
+    assert body["items"][0]["neighbor_id"] == 8
+    assert body["items"][0]["score"] == pytest.approx(1.0, abs=1e-4)
+
+    # artifacts absent -> 404
+    bare = ApiContext(spark=spark, fact=None, all_ufs=None)
+    status, _ = handle_request(bare, "/api/ann/topk", {"vec": vec})
+    assert status == 404
+    # malformed -> 422
+    for bad in ({"vec": "a,b"}, {"vec": vec, "k": "0"}, {}):
+        status, _ = handle_request(ctx, "/api/ann/topk", bad)
+        assert status == 422, bad
