@@ -412,8 +412,24 @@ def ann_topk(
     # partitioned store (the sim9 PartitionFilter pin, now physical)
     pruned = store.filter(F.col("centroid_id").isin(probed_cids))
     cand = max(int(model["cand"]), k)
+    rot = model.get("rot")
+    if rot is None:
+        scan_cents = model["cents"]
+    else:
+        # OPQ model (sim11's tier): the store's codes quantize the
+        # ROTATED residual, so the scan's centroid/query vectors move
+        # to rotated coordinates too (probe SELECTION above stayed in
+        # original space — rotation sits below the coarse quantizer)
+        from .operators.pq import rot_apply
+
+        scan_cents = [
+            (cid, rot_apply(rot, cv)) for cid, cv in model["cents"]
+        ]
+        probes = [
+            (qid, cid, rot_apply(rot, qv)) for qid, cid, qv in probes
+        ]
     scored = pq_ivf_adc_search_scan(
-        pruned, model["cb"], model["cents"], probes, cand
+        pruned, model["cb"], scan_cents, probes, cand
     )
     w_global = Window.partitionBy("query_id").orderBy(
         F.desc_nulls_first("pq_score"), F.asc("vec_id")

@@ -353,9 +353,11 @@ def cmd_ann_train(args) -> int:
         ks=args.ks,
         frac=args.frac,
         cand=args.cand,
+        opq=args.opq,
     )
     art = save_ann_model(
-        args.out, model["cents"], model["cb"], model["frac"], model["cand"]
+        args.out, model["cents"], model["cb"], model["frac"],
+        model["cand"], rot=model["rot"],
     )
     log.info("ann-train | artifact | %s", json.dumps(art))
     return 0
@@ -644,6 +646,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     at.add_argument(
         "--cand", type=int, default=100, help="rerank candidate cut"
+    )
+    at.add_argument(
+        "--opq",
+        action="store_true",
+        help="learn an OPQ rotation for the residual stage (sim11's "
+        "tier — lower quantization error at identical store bytes)",
     )
     at.add_argument("--log-dir")
 

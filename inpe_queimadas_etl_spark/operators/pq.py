@@ -1134,11 +1134,13 @@ def _ann_payload(
     cb: Codebook,
     frac: float,
     cand: int,
+    rot: Rotation | None = None,
 ) -> bytes:
     """Canonical artifact bytes (sorted keys, no whitespace — the
     save_tokenizer convention): the sha256 identifies model CONTENT,
     not formatting. Floats serialize via json's repr-shortest form,
-    which round-trips every IEEE double exactly."""
+    which round-trips every IEEE double exactly. ``rot`` is the
+    optional OPQ rotation (sim11) — null for plain IVF-PQ."""
     import json
 
     return json.dumps(
@@ -1155,6 +1157,11 @@ def _ann_payload(
             "codebook": [
                 [[float(x) for x in c] for c in sub] for sub in cb
             ],
+            "rot": (
+                None
+                if rot is None
+                else [[float(x) for x in row] for row in rot]
+            ),
         },
         sort_keys=True,
         separators=(",", ":"),
@@ -1166,6 +1173,7 @@ def ann_model_sha256(
     cb: Codebook,
     frac: float,
     cand: int = 100,
+    rot: Rotation | None = None,
 ) -> str:
     """Content fingerprint — identical whether the model was just
     trained or loaded from an artifact (same canonical payload), so a
@@ -1173,7 +1181,9 @@ def ann_model_sha256(
     (the tokenizer_sha256 convention)."""
     import hashlib
 
-    return hashlib.sha256(_ann_payload(cents, cb, frac, cand)).hexdigest()
+    return hashlib.sha256(
+        _ann_payload(cents, cb, frac, cand, rot)
+    ).hexdigest()
 
 
 def save_ann_model(
@@ -1182,6 +1192,7 @@ def save_ann_model(
     cb: Codebook,
     frac: float,
     cand: int = 100,
+    rot: Rotation | None = None,
 ) -> dict:
     """Persist a trained IVF-PQ model and return ``{"path", "sha256"}``
     for the manifest. ``cents`` is the K-row coarse codebook as
@@ -1189,7 +1200,11 @@ def save_ann_model(
     `_ivf_centroids` contract — enforced, because `pq_ivf_encode` and
     the probe replay index it positionally); centroid norms are NOT
     stored — they are derived at load time by the same IEEE chain
-    `vec_norm` runs, so they cannot drift from the vectors."""
+    `vec_norm` runs, so they cannot drift from the vectors. ``rot``
+    persists an OPQ rotation (sim11's tier): it must be square over
+    ``dim`` and orthogonal (checked — a corrupt rotation breaks the
+    ADC reconstruction algebra silently, so it is refused at save
+    time)."""
     import hashlib
     import os
 
@@ -1207,13 +1222,31 @@ def save_ann_model(
             f"codebook geometry m*dsub = {len(cb)}*{len(cb[0][0])} "
             f"does not cover dim {dim}"
         )
-    payload = _ann_payload(cents, cb, frac, cand)
+    if rot is not None:
+        _check_rotation(rot, dim)
+    payload = _ann_payload(cents, cb, frac, cand, rot)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = f"{path}.tmp"
     with open(tmp, "wb") as f:
         f.write(payload)
     os.replace(tmp, path)  # atomic publish, the WAP convention
     return {"path": path, "sha256": hashlib.sha256(payload).hexdigest()}
+
+
+def _check_rotation(rot: Rotation, dim: int) -> None:
+    """Refuse a non-square or non-orthogonal rotation: ``||R@R^T -
+    I||_max < 1e-9`` (train_opq_rotation's output is exactly
+    orthogonal up to SVD rounding; anything looser means the matrix
+    was corrupted or hand-edited)."""
+    import numpy as np
+
+    R = np.array(rot, dtype=np.float64)
+    if R.shape != (dim, dim):
+        raise ValueError(
+            f"rotation must be {dim}x{dim}, got {R.shape}"
+        )
+    if np.abs(R @ R.T - np.eye(dim)).max() >= 1e-9:
+        raise ValueError("rotation is not orthogonal (corrupt model?)")
 
 
 def _vec_norm_replay(v: Sequence[float]) -> float:
@@ -1272,6 +1305,10 @@ def load_ann_model(path: str, expected_sha256: str | None = None) -> dict:
         or any(len(cv) != dim for _, cv in cents)
     ):
         raise ValueError(f"ANN model {path!r} geometry is inconsistent")
+    rot = data.get("rot")
+    if rot is not None:
+        rot = [[float(x) for x in row] for row in rot]
+        _check_rotation(rot, dim)
     return {
         "cents": cents,
         "cents3": [(cid, cv, _vec_norm_replay(cv)) for cid, cv in cents],
@@ -1281,6 +1318,7 @@ def load_ann_model(path: str, expected_sha256: str | None = None) -> dict:
         "dim": dim,
         "m": m,
         "ks": ks,
+        "rot": rot,
         "sha256": sha,
     }
 
@@ -1302,9 +1340,9 @@ def build_ann_store(
     import json
     import os
 
-    pq_ivf_encode(emb, model["cents3"], model["cb"]).write.mode(
-        mode
-    ).partitionBy("centroid_id").parquet(store_path)
+    pq_ivf_encode(
+        emb, model["cents3"], model["cb"], rot=model.get("rot")
+    ).write.mode(mode).partitionBy("centroid_id").parquet(store_path)
     meta = {"format": ANN_MODEL_FORMAT, "model_sha256": model["sha256"]}
     with open(os.path.join(store_path, ANN_STORE_META), "w") as f:
         json.dump(meta, f)
@@ -1339,6 +1377,7 @@ def train_ann_model(
     frac: float = 0.1,
     cand: int = 100,
     sample_n: int = 4096,
+    opq: bool = False,
 ) -> dict:
     """One-call IVF-PQ model training over ``(vec_id, v, nrm)`` — the
     sim10 composition (MLlib-KMeans coarse quantizer + residual PQ,
@@ -1351,8 +1390,11 @@ def train_ann_model(
     is fit on a bounded sample, never the corpus), assigned and
     subtracted through the same numpy replay the fused store build
     runs, then fit by the shared `_pq_lloyd` loop — so a model trained
-    here and a store encoded under it are consistent by
-    construction."""
+    here and a store encoded under it are consistent by construction.
+    ``opq=True`` upgrades the residual stage to sim11's tier: the
+    rotation + codebook come from `train_opq_rotation` on the SAME
+    residual sample (quantization error <= the plain codebook's by
+    construction), persisted in the artifact's ``rot`` field."""
     import numpy as np
 
     from .similarity import assign_nearest_block, train_ivf_codebook
@@ -1374,7 +1416,10 @@ def train_ann_model(
     cns = np.array([c[2] for c in cents3], dtype=np.float64)
     _, best_id = assign_nearest_block(X, nrm, cmat, cns)
     R = X - cmat.T[best_id]
-    cb = _pq_lloyd(R, m, ks, iters=8)
+    if opq:
+        rot, cb, _err_opq, _err_id = train_opq_rotation(R, m, ks)
+    else:
+        rot, cb = None, _pq_lloyd(R, m, ks, iters=8)
     cents = [(cid, cv) for cid, cv, _ in cents3]
     return {
         "cents": cents,
@@ -1385,5 +1430,6 @@ def train_ann_model(
         "dim": X.shape[1],
         "m": m,
         "ks": ks,
-        "sha256": ann_model_sha256(cents, cb, frac, cand),
+        "rot": rot,
+        "sha256": ann_model_sha256(cents, cb, frac, cand, rot),
     }

@@ -751,7 +751,9 @@ def start_corpus_dedup_stream(
                 .select(F.col("doc_id").alias("vec_id"), "v", "nrm")
             )
             _write_partition(
-                pq_ivf_encode(emb_b, ann["cents3"], ann["cb"]),
+                pq_ivf_encode(
+                    emb_b, ann["cents3"], ann["cb"], rot=ann.get("rot")
+                ),
                 ann_dir,
                 batch_id,
             )

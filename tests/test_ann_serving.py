@@ -459,3 +459,90 @@ def test_http_ann_topk_endpoint(spark, tmp_path):
     for bad in ({"vec": "a,b"}, {"vec": vec, "k": "0"}, {}):
         status, _ = handle_request(ctx, "/api/ann/topk", bad)
         assert status == 422, bad
+
+
+def test_opq_model_roundtrip_and_serving_matches_sim11(spark, tmp_path):
+    """The OPQ tier through the artifact path: train(opq=True) ->
+    save (rotation persisted, orthogonality checked) -> load ->
+    build -> serve == the in-session sim11 pipeline row for row
+    (same trained coarse, same OPQ rotation/codebook on the same
+    residual sample, same budgeted probes, same rotated-coordinate
+    ADC, same exact rerank)."""
+    from pyspark.sql import functions as F
+
+    from inpe_queimadas_etl_spark.suite.llmdata import sim11_opq_ivfpq
+
+    emb = _emb(spark)
+    model = train_ann_model(
+        emb, k=4, m=8, ks=16, frac=0.5, cand=100, opq=True
+    )
+    assert model["rot"] is not None
+    model_path = str(tmp_path / "opq.json")
+    art = save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"], rot=model["rot"],
+    )
+    got_model = load_ann_model(model_path, expected_sha256=art["sha256"])
+    assert got_model["rot"] == model["rot"]
+    assert got_model["cb"] == model["cb"]
+
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, got_model, store_path)
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.filter(
+            (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
+        ).collect()
+    ]
+    got = (
+        ann_topk(spark, store_path, model_path, queries, k=5, rerank_with=emb)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        sim11_opq_ivfpq(spark, SF0001)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )
+
+    # a corrupt rotation is refused at save time
+    bad_rot = [row[:] for row in model["rot"]]
+    bad_rot[0][0] += 0.5
+    with pytest.raises(ValueError, match="not orthogonal"):
+        save_ann_model(
+            str(tmp_path / "bad.json"), model["cents"], model["cb"],
+            model["frac"], model["cand"], rot=bad_rot,
+        )
+    with pytest.raises(ValueError, match="rotation must be"):
+        save_ann_model(
+            str(tmp_path / "bad2.json"), model["cents"], model["cb"],
+            model["frac"], model["cand"], rot=[[1.0, 0.0], [0.0, 1.0]],
+        )
+
+
+def test_ann_topk_store_scan_partition_prunes(spark, tmp_path):
+    """Scale pin: the probed-cluster filter inside ann_topk must
+    surface as a PartitionFilter on the persisted store's parquet
+    scan — the 'only probed clusters' files are read' claim, physical
+    (the test_sim9_store_partition_pruning stance on the serving
+    path)."""
+    emb = _emb(spark)
+    model = _demo_model(spark)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(model_path), store_path)
+    df = ann_topk(
+        spark, store_path, model_path, [(8, [0.5] * 64)], k=3
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "centroid_id" in seg, plan
+    assert "BatchEvalPython" not in plan  # Arrow only, no row UDFs
