@@ -402,8 +402,11 @@ def ann_topk(
         raise ValueError(
             f"query vectors must have dim {model['dim']} (the model's)"
         )
-    store = read_ann_store(spark, store_path, model)
-    sizes = _cluster_sizes(store)
+    store, sizes = read_ann_store(spark, store_path, model)
+    if sizes is None:
+        # store without a build-time size stamp (e.g. the streaming
+        # drain's append-only dir): one K-row aggregate pays for it
+        sizes = _cluster_sizes(store)
     probes = _ann_budget_probes(
         model["cents3"], query_vecs, sizes, model["frac"]
     )
@@ -449,12 +452,19 @@ def ann_topk(
     cand_ids = ranked.filter(F.col("rn") <= cand).select(
         "query_id", "vec_id"
     )
-    vecs = rerank_with.select("vec_id", "v")
     if "nrm" in rerank_with.columns:
         vecs = rerank_with.select("vec_id", "v", F.col("nrm").alias("nv"))
     else:
-        vecs = vecs.withColumn("nv", vec_norm("v"))
-    paired = cand_ids.join(vecs, "vec_id").join(F.broadcast(q), "query_id")
+        vecs = rerank_with.select("vec_id", "v").withColumn(
+            "nv", vec_norm("v")
+        )
+    # candidates are bounded serving state (Q x cand rows) — broadcast
+    # BOTH small sides so the big vector table never shuffles for the
+    # rerank (at 100 TB the rerank fetch must be a broadcast probe,
+    # not an exchange of the corpus)
+    paired = vecs.join(F.broadcast(cand_ids), "vec_id").join(
+        F.broadcast(q), "query_id"
+    )
     return _score_rank_top5(paired, k=k)
 
 

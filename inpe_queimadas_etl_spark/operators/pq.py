@@ -1336,26 +1336,50 @@ def build_ann_store(
     probed clusters' files are read; the deployment shape the sim9
     PartitionFilter pin documents). The model's sha256 is stamped
     into ``store_path/_ann_model.json`` so `ann_topk` can refuse a
-    store/model mismatch."""
+    store/model mismatch — along with the K-row cluster-size table
+    (a side artifact of the build, read back by `ann_topk`'s probe
+    budgeting so SERVING never pays a full store scan to learn
+    sizes; at 100 TB that scan would dominate every request)."""
     import json
     import os
+
+    from pyspark.sql import functions as F
 
     pq_ivf_encode(
         emb, model["cents3"], model["cb"], rot=model.get("rot")
     ).write.mode(mode).partitionBy("centroid_id").parquet(store_path)
-    meta = {"format": ANN_MODEL_FORMAT, "model_sha256": model["sha256"]}
+    spark = emb.sparkSession
+    sizes = {
+        int(r["centroid_id"]): int(r["n"])
+        for r in spark.read.parquet(store_path)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    meta = {
+        "format": ANN_MODEL_FORMAT,
+        "model_sha256": model["sha256"],
+        "cluster_sizes": {str(k): v for k, v in sizes.items()},
+    }
     with open(os.path.join(store_path, ANN_STORE_META), "w") as f:
         json.dump(meta, f)
 
 
-def read_ann_store(spark, store_path: str, model: dict) -> DataFrame:
+def read_ann_store(
+    spark, store_path: str, model: dict
+) -> tuple[DataFrame, dict | None]:
     """Open a `build_ann_store` parquet, refusing a model mismatch:
     the codes are meaningless under any other codebook, so a swapped
-    model must fail loudly, not return plausible garbage."""
+    model must fail loudly, not return plausible garbage. Returns
+    ``(store_df, cluster_sizes_or_None)`` — the sizes come from the
+    build-time meta when present (immutable store: exact by
+    construction), None for stores without the stamp (e.g. a
+    drain-maintained dir), where the caller computes them."""
     import json
     import os
 
     meta_path = os.path.join(store_path, ANN_STORE_META)
+    sizes = None
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
@@ -1366,7 +1390,10 @@ def read_ann_store(spark, store_path: str, model: dict) -> DataFrame:
                 f"loaded {model['sha256'][:12]}... — rebuild the "
                 "store or load the matching artifact"
             )
-    return spark.read.parquet(store_path)
+        raw = meta.get("cluster_sizes")
+        if raw is not None:
+            sizes = {int(k): int(v) for k, v in raw.items()}
+    return spark.read.parquet(store_path), sizes
 
 
 def train_ann_model(

@@ -401,6 +401,44 @@ def main() -> None:
                 sim9_search_unpruned
             )
             out["sim9_1m"]["search_jvm_sec"] = _t(sim9_search_jvm)
+
+            # r9: the FROZEN-ARTIFACT serving surface end to end —
+            # save_ann_model -> build_ann_store (fused encode +
+            # size-stamped partitioned store) -> api.ann_topk (model
+            # load, budgeted probes from stamped sizes, partition-
+            # pruned Arrow ADC, broadcast-probe exact rerank) — the
+            # productized path a real deployment calls per request
+            from inpe_queimadas_etl_spark.api import ann_topk
+            from inpe_queimadas_etl_spark.operators.pq import (
+                build_ann_store,
+                load_ann_model,
+                save_ann_model,
+            )
+
+            model_path = os.path.join(tmp, "ann_model.json")
+            save_ann_model(
+                model_path, sorted(cents9), rescb, NPROBE / K, CAND
+            )
+            ann_store = os.path.join(tmp, "ann_store")
+            t0 = time.perf_counter()
+            build_ann_store(emb, load_ann_model(model_path), ann_store)
+            out["sim9_1m"]["ann_store_build_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            qvecs = [
+                (r["vec_id"], list(r["v"]))
+                for r in emb.filter(
+                    (F.col("vec_id") >= K) & (F.col("vec_id") < K + 8)
+                ).collect()
+            ]
+
+            def ann_serve():
+                ann_topk(
+                    spark, ann_store, model_path, qvecs, k=5,
+                    rerank_with=emb,
+                ).collect()
+
+            out["sim9_1m"]["ann_topk_sec"] = _t(ann_serve)
             print(
                 f"# 1M sim9 K={K}/nprobe={NPROBE}: build "
                 f"{out['sim9_1m']['build_sec']}s fused (compositional "
@@ -408,7 +446,10 @@ def main() -> None:
                 f"{out['sim9_1m']['search_sec']}s pruned "
                 f"({out['sim9_1m']['n_probed_clusters']}/{K} clusters; "
                 f"unpruned {out['sim9_1m']['search_unpruned_sec']}s, "
-                f"jvm {out['sim9_1m']['search_jvm_sec']}s)",
+                f"jvm {out['sim9_1m']['search_jvm_sec']}s); ann_topk "
+                f"serve {out['sim9_1m']['ann_topk_sec']}s over the "
+                f"{out['sim9_1m']['ann_store_build_sec']}s artifact "
+                "store",
                 file=sys.stderr,
             )
 

@@ -546,3 +546,27 @@ def test_ann_topk_store_scan_partition_prunes(spark, tmp_path):
     seg = plan.split("PartitionFilters")[1].split("]")[0]
     assert "centroid_id" in seg, plan
     assert "BatchEvalPython" not in plan  # Arrow only, no row UDFs
+
+
+def test_store_meta_carries_build_time_sizes(spark, tmp_path):
+    """build_ann_store stamps the K-row cluster-size table into the
+    store meta (a side artifact of the build), and read_ann_store
+    returns it EQUAL to a fresh aggregate — so serving's probe
+    budgeting never pays a full store scan on an immutable store,
+    with identical budgets by construction."""
+    from inpe_queimadas_etl_spark.operators.pq import read_ann_store
+    from inpe_queimadas_etl_spark.suite.llmdata import _cluster_sizes
+
+    emb = _emb(spark)
+    model = _demo_model(spark)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(model_path), store_path)
+    store, sizes = read_ann_store(spark, store_path, load_ann_model(model_path))
+    assert sizes is not None
+    assert sizes == _cluster_sizes(store)
+    assert sum(sizes.values()) == emb.count()
