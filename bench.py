@@ -178,10 +178,13 @@ def _time_runs(
     ADAPTIVE WIDENING (VERDICT r7 #5): sub-second entries on a loaded
     VM showed up to 63 % spread at 3 runs, making per-query moves
     uninterpretable. If the initial spread (max-min) exceeds 30 % of
-    the median, sampling widens to 5 runs and the recorded [lo, hi]
-    is the TRIMMED middle-(n-2) range (one outlier dropped each side)
-    — the median is over ALL samples, only the reported band is
-    trimmed, and n_runs records how many were taken."""
+    the median, sampling widens to 5 runs. The TRIMMED middle-(n-2)
+    band (one outlier dropped each side) is recorded whenever the
+    spread at >=5 samples STILL exceeds 30 % (ADVICE r8: the rule
+    follows the spread test alone — pinned 5-run entries included,
+    and a widened entry whose extra runs tightened the spread keeps
+    the honest untrimmed band); the median is over ALL samples, and
+    n_runs records how many were taken."""
     fn()  # warm-up, not measured
     samples = []
     for _ in range(runs):

@@ -56,6 +56,10 @@ class ApiContext:
     ann_store_path: str | None = None
     ann_rerank: DataFrame | None = None
     cache: ServingCache = field(default_factory=ServingCache)
+    # lazily-populated (model, store_df, sizes) for /api/ann/topk —
+    # frozen by the sha-stamp design, so loaded ONCE per context
+    # instead of re-parsing the artifact per request (review r9)
+    _ann_state: dict = field(default_factory=dict, repr=False)
 
 
 _FILTER_KEYS = ("uf", "bioma", "mun", "uc", "ti")
@@ -377,18 +381,42 @@ def ann_topk(
 
     Refusals (the load_tokenizer stance): a model artifact failing
     ``expected_sha256``, and a store stamped with a DIFFERENT model's
-    sha (`read_ann_store`) — mismatched codes decode to plausible
-    garbage, so they must never be served."""
+    sha (`read_ann_store` — build-time meta OR the drain's append
+    marker) — mismatched codes decode to plausible garbage, so they
+    must never be served."""
+    from .operators.pq import load_ann_model, read_ann_store
+    from .suite.llmdata import _cluster_sizes
+
+    model = load_ann_model(model_path, expected_sha256=expected_sha256)
+    store, sizes = read_ann_store(spark, store_path, model)
+    if sizes is None:
+        # store without a build-time size stamp (e.g. the streaming
+        # drain's append-only dir): one K-row aggregate pays for it
+        sizes = _cluster_sizes(store)
+    return _ann_topk_loaded(
+        spark, store, sizes, model, query_vecs, k, rerank_with
+    )
+
+
+def _ann_topk_loaded(
+    spark: SparkSession,
+    store: DataFrame,
+    sizes: dict,
+    model: dict,
+    query_vecs: list,
+    k: int,
+    rerank_with: DataFrame | None,
+) -> DataFrame:
+    """`ann_topk`'s body over ALREADY-LOADED artifacts — the HTTP
+    front holds (model, store, sizes) once per context (they are
+    frozen by the sha-stamp design) so repeated requests never re-pay
+    the model parse / meta read / size aggregate (review r9)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from .operators.pq import (
-        load_ann_model,
-        pq_ivf_adc_search_scan,
-        read_ann_store,
-    )
+    from .operators.pq import pq_ivf_adc_search_scan
     from .operators.similarity import vec_norm
-    from .suite.llmdata import _cluster_sizes, _score_rank_top5
+    from .suite.llmdata import _score_rank_top5
 
     if k <= 0:
         raise ValueError("k must be positive")
@@ -397,16 +425,10 @@ def ann_topk(
         # duplicate ids would double-score their probes and inflate
         # ranks — refuse rather than return silently wrong top-k
         raise ValueError("query_vecs ids must be unique")
-    model = load_ann_model(model_path, expected_sha256=expected_sha256)
     if any(len(qv) != model["dim"] for _, qv in query_vecs):
         raise ValueError(
             f"query vectors must have dim {model['dim']} (the model's)"
         )
-    store, sizes = read_ann_store(spark, store_path, model)
-    if sizes is None:
-        # store without a build-time size stamp (e.g. the streaming
-        # drain's append-only dir): one K-row aggregate pays for it
-        sizes = _cluster_sizes(store)
     probes = _ann_budget_probes(
         model["cents3"], query_vecs, sizes, model["frac"]
     )
@@ -434,17 +456,34 @@ def ann_topk(
     scored = pq_ivf_adc_search_scan(
         pruned, model["cb"], scan_cents, probes, cand
     )
+    if rerank_with is None:
+        # FINAL user-facing ranking (review r9): null scores —
+        # degenerate zero-reconstruction store rows, whose NaN became
+        # null across Arrow — are dropped, not served as rank 1. The
+        # nulls-FIRST convention below is the internal candidate-
+        # superset order (it must match the per-batch prune); a
+        # served result must never lead with garbage. Degenerate
+        # rows can still consume per-batch prune slots (the pinned
+        # convention); a store with cand-many such rows per batch is
+        # pathological and surfaces here as fewer than k rows.
+        w_out = Window.partitionBy("query_id").orderBy(
+            F.desc("pq_score"), F.asc("vec_id")
+        )
+        return (
+            scored.filter(F.col("pq_score").isNotNull())
+            .withColumn("rn", F.row_number().over(w_out))
+            .filter(F.col("rn") <= k)
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("rn").cast("long").alias("rank"),
+                F.col("pq_score").alias("score"),
+            )
+        )
     w_global = Window.partitionBy("query_id").orderBy(
         F.desc_nulls_first("pq_score"), F.asc("vec_id")
     )
     ranked = scored.withColumn("rn", F.row_number().over(w_global))
-    if rerank_with is None:
-        return ranked.filter(F.col("rn") <= k).select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("rn").cast("long").alias("rank"),
-            F.col("pq_score").alias("score"),
-        )
     q = spark.createDataFrame(
         [(int(qid), [float(x) for x in qv]) for qid, qv in query_vecs],
         "query_id long, qv array<double>",
@@ -486,13 +525,24 @@ def _ep_ann_topk(ctx: ApiContext, params: dict) -> dict:
     k = int(params.get("k", 5))
     if k <= 0 or k > 1000:
         raise ValueError("k must be in 1..1000")
-    df = ann_topk(
+    if not ctx._ann_state:
+        from .operators.pq import load_ann_model, read_ann_store
+        from .suite.llmdata import _cluster_sizes
+
+        model = load_ann_model(ctx.ann_model_path)
+        store, sizes = read_ann_store(ctx.spark, ctx.ann_store_path, model)
+        if sizes is None:
+            sizes = _cluster_sizes(store)
+        ctx._ann_state.update(model=model, store=store, sizes=sizes)
+    st = ctx._ann_state
+    df = _ann_topk_loaded(
         ctx.spark,
-        ctx.ann_store_path,
-        ctx.ann_model_path,
+        st["store"],
+        st["sizes"],
+        st["model"],
         [(-1, vec)],
-        k=k,
-        rerank_with=ctx.ann_rerank,
+        k,
+        ctx.ann_rerank,
     )
     score_col = "sim" if ctx.ann_rerank is not None else "score"
     items = [

@@ -235,17 +235,14 @@ def cmd_corpus_dedup(args) -> int:
         else start_corpus_dedup_stream
     )
     src_kw = "vecs_dir" if args.embeddings else "docs_dir"
+    # --bpe-tokenizer/--ann-model vs --embeddings incompatibility is
+    # validated ONCE, at argument-parse time in main() (ADVICE r8 +
+    # review r9: a second in-function copy of the rule can only drift)
     extra = {}
     if not args.embeddings and args.bpe_tokenizer:
         extra["tokenizer_path"] = args.bpe_tokenizer
-    elif args.embeddings and args.bpe_tokenizer:
-        raise SystemExit(
-            "--bpe-tokenizer applies to the document drain only"
-        )
     if not args.embeddings and args.ann_model:
         extra["ann_model_path"] = args.ann_model
-    elif args.embeddings and args.ann_model:
-        raise SystemExit("--ann-model applies to the document drain only")
     q = starter(
         spark,
         **{src_kw: args.docs_dir},

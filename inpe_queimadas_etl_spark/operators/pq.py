@@ -1127,6 +1127,10 @@ FROM (
 
 ANN_MODEL_FORMAT = "ann-ivfpq-v1"
 ANN_STORE_META = "_ann_model.json"  # underscore: parquet readers skip it
+# the streaming drain's append-only stamp (one line, the model sha) —
+# defined here so read_ann_store can refuse a drain-maintained store
+# under the wrong model exactly like a build_ann_store one
+ANN_STORE_SHA_MARKER = "_ann_model_sha"
 
 
 def _ann_payload(
@@ -1361,8 +1365,14 @@ def build_ann_store(
         "model_sha256": model["sha256"],
         "cluster_sizes": {str(k): v for k, v in sizes.items()},
     }
-    with open(os.path.join(store_path, ANN_STORE_META), "w") as f:
+    # atomic publish (the WAP convention, review r9): a crash mid-write
+    # must leave either no meta (graceful sizes=None fallback) or a
+    # complete one — never a truncated JSON that reads as corruption
+    meta_path = os.path.join(store_path, ANN_STORE_META)
+    tmp = f"{meta_path}.tmp"
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp, meta_path)
 
 
 def read_ann_store(
@@ -1373,26 +1383,37 @@ def read_ann_store(
     model must fail loudly, not return plausible garbage. Returns
     ``(store_df, cluster_sizes_or_None)`` — the sizes come from the
     build-time meta when present (immutable store: exact by
-    construction), None for stores without the stamp (e.g. a
-    drain-maintained dir), where the caller computes them."""
+    construction), None for stores without the size stamp (e.g. a
+    drain-maintained dir), where the caller computes them.
+
+    BOTH stamp flavors are honored (review r9): a `build_ann_store`
+    dir carries the JSON meta; a streaming-drain dir carries the
+    one-line `_ann_model_sha` marker — a drain store under the wrong
+    model must be refused exactly like a built one."""
     import json
     import os
 
     meta_path = os.path.join(store_path, ANN_STORE_META)
+    marker_path = os.path.join(store_path, ANN_STORE_SHA_MARKER)
     sizes = None
+    stamped_sha = None
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        if meta.get("model_sha256") != model["sha256"]:
-            raise ValueError(
-                f"store {store_path!r} was encoded under model "
-                f"{str(meta.get('model_sha256'))[:12]}..., not the "
-                f"loaded {model['sha256'][:12]}... — rebuild the "
-                "store or load the matching artifact"
-            )
+        stamped_sha = meta.get("model_sha256")
         raw = meta.get("cluster_sizes")
         if raw is not None:
             sizes = {int(k): int(v) for k, v in raw.items()}
+    elif os.path.exists(marker_path):
+        with open(marker_path, encoding="utf-8") as f:
+            stamped_sha = f.read().strip()
+    if stamped_sha is not None and stamped_sha != model["sha256"]:
+        raise ValueError(
+            f"store {store_path!r} was encoded under model "
+            f"{str(stamped_sha)[:12]}..., not the "
+            f"loaded {model['sha256'][:12]}... — rebuild the "
+            "store or load the matching artifact"
+        )
     return spark.read.parquet(store_path), sizes
 
 

@@ -433,9 +433,6 @@ def _bind_drain_identity(
         )
 
 
-_ANN_MODEL_SHA_FILE = "_ann_model_sha"
-
-
 def _bind_ann_model_sha(ann_dir: str, sha: str) -> None:
     """Stamp the drain's ANN code sink with the frozen model's sha256
     on first use; REFUSE a later drain run under a different model
@@ -443,8 +440,12 @@ def _bind_ann_model_sha(ann_dir: str, sha: str) -> None:
     that produced them — appending batches encoded under model B to a
     store built under model A yields a store where every search
     silently mixes two incompatible geometries. Retraining means a
-    NEW store (fresh ann sink dir), never an append."""
-    marker = os.path.join(ann_dir, _ANN_MODEL_SHA_FILE)
+    NEW store (fresh ann sink dir), never an append. The marker file
+    name is shared with `operators.pq.read_ann_store`, which honors
+    it so `ann_topk` refuses a drain store under the wrong model."""
+    from .operators.pq import ANN_STORE_SHA_MARKER
+
+    marker = os.path.join(ann_dir, ANN_STORE_SHA_MARKER)
     if os.path.exists(marker):
         with open(marker, encoding="utf-8") as f:
             prev = f.read().strip()
@@ -618,6 +619,14 @@ def start_corpus_dedup_stream(
         from .operators.pq import load_ann_model
 
         ann = load_ann_model(ann_model_path)  # load ONCE, never retrain
+        if ann["dim"] % 4:
+            # the drain embeds via the emb1 hashed encoder, whose md5
+            # slicing needs dim % 4 == 0 — refuse at START, not on
+            # the first accepted batch deep inside a foreachBatch
+            raise ValueError(
+                f"ann model dim {ann['dim']} is not a multiple of 4; "
+                "the drain's hashed encoder cannot produce it"
+            )
     schema = _resolve_stream_schema(spark, docs_dir, schema)
     tokens_dir = f"{out_dir}/tokens"
     ann_dir = f"{out_dir}/ann_store"

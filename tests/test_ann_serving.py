@@ -149,9 +149,11 @@ def test_ann_topk_matches_in_session_sim10_exactly(spark, tmp_path):
 
 def test_ann_topk_adc_only_and_validation(spark, tmp_path):
     """Without rerank_with the tail ranks by ADC score alone: k rows
-    per query, rank 1..k, scores non-increasing (null-scored rows
-    first, the desc_nulls_first contract). Bad inputs are refused
-    before any Spark job."""
+    per query, rank 1..k, scores non-increasing — and null scores
+    (degenerate zero-reconstruction rows) are DROPPED from the served
+    ranking, never returned as rank 1 (review r9; the nulls-first
+    order remains the internal candidate-superset convention only).
+    Bad inputs are refused before any Spark job."""
     emb = _emb(spark)
     model = _demo_model(spark)
     model_path = str(tmp_path / "model.json")
@@ -166,8 +168,8 @@ def test_ann_topk_adc_only_and_validation(spark, tmp_path):
     for qid, grp in df.groupby("query_id"):
         assert list(grp.sort_values("rank")["rank"]) == [1, 2, 3]
         s = grp.sort_values("rank")["score"].tolist()
-        finite = [x for x in s if x is not None and x == x]
-        assert finite == sorted(finite, reverse=True)
+        assert all(x is not None and x == x for x in s)  # no nulls served
+        assert s == sorted(s, reverse=True)
     with pytest.raises(ValueError, match="k must be positive"):
         ann_topk(spark, store_path, model_path, queries, k=0)
     with pytest.raises(ValueError, match="dim"):
@@ -340,6 +342,17 @@ def test_drain_refuses_ann_model_drift(spark, tmp_path):
     drain(paths["a"])
     with pytest.raises(RuntimeError, match="was built under model"):
         drain(paths["b"])
+    # ...and SERVING the drain-maintained store under the wrong model
+    # is refused too (review r9: read_ann_store honors the drain's
+    # append marker, not just build_ann_store's JSON meta)
+    ann_dir = str(tmp_path / "out" / "ann_store")
+    with pytest.raises(ValueError, match="was encoded under model"):
+        ann_topk(spark, ann_dir, paths["b"], [(1, [0.5] * 64)], k=1)
+    # the matching model serves it fine (sizes fall back to the
+    # K-row aggregate — no build-time stamp on a drain dir)
+    assert ann_topk(
+        spark, ann_dir, paths["a"], [(10_000, [0.5] * 64)], k=2
+    ).count() == 2
 
 
 @pytest.fixture()
