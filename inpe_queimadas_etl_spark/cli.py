@@ -382,6 +382,29 @@ def cmd_ann_build(args) -> int:
     return 0
 
 
+def cmd_ann_compact(args) -> int:
+    """Rewrite a streaming-drain ANN sink into the serving layout
+    (centroid_id-partitioned + sha/size-stamped) — the append ->
+    compact -> serve maintenance loop's compaction step."""
+    from .operators.pq import compact_ann_store, load_ann_model
+    from .session import get_spark
+
+    model = load_ann_model(args.model)  # fail BEFORE Spark startup
+    spark = get_spark(app_name="ann-compact")
+    compact_ann_store(
+        spark,
+        args.drain_dir,
+        args.store,
+        model,
+        mode="overwrite" if args.overwrite else "error",
+    )
+    log.info(
+        "ann-compact | store | %s",
+        json.dumps({"store": args.store, "model_sha256": model["sha256"]}),
+    )
+    return 0
+
+
 def cmd_ann_search(args) -> int:
     """Top-k search over the frozen artifacts for query vectors read
     from a JSON file (``[[id, [floats...]], ...]``) — the api.ann_topk
@@ -663,6 +686,17 @@ def build_parser() -> argparse.ArgumentParser:
     ab.add_argument("--overwrite", action="store_true")
     ab.add_argument("--log-dir")
 
+    ac = sub.add_parser(
+        "ann-compact",
+        help="rewrite a drain ann_store (batch appends) into the "
+        "partition-pruned serving layout under the same frozen model",
+    )
+    ac.add_argument("--drain-dir", required=True, help="drain ann_store dir")
+    ac.add_argument("--model", required=True, help="ann-train artifact")
+    ac.add_argument("--store", required=True, help="output store dir")
+    ac.add_argument("--overwrite", action="store_true")
+    ac.add_argument("--log-dir")
+
     asr = sub.add_parser(
         "ann-search",
         help="top-k ANN over a frozen model + store for query vectors "
@@ -713,6 +747,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_ann_train(args)
     if args.cmd == "ann-build":
         return cmd_ann_build(args)
+    if args.cmd == "ann-compact":
+        return cmd_ann_compact(args)
     if args.cmd == "ann-search":
         return cmd_ann_search(args)
     return 2

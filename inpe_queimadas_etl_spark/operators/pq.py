@@ -1481,3 +1481,56 @@ def train_ann_model(
         "rot": rot,
         "sha256": ann_model_sha256(cents, cb, frac, cand, rot),
     }
+
+
+def compact_ann_store(
+    spark,
+    drain_dir: str,
+    out_store: str,
+    model: dict,
+    mode: str = "error",
+) -> None:
+    """Rewrite a streaming-drain ANN sink (batch_id-partitioned
+    appends, `streaming.start_corpus_dedup_stream`'s ann_model_path
+    path) into the SERVING layout `build_ann_store` produces:
+    parquet partitioned by centroid_id with the model sha AND the
+    K-row cluster-size table stamped — so `ann_topk` over the
+    compacted store gets physical partition pruning and stamp-read
+    probe budgeting instead of a data-column filter plus a per-call
+    size aggregate. The append-maintenance loop closes here: drain
+    appends under the frozen model between compactions; a compaction
+    is ONE shuffle-by-centroid_id rewrite of pure codes (12-16
+    bytes/row — at 100 TB of raw vectors this moves ~3 TB, a
+    maintenance job, not a rebuild, and the MODEL stays frozen
+    throughout).
+
+    Refuses a drain dir stamped under a different model (the
+    `read_ann_store` check — compacting mixed-codebook codes would
+    launder the corruption into a 'clean' store)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    src, _ = read_ann_store(spark, drain_dir, model)
+    codes = src.select("vec_id", "centroid_id", "codes")
+    codes.repartition("centroid_id").write.mode(mode).partitionBy(
+        "centroid_id"
+    ).parquet(out_store)
+    sizes = {
+        int(r["centroid_id"]): int(r["n"])
+        for r in spark.read.parquet(out_store)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    meta = {
+        "format": ANN_MODEL_FORMAT,
+        "model_sha256": model["sha256"],
+        "cluster_sizes": {str(k): v for k, v in sizes.items()},
+    }
+    meta_path = os.path.join(out_store, ANN_STORE_META)
+    tmp = f"{meta_path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)

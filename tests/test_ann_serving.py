@@ -583,3 +583,82 @@ def test_store_meta_carries_build_time_sizes(spark, tmp_path):
     assert sizes is not None
     assert sizes == _cluster_sizes(store)
     assert sum(sizes.values()) == emb.count()
+
+
+def test_compact_drain_store_serves_identically_with_pruning(
+    spark, tmp_path
+):
+    """compact_ann_store closes the maintenance loop: a drain dir
+    (batch_id appends) compacted into the serving layout must (a)
+    serve rows IDENTICAL to the drain dir itself, (b) carry the
+    sha + size stamps (PartitionFilter pruning + stamp-read
+    budgeting), and (c) refuse compaction under the wrong model."""
+    from pyspark.sql import functions as F
+
+    from inpe_queimadas_etl_spark.operators.pq import (
+        compact_ann_store,
+        read_ann_store,
+    )
+    from inpe_queimadas_etl_spark.streaming import (
+        start_corpus_dedup_stream,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    _write_snapshot(docs_dir, [(i, _doc(i)) for i in range(12)], "s1")
+    docs_df = spark.createDataFrame(
+        pd.DataFrame([(i, _doc(i)) for i in range(12)],
+                     columns=["doc_id", "text"])
+    )
+    model = _train_doc_model(spark, docs_df)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+    q = start_corpus_dedup_stream(
+        spark,
+        docs_dir=docs_dir,
+        index_dir=str(tmp_path / "index"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        ann_model_path=model_path,
+    )
+    q.awaitTermination(120)
+
+    drain_dir = str(tmp_path / "out" / "ann_store")
+    out_store = str(tmp_path / "compacted")
+    loaded = load_ann_model(model_path)
+    compact_ann_store(spark, drain_dir, out_store, loaded)
+
+    # stamps present; sizes equal the drain rows' distribution
+    store, sizes = read_ann_store(spark, out_store, loaded)
+    assert sizes is not None and sum(sizes.values()) == 12
+    assert _store_rows(spark, out_store) == _store_rows(spark, drain_dir)
+
+    queries = [(9001, [0.25] * 64), (9002, [1.0] + [0.0] * 63)]
+    got_c = ann_topk(spark, out_store, model_path, queries, k=3).toPandas()
+    got_d = ann_topk(spark, drain_dir, model_path, queries, k=3).toPandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        got_c.sort_values(key, ignore_index=True),
+        got_d.sort_values(key, ignore_index=True),
+    )
+    # compacted store scan partition-prunes
+    plan = (
+        ann_topk(spark, out_store, model_path, queries, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1].split("]")[0]
+
+    # wrong model refused (would launder mixed-codebook codes)
+    model_b = _train_doc_model(spark, docs_df, frac=0.25)
+    pb = str(tmp_path / "b.json")
+    save_ann_model(pb, model_b["cents"], model_b["cb"], model_b["frac"],
+                   model_b["cand"])
+    with pytest.raises(ValueError, match="was encoded under model"):
+        compact_ann_store(
+            spark, drain_dir, str(tmp_path / "c2"), load_ann_model(pb)
+        )
