@@ -4831,6 +4831,7 @@ SIM8_STATIC_SQL = _sim8_static_sql()
 from .sim7_model import SIM7_STATIC_SQL  # noqa: E402
 from .sim9_model import SIM9_STATIC_SQL  # noqa: E402
 from .sim10_model import SIM10_STATIC_SQL  # noqa: E402
+from .sim11_model import SIM11_STATIC_SQL  # noqa: E402
 
 
 # --- llm_ops_battery: registered composite for the r5/r6 tier ---------------
@@ -4936,20 +4937,28 @@ def _melt_battery(df: DataFrame, chk: str, key_s, n, v) -> DataFrame:
                      CAST(neighbor_id AS VARCHAR)),
            rank, sim
     FROM ({SIM10_STATIC_SQL})
+    UNION ALL
+    SELECT 'sim11',
+           concat_ws(':', CAST(query_id AS VARCHAR),
+                     CAST(neighbor_id AS VARCHAR)),
+           rank, sim
+    FROM ({SIM11_STATIC_SQL})
     """,
 )
 def llm_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite driver-correctness battery for the fourteen
-    r5/r6/r7/r8 operators outside the 50-slot registry: dd10
+    """Composite driver-correctness battery for the fifteen
+    r5-r9 operators outside the 50-slot registry: dd10
     duplicate spans, dd11 span scrub, dd12 SemDeDup, cur7 semantic
     decontamination, cur8 DSIR selection, cur9 DSIR Gumbel-top-k
     resample, cur10 substring decontamination, tx8 bigram-LM
     perplexity, emb1 hashed doc encoder, sim6 IVF x SQ8 ANN, and the
-    four baked-model ANN tiers — sim8 PQ/ADC, sim7 trained-IVF
+    five baked-model ANN tiers — sim8 PQ/ADC, sim7 trained-IVF
     multi-probe, sim9 IVF-PQ residual multi-probe, sim10
-    trained-coarse IVF-PQ — each under its frozen serving model
-    (suite/sim*_model.py) with a static oracle generated from the
-    same constant (VERDICT r7 #2 + the r8 sim10 tier). Every
+    trained-coarse IVF-PQ, sim11 OPQ-rotated IVF-PQ (r9) — each
+    under its frozen serving model (suite/sim*_model.py) with a
+    static oracle generated from the same constant (VERDICT r7 #2 +
+    the r8 sim10 tier + the r9 OPQ rung, rotation chains included in
+    the static SQL). Every
     operator's complete value set is hashed (spans+window counts,
     scrubbed-text md5, removal sets with similarities, DSIR weights
     and Gumbel keys, contamination flags, per-doc logprobs, exact
@@ -4974,6 +4983,7 @@ def llm_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim7 = sim7_static_trained_ivf(spark, sf_dir)
     sim9 = sim9_static_ivfpq(spark, sf_dir)
     sim10 = sim10_static_ivfpq(spark, sf_dir)
+    sim11 = sim11_static_opq_ivfpq(spark, sf_dir)
     parts = [
         _melt_battery(
             dd10,
@@ -5059,6 +5069,7 @@ def llm_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("sim7", sim7),
         ("sim9", sim9),
         ("sim10", sim10),
+        ("sim11", sim11),
     ):
         parts.append(
             _melt_battery(
@@ -5842,4 +5853,22 @@ def sim10_static_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sim8_emb(spark, sf_dir),
         SIM10_BATTERY_CB,
         _baked_centroids(spark, SIM7_BATTERY_CENT),
+    )
+
+
+def sim11_static_opq_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim11 under the BAKED model — sim7's frozen coarse codebook +
+    the frozen OPQ rotation and rotated-residual codebook
+    (suite/sim11_model.py) — the llm_ops_battery sim11 branch with a
+    hard driver CORRECTNESS row against SIM11_STATIC_SQL (same
+    frozen constants through the same generator, rotation chains
+    included)."""
+    from .sim11_model import SIM11_BATTERY_CB, SIM11_BATTERY_ROT
+    from .sim7_model import SIM7_BATTERY_CENT
+
+    return _sim9_topk(
+        _sim8_emb(spark, sf_dir),
+        SIM11_BATTERY_CB,
+        _baked_centroids(spark, SIM7_BATTERY_CENT),
+        rot=SIM11_BATTERY_ROT,
     )

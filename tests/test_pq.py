@@ -687,3 +687,28 @@ def test_opq_rotation_is_orthogonal_and_kept_best(spark):
     assert np.abs(R @ R.T - np.eye(16)).max() < 1e-9
     assert err_opq <= err_id
     assert r1 == r2  # deterministic
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_sim11_static_matches_static_oracle(spark, sf):
+    """The baked-model sim11 battery branch (sim7's frozen coarse
+    codebook + the frozen OPQ rotation and rotated-residual codebook,
+    suite/sim11_model.py) vs the static DuckDB oracle from the same
+    constants — rotation chains included in the generated SQL."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        sim11_static_opq_ivfpq,
+    )
+    from inpe_queimadas_etl_spark.suite.sim11_model import (
+        SIM11_STATIC_SQL,
+    )
+
+    sdf = _norm(sim11_static_opq_ivfpq(spark, sf).toPandas())
+    odf = _norm(_duck(sf, SIM11_STATIC_SQL))
+    assert len(sdf) == len(odf)
+    for col in ("query_id", "neighbor_id", "rank"):
+        assert sdf[col].astype("int64").tolist() == odf[col].astype(
+            "int64"
+        ).tolist(), col
+    assert sdf["sim"].tolist() == pytest.approx(
+        odf["sim"].tolist(), abs=1e-9
+    )
