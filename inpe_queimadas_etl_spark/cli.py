@@ -235,13 +235,15 @@ def cmd_corpus_dedup(args) -> int:
         else start_corpus_dedup_stream
     )
     src_kw = "vecs_dir" if args.embeddings else "docs_dir"
-    # --bpe-tokenizer/--ann-model vs --embeddings incompatibility is
-    # validated ONCE, at argument-parse time in main() (ADVICE r8 +
-    # review r9: a second in-function copy of the rule can only drift)
+    # --bpe-tokenizer vs --embeddings incompatibility is validated
+    # ONCE, at argument-parse time in main() (ADVICE r8 + review r9:
+    # a second in-function copy of the rule can only drift).
+    # --ann-model applies to BOTH drains (r9): the embedding drain's
+    # accepted rows already are vectors.
     extra = {}
     if not args.embeddings and args.bpe_tokenizer:
         extra["tokenizer_path"] = args.bpe_tokenizer
-    if not args.embeddings and args.ann_model:
+    if args.ann_model:
         extra["ann_model_path"] = args.ann_model
     q = starter(
         spark,
@@ -513,11 +515,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--ann-model",
         default=None,
         help="frozen IVF-PQ model artifact (save_ann_model): each "
-        "batch's accepted survivors are embedded and residual-PQ "
-        "encoded under it into OUT_DIR/ann_store — append-only "
-        "serving-store maintenance under frozen codebooks; a "
-        "different model against an existing ann_store is refused "
-        "(document drain only)",
+        "batch's accepted survivors are encoded under it into "
+        "OUT_DIR/ann_store (documents are embedded first; embedding "
+        "snapshots encode directly) — append-only serving-store "
+        "maintenance under frozen codebooks; a different model "
+        "against an existing ann_store is refused",
     )
     cdp.add_argument("--log-dir")
 
@@ -725,11 +727,6 @@ def main(argv: list[str] | None = None) -> int:
         if args.bpe_tokenizer:
             parser.error(
                 "--bpe-tokenizer applies to the document drain only "
-                "(drop it or drop --embeddings)"
-            )
-        if args.ann_model:
-            parser.error(
-                "--ann-model applies to the document drain only "
                 "(drop it or drop --embeddings)"
             )
     _setup_logging(getattr(args, "log_dir", None))

@@ -795,6 +795,7 @@ def start_embedding_dedup_stream(
     threshold: float | None = None,
     on_batch=None,
     schema: T.StructType | None = None,
+    ann_model_path: str | None = None,
 ):
     """Embedding twin of :func:`start_corpus_dedup_stream`: micro-
     batches of landed embedding snapshots (vec_id, embedding, ...)
@@ -809,6 +810,15 @@ def start_embedding_dedup_stream(
     sim 1.0). Same idempotency contract as the text drain: per-
     batch_id overwrite sinks, current-batch exclusion on reads, and
     checkpoint-reset refusal.
+
+    ``ann_model_path`` — the text drain's ANN-store maintenance
+    (VERDICT r8 #2), on the drain whose accepted rows already ARE
+    vectors: each batch's surviving embeddings are assigned +
+    residual-PQ encoded under the FROZEN `save_ann_model` artifact
+    (one fused Arrow scan) and appended to ``out_dir/ann_store``;
+    same sha stamp, drift refusal and stale-sink warning as the text
+    drain. Vectors whose dim differs from the model's kill the batch
+    loudly (numpy shape error) — land snapshots at the model's dim.
     """
     from .incremental import (
         EMB_NEAR_DUP_THRESHOLD,
@@ -817,10 +827,28 @@ def start_embedding_dedup_stream(
     )
 
     thr = EMB_NEAR_DUP_THRESHOLD if threshold is None else threshold
+    ann = None
+    if ann_model_path is not None:
+        from .operators.pq import load_ann_model
+
+        ann = load_ann_model(ann_model_path)  # load ONCE, never retrain
     schema = _resolve_stream_schema(spark, vecs_dir, schema)
+    ann_dir = f"{out_dir}/ann_store"
+    if ann is None and os.path.isdir(ann_dir) and any(
+        e.startswith("batch_id=") for e in os.listdir(ann_dir)
+    ):
+        log.warning(
+            "embedding drain started without ann_model_path but %s "
+            "has code history — it will NOT be updated this run; pass "
+            "ann_model_path to keep appending accepted batches' codes",
+            ann_dir,
+        )
+    if ann is not None:
+        _bind_ann_model_sha(ann_dir, ann["sha256"])
     _bind_drain_identity(
         checkpoint_dir,
         (f"{out_dir}/flags", f"{out_dir}/accepted", f"{index_dir}/bands"),
+        optional_sink_dirs=(ann_dir,) if ann is not None else (),
     )
     src = spark.readStream.schema(schema).parquet(vecs_dir)
     empty_vecs = spark.createDataFrame([], schema)
@@ -904,6 +932,21 @@ def start_embedding_dedup_stream(
             f"{index_dir}/bands",
             batch_id,
         )
+        if ann is not None:
+            from .operators.pq import pq_ivf_encode
+            from .operators.similarity import vec_norm
+
+            emb_b = survivors.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("v"),
+            ).withColumn("nrm", vec_norm("v"))
+            _write_partition(
+                pq_ivf_encode(
+                    emb_b, ann["cents3"], ann["cb"], rot=ann.get("rot")
+                ),
+                ann_dir,
+                batch_id,
+            )
         if on_batch is not None:
             on_batch(
                 batch_id,

@@ -662,3 +662,92 @@ def test_compact_drain_store_serves_identically_with_pruning(
         compact_ann_store(
             spark, drain_dir, str(tmp_path / "c2"), load_ann_model(pb)
         )
+
+
+def test_embedding_drain_appends_ann_store(spark, tmp_path):
+    """The embedding drain's ANN maintenance: accepted vector
+    snapshots encode DIRECTLY under the frozen artifact (no embed
+    step) into out_dir/ann_store, row-identical to a one-shot
+    build_ann_store over the accepted vectors; model drift refused
+    at drain start."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+    from pyspark.sql import functions as F
+
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+    from inpe_queimadas_etl_spark.streaming import (
+        start_embedding_dedup_stream,
+    )
+
+    def vec(seed, dim=64):
+        rng = random.Random(seed)
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    vecs_dir = str(tmp_path / "vecs")
+    os.makedirs(vecs_dir)
+    rows = [(i, vec(i)) for i in range(20)] + [(99, vec(3))]  # 99: dup
+    pa_pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], type=pa.list_(pa.float32())
+                ),
+            }
+        ),
+        os.path.join(vecs_dir, "snap1.parquet"),
+    )
+    model = train_ann_model(
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", vec_norm("v")),
+        k=2, m=8, ks=4, frac=0.5, cand=50,
+    )
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+
+    def drain(mp):
+        q = start_embedding_dedup_stream(
+            spark,
+            vecs_dir=vecs_dir,
+            index_dir=str(tmp_path / "index"),
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+            ann_model_path=mp,
+        )
+        q.awaitTermination(120)
+
+    drain(model_path)
+    ann_dir = str(tmp_path / "out" / "ann_store")
+    got = _store_rows(spark, ann_dir)
+    # the exact-dup vec (99, copy of 3) must not reach the store
+    assert 99 not in {r[0] for r in got}
+    accepted = (
+        spark.read.parquet(str(tmp_path / "out" / "accepted"))
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", vec_norm("v"))
+    )
+    batch_store = str(tmp_path / "batch_store")
+    build_ann_store(accepted, load_ann_model(model_path), batch_store)
+    assert got == _store_rows(spark, batch_store) and len(got) == 20
+
+    # drift refused at start
+    model_b = train_ann_model(accepted, k=2, m=8, ks=4, frac=0.25)
+    pb = str(tmp_path / "b.json")
+    save_ann_model(pb, model_b["cents"], model_b["cb"], model_b["frac"],
+                   model_b["cand"])
+    with pytest.raises(RuntimeError, match="was built under model"):
+        drain(pb)
