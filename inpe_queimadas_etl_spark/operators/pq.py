@@ -1228,6 +1228,26 @@ def save_ann_model(
         )
     if rot is not None:
         _check_rotation(rot, dim)
+    import math
+
+    bad = [
+        x
+        for seq in (
+            [x for _, cv in cents for x in cv],
+            [x for sub in cb for c in sub for x in c],
+            [frac],
+        )
+        for x in seq
+        if not math.isfinite(x)
+    ]
+    if bad:
+        # the _flit stance at artifact level: json.dumps would emit
+        # non-standard Infinity/NaN tokens, and a non-finite model
+        # component is a training bug — name it at save time
+        raise ValueError(
+            f"non-finite model component {bad[0]!r} — refusing to "
+            "persist a degenerate model"
+        )
     payload = _ann_payload(cents, cb, frac, cand, rot)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = f"{path}.tmp"

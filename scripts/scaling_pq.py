@@ -278,6 +278,47 @@ def main() -> None:
             out["sim9_1m"]["build_compositional_sec"] = round(
                 time.perf_counter() - t0, 3
             )
+
+            # sim11/OPQ build-cost delta (r9): the rotation adds ONE
+            # batched GEMM to the fused encode — measure it honestly
+            # against the un-rotated fused build above (same run)
+            import numpy as np
+
+            from inpe_queimadas_etl_spark.operators.pq import (
+                train_opq_rotation,
+            )
+
+            t0 = time.perf_counter()
+            res_rows = (
+                asg.select("vec_id", "r").orderBy("vec_id").limit(4096)
+                .collect()
+            )
+            Xr = np.array(
+                [list(r["r"]) for r in res_rows], dtype=np.float64
+            )
+            rot11, cb11, err_opq, err_id = train_opq_rotation(Xr, 8, 16)
+            out["sim9_1m"]["opq_train_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            out["sim9_1m"]["opq_err_improvement"] = round(
+                1 - err_opq / err_id, 4
+            )
+            t0 = time.perf_counter()
+            store11 = pq_ivf_encode(
+                emb, cents3, cb11, rot=rot11
+            ).localCheckpoint(eager=True)
+            out["sim9_1m"]["build_opq_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            store11.unpersist()
+            print(
+                f"# 1M OPQ: train {out['sim9_1m']['opq_train_sec']}s "
+                f"(err -{out['sim9_1m']['opq_err_improvement']:.1%}), "
+                f"rotated fused build "
+                f"{out['sim9_1m']['build_opq_sec']}s vs "
+                f"{out['sim9_1m']['build_sec']}s unrotated",
+                file=sys.stderr,
+            )
             qw = Window.partitionBy("vec_id").orderBy(
                 F.desc("csim"), F.asc("centroid_id")
             )

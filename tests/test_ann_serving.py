@@ -751,3 +751,82 @@ def test_embedding_drain_appends_ann_store(spark, tmp_path):
                    model_b["cand"])
     with pytest.raises(RuntimeError, match="was built under model"):
         drain(pb)
+
+
+# --------------------------------------------------------------------------
+# property fuzz: the artifact's float fidelity contract
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_finite = st.floats(
+    allow_nan=False, allow_infinity=False, width=64
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(_finite, min_size=4, max_size=4),
+        min_size=4,
+        max_size=8,
+    ),
+    frac=st.floats(min_value=1e-6, max_value=1.0),
+)
+def test_ann_artifact_floats_roundtrip_exactly(tmp_path_factory, data, frac):
+    """The bit-fidelity contract under fuzz (the r8 tokenizer-fuzz
+    stance): ANY finite double — subnormals, huge exponents, negative
+    zero — written into a model artifact must come back BIT-IDENTICAL
+    (json repr-shortest round-trip), with the sha256 stable across
+    the trip. The whole cross-engine replay argument rests on this:
+    a single ulp of drift in a stored centroid would desynchronize
+    the Spark and DuckDB chains."""
+    import struct
+
+    tmp = tmp_path_factory.mktemp("fuzz")
+    # shape the fuzz floats into a tiny valid model: K=2 coarse over
+    # dim 4, m=2/ks>=1 codebook from the same pool
+    dim = 4
+    cents = [(0, data[0]), (1, data[1])]
+    cb = [[d[:2] for d in data[2:]], [d[2:] for d in data[2:]]]
+    path = str(tmp / "m.json")
+    art = save_ann_model(path, cents, cb, frac, cand=7)
+    got = load_ann_model(path, expected_sha256=art["sha256"])
+
+    def bits(x):
+        return struct.pack("<d", x)
+
+    for (cid_a, cv_a), (cid_b, cv_b) in zip(cents, got["cents"]):
+        assert cid_a == cid_b
+        assert [bits(x) for x in cv_a] == [bits(x) for x in cv_b]
+    for sub_a, sub_b in zip(cb, got["cb"]):
+        for c_a, c_b in zip(sub_a, sub_b):
+            assert [bits(x) for x in c_a] == [bits(x) for x in c_b]
+    assert bits(got["frac"]) == bits(float(frac))
+    assert got["cand"] == 7 and got["dim"] == dim
+    # content fingerprint is a pure function of the values
+    assert (
+        ann_model_sha256(got["cents"], got["cb"], got["frac"], got["cand"])
+        == art["sha256"]
+    )
+
+
+def test_ann_model_refuses_non_finite_components(tmp_path):
+    """json.dumps would emit non-standard Infinity/NaN tokens, and a
+    non-finite centroid/codebook value is a training bug — refused at
+    save time with the value named (the _flit stance at artifact
+    level)."""
+    cv = [1.0, 2.0, 3.0, 4.0]
+    cb = [[[0.1, 0.2]], [[0.3, 0.4]]]
+    for poison in (float("inf"), float("nan")):
+        bad_cents = [(0, cv), (1, [poison] + cv[1:])]
+        with pytest.raises(ValueError, match="non-finite model"):
+            save_ann_model(str(tmp_path / "x.json"), bad_cents, cb, 0.5)
+    with pytest.raises(ValueError, match="non-finite model"):
+        save_ann_model(
+            str(tmp_path / "y.json"),
+            [(0, cv), (1, cv)],
+            [[[float("nan"), 0.2]], [[0.3, 0.4]]],
+            0.5,
+        )
