@@ -379,6 +379,16 @@ def ann_topk(
     without it, results rank by ADC score alone (the store carries no
     raw vectors — 100 TB serving reads 12-16 B/vector of codes).
 
+    CONTRACT (ADVICE r9): ``rerank_with`` must cover every store
+    vec_id — the rerank is an inner join, so a candidate absent from
+    the table (e.g. a drain-appended doc missing from an older
+    embeddings snapshot) is dropped and the query returns fewer than
+    ``k`` rows. Detecting the drop in-plan would force an outer join
+    whose preserved side is the bounded one, i.e. a corpus-side
+    build/shuffle — wrong at 100 TB — so the contract is enforced at
+    the collecting fronts instead: `_ep_ann_topk` flags short results
+    in the response and `cmd_ann_search` logs them.
+
     Refusals (the load_tokenizer stance): a model artifact failing
     ``expected_sha256``, and a store stamped with a DIFFERENT model's
     sha (`read_ann_store` — build-time meta OR the drain's append
@@ -428,6 +438,19 @@ def _ann_topk_loaded(
     if any(len(qv) != model["dim"] for _, qv in query_vecs):
         raise ValueError(
             f"query vectors must have dim {model['dim']} (the model's)"
+        )
+    import math
+
+    if any(
+        not math.isfinite(x) for _, qv in query_vecs for x in qv
+    ):
+        # the artifact-level non-finite refusal, mirrored at query
+        # time (ADVICE r9): a NaN component makes the probe sort's
+        # cosine key order-UNDEFINED (NaN comparisons are all False),
+        # so the budgeted probe set would be arbitrary — and the HTTP
+        # front would then cache the garbage response for its TTL
+        raise ValueError(
+            "query vectors must be finite (no NaN/Infinity components)"
         )
     probes = _ann_budget_probes(
         model["cents3"], query_vecs, sizes, model["frac"]
@@ -553,11 +576,26 @@ def _ep_ann_topk(ctx: ApiContext, params: dict) -> dict:
         }
         for r in df.orderBy("rank").collect()
     ]
-    return {
+    body = {
         "k": k,
         "reranked": ctx.ann_rerank is not None,
         "items": items,
     }
+    if len(items) < k:
+        # fewer than k rows: tiny probed set, or — on the rerank path
+        # — ADC candidates missing from the rerank table (the
+        # rerank_with coverage contract, ADVICE r9); surfaced in-band
+        # so a client can tell a short store from a snapshot mismatch
+        body["short"] = (
+            f"{len(items)} of {k} requested rows; probed clusters may "
+            "be small" + (
+                ", or the rerank table is missing store vec_ids "
+                "(stale embeddings snapshot?)"
+                if ctx.ann_rerank is not None
+                else ""
+            )
+        )
+    return body
 
 
 _ROUTES = {

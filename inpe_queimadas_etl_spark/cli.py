@@ -426,8 +426,27 @@ def cmd_ann_search(args) -> int:
         spark, args.store, args.model, query_vecs, k=args.k,
         rerank_with=rerank,
     ).collect()
+    per_q: dict[int, int] = {}
     for r in rows:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
         log.info("ann-search | hit | %s", json.dumps(r.asDict()))
+    short = {q: n for q, n in per_q.items() if n < args.k}
+    if short:
+        # the rerank_with coverage contract (ADVICE r9): fewer than k
+        # rows means a tiny probed set — or, when reranking, ADC
+        # candidates missing from the rerank table
+        log.warning(
+            "ann-search | short results (%s of %d rows) — probed "
+            "clusters may be small%s | %s",
+            sorted(set(short.values())),
+            args.k,
+            (
+                ", or the rerank embeddings are missing store vec_ids"
+                if rerank is not None
+                else ""
+            ),
+            json.dumps(sorted(short)),
+        )
     print(json.dumps([r.asDict() for r in rows]))
     return 0
 

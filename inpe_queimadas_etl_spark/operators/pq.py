@@ -1236,6 +1236,11 @@ def save_ann_model(
             [x for _, cv in cents for x in cv],
             [x for sub in cb for c in sub for x in c],
             [frac],
+            # rot rides the scan too (ADVICE r9): _check_rotation
+            # already refuses non-finite entries, but the artifact-
+            # level guard must not depend on a geometry check's
+            # incidental coverage
+            [] if rot is None else [x for row in rot for x in row],
         )
         for x in seq
         if not math.isfinite(x)
@@ -1258,10 +1263,15 @@ def save_ann_model(
 
 
 def _check_rotation(rot: Rotation, dim: int) -> None:
-    """Refuse a non-square or non-orthogonal rotation: ``||R@R^T -
-    I||_max < 1e-9`` (train_opq_rotation's output is exactly
-    orthogonal up to SVD rounding; anything looser means the matrix
-    was corrupted or hand-edited)."""
+    """Refuse a non-square, non-finite, or non-orthogonal rotation:
+    ``||R@R^T - I||_max < 1e-9`` (train_opq_rotation's output is
+    exactly orthogonal up to SVD rounding; anything looser means the
+    matrix was corrupted or hand-edited). Non-finite entries are
+    refused EXPLICITLY and the orthogonality test is phrased as
+    ``not (err < tol)`` (ADVICE r9): a NaN-poisoned R makes the
+    residual ``>= tol`` comparison False — NaN comparisons are all
+    False — so the naive form would silently accept exactly the
+    corrupt matrix this check exists to catch."""
     import numpy as np
 
     R = np.array(rot, dtype=np.float64)
@@ -1269,7 +1279,12 @@ def _check_rotation(rot: Rotation, dim: int) -> None:
         raise ValueError(
             f"rotation must be {dim}x{dim}, got {R.shape}"
         )
-    if np.abs(R @ R.T - np.eye(dim)).max() >= 1e-9:
+    if not np.isfinite(R).all():
+        raise ValueError(
+            "non-finite model component in rotation — refusing a "
+            "degenerate model"
+        )
+    if not (np.abs(R @ R.T - np.eye(dim)).max() < 1e-9):
         raise ValueError("rotation is not orthogonal (corrupt model?)")
 
 

@@ -472,6 +472,16 @@ def test_http_ann_topk_endpoint(spark, tmp_path):
     for bad in ({"vec": "a,b"}, {"vec": vec, "k": "0"}, {}):
         status, _ = handle_request(ctx, "/api/ann/topk", bad)
         assert status == 422, bad
+    # non-finite components parse via float() but make the probe
+    # sort's cosine key order-undefined — refused as 422, never
+    # cached (ADVICE r9)
+    for poison in ("inf", "nan", "-inf", "Infinity"):
+        bad_vec = ",".join([poison] + [repr(x) for x in qv[1:]])
+        status, body = handle_request(
+            ctx, "/api/ann/topk", {"vec": bad_vec, "k": "3"}
+        )
+        assert status == 422, (poison, body)
+        assert "finite" in body["detail"]
 
 
 def test_opq_model_roundtrip_and_serving_matches_sim11(spark, tmp_path):
@@ -827,6 +837,67 @@ def test_ann_model_refuses_non_finite_components(tmp_path):
         save_ann_model(
             str(tmp_path / "y.json"),
             [(0, cv), (1, cv)],
-            [[[float("nan"), 0.2]], [[0.3, 0.4]]],
+            [[[0.1, 0.2]], [[float("nan"), 0.4]]],
             0.5,
         )
+    # a NaN-poisoned ROTATION must be refused too (ADVICE r9): NaN
+    # makes `residual >= tol` False, so the pre-r10 orthogonality
+    # test silently accepted exactly the corrupt matrix it existed
+    # to catch — both the explicit isfinite check and the inverted
+    # `not (err < tol)` phrasing now refuse it
+    good_rot = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    for poison in (float("nan"), float("inf")):
+        bad_rot = [row[:] for row in good_rot]
+        bad_rot[0][0] = poison
+        with pytest.raises(ValueError, match="non-finite"):
+            save_ann_model(
+                str(tmp_path / "r.json"),
+                [(0, cv), (1, cv)],
+                cb,
+                0.5,
+                rot=bad_rot,
+            )
+    # and load_ann_model re-checks, so a hand-poisoned artifact on
+    # disk is refused at load even if it slipped past save
+    import json as _json
+
+    ok = save_ann_model(
+        str(tmp_path / "ok.json"), [(0, cv), (1, cv)], cb, 0.5,
+        rot=good_rot,
+    )
+    with open(ok["path"]) as f:
+        payload = _json.load(f)
+    payload["rot"][0][0] = 1e400  # inf; json.dump emits Infinity
+    with open(str(tmp_path / "poisoned.json"), "w") as f:
+        _json.dump(payload, f)
+    with pytest.raises(ValueError, match="non-finite"):
+        from inpe_queimadas_etl_spark.operators.pq import (
+            load_ann_model as _lam,
+        )
+
+        _lam(str(tmp_path / "poisoned.json"))
+
+
+def test_ann_topk_refuses_non_finite_query_vectors(spark, tmp_path):
+    """A NaN query component makes _ann_budget_probes' Python sort
+    order-undefined (NaN comparisons are all False) — an arbitrary
+    probe set served (and HTTP-cached) silently. Refused up front,
+    for every entry point (direct, CLI, HTTP) since all route through
+    _ann_topk_loaded (ADVICE r9)."""
+    emb = _emb(spark)
+    model = _demo_model(spark)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"]
+    )
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(model_path), store_path)
+    for poison in (float("nan"), float("inf"), float("-inf")):
+        qv = [0.5] * 63 + [poison]
+        with pytest.raises(ValueError, match="finite"):
+            ann_topk(spark, store_path, model_path, [(8, qv)], k=1)
