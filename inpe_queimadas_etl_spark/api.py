@@ -394,18 +394,36 @@ def ann_topk(
     sha (`read_ann_store` — build-time meta OR the drain's append
     marker) — mismatched codes decode to plausible garbage, so they
     must never be served."""
+    st = _load_ann_state(
+        spark, model_path, store_path, expected_sha256=expected_sha256
+    )
+    return _ann_topk_loaded(
+        spark, st["store"], st["sizes"], st["model"], query_vecs, k,
+        rerank_with,
+    )
+
+
+def _load_ann_state(
+    spark: SparkSession,
+    model_path: str,
+    store_path: str,
+    expected_sha256: str | None = None,
+) -> dict:
+    """THE artifact-loading path (VERDICT r9 #6 — one code path, so a
+    refusal or fallback change cannot fork between entry points):
+    load the model (sha-checked), open the stamped store (mismatch
+    refused), and resolve cluster sizes — from the build-time stamp
+    when present (immutable store: exact by construction), else one
+    K-row aggregate (drain-maintained dirs, where appends would stale
+    a baked table). Returns ``{"model", "store", "sizes"}``."""
     from .operators.pq import load_ann_model, read_ann_store
     from .suite.llmdata import _cluster_sizes
 
     model = load_ann_model(model_path, expected_sha256=expected_sha256)
     store, sizes = read_ann_store(spark, store_path, model)
     if sizes is None:
-        # store without a build-time size stamp (e.g. the streaming
-        # drain's append-only dir): one K-row aggregate pays for it
         sizes = _cluster_sizes(store)
-    return _ann_topk_loaded(
-        spark, store, sizes, model, query_vecs, k, rerank_with
-    )
+    return {"model": model, "store": store, "sizes": sizes}
 
 
 def _ann_topk_loaded(
@@ -549,14 +567,11 @@ def _ep_ann_topk(ctx: ApiContext, params: dict) -> dict:
     if k <= 0 or k > 1000:
         raise ValueError("k must be in 1..1000")
     if not ctx._ann_state:
-        from .operators.pq import load_ann_model, read_ann_store
-        from .suite.llmdata import _cluster_sizes
-
-        model = load_ann_model(ctx.ann_model_path)
-        store, sizes = read_ann_store(ctx.spark, ctx.ann_store_path, model)
-        if sizes is None:
-            sizes = _cluster_sizes(store)
-        ctx._ann_state.update(model=model, store=store, sizes=sizes)
+        ctx._ann_state.update(
+            _load_ann_state(
+                ctx.spark, ctx.ann_model_path, ctx.ann_store_path
+            )
+        )
     st = ctx._ann_state
     df = _ann_topk_loaded(
         ctx.spark,

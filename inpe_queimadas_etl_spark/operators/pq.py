@@ -1127,10 +1127,65 @@ FROM (
 
 ANN_MODEL_FORMAT = "ann-ivfpq-v1"
 ANN_STORE_META = "_ann_model.json"  # underscore: parquet readers skip it
-# the streaming drain's append-only stamp (one line, the model sha) —
-# defined here so read_ann_store can refuse a drain-maintained store
-# under the wrong model exactly like a build_ann_store one
+# LEGACY (pre-r10) drain stamp: one line, the model sha. r10 unified
+# the writers on ANN_STORE_META (VERDICT r9 #5 — two formats for one
+# fact is a maintenance trap); the marker is READ for one more round
+# so stores a pre-r10 drain stamped keep serving, then the read path
+# goes too. Nothing writes it anymore.
 ANN_STORE_SHA_MARKER = "_ann_model_sha"
+
+
+def write_ann_store_meta(
+    store_path: str, model_sha256: str, sizes: dict | None = None
+) -> None:
+    """THE one store-stamp writer (VERDICT r9 #5): every ANN store
+    dir — built, compacted, or drain-maintained — carries the same
+    ``_ann_model.json`` with the model's sha256, plus the K-row
+    cluster-size table when the store is immutable (build/compact;
+    a drain dir omits it — appends would stale it, so serving
+    computes sizes with one K-row aggregate instead). Atomic publish
+    (the WAP convention): a crash mid-write leaves either no meta or
+    a complete one, never truncated JSON that reads as corruption."""
+    import json
+    import os
+
+    meta: dict = {
+        "format": ANN_MODEL_FORMAT,
+        "model_sha256": model_sha256,
+    }
+    if sizes is not None:
+        meta["cluster_sizes"] = {str(k): int(v) for k, v in sizes.items()}
+    os.makedirs(store_path, exist_ok=True)
+    meta_path = os.path.join(store_path, ANN_STORE_META)
+    tmp = f"{meta_path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+
+
+def read_ann_store_stamp(store_path: str) -> tuple[str | None, dict | None]:
+    """Read a store dir's model stamp: ``(model_sha256_or_None,
+    cluster_sizes_or_None)``. Honors the unified JSON meta and — one
+    round of back-compat — the legacy one-line drain marker."""
+    import json
+    import os
+
+    meta_path = os.path.join(store_path, ANN_STORE_META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        raw = meta.get("cluster_sizes")
+        sizes = (
+            None
+            if raw is None
+            else {int(k): int(v) for k, v in raw.items()}
+        )
+        return meta.get("model_sha256"), sizes
+    marker_path = os.path.join(store_path, ANN_STORE_SHA_MARKER)
+    if os.path.exists(marker_path):
+        with open(marker_path, encoding="utf-8") as f:
+            return f.read().strip(), None
+    return None, None
 
 
 def _ann_payload(
@@ -1379,9 +1434,6 @@ def build_ann_store(
     (a side artifact of the build, read back by `ann_topk`'s probe
     budgeting so SERVING never pays a full store scan to learn
     sizes; at 100 TB that scan would dominate every request)."""
-    import json
-    import os
-
     from pyspark.sql import functions as F
 
     pq_ivf_encode(
@@ -1395,19 +1447,7 @@ def build_ann_store(
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    meta = {
-        "format": ANN_MODEL_FORMAT,
-        "model_sha256": model["sha256"],
-        "cluster_sizes": {str(k): v for k, v in sizes.items()},
-    }
-    # atomic publish (the WAP convention, review r9): a crash mid-write
-    # must leave either no meta (graceful sizes=None fallback) or a
-    # complete one — never a truncated JSON that reads as corruption
-    meta_path = os.path.join(store_path, ANN_STORE_META)
-    tmp = f"{meta_path}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)
+    write_ann_store_meta(store_path, model["sha256"], sizes)
 
 
 def read_ann_store(
@@ -1419,29 +1459,14 @@ def read_ann_store(
     ``(store_df, cluster_sizes_or_None)`` — the sizes come from the
     build-time meta when present (immutable store: exact by
     construction), None for stores without the size stamp (e.g. a
-    drain-maintained dir), where the caller computes them.
+    drain-maintained dir, where appends would stale a baked table),
+    where the caller computes them.
 
-    BOTH stamp flavors are honored (review r9): a `build_ann_store`
-    dir carries the JSON meta; a streaming-drain dir carries the
-    one-line `_ann_model_sha` marker — a drain store under the wrong
-    model must be refused exactly like a built one."""
-    import json
-    import os
-
-    meta_path = os.path.join(store_path, ANN_STORE_META)
-    marker_path = os.path.join(store_path, ANN_STORE_SHA_MARKER)
-    sizes = None
-    stamped_sha = None
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-        stamped_sha = meta.get("model_sha256")
-        raw = meta.get("cluster_sizes")
-        if raw is not None:
-            sizes = {int(k): int(v) for k, v in raw.items()}
-    elif os.path.exists(marker_path):
-        with open(marker_path, encoding="utf-8") as f:
-            stamped_sha = f.read().strip()
+    The stamp comes through `read_ann_store_stamp` — ONE reader for
+    the unified JSON meta and (one back-compat round) the legacy
+    drain marker — so a drain store under the wrong model is refused
+    exactly like a built one."""
+    stamped_sha, sizes = read_ann_store_stamp(store_path)
     if stamped_sha is not None and stamped_sha != model["sha256"]:
         raise ValueError(
             f"store {store_path!r} was encoded under model "
@@ -1542,9 +1567,6 @@ def compact_ann_store(
     Refuses a drain dir stamped under a different model (the
     `read_ann_store` check — compacting mixed-codebook codes would
     launder the corruption into a 'clean' store)."""
-    import json
-    import os
-
     from pyspark.sql import functions as F
 
     src, _ = read_ann_store(spark, drain_dir, model)
@@ -1559,13 +1581,4 @@ def compact_ann_store(
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    meta = {
-        "format": ANN_MODEL_FORMAT,
-        "model_sha256": model["sha256"],
-        "cluster_sizes": {str(k): v for k, v in sizes.items()},
-    }
-    meta_path = os.path.join(out_store, ANN_STORE_META)
-    tmp = f"{meta_path}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)
+    write_ann_store_meta(out_store, model["sha256"], sizes)

@@ -440,28 +440,28 @@ def _bind_ann_model_sha(ann_dir: str, sha: str) -> None:
     that produced them — appending batches encoded under model B to a
     store built under model A yields a store where every search
     silently mixes two incompatible geometries. Retraining means a
-    NEW store (fresh ann sink dir), never an append. The marker file
-    name is shared with `operators.pq.read_ann_store`, which honors
-    it so `ann_topk` refuses a drain store under the wrong model."""
-    from .operators.pq import ANN_STORE_SHA_MARKER
+    NEW store (fresh ann sink dir), never an append.
 
-    marker = os.path.join(ann_dir, ANN_STORE_SHA_MARKER)
-    if os.path.exists(marker):
-        with open(marker, encoding="utf-8") as f:
-            prev = f.read().strip()
-        if prev != sha:
-            raise RuntimeError(
-                f"ann_store {ann_dir!r} was built under model "
-                f"{prev[:12]}... but this drain loaded "
-                f"{sha[:12]}... — appending mixed-codebook codes "
-                "would corrupt the store. Point the drain at the "
-                "original artifact, or start a fresh ann sink dir "
-                "for the new model."
-            )
-        return
-    os.makedirs(ann_dir, exist_ok=True)
-    with open(marker, "w", encoding="utf-8") as f:
-        f.write(sha)
+    The stamp is the SAME ``_ann_model.json`` meta every other store
+    writer uses (`operators.pq.write_ann_store_meta`, VERDICT r9 #5 —
+    one writer format), with cluster_sizes omitted because appends
+    would stale a baked table; serving computes sizes with one K-row
+    aggregate instead. Reading honors the legacy one-line marker for
+    one back-compat round (a pre-r10 drain dir keeps appending and
+    gets upgraded to the JSON meta on its next bind)."""
+    from .operators.pq import read_ann_store_stamp, write_ann_store_meta
+
+    prev, _sizes = read_ann_store_stamp(ann_dir)
+    if prev is not None and prev != sha:
+        raise RuntimeError(
+            f"ann_store {ann_dir!r} was built under model "
+            f"{prev[:12]}... but this drain loaded "
+            f"{sha[:12]}... — appending mixed-codebook codes "
+            "would corrupt the store. Point the drain at the "
+            "original artifact, or start a fresh ann sink dir "
+            "for the new model."
+        )
+    write_ann_store_meta(ann_dir, sha)  # first bind / legacy upgrade
 
 
 def _refuse_checkpoint_reset(sinks, batch_id: int) -> None:

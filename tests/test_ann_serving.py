@@ -763,6 +763,58 @@ def test_embedding_drain_appends_ann_store(spark, tmp_path):
         drain(pb)
 
 
+def test_unified_store_stamp_and_legacy_marker_upgrade(tmp_path):
+    """ONE store-stamp writer (VERDICT r9 #5): the drain bind now
+    writes the same `_ann_model.json` meta every other writer uses
+    (sizes omitted — appends would stale them), the legacy one-line
+    marker is still READ for one back-compat round, and a bind over a
+    legacy dir upgrades it to the JSON meta in place."""
+    import json
+
+    from inpe_queimadas_etl_spark.operators.pq import (
+        ANN_STORE_META,
+        ANN_STORE_SHA_MARKER,
+        read_ann_store_stamp,
+        write_ann_store_meta,
+    )
+    from inpe_queimadas_etl_spark.streaming import _bind_ann_model_sha
+
+    sha_a, sha_b = "a" * 64, "b" * 64
+
+    # fresh drain dir: bind writes the unified JSON meta, NOT the
+    # legacy marker
+    d1 = str(tmp_path / "drain1")
+    _bind_ann_model_sha(d1, sha_a)
+    assert os.path.exists(os.path.join(d1, ANN_STORE_META))
+    assert not os.path.exists(os.path.join(d1, ANN_STORE_SHA_MARKER))
+    assert read_ann_store_stamp(d1) == (sha_a, None)
+    with open(os.path.join(d1, ANN_STORE_META)) as f:
+        meta = json.load(f)
+    assert "cluster_sizes" not in meta  # drain appends would stale them
+    # re-bind same model: idempotent; different model: refused
+    _bind_ann_model_sha(d1, sha_a)
+    with pytest.raises(RuntimeError, match="was built under model"):
+        _bind_ann_model_sha(d1, sha_b)
+
+    # legacy (pre-r10) dir: marker-only — still readable, drift still
+    # refused, and a matching bind upgrades it to the JSON meta
+    d2 = str(tmp_path / "drain2")
+    os.makedirs(d2)
+    with open(os.path.join(d2, ANN_STORE_SHA_MARKER), "w") as f:
+        f.write(sha_a)
+    assert read_ann_store_stamp(d2) == (sha_a, None)
+    with pytest.raises(RuntimeError, match="was built under model"):
+        _bind_ann_model_sha(d2, sha_b)
+    _bind_ann_model_sha(d2, sha_a)
+    assert os.path.exists(os.path.join(d2, ANN_STORE_META))
+    assert read_ann_store_stamp(d2) == (sha_a, None)
+
+    # the build/compact flavor carries sizes through the same writer
+    d3 = str(tmp_path / "built")
+    write_ann_store_meta(d3, sha_a, {0: 10, 3: 7})
+    assert read_ann_store_stamp(d3) == (sha_a, {0: 10, 3: 7})
+
+
 # --------------------------------------------------------------------------
 # property fuzz: the artifact's float fidelity contract
 # --------------------------------------------------------------------------
