@@ -399,7 +399,7 @@ def ann_topk(
     )
     return _ann_topk_loaded(
         spark, st["store"], st["sizes"], st["model"], query_vecs, k,
-        rerank_with,
+        rerank_with, tombstones=st["tombstones"],
     )
 
 
@@ -415,15 +415,30 @@ def _load_ann_state(
     refused), and resolve cluster sizes — from the build-time stamp
     when present (immutable store: exact by construction), else one
     K-row aggregate (drain-maintained dirs, where appends would stale
-    a baked table). Returns ``{"model", "store", "sizes"}``."""
-    from .operators.pq import load_ann_model, read_ann_store
+    a baked table) — plus the store's tombstone set (retired ids must
+    never be served). Returns ``{"model", "store", "sizes",
+    "tombstones"}``. NOTE: the HTTP front caches this state for the
+    context's lifetime (frozen-artifact stance), so a tombstone added
+    while a server is up needs a context restart to take effect
+    there; batch entry points (`ann_topk`, the CLI) re-read per
+    call."""
+    from .operators.pq import (
+        load_ann_model,
+        read_ann_store,
+        read_ann_tombstones,
+    )
     from .suite.llmdata import _cluster_sizes
 
     model = load_ann_model(model_path, expected_sha256=expected_sha256)
     store, sizes = read_ann_store(spark, store_path, model)
     if sizes is None:
         sizes = _cluster_sizes(store)
-    return {"model": model, "store": store, "sizes": sizes}
+    return {
+        "model": model,
+        "store": store,
+        "sizes": sizes,
+        "tombstones": read_ann_tombstones(store_path),
+    }
 
 
 def _ann_topk_loaded(
@@ -434,6 +449,7 @@ def _ann_topk_loaded(
     query_vecs: list,
     k: int,
     rerank_with: DataFrame | None,
+    tombstones: "list[int] | None" = None,
 ) -> DataFrame:
     """`ann_topk`'s body over ALREADY-LOADED artifacts — the HTTP
     front holds (model, store, sizes) once per context (they are
@@ -477,6 +493,11 @@ def _ann_topk_loaded(
     # literal IN below the scan == partition pruning on the
     # partitioned store (the sim9 PartitionFilter pin, now physical)
     pruned = store.filter(F.col("centroid_id").isin(probed_cids))
+    if tombstones:
+        # retired ids (delete_from_ann_store): a bounded literal
+        # NOT-IN below the scan — pushed to the parquet reader, never
+        # a corpus-side join; compaction empties the set again
+        pruned = pruned.filter(~F.col("vec_id").isin(tombstones))
     cand = max(int(model["cand"]), k)
     rot = model.get("rot")
     if rot is None:
@@ -581,6 +602,7 @@ def _ep_ann_topk(ctx: ApiContext, params: dict) -> dict:
         [(-1, vec)],
         k,
         ctx.ann_rerank,
+        tombstones=st["tombstones"],
     )
     score_col = "sim" if ctx.ann_rerank is not None else "score"
     items = [

@@ -407,6 +407,23 @@ def cmd_ann_compact(args) -> int:
     return 0
 
 
+def cmd_ann_delete(args) -> int:
+    """Tombstone vec_ids in an ANN store (takedown/dedup removals):
+    they stop being served immediately and are dropped physically at
+    the next ann-compact. No Spark session needed — the tombstone set
+    is a driver-side artifact."""
+    from .operators.pq import delete_from_ann_store
+
+    ids = [int(x) for x in args.ids.split(",") if x.strip()]
+    res = delete_from_ann_store(args.store, ids)
+    log.info(
+        "ann-delete | %s",
+        json.dumps({"store": args.store, **res}),
+    )
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_ann_search(args) -> int:
     """Top-k search over the frozen artifacts for query vectors read
     from a JSON file (``[[id, [floats...]], ...]``) — the api.ann_topk
@@ -733,6 +750,17 @@ def build_parser() -> argparse.ArgumentParser:
         "candidates",
     )
     asr.add_argument("--log-dir")
+
+    ad = sub.add_parser(
+        "ann-delete",
+        help="tombstone vec_ids in an ANN store (served no more; "
+        "dropped physically at the next ann-compact)",
+    )
+    ad.add_argument("--store", required=True)
+    ad.add_argument(
+        "--ids", required=True, help="comma-separated vec_ids to retire"
+    )
+    ad.add_argument("--log-dir")
     return ap
 
 
@@ -767,6 +795,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_ann_compact(args)
     if args.cmd == "ann-search":
         return cmd_ann_search(args)
+    if args.cmd == "ann-delete":
+        return cmd_ann_delete(args)
     return 2
 
 

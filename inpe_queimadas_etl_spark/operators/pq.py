@@ -1477,6 +1477,61 @@ def read_ann_store(
     return spark.read.parquet(store_path), sizes
 
 
+ANN_TOMBSTONES = "_ann_tombstones.json"  # underscore: parquet skips it
+
+
+def delete_from_ann_store(store_path: str, ids: Sequence[int]) -> dict:
+    """Retire vectors from a built/drained ANN store WITHOUT touching
+    its immutable parquet (VERDICT r9 #3 — the lifecycle gap): append
+    vec_ids to the store's tombstone set, honored by every serving
+    path (`ann_topk` filters them below the scan) and dropped
+    PHYSICALLY at the next `compact_ann_store`. Dedup and
+    decontamination removals (dd7 clusters, cur2/cur10 hits) and
+    takedown obligations land here — bounded-by-contract sets (a
+    takedown batch, a dedup cluster), kept as one sorted JSON list so
+    serving loads them as driver-side state and the NOT-IN pushes
+    into the parquet scan; a corpus-scale deletion is a REBUILD
+    (`rebuild_ann`), not a million tombstones.
+
+    Idempotent (set union), atomic (tmp+replace — the store-meta WAP
+    convention), and append-only until compaction: a tombstoned id
+    stays dead even if a drain later re-appends codes under it
+    (vec_ids are unique by contract; re-using one is a bug upstream).
+    Returns ``{"added", "total"}``. Cluster sizes stamped at build
+    time intentionally keep counting tombstoned rows until
+    compaction — the probe budget is a read-volume heuristic and the
+    stamped sizes stay exact for what the SCAN still reads."""
+    import json
+    import os
+
+    new = {int(x) for x in ids}
+    if not new:
+        return {"added": 0, "total": len(read_ann_tombstones(store_path))}
+    if not os.path.isdir(store_path):
+        raise ValueError(f"not a store dir: {store_path!r}")
+    existing = set(read_ann_tombstones(store_path))
+    merged = sorted(existing | new)
+    path = os.path.join(store_path, ANN_TOMBSTONES)
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(merged, f)
+    os.replace(tmp, path)
+    return {"added": len(new - existing), "total": len(merged)}
+
+
+def read_ann_tombstones(store_path: str) -> list[int]:
+    """The store's retired vec_ids, sorted ([] when none) — driver-
+    side bounded state by the `delete_from_ann_store` contract."""
+    import json
+    import os
+
+    path = os.path.join(store_path, ANN_TOMBSTONES)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return sorted(int(x) for x in json.load(f))
+
+
 def train_ann_model(
     emb: DataFrame,
     k: int = 64,
@@ -1566,11 +1621,20 @@ def compact_ann_store(
 
     Refuses a drain dir stamped under a different model (the
     `read_ann_store` check — compacting mixed-codebook codes would
-    launder the corruption into a 'clean' store)."""
+    launder the corruption into a 'clean' store).
+
+    Tombstones (`delete_from_ann_store`) are dropped PHYSICALLY here:
+    retired rows never reach ``out_store`` and the tombstone file is
+    not carried over (the compacted store starts with a clean slate),
+    so the serving-time NOT-IN filter shrinks back to empty and the
+    stamped cluster sizes are exact net of deletions."""
     from pyspark.sql import functions as F
 
     src, _ = read_ann_store(spark, drain_dir, model)
     codes = src.select("vec_id", "centroid_id", "codes")
+    tombs = read_ann_tombstones(drain_dir)
+    if tombs:
+        codes = codes.filter(~F.col("vec_id").isin(tombs))
     codes.repartition("centroid_id").write.mode(mode).partitionBy(
         "centroid_id"
     ).parquet(out_store)
