@@ -455,12 +455,9 @@ def _ann_topk_loaded(
     front holds (model, store, sizes) once per context (they are
     frozen by the sha-stamp design) so repeated requests never re-pay
     the model parse / meta read / size aggregate (review r9)."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from .operators.pq import pq_ivf_adc_search_scan
-    from .operators.similarity import vec_norm
-    from .suite.llmdata import _score_rank_top5
 
     if k <= 0:
         raise ValueError("k must be positive")
@@ -518,6 +515,38 @@ def _ann_topk_loaded(
     scored = pq_ivf_adc_search_scan(
         pruned, model["cb"], scan_cents, probes, cand
     )
+    q = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in query_vecs],
+        "query_id long, qv array<double>",
+    )
+    return _ann_rank_tail(
+        scored, q, k, cand, rerank_with, hint_broadcast=True
+    )
+
+
+def _ann_rank_tail(
+    scored: DataFrame,
+    q: DataFrame,
+    k: int,
+    cand: int,
+    rerank_with: DataFrame | None,
+    hint_broadcast: bool,
+) -> DataFrame:
+    """The ranking tail shared by serving (`ann_topk`) and batch
+    (`ann_topk_batch`) — ONE code path so the two forms cannot drift
+    (the _score_rank_top5 stance). ``q`` is the (query_id, qv) frame;
+    ``hint_broadcast`` marks the bounded-Q serving regime, where the
+    Q x cand candidate set and the query table are explicitly
+    broadcast so the corpus-sized vector table never shuffles for the
+    rerank; a batch job's candidate set (Q up to 10^6 x cand) is left
+    to AQE, which picks broadcast when it fits and a shuffle join
+    when it must."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import vec_norm
+    from .suite.llmdata import _score_rank_top5
+
     if rerank_with is None:
         # FINAL user-facing ranking (review r9): null scores —
         # degenerate zero-reconstruction store rows, whose NaN became
@@ -546,10 +575,7 @@ def _ann_topk_loaded(
         F.desc_nulls_first("pq_score"), F.asc("vec_id")
     )
     ranked = scored.withColumn("rn", F.row_number().over(w_global))
-    q = spark.createDataFrame(
-        [(int(qid), [float(x) for x in qv]) for qid, qv in query_vecs],
-        "query_id long, qv array<double>",
-    ).withColumn("nq", vec_norm("qv"))
+    qn = q.withColumn("nq", vec_norm("qv"))
     cand_ids = ranked.filter(F.col("rn") <= cand).select(
         "query_id", "vec_id"
     )
@@ -559,14 +585,204 @@ def _ann_topk_loaded(
         vecs = rerank_with.select("vec_id", "v").withColumn(
             "nv", vec_norm("v")
         )
-    # candidates are bounded serving state (Q x cand rows) — broadcast
-    # BOTH small sides so the big vector table never shuffles for the
-    # rerank (at 100 TB the rerank fetch must be a broadcast probe,
-    # not an exchange of the corpus)
-    paired = vecs.join(F.broadcast(cand_ids), "vec_id").join(
-        F.broadcast(q), "query_id"
-    )
+    if hint_broadcast:
+        # candidates are bounded serving state (Q x cand rows) —
+        # broadcast BOTH small sides so the big vector table never
+        # shuffles for the rerank (at 100 TB the rerank fetch must be
+        # a broadcast probe, not an exchange of the corpus)
+        paired = vecs.join(F.broadcast(cand_ids), "vec_id").join(
+            F.broadcast(qn), "query_id"
+        )
+    else:
+        paired = vecs.join(cand_ids, "vec_id").join(qn, "query_id")
     return _score_rank_top5(paired, k=k)
+
+
+def ann_assign_probes(
+    queries: DataFrame, model: dict, sizes: dict
+) -> DataFrame:
+    """Distributed probe assignment for a (query_id, qv) DataFrame:
+    one narrow Arrow scan emitting ``(query_id, qcluster, qvr)`` —
+    one row per (query, probed cluster), with ``qvr`` already in SCAN
+    coordinates (rotated when the model carries an OPQ rotation; the
+    probe SELECTION itself stays in original space, exactly like the
+    serving path — rotation sits below the coarse quantizer).
+
+    Bit-faithful by construction: each query is pushed through THE
+    `_ann_budget_probes` replay (a per-query-independent function, so
+    single-query calls compose to the looped result), and the
+    rotation through `rot_apply`'s exact chain — so the probe set and
+    coordinates equal the serving path's for the same vectors. The
+    closure carries model-sized state only (K centroids + sizes + the
+    rotation); nothing scales with Q. Dim/finiteness violations
+    surface as ValueError from the executors (a batch job's per-row
+    422)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from .operators.pq import rot_apply
+
+    cents3 = model["cents3"]
+    frac = model["frac"]
+    rot = model.get("rot")
+    dim = model["dim"]
+
+    def assign(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            oq, oc, ov = [], [], []
+            for qid, qv in zip(pdf["query_id"], pdf["qv"]):
+                qv = [float(x) for x in qv]
+                if len(qv) != dim:
+                    raise ValueError(
+                        f"query {qid}: dim {len(qv)} != model dim {dim}"
+                    )
+                if any(not math.isfinite(x) for x in qv):
+                    raise ValueError(
+                        f"query {qid}: non-finite component — probe "
+                        "ordering would be undefined"
+                    )
+                probes = _ann_budget_probes(
+                    cents3, [(int(qid), qv)], sizes, frac
+                )
+                qvr = qv if rot is None else rot_apply(rot, qv)
+                for _, cid, _ in probes:
+                    oq.append(int(qid))
+                    oc.append(int(cid))
+                    ov.append(qvr)
+            yield pd.DataFrame(
+                {"query_id": oq, "qcluster": oc, "qvr": ov}
+            )
+
+    return queries.select(
+        F.col("query_id").cast("long").alias("query_id"), "qv"
+    ).mapInPandas(
+        assign, "query_id long, qcluster long, qvr array<double>"
+    )
+
+
+def ann_topk_batch(
+    spark: SparkSession,
+    store_path: str,
+    model_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_with: DataFrame | None = None,
+    expected_sha256: str | None = None,
+) -> DataFrame:
+    """BATCH-scale `ann_topk` (VERDICT r9 #1): queries arrive as a
+    ``(query_id, qv)`` DataFrame instead of a driver list, for the
+    consumers where Q is 10^4..10^6 — decontaminating a benchmark set
+    against the corpus store, semantic dedup of new shards against
+    frozen artifacts. Results are IDENTICAL to looping `ann_topk`
+    over the same vectors (pinned in tests/test_ann_serving.py): the
+    probe rule, scoring chains, tie orders, tombstone filter, and
+    ranking tail are the same code or its exact IEEE replay.
+
+    What changes is WHERE query state lives (the reference's posture:
+    set-based, one plan for all rows — enrich is a join, not a loop):
+
+    - probe assignment is a distributed Arrow scan over the query
+      frame (`ann_assign_probes`), not a driver loop;
+    - per-query LUTs are computed EXECUTOR-side, once per (task,
+      cluster), from the broadcast model
+      (`pq_ivf_adc_search_scan_grouped`) — the looped form's
+      O(Q*nprobe*m*ks) LUT closure (GBs at Q=10^5) never exists;
+    - the probe table ships as ONE torrent broadcast of numpy arrays
+      grouped by cluster (O(Q*nprobe*dim) floats — ~0.5 GB at Q=10^6,
+      dim 64: the documented driver/executor budget for this entry
+      point; beyond that, chunk the query frame and union);
+    - the rerank tail drops the serving path's broadcast hints and
+      lets AQE pick the join strategy (a 10^6 x cand candidate set
+      must be allowed to shuffle-join the corpus).
+
+    The store still partition-prunes to probed clusters (with batch-Q
+    budgets that usually means every cluster — correct: the work IS
+    corpus-scale) and never shuffles; scan volume stays 12-16
+    B/vector of codes."""
+    st = _load_ann_state(
+        spark, model_path, store_path, expected_sha256=expected_sha256
+    )
+    model, store, sizes = st["model"], st["store"], st["sizes"]
+    if k <= 0:
+        raise ValueError("k must be positive")
+    missing = {"query_id", "qv"} - set(queries.columns)
+    if missing:
+        raise ValueError(
+            f"queries frame must carry columns query_id, qv "
+            f"(missing: {sorted(missing)})"
+        )
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from .operators.pq import pq_ivf_adc_search_scan_grouped, rot_apply
+
+    dup = (
+        queries.groupBy("query_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .first()
+    )
+    if dup is not None:
+        # duplicate ids would double-score their probes and inflate
+        # ranks — refuse rather than return silently wrong top-k
+        # (the looped form's check, paid as one Q-row aggregate)
+        raise ValueError(
+            f"queries ids must be unique (duplicate: {dup['query_id']})"
+        )
+    probe_rows = ann_assign_probes(queries, model, sizes).collect()
+    by_cluster: dict = {}
+    for r in probe_rows:
+        by_cluster.setdefault(int(r["qcluster"]), []).append(
+            (int(r["query_id"]), r["qvr"])
+        )
+    grouped = {
+        cid: (
+            np.array([qid for qid, _ in lst], dtype=np.int64),
+            np.array([list(qv) for _, qv in lst], dtype=np.float64),
+        )
+        for cid, lst in by_cluster.items()
+    }
+    cand = max(int(model["cand"]), k)
+    if not grouped:
+        # empty query frame (e.g. an empty shard): nothing to score
+        scored = spark.createDataFrame(
+            [], "query_id long, vec_id long, pq_score double"
+        )
+    else:
+        probed_cids = sorted(grouped)
+        pruned = store.filter(F.col("centroid_id").isin(probed_cids))
+        if st["tombstones"]:
+            pruned = pruned.filter(
+                ~F.col("vec_id").isin(st["tombstones"])
+            )
+        rot = model.get("rot")
+        scan_cents = (
+            model["cents"]
+            if rot is None
+            else [
+                (cid, rot_apply(rot, cv)) for cid, cv in model["cents"]
+            ]
+        )
+        probes_bc = spark.sparkContext.broadcast(grouped)
+        scored = pq_ivf_adc_search_scan_grouped(
+            pruned, model["cb"], scan_cents, probes_bc, cand
+        )
+    return _ann_rank_tail(
+        scored,
+        queries.select(
+            F.col("query_id").cast("long").alias("query_id"), "qv"
+        ),
+        k,
+        cand,
+        rerank_with,
+        hint_broadcast=False,
+    )
 
 
 def _ep_ann_topk(ctx: ApiContext, params: dict) -> dict:

@@ -1,0 +1,274 @@
+"""Batch-scale ANN search (VERDICT r9 #1): `api.ann_topk_batch` over
+a (query_id, qv) DataFrame must return rows IDENTICAL to looping
+`api.ann_topk` over the same vectors — same probe rule, scoring
+chains, tie orders, tombstone filter, ranking tail — while carrying
+NO per-query state in the scan closure (LUTs are computed
+executor-side from the broadcast probe table). Plus the grouped
+scan's low-level pin against `pq_ivf_adc_search_scan`, including the
+degenerate den==0 -> NaN path and self-match displacement."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from inpe_queimadas_etl_spark.api import ann_topk, ann_topk_batch
+from inpe_queimadas_etl_spark.operators.pq import (
+    build_ann_store,
+    delete_from_ann_store,
+    load_ann_model,
+    save_ann_model,
+    train_ann_model,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    from inpe_queimadas_etl_spark.suite.llmdata import _sim8_emb
+
+    return _sim8_emb(spark, SF0001)
+
+
+def _artifacts(spark, tmp_path, opq=False, frac=0.5):
+    emb = _emb(spark)
+    model = train_ann_model(
+        emb, k=4, m=8, ks=16, frac=frac, cand=100, opq=opq
+    )
+    model_path = str(tmp_path / ("opq.json" if opq else "model.json"))
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"], rot=model["rot"],
+    )
+    store_path = str(tmp_path / ("store_opq" if opq else "store"))
+    build_ann_store(emb, load_ann_model(model_path), store_path)
+    return emb, model_path, store_path
+
+
+def _queries(spark, emb, lo=8, hi=40):
+    """Store vectors (self-skip fires) PLUS synthetic out-of-store
+    vectors under ids far above the store's (self-skip never fires)."""
+    qv = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).collect()
+    ]
+    qv += [
+        (10_000, [0.5] * 64),
+        (10_001, [1.0] + [0.0] * 63),
+        (10_002, [(-1.0) ** i * (i + 1) / 64.0 for i in range(64)]),
+    ]
+    qdf = spark.createDataFrame(qv, "query_id long, qv array<double>")
+    return qv, qdf
+
+
+def _pin_equal(got_df, want_df):
+    got = (
+        got_df.toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        want_df.toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )
+
+
+@pytest.mark.parametrize("opq", [False, True], ids=["plain", "opq"])
+def test_batch_matches_looped_both_tails(spark, tmp_path, opq):
+    """THE done-bar pin: batch == looped, ADC-only AND exact-rerank
+    tails, plain and OPQ models, with mixed in-store/out-of-store
+    queries (self-skip both firing and not)."""
+    emb, model_path, store_path = _artifacts(spark, tmp_path, opq=opq)
+    qv, qdf = _queries(spark, emb)
+    for rerank in (None, emb):
+        got = ann_topk_batch(
+            spark, store_path, model_path, qdf, k=5, rerank_with=rerank
+        )
+        want = ann_topk(
+            spark, store_path, model_path, qv, k=5, rerank_with=rerank
+        )
+        _pin_equal(got, want)
+
+
+def test_batch_honors_tombstones_and_k(spark, tmp_path):
+    emb, model_path, store_path = _artifacts(spark, tmp_path)
+    qv, qdf = _queries(spark, emb, lo=8, hi=16)
+    base = ann_topk_batch(
+        spark, store_path, model_path, qdf, k=5, rerank_with=emb
+    ).collect()
+    victim = int(base[0]["neighbor_id"])
+    delete_from_ann_store(store_path, [victim])
+    got = ann_topk_batch(
+        spark, store_path, model_path, qdf, k=3, rerank_with=emb
+    )
+    rows = got.collect()
+    assert victim not in {int(r["neighbor_id"]) for r in rows}
+    for _, grp in pd.DataFrame([r.asDict() for r in rows]).groupby(
+        "query_id"
+    ):
+        assert list(grp.sort_values("rank")["rank"]) == [1, 2, 3]
+    # still equal to the looped path under the same tombstones
+    _pin_equal(
+        got,
+        ann_topk(
+            spark, store_path, model_path, qv, k=3, rerank_with=emb
+        ),
+    )
+
+
+def test_batch_validation_and_empty(spark, tmp_path):
+    emb, model_path, store_path = _artifacts(spark, tmp_path)
+    _, qdf = _queries(spark, emb, lo=8, hi=12)
+    with pytest.raises(ValueError, match="k must be positive"):
+        ann_topk_batch(spark, store_path, model_path, qdf, k=0)
+    with pytest.raises(ValueError, match="query_id, qv"):
+        ann_topk_batch(
+            spark, store_path, model_path,
+            qdf.select(F.col("query_id").alias("id"), "qv"), k=1,
+        )
+    dup = qdf.union(qdf.limit(1))
+    with pytest.raises(ValueError, match="unique"):
+        ann_topk_batch(spark, store_path, model_path, dup, k=1)
+    # per-row dim/finiteness violations surface from the executors
+    bad_dim = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "query_id long, qv array<double>"
+    )
+    with pytest.raises(Exception, match="model dim"):
+        ann_topk_batch(
+            spark, store_path, model_path, bad_dim, k=1
+        ).collect()
+    bad_fin = spark.createDataFrame(
+        [(1, [float("nan")] + [0.0] * 63)],
+        "query_id long, qv array<double>",
+    )
+    with pytest.raises(Exception, match="non-finite"):
+        ann_topk_batch(
+            spark, store_path, model_path, bad_fin, k=1
+        ).collect()
+    # empty frame: empty result, right schema, both tails
+    empty = spark.createDataFrame(
+        [], "query_id long, qv array<double>"
+    )
+    out = ann_topk_batch(spark, store_path, model_path, empty, k=5)
+    assert out.count() == 0
+    assert sorted(out.columns) == [
+        "neighbor_id", "query_id", "rank", "score",
+    ]
+    out2 = ann_topk_batch(
+        spark, store_path, model_path, empty, k=5, rerank_with=emb
+    )
+    assert out2.count() == 0
+
+
+def test_batch_plan_partition_prunes_no_python_rows(spark, tmp_path):
+    """Scale pins on the batch plan: the store scan still partition-
+    prunes to probed clusters, and there is no row-at-a-time Python
+    anywhere (Arrow mapInPandas only)."""
+    emb, model_path, store_path = _artifacts(
+        spark, tmp_path, frac=0.25
+    )
+    qdf = spark.createDataFrame(
+        [(10_000, [0.5] * 64)], "query_id long, qv array<double>"
+    )
+    df = ann_topk_batch(spark, store_path, model_path, qdf, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "centroid_id" in seg, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_grouped_scan_equals_looped_scan_with_nan_and_self(spark):
+    """Low-level pin of `pq_ivf_adc_search_scan_grouped` against
+    `pq_ivf_adc_search_scan` on a synthetic store holding a
+    degenerate zero-reconstruction cluster (den==0 -> NaN scores,
+    which must rank FIRST in the candidate superset, id-ASC) and
+    self-match rows that must be displaced without eating a slot."""
+    import numpy as np
+
+    from inpe_queimadas_etl_spark.operators.pq import (
+        pq_ivf_adc_search_scan,
+        pq_ivf_adc_search_scan_grouped,
+    )
+
+    # m=2, ks=2, dsub=2 (dim 4); subspace centroid 0 is the zero
+    # vector, so codes [0,0] under the zero coarse centroid give
+    # cvn2 = cross = rn2 = 0 -> den 0 -> NaN
+    cb = [
+        [[0.0, 0.0], [1.0, 2.0]],
+        [[0.0, 0.0], [3.0, -1.0]],
+    ]
+    cents = [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 1.0, 1.0, 1.0])]
+    rows = []
+    rng = np.random.default_rng(7)
+    # cluster 0: 3 degenerate rows + 20 normal; cluster 1: 25 normal
+    for vid in range(3):
+        rows.append((vid, 0, [0, 0]))
+    for vid in range(3, 23):
+        rows.append((vid, 0, [int(rng.integers(0, 2)) for _ in range(2)]))
+    for vid in range(23, 48):
+        rows.append((vid, 1, [int(rng.integers(0, 2)) for _ in range(2)]))
+    codes = spark.createDataFrame(
+        rows, "vec_id long, centroid_id long, codes array<int>"
+    ).repartition(4)  # multiple batches/partitions exercise the prune
+    queries = [
+        (5, [0.3, -0.2, 0.9, 0.1]),    # in cluster-0's id range: self
+        (30, [1.1, 0.9, 1.2, 0.8]),    # in cluster-1's range: self
+        (999, [0.5, 0.5, 0.5, 0.5]),   # never a self match
+    ]
+    probes = [
+        (5, 0, queries[0][1]),
+        (5, 1, queries[0][1]),
+        (30, 1, queries[1][1]),
+        (999, 0, queries[2][1]),
+        (999, 1, queries[2][1]),
+    ]
+    for cand in (4, 10, 100):
+        want = (
+            pq_ivf_adc_search_scan(codes, cb, cents, probes, cand)
+            .toPandas()
+            .sort_values(
+                ["query_id", "vec_id", "pq_score"], ignore_index=True
+            )
+        )
+        grouped = {}
+        for qid, cid, qv in probes:
+            grouped.setdefault(cid, [[], []])
+            grouped[cid][0].append(qid)
+            grouped[cid][1].append(qv)
+        bc = spark.sparkContext.broadcast(
+            {
+                cid: (
+                    np.array(qids, dtype=np.int64),
+                    np.array(qvs, dtype=np.float64),
+                )
+                for cid, (qids, qvs) in grouped.items()
+            }
+        )
+        got = (
+            pq_ivf_adc_search_scan_grouped(codes, cb, cents, bc, cand)
+            .toPandas()
+            .sort_values(
+                ["query_id", "vec_id", "pq_score"], ignore_index=True
+            )
+        )
+        # candidate SUPERSETS may differ in size across prune
+        # boundaries (grouped prunes per cluster-batch, looped per
+        # batch) — the pinned contract is that both carry the global
+        # top-cand; compare after the same global cut
+        def topcand(df, cand=cand):
+            out = []
+            for qid, grp in df.groupby("query_id"):
+                nan = grp[grp["pq_score"].isna()].sort_values("vec_id")
+                fin = grp[~grp["pq_score"].isna()].sort_values(
+                    ["pq_score", "vec_id"], ascending=[False, True]
+                )
+                out.append(pd.concat([nan, fin]).head(cand))
+            return pd.concat(out, ignore_index=True)
+
+        pd.testing.assert_frame_equal(topcand(want), topcand(got))
