@@ -362,6 +362,30 @@ def cmd_ann_train(args) -> int:
     return 0
 
 
+def cmd_ann_rebuild(args) -> int:
+    """Atomic retrain -> re-encode -> (model, store) pair swap under
+    a versioned base dir with a CURRENT pointer (the WAP convention at
+    the pair level) — the supported way to refresh a codebook, closing
+    the by-hand ann-train/ann-build crash window."""
+    from .operators.pq import rebuild_ann
+    from .session import get_spark
+
+    spark = get_spark(app_name="ann-rebuild")
+    res = rebuild_ann(
+        _load_emb(spark, args.embeddings_dir),
+        args.base_dir,
+        k=args.k,
+        m=args.m,
+        ks=args.ks,
+        frac=args.frac,
+        cand=args.cand,
+        opq=args.opq,
+    )
+    log.info("ann-rebuild | published | %s", json.dumps(res))
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_ann_build(args) -> int:
     """Materialize the serving code store under a FROZEN model: one
     fused Arrow scan, parquet partitioned by centroid_id, stamped
@@ -713,6 +737,28 @@ def build_parser() -> argparse.ArgumentParser:
     )
     at.add_argument("--log-dir")
 
+    ar = sub.add_parser(
+        "ann-rebuild",
+        help="atomic model refresh: retrain + re-encode into a "
+        "versioned dir, then flip the CURRENT pointer (no window "
+        "where store and model disagree)",
+    )
+    ar.add_argument(
+        "--embeddings-dir", required=True,
+        help="dir holding embeddings.parquet (vec_id, embedding)",
+    )
+    ar.add_argument(
+        "--base-dir", required=True,
+        help="deployment dir (gets versions/vN + CURRENT)",
+    )
+    ar.add_argument("--k", type=int, default=64)
+    ar.add_argument("--m", type=int, default=8)
+    ar.add_argument("--ks", type=int, default=16)
+    ar.add_argument("--frac", type=float, default=0.1)
+    ar.add_argument("--cand", type=int, default=100)
+    ar.add_argument("--opq", action="store_true")
+    ar.add_argument("--log-dir")
+
     ab = sub.add_parser(
         "ann-build",
         help="encode a corpus into the serving code store under a "
@@ -789,6 +835,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_corpus_curate(args)
     if args.cmd == "ann-train":
         return cmd_ann_train(args)
+    if args.cmd == "ann-rebuild":
+        return cmd_ann_rebuild(args)
     if args.cmd == "ann-build":
         return cmd_ann_build(args)
     if args.cmd == "ann-compact":

@@ -1798,6 +1798,122 @@ def train_ann_model(
     }
 
 
+ANN_CURRENT = "CURRENT"  # the deployment pointer inside a base dir
+
+
+def rebuild_ann(
+    emb: DataFrame,
+    base_dir: str,
+    k: int = 64,
+    m: int = 8,
+    ks: int = 16,
+    frac: float = 0.1,
+    cand: int = 100,
+    sample_n: int = 4096,
+    opq: bool = False,
+) -> dict:
+    """Atomic model refresh (VERDICT r9 #4): retrain -> fused
+    re-encode into a STAGING version dir -> publish the (model,
+    store) PAIR with two atomic renames — the `pipeline.py` WAP
+    convention applied at the pair level, closing the by-hand
+    ann-train/ann-build sequence's crash window where a store and a
+    manifest point at different shas.
+
+    Layout under ``base_dir``::
+
+        versions/v<N>/model.json   the sha-stamped artifact
+        versions/v<N>/store/       centroid_id-partitioned codes
+        CURRENT                    JSON pointer {version, model,
+                                   store, model_sha256}
+
+    Crash analysis (tested by injection): a crash while training or
+    encoding leaves only ``versions/.staging-v<N>`` — CURRENT still
+    names the previous complete pair, and the next rebuild wipes the
+    stale staging dir. A crash between the version rename and the
+    CURRENT update leaves a complete-but-unreferenced v<N> — CURRENT
+    still consistent; the next rebuild takes N+1. The CURRENT write
+    itself is tmp+rename. Serving resolves through
+    `resolve_ann_current` and pins ``expected_sha256`` from the
+    pointer, so even a hand-mangled mid-state is refused, never
+    served. Old versions are kept for rollback (point CURRENT back)
+    — pruning them is an operator decision, not this job's.
+
+    Returns the resolved pointer (same shape `resolve_ann_current`
+    yields). Cost at scale = one bounded retrain + ONE fused encode
+    scan of the corpus — the unavoidable price of new codes; nothing
+    else moves."""
+    import json
+    import os
+    import re
+    import shutil
+
+    versions = os.path.join(base_dir, "versions")
+    os.makedirs(versions, exist_ok=True)
+    existing = [
+        int(mm.group(1))
+        for e in os.listdir(versions)
+        if (mm := re.fullmatch(r"v(\d+)", e))
+    ]
+    n = max(existing, default=0) + 1
+    staging = os.path.join(versions, f".staging-v{n}")
+    if os.path.exists(staging):  # a crashed prior attempt at this N
+        shutil.rmtree(staging)
+    os.makedirs(staging)
+    model = train_ann_model(
+        emb, k=k, m=m, ks=ks, frac=frac, cand=cand,
+        sample_n=sample_n, opq=opq,
+    )
+    save_ann_model(
+        os.path.join(staging, "model.json"),
+        model["cents"],
+        model["cb"],
+        model["frac"],
+        model["cand"],
+        rot=model["rot"],
+    )
+    build_ann_store(emb, model, os.path.join(staging, "store"))
+    final = os.path.join(versions, f"v{n}")
+    os.rename(staging, final)  # atomic publish of the PAIR
+    pointer = {
+        "version": n,
+        "model": os.path.join("versions", f"v{n}", "model.json"),
+        "store": os.path.join("versions", f"v{n}", "store"),
+        "model_sha256": model["sha256"],
+    }
+    cur = os.path.join(base_dir, ANN_CURRENT)
+    tmp = f"{cur}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(pointer, f)
+    os.replace(tmp, cur)  # atomic pointer flip
+    return resolve_ann_current(base_dir)
+
+
+def resolve_ann_current(base_dir: str) -> dict:
+    """Resolve a `rebuild_ann` base dir's CURRENT pointer to absolute
+    paths: ``{"version", "model_path", "store_path", "model_sha256"}``
+    — feed model_path/store_path/model_sha256 straight into
+    `api.ann_topk(..., expected_sha256=...)`. Raises LookupError when
+    no version was ever published (a mid-first-rebuild crash leaves
+    no pointer — by design, there is nothing consistent to serve)."""
+    import json
+    import os
+
+    cur = os.path.join(base_dir, ANN_CURRENT)
+    if not os.path.exists(cur):
+        raise LookupError(
+            f"no published ANN version under {base_dir!r} (run "
+            "rebuild_ann / ann-rebuild first)"
+        )
+    with open(cur) as f:
+        p = json.load(f)
+    return {
+        "version": int(p["version"]),
+        "model_path": os.path.join(base_dir, p["model"]),
+        "store_path": os.path.join(base_dir, p["store"]),
+        "model_sha256": p["model_sha256"],
+    }
+
+
 def compact_ann_store(
     spark,
     drain_dir: str,

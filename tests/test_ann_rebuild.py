@@ -1,0 +1,153 @@
+"""Atomic ANN model refresh (VERDICT r9 #4): `rebuild_ann` publishes
+a (model, store) PAIR under a versioned base dir with a CURRENT
+pointer — two atomic renames, no window where a store and a manifest
+point at different shas. Crash injection around both renames proves
+the old pair keeps serving and the next rebuild recovers."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from inpe_queimadas_etl_spark.api import ann_topk
+from inpe_queimadas_etl_spark.operators import pq
+from inpe_queimadas_etl_spark.operators.pq import (
+    rebuild_ann,
+    resolve_ann_current,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    from inpe_queimadas_etl_spark.suite.llmdata import _sim8_emb
+
+    return _sim8_emb(spark, SF0001)
+
+
+def _serve(spark, emb, base_dir, k=3):
+    cur = resolve_ann_current(base_dir)
+    q = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.filter(
+            (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+        ).collect()
+    ]
+    return cur, ann_topk(
+        spark,
+        cur["store_path"],
+        cur["model_path"],
+        q,
+        k=k,
+        rerank_with=emb,
+        expected_sha256=cur["model_sha256"],
+    ).collect()
+
+
+def test_rebuild_publishes_servable_versioned_pair(spark, tmp_path):
+    emb = _emb(spark)
+    base = str(tmp_path / "ann")
+    with pytest.raises(LookupError, match="no published ANN version"):
+        resolve_ann_current(base)
+    res = rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.5, cand=100)
+    assert res["version"] == 1
+    assert os.path.isdir(os.path.join(base, "versions", "v1", "store"))
+    cur, rows = _serve(spark, emb, base)
+    assert cur == res
+    assert rows and all(r["rank"] >= 1 for r in rows)
+    # determinism: the published model equals a direct train of the
+    # same geometry on the same table (sha match), so a rebuild is
+    # reproducible, not a lottery
+    direct = pq.train_ann_model(emb, k=4, m=8, ks=16, frac=0.5, cand=100)
+    assert cur["model_sha256"] == direct["sha256"]
+
+    # a second rebuild publishes v2 and flips the pointer; v1 stays
+    # on disk for rollback
+    res2 = rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.25, cand=50)
+    assert res2["version"] == 2
+    assert resolve_ann_current(base)["version"] == 2
+    assert os.path.isdir(os.path.join(base, "versions", "v1", "store"))
+    # rollback = pointing CURRENT back (operator action): old pair
+    # still serves under its own sha
+    with open(os.path.join(base, "CURRENT"), "w") as f:
+        json.dump(
+            {
+                "version": 1,
+                "model": "versions/v1/model.json",
+                "store": "versions/v1/store",
+                "model_sha256": cur["model_sha256"],
+            },
+            f,
+        )
+    cur_rb, rows_rb = _serve(spark, emb, base)
+    assert cur_rb["version"] == 1
+    assert [str(r) for r in rows_rb] == [str(r) for r in rows]
+
+
+def test_rebuild_crash_before_publish_keeps_old_pair(
+    spark, tmp_path, monkeypatch
+):
+    """Injected crash DURING the store build: only a staging dir is
+    left, CURRENT still names the old complete pair, and the next
+    rebuild wipes the stale staging and succeeds at the same N."""
+    emb = _emb(spark)
+    base = str(tmp_path / "ann")
+    rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.5, cand=100)
+    cur1, rows1 = _serve(spark, emb, base)
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash mid-encode")
+
+    monkeypatch.setattr(pq, "build_ann_store", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.25, cand=50)
+    monkeypatch.undo()
+    staging = os.path.join(base, "versions", ".staging-v2")
+    assert os.path.isdir(staging)  # the crash residue
+    assert not os.path.exists(os.path.join(base, "versions", "v2"))
+    # old pair untouched and still serving identically
+    cur_mid, rows_mid = _serve(spark, emb, base)
+    assert cur_mid == cur1
+    assert [str(r) for r in rows_mid] == [str(r) for r in rows1]
+    # recovery: same N, staging wiped, publish completes
+    res = rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.25, cand=50)
+    assert res["version"] == 2
+    assert not os.path.exists(staging)
+    assert resolve_ann_current(base)["version"] == 2
+
+
+def test_rebuild_crash_between_renames_keeps_old_pointer(
+    spark, tmp_path, monkeypatch
+):
+    """Injected crash AFTER the version-dir rename but BEFORE the
+    CURRENT flip: a complete-but-unreferenced v2 exists, CURRENT
+    still resolves to v1 (consistent pair), and the next rebuild
+    takes v3."""
+    emb = _emb(spark)
+    base = str(tmp_path / "ann")
+    rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.5, cand=100)
+    cur1, rows1 = _serve(spark, emb, base)
+
+    real_replace = os.replace
+
+    def boom(src, dst, *a, **kw):
+        if os.path.basename(str(dst)) == "CURRENT":
+            raise RuntimeError("injected crash before pointer flip")
+        return real_replace(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(RuntimeError, match="pointer flip"):
+        rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.25, cand=50)
+    monkeypatch.undo()
+    # v2 is complete on disk but unreferenced; the pointer is intact
+    assert os.path.isdir(os.path.join(base, "versions", "v2", "store"))
+    cur_mid, rows_mid = _serve(spark, emb, base)
+    assert cur_mid == cur1
+    assert [str(r) for r in rows_mid] == [str(r) for r in rows1]
+    # next rebuild skips the orphan and publishes v3
+    res = rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.25, cand=50)
+    assert res["version"] == 3
+    assert resolve_ann_current(base)["version"] == 3
