@@ -785,6 +785,80 @@ def ann_topk_batch(
     )
 
 
+def semantic_decontamination_store(
+    spark: SparkSession,
+    corpus: DataFrame,
+    store_path: str,
+    model_path: str,
+    eval_vectors: DataFrame,
+    tau: float = 0.35,
+    k: int | None = None,
+    expected_sha256: str | None = None,
+) -> DataFrame:
+    """cur7 semantic decontamination re-platformed onto FROZEN
+    benchmark artifacts (VERDICT r9 #8 — the serving tier composing
+    with the curation tier): flag corpus documents semantically close
+    to a benchmark whose embeddings live as a persisted, sha-stamped
+    ANN store, via one `ann_topk_batch` pass. Returns the cur7
+    contract ``(vec_id, n_eval_hits, max_sim)`` — one row per
+    contaminated corpus vector.
+
+    Why a store, when `semantic_decontamination` already broadcasts
+    small eval sets: governance and scale. The benchmark becomes a
+    versioned artifact (sha-pinned model + 12-16 B/vector codes +
+    tombstones + `rebuild_ann` refresh) instead of raw vectors shipped
+    to every pipeline, and a MULTI-MILLION-item held-out set — where
+    the all-pairs broadcast form's Q x |eval| cosine wall gets
+    expensive — probes only the budgeted clusters.
+
+    Exactness dial: with the store's model trained at ``frac=1.0``
+    and ``cand >= |eval|`` (and ``k=None`` -> k=|eval|), every eval
+    item reaches the exact rerank and the output EQUALS
+    `cur7_semantic_decontamination`'s all-pairs form (pinned in
+    tests/test_ann_batch.py) — production dials frac/cand down for
+    approximate-but-cheap screening (missed flags bounded by probe
+    recall; the measured recall@budget lives in SCALING.md). Two
+    caveats inherited from the serving tail: corpus and store ids
+    must be DISJOINT (a corpus query whose id equals a store id is
+    treated as a self-match and skipped), and hit counting runs on
+    the tail's 4-dp-rounded sims, so a sim within 5e-5 of ``tau``
+    can classify differently from the unrounded all-pairs form.
+    ``eval_vectors`` is the rerank table and must cover every store
+    vec_id (the `ann_topk` coverage contract)."""
+    from pyspark.sql import functions as F
+
+    if k is None:
+        st = _load_ann_state(
+            spark, model_path, store_path,
+            expected_sha256=expected_sha256,
+        )
+        k = max(1, sum(st["sizes"].values()) - len(st["tombstones"]))
+    hits = ann_topk_batch(
+        spark,
+        store_path,
+        model_path,
+        corpus.select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ),
+        k=k,
+        rerank_with=eval_vectors,
+        expected_sha256=expected_sha256,
+    )
+    return (
+        hits.filter(F.col("sim") >= tau)
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.max("sim").alias("max_sim"),
+        )
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "n_eval_hits",
+            "max_sim",
+        )
+    )
+
+
 def _ep_ann_topk(ctx: ApiContext, params: dict) -> dict:
     """GET /api/ann/topk?vec=<comma floats>&k=5 — the parameterized
     similarity search over the context's frozen artifacts (the

@@ -449,24 +449,40 @@ def cmd_ann_delete(args) -> int:
 
 
 def cmd_ann_search(args) -> int:
-    """Top-k search over the frozen artifacts for query vectors read
-    from a JSON file (``[[id, [floats...]], ...]``) — the api.ann_topk
-    path from the shell."""
-    from .api import ann_topk
+    """Top-k search over the frozen artifacts — serving shape
+    (``--queries`` JSON ``[[id, [floats...]], ...]`` through
+    `api.ann_topk`) or batch shape (``--queries-parquet`` with
+    (query_id, qv) columns through `api.ann_topk_batch`, for
+    10^4..10^6-query jobs where a driver-side list is wrong)."""
+    from .api import ann_topk, ann_topk_batch
     from .session import get_spark
 
-    with open(args.queries, encoding="utf-8") as f:
-        query_vecs = [(int(q[0]), [float(x) for x in q[1]]) for q in json.load(f)]
+    if bool(args.queries) == bool(args.queries_parquet):
+        raise SystemExit(
+            "exactly one of --queries / --queries-parquet is required"
+        )
     spark = get_spark(app_name="ann-search")
     rerank = (
         _load_emb(spark, args.rerank_embeddings_dir)
         if args.rerank_embeddings_dir
         else None
     )
-    rows = ann_topk(
-        spark, args.store, args.model, query_vecs, k=args.k,
-        rerank_with=rerank,
-    ).collect()
+    if args.queries_parquet:
+        qdf = spark.read.parquet(args.queries_parquet)
+        rows = ann_topk_batch(
+            spark, args.store, args.model, qdf, k=args.k,
+            rerank_with=rerank,
+        ).collect()
+    else:
+        with open(args.queries, encoding="utf-8") as f:
+            query_vecs = [
+                (int(q[0]), [float(x) for x in q[1]])
+                for q in json.load(f)
+            ]
+        rows = ann_topk(
+            spark, args.store, args.model, query_vecs, k=args.k,
+            rerank_with=rerank,
+        ).collect()
     per_q: dict[int, int] = {}
     for r in rows:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
@@ -788,7 +804,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     asr.add_argument("--store", required=True)
     asr.add_argument("--model", required=True)
-    asr.add_argument("--queries", required=True, help="query JSON path")
+    asr.add_argument("--queries", help="query JSON path (serving shape)")
+    asr.add_argument(
+        "--queries-parquet",
+        help="parquet dir/file with (query_id, qv) columns — batch "
+        "shape via ann_topk_batch (use for 10^4+ queries)",
+    )
     asr.add_argument("-k", type=int, default=5)
     asr.add_argument(
         "--rerank-embeddings-dir",

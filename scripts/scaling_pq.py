@@ -310,7 +310,6 @@ def main() -> None:
             out["sim9_1m"]["build_opq_sec"] = round(
                 time.perf_counter() - t0, 3
             )
-            store11.unpersist()
             print(
                 f"# 1M OPQ: train {out['sim9_1m']['opq_train_sec']}s "
                 f"(err -{out['sim9_1m']['opq_err_improvement']:.1%}), "
@@ -443,6 +442,106 @@ def main() -> None:
             )
             out["sim9_1m"]["search_jvm_sec"] = _t(sim9_search_jvm)
 
+            # r10 (VERDICT r9 #2): recall@5 at EQUAL probe budget at
+            # 1M — plain residual PQ (sim10's quantizer) vs the OPQ
+            # rotation (sim11), SAME coarse codebook, SAME probe sets
+            # (selection is in original space, so the candidate pools
+            # differ only through ADC fidelity), SAME exact-rerank
+            # tail. Ground truth: exact cosine top-5 over the corpus
+            # for NQ in-store queries (self-skip on both sides). The
+            # sf0.01 demo scale step-quantizes recall at 0.025/hit —
+            # THIS is the measurement that decides the default tier.
+            from inpe_queimadas_etl_spark.operators.pq import rot_apply
+
+            NQ = 32
+            rq_src = emb.filter(
+                (F.col("vec_id") >= K) & (F.col("vec_id") < K + NQ)
+            ).localCheckpoint(eager=True)
+            rq = rq_src.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("nq"),
+            ).localCheckpoint(eager=True)
+            t0 = time.perf_counter()
+            exact5: dict = {}
+            for r in _cosine_top5(
+                emb.select("vec_id", "v", F.col("nrm").alias("nv")), rq
+            ).collect():
+                exact5.setdefault(int(r["query_id"]), set()).add(
+                    int(r["neighbor_id"])
+                )
+            out["recall_1m"] = {
+                "nq": NQ,
+                "nprobe": NPROBE,
+                "exact_sec": round(time.perf_counter() - t0, 3),
+            }
+            probe64 = (
+                rq_src.join(F.broadcast(cent))
+                .withColumn(
+                    "csim",
+                    F.try_divide(
+                        dot_product("v", "cv"),
+                        F.col("nrm") * F.col("cn"),
+                    ),
+                )
+                .withColumn("rn", F.row_number().over(qw))
+                .filter(F.col("rn") <= NPROBE)
+            )
+            probes64 = [
+                (r["vec_id"], r["centroid_id"], list(r["v"]))
+                for r in probe64.select(
+                    "vec_id", "centroid_id", "v"
+                ).collect()
+            ]
+
+            def _recall_at5(store_df, cb_, cents_, probes_):
+                scored = pq_ivf_adc_search_scan(
+                    store_df, cb_, cents_, probes_, CAND
+                )
+                w_g = Window.partitionBy("query_id").orderBy(
+                    F.desc_nulls_first("pq_score"), F.asc("vec_id")
+                )
+                cand5 = (
+                    scored.withColumn("rn", F.row_number().over(w_g))
+                    .filter(F.col("rn") <= CAND)
+                    .select("query_id", "vec_id")
+                )
+                paired = cand5.join(
+                    emb.select("vec_id", "v", F.col("nrm").alias("nv")),
+                    "vec_id",
+                ).join(F.broadcast(rq), "query_id")
+                hits = 0
+                for r in _score_rank_top5(paired).collect():
+                    if int(r["neighbor_id"]) in exact5.get(
+                        int(r["query_id"]), set()
+                    ):
+                        hits += 1
+                return round(hits / (5 * NQ), 4)
+
+            t0 = time.perf_counter()
+            out["recall_1m"]["sim10_recall_at5"] = _recall_at5(
+                store9f, rescb, cents9, probes64
+            )
+            out["recall_1m"]["sim10_search_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            rot_cents = [
+                (cid, rot_apply(rot11, cv)) for cid, cv in cents9
+            ]
+            rot_probes = [
+                (qid, cid, rot_apply(rot11, qv))
+                for qid, cid, qv in probes64
+            ]
+            t0 = time.perf_counter()
+            out["recall_1m"]["sim11_recall_at5"] = _recall_at5(
+                store11, cb11, rot_cents, rot_probes
+            )
+            out["recall_1m"]["sim11_search_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            print(f"# 1M recall@5: {out['recall_1m']}", file=sys.stderr)
+            store11.unpersist()
+
             # r9: the FROZEN-ARTIFACT serving surface end to end —
             # save_ann_model -> build_ann_store (fused encode +
             # size-stamped partitioned store) -> api.ann_topk (model
@@ -480,6 +579,64 @@ def main() -> None:
                 ).collect()
 
             out["sim9_1m"]["ann_topk_sec"] = _t(ann_serve)
+
+            # r10 (VERDICT r9 #1): batch-scale search — Q=10k caller
+            # vectors through ann_topk_batch over the SAME frozen
+            # artifacts, exact-rerank tail included. The looped form
+            # at this Q would carry Q*nprobe m x ks LUTs in the scan
+            # closure (~GBs); the batch form ships ONE probe
+            # broadcast and computes LUTs executor-side, so the
+            # measured number IS the end-to-end batch-consumer cost
+            # (benchmark decontamination, shard-level semantic dedup).
+            from inpe_queimadas_etl_spark.api import ann_topk_batch
+
+            QN = 10_000
+            rngq = np.random.default_rng(17)
+            QM = rngq.normal(0, 1, size=(QN, EMB_DIM))
+            qdf_batch = spark.createDataFrame(
+                [
+                    (10_000_000 + i, [float(x) for x in QM[i]])
+                    for i in range(QN)
+                ],
+                "query_id long, qv array<double>",
+            ).localCheckpoint(eager=True)
+            t0 = time.perf_counter()
+            nrows = ann_topk_batch(
+                spark, ann_store, model_path, qdf_batch, k=5,
+                rerank_with=emb,
+            ).count()
+            out["sim9_1m"]["ann_topk_batch_10k_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            out["sim9_1m"]["ann_topk_batch_10k_rows"] = int(nrows)
+            print(
+                f"# 1M ann_topk_batch Q={QN}: "
+                f"{out['sim9_1m']['ann_topk_batch_10k_sec']}s, "
+                f"{nrows} rows",
+                file=sys.stderr,
+            )
+
+            # r10 (VERDICT r9 #4): the atomic refresh job's full cost
+            # at 1M — retrain (MLlib KMeans coarse + sampled residual
+            # PQ) + fused re-encode + store write + pointer flip. The
+            # one number an operator needs to size the retrain cadence.
+            from inpe_queimadas_etl_spark.operators.pq import (
+                rebuild_ann,
+            )
+
+            t0 = time.perf_counter()
+            rebuild_ann(
+                emb, os.path.join(tmp, "ann_base"), k=K, m=8, ks=16,
+                frac=NPROBE / K, cand=CAND,
+            )
+            out["sim9_1m"]["ann_rebuild_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            print(
+                f"# 1M ann_rebuild: "
+                f"{out['sim9_1m']['ann_rebuild_sec']}s",
+                file=sys.stderr,
+            )
             print(
                 f"# 1M sim9 K={K}/nprobe={NPROBE}: build "
                 f"{out['sim9_1m']['build_sec']}s fused (compositional "

@@ -183,6 +183,116 @@ def test_batch_plan_partition_prunes_no_python_rows(spark, tmp_path):
     assert "BatchEvalPython" not in plan
 
 
+def test_semantic_decontamination_store_equals_cur7(spark, tmp_path):
+    """The serving tier composing with the curation tier (VERDICT r9
+    #8): cur7 semantic decontamination against a PERSISTED benchmark
+    ANN store (frac=1.0, cand >= |eval|, k=|eval| — the exactness
+    dial) must flag exactly the rows the in-session all-pairs form
+    flags, with identical hit counts and max sims."""
+    from inpe_queimadas_etl_spark.api import (
+        semantic_decontamination_store,
+    )
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        cur7_semantic_decontamination,
+        load_table,
+    )
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+
+    emb = (
+        load_table(spark, SF0001, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", vec_norm("v"))
+    )
+    eval_set = emb.filter(F.col("label") == 0).select(
+        "vec_id", "v", "nrm"
+    )
+    corpus = emb.filter(F.col("label") != 0).select(
+        "vec_id", "v", "nrm"
+    )
+    n_eval = eval_set.count()
+    model = train_ann_model(
+        eval_set, k=2, m=8, ks=16, frac=1.0, cand=max(500, n_eval)
+    )
+    model_path = str(tmp_path / "bench_model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"], rot=model["rot"],
+    )
+    store_path = str(tmp_path / "bench_store")
+    build_ann_store(eval_set, load_ann_model(model_path), store_path)
+
+    got = (
+        semantic_decontamination_store(
+            spark, corpus, store_path, model_path, eval_set, tau=0.35
+        )
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    want = (
+        cur7_semantic_decontamination(spark, SF0001)
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert len(want) > 0  # the demo split does flag rows
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )
+
+
+def test_cli_ann_search_batch_parquet(spark, tmp_path, capsys):
+    """ann-search --queries-parquet routes through ann_topk_batch and
+    prints the same rows the API returns (the CLI is a veneer)."""
+    import json
+    import logging
+
+    from inpe_queimadas_etl_spark import cli
+
+    root = logging.getLogger()
+    saved = (root.handlers[:], root.level)
+    try:
+        emb, model_path, store_path = _artifacts(spark, tmp_path)
+        qv, qdf = _queries(spark, emb, lo=8, hi=12)
+        qpq = str(tmp_path / "queries_parquet")
+        qdf.write.parquet(qpq)
+        rc = cli.main(
+            [
+                "ann-search",
+                "--store", store_path,
+                "--model", model_path,
+                "--queries-parquet", qpq,
+                "-k", "3",
+            ]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        want = sorted(
+            [
+                r.asDict()
+                for r in ann_topk_batch(
+                    spark, store_path, model_path, qdf, k=3
+                ).collect()
+            ],
+            key=lambda d: (d["query_id"], d["rank"]),
+        )
+        got = sorted(out, key=lambda d: (d["query_id"], d["rank"]))
+        assert got == want
+        # exactly one of the two query shapes must be given
+        with pytest.raises(SystemExit, match="exactly one"):
+            cli.main(
+                [
+                    "ann-search", "--store", store_path,
+                    "--model", model_path, "-k", "1",
+                ]
+            )
+    finally:
+        root.handlers[:] = saved[0]
+        root.setLevel(saved[1])
+
+
 def test_grouped_scan_equals_looped_scan_with_nan_and_self(spark):
     """Low-level pin of `pq_ivf_adc_search_scan_grouped` against
     `pq_ivf_adc_search_scan` on a synthetic store holding a
