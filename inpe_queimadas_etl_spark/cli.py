@@ -353,6 +353,7 @@ def cmd_ann_train(args) -> int:
         frac=args.frac,
         cand=args.cand,
         opq=args.opq,
+        coarse_sample_n=args.coarse_sample,
     )
     art = save_ann_model(
         args.out, model["cents"], model["cb"], model["frac"],
@@ -380,6 +381,7 @@ def cmd_ann_rebuild(args) -> int:
         frac=args.frac,
         cand=args.cand,
         opq=args.opq,
+        coarse_sample_n=args.coarse_sample,
     )
     log.info("ann-rebuild | published | %s", json.dumps(res))
     print(json.dumps(res))
@@ -751,6 +753,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="learn an OPQ rotation for the residual stage (sim11's "
         "tier — lower quantization error at identical store bytes)",
     )
+    at.add_argument(
+        "--coarse-sample", type=int, default=None,
+        help="bound the MLlib KMeans coarse fit to the first-N "
+        "vectors (deterministic sample; default: full corpus). At "
+        "corpus scale this is the retrain-cadence lever — see "
+        "SCALING.md r10",
+    )
     at.add_argument("--log-dir")
 
     ar = sub.add_parser(
@@ -773,6 +782,7 @@ def build_parser() -> argparse.ArgumentParser:
     ar.add_argument("--frac", type=float, default=0.1)
     ar.add_argument("--cand", type=int, default=100)
     ar.add_argument("--opq", action="store_true")
+    ar.add_argument("--coarse-sample", type=int, default=None)
     ar.add_argument("--log-dir")
 
     ab = sub.add_parser(

@@ -1741,6 +1741,7 @@ def train_ann_model(
     cand: int = 100,
     sample_n: int = 4096,
     opq: bool = False,
+    coarse_sample_n: int | None = None,
 ) -> dict:
     """One-call IVF-PQ model training over ``(vec_id, v, nrm)`` — the
     sim10 composition (MLlib-KMeans coarse quantizer + residual PQ,
@@ -1757,12 +1758,16 @@ def train_ann_model(
     ``opq=True`` upgrades the residual stage to sim11's tier: the
     rotation + codebook come from `train_opq_rotation` on the SAME
     residual sample (quantization error <= the plain codebook's by
-    construction), persisted in the artifact's ``rot`` field."""
+    construction), persisted in the artifact's ``rot`` field.
+    ``coarse_sample_n`` bounds the MLlib KMeans coarse fit to the
+    first-N sample (None = the historical full-corpus fit — every
+    pinned demo model; at corpus scale the sampled fit is the
+    `rebuild_ann` retrain-cadence lever, measured in SCALING.md)."""
     import numpy as np
 
     from .similarity import assign_nearest_block, train_ivf_codebook
 
-    cent = train_ivf_codebook(emb, k=k)
+    cent = train_ivf_codebook(emb, k=k, sample_n=coarse_sample_n)
     cents3 = sorted(
         (int(r["centroid_id"]), [float(x) for x in r["cv"]], float(r["cn"]))
         for r in cent.select("centroid_id", "cv", "cn").collect()
@@ -1811,6 +1816,7 @@ def rebuild_ann(
     cand: int = 100,
     sample_n: int = 4096,
     opq: bool = False,
+    coarse_sample_n: int | None = None,
 ) -> dict:
     """Atomic model refresh (VERDICT r9 #4): retrain -> fused
     re-encode into a STAGING version dir -> publish the (model,
@@ -1861,7 +1867,7 @@ def rebuild_ann(
     os.makedirs(staging)
     model = train_ann_model(
         emb, k=k, m=m, ks=ks, frac=frac, cand=cand,
-        sample_n=sample_n, opq=opq,
+        sample_n=sample_n, opq=opq, coarse_sample_n=coarse_sample_n,
     )
     save_ann_model(
         os.path.join(staging, "model.json"),

@@ -87,6 +87,45 @@ def test_rebuild_publishes_servable_versioned_pair(spark, tmp_path):
     assert [str(r) for r in rows_rb] == [str(r) for r in rows]
 
 
+def test_coarse_sample_bounds_training_deterministically(
+    spark, tmp_path
+):
+    """The retrain-cadence lever (SCALING.md r10): coarse_sample_n
+    bounds the MLlib KMeans fit to the first-N vectors. A sample
+    covering the whole table yields the EXACT full-corpus model (same
+    sha); a smaller sample yields a deterministic, servable model
+    (same sha across two trains)."""
+    from inpe_queimadas_etl_spark.operators.pq import (
+        build_ann_store,
+        save_ann_model,
+        train_ann_model,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    full = train_ann_model(emb, k=4, m=8, ks=16, frac=0.5, cand=100)
+    covering = train_ann_model(
+        emb, k=4, m=8, ks=16, frac=0.5, cand=100, coarse_sample_n=n
+    )
+    assert covering["sha256"] == full["sha256"]
+    s1 = train_ann_model(
+        emb, k=4, m=8, ks=16, frac=0.5, cand=100, coarse_sample_n=64
+    )
+    s2 = train_ann_model(
+        emb, k=4, m=8, ks=16, frac=0.5, cand=100, coarse_sample_n=64
+    )
+    assert s1["sha256"] == s2["sha256"]
+    # the sampled model is a first-class servable artifact
+    mp = str(tmp_path / "sampled.json")
+    save_ann_model(mp, s1["cents"], s1["cb"], s1["frac"], s1["cand"])
+    sp = str(tmp_path / "sampled_store")
+    build_ann_store(emb, s1, sp)
+    rows = ann_topk(
+        spark, sp, mp, [(8, [0.5] * 64)], k=3, rerank_with=emb
+    ).collect()
+    assert len(rows) == 3
+
+
 def test_rebuild_crash_before_publish_keeps_old_pair(
     spark, tmp_path, monkeypatch
 ):
