@@ -608,25 +608,33 @@ def ann_assign_probes(
     probe SELECTION itself stays in original space, exactly like the
     serving path — rotation sits below the coarse quantizer).
 
-    Bit-faithful by construction: each query is pushed through THE
-    `_ann_budget_probes` replay (a per-query-independent function, so
-    single-query calls compose to the looped result), and the
-    rotation through `rot_apply`'s exact chain — so the probe set and
-    coordinates equal the serving path's for the same vectors. The
-    closure carries model-sized state only (K centroids + sizes + the
-    rotation); nothing scales with Q. Dim/finiteness violations
+    Bit-faithful by IEEE replay (pinned against `_ann_budget_probes`
+    + `rot_apply` over random and degenerate vectors in
+    tests/test_ann_batch.py): the query norm, the K query-centroid
+    dots, and the rotation are the serving path's left-to-right
+    chains VECTORIZED over the batch (same per-element operation
+    sequence; IEEE multiply commutes bit-exactly), and the
+    rank-then-budget loop runs the identical sort key and cumulative
+    cut per query (K-element Python work — the scan cost is the
+    numpy part). At Q=10^6, dim 64, K=64 that is a few GEMM-shaped
+    passes per batch instead of ~10^10 interpreted float ops. The
+    closure carries model-sized state only (K centroids + sizes +
+    the rotation); nothing scales with Q. Dim/finiteness violations
     surface as ValueError from the executors (a batch job's per-row
     422)."""
-    import math
-
+    import numpy as np
     from pyspark.sql import functions as F
-
-    from .operators.pq import rot_apply
 
     cents3 = model["cents3"]
     frac = model["frac"]
     rot = model.get("rot")
     dim = model["dim"]
+    target = max(1, int(sum(sizes.values()) * frac))
+    cids = [int(cid) for cid, _, _ in cents3]
+    CM = np.array([cv for _, cv, _ in cents3], dtype=np.float64)  # K,dim
+    CN = np.array([cn for _, _, cn in cents3], dtype=np.float64)
+    RM = None if rot is None else np.array(rot, dtype=np.float64)
+    csz = [int(sizes.get(cid, 0)) for cid in cids]
 
     def assign(it):
         import pandas as pd
@@ -634,26 +642,68 @@ def ann_assign_probes(
         for pdf in it:
             if not len(pdf):
                 continue
-            oq, oc, ov = [], [], []
-            for qid, qv in zip(pdf["query_id"], pdf["qv"]):
-                qv = [float(x) for x in qv]
-                if len(qv) != dim:
-                    raise ValueError(
-                        f"query {qid}: dim {len(qv)} != model dim {dim}"
-                    )
-                if any(not math.isfinite(x) for x in qv):
-                    raise ValueError(
-                        f"query {qid}: non-finite component — probe "
-                        "ordering would be undefined"
-                    )
-                probes = _ann_budget_probes(
-                    cents3, [(int(qid), qv)], sizes, frac
+            V = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            if V.ndim != 2 or V.shape[1] != dim:
+                raise ValueError(
+                    f"query vectors must match the model dim {dim}; "
+                    "got a batch shaped "
+                    f"{V.shape if V.ndim == 2 else 'ragged'}"
                 )
-                qvr = qv if rot is None else rot_apply(rot, qv)
-                for _, cid, _ in probes:
-                    oq.append(int(qid))
-                    oc.append(int(cid))
+            if not np.isfinite(V).all():
+                bad = pdf["query_id"].iloc[
+                    int(np.nonzero(~np.isfinite(V).all(axis=1))[0][0])
+                ]
+                raise ValueError(
+                    f"query {bad}: non-finite component — probe "
+                    "ordering would be undefined"
+                )
+            # _vec_norm_replay's chain, vectorized (0.0 + x0*x0 is
+            # exact, so the seedless start matches the 0.0 seed)
+            acc = V[:, 0] * V[:, 0]
+            for i in range(1, dim):
+                acc = acc + V[:, i] * V[:, i]
+            nq = np.sqrt(acc)
+            # _np_dot's chain over every centroid at once
+            dots = V[:, 0:1] * CM[:, 0][None, :]
+            for i in range(1, dim):
+                dots = dots + V[:, i : i + 1] * CM[:, i][None, :]
+            den = nq[:, None] * CN[None, :]
+            if RM is not None:
+                # rot_apply's chain (pq_ivf_encode's rot step):
+                # input component j's contribution added in j order
+                racc = V[:, 0:1] * RM[:, 0][None, :]
+                for j in range(1, dim):
+                    racc = racc + V[:, j : j + 1] * RM[:, j][None, :]
+                VR = racc
+            else:
+                VR = V
+            oq, oc, ov = [], [], []
+            for r in range(V.shape[0]):
+                qid = int(pdf["query_id"].iloc[r])
+                # the EXACT _ann_budget_probes rank + budget cut:
+                # (csim is None, -csim_or_0, cid) then cumulative
+                # cluster sizes until the target
+                ranked = sorted(
+                    range(len(cids)),
+                    key=lambda j: (
+                        den[r, j] == 0.0,
+                        -(
+                            (dots[r, j] / den[r, j])
+                            if den[r, j] != 0.0
+                            else 0.0
+                        ),
+                        cids[j],
+                    ),
+                )
+                qvr = [float(x) for x in VR[r]]
+                cum = 0
+                for j in ranked:
+                    if cum >= target:
+                        break
+                    oq.append(qid)
+                    oc.append(cids[j])
                     ov.append(qvr)
+                    cum += csz[j]
             yield pd.DataFrame(
                 {"query_id": oq, "qcluster": oc, "qvr": ov}
             )

@@ -243,6 +243,65 @@ def test_semantic_decontamination_store_equals_cur7(spark, tmp_path):
     )
 
 
+@pytest.mark.parametrize("opq", [False, True], ids=["plain", "opq"])
+def test_assign_probes_replays_budget_rule_bitexactly(spark, opq):
+    """`ann_assign_probes`' vectorized chains must reproduce the
+    serving path's `_ann_budget_probes` + `rot_apply` EXACTLY — probe
+    sets, order-defining cosines, and rotated coordinates bit for bit
+    — including degenerate zero-norm queries (every csim None ->
+    clusters ranked by id)."""
+    import struct
+
+    import numpy as np
+
+    from inpe_queimadas_etl_spark.api import (
+        _ann_budget_probes,
+        ann_assign_probes,
+    )
+    from inpe_queimadas_etl_spark.operators.pq import (
+        pq_ivf_encode,
+        rot_apply,
+    )
+    from inpe_queimadas_etl_spark.suite.llmdata import _cluster_sizes
+
+    emb = _emb(spark)
+    model = train_ann_model(
+        emb, k=4, m=8, ks=16, frac=0.5, cand=100, opq=opq
+    )
+    sizes = _cluster_sizes(
+        pq_ivf_encode(emb, model["cents3"], model["cb"])
+    )
+    rng = np.random.default_rng(23)
+    qv = [
+        (i, [float(x) for x in rng.normal(0, 1, 64)]) for i in range(40)
+    ]
+    qv.append((100, [0.0] * 64))  # zero norm: den==0 for every cluster
+    qv.append((101, [1e-160] * 64))  # den underflow candidates
+    qdf = spark.createDataFrame(qv, "query_id long, qv array<double>")
+
+    got = sorted(
+        (int(r["query_id"]), int(r["qcluster"]), tuple(r["qvr"]))
+        for r in ann_assign_probes(qdf, model, sizes).collect()
+    )
+    rot = model.get("rot")
+    want = sorted(
+        (
+            qid,
+            cid,
+            tuple(v if rot is None else rot_apply(rot, v)),
+        )
+        for qid, cid, v in _ann_budget_probes(
+            model["cents3"], qv, sizes, model["frac"]
+        )
+    )
+    assert len(got) == len(want) > 0
+    for (gq, gc, gv), (wq, wc, wv) in zip(got, want):
+        assert (gq, gc) == (wq, wc)
+        assert [struct.pack("<d", x) for x in gv] == [
+            struct.pack("<d", x) for x in wv
+        ]
+
+
 def test_cli_ann_search_batch_parquet(spark, tmp_path, capsys):
     """ann-search --queries-parquet routes through ann_topk_batch and
     prints the same rows the API returns (the CLI is a veneer)."""
