@@ -602,8 +602,12 @@ def ann_assign_probes(
     queries: DataFrame, model: dict, sizes: dict
 ) -> DataFrame:
     """Distributed probe assignment for a (query_id, qv) DataFrame:
-    one narrow Arrow scan emitting ``(query_id, qcluster, qvr)`` —
-    one row per (query, probed cluster), with ``qvr`` already in SCAN
+    one narrow Arrow scan emitting ``(query_id, qvr, qclusters)`` —
+    ONE row per query, carrying the rotated scan-coordinate vector
+    once and the budgeted probe clusters as an array (a query's
+    vector must never be materialized per probe: at Q=10^6 that
+    nprobe-fold duplication is the difference between a ~0.6 GB and
+    a ~3 GB driver collect in `ann_topk_batch`). ``qvr`` is in SCAN
     coordinates (rotated when the model carries an OPQ rotation; the
     probe SELECTION itself stays in original space, exactly like the
     serving path — rotation sits below the coarse quantizer).
@@ -677,7 +681,7 @@ def ann_assign_probes(
                 VR = racc
             else:
                 VR = V
-            oq, oc, ov = [], [], []
+            oq, ov, ocs = [], [], []
             for r in range(V.shape[0]):
                 qid = int(pdf["query_id"].iloc[r])
                 # the EXACT _ann_budget_probes rank + budget cut:
@@ -695,23 +699,25 @@ def ann_assign_probes(
                         cids[j],
                     ),
                 )
-                qvr = [float(x) for x in VR[r]]
+                probe_cids = []
                 cum = 0
                 for j in ranked:
                     if cum >= target:
                         break
-                    oq.append(qid)
-                    oc.append(cids[j])
-                    ov.append(qvr)
+                    probe_cids.append(cids[j])
                     cum += csz[j]
+                oq.append(qid)
+                ov.append([float(x) for x in VR[r]])
+                ocs.append(probe_cids)
             yield pd.DataFrame(
-                {"query_id": oq, "qcluster": oc, "qvr": ov}
+                {"query_id": oq, "qvr": ov, "qclusters": ocs}
             )
 
     return queries.select(
         F.col("query_id").cast("long").alias("query_id"), "qv"
     ).mapInPandas(
-        assign, "query_id long, qcluster long, qvr array<double>"
+        assign,
+        "query_id long, qvr array<double>, qclusters array<long>",
     )
 
 
@@ -786,26 +792,36 @@ def ann_topk_batch(
             f"queries ids must be unique (duplicate: {dup['query_id']})"
         )
     probe_rows = ann_assign_probes(queries, model, sizes).collect()
+    # each vector once (Q x dim), clusters as index lists — the
+    # broadcast is O(Q*dim + Q*nprobe), never nprobe-fold duplicated
+    qids_arr = np.array(
+        [int(r["query_id"]) for r in probe_rows], dtype=np.int64
+    )
+    qv_mat = (
+        np.array([list(r["qvr"]) for r in probe_rows], dtype=np.float64)
+        if probe_rows
+        else np.empty((0, model["dim"]), dtype=np.float64)
+    )
     by_cluster: dict = {}
-    for r in probe_rows:
-        by_cluster.setdefault(int(r["qcluster"]), []).append(
-            (int(r["query_id"]), r["qvr"])
-        )
+    for i, r in enumerate(probe_rows):
+        for cid in r["qclusters"]:
+            by_cluster.setdefault(int(cid), []).append(i)
     grouped = {
-        cid: (
-            np.array([qid for qid, _ in lst], dtype=np.int64),
-            np.array([list(qv) for _, qv in lst], dtype=np.float64),
-        )
-        for cid, lst in by_cluster.items()
+        "qids": qids_arr,
+        "qv": qv_mat,
+        "by_cluster": {
+            cid: np.array(idx, dtype=np.int64)
+            for cid, idx in by_cluster.items()
+        },
     }
     cand = max(int(model["cand"]), k)
-    if not grouped:
+    if not by_cluster:
         # empty query frame (e.g. an empty shard): nothing to score
         scored = spark.createDataFrame(
             [], "query_id long, vec_id long, pq_score double"
         )
     else:
-        probed_cids = sorted(grouped)
+        probed_cids = sorted(by_cluster)
         pruned = store.filter(F.col("centroid_id").isin(probed_cids))
         if st["tombstones"]:
             pruned = pruned.filter(

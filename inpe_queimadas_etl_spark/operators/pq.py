@@ -874,9 +874,12 @@ def pq_ivf_adc_search_scan_grouped(
 ) -> DataFrame:
     """BATCH-scale Arrow IVF-PQ ADC scoring (VERDICT r9 #1): same
     semantics as `pq_ivf_adc_search_scan`, but query state arrives as
-    a Spark BROADCAST — ``probes_bc.value`` maps ``centroid_id ->
-    (qids int64 (nq,), QV float64 (nq, dim))`` in SCAN coordinates
-    (rotated when OPQ) — and every per-query quantity the looped scan
+    a Spark BROADCAST — ``probes_bc.value`` is ``{"qids": int64 (Q,),
+    "qv": float64 (Q, dim) in SCAN coordinates (rotated when OPQ),
+    "by_cluster": {centroid_id: int64 row indices}}`` (each vector
+    shipped ONCE; clusters reference it by index, so the broadcast is
+    O(Q*dim + Q*nprobe), never nprobe-fold duplicated) — and every
+    per-query quantity the looped scan
     precomputed driver-side (the m x ks LUT, the query-centroid inner
     product) is computed EXECUTOR-side, once per (task, cluster),
     from the model state that rides the closure (K centroids + the
@@ -921,7 +924,9 @@ def pq_ivf_adc_search_scan_grouped(
         st = cache.get(cid)
         if st is not None:
             return st
-        qids, QV = probes_bc.value[cid]
+        p = probes_bc.value
+        idx = p["by_cluster"][cid]
+        qids, QV = p["qids"][idx], p["qv"][idx]
         cv = cvd[cid]
         cvn2 = _np_dot(cv, cv)
         cvlut = _np_lut(cb, cv)
@@ -943,7 +948,7 @@ def pq_ivf_adc_search_scan_grouped(
 
     def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict = {}
-        probed = probes_bc.value
+        probed = probes_bc.value["by_cluster"]
         for pdf in it:
             if not len(pdf):
                 continue
@@ -1957,6 +1962,16 @@ def compact_ann_store(
     tombs = read_ann_tombstones(drain_dir)
     if tombs:
         codes = codes.filter(~F.col("vec_id").isin(tombs))
+        if codes.first() is None:
+            # an all-tombstoned store would compact to a parquet dir
+            # with no data files — unreadable (schema inference
+            # fails), i.e. a store that LOOKS built but serves
+            # nothing. Refuse with the real remedy named.
+            raise ValueError(
+                f"every row of {drain_dir!r} is tombstoned — nothing "
+                "to compact; start a fresh store (rebuild_ann) "
+                "instead"
+            )
     codes.repartition("centroid_id").write.mode(mode).partitionBy(
         "centroid_id"
     ).parquet(out_store)

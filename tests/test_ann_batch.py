@@ -280,8 +280,9 @@ def test_assign_probes_replays_budget_rule_bitexactly(spark, opq):
     qdf = spark.createDataFrame(qv, "query_id long, qv array<double>")
 
     got = sorted(
-        (int(r["query_id"]), int(r["qcluster"]), tuple(r["qvr"]))
+        (int(r["query_id"]), int(cid), tuple(r["qvr"]))
         for r in ann_assign_probes(qdf, model, sizes).collect()
+        for cid in r["qclusters"]
     )
     rot = model.get("rot")
     want = sorted(
@@ -405,18 +406,20 @@ def test_grouped_scan_equals_looped_scan_with_nan_and_self(spark):
                 ["query_id", "vec_id", "pq_score"], ignore_index=True
             )
         )
-        grouped = {}
-        for qid, cid, qv in probes:
-            grouped.setdefault(cid, [[], []])
-            grouped[cid][0].append(qid)
-            grouped[cid][1].append(qv)
+        qids_arr = np.array([q for q, _ in queries], dtype=np.int64)
+        qv_mat = np.array([v for _, v in queries], dtype=np.float64)
+        by_cluster = {}
+        for qid, cid, _ in probes:
+            row = int(np.nonzero(qids_arr == qid)[0][0])
+            by_cluster.setdefault(cid, []).append(row)
         bc = spark.sparkContext.broadcast(
             {
-                cid: (
-                    np.array(qids, dtype=np.int64),
-                    np.array(qvs, dtype=np.float64),
-                )
-                for cid, (qids, qvs) in grouped.items()
+                "qids": qids_arr,
+                "qv": qv_mat,
+                "by_cluster": {
+                    cid: np.array(idx, dtype=np.int64)
+                    for cid, idx in by_cluster.items()
+                },
             }
         )
         got = (

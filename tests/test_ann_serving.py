@@ -925,6 +925,44 @@ def test_tombstones_retire_vectors_until_compaction_drops_them(
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_compact_refuses_fully_tombstoned_store(spark, tmp_path):
+    """Compacting a store whose every row is tombstoned would produce
+    a parquet dir with no data files — a store that LOOKS built but
+    cannot even be read back. Refused with the remedy named."""
+    from pyspark.sql import functions as F
+
+    from inpe_queimadas_etl_spark.operators.pq import (
+        compact_ann_store,
+        delete_from_ann_store,
+    )
+
+    emb = _emb(spark)
+    model = _demo_model(spark)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(model_path), store_path)
+    all_ids = [
+        int(r["vec_id"]) for r in emb.select("vec_id").collect()
+    ]
+    delete_from_ann_store(store_path, all_ids)
+    # serving returns nothing but does not crash
+    assert (
+        ann_topk(
+            spark, store_path, model_path, [(10_000, [0.5] * 64)], k=3
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="every row .* tombstoned"):
+        compact_ann_store(
+            spark, store_path, str(tmp_path / "out"),
+            load_ann_model(model_path),
+        )
+
+
 def test_ann_delete_cli(tmp_path, _preserve_root_logging):
     """ann-delete from the shell: tombstones written without a Spark
     session, idempotent across invocations."""
