@@ -1341,16 +1341,23 @@ ANN_STORE_SHA_MARKER = "_ann_model_sha"
 
 
 def write_ann_store_meta(
-    store_path: str, model_sha256: str, sizes: dict | None = None
+    store_path: str,
+    model_sha256: str,
+    sizes: dict | None = None,
+    encoding_sha256: str | None = None,
 ) -> None:
     """THE one store-stamp writer (VERDICT r9 #5): every ANN store
     dir — built, compacted, or drain-maintained — carries the same
-    ``_ann_model.json`` with the model's sha256, plus the K-row
-    cluster-size table when the store is immutable (build/compact;
-    a drain dir omits it — appends would stale it, so serving
-    computes sizes with one K-row aggregate instead). Atomic publish
-    (the WAP convention): a crash mid-write leaves either no meta or
-    a complete one, never truncated JSON that reads as corruption."""
+    ``_ann_model.json`` with the producing model's full sha256
+    (provenance) AND its ENCODING sha256 (the refusal key, r10 —
+    codes depend only on centroids/codebook/rotation, so a model
+    retuned in frac/cand serves the same store without a re-encode),
+    plus the K-row cluster-size table when the store is immutable
+    (build/compact; a drain dir omits it — appends would stale it, so
+    serving computes sizes with one K-row aggregate instead). Atomic
+    publish (the WAP convention): a crash mid-write leaves either no
+    meta or a complete one, never truncated JSON that reads as
+    corruption."""
     import json
     import os
 
@@ -1358,6 +1365,8 @@ def write_ann_store_meta(
         "format": ANN_MODEL_FORMAT,
         "model_sha256": model_sha256,
     }
+    if encoding_sha256 is not None:
+        meta["encoding_sha256"] = encoding_sha256
     if sizes is not None:
         meta["cluster_sizes"] = {str(k): int(v) for k, v in sizes.items()}
     os.makedirs(store_path, exist_ok=True)
@@ -1368,10 +1377,15 @@ def write_ann_store_meta(
     os.replace(tmp, meta_path)
 
 
-def read_ann_store_stamp(store_path: str) -> tuple[str | None, dict | None]:
-    """Read a store dir's model stamp: ``(model_sha256_or_None,
-    cluster_sizes_or_None)``. Honors the unified JSON meta and — one
-    round of back-compat — the legacy one-line drain marker."""
+def read_ann_store_stamp(
+    store_path: str,
+) -> tuple[dict | None, dict | None]:
+    """Read a store dir's model stamp: ``(stamp_or_None,
+    cluster_sizes_or_None)`` where ``stamp`` carries
+    ``model_sha256`` and — for r10+ writers — ``encoding_sha256``.
+    Honors the unified JSON meta and, one back-compat round each, the
+    legacy one-line drain marker and r9 metas without the encoding
+    key (both compare by full model sha)."""
     import json
     import os
 
@@ -1385,11 +1399,23 @@ def read_ann_store_stamp(store_path: str) -> tuple[str | None, dict | None]:
             if raw is None
             else {int(k): int(v) for k, v in raw.items()}
         )
-        return meta.get("model_sha256"), sizes
+        return (
+            {
+                "model_sha256": meta.get("model_sha256"),
+                "encoding_sha256": meta.get("encoding_sha256"),
+            },
+            sizes,
+        )
     marker_path = os.path.join(store_path, ANN_STORE_SHA_MARKER)
     if os.path.exists(marker_path):
         with open(marker_path, encoding="utf-8") as f:
-            return f.read().strip(), None
+            return (
+                {
+                    "model_sha256": f.read().strip(),
+                    "encoding_sha256": None,
+                },
+                None,
+            )
     return None, None
 
 
@@ -1448,6 +1474,45 @@ def ann_model_sha256(
     return hashlib.sha256(
         _ann_payload(cents, cb, frac, cand, rot)
     ).hexdigest()
+
+
+def ann_encoding_sha256(
+    cents: Sequence[tuple[int, Sequence[float]]],
+    cb: Codebook,
+    rot: Rotation | None = None,
+) -> str:
+    """Fingerprint of the CODE-AFFECTING model fields only — coarse
+    centroids, residual codebook, rotation, geometry — excluding the
+    serving knobs (frac, cand). Two models with the same encoding sha
+    produce byte-identical stores, so a store is stamped with THIS
+    hash (r10): retuning the probe budget or the rerank cut is a new
+    artifact but NOT a 1M-row re-encode — the full-model sha would
+    have forced exactly that pointless rebuild."""
+    import hashlib
+    import json
+
+    payload = json.dumps(
+        {
+            "format": "ann-ivfpq-enc-v1",
+            "dim": len(cents[0][1]),
+            "m": len(cb),
+            "ks": len(cb[0]),
+            "coarse": [
+                [int(cid), [float(x) for x in cv]] for cid, cv in cents
+            ],
+            "codebook": [
+                [[float(x) for x in c] for c in sub] for sub in cb
+            ],
+            "rot": (
+                None
+                if rot is None
+                else [[float(x) for x in row] for row in rot]
+            ),
+        },
+        sort_keys=True,
+        separators=(",", ":"),
+    ).encode()
+    return hashlib.sha256(payload).hexdigest()
 
 
 def save_ann_model(
@@ -1619,6 +1684,7 @@ def load_ann_model(path: str, expected_sha256: str | None = None) -> dict:
         "ks": ks,
         "rot": rot,
         "sha256": sha,
+        "encoding_sha256": ann_encoding_sha256(cents, cb, rot),
     }
 
 
@@ -1652,7 +1718,10 @@ def build_ann_store(
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    write_ann_store_meta(store_path, model["sha256"], sizes)
+    write_ann_store_meta(
+        store_path, model["sha256"], sizes,
+        encoding_sha256=model["encoding_sha256"],
+    )
 
 
 def read_ann_store(
@@ -1670,15 +1739,29 @@ def read_ann_store(
     The stamp comes through `read_ann_store_stamp` — ONE reader for
     the unified JSON meta and (one back-compat round) the legacy
     drain marker — so a drain store under the wrong model is refused
-    exactly like a built one."""
-    stamped_sha, sizes = read_ann_store_stamp(store_path)
-    if stamped_sha is not None and stamped_sha != model["sha256"]:
-        raise ValueError(
-            f"store {store_path!r} was encoded under model "
-            f"{str(stamped_sha)[:12]}..., not the "
-            f"loaded {model['sha256'][:12]}... — rebuild the "
-            "store or load the matching artifact"
-        )
+    exactly like a built one. The refusal key is the ENCODING sha
+    (r10): codes depend only on centroids/codebook/rotation, so a
+    model that differs ONLY in serving knobs (frac, cand) legally
+    serves the same store — retuning never forces a re-encode.
+    Legacy stamps without the encoding key compare by full model sha
+    (strictly safer: they refuse some stores a retuned model could
+    have served)."""
+    stamp, sizes = read_ann_store_stamp(store_path)
+    if stamp is not None:
+        enc = stamp.get("encoding_sha256")
+        if enc is not None:
+            ok = enc == model["encoding_sha256"]
+            have = enc
+        else:
+            ok = stamp.get("model_sha256") == model["sha256"]
+            have = stamp.get("model_sha256")
+        if not ok:
+            raise ValueError(
+                f"store {store_path!r} was encoded under model "
+                f"{str(have)[:12]}..., not the "
+                f"loaded {model['sha256'][:12]}... — rebuild the "
+                "store or load the matching artifact"
+            )
     return spark.read.parquet(store_path), sizes
 
 
@@ -1805,6 +1888,7 @@ def train_ann_model(
         "ks": ks,
         "rot": rot,
         "sha256": ann_model_sha256(cents, cb, frac, cand, rot),
+        "encoding_sha256": ann_encoding_sha256(cents, cb, rot),
     }
 
 
@@ -1982,4 +2066,7 @@ def compact_ann_store(
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    write_ann_store_meta(out_store, model["sha256"], sizes)
+    write_ann_store_meta(
+        out_store, model["sha256"], sizes,
+        encoding_sha256=model["encoding_sha256"],
+    )

@@ -433,7 +433,9 @@ def _bind_drain_identity(
         )
 
 
-def _bind_ann_model_sha(ann_dir: str, sha: str) -> None:
+def _bind_ann_model_sha(
+    ann_dir: str, sha: str, encoding_sha: str | None = None
+) -> None:
     """Stamp the drain's ANN code sink with the frozen model's sha256
     on first use; REFUSE a later drain run under a different model
     (VERDICT r8 #2). Codes are only meaningful under the codebook
@@ -448,20 +450,34 @@ def _bind_ann_model_sha(ann_dir: str, sha: str) -> None:
     would stale a baked table; serving computes sizes with one K-row
     aggregate instead. Reading honors the legacy one-line marker for
     one back-compat round (a pre-r10 drain dir keeps appending and
-    gets upgraded to the JSON meta on its next bind)."""
+    gets upgraded to the JSON meta on its next bind).
+
+    The mismatch key is the ENCODING sha when both sides carry one
+    (r10): codes depend only on centroids/codebook/rotation, so a
+    model retuned in frac/cand keeps appending to the same store;
+    legacy stamps compare by full model sha (strictly safer)."""
     from .operators.pq import read_ann_store_stamp, write_ann_store_meta
 
     prev, _sizes = read_ann_store_stamp(ann_dir)
-    if prev is not None and prev != sha:
-        raise RuntimeError(
-            f"ann_store {ann_dir!r} was built under model "
-            f"{prev[:12]}... but this drain loaded "
-            f"{sha[:12]}... — appending mixed-codebook codes "
-            "would corrupt the store. Point the drain at the "
-            "original artifact, or start a fresh ann sink dir "
-            "for the new model."
-        )
-    write_ann_store_meta(ann_dir, sha)  # first bind / legacy upgrade
+    if prev is not None:
+        prev_enc = prev.get("encoding_sha256")
+        if prev_enc is not None and encoding_sha is not None:
+            ok, have = prev_enc == encoding_sha, prev_enc
+        else:
+            ok = prev.get("model_sha256") == sha
+            have = prev.get("model_sha256")
+        if not ok:
+            raise RuntimeError(
+                f"ann_store {ann_dir!r} was built under model "
+                f"{str(have)[:12]}... but this drain loaded "
+                f"{sha[:12]}... — appending mixed-codebook codes "
+                "would corrupt the store. Point the drain at the "
+                "original artifact, or start a fresh ann sink dir "
+                "for the new model."
+            )
+    write_ann_store_meta(
+        ann_dir, sha, encoding_sha256=encoding_sha
+    )  # first bind / legacy upgrade
 
 
 def _refuse_checkpoint_reset(sinks, batch_id: int) -> None:
@@ -657,7 +673,9 @@ def start_corpus_dedup_stream(
             ann_dir,
         )
     if ann is not None:
-        _bind_ann_model_sha(ann_dir, ann["sha256"])
+        _bind_ann_model_sha(
+            ann_dir, ann["sha256"], ann["encoding_sha256"]
+        )
     optional = ()
     if tok is not None:
         optional += (tokens_dir,)
@@ -844,7 +862,9 @@ def start_embedding_dedup_stream(
             ann_dir,
         )
     if ann is not None:
-        _bind_ann_model_sha(ann_dir, ann["sha256"])
+        _bind_ann_model_sha(
+            ann_dir, ann["sha256"], ann["encoding_sha256"]
+        )
     _bind_drain_identity(
         checkpoint_dir,
         (f"{out_dir}/flags", f"{out_dir}/accepted", f"{index_dir}/bands"),

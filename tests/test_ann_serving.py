@@ -177,20 +177,43 @@ def test_ann_topk_adc_only_and_validation(spark, tmp_path):
 
 
 def test_ann_store_model_mismatch_refused(spark, tmp_path):
-    """A store stamped under model A must refuse to serve under model
-    B (the codes are meaningless under any other codebook)."""
+    """A store stamped under model A must refuse to serve under a
+    model with a DIFFERENT codebook (the codes are meaningless under
+    any other encoding) — while a model differing ONLY in serving
+    knobs (frac, cand) legally serves the same store (r10: the store
+    stamp is the ENCODING sha, so retuning never forces a 1M-row
+    re-encode)."""
+    from inpe_queimadas_etl_spark.operators.pq import (
+        ann_encoding_sha256,
+    )
+
     emb = _emb(spark)
     model_a = _demo_model(spark)
-    model_b = train_ann_model(emb, k=4, m=8, ks=16, frac=0.25, cand=50)
-    assert model_a["sha256"] != model_b["sha256"]
-    path_a = str(tmp_path / "a.json")
-    path_b = str(tmp_path / "b.json")
-    save_ann_model(path_a, model_a["cents"], model_a["cb"], model_a["frac"], model_a["cand"])
-    save_ann_model(path_b, model_b["cents"], model_b["cb"], model_b["frac"], model_b["cand"])
+    # same codebook, retuned serving knobs -> SERVES
+    retuned = train_ann_model(emb, k=4, m=8, ks=16, frac=0.25, cand=50)
+    assert retuned["sha256"] != model_a["sha256"]
+    assert retuned["encoding_sha256"] == model_a["encoding_sha256"]
+    # different coarse codebook -> REFUSED
+    model_b = train_ann_model(emb, k=2, m=8, ks=16, frac=0.5, cand=100)
+    assert model_b["encoding_sha256"] != model_a["encoding_sha256"]
+    assert ann_encoding_sha256(
+        model_b["cents"], model_b["cb"], model_b["rot"]
+    ) == model_b["encoding_sha256"]
+    paths = {}
+    for name, m in (("a", model_a), ("r", retuned), ("b", model_b)):
+        p = str(tmp_path / f"{name}.json")
+        save_ann_model(p, m["cents"], m["cb"], m["frac"], m["cand"])
+        paths[name] = p
     store_path = str(tmp_path / "store")
-    build_ann_store(emb, load_ann_model(path_a), store_path)
+    build_ann_store(emb, load_ann_model(paths["a"]), store_path)
     with pytest.raises(ValueError, match="was encoded under model"):
-        ann_topk(spark, store_path, path_b, [(8, [0.5] * 64)], k=1)
+        ann_topk(spark, store_path, paths["b"], [(8, [0.5] * 64)], k=1)
+    assert (
+        ann_topk(
+            spark, store_path, paths["r"], [(8, [0.5] * 64)], k=1
+        ).count()
+        == 1
+    )
 
 
 # --------------------------------------------------------------------------
@@ -229,9 +252,9 @@ def _doc_emb(spark, docs_df, dim=64):
     )
 
 
-def _train_doc_model(spark, docs_df, frac=0.5):
+def _train_doc_model(spark, docs_df, frac=0.5, k=2):
     return train_ann_model(
-        _doc_emb(spark, docs_df), k=2, m=8, ks=4, frac=frac, cand=50
+        _doc_emb(spark, docs_df), k=k, m=8, ks=4, frac=frac, cand=50
     )
 
 
@@ -319,8 +342,10 @@ def test_drain_refuses_ann_model_drift(spark, tmp_path):
         pd.DataFrame(rows, columns=["doc_id", "text"])
     )
     model_a = _train_doc_model(spark, docs_df)
-    model_b = _train_doc_model(spark, docs_df, frac=0.25)
-    assert model_a["sha256"] != model_b["sha256"]
+    # a DIFFERENT codebook (k=3 coarse), not a serving-knob retune —
+    # the drain drift check keys on the encoding sha (r10)
+    model_b = _train_doc_model(spark, docs_df, k=3)
+    assert model_a["encoding_sha256"] != model_b["encoding_sha256"]
     paths = {}
     for name, m in (("a", model_a), ("b", model_b)):
         p = str(tmp_path / f"model_{name}.json")
@@ -664,7 +689,7 @@ def test_compact_drain_store_serves_identically_with_pruning(
     assert "centroid_id" in plan.split("PartitionFilters")[1].split("]")[0]
 
     # wrong model refused (would launder mixed-codebook codes)
-    model_b = _train_doc_model(spark, docs_df, frac=0.25)
+    model_b = _train_doc_model(spark, docs_df, k=3)  # other ENCODING
     pb = str(tmp_path / "b.json")
     save_ann_model(pb, model_b["cents"], model_b["cb"], model_b["frac"],
                    model_b["cand"])
@@ -780,39 +805,56 @@ def test_unified_store_stamp_and_legacy_marker_upgrade(tmp_path):
     from inpe_queimadas_etl_spark.streaming import _bind_ann_model_sha
 
     sha_a, sha_b = "a" * 64, "b" * 64
+    enc_a, enc_b = "c" * 64, "d" * 64
 
     # fresh drain dir: bind writes the unified JSON meta, NOT the
     # legacy marker
     d1 = str(tmp_path / "drain1")
-    _bind_ann_model_sha(d1, sha_a)
+    _bind_ann_model_sha(d1, sha_a, enc_a)
     assert os.path.exists(os.path.join(d1, ANN_STORE_META))
     assert not os.path.exists(os.path.join(d1, ANN_STORE_SHA_MARKER))
-    assert read_ann_store_stamp(d1) == (sha_a, None)
+    assert read_ann_store_stamp(d1) == (
+        {"model_sha256": sha_a, "encoding_sha256": enc_a},
+        None,
+    )
     with open(os.path.join(d1, ANN_STORE_META)) as f:
         meta = json.load(f)
     assert "cluster_sizes" not in meta  # drain appends would stale them
-    # re-bind same model: idempotent; different model: refused
-    _bind_ann_model_sha(d1, sha_a)
+    # re-bind same encoding: idempotent — even under a RETUNED model
+    # (different full sha, same encoding: the r10 key); a different
+    # encoding is refused
+    _bind_ann_model_sha(d1, sha_a, enc_a)
+    _bind_ann_model_sha(d1, sha_b, enc_a)  # retuned knobs: allowed
     with pytest.raises(RuntimeError, match="was built under model"):
-        _bind_ann_model_sha(d1, sha_b)
+        _bind_ann_model_sha(d1, sha_b, enc_b)
 
     # legacy (pre-r10) dir: marker-only — still readable, drift still
-    # refused, and a matching bind upgrades it to the JSON meta
+    # refused BY FULL MODEL SHA (no encoding recorded), and a matching
+    # bind upgrades it to the JSON meta
     d2 = str(tmp_path / "drain2")
     os.makedirs(d2)
     with open(os.path.join(d2, ANN_STORE_SHA_MARKER), "w") as f:
         f.write(sha_a)
-    assert read_ann_store_stamp(d2) == (sha_a, None)
+    assert read_ann_store_stamp(d2) == (
+        {"model_sha256": sha_a, "encoding_sha256": None},
+        None,
+    )
     with pytest.raises(RuntimeError, match="was built under model"):
-        _bind_ann_model_sha(d2, sha_b)
-    _bind_ann_model_sha(d2, sha_a)
+        _bind_ann_model_sha(d2, sha_b, enc_b)
+    _bind_ann_model_sha(d2, sha_a, enc_a)
     assert os.path.exists(os.path.join(d2, ANN_STORE_META))
-    assert read_ann_store_stamp(d2) == (sha_a, None)
+    assert read_ann_store_stamp(d2) == (
+        {"model_sha256": sha_a, "encoding_sha256": enc_a},
+        None,
+    )
 
     # the build/compact flavor carries sizes through the same writer
     d3 = str(tmp_path / "built")
-    write_ann_store_meta(d3, sha_a, {0: 10, 3: 7})
-    assert read_ann_store_stamp(d3) == (sha_a, {0: 10, 3: 7})
+    write_ann_store_meta(d3, sha_a, {0: 10, 3: 7}, encoding_sha256=enc_a)
+    assert read_ann_store_stamp(d3) == (
+        {"model_sha256": sha_a, "encoding_sha256": enc_a},
+        {0: 10, 3: 7},
+    )
 
 
 def test_tombstones_retire_vectors_until_compaction_drops_them(
@@ -887,8 +929,8 @@ def test_tombstones_retire_vectors_until_compaction_drops_them(
         )
     )
 
-    # refusals unchanged: wrong model still refused with tombstones
-    other = train_ann_model(emb, k=4, m=8, ks=16, frac=0.25, cand=50)
+    # refusals unchanged: wrong ENCODING still refused with tombstones
+    other = train_ann_model(emb, k=2, m=8, ks=16, frac=0.25, cand=50)
     other_path = str(tmp_path / "other.json")
     save_ann_model(
         other_path, other["cents"], other["cb"], other["frac"],
