@@ -726,7 +726,7 @@ def ann_topk_batch(
     store_path: str,
     model_path: str,
     queries: DataFrame,
-    k: int = 5,
+    k: int | None = 5,
     rerank_with: DataFrame | None = None,
     expected_sha256: str | None = None,
 ) -> DataFrame:
@@ -764,6 +764,12 @@ def ann_topk_batch(
         spark, model_path, store_path, expected_sha256=expected_sha256
     )
     model, store, sizes = st["model"], st["store"], st["sizes"]
+    if k is None:
+        # exhaustive mode (the decontamination consumers): rank every
+        # candidate the probe budget reaches — the stamped row count
+        # is an upper bound on candidates, which is all the rank tail
+        # needs (asking for more rows than exist just returns fewer)
+        k = max(1, sum(sizes.values()))
     if k <= 0:
         raise ValueError("k must be positive")
     missing = {"query_id", "qv"} - set(queries.columns)
@@ -778,8 +784,11 @@ def ann_topk_batch(
 
     from .operators.pq import pq_ivf_adc_search_scan_grouped, rot_apply
 
+    qcast = queries.select(
+        F.col("query_id").cast("long").alias("query_id"), "qv"
+    )
     dup = (
-        queries.groupBy("query_id")
+        qcast.groupBy("query_id")
         .count()
         .filter(F.col("count") > 1)
         .first()
@@ -787,11 +796,15 @@ def ann_topk_batch(
     if dup is not None:
         # duplicate ids would double-score their probes and inflate
         # ranks — refuse rather than return silently wrong top-k
-        # (the looped form's check, paid as one Q-row aggregate)
+        # (the looped form's check, paid as one Q-row aggregate).
+        # Checked on the CASTED ids (review r10): everything
+        # downstream keys on query_id-as-long, so ids that collide
+        # only after the cast (1.2 and 1.7 in a double column) are
+        # exactly the silent double-score this refusal exists for
         raise ValueError(
             f"queries ids must be unique (duplicate: {dup['query_id']})"
         )
-    probe_rows = ann_assign_probes(queries, model, sizes).collect()
+    probe_rows = ann_assign_probes(qcast, model, sizes).collect()
     # each vector once (Q x dim), clusters as index lists — the
     # broadcast is O(Q*dim + Q*nprobe), never nprobe-fold duplicated
     qids_arr = np.array(
@@ -840,14 +853,7 @@ def ann_topk_batch(
             pruned, model["cb"], scan_cents, probes_bc, cand
         )
     return _ann_rank_tail(
-        scored,
-        queries.select(
-            F.col("query_id").cast("long").alias("query_id"), "qv"
-        ),
-        k,
-        cand,
-        rerank_with,
-        hint_broadcast=False,
+        scored, qcast, k, cand, rerank_with, hint_broadcast=False
     )
 
 
@@ -878,8 +884,9 @@ def semantic_decontamination_store(
     expensive — probes only the budgeted clusters.
 
     Exactness dial: with the store's model trained at ``frac=1.0``
-    and ``cand >= |eval|`` (and ``k=None`` -> k=|eval|), every eval
-    item reaches the exact rerank and the output EQUALS
+    and ``cand >= |eval|`` (and ``k=None`` — exhaustive mode: rank
+    everything the budget reaches), every eval item reaches the
+    exact rerank and the output EQUALS
     `cur7_semantic_decontamination`'s all-pairs form (pinned in
     tests/test_ann_batch.py) — production dials frac/cand down for
     approximate-but-cheap screening (missed flags bounded by probe
@@ -893,12 +900,11 @@ def semantic_decontamination_store(
     vec_id (the `ann_topk` coverage contract)."""
     from pyspark.sql import functions as F
 
-    if k is None:
-        st = _load_ann_state(
-            spark, model_path, store_path,
-            expected_sha256=expected_sha256,
-        )
-        k = max(1, sum(st["sizes"].values()) - len(st["tombstones"]))
+    # k=None passes straight through: ann_topk_batch's exhaustive
+    # mode ranks every candidate the probe budget reaches (review
+    # r10: computing a "live row count" here double-loaded the
+    # artifacts AND undercounted when tombstones named ids not in the
+    # store — an upper bound is what the rank tail actually needs)
     hits = ann_topk_batch(
         spark,
         store_path,

@@ -455,7 +455,13 @@ def cmd_ann_search(args) -> int:
     (``--queries`` JSON ``[[id, [floats...]], ...]`` through
     `api.ann_topk`) or batch shape (``--queries-parquet`` with
     (query_id, qv) columns through `api.ann_topk_batch`, for
-    10^4..10^6-query jobs where a driver-side list is wrong)."""
+    10^4..10^6-query jobs where a driver-side list is wrong). The
+    batch shape should pair with ``--out`` (results written as
+    parquet, DISTRIBUTED — never collected to the driver; a Q=10^6
+    job's result is itself a table); without ``--out`` the rows are
+    collected and printed, which only fits small Q."""
+    from pyspark.sql import functions as F
+
     from .api import ann_topk, ann_topk_batch
     from .session import get_spark
 
@@ -471,21 +477,40 @@ def cmd_ann_search(args) -> int:
     )
     if args.queries_parquet:
         qdf = spark.read.parquet(args.queries_parquet)
-        rows = ann_topk_batch(
+        res = ann_topk_batch(
             spark, args.store, args.model, qdf, k=args.k,
             rerank_with=rerank,
-        ).collect()
+        )
+        if args.out:
+            # the batch deployment shape: results stay distributed
+            res.write.parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            summary = {"out": args.out, "rows": int(n), "k": args.k}
+            log.info("ann-search | batch | %s", json.dumps(summary))
+            print(json.dumps(summary))
+            return 0
+        expected = [
+            int(r["query_id"])
+            for r in qdf.select(
+                F.col("query_id").cast("long").alias("query_id")
+            ).distinct().collect()
+        ]
+        rows = res.collect()
     else:
         with open(args.queries, encoding="utf-8") as f:
             query_vecs = [
                 (int(q[0]), [float(x) for x in q[1]])
                 for q in json.load(f)
             ]
+        expected = [qid for qid, _ in query_vecs]
         rows = ann_topk(
             spark, args.store, args.model, query_vecs, k=args.k,
             rerank_with=rerank,
         ).collect()
-    per_q: dict[int, int] = {}
+    # seed with EVERY query id (review r10): a query returning zero
+    # rows — the worst coverage violation — must be flagged, not
+    # silently absent from the count
+    per_q: dict[int, int] = {qid: 0 for qid in expected}
     for r in rows:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
         log.info("ann-search | hit | %s", json.dumps(r.asDict()))
@@ -825,6 +850,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--rerank-embeddings-dir",
         help="optional raw-vector dir for exact rerank of the ADC "
         "candidates",
+    )
+    asr.add_argument(
+        "--out",
+        help="write results as parquet (distributed, never collected "
+        "to the driver) — pair with --queries-parquet for batch jobs",
     )
     asr.add_argument("--log-dir")
 

@@ -907,11 +907,16 @@ def pq_ivf_adc_search_scan_grouped(
       ``cand+1`` cut (a query's self row can displace at most one
       candidate, so the kept set equals pruning a pre-masked array).
 
-    Memory is blocked: scores materialize per (cluster, query-block)
-    as a (<=query_block, batch_rows) matrix, so a 10^5-query cluster
-    never allocates a Q x rows panel. Per-task LUT cache holds only
-    clusters the task actually reads — one or two under the
-    centroid_id-partitioned store layout."""
+    EVERY per-query panel is blocked (review r10): scores, the LUT,
+    and qip_c all materialize per (cluster, query-block) as
+    (<=query_block, ...) arrays computed from the broadcast matrices
+    on demand — so a hot cluster probed by 10^6 queries costs a few
+    hundred KB of working set per task, never a cached
+    nq_c x m x ks LUT (which would be ~1 GB at that skew; the LUT
+    recompute is O(nq_blk * dim * ks) per batch, an order below the
+    scoring gather's O(nq_blk * rows * m), so caching bought memory
+    risk for negligible time). Only K-bounded per-cluster constants
+    (cvn2, cvlut) are cached per task."""
     import numpy as np
     import pandas as pd
 
@@ -921,30 +926,39 @@ def pq_ivf_adc_search_scan_grouped(
     cvd = {int(cid): np.asarray(cv, dtype=np.float64) for cid, cv in cents}
 
     def _cluster_state(cache: dict, cid: int):
+        """K-bounded constants only: (probe row indices, cvn2,
+        cvlut) — per-query state is computed per block."""
         st = cache.get(cid)
         if st is not None:
             return st
-        p = probes_bc.value
-        idx = p["by_cluster"][cid]
-        qids, QV = p["qids"][idx], p["qv"][idx]
         cv = cvd[cid]
-        cvn2 = _np_dot(cv, cv)
-        cvlut = _np_lut(cb, cv)
-        # qip_c[q] = <qv, cv>: _np_dot's left-to-right chain,
-        # vectorized over the cluster's queries
+        st = (
+            probes_bc.value["by_cluster"][cid],
+            _np_dot(cv, cv),
+            _np_lut(cb, cv),
+            cv,
+        )
+        cache[cid] = st
+        return st
+
+    def _query_block(idx_blk, cv):
+        """(qids, qip_c, LUT) for one query block, gathered from the
+        broadcast matrices: qip_c replays `_np_dot`'s left-to-right
+        chain and LUT `_np_lut`'s ascending-i chain, vectorized over
+        the block (the multiply operand swap commutes bit-exactly)."""
+        p = probes_bc.value
+        blk_q = p["qids"][idx_blk]
+        QV = p["qv"][idx_blk]
         qip = QV[:, 0] * cv[0]
         for i in range(1, QV.shape[1]):
             qip = qip + QV[:, i] * cv[i]
-        # LUT[q, j, k] = <c_jk, q_j>: _np_lut's ascending-i chain
         lut = np.empty((QV.shape[0], m, ks), dtype=np.float64)
         for j in range(m):
             acc = QV[:, j * dsub, None] * C[j][None, :, 0]
             for i in range(1, dsub):
                 acc = acc + QV[:, j * dsub + i, None] * C[j][None, :, i]
             lut[:, j, :] = acc
-        st = (qids, qip, lut, cvn2, cvlut)
-        cache[cid] = st
-        return st
+        return blk_q, qip, lut
 
     def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict = {}
@@ -966,9 +980,7 @@ def pq_ivf_adc_search_scan_grouped(
                 # significant key
                 ordid = np.argsort(sub_ids, kind="stable")
                 sub_ids, sub_cm = sub_ids[ordid], sub_cm[ordid]
-                qids, qip, lut, cvn2, cvlut = _cluster_state(
-                    cache, int(cid)
-                )
+                idx, cvn2, cvlut, cv = _cluster_state(cache, int(cid))
                 # den: per ROW, query-independent — the exact
                 # pq_ivf_adc_search_scan chains
                 cross = cvlut[0][sub_cm[:, 0]]
@@ -991,15 +1003,15 @@ def pq_ivf_adc_search_scan_grouped(
                 take = min(cand + 1, n_nan + n_fin)
                 fin_take = max(0, min(take - n_nan, n_fin))
                 nan_take = min(n_nan, take)
-                for lo in range(0, len(qids), query_block):
-                    hi = min(lo + query_block, len(qids))
-                    blk_q = qids[lo:hi]
+                for lo in range(0, len(idx), query_block):
+                    hi = min(lo + query_block, len(idx))
+                    blk_q, qip, lut = _query_block(idx[lo:hi], cv)
                     nq = hi - lo
                     if n_fin:
-                        ip = lut[lo:hi, 0, :][:, fin_cm[:, 0]]
+                        ip = lut[:, 0, :][:, fin_cm[:, 0]]
                         for j in range(1, m):
-                            ip = ip + lut[lo:hi, j, :][:, fin_cm[:, j]]
-                        scores = (qip[lo:hi, None] + ip) / fin_den[None, :]
+                            ip = ip + lut[:, j, :][:, fin_cm[:, j]]
+                        scores = (qip[:, None] + ip) / fin_den[None, :]
                     else:
                         scores = np.empty((nq, 0), dtype=np.float64)
                     if fin_take:
@@ -1750,15 +1762,26 @@ def read_ann_store(
     if stamp is not None:
         enc = stamp.get("encoding_sha256")
         if enc is not None:
-            ok = enc == model["encoding_sha256"]
-            have = enc
-        else:
-            ok = stamp.get("model_sha256") == model["sha256"]
-            have = stamp.get("model_sha256")
-        if not ok:
+            # compare encoding shas AND name them as such — printing
+            # an encoding sha labeled as a model sha sends the
+            # operator grepping manifests for a hash that is in
+            # neither (review r10)
+            if enc != model["encoding_sha256"]:
+                raise ValueError(
+                    f"store {store_path!r} was encoded under model "
+                    f"with encoding {enc[:12]}..., not the loaded "
+                    f"model's encoding "
+                    f"{model['encoding_sha256'][:12]}... (model sha "
+                    f"{model['sha256'][:12]}...) — rebuild the store "
+                    "or load the matching artifact"
+                )
+        elif (
+            stamp.get("model_sha256") is not None
+            and stamp["model_sha256"] != model["sha256"]
+        ):
             raise ValueError(
                 f"store {store_path!r} was encoded under model "
-                f"{str(have)[:12]}..., not the "
+                f"{stamp['model_sha256'][:12]}..., not the "
                 f"loaded {model['sha256'][:12]}... — rebuild the "
                 "store or load the matching artifact"
             )
@@ -1922,16 +1945,22 @@ def rebuild_ann(
                                    store, model_sha256}
 
     Crash analysis (tested by injection): a crash while training or
-    encoding leaves only ``versions/.staging-v<N>`` — CURRENT still
-    names the previous complete pair, and the next rebuild wipes the
-    stale staging dir. A crash between the version rename and the
-    CURRENT update leaves a complete-but-unreferenced v<N> — CURRENT
-    still consistent; the next rebuild takes N+1. The CURRENT write
-    itself is tmp+rename. Serving resolves through
-    `resolve_ann_current` and pins ``expected_sha256`` from the
-    pointer, so even a hand-mangled mid-state is refused, never
-    served. Old versions are kept for rollback (point CURRENT back)
-    — pruning them is an operator decision, not this job's.
+    encoding leaves only a ``versions/.staging-v<N>-<token>`` dir —
+    CURRENT still names the previous complete pair; stale staging
+    dirs are inert residue an operator may delete whenever no rebuild
+    is running. A crash between the version rename and the CURRENT
+    update leaves a complete-but-unreferenced v<N> — CURRENT still
+    consistent; the next rebuild takes N+1. The CURRENT write itself
+    is tmp+rename. CONCURRENT rebuilds (review r10): each attempt
+    stages under a unique token (no attempt can delete another's live
+    staging), and the version-dir rename is the arbiter — the loser's
+    rename fails against the existing v<N> and surfaces as a clear
+    error instead of publishing a half-built pair; rerunning takes
+    N+1. Serving resolves through `resolve_ann_current` and pins
+    ``expected_sha256`` from the pointer, so even a hand-mangled
+    mid-state is refused, never served. Old versions are kept for
+    rollback (point CURRENT back) — pruning them is an operator
+    decision, not this job's.
 
     Returns the resolved pointer (same shape `resolve_ann_current`
     yields). Cost at scale = one bounded retrain + ONE fused encode
@@ -1940,7 +1969,7 @@ def rebuild_ann(
     import json
     import os
     import re
-    import shutil
+    import uuid
 
     versions = os.path.join(base_dir, "versions")
     os.makedirs(versions, exist_ok=True)
@@ -1950,9 +1979,9 @@ def rebuild_ann(
         if (mm := re.fullmatch(r"v(\d+)", e))
     ]
     n = max(existing, default=0) + 1
-    staging = os.path.join(versions, f".staging-v{n}")
-    if os.path.exists(staging):  # a crashed prior attempt at this N
-        shutil.rmtree(staging)
+    staging = os.path.join(
+        versions, f".staging-v{n}-{uuid.uuid4().hex[:8]}"
+    )
     os.makedirs(staging)
     model = train_ann_model(
         emb, k=k, m=m, ks=ks, frac=frac, cand=cand,
@@ -1968,7 +1997,16 @@ def rebuild_ann(
     )
     build_ann_store(emb, model, os.path.join(staging, "store"))
     final = os.path.join(versions, f"v{n}")
-    os.rename(staging, final)  # atomic publish of the PAIR
+    try:
+        os.rename(staging, final)  # atomic publish of the PAIR
+    except OSError as exc:
+        # the concurrency arbiter: another rebuild published v{n}
+        # between our version scan and this rename
+        raise RuntimeError(
+            f"another rebuild published v{n} first — rerun (the next "
+            f"attempt takes v{n + 1}); this attempt's staging is "
+            f"left at {staging}"
+        ) from exc
     pointer = {
         "version": n,
         "model": os.path.join("versions", f"v{n}", "model.json"),

@@ -462,18 +462,19 @@ def _bind_ann_model_sha(
     if prev is not None:
         prev_enc = prev.get("encoding_sha256")
         if prev_enc is not None and encoding_sha is not None:
-            ok, have = prev_enc == encoding_sha, prev_enc
+            ok = prev_enc == encoding_sha
+            kind, have, mine = "encoding ", prev_enc, encoding_sha
         else:
             ok = prev.get("model_sha256") == sha
-            have = prev.get("model_sha256")
+            kind, have, mine = "", prev.get("model_sha256"), sha
         if not ok:
             raise RuntimeError(
                 f"ann_store {ann_dir!r} was built under model "
-                f"{str(have)[:12]}... but this drain loaded "
-                f"{sha[:12]}... — appending mixed-codebook codes "
-                "would corrupt the store. Point the drain at the "
-                "original artifact, or start a fresh ann sink dir "
-                "for the new model."
+                f"{kind}{str(have)[:12]}... but this drain loaded "
+                f"{kind}{str(mine)[:12]}... — appending "
+                "mixed-codebook codes would corrupt the store. Point "
+                "the drain at the original artifact, or start a "
+                "fresh ann sink dir for the new model."
             )
     write_ann_store_meta(
         ann_dir, sha, encoding_sha256=encoding_sha

@@ -134,6 +134,24 @@ def test_batch_validation_and_empty(spark, tmp_path):
     dup = qdf.union(qdf.limit(1))
     with pytest.raises(ValueError, match="unique"):
         ann_topk_batch(spark, store_path, model_path, dup, k=1)
+    # ids colliding only AFTER the long cast (review r10): everything
+    # downstream keys on query_id-as-long, so 1.2 and 1.7 in a double
+    # column are the same silent double-score — refused too
+    dup_cast = spark.createDataFrame(
+        [(1.2, [0.5] * 64), (1.7, [0.25] * 64)],
+        "query_id double, qv array<double>",
+    )
+    with pytest.raises(ValueError, match="unique"):
+        ann_topk_batch(spark, store_path, model_path, dup_cast, k=1)
+    # k=None: exhaustive mode — every candidate the probe budget
+    # reaches comes back ranked (the decontamination consumers' shape)
+    full = ann_topk_batch(
+        spark, store_path, model_path, qdf.limit(1), k=None,
+        rerank_with=emb,
+    ).toPandas()
+    assert len(full) > 100  # far beyond any serving k
+    ranks = sorted(full["rank"])
+    assert ranks == list(range(1, len(full) + 1))
     # per-row dim/finiteness violations surface from the executors
     bad_dim = spark.createDataFrame(
         [(1, [1.0, 2.0])], "query_id long, qv array<double>"
@@ -340,6 +358,30 @@ def test_cli_ann_search_batch_parquet(spark, tmp_path, capsys):
         )
         got = sorted(out, key=lambda d: (d["query_id"], d["rank"]))
         assert got == want
+        # --out: results written as parquet, never collected (review
+        # r10 — the Q=10^6 deployment shape); stdout carries only a
+        # summary
+        outp = str(tmp_path / "results_parquet")
+        rc = cli.main(
+            [
+                "ann-search",
+                "--store", store_path,
+                "--model", model_path,
+                "--queries-parquet", qpq,
+                "-k", "3",
+                "--out", outp,
+            ]
+        )
+        assert rc == 0
+        summary = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert summary["rows"] == len(want) and summary["out"] == outp
+        from_disk = sorted(
+            [r.asDict() for r in spark.read.parquet(outp).collect()],
+            key=lambda d: (d["query_id"], d["rank"]),
+        )
+        assert from_disk == want
         # exactly one of the two query shapes must be given
         with pytest.raises(SystemExit, match="exactly one"):
             cli.main(

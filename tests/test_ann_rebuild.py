@@ -144,17 +144,37 @@ def test_rebuild_crash_before_publish_keeps_old_pair(
     with pytest.raises(RuntimeError, match="injected crash"):
         rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.25, cand=50)
     monkeypatch.undo()
-    staging = os.path.join(base, "versions", ".staging-v2")
-    assert os.path.isdir(staging)  # the crash residue
+    import glob
+
+    residue = glob.glob(os.path.join(base, "versions", ".staging-v2-*"))
+    assert len(residue) == 1  # the crash residue (inert, uniquely named)
     assert not os.path.exists(os.path.join(base, "versions", "v2"))
     # old pair untouched and still serving identically
     cur_mid, rows_mid = _serve(spark, emb, base)
     assert cur_mid == cur1
     assert [str(r) for r in rows_mid] == [str(r) for r in rows1]
-    # recovery: same N, staging wiped, publish completes
+    # recovery: same N through a FRESH staging dir (a concurrent
+    # rebuild's live staging can never be clobbered — review r10);
+    # the crash residue stays inert for operator cleanup
     res = rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.25, cand=50)
     assert res["version"] == 2
-    assert not os.path.exists(staging)
+    assert os.path.isdir(residue[0])
+    assert resolve_ann_current(base)["version"] == 2
+    # the concurrency arbiter: a racer publishes v3 BETWEEN this
+    # run's version scan and its rename (injected as a side effect of
+    # the store build) — the loser's rename must fail loudly instead
+    # of publishing a half-pair over the racer's
+    real_build = pq.build_ann_store
+
+    def racing_build(*a, **kw):
+        os.makedirs(os.path.join(base, "versions", "v3", "store"))
+        return real_build(*a, **kw)
+
+    monkeypatch.setattr(pq, "build_ann_store", racing_build)
+    with pytest.raises(RuntimeError, match="published v3 first"):
+        rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.25, cand=50)
+    monkeypatch.undo()
+    # CURRENT untouched by the loser
     assert resolve_ann_current(base)["version"] == 2
 
 
