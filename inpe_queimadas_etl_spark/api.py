@@ -55,6 +55,13 @@ class ApiContext:
     ann_model_path: str | None = None
     ann_store_path: str | None = None
     ann_rerank: DataFrame | None = None
+    # OR a rebuild_ann deployment dir (r10): when explicit paths are
+    # absent, /api/ann/topk resolves this dir's CURRENT pointer at
+    # first use and PINS the pointer's model sha — the publish ->
+    # serve loop with no way to serve a mid-swap state. A context is
+    # frozen to the version it resolved (the sha-stamp design);
+    # serving a new rebuild means a new context
+    ann_base_dir: str | None = None
     cache: ServingCache = field(default_factory=ServingCache)
     # lazily-populated (model, store_df, sizes) for /api/ann/topk —
     # frozen by the sha-stamp design, so loaded ONCE per context
@@ -938,7 +945,23 @@ def _ep_ann_topk(ctx: ApiContext, params: dict) -> dict:
     applied to vectors). The ad-hoc query gets id -1 (store ids are
     non-negative, so the self-match skip never fires)."""
     if ctx.ann_model_path is None or ctx.ann_store_path is None:
-        raise LookupError("ANN model/store not loaded")
+        if ctx.ann_base_dir is None:
+            raise LookupError("ANN model/store not loaded")
+        if not ctx._ann_state:
+            # resolve the deployment pointer ONCE per context and pin
+            # its sha: a hand-mangled or mid-swap (model, store) pair
+            # is refused by the artifact/stamp checks, never served
+            from .operators.pq import resolve_ann_current
+
+            cur = resolve_ann_current(ctx.ann_base_dir)
+            ctx._ann_state.update(
+                _load_ann_state(
+                    ctx.spark,
+                    cur["model_path"],
+                    cur["store_path"],
+                    expected_sha256=cur["model_sha256"],
+                )
+            )
     raw = params.get("vec")
     if not raw:
         raise ValueError("vec is required (comma-separated floats)")

@@ -87,6 +87,69 @@ def test_rebuild_publishes_servable_versioned_pair(spark, tmp_path):
     assert [str(r) for r in rows_rb] == [str(r) for r in rows]
 
 
+def test_http_serves_from_rebuild_base_dir(spark, tmp_path):
+    """The publish -> serve loop (r10): an ApiContext given only a
+    rebuild_ann base dir resolves CURRENT at first use, pins the
+    pointer's sha, and serves /api/ann/topk — 404 before any version
+    is published, 200 after, and the resolved state is frozen to the
+    version it saw (a later rebuild serves through a NEW context)."""
+    from inpe_queimadas_etl_spark.api import ApiContext, handle_request
+
+    emb = _emb(spark)
+    base = str(tmp_path / "ann")
+    qv = [float(x) for x in emb.filter("vec_id = 8").first()["v"]]
+    vec = ",".join(repr(x) for x in qv)
+
+    # nothing published yet -> 404 (LookupError from the resolver)
+    ctx0 = ApiContext(
+        spark=spark, fact=None, all_ufs=None, ann_base_dir=base,
+        ann_rerank=emb,
+    )
+    status, body = handle_request(
+        ctx0, "/api/ann/topk", {"vec": vec, "k": "3"}
+    )
+    assert status == 404 and "no published ANN version" in body["detail"]
+
+    rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.5, cand=100)
+    ctx1 = ApiContext(
+        spark=spark, fact=None, all_ufs=None, ann_base_dir=base,
+        ann_rerank=emb,
+    )
+    status, body = handle_request(
+        ctx1, "/api/ann/topk", {"vec": vec, "k": "3"}
+    )
+    assert status == 200, body
+    assert [i["rank"] for i in body["items"]] == [1, 2, 3]
+    # equal to serving the resolved pair explicitly, sha pinned
+    cur = resolve_ann_current(base)
+    want = [
+        int(r["neighbor_id"])
+        for r in ann_topk(
+            spark, cur["store_path"], cur["model_path"], [(-1, qv)],
+            k=3, rerank_with=emb,
+            expected_sha256=cur["model_sha256"],
+        ).orderBy("rank").collect()
+    ]
+    assert [i["neighbor_id"] for i in body["items"]] == want
+    # a second rebuild does not change the RUNNING context's frozen
+    # state (sha-pinned design); a fresh context picks up v2
+    rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.25, cand=50)
+    status2, body2 = handle_request(
+        ctx1, "/api/ann/topk", {"vec": vec, "k": "3"}
+    )
+    assert status2 == 200
+    assert [i["neighbor_id"] for i in body2["items"]] == want
+    ctx2 = ApiContext(
+        spark=spark, fact=None, all_ufs=None, ann_base_dir=base,
+        ann_rerank=emb,
+    )
+    status3, _body3 = handle_request(
+        ctx2, "/api/ann/topk", {"vec": vec, "k": "3"}
+    )
+    assert status3 == 200
+    assert resolve_ann_current(base)["version"] == 2
+
+
 def test_coarse_sample_bounds_training_deterministically(
     spark, tmp_path
 ):
