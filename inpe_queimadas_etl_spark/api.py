@@ -794,29 +794,25 @@ def ann_topk_batch(
     qcast = queries.select(
         F.col("query_id").cast("long").alias("query_id"), "qv"
     )
-    dup = (
-        qcast.groupBy("query_id")
-        .count()
-        .filter(F.col("count") > 1)
-        .first()
-    )
-    if dup is not None:
-        # duplicate ids would double-score their probes and inflate
-        # ranks — refuse rather than return silently wrong top-k
-        # (the looped form's check, paid as one Q-row aggregate).
-        # Checked on the CASTED ids (review r10): everything
-        # downstream keys on query_id-as-long, so ids that collide
-        # only after the cast (1.2 and 1.7 in a double column) are
-        # exactly the silent double-score this refusal exists for
-        raise ValueError(
-            f"queries ids must be unique (duplicate: {dup['query_id']})"
-        )
     probe_rows = ann_assign_probes(qcast, model, sizes).collect()
     # each vector once (Q x dim), clusters as index lists — the
     # broadcast is O(Q*dim + Q*nprobe), never nprobe-fold duplicated
     qids_arr = np.array(
         [int(r["query_id"]) for r in probe_rows], dtype=np.int64
     )
+    if len(np.unique(qids_arr)) != len(qids_arr):
+        # duplicate ids would double-score their probes and inflate
+        # ranks — refuse rather than return silently wrong top-k.
+        # Checked on the CASTED ids, and on the rows just collected
+        # (review r10 round 2): the old pre-check was a full extra
+        # groupBy job over the query frame; here the same refusal is
+        # a numpy pass over state the batch path already holds, and
+        # it still fires before any scoring work
+        uniq, counts = np.unique(qids_arr, return_counts=True)
+        raise ValueError(
+            "queries ids must be unique (duplicate: "
+            f"{int(uniq[counts > 1][0])})"
+        )
     qv_mat = (
         np.array([list(r["qvr"]) for r in probe_rows], dtype=np.float64)
         if probe_rows
@@ -897,16 +893,32 @@ def semantic_decontamination_store(
     `cur7_semantic_decontamination`'s all-pairs form (pinned in
     tests/test_ann_batch.py) — production dials frac/cand down for
     approximate-but-cheap screening (missed flags bounded by probe
-    recall; the measured recall@budget lives in SCALING.md). Two
-    caveats inherited from the serving tail: corpus and store ids
-    must be DISJOINT (a corpus query whose id equals a store id is
-    treated as a self-match and skipped), and hit counting runs on
+    recall; the measured recall@budget lives in SCALING.md). One
+    caveat inherited from the serving tail: hit counting runs on
     the tail's 4-dp-rounded sims, so a sim within 5e-5 of ``tau``
     can classify differently from the unrounded all-pairs form.
     ``eval_vectors`` is the rerank table and must cover every store
-    vec_id (the `ann_topk` coverage contract)."""
+    vec_id (the `ann_topk` coverage contract).
+
+    Corpus ids are remapped into the NEGATIVE namespace (``-1 -
+    vec_id``) before the search and mapped back after (review r10
+    round 2): corpus and benchmark stores are independently numbered
+    tables, and a corpus id that happened to equal its matching eval
+    item's store id — the verbatim-copy case decontamination exists
+    to catch — used to be skipped as a self-match: a silent false
+    negative. Store ids are non-negative by the `build_ann_store`
+    contract, so the remapped range can never collide; corpus ids
+    must be non-negative for the remap to be invertible (refused
+    otherwise)."""
     from pyspark.sql import functions as F
 
+    neg = corpus.filter(F.col("vec_id") < 0).first()
+    if neg is not None:
+        raise ValueError(
+            "corpus vec_ids must be non-negative (got "
+            f"{neg['vec_id']}) — the self-match-proof id remap "
+            "reserves the negative range"
+        )
     # k=None passes straight through: ann_topk_batch's exhaustive
     # mode ranks every candidate the probe budget reaches (review
     # r10: computing a "live row count" here double-loaded the
@@ -917,7 +929,8 @@ def semantic_decontamination_store(
         store_path,
         model_path,
         corpus.select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+            (-1 - F.col("vec_id").cast("long")).alias("query_id"),
+            F.col("v").alias("qv"),
         ),
         k=k,
         rerank_with=eval_vectors,
@@ -931,7 +944,7 @@ def semantic_decontamination_store(
             F.max("sim").alias("max_sim"),
         )
         .select(
-            F.col("query_id").alias("vec_id"),
+            (-1 - F.col("query_id")).alias("vec_id"),
             "n_eval_hits",
             "max_sim",
         )

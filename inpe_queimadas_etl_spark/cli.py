@@ -481,32 +481,35 @@ def cmd_ann_search(args) -> int:
             spark, args.store, args.model, qdf, k=args.k,
             rerank_with=rerank,
         )
-        if args.out:
-            # the batch deployment shape: results stay distributed
-            res.write.parquet(args.out)
-            n = spark.read.parquet(args.out).count()
-            summary = {"out": args.out, "rows": int(n), "k": args.k}
-            log.info("ann-search | batch | %s", json.dumps(summary))
-            print(json.dumps(summary))
-            return 0
-        expected = [
-            int(r["query_id"])
-            for r in qdf.select(
-                F.col("query_id").cast("long").alias("query_id")
-            ).distinct().collect()
-        ]
-        rows = res.collect()
+        expected_df = qdf.select(
+            F.col("query_id").cast("long").alias("query_id")
+        ).distinct()
     else:
         with open(args.queries, encoding="utf-8") as f:
             query_vecs = [
                 (int(q[0]), [float(x) for x in q[1]])
                 for q in json.load(f)
             ]
-        expected = [qid for qid, _ in query_vecs]
-        rows = ann_topk(
+        res = ann_topk(
             spark, args.store, args.model, query_vecs, k=args.k,
             rerank_with=rerank,
-        ).collect()
+        )
+        expected_df = None
+    if args.out:
+        # the deployment shape for either input: results stay
+        # distributed (review r10 round 2: --out used to be silently
+        # ignored on the --queries path — no file, no warning)
+        res.write.parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        summary = {"out": args.out, "rows": int(n), "k": args.k}
+        log.info("ann-search | batch | %s", json.dumps(summary))
+        print(json.dumps(summary))
+        return 0
+    if expected_df is not None:
+        expected = [int(r["query_id"]) for r in expected_df.collect()]
+    else:
+        expected = [qid for qid, _ in query_vecs]
+    rows = res.collect()
     # seed with EVERY query id (review r10): a query returning zero
     # rows — the worst coverage violation — must be flagged, not
     # silently absent from the count

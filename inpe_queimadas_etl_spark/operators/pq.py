@@ -1791,7 +1791,9 @@ def read_ann_store(
 ANN_TOMBSTONES = "_ann_tombstones.json"  # underscore: parquet skips it
 
 
-def delete_from_ann_store(store_path: str, ids: Sequence[int]) -> dict:
+def delete_from_ann_store(
+    store_path: str, ids: Sequence[int], lock_timeout_s: float = 10.0
+) -> dict:
     """Retire vectors from a built/drained ANN store WITHOUT touching
     its immutable parquet (VERDICT r9 #3 — the lifecycle gap): append
     vec_ids to the store's tombstone set, honored by every serving
@@ -1811,22 +1813,52 @@ def delete_from_ann_store(store_path: str, ids: Sequence[int]) -> dict:
     Returns ``{"added", "total"}``. Cluster sizes stamped at build
     time intentionally keep counting tombstoned rows until
     compaction — the probe budget is a read-volume heuristic and the
-    stamped sizes stay exact for what the SCAN still reads."""
+    stamped sizes stay exact for what the SCAN still reads.
+
+    The read-merge-write runs under an O_EXCL lock file (review r10
+    round 2): tmp+replace alone prevents torn FILES, not lost
+    UPDATES — two concurrent deletes (a takedown batch racing a
+    dedup job) would both read the same base set and the second
+    replace would silently resurrect the first's retired ids, which
+    for a takedown mechanism is silent non-compliance. Contention
+    waits up to ~10 s then raises naming the lock path (a crashed
+    holder leaves a stale lock an operator removes by hand — the
+    loud failure, never the silent lost update)."""
     import json
     import os
+    import time
 
     new = {int(x) for x in ids}
     if not new:
         return {"added": 0, "total": len(read_ann_tombstones(store_path))}
     if not os.path.isdir(store_path):
         raise ValueError(f"not a store dir: {store_path!r}")
-    existing = set(read_ann_tombstones(store_path))
-    merged = sorted(existing | new)
     path = os.path.join(store_path, ANN_TOMBSTONES)
-    tmp = f"{path}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(merged, f)
-    os.replace(tmp, path)
+    lock = f"{path}.lock"
+    deadline = time.monotonic() + lock_timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"tombstone lock {lock!r} held for "
+                    f">{lock_timeout_s:g}s — another delete is "
+                    "running, or a crashed one left a stale lock "
+                    "(remove it by hand after checking)"
+                ) from None
+            time.sleep(0.05)
+    try:
+        existing = set(read_ann_tombstones(store_path))
+        merged = sorted(existing | new)
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, path)
+    finally:
+        os.unlink(lock)
     return {"added": len(new - existing), "total": len(merged)}
 
 

@@ -455,10 +455,20 @@ def _bind_ann_model_sha(
     The mismatch key is the ENCODING sha when both sides carry one
     (r10): codes depend only on centroids/codebook/rotation, so a
     model retuned in frac/cand keeps appending to the same store;
-    legacy stamps compare by full model sha (strictly safer)."""
+    legacy stamps compare by full model sha (strictly safer).
+
+    The bind itself is NON-destructive (review r10 round 2): a
+    matching stamp is left alone and a rewrite (first bind / legacy
+    marker upgrade) carries any existing cluster_sizes through — a
+    drain pointed at a built store used to lose the store's
+    exact-by-construction size stamp at stream START, before any
+    batch ran, downgrading every later serving call to a full-store
+    size aggregate even when the stream appended nothing. Sizes are
+    dropped where they actually go stale: at the first append
+    (:func:`_drop_store_sizes` in the batch path)."""
     from .operators.pq import read_ann_store_stamp, write_ann_store_meta
 
-    prev, _sizes = read_ann_store_stamp(ann_dir)
+    prev, prev_sizes = read_ann_store_stamp(ann_dir)
     if prev is not None:
         prev_enc = prev.get("encoding_sha256")
         if prev_enc is not None and encoding_sha is not None:
@@ -476,9 +486,36 @@ def _bind_ann_model_sha(
                 "the drain at the original artifact, or start a "
                 "fresh ann sink dir for the new model."
             )
+        if (
+            prev.get("model_sha256") == sha
+            and prev.get("encoding_sha256") == encoding_sha
+        ):
+            return  # stamp already current — nothing to write
     write_ann_store_meta(
-        ann_dir, sha, encoding_sha256=encoding_sha
-    )  # first bind / legacy upgrade
+        ann_dir, sha, sizes=prev_sizes, encoding_sha256=encoding_sha
+    )  # first bind / legacy upgrade — sizes carried through
+
+
+def _drop_store_sizes(ann_dir: str) -> None:
+    """Invalidate a store's baked cluster-size table the moment it
+    would go stale — right BEFORE the first drain append lands — by
+    rewriting the meta without ``cluster_sizes`` (shas kept).
+    Ordering makes the crash window harmless: drop-then-write means a
+    crash between the two leaves a size-less stamp on an unchanged
+    store (serving pays one K-row aggregate it didn't need — mere
+    pessimism), while write-then-drop would leave sizes that
+    UNDERCOUNT the appended rows, and `ann_topk_batch`'s exhaustive
+    mode sizes-derived k would silently stop being exhaustive."""
+    from .operators.pq import read_ann_store_stamp, write_ann_store_meta
+
+    stamp, sizes = read_ann_store_stamp(ann_dir)
+    if stamp is None or sizes is None:
+        return
+    write_ann_store_meta(
+        ann_dir,
+        stamp["model_sha256"],
+        encoding_sha256=stamp.get("encoding_sha256"),
+    )
 
 
 def _refuse_checkpoint_reset(sinks, batch_id: int) -> None:
@@ -778,6 +815,7 @@ def start_corpus_dedup_stream(
                 .withColumn("nrm", vec_norm("v"))
                 .select(F.col("doc_id").alias("vec_id"), "v", "nrm")
             )
+            _drop_store_sizes(ann_dir)  # stale from this append on
             _write_partition(
                 pq_ivf_encode(
                     emb_b, ann["cents3"], ann["cb"], rot=ann.get("rot")
@@ -961,6 +999,7 @@ def start_embedding_dedup_stream(
                 "vec_id",
                 F.col("embedding").cast("array<double>").alias("v"),
             ).withColumn("nrm", vec_norm("v"))
+            _drop_store_sizes(ann_dir)  # stale from this append on
             _write_partition(
                 pq_ivf_encode(
                     emb_b, ann["cents3"], ann["cb"], rot=ann.get("rot")

@@ -486,3 +486,125 @@ def test_grouped_scan_equals_looped_scan_with_nan_and_self(spark):
             return pd.concat(out, ignore_index=True)
 
         pd.testing.assert_frame_equal(topcand(want), topcand(got))
+
+
+def test_decontamination_flags_verbatim_copy_with_colliding_id(
+    spark, tmp_path
+):
+    """A corpus document that is a VERBATIM copy of an eval item and
+    happens to share its store vec_id — independently numbered tables
+    both starting at 0, the exact case decontamination exists for —
+    must be flagged (review r10 round 2: the serving tail's self-match
+    skip used to treat it as a self row and silently drop the hit).
+    The query-id remap into the negative namespace makes the skip
+    structurally impossible; negative corpus ids are refused because
+    the remap reserves that range."""
+    from inpe_queimadas_etl_spark.api import (
+        semantic_decontamination_store,
+    )
+
+    emb, model_path, store_path = _artifacts(spark, tmp_path, frac=1.0)
+    # corpus = the first 6 STORE rows verbatim, ids unchanged — every
+    # one collides with its own eval twin at sim exactly 1.0
+    corpus = emb.filter(F.col("vec_id") < 6)
+    got = (
+        semantic_decontamination_store(
+            spark, corpus, store_path, model_path, emb, tau=0.99
+        )
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert list(got["vec_id"]) == [0, 1, 2, 3, 4, 5]
+    assert (got["max_sim"] == 1.0).all()
+    assert (got["n_eval_hits"] >= 1).all()
+
+    neg = corpus.withColumn("vec_id", -F.col("vec_id") - 1)
+    with pytest.raises(ValueError, match="non-negative"):
+        semantic_decontamination_store(
+            spark, neg, store_path, model_path, emb, tau=0.99
+        )
+
+
+def test_tombstone_delete_is_locked_against_lost_updates(tmp_path):
+    """`delete_from_ann_store` serializes its read-merge-write under
+    an O_EXCL lock (review r10 round 2): a held lock makes a racing
+    delete FAIL LOUDLY after the timeout instead of silently
+    resurrecting the other writer's retired ids; the lock is released
+    on success and on refusal alike."""
+    import os
+
+    from inpe_queimadas_etl_spark.operators.pq import (
+        ANN_TOMBSTONES,
+        delete_from_ann_store,
+        read_ann_tombstones,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    assert delete_from_ann_store(store, [2, 1]) == {
+        "added": 2, "total": 2,
+    }
+    lock = os.path.join(store, f"{ANN_TOMBSTONES}.lock")
+    assert not os.path.exists(lock)  # released after success
+
+    with open(lock, "w"):
+        pass  # a concurrent delete (or a crashed one) holds the lock
+    with pytest.raises(TimeoutError, match="lock"):
+        delete_from_ann_store(store, [3], lock_timeout_s=0.2)
+    assert read_ann_tombstones(store) == [1, 2]  # nothing lost
+
+    os.unlink(lock)  # operator clears the stale lock
+    assert delete_from_ann_store(store, [3]) == {
+        "added": 1, "total": 3,
+    }
+    assert read_ann_tombstones(store) == [1, 2, 3]
+    assert not os.path.exists(lock)
+
+
+def test_cli_ann_search_json_honors_out(spark, tmp_path, capsys):
+    """--out on the --queries (JSON serving shape) path writes the
+    result parquet instead of being silently ignored (review r10
+    round 2)."""
+    import json
+    import logging
+
+    from inpe_queimadas_etl_spark import cli
+
+    root = logging.getLogger()
+    saved = (root.handlers[:], root.level)
+    try:
+        emb, model_path, store_path = _artifacts(spark, tmp_path)
+        qv, _ = _queries(spark, emb, lo=8, hi=10)
+        qjson = str(tmp_path / "queries.json")
+        with open(qjson, "w") as f:
+            json.dump([[qid, v] for qid, v in qv], f)
+        outp = str(tmp_path / "json_results")
+        rc = cli.main(
+            [
+                "ann-search", "--store", store_path,
+                "--model", model_path, "--queries", qjson,
+                "-k", "3", "--out", outp,
+            ]
+        )
+        assert rc == 0
+        summary = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert summary["out"] == outp
+        want = sorted(
+            [
+                r.asDict()
+                for r in ann_topk(
+                    spark, store_path, model_path, qv, k=3
+                ).collect()
+            ],
+            key=lambda d: (d["query_id"], d["rank"]),
+        )
+        got = sorted(
+            [r.asDict() for r in spark.read.parquet(outp).collect()],
+            key=lambda d: (d["query_id"], d["rank"]),
+        )
+        assert got == want and summary["rows"] == len(want)
+    finally:
+        root.handlers[:] = saved[0]
+        root.setLevel(saved[1])

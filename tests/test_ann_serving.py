@@ -856,6 +856,26 @@ def test_unified_store_stamp_and_legacy_marker_upgrade(tmp_path):
         {0: 10, 3: 7},
     )
 
+    # binding a drain to a BUILT store is non-destructive (review r10
+    # round 2): the exact-by-construction size stamp survives stream
+    # start — it is dropped only when the first append actually lands
+    from inpe_queimadas_etl_spark.streaming import _drop_store_sizes
+
+    _bind_ann_model_sha(d3, sha_a, enc_a)
+    assert read_ann_store_stamp(d3)[1] == {0: 10, 3: 7}
+    _bind_ann_model_sha(d3, sha_b, enc_a)  # retune rewrite: sizes kept
+    assert read_ann_store_stamp(d3) == (
+        {"model_sha256": sha_b, "encoding_sha256": enc_a},
+        {0: 10, 3: 7},
+    )
+    _drop_store_sizes(d3)  # the first-append invalidation
+    assert read_ann_store_stamp(d3) == (
+        {"model_sha256": sha_b, "encoding_sha256": enc_a},
+        None,
+    )
+    _drop_store_sizes(d3)  # idempotent on a size-less stamp
+    assert read_ann_store_stamp(d3)[1] is None
+
 
 def test_tombstones_retire_vectors_until_compaction_drops_them(
     spark, tmp_path
