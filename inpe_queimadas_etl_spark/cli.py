@@ -433,6 +433,24 @@ def cmd_ann_compact(args) -> int:
     return 0
 
 
+def cmd_ann_merge(args) -> int:
+    """Fold new drain appends into a serving store at delta cost —
+    the maintenance step between full ann-compact runs. Prints the
+    merge summary (batches folded, rows, new watermark) as JSON."""
+    from .operators.pq import load_ann_model, merge_ann_appends
+    from .session import get_spark
+
+    model = load_ann_model(args.model)  # fail BEFORE Spark startup
+    spark = get_spark(app_name="ann-merge")
+    res = merge_ann_appends(
+        spark, args.store, args.drain_dir, model, recover=args.recover
+    )
+    out = {"store": args.store, **res}
+    log.info("ann-merge | %s", json.dumps(out))
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_ann_delete(args) -> int:
     """Tombstone vec_ids in an ANN store (takedown/dedup removals):
     they stop being served immediately and are dropped physically at
@@ -835,6 +853,23 @@ def build_parser() -> argparse.ArgumentParser:
     ac.add_argument("--overwrite", action="store_true")
     ac.add_argument("--log-dir")
 
+    am = sub.add_parser(
+        "ann-merge",
+        help="fold NEW drain appends (past the store's merged_through "
+        "watermark) into an existing serving store — delta-cost "
+        "maintenance between full compactions",
+    )
+    am.add_argument("--store", required=True, help="serving store dir")
+    am.add_argument("--drain-dir", required=True, help="drain ann_store dir")
+    am.add_argument("--model", required=True, help="ann-train artifact")
+    am.add_argument(
+        "--recover",
+        action="store_true",
+        help="resolve a crashed merge's pending journal first "
+        "(only when no other merge is running)",
+    )
+    am.add_argument("--log-dir")
+
     asr = sub.add_parser(
         "ann-search",
         help="top-k ANN over a frozen model + store for query vectors "
@@ -905,6 +940,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_ann_build(args)
     if args.cmd == "ann-compact":
         return cmd_ann_compact(args)
+    if args.cmd == "ann-merge":
+        return cmd_ann_merge(args)
     if args.cmd == "ann-search":
         return cmd_ann_search(args)
     if args.cmd == "ann-delete":

@@ -1357,6 +1357,7 @@ def write_ann_store_meta(
     model_sha256: str,
     sizes: dict | None = None,
     encoding_sha256: str | None = None,
+    merged_through: int | None = None,
 ) -> None:
     """THE one store-stamp writer (VERDICT r9 #5): every ANN store
     dir — built, compacted, or drain-maintained — carries the same
@@ -1381,6 +1382,13 @@ def write_ann_store_meta(
         meta["encoding_sha256"] = encoding_sha256
     if sizes is not None:
         meta["cluster_sizes"] = {str(k): int(v) for k, v in sizes.items()}
+    if merged_through is not None:
+        # the incremental-merge watermark (`merge_ann_appends`): the
+        # highest drain batch_id whose codes this store already holds.
+        # It lives in the SAME atomically-replaced meta as the sizes
+        # so one os.replace commits both — a separate watermark file
+        # would reopen the torn-state window the WAP convention closes
+        meta["merged_through"] = int(merged_through)
     os.makedirs(store_path, exist_ok=True)
     meta_path = os.path.join(store_path, ANN_STORE_META)
     tmp = f"{meta_path}.tmp"
@@ -1411,13 +1419,15 @@ def read_ann_store_stamp(
             if raw is None
             else {int(k): int(v) for k, v in raw.items()}
         )
-        return (
-            {
-                "model_sha256": meta.get("model_sha256"),
-                "encoding_sha256": meta.get("encoding_sha256"),
-            },
-            sizes,
-        )
+        stamp = {
+            "model_sha256": meta.get("model_sha256"),
+            "encoding_sha256": meta.get("encoding_sha256"),
+        }
+        if "merged_through" in meta:
+            # only surfaced when a merge has stamped it, so stamp
+            # dicts for never-merged stores keep their r10 shape
+            stamp["merged_through"] = int(meta["merged_through"])
+        return stamp, sizes
     marker_path = os.path.join(store_path, ANN_STORE_SHA_MARKER)
     if os.path.exists(marker_path):
         with open(marker_path, encoding="utf-8") as f:
@@ -1758,34 +1768,56 @@ def read_ann_store(
     Legacy stamps without the encoding key compare by full model sha
     (strictly safer: they refuse some stores a retuned model could
     have served)."""
+    import os
+
     stamp, sizes = read_ann_store_stamp(store_path)
     if stamp is not None:
-        enc = stamp.get("encoding_sha256")
-        if enc is not None:
-            # compare encoding shas AND name them as such — printing
-            # an encoding sha labeled as a model sha sends the
-            # operator grepping manifests for a hash that is in
-            # neither (review r10)
-            if enc != model["encoding_sha256"]:
-                raise ValueError(
-                    f"store {store_path!r} was encoded under model "
-                    f"with encoding {enc[:12]}..., not the loaded "
-                    f"model's encoding "
-                    f"{model['encoding_sha256'][:12]}... (model sha "
-                    f"{model['sha256'][:12]}...) — rebuild the store "
-                    "or load the matching artifact"
-                )
-        elif (
-            stamp.get("model_sha256") is not None
-            and stamp["model_sha256"] != model["sha256"]
-        ):
+        _refuse_stamp_mismatch(store_path, stamp, model)
+    if os.path.exists(os.path.join(store_path, ANN_MERGE_JOURNAL)):
+        # a pending merge journal means files may be mid-move and the
+        # size stamp mid-update — a detectable inconsistent state is
+        # refused, never served (the rebuild_ann/WAP stance)
+        raise ValueError(
+            f"store {store_path!r} has a pending merge journal "
+            f"({ANN_MERGE_JOURNAL}) — a merge is running or crashed "
+            "mid-publish; wait for it, or rerun merge_ann_appends "
+            "with recover=True after checking none is running"
+        )
+    return spark.read.parquet(store_path), sizes
+
+
+def _refuse_stamp_mismatch(
+    store_path: str, stamp: dict, model: dict
+) -> None:
+    """The one store/model drift refusal, shared by `read_ann_store`
+    and `merge_ann_appends` (which must check the DRAIN's stamp
+    without eagerly opening its parquet root — an in-flight streaming
+    batch may be half-written there)."""
+    enc = stamp.get("encoding_sha256")
+    if enc is not None:
+        # compare encoding shas AND name them as such — printing
+        # an encoding sha labeled as a model sha sends the
+        # operator grepping manifests for a hash that is in
+        # neither (review r10)
+        if enc != model["encoding_sha256"]:
             raise ValueError(
                 f"store {store_path!r} was encoded under model "
-                f"{stamp['model_sha256'][:12]}..., not the "
-                f"loaded {model['sha256'][:12]}... — rebuild the "
-                "store or load the matching artifact"
+                f"with encoding {enc[:12]}..., not the loaded "
+                f"model's encoding "
+                f"{model['encoding_sha256'][:12]}... (model sha "
+                f"{model['sha256'][:12]}...) — rebuild the store "
+                "or load the matching artifact"
             )
-    return spark.read.parquet(store_path), sizes
+    elif (
+        stamp.get("model_sha256") is not None
+        and stamp["model_sha256"] != model["sha256"]
+    ):
+        raise ValueError(
+            f"store {store_path!r} was encoded under model "
+            f"{stamp['model_sha256'][:12]}..., not the "
+            f"loaded {model['sha256'][:12]}... — rebuild the "
+            "store or load the matching artifact"
+        )
 
 
 ANN_TOMBSTONES = "_ann_tombstones.json"  # underscore: parquet skips it
@@ -2136,7 +2168,259 @@ def compact_ann_store(
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    # stamp the merge watermark with the highest drain batch this
+    # compaction consumed, so compact -> merge composes: a later
+    # `merge_ann_appends` of the SAME drain starts past these batches
+    # instead of re-adding every row it already holds
+    mb = (
+        src.agg(F.max("batch_id")).first()[0]
+        if "batch_id" in src.columns
+        else None
+    )
     write_ann_store_meta(
         out_store, model["sha256"], sizes,
         encoding_sha256=model["encoding_sha256"],
+        merged_through=None if mb is None else int(mb),
     )
+
+
+ANN_MERGE_JOURNAL = "_ann_merge_pending.json"  # underscore: hidden
+ANN_MERGE_STAGE = "_merge_stage"
+
+
+def merge_ann_appends(
+    spark,
+    store_path: str,
+    drain_dir: str,
+    model: dict,
+    recover: bool = False,
+) -> dict:
+    """Fold NEW drain appends into an existing serving-layout store
+    at a cost proportional to the DELTA, not the corpus: where
+    `compact_ann_store` rewrites every batch the drain holds (one
+    full codes shuffle each time, growing with drain history), this
+    reads only the batches past the store's ``merged_through``
+    watermark — a physically pruned read of the batch_id-partitioned
+    sink — shuffles just those codes by centroid_id, and publishes
+    the files into the store's existing partition dirs. At 100 TB
+    with a 0.1 %/day append rate that is ~3 GB moved per day instead
+    of ~3 TB per compaction.
+
+    Crash safety is a two-phase publish journaled in the store dir
+    (the `rebuild_ann` WAP stance at file level): the delta stages
+    under a hidden dir, a journal lists every (src, dst) move plus
+    the delta sizes, the moves run, and ONE atomic meta replace —
+    sizes += delta, ``merged_through`` = new watermark — is the
+    commit point; the journal is removed after it. Any crash leaves
+    a state recovery classifies exactly: meta watermark >= journal
+    target means committed (cleanup only), anything else rolls the
+    listed destination files back and re-stages from the drain —
+    the drain remains the source of truth until commit. Serving
+    REFUSES a store with a pending journal (`read_ann_store`), so a
+    mid-merge state is never served; a second merge against the
+    same store refuses too unless ``recover=True`` (the journal is
+    the single-writer arbiter — auto-recovery would roll back a
+    LIVE merge's moves).
+
+    Only batches with a ``_SUCCESS`` marker are merged (an in-flight
+    streaming batch is half-written by definition); tombstoned ids
+    (store's and drain's sets) are dropped from the delta, and the
+    store's tombstone file is kept as-is — it still masks base rows
+    until the next full compaction. vec_ids must be unique across
+    base + delta (the drain's ingest dedup contract). The store must
+    carry a cluster-size stamp (serving layout — `build_ann_store`,
+    `compact_ann_store`, or a prior merge); the base store must not
+    already hold the drain's rows through any path the watermark
+    does not know about (build it from the pre-drain corpus, or let
+    `compact_ann_store` stamp the watermark for you).
+
+    Returns ``{"merged_batches", "rows", "merged_through",
+    "recovered"}``."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    journal_path = os.path.join(store_path, ANN_MERGE_JOURNAL)
+    stage_dir = os.path.join(store_path, ANN_MERGE_STAGE)
+    recovered = None
+    if os.path.exists(journal_path):
+        if not recover:
+            raise ValueError(
+                f"store {store_path!r} has a pending merge journal — "
+                "another merge is running or a crashed one needs "
+                "recovery; rerun with recover=True after checking "
+                "none is running"
+            )
+        recovered = _recover_pending_merge(store_path)
+
+    stamp, sizes = read_ann_store_stamp(store_path)
+    if stamp is None:
+        raise ValueError(
+            f"store {store_path!r} carries no model stamp — not an "
+            "ANN store dir"
+        )
+    _refuse_stamp_mismatch(store_path, stamp, model)
+    if sizes is None:
+        raise ValueError(
+            f"store {store_path!r} has no cluster-size stamp — not a "
+            "serving-layout store; build_ann_store or "
+            "compact_ann_store it first"
+        )
+    dstamp, _ = read_ann_store_stamp(drain_dir)
+    if dstamp is None:
+        raise ValueError(
+            f"drain {drain_dir!r} carries no model stamp — not a "
+            "drain ANN sink"
+        )
+    _refuse_stamp_mismatch(drain_dir, dstamp, model)
+
+    watermark = int(stamp.get("merged_through", -1))
+    batches = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(drain_dir)
+        if e.startswith("batch_id=")
+        and os.path.isdir(os.path.join(drain_dir, e))
+        and os.path.exists(os.path.join(drain_dir, e, "_SUCCESS"))
+    )
+    delta_batches = [b for b in batches if b > watermark]
+    if not delta_batches:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        return {
+            "merged_batches": [],
+            "rows": 0,
+            "merged_through": watermark,
+            "recovered": recovered,
+        }
+    to = max(delta_batches)
+    # explicit batch-dir paths, never the drain root: the root listing
+    # would pull footers from an in-flight batch's half-written files
+    delta = spark.read.parquet(
+        *[os.path.join(drain_dir, f"batch_id={b}") for b in delta_batches]
+    ).select("vec_id", "centroid_id", "codes")
+    dead = sorted(
+        set(read_ann_tombstones(store_path))
+        | set(read_ann_tombstones(drain_dir))
+    )
+    if dead:
+        delta = delta.filter(~F.col("vec_id").isin(dead))
+    shutil.rmtree(stage_dir, ignore_errors=True)  # rolled-back residue
+    delta.repartition("centroid_id").write.partitionBy(
+        "centroid_id"
+    ).parquet(stage_dir)
+    has_parts = any(
+        e.startswith("centroid_id=") for e in os.listdir(stage_dir)
+    )
+    # an all-tombstoned delta stages zero partitions — still a valid
+    # merge (it CONSUMES the batches by advancing the watermark), but
+    # reading the data-less dir would fail schema inference
+    delta_sizes = (
+        {
+            int(r["centroid_id"]): int(r["n"])
+            for r in spark.read.parquet(stage_dir)
+            .groupBy("centroid_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if has_parts
+        else {}
+    )
+    moves = []
+    for cid in sorted(delta_sizes):
+        src_dir = os.path.join(stage_dir, f"centroid_id={cid}")
+        dst_dir = os.path.join(store_path, f"centroid_id={cid}")
+        for i, fn in enumerate(sorted(os.listdir(src_dir))):
+            if fn.startswith(("_", ".")):
+                continue
+            moves.append(
+                [
+                    os.path.join(src_dir, fn),
+                    # `to` keys the name: a retry of the same window
+                    # only runs after rollback deleted these, and two
+                    # different windows can never collide
+                    os.path.join(dst_dir, f"merge{to}-{i:05d}-{fn}"),
+                ]
+            )
+    # O_EXCL creation is the single-writer arbiter (the tombstone-lock
+    # stance): a racing merge fails here instead of interleaving moves
+    fd = os.open(journal_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        json.dump(
+            {
+                "from": watermark,
+                "to": to,
+                "moves": moves,
+                "delta_sizes": {
+                    str(k): v for k, v in delta_sizes.items()
+                },
+            },
+            f,
+        )
+    _merge_apply_moves(moves)
+    new_sizes = dict(sizes)
+    for cid, n in delta_sizes.items():
+        new_sizes[cid] = new_sizes.get(cid, 0) + n
+    write_ann_store_meta(  # THE commit point: one atomic replace
+        store_path,
+        stamp["model_sha256"],
+        sizes=new_sizes,
+        encoding_sha256=stamp.get("encoding_sha256"),
+        merged_through=to,
+    )
+    # any exception above leaves the journal in place for recovery —
+    # deleting it early would orphan files a crashed move loop
+    # already published
+    os.unlink(journal_path)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    n_rows = sum(delta_sizes.values())
+    return {
+        "merged_batches": delta_batches,
+        "rows": n_rows,
+        "merged_through": to,
+        "recovered": recovered,
+    }
+
+
+def _merge_apply_moves(moves: list) -> None:
+    """Publish staged delta files into the store's partition dirs —
+    module-level so crash-injection tests can fail it mid-loop."""
+    import os
+
+    for src, dst in moves:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+
+
+def _recover_pending_merge(store_path: str) -> str:
+    """Classify and resolve a pending merge journal. ``committed``:
+    the meta's watermark already reached the journal's target — the
+    single atomic commit happened, only cleanup remained. Anything
+    else (including a truncated journal, which means the crash hit
+    before any move ran): delete whichever destination files the
+    journal lists — the drain still holds every delta row, so
+    rollback loses nothing — and let the caller re-merge."""
+    import json
+    import os
+    import shutil
+
+    journal_path = os.path.join(store_path, ANN_MERGE_JOURNAL)
+    stage_dir = os.path.join(store_path, ANN_MERGE_STAGE)
+    try:
+        with open(journal_path) as f:
+            j = json.load(f)
+    except ValueError:
+        j = None
+    stamp, _ = read_ann_store_stamp(store_path)
+    committed = (
+        j is not None
+        and stamp is not None
+        and int(stamp.get("merged_through", -1)) >= int(j["to"])
+    )
+    if j is not None and not committed:
+        for _src, dst in j["moves"]:
+            if os.path.exists(dst):
+                os.unlink(dst)
+    os.unlink(journal_path)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    return "committed" if committed else "rolled_back"

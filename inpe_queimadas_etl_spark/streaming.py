@@ -492,8 +492,14 @@ def _bind_ann_model_sha(
         ):
             return  # stamp already current — nothing to write
     write_ann_store_meta(
-        ann_dir, sha, sizes=prev_sizes, encoding_sha256=encoding_sha
-    )  # first bind / legacy upgrade — sizes carried through
+        ann_dir,
+        sha,
+        sizes=prev_sizes,
+        encoding_sha256=encoding_sha,
+        merged_through=(
+            None if prev is None else prev.get("merged_through")
+        ),
+    )  # first bind / legacy upgrade — sizes + watermark carried through
 
 
 def _drop_store_sizes(ann_dir: str) -> None:
@@ -515,6 +521,7 @@ def _drop_store_sizes(ann_dir: str) -> None:
         ann_dir,
         stamp["model_sha256"],
         encoding_sha256=stamp.get("encoding_sha256"),
+        merged_through=stamp.get("merged_through"),
     )
 
 

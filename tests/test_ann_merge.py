@@ -1,0 +1,337 @@
+"""Incremental ANN store maintenance (`merge_ann_appends`): folding
+NEW drain appends into a serving store at delta cost must leave a
+store that serves IDENTICALLY to one built from scratch over the
+union — same rows, same size stamp — while the journaled two-phase
+publish survives crashes at every step (rollback before the atomic
+meta commit, cleanup-only after it) and mid-merge states are refused
+by serving, never served."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from inpe_queimadas_etl_spark.api import ann_topk
+from inpe_queimadas_etl_spark.operators.pq import (
+    ANN_MERGE_JOURNAL,
+    build_ann_store,
+    compact_ann_store,
+    delete_from_ann_store,
+    load_ann_model,
+    merge_ann_appends,
+    pq_ivf_encode,
+    read_ann_store,
+    read_ann_store_stamp,
+    save_ann_model,
+    train_ann_model,
+    write_ann_store_meta,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    from inpe_queimadas_etl_spark.suite.llmdata import _sim8_emb
+
+    return _sim8_emb(spark, SF0001)
+
+
+def _append_drain_batch(drain_dir, emb_slice, model, batch_id):
+    """Simulate one streaming-drain append: encode under the frozen
+    model into the drain's batch_id-partitioned layout (the
+    `streaming._write_partition` shape, _SUCCESS marker included)."""
+    pq_ivf_encode(
+        emb_slice, model["cents3"], model["cb"], rot=model.get("rot")
+    ).write.mode("overwrite").parquet(f"{drain_dir}/batch_id={batch_id}")
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    """One trained model + id-range splits shared by every test —
+    each test copies/rebuilds its own stores from these."""
+    tmp = tmp_path_factory.mktemp("ann_merge")
+    emb = _emb(spark).cache()
+    n = emb.count()
+    cuts = (int(n * 0.6), int(n * 0.8), int(n * 0.9))
+    base = emb.filter(F.col("vec_id") < cuts[0])
+    b0 = emb.filter(
+        (F.col("vec_id") >= cuts[0]) & (F.col("vec_id") < cuts[1])
+    )
+    b1 = emb.filter(
+        (F.col("vec_id") >= cuts[1]) & (F.col("vec_id") < cuts[2])
+    )
+    b2 = emb.filter(F.col("vec_id") >= cuts[2])
+    model = train_ann_model(emb, k=4, m=8, ks=16, frac=1.0, cand=100)
+    model_path = str(tmp / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"], rot=model["rot"],
+    )
+    return {
+        "emb": emb,
+        "model": load_ann_model(model_path),
+        "model_path": model_path,
+        "splits": (base, b0, b1, b2),
+    }
+
+
+def _fresh_stores(spark, setup, tmp_path, drain_batches=(0, 1)):
+    """A base store over the base split + a drain holding the given
+    batch slices, both stamped under the shared model."""
+    model = setup["model"]
+    base, b0, b1, _b2 = setup["splits"]
+    store = str(tmp_path / "store")
+    build_ann_store(base, model, store)
+    drain = str(tmp_path / "drain")
+    slices = {0: b0, 1: b1}
+    for b in drain_batches:
+        _append_drain_batch(drain, slices[b], model, b)
+    write_ann_store_meta(
+        drain, model["sha256"], encoding_sha256=model["encoding_sha256"]
+    )
+    return store, drain
+
+
+def _queries(setup):
+    rows = setup["emb"].filter(F.col("vec_id") % 97 == 3).collect()
+    return [
+        (int(r["vec_id"]) + 100_000, [float(x) for x in r["v"]])
+        for r in rows[:6]
+    ]
+
+
+def _pin_serving_equal(spark, setup, store_a, store_b, k=5):
+    qv = _queries(setup)
+    got = (
+        ann_topk(
+            spark, store_a, setup["model_path"], qv, k=k,
+            rerank_with=setup["emb"],
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        ann_topk(
+            spark, store_b, setup["model_path"], qv, k=k,
+            rerank_with=setup["emb"],
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_merge_equals_full_build_and_is_incremental(
+    spark, setup, tmp_path
+):
+    """THE done-bar pin: base + merged deltas serves identically to a
+    from-scratch build over the union, sizes stamped exactly; a
+    re-merge is a no-op; a later batch merges alone (delta cost)."""
+    model = setup["model"]
+    base, b0, b1, b2 = setup["splits"]
+    store, drain = _fresh_stores(spark, setup, tmp_path)
+
+    res = merge_ann_appends(spark, store, drain, model)
+    assert res["merged_batches"] == [0, 1]
+    assert res["merged_through"] == 1
+    assert res["rows"] == b0.count() + b1.count()
+    assert not os.path.exists(os.path.join(store, ANN_MERGE_JOURNAL))
+
+    full = str(tmp_path / "full")
+    build_ann_store(base.union(b0).union(b1), model, full)
+    assert read_ann_store_stamp(store)[1] == read_ann_store_stamp(full)[1]
+    _pin_serving_equal(spark, setup, store, full)
+
+    # idempotent: nothing past the watermark
+    again = merge_ann_appends(spark, store, drain, model)
+    assert again["merged_batches"] == [] and again["rows"] == 0
+
+    # a NEW batch merges alone — via the CLI veneer
+    _append_drain_batch(drain, b2, model, 2)
+    from inpe_queimadas_etl_spark import cli
+
+    rc = cli.main(
+        [
+            "ann-merge", "--store", store, "--drain-dir", drain,
+            "--model", setup["model_path"],
+        ]
+    )
+    assert rc == 0
+    stamp, sizes = read_ann_store_stamp(store)
+    assert stamp["merged_through"] == 2
+    full2 = str(tmp_path / "full2")
+    build_ann_store(setup["emb"], model, full2)
+    assert sizes == read_ann_store_stamp(full2)[1]
+    _pin_serving_equal(spark, setup, store, full2)
+
+
+def test_merge_refusals(spark, setup, tmp_path):
+    """Non-serving stores, unstamped drains, and drift are refused;
+    an in-flight batch (no _SUCCESS) is simply not merged yet."""
+    model = setup["model"]
+    store, drain = _fresh_stores(spark, setup, tmp_path)
+
+    # a drain-stamped dir (no sizes) is not a merge target
+    sizeless = str(tmp_path / "sizeless")
+    os.makedirs(sizeless)
+    write_ann_store_meta(
+        sizeless, model["sha256"],
+        encoding_sha256=model["encoding_sha256"],
+    )
+    with pytest.raises(ValueError, match="cluster-size stamp"):
+        merge_ann_appends(spark, sizeless, drain, model)
+
+    # an unstamped drain is refused
+    bare = str(tmp_path / "bare_drain")
+    os.makedirs(bare)
+    with pytest.raises(ValueError, match="no model stamp"):
+        merge_ann_appends(spark, store, bare, model)
+
+    # drift: drain stamped under another encoding
+    other = str(tmp_path / "other_drain")
+    os.makedirs(other)
+    write_ann_store_meta(
+        other, "e" * 64, encoding_sha256="f" * 64
+    )
+    with pytest.raises(ValueError, match="encoded under model"):
+        merge_ann_appends(spark, store, other, model)
+
+    # an in-flight batch (no _SUCCESS) stays unmerged, loudly absent
+    os.unlink(os.path.join(drain, "batch_id=1", "_SUCCESS"))
+    res = merge_ann_appends(spark, store, drain, model)
+    assert res["merged_batches"] == [0]
+    assert res["merged_through"] == 0
+
+
+def test_merge_crash_midmove_rolls_back_then_recovers(
+    spark, setup, tmp_path, monkeypatch
+):
+    """Injected crash in the move loop: the journal stays, serving
+    REFUSES the store, a plain re-merge refuses too, and
+    recover=True rolls the partial publish back and completes the
+    merge — final state identical to a clean merge."""
+    import inpe_queimadas_etl_spark.operators.pq as pq
+
+    model = setup["model"]
+    base, b0, b1, _b2 = setup["splits"]
+    store, drain = _fresh_stores(spark, setup, tmp_path)
+    real_moves = pq._merge_apply_moves
+
+    def boom(moves):
+        real_moves(moves[:1])  # one file published, then crash
+        raise RuntimeError("injected crash mid-move")
+
+    monkeypatch.setattr(pq, "_merge_apply_moves", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_ann_appends(spark, store, drain, model)
+    monkeypatch.undo()
+
+    assert os.path.exists(os.path.join(store, ANN_MERGE_JOURNAL))
+    with pytest.raises(ValueError, match="pending merge journal"):
+        read_ann_store(spark, store, model)
+    with pytest.raises(ValueError, match="pending merge journal"):
+        ann_topk(
+            spark, store, setup["model_path"], _queries(setup), k=3
+        ).collect()
+    with pytest.raises(ValueError, match="pending merge journal"):
+        merge_ann_appends(spark, store, drain, model)
+
+    res = merge_ann_appends(spark, store, drain, model, recover=True)
+    assert res["recovered"] == "rolled_back"
+    assert res["merged_batches"] == [0, 1]
+    full = str(tmp_path / "full")
+    build_ann_store(base.union(b0).union(b1), model, full)
+    assert read_ann_store_stamp(store)[1] == read_ann_store_stamp(full)[1]
+    _pin_serving_equal(spark, setup, store, full)
+
+
+def test_merge_crash_after_commit_recovers_as_committed(
+    spark, setup, tmp_path, monkeypatch
+):
+    """Injected crash AFTER the atomic meta commit but before journal
+    cleanup: recovery classifies it as committed — no rollback, the
+    merged rows stay, only cleanup runs."""
+    import inpe_queimadas_etl_spark.operators.pq as pq
+
+    model = setup["model"]
+    base, b0, b1, _b2 = setup["splits"]
+    store, drain = _fresh_stores(spark, setup, tmp_path)
+    real_meta = pq.write_ann_store_meta
+
+    def boom(*a, **kw):
+        real_meta(*a, **kw)
+        if kw.get("merged_through") is not None:
+            raise RuntimeError("injected crash before journal cleanup")
+
+    monkeypatch.setattr(pq, "write_ann_store_meta", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_ann_appends(spark, store, drain, model)
+    monkeypatch.undo()
+
+    assert os.path.exists(os.path.join(store, ANN_MERGE_JOURNAL))
+    res = merge_ann_appends(spark, store, drain, model, recover=True)
+    assert res["recovered"] == "committed"
+    assert res["merged_batches"] == []  # nothing left to merge
+    full = str(tmp_path / "full")
+    build_ann_store(base.union(b0).union(b1), model, full)
+    assert read_ann_store_stamp(store)[1] == read_ann_store_stamp(full)[1]
+    _pin_serving_equal(spark, setup, store, full)
+
+
+def test_merge_drops_tombstoned_delta_rows(spark, setup, tmp_path):
+    """Ids tombstoned on the store (takedown arriving before the
+    merge) never enter it: excluded from the published files AND the
+    size stamp, and never served."""
+    model = setup["model"]
+    _base, b0, _b1, _b2 = setup["splits"]
+    store, drain = _fresh_stores(spark, setup, tmp_path, drain_batches=(0,))
+    victims = [int(r["vec_id"]) for r in b0.limit(2).collect()]
+    delete_from_ann_store(store, victims)
+
+    res = merge_ann_appends(spark, store, drain, model)
+    assert res["rows"] == b0.count() - len(victims)
+    served, _ = read_ann_store(spark, store, model)
+    got_ids = {int(r["vec_id"]) for r in served.collect()}
+    assert not (set(victims) & got_ids)
+    _stamp, sizes = read_ann_store_stamp(store)
+    assert sum(sizes.values()) == len(got_ids)
+
+
+def test_compact_stamps_watermark_so_merge_is_noop(
+    spark, setup, tmp_path
+):
+    """compact -> merge composes: a compaction consumes every drain
+    batch and stamps merged_through, so merging the same drain right
+    after folds nothing (no double-add)."""
+    model = setup["model"]
+    _store, drain = _fresh_stores(spark, setup, tmp_path)
+    compacted = str(tmp_path / "compacted")
+    compact_ann_store(spark, drain, compacted, model)
+    stamp, _sizes = read_ann_store_stamp(compacted)
+    assert stamp["merged_through"] == 1
+    res = merge_ann_appends(spark, compacted, drain, model)
+    assert res["merged_batches"] == [] and res["rows"] == 0
+
+
+def test_merge_journal_is_single_writer_arbiter(spark, setup, tmp_path):
+    """A live journal blocks a second merge (no interleaved moves)
+    and a truncated journal — crash before any move ran — recovers
+    as a clean rollback."""
+    model = setup["model"]
+    store, drain = _fresh_stores(spark, setup, tmp_path, drain_batches=(0,))
+    jp = os.path.join(store, ANN_MERGE_JOURNAL)
+    with open(jp, "w") as f:
+        f.write('{"from": -1, "to":')  # truncated mid-write
+    with pytest.raises(ValueError, match="pending merge journal"):
+        merge_ann_appends(spark, store, drain, model)
+    res = merge_ann_appends(spark, store, drain, model, recover=True)
+    assert res["recovered"] == "rolled_back"
+    assert res["merged_batches"] == [0]
+    assert json.load(
+        open(os.path.join(store, "_ann_model.json"))
+    )["merged_through"] == 0
