@@ -443,9 +443,43 @@ def _load_ann_state(
     return {
         "model": model,
         "store": store,
+        "store_path": store_path,
         "sizes": sizes,
         "tombstones": read_ann_tombstones(store_path),
     }
+
+
+def _ensure_ann_state(ctx: ApiContext) -> dict:
+    """Resolve and cache the context's frozen (model, store) pair —
+    the one lazy-load shared by every ANN endpoint. Direct
+    (model_path, store_path) wins; else the deployment dir's CURRENT
+    pointer is resolved ONCE per context with its sha pinned, so a
+    hand-mangled or mid-swap pair is refused, never served."""
+    if ctx._ann_state:
+        return ctx._ann_state
+    if ctx.ann_model_path is not None and ctx.ann_store_path is not None:
+        ctx._ann_state.update(
+            _load_ann_state(
+                ctx.spark, ctx.ann_model_path, ctx.ann_store_path
+            )
+        )
+        ctx._ann_state["version"] = None
+        return ctx._ann_state
+    if ctx.ann_base_dir is None:
+        raise LookupError("ANN model/store not loaded")
+    from .operators.pq import resolve_ann_current
+
+    cur = resolve_ann_current(ctx.ann_base_dir)
+    ctx._ann_state.update(
+        _load_ann_state(
+            ctx.spark,
+            cur["model_path"],
+            cur["store_path"],
+            expected_sha256=cur["model_sha256"],
+        )
+    )
+    ctx._ann_state["version"] = cur.get("version")
+    return ctx._ann_state
 
 
 def _ann_topk_loaded(
@@ -736,6 +770,7 @@ def ann_topk_batch(
     k: int | None = 5,
     rerank_with: DataFrame | None = None,
     expected_sha256: str | None = None,
+    chunk_queries: int | None = None,
 ) -> DataFrame:
     """BATCH-scale `ann_topk` (VERDICT r9 #1): queries arrive as a
     ``(query_id, qv)`` DataFrame instead of a driver list, for the
@@ -758,10 +793,22 @@ def ann_topk_batch(
     - the probe table ships as ONE torrent broadcast of numpy arrays
       grouped by cluster (O(Q*nprobe*dim) floats — ~0.5 GB at Q=10^6,
       dim 64: the documented driver/executor budget for this entry
-      point; beyond that, chunk the query frame and union);
+      point);
     - the rerank tail drops the serving path's broadcast hints and
       lets AQE pick the join strategy (a 10^6 x cand candidate set
       must be allowed to shuffle-join the corpus).
+
+    Beyond that budget, pass ``chunk_queries``: probe rows stream to
+    the driver through `toLocalIterator` in chunks of that many
+    queries, each chunk gets its own bounded broadcast + pruned scan,
+    and the scans union under ONE ranking tail — driver memory is
+    O(chunk) instead of O(Q) and each executor-side broadcast block
+    is bounded (MEMORY_AND_DISK: a block evicts to disk instead of
+    OOMing). Results are identical to the unchunked form (pinned) —
+    chunking partitions the QUERIES, and no scoring chain crosses a
+    query boundary. The cost is one store scan per chunk, so size
+    chunks to the budget, not small: chunking exists for Q ≈ 10^7+,
+    not as a default.
 
     The store still partition-prunes to probed clusters (with batch-Q
     budgets that usually means every cluster — correct: the work IS
@@ -791,70 +838,102 @@ def ann_topk_batch(
 
     from .operators.pq import pq_ivf_adc_search_scan_grouped, rot_apply
 
+    if chunk_queries is not None and chunk_queries <= 0:
+        raise ValueError("chunk_queries must be positive")
     qcast = queries.select(
         F.col("query_id").cast("long").alias("query_id"), "qv"
     )
-    probe_rows = ann_assign_probes(qcast, model, sizes).collect()
-    # each vector once (Q x dim), clusters as index lists — the
-    # broadcast is O(Q*dim + Q*nprobe), never nprobe-fold duplicated
-    qids_arr = np.array(
-        [int(r["query_id"]) for r in probe_rows], dtype=np.int64
+    cand = max(int(model["cand"]), k)
+    rot = model.get("rot")
+    scan_cents = (
+        model["cents"]
+        if rot is None
+        else [(cid, rot_apply(rot, cv)) for cid, cv in model["cents"]]
     )
-    if len(np.unique(qids_arr)) != len(qids_arr):
+    assigned = ann_assign_probes(qcast, model, sizes)
+
+    def _row_chunks():
+        if chunk_queries is None:
+            rows = assigned.collect()
+            if rows:
+                yield rows
+            return
+        # the Q ≈ 10^7+ regime: stream probe rows partition by
+        # partition — the driver holds one chunk's arrays, never Q's
+        buf = []
+        for r in assigned.toLocalIterator():
+            buf.append(r)
+            if len(buf) >= chunk_queries:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    scoreds = []
+    id_chunks = []
+    for probe_rows in _row_chunks():
+        # each vector once (chunk x dim), clusters as index lists —
+        # each broadcast is O(chunk*dim + chunk*nprobe), never
+        # nprobe-fold duplicated
+        qids_arr = np.array(
+            [int(r["query_id"]) for r in probe_rows], dtype=np.int64
+        )
+        id_chunks.append(qids_arr)
+        qv_mat = np.array(
+            [list(r["qvr"]) for r in probe_rows], dtype=np.float64
+        )
+        by_cluster: dict = {}
+        for i, r in enumerate(probe_rows):
+            for cid in r["qclusters"]:
+                by_cluster.setdefault(int(cid), []).append(i)
+        if not by_cluster:
+            continue
+        grouped = {
+            "qids": qids_arr,
+            "qv": qv_mat,
+            "by_cluster": {
+                cid: np.array(idx, dtype=np.int64)
+                for cid, idx in by_cluster.items()
+            },
+        }
+        pruned = store.filter(
+            F.col("centroid_id").isin(sorted(by_cluster))
+        )
+        if st["tombstones"]:
+            pruned = pruned.filter(
+                ~F.col("vec_id").isin(st["tombstones"])
+            )
+        probes_bc = spark.sparkContext.broadcast(grouped)
+        scoreds.append(
+            pq_ivf_adc_search_scan_grouped(
+                pruned, model["cb"], scan_cents, probes_bc, cand
+            )
+        )
+    all_ids = (
+        np.concatenate(id_chunks)
+        if id_chunks
+        else np.empty(0, dtype=np.int64)
+    )
+    if len(np.unique(all_ids)) != len(all_ids):
         # duplicate ids would double-score their probes and inflate
         # ranks — refuse rather than return silently wrong top-k.
-        # Checked on the CASTED ids, and on the rows just collected
-        # (review r10 round 2): the old pre-check was a full extra
-        # groupBy job over the query frame; here the same refusal is
-        # a numpy pass over state the batch path already holds, and
-        # it still fires before any scoring work
-        uniq, counts = np.unique(qids_arr, return_counts=True)
+        # Checked on the CASTED ids, ACROSS chunks (a duplicate split
+        # over two chunks is the same double-score), and before any
+        # scoring action runs (everything above is lazy)
+        uniq, counts = np.unique(all_ids, return_counts=True)
         raise ValueError(
             "queries ids must be unique (duplicate: "
             f"{int(uniq[counts > 1][0])})"
         )
-    qv_mat = (
-        np.array([list(r["qvr"]) for r in probe_rows], dtype=np.float64)
-        if probe_rows
-        else np.empty((0, model["dim"]), dtype=np.float64)
-    )
-    by_cluster: dict = {}
-    for i, r in enumerate(probe_rows):
-        for cid in r["qclusters"]:
-            by_cluster.setdefault(int(cid), []).append(i)
-    grouped = {
-        "qids": qids_arr,
-        "qv": qv_mat,
-        "by_cluster": {
-            cid: np.array(idx, dtype=np.int64)
-            for cid, idx in by_cluster.items()
-        },
-    }
-    cand = max(int(model["cand"]), k)
-    if not by_cluster:
+    if not scoreds:
         # empty query frame (e.g. an empty shard): nothing to score
         scored = spark.createDataFrame(
             [], "query_id long, vec_id long, pq_score double"
         )
     else:
-        probed_cids = sorted(by_cluster)
-        pruned = store.filter(F.col("centroid_id").isin(probed_cids))
-        if st["tombstones"]:
-            pruned = pruned.filter(
-                ~F.col("vec_id").isin(st["tombstones"])
-            )
-        rot = model.get("rot")
-        scan_cents = (
-            model["cents"]
-            if rot is None
-            else [
-                (cid, rot_apply(rot, cv)) for cid, cv in model["cents"]
-            ]
-        )
-        probes_bc = spark.sparkContext.broadcast(grouped)
-        scored = pq_ivf_adc_search_scan_grouped(
-            pruned, model["cb"], scan_cents, probes_bc, cand
-        )
+        scored = scoreds[0]
+        for s in scoreds[1:]:
+            scored = scored.unionByName(s)
     return _ann_rank_tail(
         scored, qcast, k, cand, rerank_with, hint_broadcast=False
     )
@@ -869,6 +948,7 @@ def semantic_decontamination_store(
     tau: float = 0.35,
     k: int | None = None,
     expected_sha256: str | None = None,
+    chunk_queries: int | None = None,
 ) -> DataFrame:
     """cur7 semantic decontamination re-platformed onto FROZEN
     benchmark artifacts (VERDICT r9 #8 — the serving tier composing
@@ -935,6 +1015,7 @@ def semantic_decontamination_store(
         k=k,
         rerank_with=eval_vectors,
         expected_sha256=expected_sha256,
+        chunk_queries=chunk_queries,
     )
     return (
         hits.filter(F.col("sim") >= tau)
@@ -957,24 +1038,7 @@ def _ep_ann_topk(ctx: ApiContext, params: dict) -> dict:
     reference's parameterized-top-k posture, main.py:1509-1594,
     applied to vectors). The ad-hoc query gets id -1 (store ids are
     non-negative, so the self-match skip never fires)."""
-    if ctx.ann_model_path is None or ctx.ann_store_path is None:
-        if ctx.ann_base_dir is None:
-            raise LookupError("ANN model/store not loaded")
-        if not ctx._ann_state:
-            # resolve the deployment pointer ONCE per context and pin
-            # its sha: a hand-mangled or mid-swap (model, store) pair
-            # is refused by the artifact/stamp checks, never served
-            from .operators.pq import resolve_ann_current
-
-            cur = resolve_ann_current(ctx.ann_base_dir)
-            ctx._ann_state.update(
-                _load_ann_state(
-                    ctx.spark,
-                    cur["model_path"],
-                    cur["store_path"],
-                    expected_sha256=cur["model_sha256"],
-                )
-            )
+    st = _ensure_ann_state(ctx)
     raw = params.get("vec")
     if not raw:
         raise ValueError("vec is required (comma-separated floats)")
@@ -985,13 +1049,6 @@ def _ep_ann_topk(ctx: ApiContext, params: dict) -> dict:
     k = int(params.get("k", 5))
     if k <= 0 or k > 1000:
         raise ValueError("k must be in 1..1000")
-    if not ctx._ann_state:
-        ctx._ann_state.update(
-            _load_ann_state(
-                ctx.spark, ctx.ann_model_path, ctx.ann_store_path
-            )
-        )
-    st = ctx._ann_state
     df = _ann_topk_loaded(
         ctx.spark,
         st["store"],
@@ -1033,6 +1090,51 @@ def _ep_ann_topk(ctx: ApiContext, params: dict) -> dict:
     return body
 
 
+def _ep_ann_stats(ctx: ApiContext, params: dict) -> dict:
+    """GET /api/ann/stats — the ANN deployment's observability card:
+    which model serves (shas, version when CURRENT-resolved, geometry
+    and serving knobs), how big the store is (clusters, rows — from
+    the same size state the probe budget uses), how many ids are
+    tombstoned, and the incremental-merge watermark. All driver-side
+    state already held by the context: no Spark job runs, so an
+    operator can poll it. NOT cached (unlike /api/ann/topk): a
+    tombstone or merge landing between polls must show up — this
+    endpoint exists to watch exactly that. Tombstone/watermark counts
+    re-read the store dir per call for the same reason (tiny files);
+    the heavyweight (model, store, sizes) state stays frozen with the
+    context, so a just-merged store shows its new watermark here but
+    serves new rows only after a context restart — ``stale_sizes``
+    says when the two have diverged."""
+    from .operators.pq import read_ann_store_stamp, read_ann_tombstones
+
+    st = _ensure_ann_state(ctx)
+    model, sizes = st["model"], st["sizes"]
+    stamp, stamped_sizes = read_ann_store_stamp(st["store_path"])
+    return {
+        "model_sha256": model["sha256"],
+        "encoding_sha256": model["encoding_sha256"],
+        "version": st.get("version"),
+        "store_path": st["store_path"],
+        "dim": model["dim"],
+        "m": model["m"],
+        "ks": model["ks"],
+        "frac": model["frac"],
+        "cand": model["cand"],
+        "opq": model.get("rot") is not None,
+        "clusters": len(sizes),
+        "rows": sum(sizes.values()),
+        "tombstones": len(read_ann_tombstones(st["store_path"])),
+        "merged_through": (
+            None if stamp is None else stamp.get("merged_through")
+        ),
+        # a merge that landed after this context loaded leaves the
+        # served sizes behind the stamped ones — restart to pick up
+        "stale_sizes": (
+            stamped_sizes is not None and stamped_sizes != sizes
+        ),
+    }
+
+
 _ROUTES = {
     "/health": (_ep_health, False),
     "/api/timeseries/total": (_ep_timeseries_total, True),
@@ -1048,6 +1150,7 @@ _ROUTES = {
     "/api/points": (_ep_points, False),  # dedicated points cache
     "/api/validate": (_ep_validate, False),  # never cached (a check)
     "/api/ann/topk": (_ep_ann_topk, True),  # frozen artifacts: cacheable
+    "/api/ann/stats": (_ep_ann_stats, False),  # must see live tombstones
 }
 
 

@@ -451,6 +451,72 @@ def cmd_ann_merge(args) -> int:
     return 0
 
 
+def cmd_ann_stats(args) -> int:
+    """Print an ANN deployment's observability card as JSON — no
+    Spark session: everything comes from the store's stamp, tombstone
+    and journal files, the model artifact, and (for --base-dir) the
+    CURRENT pointer. Rows/clusters reflect the STAMPED sizes (null
+    for a drain dir, whose sizes are only known at serve time)."""
+    import os
+
+    from .operators.pq import (
+        ANN_MERGE_JOURNAL,
+        load_ann_model,
+        read_ann_store_stamp,
+        read_ann_tombstones,
+        resolve_ann_current,
+    )
+
+    if bool(args.store) == bool(args.base_dir):
+        raise SystemExit("exactly one of --store / --base-dir is required")
+    version = None
+    model_path = args.model
+    store = args.store
+    if args.base_dir:
+        cur = resolve_ann_current(args.base_dir)
+        store = cur["store_path"]
+        model_path = model_path or cur["model_path"]
+        version = cur["version"]
+    stamp, sizes = read_ann_store_stamp(store)
+    if stamp is None:
+        raise SystemExit(f"{store!r} carries no ANN store stamp")
+    out = {
+        "store_path": store,
+        "version": version,
+        "model_sha256": stamp.get("model_sha256"),
+        "encoding_sha256": stamp.get("encoding_sha256"),
+        "clusters": None if sizes is None else len(sizes),
+        "rows": None if sizes is None else sum(sizes.values()),
+        "tombstones": len(read_ann_tombstones(store)),
+        "merged_through": stamp.get("merged_through"),
+        "pending_merge": os.path.exists(
+            os.path.join(store, ANN_MERGE_JOURNAL)
+        ),
+    }
+    if model_path:
+        model = load_ann_model(model_path)
+        out.update(
+            {
+                "model_sha256": model["sha256"],
+                "encoding_sha256": model["encoding_sha256"],
+                "dim": model["dim"],
+                "m": model["m"],
+                "ks": model["ks"],
+                "frac": model["frac"],
+                "cand": model["cand"],
+                "opq": model.get("rot") is not None,
+                "model_matches_store": (
+                    model["encoding_sha256"] == stamp.get("encoding_sha256")
+                    if stamp.get("encoding_sha256") is not None
+                    else model["sha256"] == stamp.get("model_sha256")
+                ),
+            }
+        )
+    log.info("ann-stats | %s", json.dumps(out))
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_ann_delete(args) -> int:
     """Tombstone vec_ids in an ANN store (takedown/dedup removals):
     they stop being served immediately and are dropped physically at
@@ -497,7 +563,7 @@ def cmd_ann_search(args) -> int:
         qdf = spark.read.parquet(args.queries_parquet)
         res = ann_topk_batch(
             spark, args.store, args.model, qdf, k=args.k,
-            rerank_with=rerank,
+            rerank_with=rerank, chunk_queries=args.chunk_queries,
         )
         expected_df = qdf.select(
             F.col("query_id").cast("long").alias("query_id")
@@ -870,6 +936,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     am.add_argument("--log-dir")
 
+    ast = sub.add_parser(
+        "ann-stats",
+        help="print an ANN deployment's observability card (shas, "
+        "stamped sizes, tombstones, merge watermark) — no Spark",
+    )
+    ast.add_argument("--store", help="store dir (stamped)")
+    ast.add_argument(
+        "--base-dir", help="rebuild_ann deployment dir (CURRENT pointer)"
+    )
+    ast.add_argument("--model", help="optional artifact for geometry/knobs")
+    ast.add_argument("--log-dir")
+
     asr = sub.add_parser(
         "ann-search",
         help="top-k ANN over a frozen model + store for query vectors "
@@ -893,6 +971,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--out",
         help="write results as parquet (distributed, never collected "
         "to the driver) — pair with --queries-parquet for batch jobs",
+    )
+    asr.add_argument(
+        "--chunk-queries",
+        type=int,
+        help="batch shape only: stream probe rows to the driver in "
+        "chunks of this many queries (bounded broadcasts, one store "
+        "scan per chunk) — for Q beyond the one-broadcast budget",
     )
     asr.add_argument("--log-dir")
 
@@ -942,6 +1027,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_ann_compact(args)
     if args.cmd == "ann-merge":
         return cmd_ann_merge(args)
+    if args.cmd == "ann-stats":
+        return cmd_ann_stats(args)
     if args.cmd == "ann-search":
         return cmd_ann_search(args)
     if args.cmd == "ann-delete":

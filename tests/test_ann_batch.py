@@ -608,3 +608,63 @@ def test_cli_ann_search_json_honors_out(spark, tmp_path, capsys):
     finally:
         root.handlers[:] = saved[0]
         root.setLevel(saved[1])
+
+
+@pytest.mark.parametrize("opq", [False, True], ids=["plain", "opq"])
+def test_chunked_batch_matches_unchunked_and_looped(
+    spark, tmp_path, opq
+):
+    """chunk_queries partitions the QUERY set only — results must be
+    IDENTICAL to the one-broadcast form and the looped serving form,
+    both tails, with a chunk size that forces several chunks and one
+    that exceeds Q (degenerate single chunk)."""
+    emb, model_path, store_path = _artifacts(spark, tmp_path, opq=opq)
+    qv, qdf = _queries(spark, emb)
+    for rerank in (None, emb):
+        want = ann_topk(
+            spark, store_path, model_path, qv, k=5, rerank_with=rerank
+        )
+        for chunk in (3, 10_000):
+            got = ann_topk_batch(
+                spark, store_path, model_path, qdf, k=5,
+                rerank_with=rerank, chunk_queries=chunk,
+            )
+            _pin_equal(got, want)
+
+
+def test_chunked_batch_validation_and_tombstones(spark, tmp_path):
+    """Duplicate ids split ACROSS chunks are still refused (the check
+    runs on the concatenated id set before any scoring action);
+    chunk_queries must be positive; tombstones hold per chunk."""
+    emb, model_path, store_path = _artifacts(spark, tmp_path)
+    qv, qdf = _queries(spark, emb, lo=8, hi=16)
+    with pytest.raises(ValueError, match="chunk_queries must be"):
+        ann_topk_batch(
+            spark, store_path, model_path, qdf, k=1, chunk_queries=0
+        )
+    # duplicate ids land in DIFFERENT chunks (sorted assignment makes
+    # the dup's two rows 8 apart; chunk=2 separates them)
+    dup = qdf.union(qdf.limit(1))
+    with pytest.raises(ValueError, match="unique"):
+        ann_topk_batch(
+            spark, store_path, model_path, dup, k=1, chunk_queries=2
+        )
+    base = ann_topk_batch(
+        spark, store_path, model_path, qdf, k=5, rerank_with=emb,
+        chunk_queries=3,
+    ).collect()
+    victim = int(base[0]["neighbor_id"])
+    delete_from_ann_store(store_path, [victim])
+    got = ann_topk_batch(
+        spark, store_path, model_path, qdf, k=3, rerank_with=emb,
+        chunk_queries=3,
+    )
+    assert victim not in {
+        int(r["neighbor_id"]) for r in got.collect()
+    }
+    _pin_equal(
+        got,
+        ann_topk(
+            spark, store_path, model_path, qv, k=3, rerank_with=emb
+        ),
+    )

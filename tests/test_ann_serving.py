@@ -1189,3 +1189,91 @@ def test_ann_topk_refuses_non_finite_query_vectors(spark, tmp_path):
         qv = [0.5] * 63 + [poison]
         with pytest.raises(ValueError, match="finite"):
             ann_topk(spark, store_path, model_path, [(8, qv)], k=1)
+
+
+def test_http_ann_stats_endpoint(spark, tmp_path):
+    """GET /api/ann/stats: the deployment observability card — model
+    shas/geometry, store rows/clusters from the same sizes the probe
+    budget uses, LIVE tombstone count (the route is uncached by
+    design), and the merge watermark; 404 when no artifacts are
+    configured."""
+    from inpe_queimadas_etl_spark.api import ApiContext, handle_request
+    from inpe_queimadas_etl_spark.operators.pq import (
+        delete_from_ann_store,
+        read_ann_store_stamp,
+    )
+
+    emb = _emb(spark)
+    model = _demo_model(spark)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(model_path), store_path)
+
+    ctx = ApiContext(
+        spark=spark, fact=None, all_ufs=None,
+        ann_model_path=model_path, ann_store_path=store_path,
+    )
+    status, body = handle_request(ctx, "/api/ann/stats", {})
+    assert status == 200, body
+    loaded = load_ann_model(model_path)
+    _stamp, sizes = read_ann_store_stamp(store_path)
+    assert body["model_sha256"] == loaded["sha256"]
+    assert body["encoding_sha256"] == loaded["encoding_sha256"]
+    assert body["version"] is None  # direct (model, store) context
+    assert body["clusters"] == len(sizes)
+    assert body["rows"] == sum(sizes.values()) == emb.count()
+    assert body["tombstones"] == 0
+    assert body["merged_through"] is None
+    assert body["stale_sizes"] is False
+    assert body["opq"] is False
+    assert (body["dim"], body["m"], body["ks"]) == (
+        loaded["dim"], loaded["m"], loaded["ks"],
+    )
+
+    # a tombstone landing AFTER the context loaded must show up on
+    # the next poll — this endpoint exists to watch exactly that
+    delete_from_ann_store(store_path, [8])
+    status, body = handle_request(ctx, "/api/ann/stats", {})
+    assert status == 200 and body["tombstones"] == 1
+
+    bare = ApiContext(spark=spark, fact=None, all_ufs=None)
+    status, _ = handle_request(bare, "/api/ann/stats", {})
+    assert status == 404
+
+
+def test_cli_ann_stats(spark, tmp_path, capsys):
+    """ann-stats prints the card from the stamp/artifact files alone
+    (no Spark job) and flags model/store drift."""
+    import json as _json
+
+    from inpe_queimadas_etl_spark import cli
+
+    emb = _emb(spark)
+    model = _demo_model(spark)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(model_path), store_path)
+
+    rc = cli.main(
+        ["ann-stats", "--store", store_path, "--model", model_path]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == emb.count()
+    assert out["model_matches_store"] is True
+    assert out["pending_merge"] is False
+    assert out["tombstones"] == 0
+    assert out["merged_through"] is None
+
+    with pytest.raises(SystemExit, match="exactly one"):
+        cli.main(["ann-stats"])
+    with pytest.raises(SystemExit, match="no ANN store stamp"):
+        cli.main(["ann-stats", "--store", str(tmp_path)])
