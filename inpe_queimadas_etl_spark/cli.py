@@ -517,6 +517,20 @@ def cmd_ann_stats(args) -> int:
     return 0
 
 
+def cmd_ann_prune(args) -> int:
+    """Version retention for a rebuild_ann deployment — keep CURRENT
+    + the N most recent pairs, remove the rest. No Spark session."""
+    from .operators.pq import prune_ann_versions
+
+    res = prune_ann_versions(
+        args.base_dir, keep=args.keep, prune_staging=args.prune_staging
+    )
+    out = {"base_dir": args.base_dir, **res}
+    log.info("ann-prune | %s", json.dumps(out))
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_ann_delete(args) -> int:
     """Tombstone vec_ids in an ANN store (takedown/dedup removals):
     they stop being served immediately and are dropped physically at
@@ -948,6 +962,22 @@ def build_parser() -> argparse.ArgumentParser:
     ast.add_argument("--model", help="optional artifact for geometry/knobs")
     ast.add_argument("--log-dir")
 
+    apr = sub.add_parser(
+        "ann-prune",
+        help="retention for a rebuild_ann deployment dir: keep "
+        "CURRENT + the N most recent versions, remove the rest "
+        "— no Spark",
+    )
+    apr.add_argument("--base-dir", required=True)
+    apr.add_argument("--keep", type=int, default=2)
+    apr.add_argument(
+        "--prune-staging",
+        action="store_true",
+        help="also clear .staging-* crash residue (only when no "
+        "rebuild is running)",
+    )
+    apr.add_argument("--log-dir")
+
     asr = sub.add_parser(
         "ann-search",
         help="top-k ANN over a frozen model + store for query vectors "
@@ -1029,6 +1059,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_ann_merge(args)
     if args.cmd == "ann-stats":
         return cmd_ann_stats(args)
+    if args.cmd == "ann-prune":
+        return cmd_ann_prune(args)
     if args.cmd == "ann-search":
         return cmd_ann_search(args)
     if args.cmd == "ann-delete":

@@ -2111,6 +2111,56 @@ def resolve_ann_current(base_dir: str) -> dict:
     }
 
 
+def prune_ann_versions(
+    base_dir: str, keep: int = 2, prune_staging: bool = False
+) -> dict:
+    """Retention for a `rebuild_ann` deployment dir: every rebuild
+    leaves the previous (model, store) pair behind for pointer
+    rollback, and at scale each pair is a full code store (~3 TB per
+    100 TB corpus) — unbounded history is a disk leak an operator
+    hits within weeks. Keeps the CURRENT pointer's version plus the
+    ``keep`` most recent versions (CURRENT is kept even when it is
+    the oldest — a rolled-back pointer must never have its target
+    deleted under it) and removes the rest. ``prune_staging`` also
+    clears inert ``.staging-*`` crash residue — only pass it when no
+    rebuild is running (a live rebuild's staging dir is
+    indistinguishable from residue by name alone).
+
+    Returns ``{"kept": [...], "removed": [...],
+    "staging_removed": n}``."""
+    import os
+    import re
+    import shutil
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    cur = resolve_ann_current(base_dir)  # refuses pointerless dirs
+    versions_dir = os.path.join(base_dir, "versions")
+    versions = sorted(
+        int(mm.group(1))
+        for e in os.listdir(versions_dir)
+        if (mm := re.fullmatch(r"v(\d+)", e))
+    )
+    keep_set = set(versions[-keep:]) | {cur["version"]}
+    removed = []
+    for n in versions:
+        if n in keep_set:
+            continue
+        shutil.rmtree(os.path.join(versions_dir, f"v{n}"))
+        removed.append(n)
+    staging_removed = 0
+    if prune_staging:
+        for e in os.listdir(versions_dir):
+            if e.startswith(".staging-"):
+                shutil.rmtree(os.path.join(versions_dir, e))
+                staging_removed += 1
+    return {
+        "kept": sorted(keep_set & set(versions)),
+        "removed": removed,
+        "staging_removed": staging_removed,
+    }
+
+
 def compact_ann_store(
     spark,
     drain_dir: str,

@@ -637,6 +637,63 @@ def main() -> None:
                 f"{out['sim9_1m']['ann_rebuild_sec']}s",
                 file=sys.stderr,
             )
+
+            # r10 round 2: incremental merge — fold a 2 % drain delta
+            # (20k new vectors, two streaming-shaped batch_id
+            # partitions) into the 1M serving store. The number to
+            # compare against is the full store build above
+            # (ann_store_build_sec): compaction re-pays that on every
+            # run and grows with drain history; the merge pays only
+            # the delta.
+            from inpe_queimadas_etl_spark.operators.pq import (
+                merge_ann_appends,
+                write_ann_store_meta,
+            )
+
+            DN = 20_000
+            rngm = np.random.default_rng(23)
+            DM = rngm.normal(0, 1, size=(DN, EMB_DIM))
+            drain_dir = os.path.join(tmp, "ann_drain")
+            half = DN // 2
+            loaded = load_ann_model(model_path)
+            for b in range(2):
+                sl = DM[b * half : (b + 1) * half]
+                ddf = spark.createDataFrame(
+                    [
+                        (
+                            1_000_000 + b * half + i,
+                            [float(x) for x in sl[i]],
+                        )
+                        for i in range(half)
+                    ],
+                    "vec_id long, v array<double>",
+                ).withColumn("nrm", vec_norm("v"))
+                pq_ivf_encode(
+                    ddf, loaded["cents3"], loaded["cb"]
+                ).write.mode("overwrite").parquet(
+                    os.path.join(drain_dir, f"batch_id={b}")
+                )
+            write_ann_store_meta(
+                drain_dir,
+                loaded["sha256"],
+                encoding_sha256=loaded["encoding_sha256"],
+            )
+            t0 = time.perf_counter()
+            mres = merge_ann_appends(spark, ann_store, drain_dir, loaded)
+            out["sim9_1m"]["ann_merge_20k_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            out["sim9_1m"]["ann_merge_rows"] = int(mres["rows"])
+            # serving over the merged store: same path, same cost band
+            out["sim9_1m"]["ann_topk_after_merge_sec"] = _t(ann_serve)
+            print(
+                f"# 1M ann_merge (+{DN} rows): "
+                f"{out['sim9_1m']['ann_merge_20k_sec']}s vs "
+                f"{out['sim9_1m']['ann_store_build_sec']}s full build; "
+                f"serve after merge "
+                f"{out['sim9_1m']['ann_topk_after_merge_sec']}s",
+                file=sys.stderr,
+            )
             print(
                 f"# 1M sim9 K={K}/nprobe={NPROBE}: build "
                 f"{out['sim9_1m']['build_sec']}s fused (compositional "

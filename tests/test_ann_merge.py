@@ -335,3 +335,103 @@ def test_merge_journal_is_single_writer_arbiter(spark, setup, tmp_path):
     assert json.load(
         open(os.path.join(store, "_ann_model.json"))
     )["merged_through"] == 0
+
+
+def test_merge_real_streaming_drain_into_base_store(spark, tmp_path):
+    """Integration: the ACTUAL embedding drain's ANN sink (two
+    micro-batches through `start_embedding_dedup_stream`, unified
+    stamp, batch_id dirs with _SUCCESS) merges into a base store
+    built before the stream existed — merged store == one-shot build
+    over base + accepted, rows and sizes alike."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+    from inpe_queimadas_etl_spark.streaming import (
+        start_embedding_dedup_stream,
+    )
+
+    def vec(seed, dim=64):
+        rng = random.Random(seed)
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    def snap(path, ids):
+        pa_pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, type=pa.int64()),
+                    "embedding": pa.array(
+                        [vec(i) for i in ids],
+                        type=pa.list_(pa.float32()),
+                    ),
+                }
+            ),
+            path,
+        )
+
+    def as_emb(ids):
+        return (
+            spark.createDataFrame(
+                [(int(i), vec(i)) for i in ids],
+                "vec_id long, v array<double>",
+            )
+            .withColumn("nrm", vec_norm("v"))
+        )
+
+    base_ids = list(range(20))
+    base = as_emb(base_ids)
+    model = train_ann_model(base, k=2, m=8, ks=4, frac=1.0, cand=100)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+    loaded = load_ann_model(model_path)
+    store = str(tmp_path / "base_store")
+    build_ann_store(base, loaded, store)
+
+    vecs_dir = str(tmp_path / "vecs")
+    os.makedirs(vecs_dir)
+    b1, b2 = list(range(100, 115)), list(range(200, 215))
+
+    def drain():
+        q = start_embedding_dedup_stream(
+            spark,
+            vecs_dir=vecs_dir,
+            index_dir=str(tmp_path / "index"),
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+            ann_model_path=model_path,
+        )
+        q.awaitTermination(120)
+
+    snap(os.path.join(vecs_dir, "snap1.parquet"), b1)
+    drain()
+    snap(os.path.join(vecs_dir, "snap2.parquet"), b2)
+    drain()
+    drain_dir = str(tmp_path / "out" / "ann_store")
+
+    res = merge_ann_appends(spark, store, drain_dir, loaded)
+    assert sorted(res["merged_batches"]) == res["merged_batches"]
+    assert res["rows"] == len(b1) + len(b2)
+
+    full = str(tmp_path / "full_store")
+    build_ann_store(as_emb(base_ids + b1 + b2), loaded, full)
+    assert read_ann_store_stamp(store)[1] == read_ann_store_stamp(full)[1]
+    merged_rows = sorted(
+        (int(r["vec_id"]), int(r["centroid_id"]), bytes(r["codes"]))
+        for r in read_ann_store(spark, store, loaded)[0].collect()
+    )
+    full_rows = sorted(
+        (int(r["vec_id"]), int(r["centroid_id"]), bytes(r["codes"]))
+        for r in read_ann_store(spark, full, loaded)[0].collect()
+    )
+    assert merged_rows == full_rows
+
+    # a re-run of the stream with nothing new + a re-merge: no-op
+    drain()
+    res2 = merge_ann_appends(spark, store, drain_dir, loaded)
+    assert res2["merged_batches"] == [] and res2["rows"] == 0

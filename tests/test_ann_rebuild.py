@@ -273,3 +273,66 @@ def test_rebuild_crash_between_renames_keeps_old_pointer(
     res = rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.25, cand=50)
     assert res["version"] == 3
     assert resolve_ann_current(base)["version"] == 3
+
+
+def test_prune_ann_versions_retention(spark, tmp_path):
+    """Retention: keep CURRENT + the N most recent versions; CURRENT
+    survives even when it is the OLDEST (rolled-back pointer);
+    staging residue clears only on request; the kept pair still
+    serves."""
+    from inpe_queimadas_etl_spark import cli
+    from inpe_queimadas_etl_spark.operators.pq import (
+        prune_ann_versions,
+    )
+
+    emb = _emb(spark)
+    base = str(tmp_path / "ann")
+    with pytest.raises(LookupError, match="no published ANN version"):
+        prune_ann_versions(base)
+    for frac in (0.5, 0.25, 0.75):  # three published versions
+        rebuild_ann(emb, base, k=4, m=8, ks=16, frac=frac, cand=100)
+    vdir = os.path.join(base, "versions")
+    os.makedirs(os.path.join(vdir, ".staging-v9-deadbeef"))
+
+    with pytest.raises(ValueError, match="keep must be"):
+        prune_ann_versions(base, keep=0)
+    res = prune_ann_versions(base, keep=1)
+    assert res == {"kept": [3], "removed": [1, 2], "staging_removed": 0}
+    assert sorted(os.listdir(vdir)) == [".staging-v9-deadbeef", "v3"]
+    _cur, rows = _serve(spark, emb, base)
+    assert rows  # the kept pair serves
+
+    # rebuild after prune continues the numbering past the max ever
+    res4 = rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.5, cand=100)
+    assert res4["version"] == 4
+    rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.25, cand=100)
+
+    # CURRENT rolled back to the oldest kept version: prune keeps it
+    # ALONGSIDE the most recent, never deletes the pointer's target.
+    # (The operator rollback flow — pointing CURRENT at an older
+    # published pair; its sha is the pair's own artifact sha.)
+    from inpe_queimadas_etl_spark.operators.pq import load_ann_model
+
+    cur_path = os.path.join(base, pq.ANN_CURRENT)
+    with open(cur_path) as f:
+        p = json.load(f)
+    p.update(
+        {
+            "version": 3,
+            "model": os.path.join("versions", "v3", "model.json"),
+            "store": os.path.join("versions", "v3", "store"),
+            "model_sha256": load_ann_model(
+                os.path.join(vdir, "v3", "model.json")
+            )["sha256"],
+        }
+    )
+    with open(cur_path, "w") as f:
+        json.dump(p, f)
+    res = prune_ann_versions(base, keep=1, prune_staging=True)
+    assert res["kept"] == [3, 5] and res["removed"] == [4]
+    assert res["staging_removed"] == 1
+    assert sorted(os.listdir(vdir)) == ["v3", "v5"]
+
+    # the CLI veneer
+    rc = cli.main(["ann-prune", "--base-dir", base, "--keep", "2"])
+    assert rc == 0
