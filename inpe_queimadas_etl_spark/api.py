@@ -817,6 +817,26 @@ def ann_topk_batch(
     st = _load_ann_state(
         spark, model_path, store_path, expected_sha256=expected_sha256
     )
+    return _ann_topk_batch_loaded(
+        spark, st, queries, k=k, rerank_with=rerank_with,
+        chunk_queries=chunk_queries,
+    )
+
+
+def _ann_topk_batch_loaded(
+    spark: SparkSession,
+    st: dict,
+    queries: DataFrame,
+    k: int | None = 5,
+    rerank_with: DataFrame | None = None,
+    chunk_queries: int | None = None,
+) -> DataFrame:
+    """`ann_topk_batch`'s body over ALREADY-LOADED artifacts (the
+    `_ann_topk_loaded` convention): per-call consumers load via
+    `ann_topk_batch`; long-lived ones — the HTTP front, the streaming
+    search — hold the frozen ``_load_ann_state`` dict once and call
+    this per batch, never re-paying the model parse / meta read /
+    size resolution."""
     model, store, sizes = st["model"], st["store"], st["sizes"]
     if k is None:
         # exhaustive mode (the decontamination consumers): rank every

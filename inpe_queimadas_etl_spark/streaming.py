@@ -1203,3 +1203,87 @@ def start_quality_gate_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_ann_search_stream(
+    spark: SparkSession,
+    queries_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    store_path: str,
+    model_path: str,
+    k: int | None = 5,
+    rerank_with: DataFrame | None = None,
+    available_now: bool = True,
+    chunk_queries: int | None = None,
+    expected_sha256: str | None = None,
+    schema: T.StructType | None = None,
+    on_batch=None,
+):
+    """Streaming face of `api.ann_topk_batch` — the third corner of
+    the serving triangle (HTTP for ad-hoc vectors, batch for 10^4+
+    query jobs, THIS for a continuous feed): micro-batches of landed
+    query snapshots ``(query_id, qv)`` parquet are searched against a
+    FROZEN (model, store) pair and each batch's top-k rows land at
+    ``out_dir/results/batch_id=N`` — the standard idempotent
+    per-batch overwrite sink, so a crash-replayed batch rewrites its
+    own partition and nothing else.
+
+    Artifacts load ONCE at stream start (`api._load_ann_state` — the
+    HTTP front's frozen stance): the model is sha-checked, the store
+    stamp verified, sizes and tombstones resolved, and every batch
+    reuses them. The store is served AS OF stream start — an
+    `merge_ann_appends`/tombstone landing mid-stream is invisible
+    until restart (a merge only adds files, so in-flight reads stay
+    consistent); this is the same snapshot semantics the HTTP
+    context documents. Duplicate query ids WITHIN a batch are
+    refused (kills the batch loudly — the `ann_topk_batch`
+    contract); the same id in different batches is fine: batches are
+    independent searches, each in its own result partition.
+
+    Scale shape per batch is exactly `ann_topk_batch`'s: probe
+    assignment is an Arrow scan over the batch, one bounded probe
+    broadcast (or ``chunk_queries``-bounded chunks), LUTs
+    executor-side, store partition-pruned to probed clusters, one
+    ranking tail. Returns the StreamingQuery."""
+    from .api import _ann_topk_batch_loaded, _load_ann_state
+
+    st = _load_ann_state(
+        spark, model_path, store_path, expected_sha256=expected_sha256
+    )
+    schema = _resolve_stream_schema(spark, queries_dir, schema)
+    missing = {"query_id", "qv"} - set(schema.fieldNames())
+    if missing:
+        raise ValueError(
+            f"queries schema must carry query_id, qv "
+            f"(missing: {sorted(missing)})"
+        )
+    res_dir = f"{out_dir}/results"
+    _bind_drain_identity(checkpoint_dir, (res_dir,))
+    src = spark.readStream.schema(schema).parquet(queries_dir)
+
+    def run_batch(batch: DataFrame, batch_id: int) -> None:
+        existing = _read_or_empty(
+            spark, res_dir, spark.createDataFrame([], "query_id long")
+        )
+        _refuse_checkpoint_reset(((res_dir, existing),), batch_id)
+        res = _ann_topk_batch_loaded(
+            spark,
+            st,
+            batch.select("query_id", "qv"),
+            k=k,
+            rerank_with=rerank_with,
+            chunk_queries=chunk_queries,
+        )
+        _write_partition(res, res_dir, batch_id)
+        if on_batch is not None:
+            on_batch(batch_id, {"n_queries": batch.count()})
+
+    writer = (
+        src.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -435,3 +435,123 @@ def test_merge_real_streaming_drain_into_base_store(spark, tmp_path):
     drain()
     res2 = merge_ann_appends(spark, store, drain_dir, loaded)
     assert res2["merged_batches"] == [] and res2["rows"] == 0
+
+
+def test_ann_search_stream_matches_batch(spark, setup, tmp_path):
+    """The streaming search face: two query snapshots through
+    `start_ann_search_stream` over frozen artifacts — each batch's
+    results land in their own partition and equal `ann_topk_batch`
+    over that snapshot; a replayed start is idempotent; duplicate ids
+    within a batch kill the stream loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
+    from inpe_queimadas_etl_spark.api import ann_topk_batch
+    from inpe_queimadas_etl_spark.streaming import (
+        start_ann_search_stream,
+    )
+
+    model = setup["model"]
+    base, b0, b1, _b2 = setup["splits"]
+    store = str(tmp_path / "store")
+    build_ann_store(setup["emb"], model, store)
+
+    qdir = str(tmp_path / "queries")
+    os.makedirs(qdir)
+
+    def snap(name, rows):
+        pa_pq.write_table(
+            pa.table(
+                {
+                    "query_id": pa.array(
+                        [q for q, _ in rows], type=pa.int64()
+                    ),
+                    "qv": pa.array(
+                        [v for _, v in rows],
+                        type=pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            os.path.join(qdir, name),
+        )
+
+    q1 = [
+        (int(r["vec_id"]) + 100_000, [float(x) for x in r["v"]])
+        for r in setup["emb"].filter(F.col("vec_id") < 4).collect()
+    ]
+    q2 = [
+        (int(r["vec_id"]) + 200_000, [float(x) for x in r["v"]])
+        for r in setup["emb"]
+        .filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 8))
+        .collect()
+    ]
+
+    def run():
+        q = start_ann_search_stream(
+            spark,
+            queries_dir=qdir,
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            store_path=store,
+            model_path=setup["model_path"],
+            k=3,
+            rerank_with=setup["emb"],
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    snap("snap1.parquet", q1)
+    run()
+    snap("snap2.parquet", q2)
+    run()
+    res_dir = str(tmp_path / "out" / "results")
+    got = spark.read.parquet(res_dir)
+    assert sorted(
+        int(r["batch_id"]) for r in got.select("batch_id").distinct().collect()
+    ) == [0, 1]
+
+    for snap_rows, bid in ((q1, 0), (q2, 1)):
+        qdf = spark.createDataFrame(
+            snap_rows, "query_id long, qv array<double>"
+        )
+        want = (
+            ann_topk_batch(
+                spark, store, setup["model_path"], qdf, k=3,
+                rerank_with=setup["emb"],
+            )
+            .toPandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        got_b = (
+            got.filter(F.col("batch_id") == bid)
+            .drop("batch_id")
+            .toPandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            got_b[sorted(got_b.columns)], want[sorted(want.columns)]
+        )
+
+    # nothing new landed: a re-run processes nothing, results intact
+    n_before = got.count()
+    run()
+    assert spark.read.parquet(res_dir).count() == n_before
+
+    # duplicate ids within one snapshot kill that batch loudly
+    snap("snap3.parquet", [q1[0], q1[0]])
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="unique"):
+        q = start_ann_search_stream(
+            spark,
+            queries_dir=qdir,
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            store_path=store,
+            model_path=setup["model_path"],
+            k=3,
+            available_now=True,
+        )
+        q.awaitTermination(120)
