@@ -890,61 +890,78 @@ def _ann_topk_batch_loaded(
             yield buf
 
     scoreds = []
-    id_chunks = []
-    for probe_rows in _row_chunks():
-        # each vector once (chunk x dim), clusters as index lists —
-        # each broadcast is O(chunk*dim + chunk*nprobe), never
-        # nprobe-fold duplicated
-        qids_arr = np.array(
-            [int(r["query_id"]) for r in probe_rows], dtype=np.int64
-        )
-        id_chunks.append(qids_arr)
-        qv_mat = np.array(
-            [list(r["qvr"]) for r in probe_rows], dtype=np.float64
-        )
-        by_cluster: dict = {}
-        for i, r in enumerate(probe_rows):
-            for cid in r["qclusters"]:
-                by_cluster.setdefault(int(cid), []).append(i)
-        if not by_cluster:
-            continue
-        grouped = {
-            "qids": qids_arr,
-            "qv": qv_mat,
-            "by_cluster": {
-                cid: np.array(idx, dtype=np.int64)
-                for cid, idx in by_cluster.items()
-            },
-        }
-        pruned = store.filter(
-            F.col("centroid_id").isin(sorted(by_cluster))
-        )
-        if st["tombstones"]:
-            pruned = pruned.filter(
-                ~F.col("vec_id").isin(st["tombstones"])
+    broadcasts = []
+    seen_sorted = np.empty(0, dtype=np.int64)
+    try:
+        for probe_rows in _row_chunks():
+            # each vector once (chunk x dim), clusters as index
+            # lists — each broadcast is O(chunk*dim + chunk*nprobe),
+            # never nprobe-fold duplicated
+            qids_arr = np.array(
+                [int(r["query_id"]) for r in probe_rows],
+                dtype=np.int64,
             )
-        probes_bc = spark.sparkContext.broadcast(grouped)
-        scoreds.append(
-            pq_ivf_adc_search_scan_grouped(
-                pruned, model["cb"], scan_cents, probes_bc, cand
+            # duplicate ids would double-score their probes and
+            # inflate ranks — refuse rather than return silently
+            # wrong top-k. Checked on the CASTED ids, incrementally
+            # per chunk against everything seen (review r10 round 3:
+            # the end-of-loop check streamed and broadcast every
+            # chunk of a 10^7-query job before failing on the first
+            # duplicate), and before this chunk ships anything
+            uniq, counts = np.unique(qids_arr, return_counts=True)
+            if len(uniq) != len(qids_arr):
+                raise ValueError(
+                    "queries ids must be unique (duplicate: "
+                    f"{int(uniq[counts > 1][0])})"
+                )
+            cross = uniq[np.isin(uniq, seen_sorted)]
+            if len(cross):
+                raise ValueError(
+                    "queries ids must be unique (duplicate: "
+                    f"{int(cross[0])})"
+                )
+            seen_sorted = np.union1d(seen_sorted, uniq)
+            qv_mat = np.array(
+                [list(r["qvr"]) for r in probe_rows], dtype=np.float64
             )
-        )
-    all_ids = (
-        np.concatenate(id_chunks)
-        if id_chunks
-        else np.empty(0, dtype=np.int64)
-    )
-    if len(np.unique(all_ids)) != len(all_ids):
-        # duplicate ids would double-score their probes and inflate
-        # ranks — refuse rather than return silently wrong top-k.
-        # Checked on the CASTED ids, ACROSS chunks (a duplicate split
-        # over two chunks is the same double-score), and before any
-        # scoring action runs (everything above is lazy)
-        uniq, counts = np.unique(all_ids, return_counts=True)
-        raise ValueError(
-            "queries ids must be unique (duplicate: "
-            f"{int(uniq[counts > 1][0])})"
-        )
+            by_cluster: dict = {}
+            for i, r in enumerate(probe_rows):
+                for cid in r["qclusters"]:
+                    by_cluster.setdefault(int(cid), []).append(i)
+            if not by_cluster:
+                continue
+            grouped = {
+                "qids": qids_arr,
+                "qv": qv_mat,
+                "by_cluster": {
+                    cid: np.array(idx, dtype=np.int64)
+                    for cid, idx in by_cluster.items()
+                },
+            }
+            pruned = store.filter(
+                F.col("centroid_id").isin(sorted(by_cluster))
+            )
+            if st["tombstones"]:
+                pruned = pruned.filter(
+                    ~F.col("vec_id").isin(st["tombstones"])
+                )
+            probes_bc = spark.sparkContext.broadcast(grouped)
+            broadcasts.append(probes_bc)
+            scoreds.append(
+                pq_ivf_adc_search_scan_grouped(
+                    pruned, model["cb"], scan_cents, probes_bc, cand
+                )
+            )
+    except BaseException:
+        # refusal or Spark failure mid-stream: release every chunk
+        # broadcast already shipped — nothing downstream will ever
+        # reference them (the plans in `scoreds` are dropped too)
+        for bc in broadcasts:
+            try:
+                bc.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 - best-effort cleanup
+                pass
+        raise
     if not scoreds:
         # empty query frame (e.g. an empty shard): nothing to score
         scored = spark.createDataFrame(
@@ -1115,44 +1132,41 @@ def _ep_ann_stats(ctx: ApiContext, params: dict) -> dict:
     which model serves (shas, version when CURRENT-resolved, geometry
     and serving knobs), how big the store is (clusters, rows — from
     the same size state the probe budget uses), how many ids are
-    tombstoned, and the incremental-merge watermark. All driver-side
-    state already held by the context: no Spark job runs, so an
-    operator can poll it. NOT cached (unlike /api/ann/topk): a
-    tombstone or merge landing between polls must show up — this
-    endpoint exists to watch exactly that. Tombstone/watermark counts
-    re-read the store dir per call for the same reason (tiny files);
-    the heavyweight (model, store, sizes) state stays frozen with the
-    context, so a just-merged store shows its new watermark here but
-    serves new rows only after a context restart — ``stale_sizes``
-    says when the two have diverged."""
-    from .operators.pq import read_ann_store_stamp, read_ann_tombstones
+    tombstoned, and the incremental-merge watermark. Steady-state
+    polls run no Spark job — everything comes from driver-side
+    context state plus two tiny file reads; the exception is the
+    context's one-time lazy load (shared with /api/ann/topk), which
+    for a size-less drain store pays the usual K-row size aggregate
+    on the FIRST request after a restart. NOT cached (unlike
+    /api/ann/topk): a tombstone or merge landing between polls must
+    show up — this endpoint exists to watch exactly that.
+    Tombstone/watermark reads hit the store dir per call for the
+    same reason; the heavyweight (model, store, sizes) state stays
+    frozen with the context, so a just-merged store shows its new
+    watermark here but serves new rows only after a context
+    restart — ``stale_sizes`` says when the two have diverged."""
+    from .operators.pq import (
+        ann_stats_card,
+        read_ann_store_stamp,
+        read_ann_tombstones,
+    )
 
     st = _ensure_ann_state(ctx)
-    model, sizes = st["model"], st["sizes"]
     stamp, stamped_sizes = read_ann_store_stamp(st["store_path"])
-    return {
-        "model_sha256": model["sha256"],
-        "encoding_sha256": model["encoding_sha256"],
-        "version": st.get("version"),
-        "store_path": st["store_path"],
-        "dim": model["dim"],
-        "m": model["m"],
-        "ks": model["ks"],
-        "frac": model["frac"],
-        "cand": model["cand"],
-        "opq": model.get("rot") is not None,
-        "clusters": len(sizes),
-        "rows": sum(sizes.values()),
-        "tombstones": len(read_ann_tombstones(st["store_path"])),
-        "merged_through": (
-            None if stamp is None else stamp.get("merged_through")
-        ),
-        # a merge that landed after this context loaded leaves the
-        # served sizes behind the stamped ones — restart to pick up
-        "stale_sizes": (
-            stamped_sizes is not None and stamped_sizes != sizes
-        ),
-    }
+    card = ann_stats_card(
+        stamp or {},
+        st["sizes"],
+        model=st["model"],
+        version=st.get("version"),
+        store_path=st["store_path"],
+    )
+    card["tombstones"] = len(read_ann_tombstones(st["store_path"]))
+    # a merge that landed after this context loaded leaves the
+    # served sizes behind the stamped ones — restart to pick up
+    card["stale_sizes"] = (
+        stamped_sizes is not None and stamped_sizes != st["sizes"]
+    )
+    return card
 
 
 _ROUTES = {

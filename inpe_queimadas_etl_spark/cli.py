@@ -461,6 +461,7 @@ def cmd_ann_stats(args) -> int:
 
     from .operators.pq import (
         ANN_MERGE_JOURNAL,
+        ann_stats_card,
         load_ann_model,
         read_ann_store_stamp,
         read_ann_tombstones,
@@ -480,37 +481,19 @@ def cmd_ann_stats(args) -> int:
     stamp, sizes = read_ann_store_stamp(store)
     if stamp is None:
         raise SystemExit(f"{store!r} carries no ANN store stamp")
-    out = {
-        "store_path": store,
-        "version": version,
-        "model_sha256": stamp.get("model_sha256"),
-        "encoding_sha256": stamp.get("encoding_sha256"),
-        "clusters": None if sizes is None else len(sizes),
-        "rows": None if sizes is None else sum(sizes.values()),
-        "tombstones": len(read_ann_tombstones(store)),
-        "merged_through": stamp.get("merged_through"),
-        "pending_merge": os.path.exists(
-            os.path.join(store, ANN_MERGE_JOURNAL)
-        ),
-    }
-    if model_path:
-        model = load_ann_model(model_path)
-        out.update(
-            {
-                "model_sha256": model["sha256"],
-                "encoding_sha256": model["encoding_sha256"],
-                "dim": model["dim"],
-                "m": model["m"],
-                "ks": model["ks"],
-                "frac": model["frac"],
-                "cand": model["cand"],
-                "opq": model.get("rot") is not None,
-                "model_matches_store": (
-                    model["encoding_sha256"] == stamp.get("encoding_sha256")
-                    if stamp.get("encoding_sha256") is not None
-                    else model["sha256"] == stamp.get("model_sha256")
-                ),
-            }
+    model = load_ann_model(model_path) if model_path else None
+    out = ann_stats_card(
+        stamp, sizes, model=model, version=version, store_path=store
+    )
+    out["tombstones"] = len(read_ann_tombstones(store))
+    out["pending_merge"] = os.path.exists(
+        os.path.join(store, ANN_MERGE_JOURNAL)
+    )
+    if model is not None:
+        out["model_matches_store"] = (
+            model["encoding_sha256"] == stamp.get("encoding_sha256")
+            if stamp.get("encoding_sha256") is not None
+            else model["sha256"] == stamp.get("model_sha256")
         )
     log.info("ann-stats | %s", json.dumps(out))
     print(json.dumps(out))

@@ -2191,9 +2191,39 @@ def compact_ann_store(
     not carried over (the compacted store starts with a clean slate),
     so the serving-time NOT-IN filter shrinks back to empty and the
     stamped cluster sizes are exact net of deletions."""
+    import os
+
     from pyspark.sql import functions as F
 
-    src, _ = read_ann_store(spark, drain_dir, model)
+    stamp, _sizes = read_ann_store_stamp(drain_dir)
+    if stamp is not None:
+        _refuse_stamp_mismatch(drain_dir, stamp, model)
+    batch_layout = os.path.isdir(drain_dir) and any(
+        e.startswith("batch_id=") for e in os.listdir(drain_dir)
+    )
+    if batch_layout:
+        # read ONLY committed batches (review r10 round 3): the root
+        # read pulled rows from an in-flight/crash-truncated batch
+        # AND stamped its id into the watermark — the stream's replay
+        # of that batch would then be skipped by every later merge,
+        # silently dropping the rows the partial read missed. The
+        # watermark may only ever name batches consumed WHOLE.
+        complete = _complete_drain_batches(drain_dir)
+        data_paths = [
+            os.path.join(drain_dir, f"batch_id={b}")
+            for b in complete
+            if _drain_batch_has_data(drain_dir, b)
+        ]
+        if not data_paths:
+            raise ValueError(
+                f"{drain_dir!r} has no committed batch with data — "
+                "nothing to compact yet"
+            )
+        src = spark.read.parquet(*data_paths)
+        mb = max(complete)
+    else:
+        src, _ = read_ann_store(spark, drain_dir, model)
+        mb = None
     codes = src.select("vec_id", "centroid_id", "codes")
     tombs = read_ann_tombstones(drain_dir)
     if tombs:
@@ -2218,19 +2248,14 @@ def compact_ann_store(
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    # stamp the merge watermark with the highest drain batch this
-    # compaction consumed, so compact -> merge composes: a later
+    # stamp the merge watermark with the highest COMMITTED drain batch
+    # this compaction consumed, so compact -> merge composes: a later
     # `merge_ann_appends` of the SAME drain starts past these batches
     # instead of re-adding every row it already holds
-    mb = (
-        src.agg(F.max("batch_id")).first()[0]
-        if "batch_id" in src.columns
-        else None
-    )
     write_ann_store_meta(
         out_store, model["sha256"], sizes,
         encoding_sha256=model["encoding_sha256"],
-        merged_through=None if mb is None else int(mb),
+        merged_through=mb,
     )
 
 
@@ -2326,110 +2351,222 @@ def merge_ann_appends(
         )
     _refuse_stamp_mismatch(drain_dir, dstamp, model)
 
-    watermark = int(stamp.get("merged_through", -1))
-    batches = sorted(
+    # acquire the journal BEFORE reading the watermark (review r10
+    # round 3): with read-then-acquire, two overlapping merges could
+    # both read the same stale watermark — the loser would re-publish
+    # the winner's delta under fresh file names, silently duplicating
+    # every row. O_EXCL creation is the single-writer arbiter (the
+    # tombstone-lock stance); the phase-0 content below parses as
+    # "no moves ran", so a crash anywhere before the full journal
+    # rewrite recovers as a clean rollback.
+    fd = os.open(journal_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        json.dump({"from": None, "to": None, "moves": []}, f)
+    moves_published = False
+    try:
+        # authoritative reads UNDER the journal: any earlier merge
+        # either committed its meta before unlinking its journal (we
+        # see its watermark) or left a journal (our O_EXCL failed)
+        stamp, sizes = read_ann_store_stamp(store_path)
+        watermark = int(stamp.get("merged_through", -1))
+        # drain tombstones propagate to the STORE's set even when no
+        # new batch merges (review r10 round 3): a takedown filed
+        # against the drain may target rows a PREVIOUS merge already
+        # published — compact honors it (it rebuilds from the drain),
+        # so merge must too, or the two paths diverge on takedowns.
+        # Recorded before any move: extra tombstones for never-merged
+        # ids are harmless (a NOT-IN of absent ids), lost ones are not
+        drain_tombs = read_ann_tombstones(drain_dir)
+        tombstoned = 0
+        if drain_tombs:
+            tombstoned = delete_from_ann_store(store_path, drain_tombs)[
+                "added"
+            ]
+        delta_batches = [
+            b
+            for b in _complete_drain_batches(drain_dir)
+            if b > watermark
+        ]
+        if not delta_batches:
+            os.unlink(journal_path)
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            return {
+                "merged_batches": [],
+                "rows": 0,
+                "merged_through": watermark,
+                "tombstoned": tombstoned,
+                "recovered": recovered,
+            }
+        to = max(delta_batches)
+        # explicit batch-dir paths, never the drain root: the root
+        # listing would pull footers from an in-flight batch's
+        # half-written files. Data-less batches (zero-survivor
+        # streaming batches write only _SUCCESS) are CONSUMED by the
+        # watermark but excluded from the read — schema inference
+        # over them would fail (review r10 round 3)
+        data_paths = [
+            os.path.join(drain_dir, f"batch_id={b}")
+            for b in delta_batches
+            if _drain_batch_has_data(drain_dir, b)
+        ]
+        shutil.rmtree(stage_dir, ignore_errors=True)  # stale residue
+        if data_paths:
+            delta = spark.read.parquet(*data_paths).select(
+                "vec_id", "centroid_id", "codes"
+            )
+            dead = sorted(set(read_ann_tombstones(store_path)))
+            if dead:
+                delta = delta.filter(~F.col("vec_id").isin(dead))
+            delta.repartition("centroid_id").write.partitionBy(
+                "centroid_id"
+            ).parquet(stage_dir)
+        has_parts = os.path.isdir(stage_dir) and any(
+            e.startswith("centroid_id=") for e in os.listdir(stage_dir)
+        )
+        # an all-tombstoned/all-empty delta stages zero partitions —
+        # still a valid merge (it CONSUMES the batches by advancing
+        # the watermark)
+        delta_sizes = (
+            {
+                int(r["centroid_id"]): int(r["n"])
+                for r in spark.read.parquet(stage_dir)
+                .groupBy("centroid_id")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            if has_parts
+            else {}
+        )
+        moves = []
+        for cid in sorted(delta_sizes):
+            src_dir = os.path.join(stage_dir, f"centroid_id={cid}")
+            dst_dir = os.path.join(store_path, f"centroid_id={cid}")
+            for i, fn in enumerate(sorted(os.listdir(src_dir))):
+                if fn.startswith(("_", ".")):
+                    continue
+                moves.append(
+                    [
+                        os.path.join(src_dir, fn),
+                        # `to` keys the name: a retry of the same
+                        # window only runs after rollback deleted
+                        # these, and two different windows can never
+                        # collide
+                        os.path.join(dst_dir, f"merge{to}-{i:05d}-{fn}"),
+                    ]
+                )
+        with open(journal_path, "w") as f:
+            # in-place rewrite, not replace: we own the O_EXCL file.
+            # A crash mid-rewrite leaves truncated JSON, which
+            # recovery reads as "no moves ran" — true, moves only
+            # start after this block completes
+            json.dump(
+                {
+                    "from": watermark,
+                    "to": to,
+                    "moves": moves,
+                    "delta_sizes": {
+                        str(k): v for k, v in delta_sizes.items()
+                    },
+                },
+                f,
+            )
+        moves_published = True
+        _merge_apply_moves(moves)
+        new_sizes = dict(sizes)
+        for cid, n in delta_sizes.items():
+            new_sizes[cid] = new_sizes.get(cid, 0) + n
+        write_ann_store_meta(  # THE commit point: one atomic replace
+            store_path,
+            stamp["model_sha256"],
+            sizes=new_sizes,
+            encoding_sha256=stamp.get("encoding_sha256"),
+            merged_through=to,
+        )
+    except BaseException:
+        if not moves_published:
+            # nothing moved yet: release the arbiter so the refusal
+            # (bad drain, Spark failure) does not demand recover=True
+            os.unlink(journal_path)
+            shutil.rmtree(stage_dir, ignore_errors=True)
+        # after moves start, the journal MUST stay for recovery —
+        # deleting it would orphan the files already published
+        raise
+    os.unlink(journal_path)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    return {
+        "merged_batches": delta_batches,
+        "rows": sum(delta_sizes.values()),
+        "merged_through": to,
+        "tombstoned": tombstoned,
+        "recovered": recovered,
+    }
+
+
+def ann_stats_card(
+    stamp: dict,
+    sizes: dict | None,
+    model: dict | None = None,
+    version: int | None = None,
+    store_path: str | None = None,
+) -> dict:
+    """The ONE builder of the ANN observability card's shared fields
+    (review r10 round 3: the HTTP endpoint and the Spark-free CLI
+    assembled the same keys by hand and had already drifted) — shas,
+    version, store path, size summary, merge watermark, and (when a
+    loaded model is in hand) geometry + serving knobs, with the
+    model's shas overriding the stamp's as the more authoritative
+    source. Callers append their surface-specific fields (live
+    tombstone count, pending_merge, stale_sizes)."""
+    card = {
+        "store_path": store_path,
+        "version": version,
+        "model_sha256": stamp.get("model_sha256"),
+        "encoding_sha256": stamp.get("encoding_sha256"),
+        "clusters": None if sizes is None else len(sizes),
+        "rows": None if sizes is None else sum(sizes.values()),
+        "merged_through": stamp.get("merged_through"),
+    }
+    if model is not None:
+        card.update(
+            {
+                "model_sha256": model["sha256"],
+                "encoding_sha256": model["encoding_sha256"],
+                "dim": model["dim"],
+                "m": model["m"],
+                "ks": model["ks"],
+                "frac": model["frac"],
+                "cand": model["cand"],
+                "opq": model.get("rot") is not None,
+            }
+        )
+    return card
+
+
+def _complete_drain_batches(drain_dir: str) -> list:
+    """Sorted batch ids of COMMITTED drain appends — only dirs whose
+    Spark job finished (_SUCCESS marker). An in-flight or
+    crash-truncated batch is invisible to merge/compact watermarks,
+    so its replay is picked up whole later instead of being half-read
+    and then skipped forever."""
+    import os
+
+    return sorted(
         int(e.split("=", 1)[1])
         for e in os.listdir(drain_dir)
         if e.startswith("batch_id=")
         and os.path.isdir(os.path.join(drain_dir, e))
         and os.path.exists(os.path.join(drain_dir, e, "_SUCCESS"))
     )
-    delta_batches = [b for b in batches if b > watermark]
-    if not delta_batches:
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        return {
-            "merged_batches": [],
-            "rows": 0,
-            "merged_through": watermark,
-            "recovered": recovered,
-        }
-    to = max(delta_batches)
-    # explicit batch-dir paths, never the drain root: the root listing
-    # would pull footers from an in-flight batch's half-written files
-    delta = spark.read.parquet(
-        *[os.path.join(drain_dir, f"batch_id={b}") for b in delta_batches]
-    ).select("vec_id", "centroid_id", "codes")
-    dead = sorted(
-        set(read_ann_tombstones(store_path))
-        | set(read_ann_tombstones(drain_dir))
-    )
-    if dead:
-        delta = delta.filter(~F.col("vec_id").isin(dead))
-    shutil.rmtree(stage_dir, ignore_errors=True)  # rolled-back residue
-    delta.repartition("centroid_id").write.partitionBy(
-        "centroid_id"
-    ).parquet(stage_dir)
-    has_parts = any(
-        e.startswith("centroid_id=") for e in os.listdir(stage_dir)
-    )
-    # an all-tombstoned delta stages zero partitions — still a valid
-    # merge (it CONSUMES the batches by advancing the watermark), but
-    # reading the data-less dir would fail schema inference
-    delta_sizes = (
-        {
-            int(r["centroid_id"]): int(r["n"])
-            for r in spark.read.parquet(stage_dir)
-            .groupBy("centroid_id")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        if has_parts
-        else {}
-    )
-    moves = []
-    for cid in sorted(delta_sizes):
-        src_dir = os.path.join(stage_dir, f"centroid_id={cid}")
-        dst_dir = os.path.join(store_path, f"centroid_id={cid}")
-        for i, fn in enumerate(sorted(os.listdir(src_dir))):
-            if fn.startswith(("_", ".")):
-                continue
-            moves.append(
-                [
-                    os.path.join(src_dir, fn),
-                    # `to` keys the name: a retry of the same window
-                    # only runs after rollback deleted these, and two
-                    # different windows can never collide
-                    os.path.join(dst_dir, f"merge{to}-{i:05d}-{fn}"),
-                ]
-            )
-    # O_EXCL creation is the single-writer arbiter (the tombstone-lock
-    # stance): a racing merge fails here instead of interleaving moves
-    fd = os.open(journal_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    with os.fdopen(fd, "w") as f:
-        json.dump(
-            {
-                "from": watermark,
-                "to": to,
-                "moves": moves,
-                "delta_sizes": {
-                    str(k): v for k, v in delta_sizes.items()
-                },
-            },
-            f,
-        )
-    _merge_apply_moves(moves)
-    new_sizes = dict(sizes)
-    for cid, n in delta_sizes.items():
-        new_sizes[cid] = new_sizes.get(cid, 0) + n
-    write_ann_store_meta(  # THE commit point: one atomic replace
-        store_path,
-        stamp["model_sha256"],
-        sizes=new_sizes,
-        encoding_sha256=stamp.get("encoding_sha256"),
-        merged_through=to,
-    )
-    # any exception above leaves the journal in place for recovery —
-    # deleting it early would orphan files a crashed move loop
-    # already published
-    os.unlink(journal_path)
-    shutil.rmtree(stage_dir, ignore_errors=True)
-    n_rows = sum(delta_sizes.values())
-    return {
-        "merged_batches": delta_batches,
-        "rows": n_rows,
-        "merged_through": to,
-        "recovered": recovered,
-    }
+
+
+def _drain_batch_has_data(drain_dir: str, batch_id: int) -> bool:
+    """True when the batch dir holds at least one data file (a
+    zero-survivor batch writes only _SUCCESS — readable by nothing,
+    consumable by the watermark)."""
+    import os
+
+    d = os.path.join(drain_dir, f"batch_id={batch_id}")
+    return any(not fn.startswith(("_", ".")) for fn in os.listdir(d))
 
 
 def _merge_apply_moves(moves: list) -> None:
@@ -2446,10 +2583,11 @@ def _recover_pending_merge(store_path: str) -> str:
     """Classify and resolve a pending merge journal. ``committed``:
     the meta's watermark already reached the journal's target — the
     single atomic commit happened, only cleanup remained. Anything
-    else (including a truncated journal, which means the crash hit
-    before any move ran): delete whichever destination files the
-    journal lists — the drain still holds every delta row, so
-    rollback loses nothing — and let the caller re-merge."""
+    else — a truncated journal or the phase-0 ``{"to": null}`` stub
+    (both mean the crash hit before any move ran), or a full journal
+    whose meta never committed — deletes whichever destination files
+    the journal lists; the drain still holds every delta row, so
+    rollback loses nothing, and the caller re-merges."""
     import json
     import os
     import shutil
@@ -2464,11 +2602,12 @@ def _recover_pending_merge(store_path: str) -> str:
     stamp, _ = read_ann_store_stamp(store_path)
     committed = (
         j is not None
+        and j.get("to") is not None
         and stamp is not None
         and int(stamp.get("merged_through", -1)) >= int(j["to"])
     )
     if j is not None and not committed:
-        for _src, dst in j["moves"]:
+        for _src, dst in j.get("moves", []):
             if os.path.exists(dst):
                 os.unlink(dst)
     os.unlink(journal_path)

@@ -555,3 +555,125 @@ def test_ann_search_stream_matches_batch(spark, setup, tmp_path):
             available_now=True,
         )
         q.awaitTermination(120)
+
+
+def test_merge_reads_watermark_under_the_journal(
+    spark, setup, tmp_path, monkeypatch
+):
+    """The overlapping-merge race (review r10 round 3): the
+    authoritative watermark read happens AFTER the O_EXCL journal
+    acquisition. Simulated by a stamp reader that serves a STALE
+    stamp (no watermark) on the store's first read — the pre-journal
+    refusal pass — and the truth afterwards: a merge that trusted the
+    first read would re-publish already-merged batches; the fixed
+    path sees the committed watermark under the journal and no-ops."""
+    import inpe_queimadas_etl_spark.operators.pq as pq
+
+    model = setup["model"]
+    store, drain = _fresh_stores(spark, setup, tmp_path)
+    first = merge_ann_appends(spark, store, drain, model)
+    assert first["merged_through"] == 1
+    _stamp, sizes_after = read_ann_store_stamp(store)
+
+    real = pq.read_ann_store_stamp
+    state = {"stale_served": False}
+
+    def stale_once(path):
+        stamp, sizes = real(path)
+        if path == store and not state["stale_served"]:
+            state["stale_served"] = True
+            stamp = dict(stamp)
+            stamp.pop("merged_through", None)  # the pre-M1 view
+        return stamp, sizes
+
+    monkeypatch.setattr(pq, "read_ann_store_stamp", stale_once)
+    res = merge_ann_appends(spark, store, drain, model)
+    monkeypatch.undo()
+    assert state["stale_served"]  # the stale read WAS consumed
+    assert res["merged_batches"] == [] and res["rows"] == 0
+    assert read_ann_store_stamp(store)[1] == sizes_after  # no dupes
+
+
+def test_compact_ignores_uncommitted_batches(spark, setup, tmp_path):
+    """compact's watermark may only name batches consumed WHOLE
+    (review r10 round 3): a batch without _SUCCESS is excluded from
+    the read AND the watermark, so its replay merges in full later
+    instead of being half-read then skipped forever."""
+    model = setup["model"]
+    base, b0, b1, _b2 = setup["splits"]
+    _store, drain = _fresh_stores(spark, setup, tmp_path)
+    # batch 1 crashed mid-commit: data present, no _SUCCESS
+    os.unlink(os.path.join(drain, "batch_id=1", "_SUCCESS"))
+
+    compacted = str(tmp_path / "compacted")
+    compact_ann_store(spark, drain, compacted, model)
+    stamp, sizes = read_ann_store_stamp(compacted)
+    assert stamp["merged_through"] == 0  # batch 1 NOT consumed
+    assert sum(sizes.values()) == b0.count()  # none of its rows read
+
+    # the stream replays batch 1 (full rewrite, _SUCCESS lands)
+    _append_drain_batch(drain, b1, model, 1)
+    res = merge_ann_appends(spark, compacted, drain, model)
+    assert res["merged_batches"] == [1]
+    assert res["rows"] == b1.count()
+    # the compacted store covers the DRAIN's rows only (b0 + b1) —
+    # base never flowed through this drain
+    full = str(tmp_path / "full")
+    build_ann_store(b0.union(b1), model, full)
+    assert read_ann_store_stamp(compacted)[1] == read_ann_store_stamp(full)[1]
+    _pin_serving_equal(spark, setup, compacted, full)
+
+
+def test_merge_propagates_drain_tombstones_to_merged_rows(
+    spark, setup, tmp_path
+):
+    """A takedown filed against the DRAIN after its batch was merged
+    must retire the row in the serving store too (review r10 round 3
+    — compact honors drain tombstones on rebuild, so merge must
+    match): the next merge copies the drain's tombstones into the
+    store's set even with no new batch to fold."""
+    from inpe_queimadas_etl_spark.operators.pq import (
+        read_ann_tombstones,
+    )
+
+    model = setup["model"]
+    _base, b0, _b1, _b2 = setup["splits"]
+    store, drain = _fresh_stores(spark, setup, tmp_path, drain_batches=(0,))
+    merge_ann_appends(spark, store, drain, model)
+    victim = int(b0.first()["vec_id"])
+
+    delete_from_ann_store(drain, [victim])  # takedown on the drain
+    res = merge_ann_appends(spark, store, drain, model)
+    assert res["merged_batches"] == [] and res["tombstoned"] == 1
+    assert victim in read_ann_tombstones(store)
+    qv = _queries(setup)
+    served = ann_topk(
+        spark, store, setup["model_path"], qv, k=10,
+        rerank_with=setup["emb"],
+    ).collect()
+    assert victim not in {int(r["neighbor_id"]) for r in served}
+
+
+def test_merge_consumes_dataless_batches(spark, setup, tmp_path):
+    """A zero-survivor streaming batch writes only _SUCCESS — merge
+    must consume it (advance the watermark) without tripping schema
+    inference over a data-less dir (review r10 round 3)."""
+    model = setup["model"]
+    base, b0, _b1, _b2 = setup["splits"]
+    store, drain = _fresh_stores(spark, setup, tmp_path, drain_batches=(0,))
+    # batch 1: every row deduped away — the real drain shape (an
+    # empty encode), typically _SUCCESS with no data files
+    _append_drain_batch(
+        drain, setup["emb"].filter(F.lit(False)), model, 1
+    )
+    res = merge_ann_appends(spark, store, drain, model)
+    assert res["merged_batches"] == [0, 1]
+    assert res["merged_through"] == 1
+    assert res["rows"] == b0.count()
+    # and a drain holding ONLY data-less deltas still consumes them
+    _append_drain_batch(
+        drain, setup["emb"].filter(F.lit(False)), model, 2
+    )
+    res2 = merge_ann_appends(spark, store, drain, model)
+    assert res2["merged_batches"] == [2] and res2["rows"] == 0
+    assert read_ann_store_stamp(store)[0]["merged_through"] == 2
