@@ -363,6 +363,7 @@ def ann_topk(
     k: int = 5,
     rerank_with: DataFrame | None = None,
     expected_sha256: str | None = None,
+    among: DataFrame | None = None,
 ) -> DataFrame:
     """Parameterized ANN serving over FROZEN artifacts (VERDICT r8 #1
     — the §2.11 posture, reference api/app/main.py:1509-1594's
@@ -396,6 +397,17 @@ def ann_topk(
     the collecting fronts instead: `_ep_ann_topk` flags short results
     in the response and `cmd_ann_search` logs them.
 
+    ``among`` (optional ``vec_id`` DataFrame) SCOPES the search: only
+    store rows whose vec_id the frame names are scored — the
+    vector-store "filtered search" shape (find neighbors among docs
+    where lang='en'), PRE-filter semantics: the filter lands below
+    the ADC scan as a semi join, so the top-``cand`` cut and the
+    rank/rerank tail all operate within the allowed subset and a
+    heavily-filtered query cannot starve (post-filtering k rows
+    would). The probe budget is unchanged — probing is geometric, the
+    filter is set membership. AQE picks the join strategy (broadcast
+    for bounded filters, shuffle when corpus-scale).
+
     Refusals (the load_tokenizer stance): a model artifact failing
     ``expected_sha256``, and a store stamped with a DIFFERENT model's
     sha (`read_ann_store` — build-time meta OR the drain's append
@@ -406,7 +418,7 @@ def ann_topk(
     )
     return _ann_topk_loaded(
         spark, st["store"], st["sizes"], st["model"], query_vecs, k,
-        rerank_with, tombstones=st["tombstones"],
+        rerank_with, tombstones=st["tombstones"], among=among,
     )
 
 
@@ -491,6 +503,7 @@ def _ann_topk_loaded(
     k: int,
     rerank_with: DataFrame | None,
     tombstones: "list[int] | None" = None,
+    among: DataFrame | None = None,
 ) -> DataFrame:
     """`ann_topk`'s body over ALREADY-LOADED artifacts — the HTTP
     front holds (model, store, sizes) once per context (they are
@@ -536,6 +549,11 @@ def _ann_topk_loaded(
         # NOT-IN below the scan — pushed to the parquet reader, never
         # a corpus-side join; compaction empties the set again
         pruned = pruned.filter(~F.col("vec_id").isin(tombstones))
+    if among is not None:
+        # scoped search: a semi join BELOW the ADC scan — the cand
+        # cut and tail operate within the allowed subset (pre-filter
+        # semantics; see ann_topk's docstring)
+        pruned = pruned.join(among.select("vec_id"), "vec_id", "semi")
     cand = max(int(model["cand"]), k)
     rot = model.get("rot")
     if rot is None:
@@ -771,6 +789,7 @@ def ann_topk_batch(
     rerank_with: DataFrame | None = None,
     expected_sha256: str | None = None,
     chunk_queries: int | None = None,
+    among: DataFrame | None = None,
 ) -> DataFrame:
     """BATCH-scale `ann_topk` (VERDICT r9 #1): queries arrive as a
     ``(query_id, qv)`` DataFrame instead of a driver list, for the
@@ -813,13 +832,15 @@ def ann_topk_batch(
     The store still partition-prunes to probed clusters (with batch-Q
     budgets that usually means every cluster — correct: the work IS
     corpus-scale) and never shuffles; scan volume stays 12-16
-    B/vector of codes."""
+    B/vector of codes. ``among`` scopes the search exactly as in
+    `ann_topk` (pre-filter semantics: a semi join below each chunk's
+    ADC scan)."""
     st = _load_ann_state(
         spark, model_path, store_path, expected_sha256=expected_sha256
     )
     return _ann_topk_batch_loaded(
         spark, st, queries, k=k, rerank_with=rerank_with,
-        chunk_queries=chunk_queries,
+        chunk_queries=chunk_queries, among=among,
     )
 
 
@@ -830,6 +851,7 @@ def _ann_topk_batch_loaded(
     k: int | None = 5,
     rerank_with: DataFrame | None = None,
     chunk_queries: int | None = None,
+    among: DataFrame | None = None,
 ) -> DataFrame:
     """`ann_topk_batch`'s body over ALREADY-LOADED artifacts (the
     `_ann_topk_loaded` convention): per-call consumers load via
@@ -944,6 +966,12 @@ def _ann_topk_batch_loaded(
             if st["tombstones"]:
                 pruned = pruned.filter(
                     ~F.col("vec_id").isin(st["tombstones"])
+                )
+            if among is not None:
+                # scoped search, pre-filter semantics (the ann_topk
+                # contract): the semi join sits below the ADC scan
+                pruned = pruned.join(
+                    among.select("vec_id"), "vec_id", "semi"
                 )
             probes_bc = spark.sparkContext.broadcast(grouped)
             broadcasts.append(probes_bc)
@@ -1074,15 +1102,34 @@ def _ep_ann_topk(ctx: ApiContext, params: dict) -> dict:
     similarity search over the context's frozen artifacts (the
     reference's parameterized-top-k posture, main.py:1509-1594,
     applied to vectors). The ad-hoc query gets id -1 (store ids are
-    non-negative, so the self-match skip never fires)."""
+    non-negative, so the self-match skip never fires).
+
+    ``?text=<raw query>`` instead of ``vec``: the text is embedded
+    DRIVER-side by `hashed_text_vector` — bit-identical to the
+    encoder the streaming drain used to embed the corpus into the
+    store (`hashed_doc_vectors`), which is the only geometry under
+    which a text query against that store means anything. Only valid
+    for stores whose corpus went through that encoder; a store built
+    from external embeddings wants ``vec``."""
     st = _ensure_ann_state(ctx)
     raw = params.get("vec")
-    if not raw:
-        raise ValueError("vec is required (comma-separated floats)")
-    try:
-        vec = [float(x) for x in raw.split(",")]
-    except ValueError as exc:
-        raise ValueError("vec must be comma-separated floats") from exc
+    text = params.get("text")
+    if bool(raw) == bool(text):
+        raise ValueError(
+            "exactly one of vec (comma-separated floats) / text "
+            "(raw query, hashed-encoder stores only) is required"
+        )
+    if text:
+        from .suite.llmdata import hashed_text_vector
+
+        vec = hashed_text_vector(text, dim=st["model"]["dim"])
+    else:
+        try:
+            vec = [float(x) for x in raw.split(",")]
+        except ValueError as exc:
+            raise ValueError(
+                "vec must be comma-separated floats"
+            ) from exc
     k = int(params.get("k", 5))
     if k <= 0 or k > 1000:
         raise ValueError("k must be in 1..1000")

@@ -546,9 +546,15 @@ def cmd_ann_search(args) -> int:
     from .api import ann_topk, ann_topk_batch
     from .session import get_spark
 
-    if bool(args.queries) == bool(args.queries_parquet):
+    n_shapes = sum(
+        1
+        for x in (args.queries, args.queries_parquet, args.text)
+        if x
+    )
+    if n_shapes != 1:
         raise SystemExit(
-            "exactly one of --queries / --queries-parquet is required"
+            "exactly one of --queries / --queries-parquet / --text "
+            "is required"
         )
     spark = get_spark(app_name="ann-search")
     rerank = (
@@ -566,11 +572,21 @@ def cmd_ann_search(args) -> int:
             F.col("query_id").cast("long").alias("query_id")
         ).distinct()
     else:
-        with open(args.queries, encoding="utf-8") as f:
-            query_vecs = [
-                (int(q[0]), [float(x) for x in q[1]])
-                for q in json.load(f)
-            ]
+        if args.text:
+            # one ad-hoc TEXT query, embedded by the same hashed
+            # encoder the drain used on the corpus (id -1: store ids
+            # are non-negative, the self-skip never fires)
+            from .operators.pq import load_ann_model
+            from .suite.llmdata import hashed_text_vector
+
+            dim = load_ann_model(args.model)["dim"]
+            query_vecs = [(-1, hashed_text_vector(args.text, dim=dim))]
+        else:
+            with open(args.queries, encoding="utf-8") as f:
+                query_vecs = [
+                    (int(q[0]), [float(x) for x in q[1]])
+                    for q in json.load(f)
+                ]
         res = ann_topk(
             spark, args.store, args.model, query_vecs, k=args.k,
             rerank_with=rerank,
@@ -973,6 +989,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--queries-parquet",
         help="parquet dir/file with (query_id, qv) columns — batch "
         "shape via ann_topk_batch (use for 10^4+ queries)",
+    )
+    asr.add_argument(
+        "--text",
+        help="one raw text query, embedded by the corpus drain's "
+        "hashed encoder (hashed-encoder stores only)",
     )
     asr.add_argument("-k", type=int, default=5)
     asr.add_argument(

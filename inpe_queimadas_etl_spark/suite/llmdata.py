@@ -4666,6 +4666,40 @@ def hashed_doc_vectors(docs: DataFrame, dim: int = _EMB1_DIM) -> DataFrame:
     )
 
 
+def hashed_text_vector(text: str, dim: int = _EMB1_DIM) -> list:
+    """Driver-side single-text replay of :func:`hashed_doc_vectors` —
+    same md5 slicing, same dyadic components, same word sum — for the
+    serving path: a caller's raw TEXT query must be embedded by
+    exactly the encoder that embedded the corpus into the ANN store
+    (the drain's embed step), or the cosine geometry is meaningless.
+    Bit-identical to the Arrow scan for the same text (components are
+    dyadic rationals; sums are exact in every order — pinned in
+    tests)."""
+    import hashlib
+
+    import numpy as np
+
+    if dim % 4 != 0:
+        raise ValueError(f"dim must be a multiple of 4 (md5 slicing): {dim}")
+    acc = np.zeros(dim, dtype=np.float64)
+    memo: dict = {}
+    for w in text.split(" "):
+        v = memo.get(w)
+        if v is None:
+            comps = []
+            for s in range(dim // 4):
+                h = hashlib.md5(f"{w}:{s}".encode()).hexdigest()
+                comps.extend(
+                    ((int(h[i * 8 : i * 8 + 8], 16) % 2001) - 1000)
+                    / 1024.0
+                    for i in range(4)
+                )
+            v = np.array(comps, dtype=np.float64)
+            memo[w] = v
+        acc += v
+    return [float(x) for x in acc]
+
+
 def emb1_hashed_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar digest of the hashed encoder over the documents table:
     ``(doc_id, c0, c7, c15, l1)`` — exact dyadic sums, bit-identical

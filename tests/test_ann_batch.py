@@ -668,3 +668,92 @@ def test_chunked_batch_validation_and_tombstones(spark, tmp_path):
             spark, store_path, model_path, qv, k=3, rerank_with=emb
         ),
     )
+
+
+def test_scoped_search_among_filters_prefilter_semantics(
+    spark, tmp_path
+):
+    """`among` scopes the search to the named vec_ids with PRE-filter
+    semantics: every served neighbor is in the allowed set, the
+    results equal exact brute-force cosine top-k WITHIN that subset
+    at the exactness dial, and batch == looped under the same
+    scope."""
+    import numpy as np
+
+    # exactness needs the FULL dial: frac=1.0 probes every cluster
+    # and cand >= |corpus| lets every allowed row reach the exact
+    # rerank (the _artifacts default cand=100 would cut a 250-row
+    # subset at its ADC top-100 — correct approximate behavior, but
+    # this test pins the exact regime)
+    emb = _emb(spark)
+    model = train_ann_model(
+        emb, k=4, m=8, ks=16, frac=1.0, cand=1000
+    )
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"], rot=model["rot"],
+    )
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(model_path), store_path)
+    rows = emb.collect()
+    allowed = [int(r["vec_id"]) for r in rows if r["vec_id"] % 2 == 0]
+    among = spark.createDataFrame(
+        [(i,) for i in allowed], "vec_id long"
+    )
+    qv, qdf = _queries(spark, emb, lo=9, hi=13)  # odd+even mixed ids
+
+    got = ann_topk(
+        spark, store_path, model_path, qv, k=4, rerank_with=emb,
+        among=among,
+    )
+    got_rows = got.collect()
+    assert got_rows and all(
+        int(r["neighbor_id"]) % 2 == 0 for r in got_rows
+    )
+
+    # exactness within the subset: frac=1.0 probes everything, the
+    # rerank is exact cosine — compare to numpy brute force over the
+    # allowed ids only (self-matches skipped like the serving path)
+    V = {int(r["vec_id"]): np.array(r["v"], dtype=np.float64) for r in rows}
+    for qid, vec in qv:
+        want = sorted(
+            (
+                (
+                    float(
+                        np.dot(V[i], np.array(vec))
+                        / (np.linalg.norm(V[i]) * np.linalg.norm(vec))
+                    ),
+                    -i,
+                )
+                for i in allowed
+                if i != qid
+            ),
+            reverse=True,
+        )[:4]
+        want_ids = [-t[1] for t in want]
+        got_ids = [
+            int(r["neighbor_id"])
+            for r in sorted(
+                (r for r in got_rows if int(r["query_id"]) == qid),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got_ids == want_ids, (qid, got_ids, want_ids)
+
+    # batch form under the same scope — identical rows
+    _pin_equal(
+        ann_topk_batch(
+            spark, store_path, model_path, qdf, k=4, rerank_with=emb,
+            among=among,
+        ),
+        got,
+    )
+    # and chunked too
+    _pin_equal(
+        ann_topk_batch(
+            spark, store_path, model_path, qdf, k=4, rerank_with=emb,
+            among=among, chunk_queries=2,
+        ),
+        got,
+    )

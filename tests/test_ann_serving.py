@@ -1277,3 +1277,103 @@ def test_cli_ann_stats(spark, tmp_path, capsys):
         cli.main(["ann-stats"])
     with pytest.raises(SystemExit, match="no ANN store stamp"):
         cli.main(["ann-stats", "--store", str(tmp_path)])
+
+
+def test_text_query_serving_bit_matches_drain_encoder(spark, tmp_path):
+    """Text-in serving: `hashed_text_vector` must replay the drain's
+    corpus encoder BIT-exactly (dyadic components, order-exact sums),
+    and /api/ann/topk?text=... over a store built from hashed doc
+    vectors must return the verbatim document itself at rank 1 with
+    sim 1.0 — the loop 'drain text in, query text out' closed."""
+    from pyspark.sql import functions as F
+
+    from inpe_queimadas_etl_spark.api import ApiContext, handle_request
+    from inpe_queimadas_etl_spark.operators.pq import build_ann_store
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        hashed_doc_vectors,
+        hashed_text_vector,
+        load_table,
+    )
+
+    docs = (
+        load_table(spark, SF0001, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    emb = (
+        hashed_doc_vectors(docs, dim=64)
+        .withColumnRenamed("doc_id", "vec_id")
+        .withColumn("nrm", vec_norm("v"))
+    )
+    # bit-parity: the driver-side replay equals the Arrow scan
+    sample = docs.filter(F.col("doc_id") < 4).collect()
+    spark_vecs = {
+        int(r["vec_id"]): list(r["v"])
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    }
+    for r in sample:
+        assert hashed_text_vector(r["text"], dim=64) == spark_vecs[
+            int(r["doc_id"])
+        ]
+
+    model = train_ann_model(emb, k=2, m=8, ks=8, frac=1.0, cand=50)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(model_path), store_path)
+
+    ctx = ApiContext(
+        spark=spark, fact=None, all_ufs=None,
+        ann_model_path=model_path, ann_store_path=store_path,
+        ann_rerank=emb,
+    )
+    probe = sample[2]
+    status, body = handle_request(
+        ctx, "/api/ann/topk", {"text": probe["text"], "k": "3"}
+    )
+    assert status == 200, body
+    assert body["items"][0]["neighbor_id"] == int(probe["doc_id"])
+    assert body["items"][0]["score"] == pytest.approx(1.0, abs=1e-4)
+    # equals the vec= form fed the Spark-encoded vector
+    vec = ",".join(repr(x) for x in spark_vecs[int(probe["doc_id"])])
+    status, body_vec = handle_request(
+        ctx, "/api/ann/topk", {"vec": vec, "k": "3"}
+    )
+    assert status == 200 and body_vec["items"] == body["items"]
+    # exactly one of vec/text
+    for bad in ({}, {"vec": vec, "text": "x"}):
+        status, _ = handle_request(ctx, "/api/ann/topk", {**bad, "k": "1"})
+        assert status == 422
+
+    # the CLI veneer: --text prints rows led by the probe doc
+    import json as _json
+    import logging
+
+    from inpe_queimadas_etl_spark import cli
+
+    root = logging.getLogger()
+    saved = (root.handlers[:], root.level)
+    try:
+        rc = cli.main(
+            [
+                "ann-search", "--store", store_path,
+                "--model", model_path, "--text", probe["text"],
+                "-k", "2",
+            ]
+        )
+        assert rc == 0
+    finally:
+        root.handlers[:] = saved[0]
+        root.setLevel(saved[1])
+    with pytest.raises(SystemExit, match="exactly one"):
+        cli.main(
+            [
+                "ann-search", "--store", store_path,
+                "--model", model_path, "--text", "x",
+                "--queries", "q.json",
+            ]
+        )
