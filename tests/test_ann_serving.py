@@ -1377,3 +1377,37 @@ def test_text_query_serving_bit_matches_drain_encoder(spark, tmp_path):
                 "--queries", "q.json",
             ]
         )
+
+
+def test_scoped_search_semi_join_sits_below_the_adc_scan(
+    spark, tmp_path
+):
+    """Scale pin for `among=`: the scope filter must be a LeftSemi
+    join BELOW the Arrow ADC scan (pre-filter semantics, physically)
+    — partition pruning intact, no row-at-a-time Python anywhere, and
+    the MapInPandas scoring node sitting ABOVE the semi join in the
+    plan tree so only allowed rows are ever scored."""
+    emb = _emb(spark)
+    model = _demo_model(spark)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(model_path), store_path)
+    among = _emb(spark).filter("vec_id % 2 = 0").select("vec_id")
+    df = ann_topk(
+        spark, store_path, model_path, [(8, [0.5] * 64)], k=3,
+        among=among,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "PartitionFilters" in plan, plan
+    assert "BatchEvalPython" not in plan  # Arrow only, no row UDFs
+    # tree order: the scoring MapInPandas consumes the semi join's
+    # output — find the scan node and check the join sits below it
+    map_at = plan.find("MapInPandas")
+    semi_at = plan.find("LeftSemi")
+    assert map_at != -1 and semi_at != -1
+    assert semi_at > map_at, plan  # deeper in the printed tree
