@@ -913,7 +913,7 @@ def _ann_topk_batch_loaded(
 
     scoreds = []
     broadcasts = []
-    seen_sorted = np.empty(0, dtype=np.int64)
+    id_chunks = []
     try:
         for probe_rows in _row_chunks():
             # each vector once (chunk x dim), clusters as index
@@ -925,24 +925,22 @@ def _ann_topk_batch_loaded(
             )
             # duplicate ids would double-score their probes and
             # inflate ranks — refuse rather than return silently
-            # wrong top-k. Checked on the CASTED ids, incrementally
-            # per chunk against everything seen (review r10 round 3:
-            # the end-of-loop check streamed and broadcast every
-            # chunk of a 10^7-query job before failing on the first
-            # duplicate), and before this chunk ships anything
+            # wrong top-k. WITHIN-chunk duplicates (adjacent rows —
+            # the common case) fail fast before this chunk ships
+            # anything; the cross-chunk sweep runs ONCE after the
+            # loop (review r10 round 4: an incremental
+            # union1d/isin per chunk was O(Q²/chunk·log Q) driver
+            # work at the 10^7-query scale chunking exists for —
+            # one concatenate+unique is O(Q log Q) total, and both
+            # checks still precede every scoring ACTION: the scans
+            # are lazy)
             uniq, counts = np.unique(qids_arr, return_counts=True)
             if len(uniq) != len(qids_arr):
                 raise ValueError(
                     "queries ids must be unique (duplicate: "
                     f"{int(uniq[counts > 1][0])})"
                 )
-            cross = uniq[np.isin(uniq, seen_sorted)]
-            if len(cross):
-                raise ValueError(
-                    "queries ids must be unique (duplicate: "
-                    f"{int(cross[0])})"
-                )
-            seen_sorted = np.union1d(seen_sorted, uniq)
+            id_chunks.append(qids_arr)
             qv_mat = np.array(
                 [list(r["qvr"]) for r in probe_rows], dtype=np.float64
             )
@@ -979,6 +977,19 @@ def _ann_topk_batch_loaded(
                 pq_ivf_adc_search_scan_grouped(
                     pruned, model["cb"], scan_cents, probes_bc, cand
                 )
+            )
+        all_ids = (
+            np.concatenate(id_chunks)
+            if id_chunks
+            else np.empty(0, dtype=np.int64)
+        )
+        if len(np.unique(all_ids)) != len(all_ids):
+            # a duplicate split ACROSS chunks is the same silent
+            # double-score; caught here, still before any action
+            uniq, counts = np.unique(all_ids, return_counts=True)
+            raise ValueError(
+                "queries ids must be unique (duplicate: "
+                f"{int(uniq[counts > 1][0])})"
             )
     except BaseException:
         # refusal or Spark failure mid-stream: release every chunk

@@ -572,24 +572,31 @@ def cmd_ann_search(args) -> int:
             F.col("query_id").cast("long").alias("query_id")
         ).distinct()
     else:
+        from .api import _ann_topk_loaded, _load_ann_state
+
+        # load the (model, store) pair ONCE — the --text branch needs
+        # the model's dim BEFORE the search, and re-loading the
+        # multi-megabyte artifact inside ann_topk would double the
+        # parse/sha cost of every one-shot query (review r10 round 4)
+        st = _load_ann_state(spark, args.model, args.store)
         if args.text:
             # one ad-hoc TEXT query, embedded by the same hashed
             # encoder the drain used on the corpus (id -1: store ids
             # are non-negative, the self-skip never fires)
-            from .operators.pq import load_ann_model
             from .suite.llmdata import hashed_text_vector
 
-            dim = load_ann_model(args.model)["dim"]
-            query_vecs = [(-1, hashed_text_vector(args.text, dim=dim))]
+            query_vecs = [
+                (-1, hashed_text_vector(args.text, dim=st["model"]["dim"]))
+            ]
         else:
             with open(args.queries, encoding="utf-8") as f:
                 query_vecs = [
                     (int(q[0]), [float(x) for x in q[1]])
                     for q in json.load(f)
                 ]
-        res = ann_topk(
-            spark, args.store, args.model, query_vecs, k=args.k,
-            rerank_with=rerank,
+        res = _ann_topk_loaded(
+            spark, st["store"], st["sizes"], st["model"], query_vecs,
+            args.k, rerank, tombstones=st["tombstones"],
         )
         expected_df = None
     if args.out:

@@ -1768,21 +1768,35 @@ def read_ann_store(
     Legacy stamps without the encoding key compare by full model sha
     (strictly safer: they refuse some stores a retuned model could
     have served)."""
+    import json
     import os
 
     stamp, sizes = read_ann_store_stamp(store_path)
     if stamp is not None:
         _refuse_stamp_mismatch(store_path, stamp, model)
-    if os.path.exists(os.path.join(store_path, ANN_MERGE_JOURNAL)):
-        # a pending merge journal means files may be mid-move and the
-        # size stamp mid-update — a detectable inconsistent state is
-        # refused, never served (the rebuild_ann/WAP stance)
-        raise ValueError(
-            f"store {store_path!r} has a pending merge journal "
-            f"({ANN_MERGE_JOURNAL}) — a merge is running or crashed "
-            "mid-publish; wait for it, or rerun merge_ann_appends "
-            "with recover=True after checking none is running"
-        )
+    jp = os.path.join(store_path, ANN_MERGE_JOURNAL)
+    if os.path.exists(jp):
+        # refuse only a PHASE-1 journal (moves listed): files may be
+        # mid-move and the size stamp mid-update — a detectable
+        # inconsistent state is never served (the rebuild_ann/WAP
+        # stance). A phase-0 stub ({"moves": []}) means a merge is
+        # only STAGING — the store is untouched and fully servable;
+        # refusing it would black out serving for the whole staging
+        # job, minutes at scale (review r10 round 4). Unparsable =
+        # a rewrite caught mid-flight — transient, refuse.
+        try:
+            with open(jp) as f:
+                mid_move = bool(json.load(f).get("moves"))
+        except ValueError:
+            mid_move = True
+        if mid_move:
+            raise ValueError(
+                f"store {store_path!r} has a pending merge journal "
+                f"({ANN_MERGE_JOURNAL}) with moves in flight — a "
+                "merge is publishing or crashed mid-publish; wait "
+                "for it, or rerun merge_ann_appends with "
+                "recover=True after checking none is running"
+            )
     return spark.read.parquet(store_path), sizes
 
 
@@ -1901,6 +1915,39 @@ def read_ann_tombstones(store_path: str) -> list[int]:
     import os
 
     path = os.path.join(store_path, ANN_TOMBSTONES)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return sorted(int(x) for x in json.load(f))
+
+
+ANN_TOMBS_APPLIED = "_ann_tombs_applied.json"  # underscore: hidden
+
+
+def write_ann_applied_tombstones(store_path: str, ids) -> None:
+    """Record the tombstones a compaction has applied PHYSICALLY —
+    rows these ids named are gone from this store's parquet, so
+    `merge_ann_appends` must not re-propagate them from the drain's
+    (necessarily persistent) takedown history into the fresh store's
+    serve-time NOT-IN (review r10 round 4). Same atomic-replace and
+    bounded-set contract as the tombstone file itself."""
+    import json
+    import os
+
+    path = os.path.join(store_path, ANN_TOMBS_APPLIED)
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(int(x) for x in ids), f)
+    os.replace(tmp, path)
+
+
+def read_ann_applied_tombstones(store_path: str) -> list[int]:
+    """Ids physically dropped from this store at its compaction —
+    [] for built/drain stores (nothing was ever dropped from them)."""
+    import json
+    import os
+
+    path = os.path.join(store_path, ANN_TOMBS_APPLIED)
     if not os.path.exists(path):
         return []
     with open(path) as f:
@@ -2202,16 +2249,19 @@ def compact_ann_store(
         e.startswith("batch_id=") for e in os.listdir(drain_dir)
     )
     if batch_layout:
-        # read ONLY committed batches (review r10 round 3): the root
-        # read pulled rows from an in-flight/crash-truncated batch
-        # AND stamped its id into the watermark — the stream's replay
-        # of that batch would then be skipped by every later merge,
-        # silently dropping the rows the partial read missed. The
-        # watermark may only ever name batches consumed WHOLE.
-        complete = _complete_drain_batches(drain_dir)
+        # read ONLY the contiguous committed run (review r10 rounds
+        # 3-4): the root read pulled rows from an in-flight/
+        # crash-truncated batch AND stamped its id into the
+        # watermark — the stream's replay of that batch would then be
+        # skipped by every later merge, silently dropping the rows
+        # the partial read missed; and a committed batch ABOVE an
+        # uncommitted gap would bury the gap the same way. The
+        # watermark may only ever name batches consumed WHOLE, with
+        # nothing consumable missing below it.
+        consumable = _consumable_drain_batches(drain_dir, -1)
         data_paths = [
             os.path.join(drain_dir, f"batch_id={b}")
-            for b in complete
+            for b in consumable
             if _drain_batch_has_data(drain_dir, b)
         ]
         if not data_paths:
@@ -2220,7 +2270,7 @@ def compact_ann_store(
                 "nothing to compact yet"
             )
         src = spark.read.parquet(*data_paths)
-        mb = max(complete)
+        mb = max(consumable)
     else:
         src, _ = read_ann_store(spark, drain_dir, model)
         mb = None
@@ -2257,6 +2307,11 @@ def compact_ann_store(
         encoding_sha256=model["encoding_sha256"],
         merged_through=mb,
     )
+    if tombs:
+        # these ids are physically GONE from out_store — record that
+        # so merges against the same drain don't reinstate them as
+        # row-less serve-time tombstones (review r10 round 4)
+        write_ann_applied_tombstones(out_store, tombs)
 
 
 ANN_MERGE_JOURNAL = "_ann_merge_pending.json"  # underscore: hidden
@@ -2360,8 +2415,15 @@ def merge_ann_appends(
     # "no moves ran", so a crash anywhere before the full journal
     # rewrite recovers as a clean rollback.
     fd = os.open(journal_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    with os.fdopen(fd, "w") as f:
-        json.dump({"from": None, "to": None, "moves": []}, f)
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump({"from": None, "to": None, "moves": []}, f)
+    except BaseException:
+        # a failed stub write (ENOSPC and kin) must not leave a
+        # journal that forces recover=True for a merge that never
+        # started (review r10 round 4)
+        os.unlink(journal_path)
+        raise
     moves_published = False
     try:
         # authoritative reads UNDER the journal: any earlier merge
@@ -2375,18 +2437,21 @@ def merge_ann_appends(
         # published — compact honors it (it rebuilds from the drain),
         # so merge must too, or the two paths diverge on takedowns.
         # Recorded before any move: extra tombstones for never-merged
-        # ids are harmless (a NOT-IN of absent ids), lost ones are not
-        drain_tombs = read_ann_tombstones(drain_dir)
+        # ids are harmless (a NOT-IN of absent ids), lost ones are
+        # not. Ids the store's COMPACTION already dropped physically
+        # (the _ann_tombs_applied sidecar) are skipped (review r10
+        # round 4): re-propagating the drain's full takedown history
+        # onto every freshly-compacted store would regrow the NOT-IN
+        # with ids that match no row, unboundedly across compactions
+        drain_tombs = set(read_ann_tombstones(drain_dir)) - set(
+            read_ann_applied_tombstones(store_path)
+        )
         tombstoned = 0
         if drain_tombs:
-            tombstoned = delete_from_ann_store(store_path, drain_tombs)[
-                "added"
-            ]
-        delta_batches = [
-            b
-            for b in _complete_drain_batches(drain_dir)
-            if b > watermark
-        ]
+            tombstoned = delete_from_ann_store(
+                store_path, sorted(drain_tombs)
+            )["added"]
+        delta_batches = _consumable_drain_batches(drain_dir, watermark)
         if not delta_batches:
             os.unlink(journal_path)
             shutil.rmtree(stage_dir, ignore_errors=True)
@@ -2557,6 +2622,38 @@ def _complete_drain_batches(drain_dir: str) -> list:
         and os.path.isdir(os.path.join(drain_dir, e))
         and os.path.exists(os.path.join(drain_dir, e, "_SUCCESS"))
     )
+
+
+def _consumable_drain_batches(drain_dir: str, watermark: int) -> list:
+    """The CONTIGUOUS committed run above ``watermark`` — the only
+    batches a watermark may ever consume (review r10 round 4):
+    ``max(committed)`` alone would let a committed batch ABOVE an
+    uncommitted gap bury the gap batch below the watermark forever
+    (its _SUCCESS lands later / the stream replays it, but
+    ``b > watermark`` already excludes it — silent row loss). Batch
+    ids are sequential by the Structured Streaming contract, so the
+    walk starts at watermark+1 (or the lowest present dir on a fresh
+    store) and stops at the first id that is absent or uncommitted;
+    everything above the stop waits for the gap to commit."""
+    import os
+
+    present = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(drain_dir)
+        if e.startswith("batch_id=")
+        and os.path.isdir(os.path.join(drain_dir, e))
+    )
+    if not present:
+        return []
+    committed = set(_complete_drain_batches(drain_dir))
+    b = watermark + 1 if watermark >= 0 else min(present)
+    out = []
+    while b <= max(present):
+        if b not in committed:
+            break
+        out.append(b)
+        b += 1
+    return out
 
 
 def _drain_batch_has_data(drain_dir: str, batch_id: int) -> bool:

@@ -4630,8 +4630,6 @@ def hashed_doc_vectors(docs: DataFrame, dim: int = _EMB1_DIM) -> DataFrame:
         raise ValueError(f"dim must be a multiple of 4 (md5 slicing): {dim}")
 
     def encode(batches):
-        import hashlib
-
         import numpy as np
         import pandas as pd
 
@@ -4640,15 +4638,7 @@ def hashed_doc_vectors(docs: DataFrame, dim: int = _EMB1_DIM) -> DataFrame:
         def word_vec(w: str) -> "np.ndarray":
             v = memo.get(w)
             if v is None:
-                comps = []
-                for s in range(dim // 4):
-                    h = hashlib.md5(f"{w}:{s}".encode()).hexdigest()
-                    comps.extend(
-                        ((int(h[i * 8 : i * 8 + 8], 16) % 2001) - 1000)
-                        / 1024.0
-                        for i in range(4)
-                    )
-                v = np.array(comps, dtype=np.float64)
+                v = _hashed_word_components(w, dim)
                 memo[w] = v
             return v
 
@@ -4666,6 +4656,27 @@ def hashed_doc_vectors(docs: DataFrame, dim: int = _EMB1_DIM) -> DataFrame:
     )
 
 
+def _hashed_word_components(w: str, dim: int):
+    """THE word-component formula of the hashed encoder — one
+    definition shared by the Arrow corpus scan
+    (`hashed_doc_vectors`) and the driver-side serving replay
+    (`hashed_text_vector`), because their contract is BIT-identity:
+    a tweak applied to one copy would silently break text-in serving
+    for every existing store (review r10 round 4)."""
+    import hashlib
+
+    import numpy as np
+
+    comps = []
+    for s in range(dim // 4):
+        h = hashlib.md5(f"{w}:{s}".encode()).hexdigest()
+        comps.extend(
+            ((int(h[i * 8 : i * 8 + 8], 16) % 2001) - 1000) / 1024.0
+            for i in range(4)
+        )
+    return np.array(comps, dtype=np.float64)
+
+
 def hashed_text_vector(text: str, dim: int = _EMB1_DIM) -> list:
     """Driver-side single-text replay of :func:`hashed_doc_vectors` —
     same md5 slicing, same dyadic components, same word sum — for the
@@ -4674,9 +4685,8 @@ def hashed_text_vector(text: str, dim: int = _EMB1_DIM) -> list:
     (the drain's embed step), or the cosine geometry is meaningless.
     Bit-identical to the Arrow scan for the same text (components are
     dyadic rationals; sums are exact in every order — pinned in
-    tests)."""
-    import hashlib
-
+    tests); both paths take the formula from
+    `_hashed_word_components`, so they cannot drift."""
     import numpy as np
 
     if dim % 4 != 0:
@@ -4686,15 +4696,7 @@ def hashed_text_vector(text: str, dim: int = _EMB1_DIM) -> list:
     for w in text.split(" "):
         v = memo.get(w)
         if v is None:
-            comps = []
-            for s in range(dim // 4):
-                h = hashlib.md5(f"{w}:{s}".encode()).hexdigest()
-                comps.extend(
-                    ((int(h[i * 8 : i * 8 + 8], 16) % 2001) - 1000)
-                    / 1024.0
-                    for i in range(4)
-                )
-            v = np.array(comps, dtype=np.float64)
+            v = _hashed_word_components(w, dim)
             memo[w] = v
         acc += v
     return [float(x) for x in acc]

@@ -677,3 +677,97 @@ def test_merge_consumes_dataless_batches(spark, setup, tmp_path):
     res2 = merge_ann_appends(spark, store, drain, model)
     assert res2["merged_batches"] == [2] and res2["rows"] == 0
     assert read_ann_store_stamp(store)[0]["merged_through"] == 2
+
+
+def test_watermark_never_jumps_an_uncommitted_gap(spark, setup, tmp_path):
+    """A committed batch ABOVE an uncommitted gap must wait (review
+    r10 round 4): the watermark advances only through the contiguous
+    committed run, so when the gap batch finally commits (replay /
+    late _SUCCESS) its rows merge instead of being buried below the
+    watermark forever."""
+    model = setup["model"]
+    base, b0, b1, b2 = setup["splits"]
+    store, drain = _fresh_stores(spark, setup, tmp_path)
+    _append_drain_batch(drain, b2, model, 2)
+    # batch 1 lost its commit marker; batch 2 is committed above it
+    os.unlink(os.path.join(drain, "batch_id=1", "_SUCCESS"))
+
+    res = merge_ann_appends(spark, store, drain, model)
+    assert res["merged_batches"] == [0]  # stops AT the gap
+    assert res["merged_through"] == 0
+
+    # compact over the same drain obeys the same rule
+    compacted = str(tmp_path / "compacted")
+    compact_ann_store(spark, drain, compacted, model)
+    assert read_ann_store_stamp(compacted)[0]["merged_through"] == 0
+
+    # the gap commits (stream replay): everything above merges now
+    _append_drain_batch(drain, b1, model, 1)
+    res2 = merge_ann_appends(spark, store, drain, model)
+    assert res2["merged_batches"] == [1, 2]
+    full = str(tmp_path / "full")
+    build_ann_store(setup["emb"], model, full)
+    assert read_ann_store_stamp(store)[1] == read_ann_store_stamp(full)[1]
+
+
+def test_phase0_journal_does_not_block_serving(spark, setup, tmp_path):
+    """Serving availability during a staging merge (review r10 round
+    4): a phase-0 journal (no moves listed — the store is untouched)
+    must NOT refuse reads; a phase-1 journal (moves in flight) and a
+    truncated one must."""
+    model = setup["model"]
+    store, _drain = _fresh_stores(spark, setup, tmp_path, drain_batches=(0,))
+    jp = os.path.join(store, ANN_MERGE_JOURNAL)
+
+    with open(jp, "w") as f:
+        json.dump({"from": None, "to": None, "moves": []}, f)
+    df, sizes = read_ann_store(spark, store, model)  # serves fine
+    assert sizes is not None and df.count() > 0
+
+    with open(jp, "w") as f:
+        json.dump({"from": -1, "to": 0, "moves": [["a", "b"]]}, f)
+    with pytest.raises(ValueError, match="moves in flight"):
+        read_ann_store(spark, store, model)
+
+    with open(jp, "w") as f:
+        f.write('{"from": -1, "to"')  # rewrite caught mid-flight
+    with pytest.raises(ValueError, match="moves in flight"):
+        read_ann_store(spark, store, model)
+    os.unlink(jp)
+
+
+def test_compacted_store_does_not_regrow_historical_tombstones(
+    spark, setup, tmp_path
+):
+    """Takedown history must not re-enter a freshly-compacted store's
+    serve-time NOT-IN (review r10 round 4): compaction records the
+    ids it dropped PHYSICALLY, and merges re-propagate only drain
+    tombstones beyond that set."""
+    from inpe_queimadas_etl_spark.operators.pq import (
+        read_ann_applied_tombstones,
+        read_ann_tombstones,
+    )
+
+    model = setup["model"]
+    _base, b0, b1, _b2 = setup["splits"]
+    _store, drain = _fresh_stores(spark, setup, tmp_path)
+    old_takedown = int(b0.first()["vec_id"])
+    delete_from_ann_store(drain, [old_takedown])
+
+    compacted = str(tmp_path / "compacted")
+    compact_ann_store(spark, drain, compacted, model)
+    assert read_ann_tombstones(compacted) == []  # clean slate
+    assert read_ann_applied_tombstones(compacted) == [old_takedown]
+
+    # merge with no new batches: the historical takedown must NOT
+    # come back as a row-less tombstone
+    res = merge_ann_appends(spark, compacted, drain, model)
+    assert res["tombstoned"] == 0
+    assert read_ann_tombstones(compacted) == []
+
+    # a NEW takedown propagates normally
+    new_takedown = int(b1.first()["vec_id"])
+    delete_from_ann_store(drain, [new_takedown])
+    res2 = merge_ann_appends(spark, compacted, drain, model)
+    assert res2["tombstoned"] == 1
+    assert read_ann_tombstones(compacted) == [new_takedown]
