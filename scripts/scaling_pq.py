@@ -694,6 +694,31 @@ def main() -> None:
                 f"{out['sim9_1m']['ann_topk_after_merge_sec']}s",
                 file=sys.stderr,
             )
+
+            # r10 round 2: scoped (filtered) search — the among= semi
+            # join's cost at a CORPUS-scale allowed set (50 % of 1M
+            # ids), batch shape, exact-rerank tail. The scope is a
+            # DataFrame, so AQE picks the join strategy; the number
+            # is the filter's whole price since probe budgeting and
+            # scan volume are unchanged.
+            among_half = emb.filter(
+                F.col("vec_id") % 2 == 0
+            ).select("vec_id").localCheckpoint(eager=True)
+            t0 = time.perf_counter()
+            n_sc = ann_topk_batch(
+                spark, ann_store, model_path, qdf_batch.limit(1000),
+                k=5, rerank_with=emb, among=among_half,
+            ).count()
+            out["sim9_1m"]["ann_scoped_50pct_1k_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            out["sim9_1m"]["ann_scoped_rows"] = int(n_sc)
+            print(
+                f"# 1M scoped search (50% corpus scope, Q=1k): "
+                f"{out['sim9_1m']['ann_scoped_50pct_1k_sec']}s, "
+                f"{n_sc} rows",
+                file=sys.stderr,
+            )
             print(
                 f"# 1M sim9 K={K}/nprobe={NPROBE}: build "
                 f"{out['sim9_1m']['build_sec']}s fused (compositional "
