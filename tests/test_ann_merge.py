@@ -771,3 +771,65 @@ def test_compacted_store_does_not_regrow_historical_tombstones(
     res2 = merge_ann_appends(spark, compacted, drain, model)
     assert res2["tombstoned"] == 1
     assert read_ann_tombstones(compacted) == [new_takedown]
+
+
+def test_consumable_batches_property(tmp_path):
+    """Property pin for the watermark walk (`_consumable_drain_batches`):
+    over random present/committed batch layouts, the consumable run
+    is always (a) a subset of committed ids above the watermark, (b)
+    CONTIGUOUS, (c) anchored at watermark+1 (or the lowest present
+    dir on a fresh store), and (d) maximal — the id after the run is
+    absent or uncommitted. These four together are exactly the
+    no-gap-burial guarantee."""
+    import shutil
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from inpe_queimadas_etl_spark.operators.pq import (
+        _consumable_drain_batches,
+    )
+
+    root = tmp_path / "drains"
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        present=st.sets(st.integers(0, 14), max_size=10),
+        committed_mask=st.lists(st.booleans(), min_size=10, max_size=10),
+        watermark=st.integers(-1, 14),
+    )
+    def check(present, committed_mask, watermark):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        present = sorted(present)
+        committed = {
+            b
+            for b, keep in zip(present, committed_mask)
+            if keep
+        }
+        for b in present:
+            d = root / f"batch_id={b}"
+            os.makedirs(d)
+            if b in committed:
+                (d / "_SUCCESS").touch()
+        out = _consumable_drain_batches(str(root), watermark)
+        # (a) committed, above the watermark
+        assert set(out) <= committed
+        assert all(b > watermark for b in out)
+        # (b) contiguous
+        assert out == list(range(out[0], out[0] + len(out))) if out else True
+        # (c) anchor
+        start = watermark + 1 if watermark >= 0 else (
+            min(present) if present else None
+        )
+        if start is not None and start in committed:
+            assert out and out[0] == start
+        else:
+            assert out == []
+        # (d) maximal: the next id is absent or uncommitted
+        if out:
+            assert (out[-1] + 1) not in committed or (
+                out[-1] + 1 > max(present)
+            )
+
+    check()
