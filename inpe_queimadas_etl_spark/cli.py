@@ -500,6 +500,52 @@ def cmd_ann_stats(args) -> int:
     return 0
 
 
+def cmd_ann_search_stream(args) -> int:
+    """Drain landed (query_id, qv) snapshots through the streaming
+    ANN search (`start_ann_search_stream`) — frozen artifacts loaded
+    once, per-batch top-k results at out_dir/results/batch_id=N.
+    Default is the cron shape (sweep everything landed, exit);
+    --continuous stays live."""
+    from .session import get_spark
+    from .streaming import start_ann_search_stream
+
+    spark = get_spark(app_name="ann-search-stream")
+    batches: list[int] = []
+
+    def on_batch(batch_id: int, m: dict) -> None:
+        batches.append(batch_id)
+        log.info(
+            "ann-search-stream | batch %s | %s", batch_id, json.dumps(m)
+        )
+
+    rerank = (
+        _load_emb(spark, args.rerank_embeddings_dir)
+        if args.rerank_embeddings_dir
+        else None
+    )
+    q = start_ann_search_stream(
+        spark,
+        queries_dir=args.queries_dir,
+        out_dir=args.out_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        store_path=args.store,
+        model_path=args.model,
+        k=args.k,
+        rerank_with=rerank,
+        available_now=not args.continuous,
+        chunk_queries=args.chunk_queries,
+        on_batch=on_batch,
+    )
+    q.awaitTermination()
+    summary = {
+        "batches": batches,
+        "results": f"{args.out_dir}/results",
+    }
+    log.info("ann-search-stream | summary | %s", json.dumps(summary))
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_ann_prune(args) -> int:
     """Version retention for a rebuild_ann deployment — keep CURRENT
     + the N most recent pairs, remove the rest. No Spark session."""
@@ -968,6 +1014,26 @@ def build_parser() -> argparse.ArgumentParser:
     ast.add_argument("--model", help="optional artifact for geometry/knobs")
     ast.add_argument("--log-dir")
 
+    ass = sub.add_parser(
+        "ann-search-stream",
+        help="stream landed (query_id, qv) snapshots through the "
+        "frozen-artifact ANN search; per-batch results parquet",
+    )
+    ass.add_argument("--queries-dir", required=True)
+    ass.add_argument("--out-dir", required=True)
+    ass.add_argument("--checkpoint-dir", required=True)
+    ass.add_argument("--store", required=True)
+    ass.add_argument("--model", required=True)
+    ass.add_argument("-k", type=int, default=5)
+    ass.add_argument("--rerank-embeddings-dir")
+    ass.add_argument("--chunk-queries", type=int)
+    ass.add_argument(
+        "--continuous",
+        action="store_true",
+        help="stay live instead of the sweep-and-exit cron shape",
+    )
+    ass.add_argument("--log-dir")
+
     apr = sub.add_parser(
         "ann-prune",
         help="retention for a rebuild_ann deployment dir: keep "
@@ -1072,6 +1138,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_ann_stats(args)
     if args.cmd == "ann-prune":
         return cmd_ann_prune(args)
+    if args.cmd == "ann-search-stream":
+        return cmd_ann_search_stream(args)
     if args.cmd == "ann-search":
         return cmd_ann_search(args)
     if args.cmd == "ann-delete":

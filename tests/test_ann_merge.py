@@ -833,3 +833,71 @@ def test_consumable_batches_property(tmp_path):
             )
 
     check()
+
+
+def test_cli_ann_search_stream(spark, setup, tmp_path, capsys):
+    """The ann-search-stream CLI veneer: sweeps landed query
+    snapshots through the streaming search and prints the batch
+    summary; the results parquet matches ann_topk_batch."""
+    import logging
+
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
+    from inpe_queimadas_etl_spark import cli
+    from inpe_queimadas_etl_spark.api import ann_topk_batch
+
+    model = setup["model"]
+    store = str(tmp_path / "store")
+    build_ann_store(setup["emb"], model, store)
+    qdir = str(tmp_path / "queries")
+    os.makedirs(qdir)
+    q1 = [
+        (int(r["vec_id"]) + 300_000, [float(x) for x in r["v"]])
+        for r in setup["emb"].filter(F.col("vec_id") < 3).collect()
+    ]
+    pa_pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array([q for q, _ in q1], type=pa.int64()),
+                "qv": pa.array(
+                    [v for _, v in q1], type=pa.list_(pa.float64())
+                ),
+            }
+        ),
+        os.path.join(qdir, "snap1.parquet"),
+    )
+    root = logging.getLogger()
+    saved = (root.handlers[:], root.level)
+    try:
+        rc = cli.main(
+            [
+                "ann-search-stream",
+                "--queries-dir", qdir,
+                "--out-dir", str(tmp_path / "out"),
+                "--checkpoint-dir", str(tmp_path / "ckpt"),
+                "--store", store,
+                "--model", setup["model_path"],
+                "-k", "3",
+            ]
+        )
+        assert rc == 0
+        summary = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert summary["batches"] == [0]
+    finally:
+        root.handlers[:] = saved[0]
+        root.setLevel(saved[1])
+    got = sorted(
+        (int(r["query_id"]), int(r["rank"]), int(r["neighbor_id"]))
+        for r in spark.read.parquet(summary["results"]).collect()
+    )
+    qdf = spark.createDataFrame(q1, "query_id long, qv array<double>")
+    want = sorted(
+        (int(r["query_id"]), int(r["rank"]), int(r["neighbor_id"]))
+        for r in ann_topk_batch(
+            spark, store, setup["model_path"], qdf, k=3
+        ).collect()
+    )
+    assert got == want
