@@ -2634,7 +2634,14 @@ def _consumable_drain_batches(drain_dir: str, watermark: int) -> list:
     ids are sequential by the Structured Streaming contract, so the
     walk starts at watermark+1 (or the lowest present dir on a fresh
     store) and stops at the first id that is absent or uncommitted;
-    everything above the stop waits for the gap to commit."""
+    everything above the stop waits for the gap to commit.
+
+    One deliberate exception: ids missing BELOW the lowest present
+    dir are skipped, not waited for. Batches commit in order, so an
+    in-flight or crash-truncated batch is always at the TOP of the
+    drain — a hole under every present dir can only be retention
+    cleanup of already-consumed history, and refusing it would wedge
+    the merge forever on a drain that pruned its old batch dirs."""
     import os
 
     present = sorted(
@@ -2646,7 +2653,7 @@ def _consumable_drain_batches(drain_dir: str, watermark: int) -> list:
     if not present:
         return []
     committed = set(_complete_drain_batches(drain_dir))
-    b = watermark + 1 if watermark >= 0 else min(present)
+    b = max(watermark + 1, min(present))
     out = []
     while b <= max(present):
         if b not in committed:

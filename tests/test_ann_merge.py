@@ -777,10 +777,12 @@ def test_consumable_batches_property(tmp_path):
     """Property pin for the watermark walk (`_consumable_drain_batches`):
     over random present/committed batch layouts, the consumable run
     is always (a) a subset of committed ids above the watermark, (b)
-    CONTIGUOUS, (c) anchored at watermark+1 (or the lowest present
-    dir on a fresh store), and (d) maximal — the id after the run is
-    absent or uncommitted. These four together are exactly the
-    no-gap-burial guarantee."""
+    CONTIGUOUS, (c) anchored at watermark+1 lifted past any retention
+    hole below the lowest present dir (batches commit in order, so
+    in-flight work is always at the top and a low hole can never be a
+    pending batch), and (d) maximal — the id after the run is absent
+    or uncommitted. These four together are exactly the no-gap-burial
+    guarantee."""
     import shutil
 
     from hypothesis import given, settings
@@ -818,9 +820,10 @@ def test_consumable_batches_property(tmp_path):
         assert all(b > watermark for b in out)
         # (b) contiguous
         assert out == list(range(out[0], out[0] + len(out))) if out else True
-        # (c) anchor
-        start = watermark + 1 if watermark >= 0 else (
-            min(present) if present else None
+        # (c) anchor: watermark+1, lifted past a retention hole
+        # below the lowest present dir
+        start = (
+            max(watermark + 1, min(present)) if present else None
         )
         if start is not None and start in committed:
             assert out and out[0] == start
@@ -901,3 +904,26 @@ def test_cli_ann_search_stream(spark, setup, tmp_path, capsys):
         ).collect()
     )
     assert got == want
+
+
+def test_merge_survives_drain_retention_cleanup(spark, setup, tmp_path):
+    """Drain retention: already-merged low batch dirs deleted from
+    the drain must not wedge the merge — the walk lifts its anchor
+    past the hole (only in-flight work can sit at the TOP of a
+    sequentially-committing drain) and new batches keep folding."""
+    import shutil
+
+    model = setup["model"]
+    base, b0, b1, b2 = setup["splits"]
+    store, drain = _fresh_stores(spark, setup, tmp_path)
+    merge_ann_appends(spark, store, drain, model)  # through batch 1
+
+    # retention prunes the consumed dirs; a new batch lands after
+    shutil.rmtree(os.path.join(drain, "batch_id=0"))
+    shutil.rmtree(os.path.join(drain, "batch_id=1"))
+    _append_drain_batch(drain, b2, model, 2)
+    res = merge_ann_appends(spark, store, drain, model)
+    assert res["merged_batches"] == [2]
+    full = str(tmp_path / "full")
+    build_ann_store(setup["emb"], model, full)
+    assert read_ann_store_stamp(store)[1] == read_ann_store_stamp(full)[1]
