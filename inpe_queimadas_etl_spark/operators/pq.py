@@ -2272,8 +2272,17 @@ def compact_ann_store(
         src = spark.read.parquet(*data_paths)
         mb = max(consumable)
     else:
+        # store->store compaction (the tombstone-GC shape): the
+        # source is a SERVING store, and its stamp's merge watermark
+        # must ride into the output — a GC that reset merged_through
+        # would let the next `merge_ann_appends` re-add every drain
+        # batch the store already holds, duplicating rows silently
         src, _ = read_ann_store(spark, drain_dir, model)
-        mb = None
+        mb = (
+            None
+            if stamp is None or stamp.get("merged_through") is None
+            else int(stamp["merged_through"])
+        )
     codes = src.select("vec_id", "centroid_id", "codes")
     tombs = read_ann_tombstones(drain_dir)
     if tombs:
@@ -2307,11 +2316,15 @@ def compact_ann_store(
         encoding_sha256=model["encoding_sha256"],
         merged_through=mb,
     )
-    if tombs:
-        # these ids are physically GONE from out_store — record that
-        # so merges against the same drain don't reinstate them as
-        # row-less serve-time tombstones (review r10 round 4)
-        write_ann_applied_tombstones(out_store, tombs)
+    # applied history = what THIS compaction dropped physically,
+    # unioned with everything the source already dropped in earlier
+    # cycles (store->store GC chains): losing the prior set would let
+    # merges re-propagate the drain's persistent takedown history as
+    # row-less serve-time tombstones, regrowing the NOT-IN every GC
+    # cycle (review r10 round 4's regrowth fix, extended to chains)
+    applied = set(tombs) | set(read_ann_applied_tombstones(drain_dir))
+    if applied:
+        write_ann_applied_tombstones(out_store, sorted(applied))
 
 
 ANN_MERGE_JOURNAL = "_ann_merge_pending.json"  # underscore: hidden

@@ -927,3 +927,65 @@ def test_merge_survives_drain_retention_cleanup(spark, setup, tmp_path):
     full = str(tmp_path / "full")
     build_ann_store(setup["emb"], model, full)
     assert read_ann_store_stamp(store)[1] == read_ann_store_stamp(full)[1]
+
+
+def test_store_gc_compact_preserves_watermark_and_applied_history(
+    spark, setup, tmp_path
+):
+    """GC-compacting a SERVING store (store->store, the tombstone-GC
+    shape) must carry the source's merge watermark and its applied-
+    tombstone history into the output: losing the watermark would let
+    the next `merge_ann_appends` re-add every batch the store already
+    holds (silent row duplication), and losing the applied set would
+    regrow the drain's takedown history as row-less serve-time
+    tombstones on every GC cycle."""
+    from inpe_queimadas_etl_spark.operators.pq import (
+        read_ann_applied_tombstones,
+        read_ann_tombstones,
+    )
+
+    model = setup["model"]
+    base, b0, b1, _b2 = setup["splits"]
+    store, drain = _fresh_stores(spark, setup, tmp_path)
+
+    # drain carries a takedown BEFORE the first merge, so the merge
+    # propagates it into the store's live tombstone set (T1)
+    t1 = [int(r["vec_id"]) for r in b0.limit(2).collect()]
+    delete_from_ann_store(drain, t1)
+    res = merge_ann_appends(spark, store, drain, model)
+    assert res["merged_through"] == 1 and res["tombstoned"] == len(t1)
+    assert read_ann_tombstones(store) == sorted(t1)
+
+    # a second takedown lands directly on the store (T2)
+    t2 = [int(r["vec_id"]) for r in base.limit(2).collect()]
+    delete_from_ann_store(store, t2)
+
+    # GC-compact the serving store: physical drop of T1+T2
+    gc1 = str(tmp_path / "gc1")
+    compact_ann_store(spark, store, gc1, model)
+    got = {int(r["vec_id"]) for r in read_ann_store(spark, gc1, model)[0]
+           .select("vec_id").collect()}
+    assert not (set(t1) | set(t2)) & got
+    stamp, sizes = read_ann_store_stamp(gc1)
+    # watermark carried over: the GC output still knows it holds
+    # batches 0..1
+    assert stamp.get("merged_through") == 1
+    assert read_ann_applied_tombstones(gc1) == sorted(set(t1) | set(t2))
+    assert read_ann_tombstones(gc1) == []
+
+    # re-merging the same drain is a NO-OP (no duplicate rows) and
+    # does not regrow T1 as live tombstones (its ids are applied)
+    res2 = merge_ann_appends(spark, gc1, drain, model)
+    assert res2["merged_batches"] == [] and res2["rows"] == 0
+    assert res2["tombstoned"] == 0
+    assert read_ann_tombstones(gc1) == []
+    n_before = sum(sizes.values())
+    _, sizes_after = read_ann_store_stamp(gc1)
+    assert sum(sizes_after.values()) == n_before
+
+    # a SECOND GC cycle keeps the union (history never shrinks until
+    # a fresh rebuild)
+    gc2 = str(tmp_path / "gc2")
+    compact_ann_store(spark, gc1, gc2, model)
+    assert read_ann_applied_tombstones(gc2) == sorted(set(t1) | set(t2))
+    assert read_ann_store_stamp(gc2)[0].get("merged_through") == 1
