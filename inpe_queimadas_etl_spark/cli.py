@@ -546,6 +546,35 @@ def cmd_ann_search_stream(args) -> int:
     return 0
 
 
+def cmd_ann_maintain(args) -> int:
+    """One maintenance round for an ANN deployment: plan from file
+    metadata (no Spark — safe for a tight cron), and with --apply run
+    the named actions in order (recover -> merge -> gc -> prune). A
+    Spark session starts only if an applied action moves data."""
+    from .operators.annmaint import run_ann_maintenance
+
+    def factory():
+        from .session import get_spark
+
+        return get_spark(app_name="ann-maintain")
+
+    res = run_ann_maintenance(
+        factory,
+        store_path=args.store,
+        drain_dir=args.drain,
+        base_dir=args.base_dir,
+        model_path=args.model,
+        apply=args.apply,
+        recover=args.recover,
+        tomb_gc_frac=args.tomb_gc_frac,
+        min_merge_batches=args.min_merge_batches,
+        keep_versions=args.keep,
+    )
+    log.info("ann-maintain | %s", json.dumps(res))
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_ann_prune(args) -> int:
     """Version retention for a rebuild_ann deployment — keep CURRENT
     + the N most recent pairs, remove the rest. No Spark session."""
@@ -1034,6 +1063,31 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ass.add_argument("--log-dir")
 
+    amt = sub.add_parser(
+        "ann-maintain",
+        help="plan (and with --apply run) one ANN maintenance round: "
+        "recover -> merge -> gc -> prune, decided from on-disk state",
+    )
+    grp = amt.add_mutually_exclusive_group(required=True)
+    grp.add_argument("--base-dir", help="rebuild_ann deployment dir")
+    grp.add_argument("--store", help="bare store dir (no version swap)")
+    amt.add_argument("--drain", help="streaming drain dir (backlog)")
+    amt.add_argument(
+        "--model", help="artifact path — needed to merge a bare store"
+    )
+    amt.add_argument("--apply", action="store_true")
+    amt.add_argument(
+        "--recover",
+        action="store_true",
+        help="allow journal recovery (assert no merge is running)",
+    )
+    amt.add_argument("--tomb-gc-frac", type=float, default=0.01)
+    amt.add_argument("--min-merge-batches", type=int, default=1)
+    amt.add_argument(
+        "--keep", type=int, help="version retention bound (enables prune)"
+    )
+    amt.add_argument("--log-dir")
+
     apr = sub.add_parser(
         "ann-prune",
         help="retention for a rebuild_ann deployment dir: keep "
@@ -1136,6 +1190,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_ann_merge(args)
     if args.cmd == "ann-stats":
         return cmd_ann_stats(args)
+    if args.cmd == "ann-maintain":
+        return cmd_ann_maintain(args)
     if args.cmd == "ann-prune":
         return cmd_ann_prune(args)
     if args.cmd == "ann-search-stream":

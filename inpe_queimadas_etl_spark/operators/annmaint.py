@@ -1,0 +1,359 @@
+"""ANN store lifecycle maintenance: one planner that inspects a
+deployment's on-disk state and names the right next action, plus the
+jobs it schedules.
+
+The reference runs its pipeline the same way — a state-inspecting
+orchestrator that decides which stage to run from what's on disk
+(``src/etl/app.py`` — stage skip/run decisions off state files;
+``src/etl/backfill.py`` — gap-driven catch-up planning) — re-expressed
+here for the ANN tier's moving parts: a streaming drain accumulating
+appends, a tombstone set accumulating takedowns, a version history
+accumulating rollback targets, and a crash journal that may need
+recovery. Planning is file-metadata only (no Spark session, no data
+read) so a cron can run it every minute; execution touches data only
+for the actions the plan names.
+
+Action order is load-bearing: recover before anything (a journal is
+the single-writer arbiter), merge before GC (fold the backlog first so
+the GC'd store's carried watermark covers it — `compact_ann_store`
+preserves ``merged_through`` through store→store compaction), prune
+last (GC publishes a new version, which may push history past the
+retention bound)."""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from .pq import (
+    ANN_MERGE_JOURNAL,
+    _consumable_drain_batches,
+    compact_ann_store,
+    load_ann_model,
+    merge_ann_appends,
+    prune_ann_versions,
+    publish_ann_version,
+    read_ann_store_stamp,
+    read_ann_tombstones,
+    resolve_ann_current,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import SparkSession
+
+
+def gc_ann_version(
+    spark: "SparkSession", base_dir: str, force: bool = False
+) -> dict:
+    """Tombstone GC for a `rebuild_ann` deployment WITHOUT a retrain:
+    compact the CURRENT pair's store (physically dropping its live
+    tombstones) into a staging version dir under the SAME model
+    artifact (byte-copied — same sha, so every serving pin keeps
+    holding), then publish it as the next version with the shared
+    atomic pair-rename + pointer flip. Serving against the old
+    version keeps working throughout (immutable dirs); the pointer
+    flip is the only switch, and rollback is pointing CURRENT back.
+
+    Cost at scale: ONE codes-only shuffle (12-16 B/vector — ~3 TB per
+    100 TB corpus), no retrain, no re-encode — the cheap end of the
+    lifecycle ladder (merge < gc < rebuild). The carried
+    ``merged_through`` watermark and applied-tombstone history mean
+    merges against the same drain keep composing after the GC.
+
+    Refuses when the store has no live tombstones (a GC would be a
+    full rewrite that drops nothing) unless ``force=True`` — forcing
+    is how an operator defragments a merge-heavy store's small files
+    into compaction-sized ones."""
+    import os
+    import shutil
+    import uuid
+
+    cur = resolve_ann_current(base_dir)
+    model = load_ann_model(
+        cur["model_path"], expected_sha256=cur["model_sha256"]
+    )
+    tombs = read_ann_tombstones(cur["store_path"])
+    if not tombs and not force:
+        raise ValueError(
+            f"store {cur['store_path']!r} has no live tombstones — "
+            "a GC would rewrite every row and drop none; pass "
+            "force=True to defragment anyway"
+        )
+    versions = os.path.join(base_dir, "versions")
+    n = cur["version"] + 1
+    while os.path.isdir(os.path.join(versions, f"v{n}")):
+        n += 1  # unreferenced crash leftovers occupy numbers
+    staging = os.path.join(
+        versions, f".staging-v{n}-{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(staging)
+    # byte-copy the artifact: same canonical JSON, same sha — the GC
+    # changes the STORE's physical layout, never the model
+    shutil.copyfile(
+        cur["model_path"], os.path.join(staging, "model.json")
+    )
+    compact_ann_store(
+        spark, cur["store_path"], os.path.join(staging, "store"), model
+    )
+    publish_ann_version(base_dir, staging, n, cur["model_sha256"])
+    out = resolve_ann_current(base_dir)
+    out["dropped_tombstones"] = len(tombs)
+    out["from_version"] = cur["version"]
+    return out
+
+
+def ann_maintenance_plan(
+    store_path: str | None = None,
+    drain_dir: str | None = None,
+    base_dir: str | None = None,
+    tomb_gc_frac: float = 0.01,
+    min_merge_batches: int = 1,
+    keep_versions: int | None = None,
+) -> dict:
+    """Inspect an ANN deployment's on-disk state and return the
+    ordered maintenance actions it needs — file metadata only (stamps,
+    journals, tombstone sets, batch-dir listings), no Spark, no data
+    read, so this is safe to run from a cron or a dashboard at any
+    frequency.
+
+    Pass ``base_dir`` for a `rebuild_ann` deployment (the CURRENT
+    pointer names the store) or ``store_path`` for a bare store;
+    ``drain_dir`` adds backlog inspection. Signals reported:
+
+    - ``pending_merge``: a merge journal sits on the store (crashed or
+      live merge) — everything else waits for its recovery.
+    - ``backlog_batches``: committed drain batches past the store's
+      watermark (what one `merge_ann_appends` would fold).
+    - ``tomb_frac``: live tombstones / stamped rows — serve-time
+      NOT-IN mass that only a GC compaction reclaims.
+    - ``versions`` / ``prunable_versions``: rollback history beyond
+      the retention bound (``keep_versions``).
+
+    Actions come back in EXECUTION order (recover → merge → gc →
+    prune); each carries ``executable`` — False when the fix needs an
+    input this deployment shape lacks (e.g. GC of a bare store needs
+    a deployment dir for the atomic version swap; the reason names
+    the manual alternative)."""
+    import os
+
+    if (store_path is None) == (base_dir is None):
+        raise ValueError(
+            "pass exactly one of store_path (bare store) or base_dir "
+            "(rebuild_ann deployment)"
+        )
+    version = None
+    if base_dir is not None:
+        cur = resolve_ann_current(base_dir)
+        store_path = cur["store_path"]
+        version = cur["version"]
+
+    signals: dict = {"store_path": store_path, "version": version}
+    actions: list[dict] = []
+
+    pending = os.path.exists(os.path.join(store_path, ANN_MERGE_JOURNAL))
+    signals["pending_merge"] = pending
+
+    stamp, sizes = read_ann_store_stamp(store_path)
+    rows = None if sizes is None else sum(sizes.values())
+    watermark = (
+        -1
+        if stamp is None or stamp.get("merged_through") is None
+        else int(stamp["merged_through"])
+    )
+    tombs = read_ann_tombstones(store_path)
+    signals["rows"] = rows
+    signals["live_tombstones"] = len(tombs)
+    signals["merged_through"] = None if watermark < 0 else watermark
+    tomb_frac = None if not rows else len(tombs) / rows
+    signals["tomb_frac"] = tomb_frac
+
+    backlog: list[int] = []
+    if drain_dir is not None and os.path.isdir(drain_dir):
+        backlog = _consumable_drain_batches(drain_dir, watermark)
+    signals["backlog_batches"] = len(backlog)
+
+    n_versions = prunable = 0
+    if base_dir is not None:
+        import re
+
+        vdir = os.path.join(base_dir, "versions")
+        vs = sorted(
+            int(mm.group(1))
+            for e in os.listdir(vdir)
+            if (mm := re.fullmatch(r"v(\d+)", e))
+        ) if os.path.isdir(vdir) else []
+        n_versions = len(vs)
+        if keep_versions is not None:
+            keep = set(vs[-keep_versions:]) | {version}
+            prunable = len([v for v in vs if v not in keep])
+    signals["versions"] = n_versions
+    signals["prunable_versions"] = prunable
+
+    if pending:
+        actions.append(
+            {
+                "action": "recover-merge",
+                "executable": True,
+                "reason": "a merge journal sits on the store — a "
+                "crashed merge needs recovery (or one is live; "
+                "apply only with recover after checking)",
+            }
+        )
+    if len(backlog) >= max(1, min_merge_batches):
+        actions.append(
+            {
+                "action": "merge",
+                "executable": True,
+                "reason": f"{len(backlog)} committed drain batch(es) "
+                f"past watermark {watermark} — fold at delta cost",
+            }
+        )
+    if tomb_frac is not None and tomb_frac >= tomb_gc_frac:
+        actions.append(
+            {
+                "action": "gc",
+                "executable": base_dir is not None,
+                "reason": f"{len(tombs)} live tombstones over {rows} "
+                f"rows ({tomb_frac:.2%}) >= {tomb_gc_frac:.2%} — "
+                + (
+                    "GC-compact into a new version"
+                    if base_dir is not None
+                    else "bare store: run compact_ann_store to a new "
+                    "dir and swap it yourself (or adopt rebuild_ann)"
+                ),
+            }
+        )
+    if prunable:
+        actions.append(
+            {
+                "action": "prune-versions",
+                "executable": True,
+                "reason": f"{prunable} version(s) beyond the "
+                f"keep={keep_versions} retention bound",
+            }
+        )
+    return {"signals": signals, "actions": actions}
+
+
+def run_ann_maintenance(
+    spark_factory,
+    store_path: str | None = None,
+    drain_dir: str | None = None,
+    base_dir: str | None = None,
+    model_path: str | None = None,
+    apply: bool = False,
+    recover: bool = False,
+    tomb_gc_frac: float = 0.01,
+    min_merge_batches: int = 1,
+    keep_versions: int | None = None,
+) -> dict:
+    """Plan, and with ``apply=True`` execute, one maintenance round.
+    ``spark_factory`` is a zero-arg callable yielding a SparkSession —
+    called at most once, and only when an executed action needs data
+    movement (plan-only and prune-only rounds stay Spark-free).
+
+    Execution policy: a pending journal BLOCKS the round unless
+    ``recover=True`` (auto-recovering would roll back a live merge's
+    published files — the operator must assert none is running); with
+    recover granted, the recovery rides the merge call itself
+    (`merge_ann_appends(recover=True)` classifies and resolves the
+    journal before folding the backlog). Actions re-plan nothing:
+    what runs is exactly what the returned plan names, in its order,
+    and each result lands under ``results[action]``. A non-executable
+    action (see `ann_maintenance_plan`) is reported, never attempted.
+
+    Returns ``{"plan", "applied", "blocked", "results"}``."""
+    plan = ann_maintenance_plan(
+        store_path=store_path,
+        drain_dir=drain_dir,
+        base_dir=base_dir,
+        tomb_gc_frac=tomb_gc_frac,
+        min_merge_batches=min_merge_batches,
+        keep_versions=keep_versions,
+    )
+    out = {"plan": plan, "applied": [], "blocked": [], "results": {}}
+    if not apply:
+        return out
+
+    names = [a["action"] for a in plan["actions"]]
+    pending = "recover-merge" in names
+    if pending and not recover:
+        out["blocked"] = names
+        out["results"]["recover-merge"] = (
+            "blocked: pass recover=True after checking no merge is "
+            "running"
+        )
+        return out
+
+    spark = None
+
+    def _spark():
+        nonlocal spark
+        if spark is None:
+            spark = spark_factory()
+        return spark
+
+    model = None
+
+    def _model():
+        nonlocal model
+        if model is None:
+            if base_dir is not None:
+                cur = resolve_ann_current(base_dir)
+                model = load_ann_model(
+                    cur["model_path"],
+                    expected_sha256=cur["model_sha256"],
+                )
+            elif model_path is not None:
+                model = load_ann_model(model_path)
+            else:
+                raise ValueError(
+                    "merge needs a model: pass model_path for a bare "
+                    "store (deployments resolve it from CURRENT)"
+                )
+        return model
+
+    def _store():
+        return (
+            resolve_ann_current(base_dir)["store_path"]
+            if base_dir is not None
+            else store_path
+        )
+
+    for a in plan["actions"]:
+        name = a["action"]
+        if not a["executable"]:
+            out["blocked"].append(name)
+            out["results"][name] = f"not executable here: {a['reason']}"
+            continue
+        if name == "recover-merge":
+            if "merge" in names and drain_dir is not None:
+                continue  # resolved by the merge call (recover=True)
+            # journal with no foldable backlog (or no drain in hand):
+            # classify and resolve it directly — Spark-free
+            from .pq import _recover_pending_merge
+
+            out["results"][name] = _recover_pending_merge(_store())
+            out["applied"].append(name)
+            continue
+        if name == "merge":
+            out["results"][name] = merge_ann_appends(
+                _spark(), _store(), drain_dir, _model(), recover=pending
+            )
+            out["applied"].append(name)
+            if pending:
+                out["applied"].append("recover-merge")
+                out["results"]["recover-merge"] = out["results"][name][
+                    "recovered"
+                ]
+            continue
+        if name == "gc":
+            out["results"][name] = gc_ann_version(_spark(), base_dir)
+            out["applied"].append(name)
+            continue
+        if name == "prune-versions":
+            out["results"][name] = prune_ann_versions(
+                base_dir, keep=keep_versions
+            )
+            out["applied"].append(name)
+            continue
+    return out

@@ -2077,7 +2077,6 @@ def rebuild_ann(
     yields). Cost at scale = one bounded retrain + ONE fused encode
     scan of the corpus — the unavoidable price of new codes; nothing
     else moves."""
-    import json
     import os
     import re
     import uuid
@@ -2107,11 +2106,28 @@ def rebuild_ann(
         rot=model["rot"],
     )
     build_ann_store(emb, model, os.path.join(staging, "store"))
-    final = os.path.join(versions, f"v{n}")
+    publish_ann_version(base_dir, staging, n, model["sha256"])
+    return resolve_ann_current(base_dir)
+
+
+def publish_ann_version(
+    base_dir: str, staging: str, n: int, model_sha256: str
+) -> None:
+    """The atomic tail every version writer shares (`rebuild_ann`,
+    `annmaint.gc_ann_version`): rename the staged pair into
+    ``versions/v<N>`` (the concurrency arbiter — a loser's rename
+    fails against the winner's published dir instead of mixing two
+    half-built pairs), then flip the CURRENT pointer with a
+    tmp+replace. Crash between the two renames leaves a complete-
+    but-unreferenced v<N> and a still-consistent pointer."""
+    import json
+    import os
+
+    final = os.path.join(base_dir, "versions", f"v{n}")
     try:
         os.rename(staging, final)  # atomic publish of the PAIR
     except OSError as exc:
-        # the concurrency arbiter: another rebuild published v{n}
+        # the concurrency arbiter: another writer published v{n}
         # between our version scan and this rename
         raise RuntimeError(
             f"another rebuild published v{n} first — rerun (the next "
@@ -2122,14 +2138,13 @@ def rebuild_ann(
         "version": n,
         "model": os.path.join("versions", f"v{n}", "model.json"),
         "store": os.path.join("versions", f"v{n}", "store"),
-        "model_sha256": model["sha256"],
+        "model_sha256": model_sha256,
     }
     cur = os.path.join(base_dir, ANN_CURRENT)
     tmp = f"{cur}.tmp"
     with open(tmp, "w") as f:
         json.dump(pointer, f)
     os.replace(tmp, cur)  # atomic pointer flip
-    return resolve_ann_current(base_dir)
 
 
 def resolve_ann_current(base_dir: str) -> dict:

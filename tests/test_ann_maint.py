@@ -1,0 +1,399 @@
+"""ANN lifecycle maintenance (`operators/annmaint.py`): the planner
+must name the right actions from file metadata alone (no Spark, no
+data read), `gc_ann_version` must drop tombstones physically behind an
+atomic version swap that never breaks serving, and one applied round
+must compose merge -> gc -> prune in order — with the GC'd store's
+carried watermark keeping later merges duplicate-free."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from inpe_queimadas_etl_spark.api import ann_topk
+from inpe_queimadas_etl_spark.operators.annmaint import (
+    ann_maintenance_plan,
+    gc_ann_version,
+    run_ann_maintenance,
+)
+from inpe_queimadas_etl_spark.operators.pq import (
+    ANN_MERGE_JOURNAL,
+    build_ann_store,
+    delete_from_ann_store,
+    load_ann_model,
+    merge_ann_appends,
+    pq_ivf_encode,
+    read_ann_store,
+    read_ann_store_stamp,
+    read_ann_tombstones,
+    rebuild_ann,
+    resolve_ann_current,
+    save_ann_model,
+    train_ann_model,
+    write_ann_store_meta,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    from inpe_queimadas_etl_spark.suite.llmdata import _sim8_emb
+
+    return _sim8_emb(spark, SF0001)
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ann_maint")
+    emb = _emb(spark).cache()
+    n = emb.count()
+    cut = int(n * 0.8)
+    base_split = emb.filter(F.col("vec_id") < cut)
+    delta_split = emb.filter(F.col("vec_id") >= cut)
+    model = train_ann_model(emb, k=4, m=8, ks=16, frac=1.0, cand=100)
+    model_path = str(tmp / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"], rot=model["rot"],
+    )
+    return {
+        "emb": emb,
+        "model": load_ann_model(model_path),
+        "model_path": model_path,
+        "splits": (base_split, delta_split),
+    }
+
+
+def _drain(setup, tmp_path, batches):
+    model = setup["model"]
+    drain = str(tmp_path / "drain")
+    for b, sl in batches:
+        pq_ivf_encode(
+            sl, model["cents3"], model["cb"], rot=model.get("rot")
+        ).write.mode("overwrite").parquet(f"{drain}/batch_id={b}")
+    write_ann_store_meta(
+        drain, model["sha256"], encoding_sha256=model["encoding_sha256"]
+    )
+    return drain
+
+
+def _deployment(spark, setup, tmp_path):
+    """A rebuild_ann deployment whose v1 store is REPLACED by one
+    built from the base split under the SAME shared model, so drains
+    encoded with setup's model merge cleanly."""
+    import shutil
+
+    base_split, _ = setup["splits"]
+    base = str(tmp_path / "dep")
+    os.makedirs(os.path.join(base, "versions", "v1"))
+    shutil.copyfile(
+        setup["model_path"],
+        os.path.join(base, "versions", "v1", "model.json"),
+    )
+    build_ann_store(
+        base_split, setup["model"],
+        os.path.join(base, "versions", "v1", "store"),
+    )
+    with open(os.path.join(base, "CURRENT"), "w") as f:
+        json.dump(
+            {
+                "version": 1,
+                "model": "versions/v1/model.json",
+                "store": "versions/v1/store",
+                "model_sha256": setup["model"]["sha256"],
+            },
+            f,
+        )
+    return base
+
+
+def _served_ids(spark, setup, base_dir, k=10):
+    cur = resolve_ann_current(base_dir)
+    q = [
+        (int(r["vec_id"]) + 50_000, list(r["v"]))
+        for r in setup["emb"].limit(3).collect()
+    ]
+    rows = ann_topk(
+        spark, cur["store_path"], cur["model_path"], q, k=k,
+        rerank_with=setup["emb"],
+        expected_sha256=cur["model_sha256"],
+    ).collect()
+    return {int(r["neighbor_id"]) for r in rows}
+
+
+def test_gc_ann_version_drops_tombstones_atomically(
+    spark, setup, tmp_path
+):
+    base = _deployment(spark, setup, tmp_path)
+    base_split, _ = setup["splits"]
+
+    # nothing to GC -> refusal names force
+    with pytest.raises(ValueError, match="no live tombstones"):
+        gc_ann_version(spark, base)
+
+    victims = [int(r["vec_id"]) for r in base_split.limit(3).collect()]
+    cur1 = resolve_ann_current(base)
+    delete_from_ann_store(cur1["store_path"], victims)
+    before = _served_ids(spark, setup, base)
+    assert not set(victims) & before  # serve-time NOT-IN already hides
+
+    res = gc_ann_version(spark, base)
+    assert res["version"] == 2 and res["from_version"] == 1
+    assert res["dropped_tombstones"] == len(victims)
+    cur2 = resolve_ann_current(base)
+    assert cur2["version"] == 2
+    # the MODEL is byte-identical (same sha): serving pins keep holding
+    assert cur2["model_sha256"] == cur1["model_sha256"]
+    # physically gone, tombstone slate clean
+    model = setup["model"]
+    got = {
+        int(r["vec_id"])
+        for r in read_ann_store(spark, cur2["store_path"], model)[0]
+        .select("vec_id")
+        .collect()
+    }
+    assert not set(victims) & got
+    assert read_ann_tombstones(cur2["store_path"]) == []
+    # serving identical to the pre-GC masked view
+    assert _served_ids(spark, setup, base) == before
+    # v1 stays for rollback
+    assert os.path.isdir(os.path.join(base, "versions", "v1", "store"))
+    # force=True defragments even with nothing tombstoned
+    res3 = gc_ann_version(spark, base, force=True)
+    assert res3["version"] == 3 and res3["dropped_tombstones"] == 0
+
+
+def test_gc_crash_mid_compact_keeps_old_pointer(
+    spark, setup, tmp_path, monkeypatch
+):
+    base = _deployment(spark, setup, tmp_path)
+    cur1 = resolve_ann_current(base)
+    delete_from_ann_store(
+        cur1["store_path"],
+        [int(r["vec_id"]) for r in setup["splits"][0].limit(1).collect()],
+    )
+
+    import inpe_queimadas_etl_spark.operators.annmaint as am
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected: compaction died")
+
+    monkeypatch.setattr(am, "compact_ann_store", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        gc_ann_version(spark, base)
+    # pointer untouched, old pair still serves; residue is staging-only
+    assert resolve_ann_current(base)["version"] == 1
+    assert _served_ids(spark, setup, base)
+    vdir = os.path.join(base, "versions")
+    assert sorted(
+        e for e in os.listdir(vdir) if not e.startswith(".")
+    ) == ["v1"]
+
+
+def test_maintenance_plan_reads_signals_sparkfree(
+    spark, setup, tmp_path
+):
+    base_split, delta_split = setup["splits"]
+    base = _deployment(spark, setup, tmp_path)
+    drain = _drain(setup, tmp_path, [(0, delta_split)])
+
+    # healthy deployment, empty drain watermark -> merge only
+    plan = ann_maintenance_plan(base_dir=base, drain_dir=drain)
+    assert [a["action"] for a in plan["actions"]] == ["merge"]
+    assert plan["signals"]["backlog_batches"] == 1
+    assert plan["signals"]["tomb_frac"] == 0.0
+
+    # tombstones above threshold + stale versions + pending journal:
+    # full ladder, in execution order
+    cur = resolve_ann_current(base)
+    victims = [int(r["vec_id"]) for r in base_split.limit(2).collect()]
+    delete_from_ann_store(cur["store_path"], victims)
+    for v in ("v2", "v3"):
+        os.makedirs(os.path.join(base, "versions", v))
+        with open(os.path.join(base, "versions", v, "model.json"), "w"):
+            pass
+    with open(
+        os.path.join(cur["store_path"], ANN_MERGE_JOURNAL), "w"
+    ) as f:
+        json.dump({"from": None, "to": None, "moves": []}, f)
+    plan = ann_maintenance_plan(
+        base_dir=base, drain_dir=drain, tomb_gc_frac=0.001,
+        keep_versions=1,
+    )
+    assert [a["action"] for a in plan["actions"]] == [
+        "recover-merge", "merge", "gc", "prune-versions",
+    ]
+    assert all(a["executable"] for a in plan["actions"])
+    sig = plan["signals"]
+    assert sig["pending_merge"] is True
+    assert sig["live_tombstones"] == len(victims)
+    assert sig["prunable_versions"] == 1  # v3 kept (recent), v1 is
+    # CURRENT, v2 is beyond the bound
+
+    # bare store: gc is reported but not executable (no version swap)
+    store2 = str(tmp_path / "bare")
+    build_ann_store(base_split, setup["model"], store2)
+    delete_from_ann_store(store2, victims)
+    plan2 = ann_maintenance_plan(store_path=store2, tomb_gc_frac=0.001)
+    gc = [a for a in plan2["actions"] if a["action"] == "gc"]
+    assert gc and gc[0]["executable"] is False
+
+    with pytest.raises(ValueError, match="exactly one"):
+        ann_maintenance_plan(store_path=store2, base_dir=base)
+
+
+def test_run_maintenance_composes_merge_gc_prune(spark, setup, tmp_path):
+    base_split, delta_split = setup["splits"]
+    base = _deployment(spark, setup, tmp_path)
+    drain = _drain(setup, tmp_path, [(0, delta_split)])
+    cur1 = resolve_ann_current(base)
+    victims = [int(r["vec_id"]) for r in base_split.limit(2).collect()]
+    delete_from_ann_store(cur1["store_path"], victims)
+
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return spark
+
+    # dry run: plan only, NO spark
+    dry = run_ann_maintenance(
+        factory, base_dir=base, drain_dir=drain, tomb_gc_frac=0.001,
+        keep_versions=1,
+    )
+    assert [a["action"] for a in dry["plan"]["actions"]] == [
+        "merge", "gc",
+    ]
+    assert dry["applied"] == [] and not calls
+
+    res = run_ann_maintenance(
+        factory, base_dir=base, drain_dir=drain, apply=True,
+        tomb_gc_frac=0.001, keep_versions=1,
+    )
+    assert res["applied"] == ["merge", "gc"]
+    assert len(calls) == 1  # one session for the whole round
+    assert res["results"]["merge"]["merged_batches"] == [0]
+    assert res["results"]["gc"]["version"] == 2
+
+    # the GC'd store carried the advanced watermark: the next round
+    # sees NO backlog and NO tombstones — only the version the GC
+    # pushed past retention (plans are point-in-time; the cron's next
+    # tick converges)
+    res2 = run_ann_maintenance(
+        factory, base_dir=base, drain_dir=drain, apply=True,
+        tomb_gc_frac=0.001, keep_versions=1,
+    )
+    assert res2["applied"] == ["prune-versions"]
+    assert res2["results"]["prune-versions"]["removed"] == [1]
+    res3 = run_ann_maintenance(
+        factory, base_dir=base, drain_dir=drain, apply=True,
+        tomb_gc_frac=0.001, keep_versions=1,
+    )
+    assert res3["plan"]["actions"] == [] and res3["applied"] == []
+    assert len(calls) == 1  # prune rounds never started Spark
+
+    # final state: base + delta - victims, physically
+    cur2 = resolve_ann_current(base)
+    stamp, sizes = read_ann_store_stamp(cur2["store_path"])
+    n = setup["emb"].count()
+    assert sum(sizes.values()) == n - len(victims)
+    assert stamp["merged_through"] == 0
+    assert read_ann_tombstones(cur2["store_path"]) == []
+
+
+def test_run_maintenance_blocks_on_journal_without_recover(
+    spark, setup, tmp_path
+):
+    base_split, delta_split = setup["splits"]
+    base = _deployment(spark, setup, tmp_path)
+    drain = _drain(setup, tmp_path, [(0, delta_split)])
+    cur = resolve_ann_current(base)
+    with open(
+        os.path.join(cur["store_path"], ANN_MERGE_JOURNAL), "w"
+    ) as f:
+        json.dump({"from": None, "to": None, "moves": []}, f)
+
+    def factory():
+        raise AssertionError("blocked round must not start Spark")
+
+    res = run_ann_maintenance(
+        factory, base_dir=base, drain_dir=drain, apply=True
+    )
+    assert res["applied"] == []
+    assert "recover-merge" in res["blocked"]
+
+    # with recover granted, the merge call resolves the stub journal
+    # (phase-0 -> rollback) and folds the backlog in the same round
+    res2 = run_ann_maintenance(
+        lambda: spark, base_dir=base, drain_dir=drain, apply=True,
+        recover=True,
+    )
+    assert "merge" in res2["applied"]
+    assert res2["results"]["merge"]["recovered"] == "rolled_back"
+    assert res2["results"]["merge"]["merged_batches"] == [0]
+    assert not os.path.exists(
+        os.path.join(cur["store_path"], ANN_MERGE_JOURNAL)
+    )
+    # merged result equals a full build over the union
+    full = str(tmp_path / "full")
+    build_ann_store(setup["emb"], setup["model"], full)
+    assert (
+        read_ann_store_stamp(cur["store_path"])[1]
+        == read_ann_store_stamp(full)[1]
+    )
+
+
+@pytest.fixture()
+def _preserve_root_logging():
+    """cli.main's _setup_logging(force=True) rebinds the root logger
+    to pytest's per-test captured stream; restore the original
+    handlers so later tests/teardown don't log to a closed file."""
+    import logging
+
+    root = logging.getLogger()
+    saved = (root.handlers[:], root.level)
+    yield
+    root.handlers[:] = saved[0]
+    root.setLevel(saved[1])
+
+
+def test_ann_maintain_cli_dry_run_is_sparkfree(
+    tmp_path, _preserve_root_logging, capsys
+):
+    """The shell planner reads ONLY file metadata: a hand-crafted
+    store meta + drain dirs (no parquet anywhere, no Spark) must
+    yield the full plan JSON on stdout."""
+    from inpe_queimadas_etl_spark.cli import main as cli_main
+
+    store = tmp_path / "store"
+    store.mkdir()
+    write_ann_store_meta(
+        str(store), "a" * 64, sizes={0: 60, 1: 40},
+        encoding_sha256="b" * 64, merged_through=0,
+    )
+    delete_from_ann_store(str(store), [1, 2, 3])
+    drain = tmp_path / "drain"
+    for b in (0, 1, 2):
+        d = drain / f"batch_id={b}"
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").touch()
+        (d / "part-0.parquet").touch()
+
+    rc = cli_main(
+        [
+            "ann-maintain", "--store", str(store),
+            "--drain", str(drain), "--tomb-gc-frac", "0.01",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    acts = {a["action"]: a for a in out["plan"]["actions"]}
+    sig = out["plan"]["signals"]
+    assert sig["backlog_batches"] == 2  # batches 1,2 past watermark 0
+    assert sig["live_tombstones"] == 3 and sig["rows"] == 100
+    assert acts["merge"]["executable"] is True
+    assert acts["gc"]["executable"] is False  # bare store
+    assert out["applied"] == []  # dry run
