@@ -1108,6 +1108,50 @@ def semantic_decontamination_store(
     )
 
 
+def semdedup_store(
+    spark: SparkSession,
+    emb: DataFrame,
+    model_path: str,
+    tau: float = 0.40,
+    expected_sha256: str | None = None,
+    block: int = 2048,
+) -> DataFrame:
+    """dd12 SemDeDup re-platformed onto FROZEN ANN artifacts — the
+    dedup twin of `semantic_decontamination_store`: partition the
+    embedding space with a persisted model's coarse quantizer
+    (sha-pinned, `rebuild_ann`-refreshed) instead of a per-run demo
+    codebook, then run the exact within-cluster sweep and greedy
+    keeper rule (Abbas et al. 2023; `suite.llmdata.
+    semantic_dedup_removals` — csim ASC / vec_id ASC precedence at
+    ``tau``). Returns the removal list ``(vec_id, centroid_id,
+    n_dups, max_sim)``.
+
+    Why the frozen clustering matters: dedup and serving now agree on
+    the space's partitioning BY CONSTRUCTION — the removal list's ids
+    feed `delete_from_ann_store` on a store encoded under the same
+    artifact, so "dedup retires served vectors" is one governance
+    loop under one sha, and nightly dedup runs stop paying (and
+    drifting with) a KMeans retrain. Same scale shape as the
+    in-session form: driver-side K-row centroids, one Arrow argmax
+    scan (zero corpus shuffle), ONE hash exchange on centroid_id,
+    blocked numpy sweep per cluster.
+
+    The sweep needs raw vectors (exact cosines — the SemDeDup
+    contract), so ``emb`` is the corpus embedding table, not the
+    store's PQ codes; the MODEL is what's frozen here. Assignment
+    uses the artifact's centroids verbatim; rotation (sim11/OPQ)
+    never enters — it rotates RESIDUALS for the code stage, while
+    coarse assignment and vector-to-vector cosines live in the
+    original space (and cosines are rotation-invariant anyway)."""
+    from .operators.pq import load_ann_model
+    from .suite.llmdata import semantic_dedup_removals
+
+    model = load_ann_model(model_path, expected_sha256=expected_sha256)
+    return semantic_dedup_removals(
+        emb, tau=tau, block=block, cents3=model["cents3"]
+    )
+
+
 def _ep_ann_topk(ctx: ApiContext, params: dict) -> dict:
     """GET /api/ann/topk?vec=<comma floats>&k=5 — the parameterized
     similarity search over the context's frozen artifacts (the

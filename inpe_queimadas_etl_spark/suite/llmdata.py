@@ -3559,6 +3559,7 @@ def semantic_dedup_removals(
     k: int = _IVF_K,
     tau: float = _DD12_TAU,
     block: int = 2048,
+    cents3: list | None = None,
 ) -> DataFrame:
     """SemDeDup removal list over ``(vec_id, v, nrm)``: ``(vec_id,
     centroid_id, n_dups, max_sim)`` — one row per PRUNED vector, with
@@ -3582,12 +3583,34 @@ def semantic_dedup_removals(
     ~constant as the corpus grows, so per-group memory (bounded to
     ``block**2`` sims regardless of cluster size) and per-group time
     hold; runaway clusters are re-sharded upstream, exactly as the
-    paper does."""
+    paper does.
+
+    ``cents3`` (driver-side ``[(centroid_id, cv, cn), ...]`` — the
+    ANN artifact's coarse-quantizer field) replaces the first-K
+    demo codebook with a FROZEN clustering: `api.semdedup_store`
+    passes a persisted model's centroids here so dedup partitions the
+    space exactly like the serving tier does, with no per-run
+    retrain."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    a = _ivf_assign(emb, k)
+    if cents3 is not None:
+        from ..operators.similarity import nearest_centroid
+
+        dim = len(cents3[0][1]) if cents3 else _EMB_DIM
+        a = emb.select(
+            "vec_id", "v", "nrm",
+            nearest_centroid("v", "nrm", sorted(cents3), dim).alias(
+                "best"
+            ),
+        ).select(
+            "vec_id", "v", "nrm",
+            F.col("best.centroid_id").alias("centroid_id"),
+            F.col("best.csim").alias("csim"),
+        )
+    else:
+        a = _ivf_assign(emb, k)
     out_schema = T.StructType(
         [
             a.schema["vec_id"],
