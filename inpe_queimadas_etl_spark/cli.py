@@ -569,6 +569,7 @@ def cmd_ann_maintain(args) -> int:
         tomb_gc_frac=args.tomb_gc_frac,
         min_merge_batches=args.min_merge_batches,
         keep_versions=args.keep,
+        drain_keep_batches=args.drain_keep,
     )
     log.info("ann-maintain | %s", json.dumps(res))
     print(json.dumps(res))
@@ -1083,6 +1084,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     amt.add_argument("--tomb-gc-frac", type=float, default=0.01)
     amt.add_argument("--min-merge-batches", type=int, default=1)
+    amt.add_argument(
+        "--drain-keep",
+        type=int,
+        default=2,
+        help="replay window: consumed drain batches kept above the "
+        "retention cutoff",
+    )
     amt.add_argument(
         "--keep", type=int, help="version retention bound (enables prune)"
     )

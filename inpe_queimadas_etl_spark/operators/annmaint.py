@@ -16,9 +16,10 @@ for the actions the plan names.
 Action order is load-bearing: recover before anything (a journal is
 the single-writer arbiter), merge before GC (fold the backlog first so
 the GC'd store's carried watermark covers it — `compact_ann_store`
-preserves ``merged_through`` through store→store compaction), prune
-last (GC publishes a new version, which may push history past the
-retention bound)."""
+preserves ``merged_through`` through store→store compaction), drain
+retention after both (only batches the COMMITTED watermark covers are
+ever deleted), version retention last (GC publishes a new version,
+which may push history past the retention bound)."""
 
 from __future__ import annotations
 
@@ -30,6 +31,7 @@ from .pq import (
     compact_ann_store,
     load_ann_model,
     merge_ann_appends,
+    prune_ann_drain,
     prune_ann_versions,
     publish_ann_version,
     read_ann_store_stamp,
@@ -108,6 +110,7 @@ def ann_maintenance_plan(
     tomb_gc_frac: float = 0.01,
     min_merge_batches: int = 1,
     keep_versions: int | None = None,
+    drain_keep_batches: int = 2,
 ) -> dict:
     """Inspect an ANN deployment's on-disk state and return the
     ordered maintenance actions it needs — file metadata only (stamps,
@@ -125,12 +128,16 @@ def ann_maintenance_plan(
       watermark (what one `merge_ann_appends` would fold).
     - ``tomb_frac``: live tombstones / stamped rows — serve-time
       NOT-IN mass that only a GC compaction reclaims.
+    - ``prunable_drain_batches``: consumed drain dirs at or below the
+      watermark minus the ``drain_keep_batches`` replay window —
+      disk the drain holds for no consumer.
     - ``versions`` / ``prunable_versions``: rollback history beyond
       the retention bound (``keep_versions``).
 
     Actions come back in EXECUTION order (recover → merge → gc →
-    prune); each carries ``executable`` — False when the fix needs an
-    input this deployment shape lacks (e.g. GC of a bare store needs
+    prune-drain → prune-versions); each carries ``executable`` —
+    False when the fix needs an input this deployment shape lacks
+    (e.g. GC of a bare store needs
     a deployment dir for the atomic version swap; the reason names
     the manual alternative)."""
     import os
@@ -167,9 +174,19 @@ def ann_maintenance_plan(
     signals["tomb_frac"] = tomb_frac
 
     backlog: list[int] = []
+    prunable_drain = 0
     if drain_dir is not None and os.path.isdir(drain_dir):
         backlog = _consumable_drain_batches(drain_dir, watermark)
+        cutoff = watermark - max(0, int(drain_keep_batches))
+        prunable_drain = sum(
+            1
+            for e in os.listdir(drain_dir)
+            if e.startswith("batch_id=")
+            and os.path.isdir(os.path.join(drain_dir, e))
+            and int(e.split("=", 1)[1]) <= cutoff
+        )
     signals["backlog_batches"] = len(backlog)
+    signals["prunable_drain_batches"] = prunable_drain
 
     n_versions = prunable = 0
     if base_dir is not None:
@@ -222,6 +239,16 @@ def ann_maintenance_plan(
                 ),
             }
         )
+    if prunable_drain:
+        actions.append(
+            {
+                "action": "prune-drain",
+                "executable": True,
+                "reason": f"{prunable_drain} consumed drain batch(es) "
+                f"at or below watermark {watermark} minus the "
+                f"{drain_keep_batches}-batch replay window",
+            }
+        )
     if prunable:
         actions.append(
             {
@@ -245,6 +272,7 @@ def run_ann_maintenance(
     tomb_gc_frac: float = 0.01,
     min_merge_batches: int = 1,
     keep_versions: int | None = None,
+    drain_keep_batches: int = 2,
 ) -> dict:
     """Plan, and with ``apply=True`` execute, one maintenance round.
     ``spark_factory`` is a zero-arg callable yielding a SparkSession —
@@ -269,6 +297,7 @@ def run_ann_maintenance(
         tomb_gc_frac=tomb_gc_frac,
         min_merge_batches=min_merge_batches,
         keep_versions=keep_versions,
+        drain_keep_batches=drain_keep_batches,
     )
     out = {"plan": plan, "applied": [], "blocked": [], "results": {}}
     if not apply:
@@ -348,6 +377,12 @@ def run_ann_maintenance(
             continue
         if name == "gc":
             out["results"][name] = gc_ann_version(_spark(), base_dir)
+            out["applied"].append(name)
+            continue
+        if name == "prune-drain":
+            out["results"][name] = prune_ann_drain(
+                drain_dir, _store(), keep_batches=drain_keep_batches
+            )
             out["applied"].append(name)
             continue
         if name == "prune-versions":

@@ -2635,6 +2635,77 @@ def ann_stats_card(
     return card
 
 
+def prune_ann_drain(
+    drain_dir: str, store_path: str, keep_batches: int = 2
+) -> dict:
+    """Retention for a streaming ANN drain: remove batch dirs the
+    serving store has ALREADY consumed (id <= the store's
+    ``merged_through`` watermark, minus a ``keep_batches`` safety
+    window for replay/debug). Without this the drain grows without
+    bound — every appended batch lives forever even after a merge
+    folded it and a compaction would re-read it all. The watermark
+    walk tolerates the holes this leaves (`_consumable_drain_batches`
+    skips ids below the lowest present dir), so retention and
+    merging compose in either order.
+
+    The watermark is read from ``store_path``'s meta — the single
+    committed source of truth: batches above it are NEVER touched
+    (a rolled-back merge re-reads them; deleting uncommitted history
+    would lose rows). The drain's model stamp must match the store's
+    encoding (pairing a drain with the wrong store would delete
+    batches that store never consumed). Single-consumer contract: a
+    drain feeding several stores must be pruned against the LOWEST
+    watermark among them — that orchestration is the caller's.
+
+    Spark-free (directory removals only). Returns
+    ``{"removed": [...], "kept": [...], "watermark"}``."""
+    import os
+    import shutil
+
+    stamp, _ = read_ann_store_stamp(store_path)
+    if stamp is None:
+        raise ValueError(
+            f"store {store_path!r} carries no model stamp — cannot "
+            "establish a consumed watermark to prune against"
+        )
+    dstamp, _ = read_ann_store_stamp(drain_dir)
+    if dstamp is None:
+        raise ValueError(
+            f"drain {drain_dir!r} carries no model stamp — not a "
+            "drain ANN sink"
+        )
+    s_enc = stamp.get("encoding_sha256") or stamp.get("model_sha256")
+    d_enc = dstamp.get("encoding_sha256") or dstamp.get("model_sha256")
+    if s_enc != d_enc:
+        raise ValueError(
+            f"drain {drain_dir!r} and store {store_path!r} are "
+            "stamped under different encodings — refusing to prune "
+            "a drain this store never consumed"
+        )
+    watermark = (
+        -1
+        if stamp.get("merged_through") is None
+        else int(stamp["merged_through"])
+    )
+    cutoff = watermark - max(0, int(keep_batches))
+    present = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(drain_dir)
+        if e.startswith("batch_id=")
+        and os.path.isdir(os.path.join(drain_dir, e))
+    )
+    removed = []
+    for b in present:
+        if b <= cutoff:
+            shutil.rmtree(os.path.join(drain_dir, f"batch_id={b}"))
+            removed.append(b)
+    return {
+        "removed": removed,
+        "kept": [b for b in present if b not in set(removed)],
+        "watermark": watermark,
+    }
+
+
 def _complete_drain_batches(drain_dir: str) -> list:
     """Sorted batch ids of COMMITTED drain appends — only dirs whose
     Spark job finished (_SUCCESS marker). An in-flight or

@@ -397,3 +397,74 @@ def test_ann_maintain_cli_dry_run_is_sparkfree(
     assert acts["merge"]["executable"] is True
     assert acts["gc"]["executable"] is False  # bare store
     assert out["applied"] == []  # dry run
+
+
+def test_prune_ann_drain_retention(spark, setup, tmp_path):
+    """Drain retention: only batches the COMMITTED store watermark
+    covers (minus the replay window) are removed; uncommitted/future
+    batches are never touched; wrong store/drain pairings are
+    refused; the planner grows the prune-drain rung and a round
+    converges."""
+    from inpe_queimadas_etl_spark.operators.pq import prune_ann_drain
+
+    base_split, delta_split = setup["splits"]
+    model = setup["model"]
+    store = str(tmp_path / "store")
+    build_ann_store(base_split, model, store)
+    d0 = delta_split.filter(F.col("vec_id") % 2 == 0)
+    d1 = delta_split.filter(F.col("vec_id") % 2 == 1)
+    drain = _drain(setup, tmp_path, [(0, d0), (1, d1)])
+
+    # nothing consumed yet: watermark -1, nothing ever prunable
+    res = prune_ann_drain(drain, store, keep_batches=0)
+    assert res["removed"] == [] and res["watermark"] == -1
+
+    merge_ann_appends(spark, store, drain, model)  # watermark -> 1
+
+    # replay window keeps recent consumed batches
+    assert prune_ann_drain(drain, store, keep_batches=2)["removed"] == []
+
+    # a FUTURE batch above the watermark is never touched
+    d2 = delta_split.filter(F.col("vec_id") % 2 == 1).limit(0)
+    pq_ivf_encode(
+        d1, model["cents3"], model["cb"], rot=model.get("rot")
+    ).limit(0).write.mode("overwrite").parquet(f"{drain}/batch_id=2")
+    del d2
+
+    plan = ann_maintenance_plan(
+        store_path=store, drain_dir=drain, drain_keep_batches=0
+    )
+    assert plan["signals"]["prunable_drain_batches"] == 2
+    assert "prune-drain" in [a["action"] for a in plan["actions"]]
+
+    out = run_ann_maintenance(
+        lambda: spark, store_path=store, drain_dir=drain,
+        model_path=setup["model_path"], apply=True,
+        drain_keep_batches=0,
+    )
+    # batch 2 is committed-with-no-data: the round's merge CONSUMES
+    # it (watermark -> 2), so with a zero replay window the
+    # same-round retention legitimately drops all three consumed dirs
+    # — retention reads the post-merge watermark, never the plan-time
+    # snapshot
+    assert "prune-drain" in out["applied"]
+    assert out["results"]["prune-drain"]["removed"] == [0, 1, 2]
+    assert out["results"]["prune-drain"]["watermark"] == 2
+    for b in (0, 1, 2):
+        assert not os.path.isdir(os.path.join(drain, f"batch_id={b}"))
+
+    # wrong pairing refused: a store stamped under another encoding
+    other = tmp_path / "other_store"
+    other.mkdir()
+    write_ann_store_meta(
+        str(other), "f" * 64, sizes={0: 1},
+        encoding_sha256="e" * 64, merged_through=5,
+    )
+    with pytest.raises(ValueError, match="different encodings"):
+        prune_ann_drain(drain, str(other))
+
+    # converged: an empty drain plans nothing
+    out3 = ann_maintenance_plan(
+        store_path=store, drain_dir=drain, drain_keep_batches=0
+    )
+    assert out3["actions"] == []
