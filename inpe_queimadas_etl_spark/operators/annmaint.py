@@ -176,14 +176,13 @@ def ann_maintenance_plan(
     backlog: list[int] = []
     prunable_drain = 0
     if drain_dir is not None and os.path.isdir(drain_dir):
+        from .pq import _complete_drain_batches
+
         backlog = _consumable_drain_batches(drain_dir, watermark)
         cutoff = watermark - max(0, int(drain_keep_batches))
+        # committed-only, matching what prune_ann_drain would delete
         prunable_drain = sum(
-            1
-            for e in os.listdir(drain_dir)
-            if e.startswith("batch_id=")
-            and os.path.isdir(os.path.join(drain_dir, e))
-            and int(e.split("=", 1)[1]) <= cutoff
+            1 for b in _complete_drain_batches(drain_dir) if b <= cutoff
         )
     signals["backlog_batches"] = len(backlog)
     signals["prunable_drain_batches"] = prunable_drain

@@ -2651,7 +2651,11 @@ def prune_ann_drain(
     The watermark is read from ``store_path``'s meta — the single
     committed source of truth: batches above it are NEVER touched
     (a rolled-back merge re-reads them; deleting uncommitted history
-    would lose rows). The drain's model stamp must match the store's
+    would lose rows), and only COMMITTED dirs are ever removed — an
+    uncommitted dir at or below the watermark is a corrupt state
+    (the watermark only advances over committed batches) whose rows
+    were never folded anywhere, so it is skipped and reported
+    (``skipped_uncommitted``), never deleted. The drain's model stamp must match the store's
     encoding (pairing a drain with the wrong store would delete
     batches that store never consumed). Single-consumer contract: a
     drain feeding several stores must be pruned against the LOWEST
@@ -2694,14 +2698,26 @@ def prune_ann_drain(
         if e.startswith("batch_id=")
         and os.path.isdir(os.path.join(drain_dir, e))
     )
+    committed = set(_complete_drain_batches(drain_dir))
     removed = []
+    skipped_uncommitted = []
     for b in present:
-        if b <= cutoff:
-            shutil.rmtree(os.path.join(drain_dir, f"batch_id={b}"))
-            removed.append(b)
+        if b > cutoff:
+            continue
+        if b not in committed:
+            # a consumed watermark only ever advances over COMMITTED
+            # batches, so an uncommitted dir at or below it is a
+            # corrupt state (hand-edited meta, crossed wires) — its
+            # rows were never folded anywhere, and retention must
+            # not be the thing that destroys them. Skip loudly.
+            skipped_uncommitted.append(b)
+            continue
+        shutil.rmtree(os.path.join(drain_dir, f"batch_id={b}"))
+        removed.append(b)
     return {
         "removed": removed,
         "kept": [b for b in present if b not in set(removed)],
+        "skipped_uncommitted": skipped_uncommitted,
         "watermark": watermark,
     }
 

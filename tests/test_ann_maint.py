@@ -468,3 +468,101 @@ def test_prune_ann_drain_retention(spark, setup, tmp_path):
         store_path=store, drain_dir=drain, drain_keep_batches=0
     )
     assert out3["actions"] == []
+
+
+def test_retention_never_changes_what_a_merge_would_fold(tmp_path):
+    """Property pin for retention/merge composition over CONTRACT-
+    VALID drain states (batch dirs appear in id order, _SUCCESS lands
+    in id order, prior retention removed a prefix at or below the
+    watermark): `prune_ann_drain` (a) removes only committed ids at
+    or below watermark - keep, and (b) leaves
+    `_consumable_drain_batches` EXACTLY as it was — retention can
+    never change what the next merge folds, in any order."""
+    import shutil
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from inpe_queimadas_etl_spark.operators.pq import (
+        _consumable_drain_batches,
+        prune_ann_drain,
+    )
+
+    root = tmp_path / "roots"
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(1, 12),
+        data=st.data(),
+    )
+    def check(n, data):
+        # commit frontier: batches 0..c committed, (c..n) in flight
+        c = data.draw(st.integers(-1, n - 1), label="frontier")
+        # consumed watermark never passes the frontier
+        w = data.draw(st.integers(-1, c), label="watermark")
+        # prior retention removed a prefix of consumed batches
+        p = data.draw(st.integers(0, w + 1), label="prior_prefix")
+        keep = data.draw(st.integers(0, 4), label="keep")
+
+        shutil.rmtree(root, ignore_errors=True)
+        drain = root / "drain"
+        store = root / "store"
+        os.makedirs(drain)
+        os.makedirs(store)
+        write_ann_store_meta(
+            str(drain), "a" * 64, encoding_sha256="b" * 64
+        )
+        write_ann_store_meta(
+            str(store), "a" * 64, sizes={0: 1},
+            encoding_sha256="b" * 64,
+            merged_through=None if w < 0 else w,
+        )
+        present = list(range(p, n))
+        for b in present:
+            d = drain / f"batch_id={b}"
+            os.makedirs(d)
+            if b <= c:
+                (d / "_SUCCESS").touch()
+
+        before = _consumable_drain_batches(str(drain), w)
+        res = prune_ann_drain(str(drain), str(store), keep_batches=keep)
+        # (a) only committed, consumed, out-of-window ids go
+        assert all(b <= w - keep and b <= c for b in res["removed"])
+        assert res["watermark"] == w
+        assert res["skipped_uncommitted"] == []  # valid states only
+        # (b) the foldable run is untouched
+        assert _consumable_drain_batches(str(drain), w) == before
+        for b in res["removed"]:
+            assert not os.path.isdir(drain / f"batch_id={b}")
+        for b in res["kept"]:
+            assert os.path.isdir(drain / f"batch_id={b}")
+        assert sorted(res["removed"] + res["kept"]) == present
+
+    check()
+
+
+def test_retention_skips_uncommitted_dirs_in_corrupt_states(tmp_path):
+    """An uncommitted dir at or below the watermark is a corrupt
+    state (the watermark only advances over committed batches): its
+    rows were never folded, so retention must skip it loudly instead
+    of deleting never-consumed data."""
+    from inpe_queimadas_etl_spark.operators.pq import prune_ann_drain
+
+    drain = tmp_path / "drain"
+    store = tmp_path / "store"
+    os.makedirs(drain)
+    os.makedirs(store)
+    write_ann_store_meta(str(drain), "a" * 64, encoding_sha256="b" * 64)
+    write_ann_store_meta(
+        str(store), "a" * 64, sizes={0: 1},
+        encoding_sha256="b" * 64, merged_through=1,
+    )
+    for b, ok in [(0, False), (1, True)]:  # 0 uncommitted yet "consumed"
+        d = drain / f"batch_id={b}"
+        os.makedirs(d)
+        if ok:
+            (d / "_SUCCESS").touch()
+    res = prune_ann_drain(str(drain), str(store), keep_batches=0)
+    assert res["removed"] == [1]
+    assert res["skipped_uncommitted"] == [0]
+    assert os.path.isdir(drain / "batch_id=0")
