@@ -19,7 +19,20 @@ the GC'd store's carried watermark covers it — `compact_ann_store`
 preserves ``merged_through`` through store→store compaction), drain
 retention after both (only batches the COMMITTED watermark covers are
 ever deleted), version retention last (GC publishes a new version,
-which may push history past the retention bound)."""
+which may push history past the retention bound).
+
+Two maintenance crons racing is SAFE without a global lock, action by
+action: merge×merge — the O_EXCL journal arbiter (the loser refuses);
+gc×gc / gc×rebuild — the version-dir rename arbiter (the loser's
+rename fails loudly, its staging is inert residue); retention×merge —
+disjoint id ranges by construction (retention touches only ids at or
+below the committed watermark, a merge reads only above it);
+prune-versions×anything — CURRENT's target is never deleted and
+rmtree of an already-pruned version just errors the later run.
+Retention racing a full `compact_ann_store` of the SAME drain is the
+one loud combination: the compactor's read can lose a batch dir
+mid-scan and fail the Spark job — rerun it; nothing is corrupted
+(retention only removes batches the serving store already folded)."""
 
 from __future__ import annotations
 
