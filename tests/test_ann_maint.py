@@ -566,3 +566,122 @@ def test_retention_skips_uncommitted_dirs_in_corrupt_states(tmp_path):
     assert res["removed"] == [1]
     assert res["skipped_uncommitted"] == [0]
     assert os.path.isdir(drain / "batch_id=0")
+
+
+def test_maintenance_round_over_real_streaming_drain(spark, tmp_path):
+    """End-to-end: a REAL embedding-drain deployment (Structured
+    Streaming micro-batches, unified stamp, _SUCCESS markers) through
+    full `ann-maintain` rounds — merge folds the landed batches, gc
+    retires takedowns into a new version, drain retention removes the
+    consumed dirs, and a post-retention stream append keeps folding
+    (the retention-hole walk) with serving correct throughout."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+    from inpe_queimadas_etl_spark.streaming import (
+        start_embedding_dedup_stream,
+    )
+
+    def vec(seed, dim=64):
+        rng = random.Random(seed)
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    def snap(name, ids):
+        pa_pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, type=pa.int64()),
+                    "embedding": pa.array(
+                        [vec(i) for i in ids], type=pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            os.path.join(vecs_dir, name),
+        )
+
+    def as_emb(ids):
+        return spark.createDataFrame(
+            [(int(i), vec(i)) for i in ids],
+            "vec_id long, v array<double>",
+        ).withColumn("nrm", vec_norm("v"))
+
+    base_ids = list(range(20))
+    base_df = as_emb(base_ids)
+    dep = str(tmp_path / "dep")
+    rebuild_ann(base_df, dep, k=2, m=8, ks=4, frac=1.0, cand=100)
+    cur = resolve_ann_current(dep)
+
+    vecs_dir = str(tmp_path / "vecs")
+    os.makedirs(vecs_dir)
+
+    def drain_once():
+        q = start_embedding_dedup_stream(
+            spark,
+            vecs_dir=vecs_dir,
+            index_dir=str(tmp_path / "index"),
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+            ann_model_path=cur["model_path"],
+        )
+        q.awaitTermination(120)
+
+    b1, b2 = list(range(100, 115)), list(range(200, 215))
+    snap("s1.parquet", b1)
+    drain_once()
+    snap("s2.parquet", b2)
+    drain_once()
+    drain_dir = str(tmp_path / "out" / "ann_store")
+
+    victims = base_ids[:2]
+    delete_from_ann_store(cur["store_path"], victims)
+
+    res = run_ann_maintenance(
+        lambda: spark, base_dir=dep, drain_dir=drain_dir, apply=True,
+        tomb_gc_frac=0.001, keep_versions=2, drain_keep_batches=0,
+    )
+    # plan is point-in-time: retention becomes visible only after a
+    # round's merge advanced the watermark (the cron's next tick)
+    assert res["applied"] == ["merge", "gc"]
+    assert res["results"]["merge"]["rows"] == len(b1) + len(b2)
+    assert res["results"]["gc"]["dropped_tombstones"] == len(victims)
+
+    cur2 = resolve_ann_current(dep)
+    assert cur2["version"] == 2
+    stamp, sizes = read_ann_store_stamp(cur2["store_path"])
+    assert sum(sizes.values()) == len(base_ids) + len(b1) + len(b2) - len(
+        victims
+    )
+    assert stamp["merged_through"] == 1
+
+    # post-retention stream append: batch 2 lands above the hole and
+    # the next round folds exactly it
+    b3 = list(range(300, 310))
+    snap("s3.parquet", b3)
+    drain_once()
+    res2 = run_ann_maintenance(
+        lambda: spark, base_dir=dep, drain_dir=drain_dir, apply=True,
+        tomb_gc_frac=0.001, keep_versions=2, drain_keep_batches=0,
+    )
+    assert "merge" in res2["applied"] and "prune-drain" in res2["applied"]
+    assert res2["results"]["merge"]["merged_batches"] == [2]
+    assert res2["results"]["merge"]["rows"] == len(b3)
+    # retention runs after the merge, against the POST-merge
+    # watermark: with a zero replay window every consumed dir goes
+    assert res2["results"]["prune-drain"]["removed"] == [0, 1, 2]
+
+    # serving over the final store: tombstoned ids gone, a b3 vector
+    # findable
+    cur3 = resolve_ann_current(dep)
+    rows = ann_topk(
+        spark, cur3["store_path"], cur3["model_path"],
+        [(9_999, vec(300))], k=3,
+        rerank_with=as_emb(base_ids + b1 + b2 + b3),
+        expected_sha256=cur3["model_sha256"],
+    ).collect()
+    served = {int(r["neighbor_id"]) for r in rows}
+    assert 300 in served
+    assert not served & set(victims)
