@@ -56,16 +56,21 @@ class ApiContext:
     ann_store_path: str | None = None
     ann_rerank: DataFrame | None = None
     # OR a rebuild_ann deployment dir (r10): when explicit paths are
-    # absent, /api/ann/topk resolves this dir's CURRENT pointer at
-    # first use and PINS the pointer's model sha — the publish ->
-    # serve loop with no way to serve a mid-swap state. A context is
-    # frozen to the version it resolved (the sha-stamp design);
-    # serving a new rebuild means a new context
+    # absent, /api/ann/topk resolves this dir's CURRENT pointer and
+    # PINS the pointer's model sha — the publish -> serve loop with
+    # no way to serve a mid-swap state
     ann_base_dir: str | None = None
+    # how often (seconds) a long-lived server re-checks the CURRENT
+    # pointer and the tombstone file between requests — the
+    # rebuild/gc/takedown -> serve loop WITHOUT a restart. Each state
+    # stays sha-pinned and atomic (a reload swaps whole states, and a
+    # mid-swap pair is refused exactly like at first load); None
+    # freezes the context to what it first resolved (the r9 stance)
+    ann_follow_s: float | None = 5.0
     cache: ServingCache = field(default_factory=ServingCache)
     # lazily-populated (model, store_df, sizes) for /api/ann/topk —
-    # frozen by the sha-stamp design, so loaded ONCE per context
-    # instead of re-parsing the artifact per request (review r9)
+    # loaded once, then refreshed at most every ann_follow_s by the
+    # cheap pointer/tombstone re-reads (never re-parsed per request)
     _ann_state: dict = field(default_factory=dict, repr=False)
 
 
@@ -436,10 +441,9 @@ def _load_ann_state(
     K-row aggregate (drain-maintained dirs, where appends would stale
     a baked table) — plus the store's tombstone set (retired ids must
     never be served). Returns ``{"model", "store", "sizes",
-    "tombstones"}``. NOTE: the HTTP front caches this state for the
-    context's lifetime (frozen-artifact stance), so a tombstone added
-    while a server is up needs a context restart to take effect
-    there; batch entry points (`ann_topk`, the CLI) re-read per
+    "tombstones"}``. The HTTP front caches this state and refreshes
+    the pointer/tombstone facts on the `_ensure_ann_state` follow
+    interval; batch entry points (`ann_topk`, the CLI) re-read per
     call."""
     from .operators.pq import (
         load_ann_model,
@@ -462,36 +466,72 @@ def _load_ann_state(
 
 
 def _ensure_ann_state(ctx: ApiContext) -> dict:
-    """Resolve and cache the context's frozen (model, store) pair —
-    the one lazy-load shared by every ANN endpoint. Direct
-    (model_path, store_path) wins; else the deployment dir's CURRENT
-    pointer is resolved ONCE per context with its sha pinned, so a
-    hand-mangled or mid-swap pair is refused, never served."""
-    if ctx._ann_state:
-        return ctx._ann_state
-    if ctx.ann_model_path is not None and ctx.ann_store_path is not None:
-        ctx._ann_state.update(
-            _load_ann_state(
-                ctx.spark, ctx.ann_model_path, ctx.ann_store_path
-            )
-        )
-        ctx._ann_state["version"] = None
-        return ctx._ann_state
-    if ctx.ann_base_dir is None:
-        raise LookupError("ANN model/store not loaded")
-    from .operators.pq import resolve_ann_current
+    """Resolve and cache the context's (model, store) pair — the one
+    lazy-load shared by every ANN endpoint. Direct (model_path,
+    store_path) wins; else the deployment dir's CURRENT pointer is
+    resolved with its sha pinned, so a hand-mangled or mid-swap pair
+    is refused, never served.
 
-    cur = resolve_ann_current(ctx.ann_base_dir)
-    ctx._ann_state.update(
-        _load_ann_state(
-            ctx.spark,
-            cur["model_path"],
-            cur["store_path"],
-            expected_sha256=cur["model_sha256"],
+    ``ctx.ann_follow_s`` makes a long-lived server FOLLOW lifecycle
+    changes without a restart: at most once per interval it re-reads
+    the two cheap facts — the CURRENT pointer (a rebuild or GC flipped
+    the version: reload the whole state under the new sha) and the
+    tombstone file (a takedown landed: swap in the new set, the
+    store/model untouched). Between checks every request reads the
+    cached state; a reload that fails (mid-swap CURRENT, missing
+    file) raises to the endpoint exactly like a first load — the old
+    state is replaced only by a complete new one."""
+    import time
+
+    # every mutation below is either a single-key assignment on the
+    # live dict or a whole-dict REFERENCE swap: handler threads run
+    # concurrently, and an in-flight request must keep seeing the
+    # complete state it grabbed (never a mid-rebuild half-dict)
+    st = ctx._ann_state
+    now = time.monotonic()
+    fresh = (
+        st
+        and (
+            ctx.ann_follow_s is None
+            or now - st.get("_checked", now) < ctx.ann_follow_s
         )
     )
-    ctx._ann_state["version"] = cur.get("version")
-    return ctx._ann_state
+    if fresh:
+        return st
+    if ctx.ann_model_path is not None and ctx.ann_store_path is not None:
+        if not st:
+            new = _load_ann_state(
+                ctx.spark, ctx.ann_model_path, ctx.ann_store_path
+            )
+            new["version"] = None
+            new["_checked"] = now
+            ctx._ann_state = new
+            return new
+        # fixed paths: only the tombstone set can move underneath
+        from .operators.pq import read_ann_tombstones
+
+        st["tombstones"] = read_ann_tombstones(ctx.ann_store_path)
+        st["_checked"] = now
+        return st
+    if ctx.ann_base_dir is None:
+        raise LookupError("ANN model/store not loaded")
+    from .operators.pq import read_ann_tombstones, resolve_ann_current
+
+    cur = resolve_ann_current(ctx.ann_base_dir)
+    if st and st.get("version") == cur.get("version"):
+        st["tombstones"] = read_ann_tombstones(st["store_path"])
+        st["_checked"] = now
+        return st
+    new = _load_ann_state(
+        ctx.spark,
+        cur["model_path"],
+        cur["store_path"],
+        expected_sha256=cur["model_sha256"],
+    )
+    new["version"] = cur.get("version")
+    new["_checked"] = now
+    ctx._ann_state = new
+    return new
 
 
 def _ann_topk_loaded(
@@ -1312,6 +1352,19 @@ def handle_request(
             body, _hit = cached(ctx.cache.points, key, lambda: fn(ctx, params))
         elif cacheable:
             key = cache_key_params(norm.removeprefix("/api/"), params)
+            if norm == "/api/ann/topk":
+                # the ann state can move under a live server (CURRENT
+                # flip, takedown — the ann_follow_s loop): bind the
+                # cached response to the STATE it was computed from,
+                # or a flip/takedown would be masked for the cache
+                # TTL. version + sha pin the pair; the tombstone set
+                # (bounded by contract) pins takedowns
+                st = _ensure_ann_state(ctx)
+                key += (
+                    f"#v={st.get('version')}"
+                    f"&sha={st['model']['sha256'][:16]}"
+                    f"&tombs={','.join(map(str, st['tombstones']))}"
+                )
             body, _hit = cached(ctx.cache.general, key, lambda: fn(ctx, params))
         else:
             body = fn(ctx, params)

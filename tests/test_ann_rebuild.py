@@ -113,7 +113,7 @@ def test_http_serves_from_rebuild_base_dir(spark, tmp_path):
     rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.5, cand=100)
     ctx1 = ApiContext(
         spark=spark, fact=None, all_ufs=None, ann_base_dir=base,
-        ann_rerank=emb,
+        ann_rerank=emb, ann_follow_s=None,  # explicit frozen mode
     )
     status, body = handle_request(
         ctx1, "/api/ann/topk", {"vec": vec, "k": "3"}
@@ -131,8 +131,9 @@ def test_http_serves_from_rebuild_base_dir(spark, tmp_path):
         ).orderBy("rank").collect()
     ]
     assert [i["neighbor_id"] for i in body["items"]] == want
-    # a second rebuild does not change the RUNNING context's frozen
-    # state (sha-pinned design); a fresh context picks up v2
+    # ann_follow_s=None: a second rebuild does not change the RUNNING
+    # context's frozen state; a fresh context picks up v2 (following
+    # contexts are exercised in test_http_follows_lifecycle_changes)
     rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.25, cand=50)
     status2, body2 = handle_request(
         ctx1, "/api/ann/topk", {"vec": vec, "k": "3"}
@@ -336,3 +337,72 @@ def test_prune_ann_versions_retention(spark, tmp_path):
     # the CLI veneer
     rc = cli.main(["ann-prune", "--base-dir", base, "--keep", "2"])
     assert rc == 0
+
+
+def test_http_follows_lifecycle_changes(spark, tmp_path):
+    """A long-lived server with ann_follow_s set follows the
+    lifecycle WITHOUT a restart: a takedown stops being served at the
+    next follow check, a gc/rebuild pointer flip swaps the whole
+    state under the new version's sha, and the response cache never
+    masks either (the state identity is part of the cache key)."""
+    from inpe_queimadas_etl_spark.api import ApiContext, handle_request
+    from inpe_queimadas_etl_spark.operators.annmaint import (
+        gc_ann_version,
+    )
+    from inpe_queimadas_etl_spark.operators.pq import (
+        delete_from_ann_store,
+    )
+
+    emb = _emb(spark)
+    base = str(tmp_path / "ann")
+    rebuild_ann(emb, base, k=4, m=8, ks=16, frac=1.0, cand=100)
+    qv = [float(x) for x in emb.filter("vec_id = 8").first()["v"]]
+    vec = ",".join(repr(x) for x in qv)
+
+    ctx = ApiContext(
+        spark=spark, fact=None, all_ufs=None, ann_base_dir=base,
+        ann_rerank=emb, ann_follow_s=0.0,  # re-check every request
+    )
+    status, body = handle_request(
+        ctx, "/api/ann/topk", {"vec": vec, "k": "3"}
+    )
+    assert status == 200
+    top = body["items"][0]["neighbor_id"]
+    assert top == 8  # self-vector
+
+    # takedown lands while the server is up: the very next request
+    # (follow interval 0) must not serve it — response cache included
+    delete_from_ann_store(
+        resolve_ann_current(base)["store_path"], [top]
+    )
+    status, body2 = handle_request(
+        ctx, "/api/ann/topk", {"vec": vec, "k": "3"}
+    )
+    assert status == 200
+    assert top not in [i["neighbor_id"] for i in body2["items"]]
+
+    # gc flips the pointer to v2: the running context swaps states
+    # (same sha — the model is byte-identical) and keeps serving the
+    # takedown-free view
+    res = gc_ann_version(spark, base)
+    assert res["version"] == 2
+    status, body3 = handle_request(
+        ctx, "/api/ann/topk", {"vec": vec, "k": "3"}
+    )
+    assert status == 200
+    assert [i["neighbor_id"] for i in body3["items"]] == [
+        i["neighbor_id"] for i in body2["items"]
+    ]
+    assert ctx._ann_state["version"] == 2
+
+    # a frozen context (follow None) re-reads nothing: its state is
+    # pinned to the version it first resolved
+    ctx_frozen = ApiContext(
+        spark=spark, fact=None, all_ufs=None, ann_base_dir=base,
+        ann_rerank=emb, ann_follow_s=None,
+    )
+    handle_request(ctx_frozen, "/api/ann/topk", {"vec": vec, "k": "3"})
+    v_before = ctx_frozen._ann_state["version"]
+    rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.5, cand=50)
+    handle_request(ctx_frozen, "/api/ann/topk", {"vec": vec, "k": "3"})
+    assert ctx_frozen._ann_state["version"] == v_before
