@@ -685,3 +685,40 @@ def test_maintenance_round_over_real_streaming_drain(spark, tmp_path):
     served = {int(r["neighbor_id"]) for r in rows}
     assert 300 in served
     assert not served & set(victims)
+
+
+def test_ann_maintain_cli_apply(
+    spark, setup, tmp_path, _preserve_root_logging, capsys
+):
+    """The shell --apply path end to end on a bare store: merge folds
+    the backlog, the round's JSON lands on stdout, and a second
+    invocation converges to an empty plan."""
+    from inpe_queimadas_etl_spark.cli import main as cli_main
+
+    base_split, delta_split = setup["splits"]
+    store = str(tmp_path / "store")
+    build_ann_store(base_split, setup["model"], store)
+    drain = _drain(setup, tmp_path, [(0, delta_split)])
+
+    rc = cli_main(
+        [
+            "ann-maintain", "--store", store, "--drain", drain,
+            "--model", setup["model_path"], "--apply",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["applied"] == ["merge"]
+    assert out["results"]["merge"]["merged_batches"] == [0]
+    _stamp, sizes = read_ann_store_stamp(store)
+    assert sum(sizes.values()) == setup["emb"].count()
+
+    rc2 = cli_main(
+        [
+            "ann-maintain", "--store", store, "--drain", drain,
+            "--model", setup["model_path"], "--apply",
+        ]
+    )
+    assert rc2 == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["applied"] == [] and out2["plan"]["actions"] == []
