@@ -188,6 +188,7 @@ def ann_maintenance_plan(
 
     backlog: list[int] = []
     prunable_drain = 0
+    drain_match = None
     if drain_dir is not None and os.path.isdir(drain_dir):
         from .pq import _complete_drain_batches
 
@@ -197,8 +198,21 @@ def ann_maintenance_plan(
         prunable_drain = sum(
             1 for b in _complete_drain_batches(drain_dir) if b <= cutoff
         )
+        # surface a mispaired drain at PLAN time: merge and retention
+        # would both refuse it mid-round, so the plan should say so
+        # up front instead of letting an --apply die halfway
+        dstamp, _ = read_ann_store_stamp(drain_dir)
+        if dstamp is not None and stamp is not None:
+            s_enc = stamp.get("encoding_sha256") or stamp.get(
+                "model_sha256"
+            )
+            d_enc = dstamp.get("encoding_sha256") or dstamp.get(
+                "model_sha256"
+            )
+            drain_match = s_enc == d_enc
     signals["backlog_batches"] = len(backlog)
     signals["prunable_drain_batches"] = prunable_drain
+    signals["drain_encoding_match"] = drain_match
 
     n_versions = prunable = 0
     if base_dir is not None:
@@ -227,13 +241,21 @@ def ann_maintenance_plan(
                 "apply only with recover after checking)",
             }
         )
+    mismatch_note = (
+        "the drain is stamped under a DIFFERENT encoding than the "
+        "store — fix the pairing first (merge/retention refuse it)"
+    )
     if len(backlog) >= max(1, min_merge_batches):
         actions.append(
             {
                 "action": "merge",
-                "executable": True,
-                "reason": f"{len(backlog)} committed drain batch(es) "
-                f"past watermark {watermark} — fold at delta cost",
+                "executable": drain_match is not False,
+                "reason": (
+                    f"{len(backlog)} committed drain batch(es) past "
+                    f"watermark {watermark} — fold at delta cost"
+                    if drain_match is not False
+                    else mismatch_note
+                ),
             }
         )
     if tomb_frac is not None and tomb_frac >= tomb_gc_frac:
@@ -255,10 +277,14 @@ def ann_maintenance_plan(
         actions.append(
             {
                 "action": "prune-drain",
-                "executable": True,
-                "reason": f"{prunable_drain} consumed drain batch(es) "
-                f"at or below watermark {watermark} minus the "
-                f"{drain_keep_batches}-batch replay window",
+                "executable": drain_match is not False,
+                "reason": (
+                    f"{prunable_drain} consumed drain batch(es) at or "
+                    f"below watermark {watermark} minus the "
+                    f"{drain_keep_batches}-batch replay window"
+                    if drain_match is not False
+                    else mismatch_note
+                ),
             }
         )
     if prunable:

@@ -722,3 +722,42 @@ def test_ann_maintain_cli_apply(
     assert rc2 == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["applied"] == [] and out2["plan"]["actions"] == []
+
+
+def test_plan_flags_mispaired_drain_up_front(tmp_path):
+    """A drain stamped under a different encoding than the store is
+    flagged at PLAN time: merge/prune-drain come back non-executable
+    with the pairing named, and an --apply round reports them blocked
+    instead of dying halfway on the merge refusal."""
+    store = tmp_path / "store"
+    drain = tmp_path / "drain"
+    store.mkdir()
+    write_ann_store_meta(
+        str(store), "a" * 64, sizes={0: 10},
+        encoding_sha256="b" * 64, merged_through=0,
+    )
+    for b in (0, 1):
+        d = drain / f"batch_id={b}"
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").touch()
+        (d / "part-0.parquet").touch()
+    write_ann_store_meta(
+        str(drain), "c" * 64, encoding_sha256="d" * 64
+    )
+    plan = ann_maintenance_plan(
+        store_path=str(store), drain_dir=str(drain),
+        drain_keep_batches=0,
+    )
+    assert plan["signals"]["drain_encoding_match"] is False
+    acts = {a["action"]: a for a in plan["actions"]}
+    assert acts["merge"]["executable"] is False
+    assert acts["prune-drain"]["executable"] is False
+    assert "DIFFERENT encoding" in acts["merge"]["reason"]
+
+    out = run_ann_maintenance(
+        lambda: (_ for _ in ()).throw(AssertionError("no spark")),
+        store_path=str(store), drain_dir=str(drain), apply=True,
+        drain_keep_batches=0,
+    )
+    assert out["applied"] == []
+    assert set(out["blocked"]) == {"merge", "prune-drain"}
