@@ -2636,7 +2636,7 @@ def ann_stats_card(
 
 
 def prune_ann_drain(
-    drain_dir: str, store_path: str, keep_batches: int = 2
+    drain_dir: str, store_path, keep_batches: int = 2
 ) -> dict:
     """Retention for a streaming ANN drain: remove batch dirs the
     serving store has ALREADY consumed (id <= the store's
@@ -2655,42 +2655,54 @@ def prune_ann_drain(
     uncommitted dir at or below the watermark is a corrupt state
     (the watermark only advances over committed batches) whose rows
     were never folded anywhere, so it is skipped and reported
-    (``skipped_uncommitted``), never deleted. The drain's model stamp must match the store's
-    encoding (pairing a drain with the wrong store would delete
-    batches that store never consumed). Single-consumer contract: a
-    drain feeding several stores must be pruned against the LOWEST
-    watermark among them — that orchestration is the caller's.
+    (``skipped_uncommitted``), never deleted. The drain's model stamp
+    must match every consumer's encoding (pairing a drain with the
+    wrong store would delete batches that store never consumed). A
+    drain feeding SEVERAL consumers (a serving store plus a
+    batch-analytics store) passes them all as a list: the effective
+    watermark is the MINIMUM over the consumers, so no batch
+    disappears before its slowest consumer folded it.
 
     Spark-free (directory removals only). Returns
-    ``{"removed": [...], "kept": [...], "watermark"}``."""
+    ``{"removed": [...], "kept": [...], "skipped_uncommitted": [...],
+    "watermark"}`` — ``watermark`` is the effective (minimum)
+    consumed watermark."""
     import os
     import shutil
 
-    stamp, _ = read_ann_store_stamp(store_path)
-    if stamp is None:
-        raise ValueError(
-            f"store {store_path!r} carries no model stamp — cannot "
-            "establish a consumed watermark to prune against"
-        )
+    stores = (
+        [store_path] if isinstance(store_path, str) else list(store_path)
+    )
+    if not stores:
+        raise ValueError("pass at least one consumer store")
     dstamp, _ = read_ann_store_stamp(drain_dir)
     if dstamp is None:
         raise ValueError(
             f"drain {drain_dir!r} carries no model stamp — not a "
             "drain ANN sink"
         )
-    s_enc = stamp.get("encoding_sha256") or stamp.get("model_sha256")
     d_enc = dstamp.get("encoding_sha256") or dstamp.get("model_sha256")
-    if s_enc != d_enc:
-        raise ValueError(
-            f"drain {drain_dir!r} and store {store_path!r} are "
-            "stamped under different encodings — refusing to prune "
-            "a drain this store never consumed"
+    watermark = None
+    for sp in stores:
+        stamp, _ = read_ann_store_stamp(sp)
+        if stamp is None:
+            raise ValueError(
+                f"store {sp!r} carries no model stamp — cannot "
+                "establish a consumed watermark to prune against"
+            )
+        s_enc = stamp.get("encoding_sha256") or stamp.get("model_sha256")
+        if s_enc != d_enc:
+            raise ValueError(
+                f"drain {drain_dir!r} and store {sp!r} are "
+                "stamped under different encodings — refusing to "
+                "prune a drain this store never consumed"
+            )
+        w = (
+            -1
+            if stamp.get("merged_through") is None
+            else int(stamp["merged_through"])
         )
-    watermark = (
-        -1
-        if stamp.get("merged_through") is None
-        else int(stamp["merged_through"])
-    )
+        watermark = w if watermark is None else min(watermark, w)
     cutoff = watermark - max(0, int(keep_batches))
     present = sorted(
         int(e.split("=", 1)[1])

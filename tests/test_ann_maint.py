@@ -761,3 +761,52 @@ def test_plan_flags_mispaired_drain_up_front(tmp_path):
     )
     assert out["applied"] == []
     assert set(out["blocked"]) == {"merge", "prune-drain"}
+
+
+def test_prune_drain_multi_consumer_min_watermark(tmp_path):
+    """A drain feeding several consumers prunes against the MINIMUM
+    watermark: the slowest consumer's unfolded batches survive, and a
+    mispairing with ANY consumer refuses the whole prune."""
+    from inpe_queimadas_etl_spark.operators.pq import prune_ann_drain
+
+    drain = tmp_path / "drain"
+    fast = tmp_path / "fast"
+    slow = tmp_path / "slow"
+    for d in (drain, fast, slow):
+        d.mkdir()
+    write_ann_store_meta(str(drain), "a" * 64, encoding_sha256="b" * 64)
+    write_ann_store_meta(
+        str(fast), "a" * 64, sizes={0: 1},
+        encoding_sha256="b" * 64, merged_through=3,
+    )
+    write_ann_store_meta(
+        str(slow), "a" * 64, sizes={0: 1},
+        encoding_sha256="b" * 64, merged_through=1,
+    )
+    for b in range(4):
+        d = drain / f"batch_id={b}"
+        d.mkdir()
+        (d / "_SUCCESS").touch()
+        (d / "part-0.parquet").touch()
+
+    res = prune_ann_drain(
+        str(drain), [str(fast), str(slow)], keep_batches=0
+    )
+    # min(3, 1) = 1: batches 2,3 survive for the slow consumer
+    assert res["watermark"] == 1
+    assert res["removed"] == [0, 1]
+    assert res["kept"] == [2, 3]
+
+    # a mispaired consumer anywhere in the list refuses everything
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    write_ann_store_meta(
+        str(bad), "e" * 64, sizes={0: 1},
+        encoding_sha256="f" * 64, merged_through=9,
+    )
+    with pytest.raises(ValueError, match="different encodings"):
+        prune_ann_drain(str(drain), [str(fast), str(bad)])
+    assert os.path.isdir(drain / "batch_id=2")
+
+    with pytest.raises(ValueError, match="at least one"):
+        prune_ann_drain(str(drain), [])
