@@ -24,7 +24,15 @@ which may push history past the retention bound).
 Two maintenance crons racing is SAFE without a global lock, action by
 action: merge×merge — the O_EXCL journal arbiter (the loser refuses);
 gc×gc / gc×rebuild — the version-dir rename arbiter (the loser's
-rename fails loudly, its staging is inert residue); retention×merge —
+rename fails loudly, its staging is inert residue); gc×merge — the
+compactor snapshots the source store's stamp BEFORE any concurrent
+merge commits (a mid-move journal is refused outright by
+`read_ann_store`), so the new version carries the PRE-merge
+watermark and the next merge against it re-folds exactly the batches
+the snapshot missed from the drain, which remains the source of
+truth (the merge's own publish lands in the OLD version dir, where
+its meta commit keeps that rollback target self-consistent);
+retention×merge —
 disjoint id ranges by construction (retention touches only ids at or
 below the committed watermark, a merge reads only above it);
 prune-versions×anything — CURRENT's target is never deleted and
