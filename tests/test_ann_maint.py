@@ -810,3 +810,42 @@ def test_prune_drain_multi_consumer_min_watermark(tmp_path):
 
     with pytest.raises(ValueError, match="at least one"):
         prune_ann_drain(str(drain), [])
+
+
+def test_gc_refuses_midmove_journal_allows_phase0(
+    spark, setup, tmp_path
+):
+    """gc racing a merge: a journal WITH moves in flight refuses the
+    GC outright (the store may be mid-publish); a phase-0 stub
+    (merge only staging) lets the GC proceed — the new version
+    carries the PRE-merge watermark, so the staged merge's batches
+    re-fold against it later (nothing lost, the drain is the source
+    of truth)."""
+    base = _deployment(spark, setup, tmp_path)
+    cur = resolve_ann_current(base)
+    victims = [
+        int(r["vec_id"]) for r in setup["splits"][0].limit(1).collect()
+    ]
+    delete_from_ann_store(cur["store_path"], victims)
+    jp = os.path.join(cur["store_path"], ANN_MERGE_JOURNAL)
+
+    with open(jp, "w") as f:
+        json.dump(
+            {"from": -1, "to": 0, "moves": [["a", "b"]]}, f
+        )
+    with pytest.raises(ValueError, match="pending merge journal"):
+        gc_ann_version(spark, base)
+    assert resolve_ann_current(base)["version"] == 1
+
+    with open(jp, "w") as f:
+        json.dump({"from": None, "to": None, "moves": []}, f)
+    res = gc_ann_version(spark, base)
+    assert res["version"] == 2
+    # the stub journal stays on the OLD store (the staging merge's
+    # arbiter); the new version starts clean
+    assert os.path.exists(jp)
+    assert not os.path.exists(
+        os.path.join(
+            resolve_ann_current(base)["store_path"], ANN_MERGE_JOURNAL
+        )
+    )
