@@ -153,6 +153,14 @@ def cmd_run(args) -> int:
     state = args.state_file
     if args.reset_state and state and Path(state).exists():
         Path(state).unlink()
+    ann_cfg = None
+    if args.ann_base_dir:
+        ann_cfg = {
+            "base_dir": args.ann_base_dir,
+            "drain_dir": args.ann_drain_dir,
+            "apply": args.ann_apply_maintenance,
+            "keep_versions": args.ann_keep_versions,
+        }
     results = run_range(
         spark,
         wh,
@@ -160,6 +168,7 @@ def cmd_run(args) -> int:
         dims,
         state_path=state,
         write_report=args.checks,
+        ann_maintenance=ann_cfg,
     )
     for r in results:
         log.info("run ok | %s", json.dumps(r, default=str))
@@ -360,6 +369,25 @@ def cmd_ann_train(args) -> int:
         model["cand"], rot=model["rot"],
     )
     log.info("ann-train | artifact | %s", json.dumps(art))
+    return 0
+
+
+def cmd_ann_retune(args) -> int:
+    """Re-save a model artifact with new serving knobs (frac/cand)
+    under the SAME encoding sha — stores encoded by the original
+    serve under the retuned artifact with no re-encode (VERDICT r10
+    #4: cand is the cheapest recall lever; see SCALING.md's measured
+    cand sweep). Spark-free."""
+    from .operators.pq import retune_ann_model
+
+    if args.frac is None and args.cand is None:
+        print("pass --frac and/or --cand (nothing to retune)")
+        return 2
+    res = retune_ann_model(
+        args.model, args.out, frac=args.frac, cand=args.cand
+    )
+    log.info("ann-retune | artifact | %s", json.dumps(res))
+    print(json.dumps(res))
     return 0
 
 
@@ -624,13 +652,18 @@ def cmd_ann_search(args) -> int:
 
     n_shapes = sum(
         1
-        for x in (args.queries, args.queries_parquet, args.text)
+        for x in (
+            args.queries,
+            args.queries_parquet,
+            args.text,
+            args.queries_text_parquet,
+        )
         if x
     )
     if n_shapes != 1:
         raise SystemExit(
-            "exactly one of --queries / --queries-parquet / --text "
-            "is required"
+            "exactly one of --queries / --queries-parquet / "
+            "--queries-text-parquet / --text is required"
         )
     spark = get_spark(app_name="ann-search")
     rerank = (
@@ -638,12 +671,23 @@ def cmd_ann_search(args) -> int:
         if args.rerank_embeddings_dir
         else None
     )
-    if args.queries_parquet:
-        qdf = spark.read.parquet(args.queries_parquet)
-        res = ann_topk_batch(
-            spark, args.store, args.model, qdf, k=args.k,
-            rerank_with=rerank, chunk_queries=args.chunk_queries,
-        )
+    if args.queries_parquet or args.queries_text_parquet:
+        if args.queries_parquet:
+            qdf = spark.read.parquet(args.queries_parquet)
+            res = ann_topk_batch(
+                spark, args.store, args.model, qdf, k=args.k,
+                rerank_with=rerank, chunk_queries=args.chunk_queries,
+            )
+        else:
+            # TEXT batch (VERDICT r10 #5): embedded inside
+            # ann_topk_batch by the drain's hashed encoder —
+            # hashed-encoder stores only
+            qdf = spark.read.parquet(args.queries_text_parquet)
+            res = ann_topk_batch(
+                spark, args.store, args.model, k=args.k,
+                rerank_with=rerank, chunk_queries=args.chunk_queries,
+                queries_text=qdf,
+            )
         expected_df = qdf.select(
             F.col("query_id").cast("long").alias("query_id")
         ).distinct()
@@ -738,6 +782,29 @@ def build_parser() -> argparse.ArgumentParser:
     )
     run.add_argument(
         "--checks", action="store_true", help="write the validation report"
+    )
+    run.add_argument(
+        "--ann-base-dir",
+        help="opt-in post-run ANN maintenance against this rebuild_ann "
+        "deployment: the plan (file metadata only, ~1 ms) rides the "
+        "run's metrics; actions move data only under "
+        "--ann-apply-maintenance",
+    )
+    run.add_argument(
+        "--ann-drain-dir",
+        help="streaming drain to inspect/fold for the post-run ANN "
+        "maintenance round",
+    )
+    run.add_argument(
+        "--ann-apply-maintenance",
+        action="store_true",
+        help="execute the planned ANN maintenance actions (default: "
+        "plan-only); journal recovery still needs ann-maintain "
+        "--recover",
+    )
+    run.add_argument(
+        "--ann-keep-versions", type=int, default=None,
+        help="version retention bound for the post-run round",
     )
     run.add_argument("--log-dir", help="also log to <dir>/etl.log")
 
@@ -953,7 +1020,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="multi-probe candidate budget as a corpus fraction",
     )
     at.add_argument(
-        "--cand", type=int, default=100, help="rerank candidate cut"
+        "--cand", type=int, default=100,
+        help="rerank candidate cut (default 100). The cheapest "
+        "recall lever on structured corpora: the measured 1M sweep "
+        "(SCALING.md) read recall@5 0.219/0.619/0.825 at cand "
+        "100/1000/4000 for ~+50%% serving cost — sweep it, then "
+        "'ann-retune' the artifact without re-encoding",
     )
     at.add_argument(
         "--opq",
@@ -988,10 +1060,28 @@ def build_parser() -> argparse.ArgumentParser:
     ar.add_argument("--m", type=int, default=8)
     ar.add_argument("--ks", type=int, default=16)
     ar.add_argument("--frac", type=float, default=0.1)
-    ar.add_argument("--cand", type=int, default=100)
+    ar.add_argument(
+        "--cand", type=int, default=100,
+        help="rerank candidate cut — the measured recall lever "
+        "(see ann-train --cand); retunable later without a rebuild "
+        "via ann-retune",
+    )
     ar.add_argument("--opq", action="store_true")
     ar.add_argument("--coarse-sample", type=int, default=None)
     ar.add_argument("--log-dir")
+
+    art_p = sub.add_parser(
+        "ann-retune",
+        help="re-save a model artifact with new SERVING knobs "
+        "(frac/cand) under the same encoding sha — existing stores "
+        "serve under it with no re-encode (the measured cand recall "
+        "lever, SCALING.md). Spark-free",
+    )
+    art_p.add_argument("--model", required=True, help="ann-train artifact")
+    art_p.add_argument("--out", required=True, help="retuned artifact path")
+    art_p.add_argument("--frac", type=float, default=None)
+    art_p.add_argument("--cand", type=int, default=None)
+    art_p.add_argument("--log-dir")
 
     ab = sub.add_parser(
         "ann-build",
@@ -1126,6 +1216,12 @@ def build_parser() -> argparse.ArgumentParser:
         "shape via ann_topk_batch (use for 10^4+ queries)",
     )
     asr.add_argument(
+        "--queries-text-parquet",
+        help="parquet dir/file with (query_id, text) columns — batch "
+        "shape with the embedding done in-plan by the corpus drain's "
+        "hashed encoder (hashed-encoder stores only)",
+    )
+    asr.add_argument(
         "--text",
         help="one raw text query, embedded by the corpus drain's "
         "hashed encoder (hashed-encoder stores only)",
@@ -1188,6 +1284,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_corpus_curate(args)
     if args.cmd == "ann-train":
         return cmd_ann_train(args)
+    if args.cmd == "ann-retune":
+        return cmd_ann_retune(args)
     if args.cmd == "ann-rebuild":
         return cmd_ann_rebuild(args)
     if args.cmd == "ann-build":

@@ -25,13 +25,16 @@ Two maintenance crons racing is SAFE without a global lock, action by
 action: merge×merge — the O_EXCL journal arbiter (the loser refuses);
 gc×gc / gc×rebuild — the version-dir rename arbiter (the loser's
 rename fails loudly, its staging is inert residue); gc×merge — the
-compactor snapshots the source store's stamp BEFORE any concurrent
-merge commits (a mid-move journal is refused outright by
-`read_ann_store`), so the new version carries the PRE-merge
-watermark and the next merge against it re-folds exactly the batches
-the snapshot missed from the drain, which remains the source of
-truth (the merge's own publish lands in the OLD version dir, where
-its meta commit keeps that rollback target self-consistent);
+compactor re-reads the source store's stamp AFTER its parquet file
+listing froze and refuses (retryable) if the merge watermark moved
+in the window (a mid-move journal is refused outright by
+`read_ann_store`), so a published GC version either carries the
+PRE-merge watermark over a listing that provably excludes the
+merged rows — the next merge against it re-folds exactly the
+batches the snapshot missed from the drain, which remains the
+source of truth — or was built from a fully post-commit snapshot;
+the merge's own publish lands in the OLD version dir, where its
+meta commit keeps that rollback target self-consistent;
 retention×merge —
 disjoint id ranges by construction (retention touches only ids at or
 below the committed watermark, a merge reads only above it);
@@ -197,6 +200,7 @@ def ann_maintenance_plan(
     backlog: list[int] = []
     prunable_drain = 0
     drain_match = None
+    drain_note = None
     if drain_dir is not None and os.path.isdir(drain_dir):
         from .pq import _complete_drain_batches
 
@@ -208,9 +212,21 @@ def ann_maintenance_plan(
         )
         # surface a mispaired drain at PLAN time: merge and retention
         # would both refuse it mid-round, so the plan should say so
-        # up front instead of letting an --apply die halfway
+        # up front instead of letting an --apply die halfway. An
+        # UNSTAMPED drain is a refusal for the same two callers
+        # (merge_ann_appends and prune_ann_drain both raise on it),
+        # so it must plan as non-executable too — `None` used to
+        # slip past the `is not False` executability check and kill
+        # an --apply round after earlier actions ran (ADVICE r10)
         dstamp, _ = read_ann_store_stamp(drain_dir)
-        if dstamp is not None and stamp is not None:
+        if dstamp is None:
+            drain_match = False
+            drain_note = (
+                f"drain {drain_dir!r} carries no model stamp — not a "
+                "drain ANN sink (merge/retention refuse it); point "
+                "the plan at the sink dir the stream actually wrote"
+            )
+        elif stamp is not None:
             s_enc = stamp.get("encoding_sha256") or stamp.get(
                 "model_sha256"
             )
@@ -249,7 +265,7 @@ def ann_maintenance_plan(
                 "apply only with recover after checking)",
             }
         )
-    mismatch_note = (
+    mismatch_note = drain_note or (
         "the drain is stamped under a DIFFERENT encoding than the "
         "store — fix the pairing first (merge/retention refuse it)"
     )
@@ -401,10 +417,21 @@ def run_ann_maintenance(
             out["results"][name] = f"not executable here: {a['reason']}"
             continue
         if name == "recover-merge":
-            if "merge" in names and drain_dir is not None:
+            merge_action = next(
+                (x for x in plan["actions"] if x["action"] == "merge"),
+                None,
+            )
+            if (
+                merge_action is not None
+                and merge_action["executable"]
+                and drain_dir is not None
+            ):
                 continue  # resolved by the merge call (recover=True)
-            # journal with no foldable backlog (or no drain in hand):
-            # classify and resolve it directly — Spark-free
+            # journal with no foldable backlog, no drain in hand, or
+            # a BLOCKED merge (drain mismatch — merge_ann_appends
+            # would refuse before touching the journal, silently
+            # dropping the granted recovery, ADVICE r10): classify
+            # and resolve it directly — Spark-free
             from .pq import _recover_pending_merge
 
             out["results"][name] = _recover_pending_merge(_store())

@@ -1344,6 +1344,55 @@ FROM (
 
 ANN_MODEL_FORMAT = "ann-ivfpq-v1"
 ANN_STORE_META = "_ann_model.json"  # underscore: parquet readers skip it
+
+
+def require_local_metadata_path(path: str, op: str) -> str:
+    """THE metadata-plane contract check (VERDICT r10 #1), shared by
+    every ANN lifecycle reader and writer: refuse URI-schemed paths
+    (``s3://``, ``hdfs://``, ``gs://``, ...) loudly instead of
+    degrading silently.
+
+    Every crash-safety and concurrency guarantee in the lifecycle
+    tier rests on POSIX primitives — atomic ``os.replace`` (store
+    meta, tombstone set, CURRENT pointer, merge journal) and
+    ``O_EXCL`` creation as the single-writer arbiter (tombstone lock,
+    journal acquire) — none of which exist on object stores (no
+    atomic rename, no exclusive create). Worse than the writers, the
+    ``os.path``-based READERS would return "absent" for every
+    metadata file on a URI path: a tombstone set that reads as empty
+    serves retired ids, a stamp that reads as missing skips the
+    model-mismatch refusal. So reads refuse too.
+
+    The supported deployment shape (documented in SCALING.md
+    "metadata plane"): the DATA plane (parquet codes, raw corpus) may
+    live anywhere Spark can read; the METADATA plane — store meta,
+    tombstones, journals, CURRENT pointers, version/drain dirs — is
+    a local filesystem or a shared POSIX mount (NFS with proper
+    O_EXCL semantics). The reference's analogous posture keeps all
+    such state in one transactional Postgres
+    (src/etl/load/postgis.py:69-94). An object-store-native journal
+    (conditional-put based) is future work; until then the refusal
+    IS the contract.
+
+    The scheme match requires 2+ leading chars so Windows drive
+    letters (``C:\\...``) never false-positive. Returns ``path``
+    unchanged so call sites can wrap in-line."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]+)://", str(path))
+    if m:
+        raise ValueError(
+            f"{op} requires a local-filesystem (or POSIX-mount) "
+            f"path for the ANN metadata plane — got {path!r} "
+            f"(scheme '{m.group(1)}://'). The lifecycle's atomicity "
+            "and single-writer guarantees (os.replace, O_EXCL) do "
+            "not exist on object stores, and os.path-based metadata "
+            "reads would silently see every stamp/tombstone/journal "
+            "as absent. Keep store metadata on local FS/NFS (the "
+            "data plane may stay remote); see SCALING.md 'metadata "
+            "plane'."
+        )
+    return path
 # LEGACY (pre-r10) drain stamp: one line, the model sha. r10 unified
 # the writers on ANN_STORE_META (VERDICT r9 #5 — two formats for one
 # fact is a maintenance trap); the marker is READ for one more round
@@ -1389,6 +1438,7 @@ def write_ann_store_meta(
         # so one os.replace commits both — a separate watermark file
         # would reopen the torn-state window the WAP convention closes
         meta["merged_through"] = int(merged_through)
+    require_local_metadata_path(store_path, "write_ann_store_meta")
     os.makedirs(store_path, exist_ok=True)
     meta_path = os.path.join(store_path, ANN_STORE_META)
     tmp = f"{meta_path}.tmp"
@@ -1409,6 +1459,7 @@ def read_ann_store_stamp(
     import json
     import os
 
+    require_local_metadata_path(store_path, "read_ann_store_stamp")
     meta_path = os.path.join(store_path, ANN_STORE_META)
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -1601,6 +1652,7 @@ def save_ann_model(
             "persist a degenerate model"
         )
     payload = _ann_payload(cents, cb, frac, cand, rot)
+    require_local_metadata_path(path, "save_ann_model")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = f"{path}.tmp"
     with open(tmp, "wb") as f:
@@ -1663,6 +1715,7 @@ def load_ann_model(path: str, expected_sha256: str | None = None) -> dict:
     import hashlib
     import json
 
+    require_local_metadata_path(path, "load_ann_model")
     with open(path, "rb") as f:
         raw = f.read()
     sha = hashlib.sha256(raw).hexdigest()
@@ -1707,6 +1760,60 @@ def load_ann_model(path: str, expected_sha256: str | None = None) -> dict:
         "rot": rot,
         "sha256": sha,
         "encoding_sha256": ann_encoding_sha256(cents, cb, rot),
+    }
+
+
+def retune_ann_model(
+    path: str,
+    out: str,
+    frac: float | None = None,
+    cand: int | None = None,
+) -> dict:
+    """Re-save a model artifact with new SERVING knobs — ``frac``
+    (probe budget) and/or ``cand`` (rerank candidate cut) — under the
+    SAME encoding (VERDICT r10 #4). Codes depend only on
+    centroids/codebook/rotation, and stores are refused by ENCODING
+    sha (`read_ann_store`), so a retuned model serves every store the
+    original encoded — retuning is a metadata write, never a corpus
+    re-encode.
+
+    Why you'd want to: ``cand`` is the cheapest recall lever on
+    structured corpora. The r10 recall study (SCALING.md) measured
+    recall@5 at 1M going 0.219 -> 0.619 -> 0.825 as cand went
+    100 -> 1000 -> 4000 for only ~+50 % serving cost — and the
+    default (`train_ann_model`'s 100) sits at the bottom of that
+    curve. Sweep cand against a labeled sample, then retune the
+    production artifact; the encoding-sha stamp makes the swap free.
+
+    Returns ``{"path", "sha256", "encoding_sha256", "frac",
+    "cand"}`` — the new FULL sha differs (serving pins that used
+    ``expected_sha256`` must re-pin; that is the point of pinning),
+    the encoding sha is asserted unchanged. Spark-free."""
+    model = load_ann_model(path)
+    new_frac = model["frac"] if frac is None else float(frac)
+    new_cand = model["cand"] if cand is None else int(cand)
+    if new_frac <= 0 or new_frac > 1:
+        raise ValueError(f"frac must be in (0, 1], got {new_frac}")
+    if new_cand < 1:
+        raise ValueError(f"cand must be >= 1, got {new_cand}")
+    art = save_ann_model(
+        out, model["cents"], model["cb"], new_frac, new_cand,
+        rot=model["rot"],
+    )
+    new = load_ann_model(out)
+    # structurally impossible to fail (knobs are outside the encoding
+    # payload) — asserted anyway because serving correctness hangs
+    # on it
+    if new["encoding_sha256"] != model["encoding_sha256"]:
+        raise AssertionError(
+            "retune changed the encoding sha — artifact layout bug"
+        )
+    return {
+        "path": art["path"],
+        "sha256": art["sha256"],
+        "encoding_sha256": new["encoding_sha256"],
+        "frac": new_frac,
+        "cand": new_cand,
     }
 
 
@@ -1874,6 +1981,7 @@ def delete_from_ann_store(
     import os
     import time
 
+    require_local_metadata_path(store_path, "delete_from_ann_store")
     new = {int(x) for x in ids}
     if not new:
         return {"added": 0, "total": len(read_ann_tombstones(store_path))}
@@ -1914,6 +2022,7 @@ def read_ann_tombstones(store_path: str) -> list[int]:
     import json
     import os
 
+    require_local_metadata_path(store_path, "read_ann_tombstones")
     path = os.path.join(store_path, ANN_TOMBSTONES)
     if not os.path.exists(path):
         return []
@@ -1934,6 +2043,9 @@ def write_ann_applied_tombstones(store_path: str, ids) -> None:
     import json
     import os
 
+    require_local_metadata_path(
+        store_path, "write_ann_applied_tombstones"
+    )
     path = os.path.join(store_path, ANN_TOMBS_APPLIED)
     tmp = f"{path}.tmp"
     with open(tmp, "w") as f:
@@ -1947,6 +2059,9 @@ def read_ann_applied_tombstones(store_path: str) -> list[int]:
     import json
     import os
 
+    require_local_metadata_path(
+        store_path, "read_ann_applied_tombstones"
+    )
     path = os.path.join(store_path, ANN_TOMBS_APPLIED)
     if not os.path.exists(path):
         return []
@@ -2081,6 +2196,7 @@ def rebuild_ann(
     import re
     import uuid
 
+    require_local_metadata_path(base_dir, "rebuild_ann")
     versions = os.path.join(base_dir, "versions")
     os.makedirs(versions, exist_ok=True)
     existing = [
@@ -2123,6 +2239,7 @@ def publish_ann_version(
     import json
     import os
 
+    require_local_metadata_path(base_dir, "publish_ann_version")
     final = os.path.join(base_dir, "versions", f"v{n}")
     try:
         os.rename(staging, final)  # atomic publish of the PAIR
@@ -2157,6 +2274,7 @@ def resolve_ann_current(base_dir: str) -> dict:
     import json
     import os
 
+    require_local_metadata_path(base_dir, "resolve_ann_current")
     cur = os.path.join(base_dir, ANN_CURRENT)
     if not os.path.exists(cur):
         raise LookupError(
@@ -2257,6 +2375,7 @@ def compact_ann_store(
 
     from pyspark.sql import functions as F
 
+    require_local_metadata_path(out_store, "compact_ann_store")
     stamp, _sizes = read_ann_store_stamp(drain_dir)
     if stamp is not None:
         _refuse_stamp_mismatch(drain_dir, stamp, model)
@@ -2298,6 +2417,36 @@ def compact_ann_store(
             if stamp is None or stamp.get("merged_through") is None
             else int(stamp["merged_through"])
         )
+        # re-read the stamp AFTER read_ann_store froze the parquet
+        # file listing (ADVICE r10): a concurrent merge_ann_appends
+        # that fully commits (moves done, meta replaced, journal
+        # unlinked) between the entry-time stamp read and the listing
+        # leaves the listing CONTAINING the merged rows while `mb`
+        # still carries the pre-merge watermark — the next merge
+        # against the compacted output would re-fold those batches
+        # and silently duplicate vec_ids. Commit order (moves -> meta
+        # replace -> journal unlink) makes the watermark decisive:
+        # rows can only have entered the listing through a commit,
+        # and every commit moves merged_through before the journal
+        # disappears. A phase-0 journal stays allowed (its moves have
+        # not run, so the frozen listing cannot contain them — the
+        # staged batches re-fold later, the documented gc x merge
+        # stance); a commit landing AFTER this re-read is equally
+        # safe for the same frozen-listing reason.
+        stamp2, _ = read_ann_store_stamp(drain_dir)
+        mb2 = (
+            None
+            if stamp2 is None or stamp2.get("merged_through") is None
+            else int(stamp2["merged_through"])
+        )
+        if mb2 != mb:
+            raise ValueError(
+                f"{drain_dir!r}'s merge watermark moved "
+                f"({mb} -> {mb2}) while compacting — a concurrent "
+                "merge committed between the stamp read and the file "
+                "listing; retry the compaction to take a consistent "
+                "snapshot"
+            )
     codes = src.select("vec_id", "centroid_id", "codes")
     tombs = read_ann_tombstones(drain_dir)
     if tombs:
@@ -2400,6 +2549,8 @@ def merge_ann_appends(
 
     from pyspark.sql import functions as F
 
+    require_local_metadata_path(store_path, "merge_ann_appends")
+    require_local_metadata_path(drain_dir, "merge_ann_appends")
     journal_path = os.path.join(store_path, ANN_MERGE_JOURNAL)
     stage_dir = os.path.join(store_path, ANN_MERGE_STAGE)
     recovered = None

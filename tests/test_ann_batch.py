@@ -518,11 +518,50 @@ def test_decontamination_flags_verbatim_copy_with_colliding_id(
     assert (got["max_sim"] == 1.0).all()
     assert (got["n_eval_hits"] >= 1).all()
 
+    # the refusal rides the probe-assignment scan (VERDICT r10 #3 —
+    # no separate full-corpus driver action), so it surfaces as an
+    # executor-raised error, message intact with the ORIGINAL id
     neg = corpus.withColumn("vec_id", -F.col("vec_id") - 1)
-    with pytest.raises(ValueError, match="non-negative"):
+    with pytest.raises(Exception, match="non-negative"):
         semantic_decontamination_store(
             spark, neg, store_path, model_path, emb, tau=0.99
         )
+
+
+def test_decontamination_validates_ids_inside_the_scan(
+    spark, tmp_path, monkeypatch
+):
+    """The non-negative-id refusal must NOT cost a separate Spark
+    action (VERDICT r10 #3): the old `corpus.filter(vec_id < 0)
+    .first()` scanned every partition per run just to return None on
+    valid input. With the check riding `ann_assign_probes`' executor
+    batch loop, no driver-side `first()` runs anywhere in a
+    decontamination call — pinned by making any first() call fail."""
+    from pyspark.sql import DataFrame
+
+    from inpe_queimadas_etl_spark.api import (
+        semantic_decontamination_store,
+    )
+
+    emb, model_path, store_path = _artifacts(spark, tmp_path, frac=1.0)
+    corpus = emb.filter(F.col("vec_id") < 6)
+
+    def boom(self):
+        raise AssertionError(
+            "id validation must ride the probe scan, not a separate "
+            "driver action"
+        )
+
+    monkeypatch.setattr(DataFrame, "first", boom)
+    got = (
+        semantic_decontamination_store(
+            spark, corpus, store_path, model_path, emb, tau=0.99
+        )
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert list(got["vec_id"]) == [0, 1, 2, 3, 4, 5]
+    assert (got["max_sim"] == 1.0).all()
 
 
 def test_tombstone_delete_is_locked_against_lost_updates(tmp_path):
@@ -757,3 +796,112 @@ def test_scoped_search_among_filters_prefilter_semantics(
         ),
         got,
     )
+
+
+def test_batch_text_in_equals_vec_in_and_serving_encoder(
+    spark, tmp_path
+):
+    """`ann_topk_batch(queries_text=...)` (VERDICT r10 #5): a
+    (query_id, text) frame embedded IN-PLAN by `hashed_doc_vectors`
+    must return rows identical to the vec-frame form fed the same
+    texts' embeddings — and identical to what the ?text= serving
+    path's `hashed_text_vector` would produce, because the two
+    encoders are pinned bit-identical. Exactly-one-input and
+    missing-column contracts refuse loudly."""
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        hashed_doc_vectors,
+        hashed_text_vector,
+    )
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = (
+        hashed_doc_vectors(docs, dim=64)
+        .withColumn("nrm", vec_norm("v"))
+        .select(F.col("doc_id").alias("vec_id"), "v", "nrm")
+    )
+    model = train_ann_model(emb, k=4, m=8, ks=16, frac=0.5, cand=100)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(model_path), store_path)
+
+    # offset ids so the non-negative self-match skip never fires
+    # (query_id == store id would hide the planted exact hit)
+    qtexts = docs.filter(F.col("doc_id") < 6).select(
+        (F.col("doc_id") + 10_000).alias("query_id"), "text"
+    )
+    got_text = (
+        ann_topk_batch(
+            spark, store_path, model_path, k=3, queries_text=qtexts
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    # vec form: the SAME texts through the serving-path encoder
+    # (bit-identical to the corpus scan by the emb1 parity pin)
+    qvecs = [
+        (int(r["query_id"]), hashed_text_vector(r["text"], dim=64))
+        for r in qtexts.collect()
+    ]
+    qdf = spark.createDataFrame(
+        qvecs, "query_id long, qv array<double>"
+    )
+    got_vec = (
+        ann_topk_batch(spark, store_path, model_path, qdf, k=3)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [r.asDict() for r in got_text] == [
+        r.asDict() for r in got_vec
+    ]
+    # each query text IS a stored doc: its own row wins rank 1
+    by_q = {
+        int(r["query_id"]): int(r["neighbor_id"])
+        for r in got_text
+        if int(r["rank"]) == 1
+    }
+    assert by_q == {10_000 + i: i for i in range(6)}
+
+    with pytest.raises(ValueError, match="exactly one"):
+        ann_topk_batch(
+            spark, store_path, model_path, qdf, k=3,
+            queries_text=qtexts,
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        ann_topk_batch(spark, store_path, model_path, k=3)
+    with pytest.raises(ValueError, match="query_id, "):
+        ann_topk_batch(
+            spark, store_path, model_path, k=3,
+            queries_text=qtexts.select("query_id"),
+        )
+
+    # the CLI veneer: --queries-text-parquet routes the same frame
+    # through the same code path, distributed --out (never collected)
+    from inpe_queimadas_etl_spark import cli
+
+    qt_path = str(tmp_path / "qtexts")
+    qtexts.write.parquet(qt_path)
+    out_path = str(tmp_path / "cli_out")
+    assert cli.main(
+        ["ann-search", "--store", store_path, "--model", model_path,
+         "--queries-text-parquet", qt_path, "-k", "3",
+         "--out", out_path]
+    ) == 0
+    cli_rows = (
+        spark.read.parquet(out_path)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [
+        (int(r["query_id"]), int(r["neighbor_id"]), int(r["rank"]))
+        for r in cli_rows
+    ] == [
+        (int(r["query_id"]), int(r["neighbor_id"]), int(r["rank"]))
+        for r in got_text
+    ]

@@ -381,6 +381,12 @@ def test_ann_maintain_cli_dry_run_is_sparkfree(
         d.mkdir(parents=True)
         (d / "_SUCCESS").touch()
         (d / "part-0.parquet").touch()
+    # a WELL-PAIRED drain carries the store's encoding stamp — an
+    # unstamped drain now plans as non-executable by design (ADVICE
+    # r10: merge/retention refuse it, so the plan must too)
+    write_ann_store_meta(
+        str(drain), "a" * 64, encoding_sha256="b" * 64
+    )
 
     rc = cli_main(
         [
@@ -849,3 +855,352 @@ def test_gc_refuses_midmove_journal_allows_phase0(
             resolve_ann_current(base)["store_path"], ANN_MERGE_JOURNAL
         )
     )
+
+
+def test_compact_refuses_watermark_moved_in_listing_window(
+    spark, setup, tmp_path, monkeypatch
+):
+    """gc x merge, the commit-in-the-window case (ADVICE r10): a
+    merge that FULLY commits (moves done, meta replaced, journal
+    unlinked) between compact_ann_store's entry stamp read and its
+    parquet file listing would leave the listing CONTAINING the
+    merged rows while the carried watermark predates them — the next
+    merge would re-fold those batches into the compacted output,
+    silently duplicating vec_ids. The compactor must re-read the
+    stamp after the listing freezes and refuse (retryably) when the
+    watermark moved."""
+    import inpe_queimadas_etl_spark.operators.pq as pq
+
+    base_split, _ = setup["splits"]
+    model = setup["model"]
+    store = str(tmp_path / "store")
+    build_ann_store(base_split, model, store)
+    _, sizes = read_ann_store_stamp(store)
+    write_ann_store_meta(
+        store, model["sha256"], sizes=sizes,
+        encoding_sha256=model["encoding_sha256"], merged_through=3,
+    )
+
+    real = pq.read_ann_store
+
+    def racy(spark_, path, model_):
+        out = real(spark_, path, model_)
+        # simulate the concurrent merge's single atomic commit
+        # landing in the entry-read -> listing window
+        st2, sz2 = read_ann_store_stamp(path)
+        write_ann_store_meta(
+            path, model_["sha256"], sizes=sz2,
+            encoding_sha256=model_["encoding_sha256"],
+            merged_through=99,
+        )
+        return out
+
+    monkeypatch.setattr(pq, "read_ann_store", racy)
+    from inpe_queimadas_etl_spark.operators.pq import compact_ann_store
+
+    with pytest.raises(ValueError, match="watermark moved"):
+        compact_ann_store(
+            spark, store, str(tmp_path / "out"), model
+        )
+    # the refusal is retryable: with the watermark stable, the SAME
+    # compaction succeeds and carries the (now-current) watermark
+    monkeypatch.setattr(pq, "read_ann_store", real)
+    out = str(tmp_path / "out2")
+    compact_ann_store(spark, store, out, model)
+    st, _ = read_ann_store_stamp(out)
+    assert int(st["merged_through"]) == 99
+
+
+def test_plan_unstamped_drain_not_executable(spark, setup, tmp_path):
+    """An UNSTAMPED drain must plan like a mispaired one (ADVICE
+    r10): merge_ann_appends and prune_ann_drain both raise on it, so
+    marking the merge executable would let an --apply round die
+    halfway instead of being flagged at plan time."""
+    base_split, _ = setup["splits"]
+    store = str(tmp_path / "store")
+    build_ann_store(base_split, setup["model"], store)
+    drain = tmp_path / "drain_unstamped"
+    for b in (0, 1):
+        d = drain / f"batch_id={b}"
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").touch()
+        (d / "part-0.parquet").touch()
+
+    plan = ann_maintenance_plan(
+        store_path=store, drain_dir=str(drain)
+    )
+    assert plan["signals"]["drain_encoding_match"] is False
+    assert plan["signals"]["backlog_batches"] == 2
+    merge = next(
+        a for a in plan["actions"] if a["action"] == "merge"
+    )
+    assert merge["executable"] is False
+    assert "no model stamp" in merge["reason"]
+
+    # an applied round reports it blocked instead of dying mid-round
+    def no_spark():  # the blocked merge must never reach Spark
+        raise AssertionError("blocked action must not start Spark")
+
+    out = run_ann_maintenance(
+        no_spark, store_path=store, drain_dir=str(drain),
+        model_path=setup["model_path"], apply=True,
+    )
+    assert "merge" in out["blocked"]
+    assert out["applied"] == []
+    assert out["results"]["merge"].startswith("not executable")
+
+
+def test_recovery_runs_even_when_merge_is_blocked(
+    spark, setup, tmp_path
+):
+    """recover=True with a journal AND a non-executable merge (drain
+    mismatch): the round used to delegate recovery to the merge call
+    and then never run the merge — the journal stayed pending and
+    'recover-merge' appeared nowhere (ADVICE r10). Recovery must run
+    directly (Spark-free) whenever the merge cannot carry it."""
+    base = _deployment(spark, setup, tmp_path)
+    cur = resolve_ann_current(base)
+    jp = os.path.join(cur["store_path"], ANN_MERGE_JOURNAL)
+    with open(jp, "w") as f:
+        json.dump({"from": None, "to": None, "moves": []}, f)
+
+    # a drain with committed backlog but a FOREIGN encoding stamp
+    drain = tmp_path / "drain_foreign"
+    d = drain / "batch_id=0"
+    d.mkdir(parents=True)
+    (d / "_SUCCESS").touch()
+    (d / "part-0.parquet").touch()
+    write_ann_store_meta(
+        str(drain), "e" * 64, encoding_sha256="f" * 64
+    )
+
+    plan = ann_maintenance_plan(base_dir=base, drain_dir=str(drain))
+    names = [a["action"] for a in plan["actions"]]
+    assert "recover-merge" in names and "merge" in names
+    assert not next(
+        a for a in plan["actions"] if a["action"] == "merge"
+    )["executable"]
+
+    def no_spark():  # recovery is file-metadata only
+        raise AssertionError("recovery must stay Spark-free")
+
+    out = run_ann_maintenance(
+        no_spark, base_dir=base, drain_dir=str(drain),
+        apply=True, recover=True,
+    )
+    assert "recover-merge" in out["applied"]
+    assert out["results"]["recover-merge"] == "rolled_back"
+    assert not os.path.exists(jp)
+    assert "merge" in out["blocked"]
+
+
+def test_pipeline_post_run_ann_maintenance_hook(
+    spark, setup, tmp_path
+):
+    """VERDICT r10 #6 end-to-end: the orchestration's opt-in ANN rung.
+    A drain holds appends -> a daily `run_range` with
+    ann_maintenance config -> the run's metrics carry the plan (which
+    names the merge), apply folds it, and serving sees the new rows —
+    without a separate ann-maintain invocation. Plan-only runs attach
+    the plan and move nothing."""
+    import datetime as dtm
+
+    from inpe_queimadas_etl_spark.pipeline import Warehouse, run_range
+    from inpe_queimadas_etl_spark.schemas import UF_AREA
+    from inpe_queimadas_etl_spark.sources.csv_ingest import (
+        write_fixture_csv,
+    )
+
+    from . import fixtures_geo as G
+
+    base = _deployment(spark, setup, tmp_path)
+    drain = _drain(setup, tmp_path, [(0, setup["splits"][1])])
+    n_total = setup["emb"].count()
+
+    dims = {
+        "municipios": G.municipios(),
+        "biomas": G.biomas(),
+        "ucs": G.ucs(),
+        "tis": G.tis(),
+        "uf_area": spark.createDataFrame(G.uf_area_rows(), UF_AREA),
+    }
+    csv_path = str(tmp_path / "focos.csv")
+    write_fixture_csv(csv_path, G.FOCOS_HEADER, G.FOCOS_ROWS, sep=";")
+    wh = Warehouse(str(tmp_path / "wh"))
+    file_date = dtm.date(2024, 5, 2)
+
+    # plan-only: the plan rides the metrics, nothing moves
+    [r0] = run_range(
+        spark, wh, [(file_date, csv_path)], dims, write_report=False,
+        ann_maintenance={"base_dir": base, "drain_dir": drain},
+    )
+    plan_actions = [
+        a["action"] for a in r0["ann_maintenance"]["plan"]["actions"]
+    ]
+    assert "merge" in plan_actions
+    assert r0["ann_maintenance"]["applied"] == []
+    st0, _ = read_ann_store_stamp(
+        resolve_ann_current(base)["store_path"]
+    )
+    assert "merged_through" not in st0  # nothing folded yet
+
+    # applied: the SAME daily run folds the backlog
+    [r1] = run_range(
+        spark, wh, [(file_date, csv_path)], dims, write_report=False,
+        ann_maintenance={
+            "base_dir": base, "drain_dir": drain, "apply": True,
+        },
+    )
+    assert "merge" in r1["ann_maintenance"]["applied"]
+    cur = resolve_ann_current(base)
+    st1, sizes1 = read_ann_store_stamp(cur["store_path"])
+    assert st1["merged_through"] == 0
+    assert sum(sizes1.values()) == n_total
+    # serving sees a drain row: its own vector is its top neighbor
+    delta_row = setup["splits"][1].limit(1).collect()[0]
+    got = ann_topk(
+        spark, cur["store_path"], cur["model_path"],
+        [(-1, list(delta_row["v"]))], k=1,
+        rerank_with=setup["emb"],
+    ).collect()
+    assert int(got[0]["neighbor_id"]) == int(delta_row["vec_id"])
+
+
+def test_multi_day_lifecycle_soak(spark, setup, tmp_path):
+    """The property-test version of the module docstring's race
+    analysis (VERDICT r10 #8): N simulated days of drain appends +
+    takedowns + a nightly `run_ann_maintenance` (merge -> gc ->
+    prune-drain -> prune-versions all exercised), asserting after
+    EVERY night the invariants the lifecycle claims:
+
+    - no vec_id is ever served twice (merge/gc/compaction chains
+      never duplicate);
+    - the merge watermark is monotone non-decreasing;
+    - a retired id never reappears in served results on any later
+      day (tombstone -> GC physical drop -> applied-history chain);
+    - served ids == (base + every folded slice) - retired, exactly;
+    - version history stays within the retention bound."""
+    from pyspark.sql import functions as F
+
+    from inpe_queimadas_etl_spark.operators.pq import pq_ivf_encode
+
+    model = setup["model"]
+    emb = setup["emb"]
+    n_total = emb.count()
+    base_cut = int(n_total * 0.5)
+    days = 4
+    slice_n = (n_total - base_cut) // days
+
+    # deployment v1 from the base half
+    import shutil
+
+    base_dir = str(tmp_path / "soak")
+    os.makedirs(os.path.join(base_dir, "versions", "v1"))
+    shutil.copyfile(
+        setup["model_path"],
+        os.path.join(base_dir, "versions", "v1", "model.json"),
+    )
+    build_ann_store(
+        emb.filter(F.col("vec_id") < base_cut), model,
+        os.path.join(base_dir, "versions", "v1", "store"),
+    )
+    with open(os.path.join(base_dir, "CURRENT"), "w") as f:
+        json.dump(
+            {
+                "version": 1,
+                "model": "versions/v1/model.json",
+                "store": "versions/v1/store",
+                "model_sha256": model["sha256"],
+            },
+            f,
+        )
+
+    drain = str(tmp_path / "soak_drain")
+    write_ann_store_meta(
+        drain, model["sha256"],
+        encoding_sha256=model["encoding_sha256"],
+    )
+
+    def served_ids():
+        cur = resolve_ann_current(base_dir)
+        rows = [
+            int(r["vec_id"])
+            for r in spark.read.parquet(cur["store_path"])
+            .select("vec_id")
+            .collect()
+        ]
+        tombs = set(read_ann_tombstones(cur["store_path"]))
+        live = [v for v in rows if v not in tombs]
+        return rows, live
+
+    def spark_factory():
+        return spark
+
+    folded = set(range(base_cut))
+    retired: set = set()
+    last_watermark = -1
+    for day in range(days):
+        lo = base_cut + day * slice_n
+        hi = n_total if day == days - 1 else lo + slice_n
+        sl = emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        )
+        pq_ivf_encode(
+            sl, model["cents3"], model["cb"], rot=model.get("rot")
+        ).write.parquet(f"{drain}/batch_id={day}")
+        # two takedowns per day against already-served ids (and one
+        # against a never-stored id on day 2 — a NOT-IN of an absent
+        # id must stay harmless)
+        victims = sorted(folded - retired)[day * 7:day * 7 + 2]
+        if day == 2:
+            victims = [*victims, 999_983]
+        cur = resolve_ann_current(base_dir)
+        delete_from_ann_store(cur["store_path"], victims)
+        retired |= set(victims)
+
+        out = run_ann_maintenance(
+            spark_factory,
+            base_dir=base_dir,
+            drain_dir=drain,
+            apply=True,
+            tomb_gc_frac=0.004,  # ~2 deletes/500 rows trips the GC
+            keep_versions=2,
+            drain_keep_batches=1,
+        )
+        assert out["blocked"] == [], out
+        assert "merge" in out["applied"], (day, out)
+        folded |= set(range(lo, hi))
+
+        # --- invariants, every night ---
+        cur = resolve_ann_current(base_dir)
+        stamp, sizes = read_ann_store_stamp(cur["store_path"])
+        wm = int(stamp["merged_through"])
+        assert wm >= last_watermark, "watermark went backwards"
+        assert wm == day  # the night folds everything appended
+        last_watermark = wm
+        rows, live = served_ids()
+        assert len(rows) == len(set(rows)), (
+            f"day {day}: duplicated vec_ids served"
+        )
+        assert set(live) == folded - retired, f"day {day}"
+        assert not (set(live) & retired), (
+            f"day {day}: retired ids reappeared"
+        )
+        assert sum(sizes.values()) == len(rows)
+        # version history bounded: kept <= keep_versions + CURRENT
+        vdir = os.path.join(base_dir, "versions")
+        n_versions = len(
+            [e for e in os.listdir(vdir) if e.startswith("v")]
+        )
+        assert n_versions <= 3, f"day {day}: retention leak"
+
+    # the GC path really ran at least once (tombstones were dropped
+    # physically into a new version)
+    assert resolve_ann_current(base_dir)["version"] > 1
+    # drain retention really pruned consumed batches
+    present = [
+        e
+        for e in os.listdir(drain)
+        if e.startswith("batch_id=")
+    ]
+    assert len(present) <= 2  # keep window, not the full history

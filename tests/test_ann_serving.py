@@ -1411,3 +1411,122 @@ def test_scoped_search_semi_join_sits_below_the_adc_scan(
     semi_at = plan.find("LeftSemi")
     assert map_at != -1 and semi_at != -1
     assert semi_at > map_at, plan  # deeper in the printed tree
+
+
+def test_ann_topk_cache_key_and_compute_share_one_state_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """/api/ann/topk must resolve the ann state ONCE per request and
+    use that snapshot for BOTH the cache key and the computation
+    (ADVICE r10): a second resolve inside the endpoint could observe
+    a newer state if a follow refresh lands between the two calls —
+    the newer version's response would then be cached under the
+    OLDER version's key, and a pointer rollback to that version
+    would serve the wrong version's result for the cache TTL."""
+    import inpe_queimadas_etl_spark.api as api_mod
+    from inpe_queimadas_etl_spark.api import ApiContext, handle_request
+
+    emb = _emb(spark)
+    model = _demo_model(spark)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(model_path), store_path)
+    ctx = ApiContext(
+        spark=spark, fact=None, all_ufs=None,
+        ann_model_path=model_path, ann_store_path=store_path,
+    )
+
+    calls = []
+    real = api_mod._ensure_ann_state
+
+    def counting(c):
+        calls.append(1)
+        return real(c)
+
+    monkeypatch.setattr(api_mod, "_ensure_ann_state", counting)
+    qv = [float(x) for x in emb.filter("vec_id = 8").first()["v"]]
+    vec = ",".join(repr(x) for x in qv)
+    status, body = handle_request(
+        ctx, "/api/ann/topk", {"vec": vec, "k": "3"}
+    )
+    assert status == 200, body
+    assert len(calls) == 1, (
+        "state resolved more than once per request — key and "
+        "computation can diverge under a follow refresh"
+    )
+    # a cache hit still resolves once (for the key) and serves the
+    # pinned body without recomputation
+    status2, body2 = handle_request(
+        ctx, "/api/ann/topk", {"vec": vec, "k": "3"}
+    )
+    assert status2 == 200 and body2 == body
+    assert len(calls) == 2
+
+
+def test_ann_retune_swaps_serving_knobs_without_reencode(
+    spark, tmp_path, capsys
+):
+    """`retune_ann_model` (VERDICT r10 #4): new frac/cand under the
+    SAME encoding sha — a store encoded by the original artifact is
+    accepted and served by the retuned one with no re-encode (codes
+    depend only on centroids/codebook/rotation; `read_ann_store`
+    refuses by encoding sha). The full sha MUST change (that is what
+    expected_sha256 pins)."""
+    import json
+
+    from inpe_queimadas_etl_spark import cli
+    from inpe_queimadas_etl_spark.operators.pq import (
+        read_ann_store,
+        retune_ann_model,
+    )
+
+    emb = _emb(spark)
+    model = _demo_model(spark)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+    orig = load_ann_model(model_path)
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, orig, store_path)
+
+    out = str(tmp_path / "retuned.json")
+    res = retune_ann_model(model_path, out, cand=400)
+    assert res["cand"] == 400
+    assert res["encoding_sha256"] == orig["encoding_sha256"]
+    assert res["sha256"] != orig["sha256"]
+
+    retuned = load_ann_model(out, expected_sha256=res["sha256"])
+    assert retuned["cand"] == 400
+    assert retuned["frac"] == orig["frac"]  # untouched knob kept
+    # the original-encoded store is accepted under the retuned model
+    _, sizes = read_ann_store(spark, store_path, retuned)
+    assert sizes is not None
+    qv = [float(x) for x in emb.filter("vec_id = 8").first()["v"]]
+    got = (
+        ann_topk(spark, store_path, out, [(-1, qv)], k=3)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [int(r["neighbor_id"]) for r in got][0] == 8
+
+    # CLI veneer: same function, JSON result on stdout; no-knob
+    # invocations are a usage error (exit 2), not a silent copy
+    out2 = str(tmp_path / "retuned2.json")
+    capsys.readouterr()
+    assert cli.main(
+        ["ann-retune", "--model", model_path, "--out", out2,
+         "--frac", "0.9"]
+    ) == 0
+    body = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert body["frac"] == 0.9
+    assert body["encoding_sha256"] == orig["encoding_sha256"]
+    assert cli.main(
+        ["ann-retune", "--model", model_path,
+         "--out", str(tmp_path / "x.json")]
+    ) == 2
