@@ -270,15 +270,33 @@ def ann_maintenance_plan(
         "store — fix the pairing first (merge/retention refuse it)"
     )
     if len(backlog) >= max(1, min_merge_batches):
+        # same plan-time honesty for the STORE side: merge refuses a
+        # stampless dir and a store without the serving-layout size
+        # stamp, so an executable=True plan would die mid-apply
+        if stamp is None:
+            store_note = (
+                f"store {store_path!r} carries no model stamp — not "
+                "an ANN store dir; point the plan at a "
+                "build/compact/merge-produced store"
+            )
+        elif sizes is None:
+            store_note = (
+                f"store {store_path!r} has no cluster-size stamp — "
+                "not a serving-layout store; compact_ann_store it "
+                "first (merge refuses drain-layout targets)"
+            )
+        else:
+            store_note = None
+        merge_ok = drain_match is not False and store_note is None
         actions.append(
             {
                 "action": "merge",
-                "executable": drain_match is not False,
+                "executable": merge_ok,
                 "reason": (
                     f"{len(backlog)} committed drain batch(es) past "
                     f"watermark {watermark} — fold at delta cost"
-                    if drain_match is not False
-                    else mismatch_note
+                    if merge_ok
+                    else (store_note or mismatch_note)
                 ),
             }
         )

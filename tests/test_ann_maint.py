@@ -1158,17 +1158,32 @@ def test_multi_day_lifecycle_soak(spark, setup, tmp_path):
         delete_from_ann_store(cur["store_path"], victims)
         retired |= set(victims)
 
+        # day 1 simulates a merge that crashed before any move ran
+        # (phase-0 journal left on the store): the nightly round with
+        # recover granted must classify + resolve it AND still fold
+        # the day's backlog in the same round
+        crashed = day == 1
+        if crashed:
+            with open(
+                os.path.join(cur["store_path"], ANN_MERGE_JOURNAL), "w"
+            ) as f:
+                json.dump({"from": None, "to": None, "moves": []}, f)
+
         out = run_ann_maintenance(
             spark_factory,
             base_dir=base_dir,
             drain_dir=drain,
             apply=True,
+            recover=crashed,
             tomb_gc_frac=0.004,  # ~2 deletes/500 rows trips the GC
             keep_versions=2,
             drain_keep_batches=1,
         )
         assert out["blocked"] == [], out
         assert "merge" in out["applied"], (day, out)
+        if crashed:
+            assert "recover-merge" in out["applied"], out
+            assert out["results"]["merge"]["recovered"] == "rolled_back"
         folded |= set(range(lo, hi))
 
         # --- invariants, every night ---

@@ -84,3 +84,48 @@ def test_every_lifecycle_entry_point_refuses_uri_paths(tmp_path):
         with pytest.raises(ValueError, match="metadata plane"):
             call()
             pytest.fail(f"case {i} did not refuse")
+
+
+def test_plan_flags_unstamped_or_drain_layout_store(tmp_path):
+    """Plan-time honesty for the STORE side of a merge: a stampless
+    dir and a store without the serving-layout size stamp both make
+    merge_ann_appends raise, so the plan must mark the merge
+    non-executable instead of letting an --apply die mid-round
+    (the ADVICE r10 unstamped-drain rule, applied symmetrically)."""
+    from inpe_queimadas_etl_spark.operators.pq import (
+        write_ann_store_meta,
+    )
+
+    drain = tmp_path / "drain"
+    for b in (0, 1):
+        d = drain / f"batch_id={b}"
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").touch()
+        (d / "part-0.parquet").touch()
+    write_ann_store_meta(
+        str(drain), "a" * 64, encoding_sha256="b" * 64
+    )
+
+    # stampless store dir
+    bare = tmp_path / "bare"
+    bare.mkdir()
+    plan = ann_maintenance_plan(
+        store_path=str(bare), drain_dir=str(drain)
+    )
+    merge = next(a for a in plan["actions"] if a["action"] == "merge")
+    assert merge["executable"] is False
+    assert "no model stamp" in merge["reason"]
+
+    # stamped but drain-layout (no cluster-size stamp)
+    nosizes = tmp_path / "nosizes"
+    write_ann_store_meta(
+        str(nosizes), "a" * 64, encoding_sha256="b" * 64
+    )
+    plan2 = ann_maintenance_plan(
+        store_path=str(nosizes), drain_dir=str(drain)
+    )
+    merge2 = next(
+        a for a in plan2["actions"] if a["action"] == "merge"
+    )
+    assert merge2["executable"] is False
+    assert "cluster-size" in merge2["reason"]
