@@ -563,6 +563,7 @@ def cmd_ann_search_stream(args) -> int:
         available_now=not args.continuous,
         chunk_queries=args.chunk_queries,
         on_batch=on_batch,
+        queries_are_text=args.queries_are_text,
     )
     q.awaitTermination()
     summary = {
@@ -632,6 +633,89 @@ def cmd_ann_delete(args) -> int:
         json.dumps({"store": args.store, **res}),
     )
     print(json.dumps(res))
+    return 0
+
+
+def cmd_ann_decontaminate(args) -> int:
+    """Store-backed semantic decontamination (cur7 against frozen
+    benchmark artifacts, `api.semantic_decontamination_store`): flag
+    corpus vectors within tau of any benchmark item. The shell face
+    of the nightly curation job — pair with --out for corpus-scale
+    runs (results stay distributed)."""
+    from .api import semantic_decontamination_store
+    from .session import get_spark
+
+    spark = get_spark(app_name="ann-decontaminate")
+    res = semantic_decontamination_store(
+        spark,
+        _load_emb(spark, args.corpus_embeddings_dir),
+        args.store,
+        args.model,
+        _load_emb(spark, args.eval_embeddings_dir),
+        tau=args.tau,
+        chunk_queries=args.chunk_queries,
+    )
+    if args.out:
+        res.write.parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        summary = {"out": args.out, "flagged": int(n), "tau": args.tau}
+        log.info("ann-decontaminate | %s", json.dumps(summary))
+        print(json.dumps(summary))
+    else:
+        rows = [r.asDict() for r in res.orderBy("vec_id").collect()]
+        print(json.dumps({"flagged": rows, "tau": args.tau}))
+    return 0
+
+
+def cmd_ann_semdedup(args) -> int:
+    """Store-backed SemDeDup (dd12 under a frozen coarse quantizer,
+    `api.semdedup_store`): the removal list, optionally fed straight
+    into the serving store's tombstones (`--apply-to-store`) so dedup
+    and takedown share one governance loop under one model sha. The
+    apply path is BOUNDED by the tombstone contract — corpus-scale
+    removal lists must go through a rebuild instead."""
+    from .api import semdedup_store
+    from .session import get_spark
+
+    spark = get_spark(app_name="ann-semdedup")
+    res = semdedup_store(
+        spark,
+        _load_emb(spark, args.embeddings_dir),
+        args.model,
+        tau=args.tau,
+        block=args.block,
+    )
+    if args.out:
+        res.write.parquet(args.out)
+        res = spark.read.parquet(args.out)  # don't recompute below
+    summary = {"tau": args.tau}
+    if args.out:
+        summary["out"] = args.out
+    if args.apply_to_store:
+        from .operators.pq import delete_from_ann_store
+
+        ids = [
+            int(r["vec_id"])
+            for r in res.select("vec_id")
+            .limit(args.apply_bound + 1)
+            .collect()
+        ]
+        if len(ids) > args.apply_bound:
+            raise SystemExit(
+                f"removal list exceeds --apply-bound "
+                f"{args.apply_bound} — tombstones are bounded by "
+                "contract; corpus-scale dedup removals should go "
+                "through a rebuild (ann-rebuild over the deduped "
+                "corpus), not the takedown path"
+            )
+        summary["applied"] = delete_from_ann_store(
+            args.apply_to_store, ids
+        )
+        summary["removed_ids"] = len(ids)
+    else:
+        summary["removals"] = int(res.count())
+    log.info("ann-semdedup | %s", json.dumps(summary))
+    print(json.dumps(summary))
     return 0
 
 
@@ -1152,6 +1236,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="stay live instead of the sweep-and-exit cron shape",
     )
+    ass.add_argument(
+        "--queries-are-text",
+        action="store_true",
+        help="snapshots carry (query_id, text): each batch embeds "
+        "in-plan with the drain's hashed encoder (hashed-encoder "
+        "stores only)",
+    )
     ass.add_argument("--log-dir")
 
     amt = sub.add_parser(
@@ -1201,6 +1292,54 @@ def build_parser() -> argparse.ArgumentParser:
         "rebuild is running)",
     )
     apr.add_argument("--log-dir")
+
+    adc = sub.add_parser(
+        "ann-decontaminate",
+        help="flag corpus vectors within tau of a frozen benchmark "
+        "store's items (store-backed cur7) — distributed with --out",
+    )
+    adc.add_argument(
+        "--corpus-embeddings-dir", required=True,
+        help="dir holding the CORPUS embeddings.parquet to screen",
+    )
+    adc.add_argument("--store", required=True, help="benchmark store dir")
+    adc.add_argument("--model", required=True, help="ann-train artifact")
+    adc.add_argument(
+        "--eval-embeddings-dir", required=True,
+        help="dir holding the benchmark's raw embeddings.parquet "
+        "(the exact-rerank table — must cover every store vec_id)",
+    )
+    adc.add_argument("--tau", type=float, default=0.35)
+    adc.add_argument("--chunk-queries", type=int, default=None)
+    adc.add_argument(
+        "--out", help="write flags as parquet (distributed)"
+    )
+    adc.add_argument("--log-dir")
+
+    asd = sub.add_parser(
+        "ann-semdedup",
+        help="SemDeDup removal list under a frozen model's coarse "
+        "quantizer (store-backed dd12); --apply-to-store feeds the "
+        "removals into a serving store's tombstones (bounded)",
+    )
+    asd.add_argument("--embeddings-dir", required=True)
+    asd.add_argument("--model", required=True, help="ann-train artifact")
+    asd.add_argument("--tau", type=float, default=0.40)
+    asd.add_argument("--block", type=int, default=2048)
+    asd.add_argument(
+        "--out", help="write the removal list as parquet"
+    )
+    asd.add_argument(
+        "--apply-to-store",
+        help="also tombstone the removed ids in this serving store "
+        "(delete_from_ann_store — same sha governance loop)",
+    )
+    asd.add_argument(
+        "--apply-bound", type=int, default=100_000,
+        help="refuse --apply-to-store beyond this many removals "
+        "(tombstones are bounded by contract; rebuild instead)",
+    )
+    asd.add_argument("--log-dir")
 
     asr = sub.add_parser(
         "ann-search",
@@ -1286,6 +1425,10 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_ann_train(args)
     if args.cmd == "ann-retune":
         return cmd_ann_retune(args)
+    if args.cmd == "ann-decontaminate":
+        return cmd_ann_decontaminate(args)
+    if args.cmd == "ann-semdedup":
+        return cmd_ann_semdedup(args)
     if args.cmd == "ann-rebuild":
         return cmd_ann_rebuild(args)
     if args.cmd == "ann-build":

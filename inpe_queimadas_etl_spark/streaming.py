@@ -1219,6 +1219,7 @@ def start_ann_search_stream(
     expected_sha256: str | None = None,
     schema: T.StructType | None = None,
     on_batch=None,
+    queries_are_text: bool = False,
 ):
     """Streaming face of `api.ann_topk_batch` — the third corner of
     the serving triangle (HTTP for ad-hoc vectors, batch for 10^4+
@@ -1245,17 +1246,27 @@ def start_ann_search_stream(
     assignment is an Arrow scan over the batch, one bounded probe
     broadcast (or ``chunk_queries``-bounded chunks), LUTs
     executor-side, store partition-pruned to probed clusters, one
-    ranking tail. Returns the StreamingQuery."""
+    ranking tail. Returns the StreamingQuery.
+
+    ``queries_are_text=True`` switches the feed to ``(query_id,
+    text)`` snapshots: each batch embeds in-plan with the drain's
+    hashed encoder (`ann_topk_batch`'s ``queries_text`` path, pinned
+    equal to the vec form and priced free-or-better in SCALING.md
+    r11) — a continuous text feed searches a hashed-encoder store
+    with no pre-embedding job in front of it."""
     from .api import _ann_topk_batch_loaded, _load_ann_state
 
     st = _load_ann_state(
         spark, model_path, store_path, expected_sha256=expected_sha256
     )
     schema = _resolve_stream_schema(spark, queries_dir, schema)
-    missing = {"query_id", "qv"} - set(schema.fieldNames())
+    qcols = (
+        {"query_id", "text"} if queries_are_text else {"query_id", "qv"}
+    )
+    missing = qcols - set(schema.fieldNames())
     if missing:
         raise ValueError(
-            f"queries schema must carry query_id, qv "
+            f"queries schema must carry {', '.join(sorted(qcols))} "
             f"(missing: {sorted(missing)})"
         )
     res_dir = f"{out_dir}/results"
@@ -1267,14 +1278,24 @@ def start_ann_search_stream(
             spark, res_dir, spark.createDataFrame([], "query_id long")
         )
         _refuse_checkpoint_reset(((res_dir, existing),), batch_id)
-        res = _ann_topk_batch_loaded(
-            spark,
-            st,
-            batch.select("query_id", "qv"),
-            k=k,
-            rerank_with=rerank_with,
-            chunk_queries=chunk_queries,
-        )
+        if queries_are_text:
+            res = _ann_topk_batch_loaded(
+                spark,
+                st,
+                k=k,
+                rerank_with=rerank_with,
+                chunk_queries=chunk_queries,
+                queries_text=batch.select("query_id", "text"),
+            )
+        else:
+            res = _ann_topk_batch_loaded(
+                spark,
+                st,
+                batch.select("query_id", "qv"),
+                k=k,
+                rerank_with=rerank_with,
+                chunk_queries=chunk_queries,
+            )
         _write_partition(res, res_dir, batch_id)
         if on_batch is not None:
             on_batch(batch_id, {"n_queries": batch.count()})

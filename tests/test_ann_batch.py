@@ -905,3 +905,85 @@ def test_batch_text_in_equals_vec_in_and_serving_encoder(
         (int(r["query_id"]), int(r["neighbor_id"]), int(r["rank"]))
         for r in got_text
     ]
+
+
+def test_ann_decontaminate_and_semdedup_cli(spark, tmp_path, capsys):
+    """The shell faces of the store-backed curation pair (r11):
+    ann-decontaminate == api.semantic_decontamination_store row for
+    row; ann-semdedup == api.semdedup_store, with --apply-to-store
+    feeding the removals into the serving store's tombstones under
+    the bounded-takedown contract (and refusing past --apply-bound
+    with the rebuild remedy named)."""
+    import json
+
+    from inpe_queimadas_etl_spark import cli
+    from inpe_queimadas_etl_spark.api import (
+        semantic_decontamination_store,
+        semdedup_store,
+    )
+    from inpe_queimadas_etl_spark.operators.pq import (
+        read_ann_tombstones,
+    )
+
+    emb, model_path, store_path = _artifacts(spark, tmp_path, frac=1.0)
+
+    out = str(tmp_path / "flags")
+    capsys.readouterr()
+    assert cli.main(
+        ["ann-decontaminate",
+         "--corpus-embeddings-dir", SF0001,
+         "--store", store_path, "--model", model_path,
+         "--eval-embeddings-dir", SF0001,
+         "--tau", "0.99", "--out", out]
+    ) == 0
+    summary = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )
+    want = (
+        semantic_decontamination_store(
+            spark, emb, store_path, model_path, emb, tau=0.99
+        )
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )
+    assert summary["flagged"] == len(want)
+    # every corpus item IS a store item verbatim — all flagged
+    assert summary["flagged"] == emb.count()
+
+    # semdedup: removal list + bounded tombstone application
+    removals = semdedup_store(
+        spark, emb, model_path, tau=0.40
+    ).toPandas()
+    assert len(removals) > 0
+    capsys.readouterr()
+    assert cli.main(
+        ["ann-semdedup", "--embeddings-dir", SF0001,
+         "--model", model_path, "--tau", "0.40",
+         "--apply-to-store", store_path]
+    ) == 0
+    summary2 = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )
+    assert summary2["removed_ids"] == len(removals)
+    tombs = set(read_ann_tombstones(store_path))
+    assert tombs == set(int(x) for x in removals["vec_id"])
+
+    # the bounded contract: a tiny --apply-bound refuses with the
+    # rebuild remedy, and the tombstone set is untouched
+    with pytest.raises(SystemExit, match="rebuild"):
+        cli.main(
+            ["ann-semdedup", "--embeddings-dir", SF0001,
+             "--model", model_path, "--tau", "0.40",
+             "--apply-to-store", store_path, "--apply-bound", "1"]
+        )
+    assert set(read_ann_tombstones(store_path)) == tombs

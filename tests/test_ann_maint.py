@@ -1219,3 +1219,93 @@ def test_multi_day_lifecycle_soak(spark, setup, tmp_path):
         if e.startswith("batch_id=")
     ]
     assert len(present) <= 2  # keep window, not the full history
+
+
+def test_concurrent_maintenance_rounds_are_safe(
+    spark, setup, tmp_path
+):
+    """The module docstring's two-crons-racing claim, exercised for
+    real: two `run_ann_maintenance(apply=True)` rounds start on a
+    barrier against ONE deployment with backlog + tombstones. Any
+    interleaving must end with: failures drawn ONLY from the
+    documented loud-refusal set (journal arbiter, version-rename
+    arbiter, watermark-moved retry, tombstone lock), and after one
+    convergence round the served state exactly right — every batch
+    folded once, retired ids gone, no duplicates, consistent stamp."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    base = _deployment(spark, setup, tmp_path)
+    half = setup["splits"][1]
+    mid = [int(r["vec_id"]) for r in half.select("vec_id").collect()]
+    cut = sorted(mid)[len(mid) // 2]
+    drain = _drain(
+        setup, tmp_path,
+        [(0, half.filter(F.col("vec_id") < cut)),
+         (1, half.filter(F.col("vec_id") >= cut))],
+    )
+    victims = [
+        int(r["vec_id"])
+        for r in setup["splits"][0].limit(2).collect()
+    ]
+    delete_from_ann_store(
+        resolve_ann_current(base)["store_path"], victims
+    )
+
+    barrier = threading.Barrier(2)
+    results: dict = {}
+
+    def worker(name):
+        barrier.wait()
+        try:
+            results[name] = run_ann_maintenance(
+                lambda: spark,
+                base_dir=base,
+                drain_dir=drain,
+                apply=True,
+                tomb_gc_frac=0.004,
+                drain_keep_batches=2,
+            )
+        except Exception as exc:  # the documented refusals
+            results[name] = exc
+
+    ts = [threading.Thread(target=worker, args=(n,)) for n in "ab"]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(300)
+    assert set(results) == {"a", "b"}
+
+    allowed = (
+        "pending merge journal",   # merge x merge O_EXCL arbiter
+        "another rebuild published",  # gc x gc rename arbiter
+        "watermark moved",         # gc x merge commit-window retry
+        "lock",                    # tombstone lock contention
+    )
+    for name, v in results.items():
+        if isinstance(v, Exception):
+            assert any(s in str(v) for s in allowed), (name, v)
+
+    # convergence: one quiet round (recover granted in case a loser
+    # died holding the journal) finishes whatever the race left
+    run_ann_maintenance(
+        lambda: spark, base_dir=base, drain_dir=drain, apply=True,
+        recover=True, tomb_gc_frac=0.004, drain_keep_batches=2,
+    )
+
+    cur = resolve_ann_current(base)
+    stamp, sizes = read_ann_store_stamp(cur["store_path"])
+    assert int(stamp["merged_through"]) == 1
+    rows = [
+        int(r["vec_id"])
+        for r in spark.read.parquet(cur["store_path"])
+        .select("vec_id")
+        .collect()
+    ]
+    assert len(rows) == len(set(rows)), "race duplicated rows"
+    tombs = set(read_ann_tombstones(cur["store_path"]))
+    live = set(rows) - tombs
+    n_total = setup["emb"].count()
+    assert live == set(range(n_total)) - set(victims)
+    assert sum(sizes.values()) == len(rows)

@@ -989,3 +989,122 @@ def test_store_gc_compact_preserves_watermark_and_applied_history(
     compact_ann_store(spark, gc1, gc2, model)
     assert read_ann_applied_tombstones(gc2) == sorted(set(t1) | set(t2))
     assert read_ann_store_stamp(gc2)[0].get("merged_through") == 1
+
+
+def test_ann_search_stream_text_in_matches_batch(spark, tmp_path):
+    """`queries_are_text=True` (r11): a continuous TEXT feed searches
+    a hashed-encoder store with the embedding done in-plan per batch
+    — pinned equal to `ann_topk_batch(queries_text=)` over the same
+    snapshot, and schema validation names the text columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
+    from inpe_queimadas_etl_spark.api import ann_topk_batch
+    from inpe_queimadas_etl_spark.operators.pq import (
+        load_ann_model,
+        save_ann_model,
+        train_ann_model,
+    )
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+    from inpe_queimadas_etl_spark.streaming import (
+        start_ann_search_stream,
+    )
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        hashed_doc_vectors,
+    )
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = (
+        hashed_doc_vectors(docs, dim=64)
+        .withColumn("nrm", vec_norm("v"))
+        .select(F.col("doc_id").alias("vec_id"), "v", "nrm")
+    )
+    model = train_ann_model(emb, k=4, m=8, ks=16, frac=0.5, cand=100)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+    store = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(model_path), store)
+
+    texts = [
+        (int(r["doc_id"]) + 100_000, r["text"])
+        for r in docs.filter(F.col("doc_id") < 5).collect()
+    ]
+    qdir = str(tmp_path / "qtexts")
+    os.makedirs(qdir)
+    pa_pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array(
+                    [q for q, _ in texts], type=pa.int64()
+                ),
+                "text": pa.array(
+                    [t for _, t in texts], type=pa.string()
+                ),
+            }
+        ),
+        os.path.join(qdir, "snap1.parquet"),
+    )
+
+    q = start_ann_search_stream(
+        spark,
+        queries_dir=qdir,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_path=store,
+        model_path=model_path,
+        k=3,
+        available_now=True,
+        queries_are_text=True,
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(str(tmp_path / "out" / "results"))
+        .drop("batch_id")
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    qdf = spark.createDataFrame(texts, "query_id long, text string")
+    want = (
+        ann_topk_batch(
+            spark, store, model_path, k=3, queries_text=qdf
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )
+    # each query text is a stored doc — its own row wins rank 1
+    top1 = got[got["rank"] == 1].set_index("query_id")["neighbor_id"]
+    assert {int(k): int(v) for k, v in top1.items()} == {
+        100_000 + i: i for i in range(5)
+    }
+
+    # vec-schema feed refused with the text columns named
+    from pyspark.sql import types as T
+
+    vec_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("qv", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    with pytest.raises(ValueError, match="query_id, text"):
+        start_ann_search_stream(
+            spark,
+            queries_dir=str(tmp_path / "qvecs_missing"),
+            out_dir=str(tmp_path / "out2"),
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+            store_path=store,
+            model_path=model_path,
+            queries_are_text=True,
+            schema=vec_schema,
+        )
