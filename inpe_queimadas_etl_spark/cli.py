@@ -377,16 +377,32 @@ def cmd_ann_retune(args) -> int:
     under the SAME encoding sha — stores encoded by the original
     serve under the retuned artifact with no re-encode (VERDICT r10
     #4: cand is the cheapest recall lever; see SCALING.md's measured
-    cand sweep). Spark-free."""
-    from .operators.pq import retune_ann_model
-
+    cand sweep). With --base-dir, the retune publishes as a NEW
+    deployment version whose store is hard-linked (no code bytes
+    copied) and flips CURRENT — serving follows, rollback is the
+    pointer. Spark-free either way."""
     if args.frac is None and args.cand is None:
         print("pass --frac and/or --cand (nothing to retune)")
         return 2
-    res = retune_ann_model(
-        args.model, args.out, frac=args.frac, cand=args.cand
-    )
-    log.info("ann-retune | artifact | %s", json.dumps(res))
+    if args.base_dir:
+        from .operators.pq import retune_ann_version
+
+        res = retune_ann_version(
+            args.base_dir, frac=args.frac, cand=args.cand
+        )
+    else:
+        if not (args.model and args.out):
+            print(
+                "pass --base-dir (deployment retune) or both "
+                "--model and --out (bare artifact retune)"
+            )
+            return 2
+        from .operators.pq import retune_ann_model
+
+        res = retune_ann_model(
+            args.model, args.out, frac=args.frac, cand=args.cand
+        )
+    log.info("ann-retune | %s", json.dumps(res))
     print(json.dumps(res))
     return 0
 
@@ -1161,8 +1177,15 @@ def build_parser() -> argparse.ArgumentParser:
         "serve under it with no re-encode (the measured cand recall "
         "lever, SCALING.md). Spark-free",
     )
-    art_p.add_argument("--model", required=True, help="ann-train artifact")
-    art_p.add_argument("--out", required=True, help="retuned artifact path")
+    art_p.add_argument("--model", help="ann-train artifact (bare mode)")
+    art_p.add_argument(
+        "--out", help="retuned artifact path (bare mode)"
+    )
+    art_p.add_argument(
+        "--base-dir",
+        help="rebuild_ann deployment: publish the retune as a new "
+        "version (store hard-linked, CURRENT flipped, rollback kept)",
+    )
     art_p.add_argument("--frac", type=float, default=None)
     art_p.add_argument("--cand", type=int, default=None)
     art_p.add_argument("--log-dir")

@@ -1817,6 +1817,95 @@ def retune_ann_model(
     }
 
 
+def retune_ann_version(
+    base_dir: str,
+    frac: float | None = None,
+    cand: int | None = None,
+) -> dict:
+    """`retune_ann_model` at the DEPLOYMENT level: publish the
+    retuned artifact as a NEW version whose store is the CURRENT
+    store's files HARD-LINKED (same inodes, no code bytes copied, no
+    re-encode — legal because the encoding sha is unchanged and
+    stores are refused by encoding sha), then flip the pointer with
+    the shared atomic pair publish. Serving follows on the next
+    `ann_follow_s` tick; rollback is pointing CURRENT back — the old
+    pair is untouched, exactly like a rebuild's.
+
+    Mutable METADATA is copied, never linked: the tombstone set and
+    applied-history are per-version state going forward (a takedown
+    filed later lands only in the version it was filed against —
+    `os.replace` rewrites break the link by design, but a shared
+    inode would make the pre-replace set ambiguous), and the store
+    meta rides over with its sizes + merge watermark so merges
+    against the new version keep composing. The merge journal and
+    its staging dir are deliberately NOT carried: a pending journal
+    on the source refuses the retune outright (mid-merge layout must
+    not be duplicated into a new version).
+
+    Spark-free and O(files) — at 100 TB this publishes a retuned
+    serving tier in directory-walk time instead of a ~3 TB codes
+    copy. Falls back to byte copies when the filesystem refuses
+    cross-device links (staging lives inside base_dir, so same-FS is
+    the norm). Returns the new `resolve_ann_current` dict."""
+    import os
+    import shutil
+    import uuid
+
+    require_local_metadata_path(base_dir, "retune_ann_version")
+    cur = resolve_ann_current(base_dir)
+    jp = os.path.join(cur["store_path"], ANN_MERGE_JOURNAL)
+    if os.path.exists(jp):
+        raise ValueError(
+            f"store {cur['store_path']!r} has a pending merge "
+            "journal — finish or recover the merge before retuning "
+            "(a mid-merge layout must not be linked into a new "
+            "version)"
+        )
+    versions = os.path.join(base_dir, "versions")
+    n = cur["version"] + 1
+    while os.path.isdir(os.path.join(versions, f"v{n}")):
+        n += 1
+    staging = os.path.join(
+        versions, f".staging-v{n}-{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(staging)
+    art = retune_ann_model(
+        cur["model_path"],
+        os.path.join(staging, "model.json"),
+        frac=frac,
+        cand=cand,
+    )
+    src_store = cur["store_path"]
+    dst_store = os.path.join(staging, "store")
+    copy_names = {ANN_STORE_META, ANN_TOMBSTONES, ANN_TOMBS_APPLIED}
+    for root, dirs, files in os.walk(src_store):
+        rel = os.path.relpath(root, src_store)
+        dirs[:] = [d for d in dirs if d != ANN_MERGE_STAGE]
+        out_root = (
+            dst_store if rel == "." else os.path.join(dst_store, rel)
+        )
+        os.makedirs(out_root, exist_ok=True)
+        for fn in files:
+            if fn == ANN_MERGE_JOURNAL or fn.endswith(".lock"):
+                continue
+            src = os.path.join(root, fn)
+            dst = os.path.join(out_root, fn)
+            if fn in copy_names:
+                shutil.copy2(src, dst)  # mutable metadata: own bytes
+            else:
+                try:
+                    os.link(src, dst)  # immutable codes: same inode
+                except OSError:
+                    shutil.copy2(src, dst)
+    publish_ann_version(base_dir, staging, n, art["sha256"])
+    out = resolve_ann_current(base_dir)
+    out["from_version"] = cur["version"]
+    out["frac"] = art["frac"]
+    out["cand"] = art["cand"]
+    out["encoding_sha256"] = art["encoding_sha256"]
+    return out
+
+
 def build_ann_store(
     emb: DataFrame,
     model: dict,

@@ -547,12 +547,6 @@ def run_range(
         report_paths = write_validation_report(spark, warehouse)
         if report_paths:
             result["report_md"], result["report_json"] = report_paths
-    if ann_maintenance is not None:
-        # opt-in post-run ANN lifecycle rung: plan rides every run's
-        # metrics; actions move data only under the config's "apply"
-        result["ann_maintenance"] = post_run_ann_maintenance(
-            spark, ann_maintenance
-        )
     if state_path:
         all_done = sorted(done | {str(d) for d, _ in todo})
         Path(state_path).write_text(
@@ -564,5 +558,17 @@ def run_range(
                 },
                 default=str,
             )
+        )
+    if ann_maintenance is not None:
+        # opt-in post-run ANN lifecycle rung, AFTER the resume-state
+        # write: the data plane is committed by this point, so a
+        # maintenance failure stays loud (propagates, run exits
+        # nonzero) without un-marking the day — re-running would
+        # reprocess days the warehouse already holds just because a
+        # drain merge hiccuped. Plan rides every run's metrics (but
+        # not the state file's snapshot of them); actions move data
+        # only under the config's "apply".
+        result["ann_maintenance"] = post_run_ann_maintenance(
+            spark, ann_maintenance
         )
     return [result]

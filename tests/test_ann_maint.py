@@ -1309,3 +1309,133 @@ def test_concurrent_maintenance_rounds_are_safe(
     n_total = setup["emb"].count()
     assert live == set(range(n_total)) - set(victims)
     assert sum(sizes.values()) == len(rows)
+
+
+def test_maintenance_failure_does_not_unmark_the_day(
+    spark, setup, tmp_path
+):
+    """The hook runs AFTER the resume-state write: a maintenance
+    failure (here: a deployment dir with no published version) exits
+    the run loudly but must NOT lose the day's completion marker —
+    the warehouse already holds the data, and re-running would
+    reprocess it just because a drain merge hiccuped."""
+    import datetime as dtm
+
+    from inpe_queimadas_etl_spark.pipeline import (
+        Warehouse,
+        read_resume_state,
+        run_range,
+    )
+    from inpe_queimadas_etl_spark.schemas import UF_AREA
+    from inpe_queimadas_etl_spark.sources.csv_ingest import (
+        write_fixture_csv,
+    )
+
+    from . import fixtures_geo as G
+
+    dims = {
+        "municipios": G.municipios(),
+        "biomas": G.biomas(),
+        "ucs": G.ucs(),
+        "tis": G.tis(),
+        "uf_area": spark.createDataFrame(G.uf_area_rows(), UF_AREA),
+    }
+    csv_path = str(tmp_path / "focos.csv")
+    write_fixture_csv(csv_path, G.FOCOS_HEADER, G.FOCOS_ROWS, sep=";")
+    wh = Warehouse(str(tmp_path / "wh"))
+    state = str(tmp_path / "state.json")
+    file_date = dtm.date(2024, 5, 2)
+    broken = str(tmp_path / "never_published")
+    os.makedirs(broken)
+
+    with pytest.raises(LookupError, match="no published ANN version"):
+        run_range(
+            spark, wh, [(file_date, csv_path)], dims,
+            state_path=state, write_report=False,
+            ann_maintenance={"base_dir": broken},
+        )
+    # the day IS marked done — the data plane committed before the
+    # maintenance rung ran
+    assert str(file_date) in read_resume_state(state)
+    # and the warehouse holds the rows
+    assert wh.read(spark, "curated_focos").count() > 0
+
+
+def test_retune_ann_version_links_store_and_flips_pointer(
+    spark, setup, tmp_path, capsys
+):
+    """Deployment-level retune (r11): new serving knobs publish as a
+    NEW version whose store shares the old version's code file
+    INODES (no bytes copied, no re-encode), CURRENT flips atomically,
+    rollback stays, and the versions' tombstone sets are independent
+    going forward. A pending merge journal refuses the retune."""
+    from inpe_queimadas_etl_spark import cli
+    from inpe_queimadas_etl_spark.operators.pq import (
+        retune_ann_version,
+    )
+
+    base = _deployment(spark, setup, tmp_path)
+    cur1 = resolve_ann_current(base)
+    old_sha = cur1["model_sha256"]
+
+    res = retune_ann_version(base, cand=400)
+    assert res["version"] == 2 and res["from_version"] == 1
+    assert res["cand"] == 400
+    assert res["model_sha256"] != old_sha  # full sha re-pinned
+    cur2 = resolve_ann_current(base)
+    m2 = load_ann_model(
+        cur2["model_path"], expected_sha256=cur2["model_sha256"]
+    )
+    assert m2["cand"] == 400
+    assert m2["encoding_sha256"] == setup["model"]["encoding_sha256"]
+
+    # code files are the SAME inodes; meta/tombstones are own bytes
+    import glob
+
+    old_files = sorted(
+        glob.glob(os.path.join(cur1["store_path"], "centroid_id=*", "*"))
+    )
+    linked = 0
+    for f in old_files:
+        if os.path.basename(f).startswith(("_", ".")):
+            continue
+        twin = f.replace(cur1["store_path"], cur2["store_path"])
+        assert os.path.exists(twin), twin
+        assert os.path.samefile(f, twin)
+        linked += 1
+    assert linked > 0
+    meta_old = os.path.join(cur1["store_path"], "_ann_model.json")
+    meta_new = os.path.join(cur2["store_path"], "_ann_model.json")
+    assert not os.path.samefile(meta_old, meta_new)
+    # sizes stamp carried: serving budgets without a store scan
+    _, sizes = read_ann_store_stamp(cur2["store_path"])
+    assert sizes is not None and sum(sizes.values()) > 0
+
+    # serving works under the retuned pair; rollback target intact
+    assert _served_ids(spark, setup, base)
+    assert os.path.isdir(os.path.join(base, "versions", "v1", "store"))
+
+    # tombstone independence: a takedown against v2 must not leak
+    # into v1's set (os.replace gives v2 its own inode)
+    victim = [int(r["vec_id"]) for r in setup["splits"][0].limit(1).collect()]
+    delete_from_ann_store(cur2["store_path"], victim)
+    assert read_ann_tombstones(cur1["store_path"]) == []
+    assert read_ann_tombstones(cur2["store_path"]) == victim
+
+    # a pending merge journal refuses the retune outright
+    jp = os.path.join(cur2["store_path"], ANN_MERGE_JOURNAL)
+    with open(jp, "w") as f:
+        json.dump({"from": None, "to": None, "moves": []}, f)
+    with pytest.raises(ValueError, match="pending merge journal"):
+        retune_ann_version(base, cand=500)
+    os.unlink(jp)
+
+    # CLI veneer: --base-dir mode
+    capsys.readouterr()
+    assert cli.main(
+        ["ann-retune", "--base-dir", base, "--frac", "0.9"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 3 and out["frac"] == 0.9
+    # bare mode still validates its own required pair
+    assert cli.main(["ann-retune", "--cand", "7"]) == 2
