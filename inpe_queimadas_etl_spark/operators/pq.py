@@ -1861,6 +1861,12 @@ def retune_ann_version(
             "(a mid-merge layout must not be linked into a new "
             "version)"
         )
+    stamp0, _ = read_ann_store_stamp(cur["store_path"])
+    mb0 = (
+        None
+        if stamp0 is None or stamp0.get("merged_through") is None
+        else int(stamp0["merged_through"])
+    )
     versions = os.path.join(base_dir, "versions")
     n = cur["version"] + 1
     while os.path.isdir(os.path.join(versions, f"v{n}")):
@@ -1897,6 +1903,26 @@ def retune_ann_version(
                     os.link(src, dst)  # immutable codes: same inode
                 except OSError:
                     shutil.copy2(src, dst)
+    # the gc x merge commit-window stance, applied to the link walk
+    # (r11): a merge fully committing between the entry checks and
+    # the walk could leave the walk LINKING merged code files while
+    # the copied meta still carries the pre-merge watermark — the
+    # next merge against the new version would re-fold those batches
+    # and duplicate vec_ids. A journal appearing mid-walk is refused
+    # for the same reason (files may be mid-move under our feet).
+    stamp1, _ = read_ann_store_stamp(cur["store_path"])
+    mb1 = (
+        None
+        if stamp1 is None or stamp1.get("merged_through") is None
+        else int(stamp1["merged_through"])
+    )
+    if os.path.exists(jp) or mb1 != mb0:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ValueError(
+            f"a merge moved {cur['store_path']!r} while retuning "
+            f"(journal present: {os.path.exists(jp)}, watermark "
+            f"{mb0} -> {mb1}) — retry the retune after it finishes"
+        )
     publish_ann_version(base_dir, staging, n, art["sha256"])
     out = resolve_ann_current(base_dir)
     out["from_version"] = cur["version"]

@@ -1439,3 +1439,59 @@ def test_retune_ann_version_links_store_and_flips_pointer(
     assert out["version"] == 3 and out["frac"] == 0.9
     # bare mode still validates its own required pair
     assert cli.main(["ann-retune", "--cand", "7"]) == 2
+
+
+def test_retune_version_race_and_prune_survival(
+    spark, setup, tmp_path, monkeypatch
+):
+    """Two edges of the hard-link retune: (1) a merge committing in
+    the entry-check -> link-walk window is detected by the stamp
+    re-read and refused retryably with the staging cleaned up (the
+    compact_ann_store commit-window stance); (2) pruning the LINK
+    SOURCE version afterwards must not break the retuned version's
+    store — the inodes survive until the last name drops."""
+    import inpe_queimadas_etl_spark.operators.pq as pq
+    from inpe_queimadas_etl_spark.operators.pq import (
+        prune_ann_versions,
+        retune_ann_version,
+    )
+
+    base = _deployment(spark, setup, tmp_path)
+    cur1 = resolve_ann_current(base)
+    _, sizes = read_ann_store_stamp(cur1["store_path"])
+
+    real = pq.retune_ann_model
+
+    def racy(path, out, frac=None, cand=None):
+        art = real(path, out, frac=frac, cand=cand)
+        # a concurrent merge's single atomic commit lands while the
+        # retune is between its entry stamp read and the link walk
+        write_ann_store_meta(
+            cur1["store_path"], setup["model"]["sha256"], sizes=sizes,
+            encoding_sha256=setup["model"]["encoding_sha256"],
+            merged_through=7,
+        )
+        return art
+
+    monkeypatch.setattr(pq, "retune_ann_model", racy)
+    with pytest.raises(ValueError, match="retry the retune"):
+        retune_ann_version(base, cand=400)
+    monkeypatch.setattr(pq, "retune_ann_model", real)
+    # pointer untouched, no staging residue
+    assert resolve_ann_current(base)["version"] == 1
+    vdir = os.path.join(base, "versions")
+    assert [e for e in os.listdir(vdir) if e.startswith(".")] == []
+
+    # the retry (stable watermark now) succeeds and carries it
+    res = retune_ann_version(base, cand=400)
+    assert res["version"] == 2
+    st2, _ = read_ann_store_stamp(
+        resolve_ann_current(base)["store_path"]
+    )
+    assert int(st2["merged_through"]) == 7
+
+    # prune the link source: v1's names drop, v2's inodes survive
+    out = prune_ann_versions(base, keep=1)
+    assert 1 in out["removed"]
+    assert not os.path.isdir(os.path.join(vdir, "v1"))
+    assert _served_ids(spark, setup, base)  # reads real bytes
