@@ -132,6 +132,20 @@ def cmd_run(args) -> int:
     from .pipeline import Warehouse, run_range
     from .session import get_spark
 
+    if not args.ann_base_dir and (
+        args.ann_drain_dir
+        or args.ann_apply_maintenance
+        or args.ann_keep_versions is not None
+    ):
+        # an orphaned maintenance flag silently doing nothing is how
+        # a drain quietly grows forever — refuse with the fix named
+        log.error(
+            "--ann-drain-dir/--ann-apply-maintenance/"
+            "--ann-keep-versions need --ann-base-dir (the deployment "
+            "the maintenance round runs against)"
+        )
+        return 2
+
     if args.date:
         start = end = dt.date.fromisoformat(args.date)
     elif args.start and args.end:

@@ -1768,6 +1768,7 @@ def retune_ann_model(
     out: str,
     frac: float | None = None,
     cand: int | None = None,
+    expected_sha256: str | None = None,
 ) -> dict:
     """Re-save a model artifact with new SERVING knobs — ``frac``
     (probe budget) and/or ``cand`` (rerank candidate cut) — under the
@@ -1788,8 +1789,11 @@ def retune_ann_model(
     Returns ``{"path", "sha256", "encoding_sha256", "frac",
     "cand"}`` — the new FULL sha differs (serving pins that used
     ``expected_sha256`` must re-pin; that is the point of pinning),
-    the encoding sha is asserted unchanged. Spark-free."""
-    model = load_ann_model(path)
+    the encoding sha is asserted unchanged. ``expected_sha256`` pins
+    the SOURCE artifact (the load_tokenizer stance) — a retune must
+    refuse a drifted input rather than launder it into a
+    fresh-looking artifact. Spark-free."""
+    model = load_ann_model(path, expected_sha256=expected_sha256)
     new_frac = model["frac"] if frac is None else float(frac)
     new_cand = model["cand"] if cand is None else int(cand)
     if new_frac <= 0 or new_frac > 1:
@@ -1880,6 +1884,10 @@ def retune_ann_version(
         os.path.join(staging, "model.json"),
         frac=frac,
         cand=cand,
+        # pin the source to the pointer's sha: a hand-mangled
+        # artifact must refuse here, not get republished as a
+        # legitimate-looking new version
+        expected_sha256=cur["model_sha256"],
     )
     src_store = cur["store_path"]
     dst_store = os.path.join(staging, "store")

@@ -1495,3 +1495,42 @@ def test_retune_version_race_and_prune_survival(
     assert 1 in out["removed"]
     assert not os.path.isdir(os.path.join(vdir, "v1"))
     assert _served_ids(spark, setup, base)  # reads real bytes
+
+
+def test_retune_refuses_drifted_source_artifact(
+    spark, setup, tmp_path
+):
+    """A deployment retune pins the SOURCE model to CURRENT's sha: a
+    hand-mangled artifact must refuse, never be republished as a
+    legitimate-looking new version (sha laundering)."""
+    from inpe_queimadas_etl_spark.operators.pq import (
+        retune_ann_version,
+    )
+
+    base = _deployment(spark, setup, tmp_path)
+    cur = resolve_ann_current(base)
+    with open(cur["model_path"], "r+") as f:
+        raw = f.read()
+        f.seek(0)
+        f.write(raw.replace('"frac"', '"frac" ', 1))  # sha-only drift
+    with pytest.raises(ValueError, match="does not match"):
+        retune_ann_version(base, cand=400)
+    assert resolve_ann_current(base)["version"] == 1
+
+
+def test_run_cli_refuses_orphaned_ann_flags(tmp_path, capsys):
+    """`run --ann-drain-dir` (or apply/keep flags) without
+    --ann-base-dir must refuse loudly — a silently-ignored
+    maintenance flag is how a drain quietly grows forever."""
+    from inpe_queimadas_etl_spark import cli
+
+    rc = cli.main(
+        [
+            "run", "--date", "2024-05-02",
+            "--landing-dir", str(tmp_path),
+            "--warehouse", str(tmp_path / "wh"),
+            "--dims-dir", str(tmp_path),
+            "--ann-drain-dir", str(tmp_path / "drain"),
+        ]
+    )
+    assert rc == 2
