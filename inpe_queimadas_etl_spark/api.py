@@ -755,6 +755,13 @@ def ann_assign_probes(
         for pdf in it:
             if not len(pdf):
                 continue
+            if pdf["query_id"].isna().any():
+                # a null id survives the long cast and would die rows
+                # later at int(None) in the chunk collector — refuse
+                # at the scan with the contract named (review r11)
+                raise ValueError(
+                    "null query_id — query ids must be non-null"
+                )
             if query_id_check is not None:
                 query_id_check(pdf["query_id"].to_numpy())
             V = np.array(pdf["qv"].tolist(), dtype=np.float64)

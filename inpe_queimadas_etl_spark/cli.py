@@ -398,6 +398,16 @@ def cmd_ann_retune(args) -> int:
     if args.frac is None and args.cand is None:
         print("pass --frac and/or --cand (nothing to retune)")
         return 2
+    if args.base_dir and (args.model or args.out):
+        # ambiguous intent must not flip a LIVE deployment pointer:
+        # the user who passed --model/--out expected a bare artifact
+        # written, not a serving change
+        print(
+            "pass EITHER --base-dir (deployment retune: publishes a "
+            "new version and flips CURRENT) OR --model/--out (bare "
+            "artifact retune) — not both"
+        )
+        return 2
     if args.base_dir:
         from .operators.pq import retune_ann_version
 

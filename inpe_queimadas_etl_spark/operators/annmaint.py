@@ -55,6 +55,8 @@ from .pq import (
     compact_ann_store,
     load_ann_model,
     merge_ann_appends,
+    merge_refusal,
+    pairing_refusal,
     prune_ann_drain,
     prune_ann_versions,
     publish_ann_version,
@@ -201,6 +203,7 @@ def ann_maintenance_plan(
     prunable_drain = 0
     drain_match = None
     drain_note = None
+    dstamp = None
     if drain_dir is not None and os.path.isdir(drain_dir):
         from .pq import _complete_drain_batches
 
@@ -210,30 +213,19 @@ def ann_maintenance_plan(
         prunable_drain = sum(
             1 for b in _complete_drain_batches(drain_dir) if b <= cutoff
         )
-        # surface a mispaired drain at PLAN time: merge and retention
-        # would both refuse it mid-round, so the plan should say so
-        # up front instead of letting an --apply die halfway. An
-        # UNSTAMPED drain is a refusal for the same two callers
-        # (merge_ann_appends and prune_ann_drain both raise on it),
-        # so it must plan as non-executable too — `None` used to
-        # slip past the `is not False` executability check and kill
-        # an --apply round after earlier actions ran (ADVICE r10)
+        # surface a mispaired or unstamped drain at PLAN time through
+        # the SAME predicate the executors raise (`pairing_refusal` —
+        # review r11: the plan re-implementing these checks inline is
+        # exactly how r10's and r11's executable-but-refused drifts
+        # happened; one shared check cannot drift)
         dstamp, _ = read_ann_store_stamp(drain_dir)
+        drain_note = pairing_refusal(
+            store_path, stamp, drain_dir, dstamp
+        )
         if dstamp is None:
             drain_match = False
-            drain_note = (
-                f"drain {drain_dir!r} carries no model stamp — not a "
-                "drain ANN sink (merge/retention refuse it); point "
-                "the plan at the sink dir the stream actually wrote"
-            )
         elif stamp is not None:
-            s_enc = stamp.get("encoding_sha256") or stamp.get(
-                "model_sha256"
-            )
-            d_enc = dstamp.get("encoding_sha256") or dstamp.get(
-                "model_sha256"
-            )
-            drain_match = s_enc == d_enc
+            drain_match = drain_note is None
     signals["backlog_batches"] = len(backlog)
     signals["prunable_drain_batches"] = prunable_drain
     signals["drain_encoding_match"] = drain_match
@@ -265,38 +257,22 @@ def ann_maintenance_plan(
                 "apply only with recover after checking)",
             }
         )
-    mismatch_note = drain_note or (
-        "the drain is stamped under a DIFFERENT encoding than the "
-        "store — fix the pairing first (merge/retention refuse it)"
-    )
     if len(backlog) >= max(1, min_merge_batches):
-        # same plan-time honesty for the STORE side: merge refuses a
-        # stampless dir and a store without the serving-layout size
-        # stamp, so an executable=True plan would die mid-apply
-        if stamp is None:
-            store_note = (
-                f"store {store_path!r} carries no model stamp — not "
-                "an ANN store dir; point the plan at a "
-                "build/compact/merge-produced store"
-            )
-        elif sizes is None:
-            store_note = (
-                f"store {store_path!r} has no cluster-size stamp — "
-                "not a serving-layout store; compact_ann_store it "
-                "first (merge refuses drain-layout targets)"
-            )
-        else:
-            store_note = None
-        merge_ok = drain_match is not False and store_note is None
+        # the exact refusal merge_ann_appends would raise mid-apply
+        # (store stamp/sizes, drain stamp, encoding pairing) — one
+        # shared predicate, so plan and executor cannot drift
+        merge_note = merge_refusal(
+            store_path, stamp, sizes, drain_dir, dstamp
+        )
         actions.append(
             {
                 "action": "merge",
-                "executable": merge_ok,
+                "executable": merge_note is None,
                 "reason": (
                     f"{len(backlog)} committed drain batch(es) past "
                     f"watermark {watermark} — fold at delta cost"
-                    if merge_ok
-                    else (store_note or mismatch_note)
+                    if merge_note is None
+                    else merge_note
                 ),
             }
         )
@@ -325,7 +301,7 @@ def ann_maintenance_plan(
                     f"below watermark {watermark} minus the "
                     f"{drain_keep_batches}-batch replay window"
                     if drain_match is not False
-                    else mismatch_note
+                    else drain_note
                 ),
             }
         )

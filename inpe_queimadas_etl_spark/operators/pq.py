@@ -1916,19 +1916,26 @@ def retune_ann_version(
     # the walk could leave the walk LINKING merged code files while
     # the copied meta still carries the pre-merge watermark — the
     # next merge against the new version would re-fold those batches
-    # and duplicate vec_ids. A journal appearing mid-walk is refused
-    # for the same reason (files may be mid-move under our feet).
+    # and duplicate vec_ids. ORDER is load-bearing (review r11): the
+    # journal must be checked BEFORE the stamp re-read — a merge's
+    # commit sequence is moves -> meta replace -> journal unlink, so
+    # "journal absent at Tj" implies any walk-overlapping merge had
+    # already replaced the meta before Tj, and the stamp read at
+    # T1 > Tj must see the moved watermark. Read the other way, a
+    # commit landing between the stamp read and the journal check
+    # passes both.
+    journal_seen = os.path.exists(jp)
     stamp1, _ = read_ann_store_stamp(cur["store_path"])
     mb1 = (
         None
         if stamp1 is None or stamp1.get("merged_through") is None
         else int(stamp1["merged_through"])
     )
-    if os.path.exists(jp) or mb1 != mb0:
+    if journal_seen or mb1 != mb0:
         shutil.rmtree(staging, ignore_errors=True)
         raise ValueError(
             f"a merge moved {cur['store_path']!r} while retuning "
-            f"(journal present: {os.path.exists(jp)}, watermark "
+            f"(journal present: {journal_seen}, watermark "
             f"{mb0} -> {mb1}) — retry the retune after it finishes"
         )
     publish_ann_version(base_dir, staging, n, art["sha256"])
@@ -2618,6 +2625,66 @@ ANN_MERGE_JOURNAL = "_ann_merge_pending.json"  # underscore: hidden
 ANN_MERGE_STAGE = "_merge_stage"
 
 
+def pairing_refusal(
+    store_path: str,
+    stamp: dict | None,
+    drain_dir: str,
+    dstamp: dict | None,
+) -> str | None:
+    """Why the (store, drain) PAIRING would refuse a merge/retention
+    action — or None. The drain-side half of `merge_refusal`, split
+    out because the planner also gates prune-drain on it."""
+    if dstamp is None:
+        return (
+            f"drain {drain_dir!r} carries no model stamp — not a "
+            "drain ANN sink"
+        )
+    if stamp is None:
+        return None  # store-side problems reported by merge_refusal
+    s_enc = stamp.get("encoding_sha256") or stamp.get("model_sha256")
+    d_enc = dstamp.get("encoding_sha256") or dstamp.get("model_sha256")
+    if s_enc != d_enc:
+        return (
+            "the drain is stamped under a DIFFERENT encoding than "
+            "the store — fix the pairing first (merge/retention "
+            "refuse it)"
+        )
+    return None
+
+
+def merge_refusal(
+    store_path: str,
+    stamp: dict | None,
+    sizes: dict | None,
+    drain_dir: str | None = None,
+    dstamp: dict | None = None,
+) -> str | None:
+    """Why `merge_ann_appends` would refuse this (store, drain) input
+    before touching data — or None when it would proceed. ONE
+    predicate shared by the executor (which raises it) and
+    `annmaint.ann_maintenance_plan` (which reports it as a
+    non-executable action): r10 and r11 each shipped a fix for these
+    two drifting apart — a plan calling executable an action the
+    merge refuses mid---apply — so the check lives once (review
+    r11). The model-vs-stamp sha comparison stays in
+    `_refuse_stamp_mismatch` (the plan has no model in hand;
+    store-vs-drain encoding equality covers it transitively)."""
+    if stamp is None:
+        return (
+            f"store {store_path!r} carries no model stamp — not an "
+            "ANN store dir"
+        )
+    if sizes is None:
+        return (
+            f"store {store_path!r} has no cluster-size stamp — not "
+            "a serving-layout store; build_ann_store or "
+            "compact_ann_store it first"
+        )
+    if drain_dir is not None:
+        return pairing_refusal(store_path, stamp, drain_dir, dstamp)
+    return None
+
+
 def merge_ann_appends(
     spark,
     store_path: str,
@@ -2688,24 +2755,14 @@ def merge_ann_appends(
         recovered = _recover_pending_merge(store_path)
 
     stamp, sizes = read_ann_store_stamp(store_path)
-    if stamp is None:
-        raise ValueError(
-            f"store {store_path!r} carries no model stamp — not an "
-            "ANN store dir"
-        )
-    _refuse_stamp_mismatch(store_path, stamp, model)
-    if sizes is None:
-        raise ValueError(
-            f"store {store_path!r} has no cluster-size stamp — not a "
-            "serving-layout store; build_ann_store or "
-            "compact_ann_store it first"
-        )
     dstamp, _ = read_ann_store_stamp(drain_dir)
-    if dstamp is None:
-        raise ValueError(
-            f"drain {drain_dir!r} carries no model stamp — not a "
-            "drain ANN sink"
-        )
+    reason = merge_refusal(store_path, stamp, sizes, drain_dir, dstamp)
+    if reason is not None:
+        raise ValueError(reason)
+    # model-vs-stamp comparisons AFTER the shared pairing predicate:
+    # both stamps are known present here, and the sha messages name
+    # the artifact the operator actually loaded
+    _refuse_stamp_mismatch(store_path, stamp, model)
     _refuse_stamp_mismatch(drain_dir, dstamp, model)
 
     # acquire the journal BEFORE reading the watermark (review r10

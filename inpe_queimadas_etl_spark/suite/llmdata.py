@@ -4667,7 +4667,16 @@ def hashed_doc_vectors(docs: DataFrame, dim: int = _EMB1_DIM) -> DataFrame:
 
         for pdf in batches:
             out = []
-            for t in pdf["text"]:
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(t, str):
+                    # a null/None text would die rows later in
+                    # t.split with an opaque executor stack — name
+                    # the doc and the contract instead (review r11)
+                    raise ValueError(
+                        f"doc {did}: text is {type(t).__name__}, "
+                        "not a string — the hashed encoder needs "
+                        "text; filter or fill nulls upstream"
+                    )
                 acc = np.zeros(dim, dtype=np.float64)
                 for w in t.split(" "):
                     acc += word_vec(w)

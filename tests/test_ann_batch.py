@@ -987,3 +987,29 @@ def test_ann_decontaminate_and_semdedup_cli(spark, tmp_path, capsys):
              "--apply-to-store", store_path, "--apply-bound", "1"]
         )
     assert set(read_ann_tombstones(store_path)) == tombs
+
+
+def test_null_text_and_null_query_id_refuse_with_contract(
+    spark, tmp_path
+):
+    """Null inputs on the new text/batch surfaces must refuse with
+    the contract named, not die rows later in an opaque executor
+    stack (review r11): a null text names the doc and the encoder
+    contract; a null query_id names the id contract at the
+    probe-assignment scan."""
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        hashed_doc_vectors,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, None)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="not a string"):
+        hashed_doc_vectors(docs, dim=64).collect()
+
+    emb, model_path, store_path = _artifacts(spark, tmp_path)
+    qdf = spark.createDataFrame(
+        [(None, [0.5] * 64)], "query_id long, qv array<double>"
+    )
+    with pytest.raises(Exception, match="non-null"):
+        ann_topk_batch(spark, store_path, model_path, qdf, k=1)

@@ -1462,8 +1462,8 @@ def test_retune_version_race_and_prune_survival(
 
     real = pq.retune_ann_model
 
-    def racy(path, out, frac=None, cand=None):
-        art = real(path, out, frac=frac, cand=cand)
+    def racy(path, out, frac=None, cand=None, **kw):
+        art = real(path, out, frac=frac, cand=cand, **kw)
         # a concurrent merge's single atomic commit lands while the
         # retune is between its entry stamp read and the link walk
         write_ann_store_meta(

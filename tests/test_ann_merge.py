@@ -192,13 +192,15 @@ def test_merge_refusals(spark, setup, tmp_path):
     with pytest.raises(ValueError, match="no model stamp"):
         merge_ann_appends(spark, store, bare, model)
 
-    # drift: drain stamped under another encoding
+    # drift: drain stamped under another encoding — refused by the
+    # SAME shared predicate the planner reports (merge_refusal /
+    # pairing_refusal, review r11: one check, no plan/executor drift)
     other = str(tmp_path / "other_drain")
     os.makedirs(other)
     write_ann_store_meta(
         other, "e" * 64, encoding_sha256="f" * 64
     )
-    with pytest.raises(ValueError, match="encoded under model"):
+    with pytest.raises(ValueError, match="DIFFERENT encoding"):
         merge_ann_appends(spark, store, other, model)
 
     # an in-flight batch (no _SUCCESS) stays unmerged, loudly absent
