@@ -1013,3 +1013,60 @@ def test_null_text_and_null_query_id_refuse_with_contract(
     )
     with pytest.raises(Exception, match="non-null"):
         ann_topk_batch(spark, store_path, model_path, qdf, k=1)
+
+
+def test_text_in_composes_with_chunking_and_scoping(
+    spark, tmp_path
+):
+    """queries_text= is orthogonal to the other batch levers —
+    pinned: chunked text-in == unchunked text-in (chunking partitions
+    queries, embedding rides the probe scan either way), and among=
+    scopes a text search with pre-filter semantics exactly as it does
+    a vec search."""
+    from inpe_queimadas_etl_spark.operators.similarity import vec_norm
+    from inpe_queimadas_etl_spark.suite.llmdata import (
+        hashed_doc_vectors,
+    )
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = (
+        hashed_doc_vectors(docs, dim=64)
+        .withColumn("nrm", vec_norm("v"))
+        .select(F.col("doc_id").alias("vec_id"), "v", "nrm")
+    )
+    model = train_ann_model(emb, k=4, m=8, ks=16, frac=0.5, cand=100)
+    model_path = str(tmp_path / "model.json")
+    save_ann_model(
+        model_path, model["cents"], model["cb"], model["frac"],
+        model["cand"],
+    )
+    store_path = str(tmp_path / "store")
+    build_ann_store(emb, load_ann_model(model_path), store_path)
+    qtexts = docs.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 10_000).alias("query_id"), "text"
+    )
+
+    def rows(**kw):
+        return [
+            (int(r["query_id"]), int(r["rank"]), int(r["neighbor_id"]))
+            for r in ann_topk_batch(
+                spark, store_path, model_path, k=3,
+                queries_text=qtexts, **kw,
+            ).orderBy("query_id", "rank").collect()
+        ]
+
+    plain = rows()
+    assert rows(chunk_queries=3) == plain
+
+    # among= pre-filter: only even doc ids are searchable, so every
+    # neighbor is even and each query still fills k within the subset
+    among = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    scoped = rows(among=among)
+    assert all(n % 2 == 0 for _, _, n in scoped)
+    assert {q for q, _, _ in scoped} == {10_000 + i for i in range(8)}
+    # the even QUERY texts still find their own store row at rank 1
+    top1 = {q: n for q, r, n in scoped if r == 1}
+    for i in range(0, 8, 2):
+        assert top1[10_000 + i] == i
