@@ -443,7 +443,25 @@ def run_ann_maintenance(
                 ]
             continue
         if name == "gc":
-            out["results"][name] = gc_ann_version(_spark(), base_dir)
+            try:
+                out["results"][name] = gc_ann_version(
+                    _spark(), base_dir
+                )
+            except ValueError as exc:
+                if "no live tombstones" not in str(exc):
+                    raise
+                # gc x gc where the loser arrives LATE: a concurrent
+                # round's gc published between our plan and this
+                # action, so the tombstones are already collected.
+                # The work is done — converge and keep running the
+                # rest of the round instead of dying mid-apply after
+                # earlier actions ran (review r11; the early-arrival
+                # loser is already handled by the rename arbiter)
+                out["results"][name] = (
+                    "skipped: no live tombstones left — a concurrent "
+                    "round already collected them"
+                )
+                continue
             out["applied"].append(name)
             continue
         if name == "prune-drain":

@@ -1534,3 +1534,38 @@ def test_run_cli_refuses_orphaned_ann_flags(tmp_path, capsys):
         ]
     )
     assert rc == 2
+
+
+def test_gc_skips_when_a_racer_already_collected(
+    spark, setup, tmp_path, monkeypatch
+):
+    """gc x gc where the loser arrives LATE: the plan names a gc but
+    a concurrent round's gc publishes first, so by apply time the
+    tombstones are gone. The round must converge (record the skip,
+    keep running) instead of dying mid-apply after earlier actions
+    ran. Simulated by making the PLANNER see tombstones the store no
+    longer has — exactly the racer-cleared state."""
+    import inpe_queimadas_etl_spark.operators.annmaint as am
+
+    base = _deployment(spark, setup, tmp_path)
+
+    real = am.read_ann_tombstones
+    calls = []
+
+    def stale(store_path):
+        calls.append(1)
+        out = real(store_path)
+        if len(calls) == 1 and not out:
+            return [1, 2, 3]  # the PLANNER sees the pre-race set...
+        return out  # ...gc_ann_version sees the racer-cleared truth
+
+    monkeypatch.setattr(am, "read_ann_tombstones", stale)
+    res = run_ann_maintenance(
+        lambda: spark, base_dir=base, apply=True, tomb_gc_frac=0.001
+    )
+    assert "gc" in [a["action"] for a in res["plan"]["actions"]]
+    assert res["results"]["gc"].startswith("skipped")
+    assert "gc" not in res["applied"]
+    assert res["blocked"] == []
+    # nothing published: the racer's (here: preexisting) version holds
+    assert resolve_ann_current(base)["version"] == 1
