@@ -279,6 +279,36 @@ def _cpu_marker() -> dict[str, float]:
     }
 
 
+_BW_ARR = None
+
+
+def _bw_sample() -> float:
+    """ONE sample of the numpy-matmul bandwidth workload (the same
+    kernel `_cpu_marker` medians over 5), taken DURING the run —
+    between timed queries. Why (VERDICT r12 #2): the r11 anchor study
+    proved the comparable subset is memory-bandwidth-bound and the
+    host's bandwidth steal is bursty WITHIN runs (this marker swings
+    0.021<->0.17 within seconds), so a before-run median-of-5 can
+    read clean while steal lands mid-run. Per-query samples pin the
+    steal to the queries it actually overlapped; their min is the
+    best evidence the host was (ever) clean, their median/max show
+    what the timed queries actually ran under. ~20 ms clean — noise
+    against multi-second query medians."""
+    global _BW_ARR
+    import numpy as np
+
+    if _BW_ARR is None:
+        _BW_ARR = np.fromfunction(
+            lambda i, j: ((i * 37 + j * 11) % 97) / 97.0, (512, 512)
+        )
+    a = _BW_ARR
+    t0 = time.perf_counter()
+    for _ in range(8):
+        a = 0.5 * (a @ a) / 512.0 + 0.5
+    _BW_ARR = a
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     from inpe_queimadas_etl_spark.session import get_spark, load_table
     from inpe_queimadas_etl_spark.suite import all_queries
@@ -384,6 +414,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     runs_used: dict[str, int] = {}
+    bw_after: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
@@ -416,8 +447,9 @@ def main() -> None:
         timings[name] = med
         spread[name] = [lo, hi]
         runs_used[name] = n_used
+        bw_after[name] = round(_bw_sample(), 4)
         print(f"# {name}: median {med}s over {n_used} runs "
-              f"[{lo}, {hi}]", file=sys.stderr)
+              f"[{lo}, {hi}] bw {bw_after[name]}", file=sys.stderr)
 
     # Transform canonicalize bench: CSV -> curated (P1-P9) over a
     # deterministic 100k-row file; measures the Arrow batch + JVM md5
@@ -440,6 +472,7 @@ def main() -> None:
         timings["transform_canonicalize_100k"] = med
         spread["transform_canonicalize_100k"] = [lo, hi]
         runs_used["transform_canonicalize_100k"] = n_used
+        bw_after["transform_canonicalize_100k"] = round(_bw_sample(), 4)
         print(f"# transform_canonicalize_100k: median {med}s over "
               f"{n_used} runs [{lo}, {hi}]", file=sys.stderr)
 
@@ -477,10 +510,22 @@ def main() -> None:
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
         "cpu_marker": cpu_marker,
+        # DURING-run bandwidth probe (VERDICT r12 #2): one matmul
+        # sample between queries — min is the host's clean floor,
+        # median/max what the timed queries actually ran under;
+        # per-query samples in bench_last.json's bw_probe_after
+        "cpu_marker_during": {
+            "min": round(min(bw_after.values()), 4),
+            "median": round(
+                statistics.median(bw_after.values()), 4
+            ),
+            "max": round(max(bw_after.values()), 4),
+            "n": len(bw_after),
+        },
         "cpus": CPUS,
         "notes": "checksum protocol (r5+); adaptive 5-run widening + "
-        "trimmed band when 3-run spread >30% (r8); anchors+spread in "
-        "bench_last.json/SCALING.md",
+        "trimmed band when 3-run spread >30% (r8); during-run bw "
+        "probe (r12); anchors+spread in bench_last.json/SCALING.md",
     }
     # The full record (per-query spread, consume-protocol doc) goes to a
     # repo-side file so the round artifact never again depends on the
@@ -488,6 +533,7 @@ def main() -> None:
     # dual-protocol line outgrew it). The stdout line stays compact.
     full = dict(result)
     full["spread"] = spread
+    full["bw_probe_after"] = bw_after
     full["consume"] = (
         "bit_xor(xxhash64(struct(*))) — unprunable; see _consume_checksum"
     )
@@ -513,6 +559,7 @@ def main() -> None:
                     "comparable_r1_subset_total"
                 ],
                 "cpu_marker": cpu_marker,
+                "cpu_marker_during": result["cpu_marker_during"],
                 "n_queries": len(timings),
                 "detail": "full per-query record: preceding stdout "
                 "line + repo-side bench_last.json",

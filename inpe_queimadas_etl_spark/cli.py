@@ -680,8 +680,9 @@ def cmd_ann_decontaminate(args) -> int:
     """Store-backed semantic decontamination (cur7 against frozen
     benchmark artifacts, `api.semantic_decontamination_store`): flag
     corpus vectors within tau of any benchmark item. The shell face
-    of the nightly curation job — pair with --out for corpus-scale
-    runs (results stay distributed)."""
+    of the nightly curation job — corpus-scale runs must use --out
+    (results stay distributed); the JSON print path is bounded by
+    --print-bound and refuses beyond it (VERDICT r12 #4)."""
     from .api import semantic_decontamination_store
     from .session import get_spark
 
@@ -702,7 +703,22 @@ def cmd_ann_decontaminate(args) -> int:
         log.info("ann-decontaminate | %s", json.dumps(summary))
         print(json.dumps(summary))
     else:
-        rows = [r.asDict() for r in res.orderBy("vec_id").collect()]
+        # the JSON print path collects to the driver — bounded, like
+        # ann-semdedup's --apply-bound (VERDICT r12 #4): a flag set
+        # over the bound names --out instead of OOMing the driver
+        rows = [
+            r.asDict()
+            for r in res.orderBy("vec_id")
+            .limit(args.print_bound + 1)
+            .collect()
+        ]
+        if len(rows) > args.print_bound:
+            raise SystemExit(
+                f"more than --print-bound {args.print_bound} flagged "
+                "rows — the no---out path prints via a driver "
+                "collect; write corpus-scale results with --out "
+                "(distributed parquet) instead"
+            )
         print(json.dumps({"flagged": rows, "tau": args.tau}))
     return 0
 
@@ -1360,6 +1376,12 @@ def build_parser() -> argparse.ArgumentParser:
     adc.add_argument("--chunk-queries", type=int, default=None)
     adc.add_argument(
         "--out", help="write flags as parquet (distributed)"
+    )
+    adc.add_argument(
+        "--print-bound", type=int, default=10_000,
+        help="without --out, refuse to print beyond this many "
+        "flagged rows (the JSON path collects to the driver; "
+        "corpus-scale results belong in --out)",
     )
     adc.add_argument("--log-dir")
 

@@ -69,6 +69,16 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import SparkSession
 
 
+class AnnGcNothingToCollect(ValueError):
+    """gc_ann_version's no-live-tombstones refusal, as a TYPE: the
+    apply loop's gc x gc late-loser convergence catches this class
+    instead of matching the message prose (ADVICE r11 — a wording
+    tweak must not turn the benign skip back into a mid-apply crash,
+    and an unrelated ValueError containing the phrase must not be
+    swallowed as 'skipped'). Subclasses ValueError so callers that
+    treat it as a plain refusal keep working."""
+
+
 def gc_ann_version(
     spark: "SparkSession", base_dir: str, force: bool = False
 ) -> dict:
@@ -101,7 +111,7 @@ def gc_ann_version(
     )
     tombs = read_ann_tombstones(cur["store_path"])
     if not tombs and not force:
-        raise ValueError(
+        raise AnnGcNothingToCollect(
             f"store {cur['store_path']!r} has no live tombstones — "
             "a GC would rewrite every row and drop none; pass "
             "force=True to defragment anyway"
@@ -447,9 +457,7 @@ def run_ann_maintenance(
                 out["results"][name] = gc_ann_version(
                     _spark(), base_dir
                 )
-            except ValueError as exc:
-                if "no live tombstones" not in str(exc):
-                    raise
+            except AnnGcNothingToCollect:
                 # gc x gc where the loser arrives LATE: a concurrent
                 # round's gc published between our plan and this
                 # action, so the tombstones are already collected.

@@ -1393,12 +1393,14 @@ def require_local_metadata_path(path: str, op: str) -> str:
             "plane'."
         )
     return path
-# LEGACY (pre-r10) drain stamp: one line, the model sha. r10 unified
-# the writers on ANN_STORE_META (VERDICT r9 #5 — two formats for one
-# fact is a maintenance trap); the marker is READ for one more round
-# so stores a pre-r10 drain stamped keep serving, then the read path
-# goes too. Nothing writes it anymore.
-ANN_STORE_SHA_MARKER = "_ann_model_sha"
+# LEGACY (pre-r10) drain stamp filename: one line, the model sha.
+# r10 unified the writers on ANN_STORE_META (VERDICT r9 #5 — two
+# formats for one fact is a maintenance trap); the marker was READ
+# for one back-compat round and the read path is now GONE (r12, as
+# the r11 comment promised). The name survives ONLY so a leftover
+# marker refuses loudly with the migration remedy instead of reading
+# as "unstamped" and sending the operator down the wrong diagnosis.
+_LEGACY_SHA_MARKER = "_ann_model_sha"
 
 
 def write_ann_store_meta(
@@ -1453,9 +1455,10 @@ def read_ann_store_stamp(
     """Read a store dir's model stamp: ``(stamp_or_None,
     cluster_sizes_or_None)`` where ``stamp`` carries
     ``model_sha256`` and — for r10+ writers — ``encoding_sha256``.
-    Honors the unified JSON meta and, one back-compat round each, the
-    legacy one-line drain marker and r9 metas without the encoding
-    key (both compare by full model sha)."""
+    Honors the unified JSON meta; r9 metas without the encoding key
+    compare by full model sha (one back-compat round). The pre-r10
+    one-line marker's read support ended in r12 — a marker-only dir
+    refuses loudly with the re-stamp remedy."""
     import json
     import os
 
@@ -1479,16 +1482,19 @@ def read_ann_store_stamp(
             # dicts for never-merged stores keep their r10 shape
             stamp["merged_through"] = int(meta["merged_through"])
         return stamp, sizes
-    marker_path = os.path.join(store_path, ANN_STORE_SHA_MARKER)
-    if os.path.exists(marker_path):
-        with open(marker_path, encoding="utf-8") as f:
-            return (
-                {
-                    "model_sha256": f.read().strip(),
-                    "encoding_sha256": None,
-                },
-                None,
-            )
+    if os.path.exists(os.path.join(store_path, _LEGACY_SHA_MARKER)):
+        # pre-r10 marker-only dir: the content-read back-compat ended
+        # in r12. Refuse with the remedy rather than reporting the
+        # store unstamped — "no stamp" sends the operator rebuilding
+        # a store whose model is in fact known and recorded.
+        raise ValueError(
+            f"store {store_path!r} carries only the pre-r10 legacy "
+            f"sha marker ({_LEGACY_SHA_MARKER}); its read support "
+            "ended — re-stamp with write_ann_store_meta(store_path, "
+            "model_sha256, encoding_sha256=...) from the model that "
+            "built it (the marker's one line is that model's sha), "
+            "then delete the marker file"
+        )
     return None, None
 
 
@@ -1879,65 +1885,75 @@ def retune_ann_version(
         versions, f".staging-v{n}-{uuid.uuid4().hex[:8]}"
     )
     os.makedirs(staging)
-    art = retune_ann_model(
-        cur["model_path"],
-        os.path.join(staging, "model.json"),
-        frac=frac,
-        cand=cand,
-        # pin the source to the pointer's sha: a hand-mangled
-        # artifact must refuse here, not get republished as a
-        # legitimate-looking new version
-        expected_sha256=cur["model_sha256"],
-    )
-    src_store = cur["store_path"]
-    dst_store = os.path.join(staging, "store")
-    copy_names = {ANN_STORE_META, ANN_TOMBSTONES, ANN_TOMBS_APPLIED}
-    for root, dirs, files in os.walk(src_store):
-        rel = os.path.relpath(root, src_store)
-        dirs[:] = [d for d in dirs if d != ANN_MERGE_STAGE]
-        out_root = (
-            dst_store if rel == "." else os.path.join(dst_store, rel)
+    # everything between here and publish cleans up its own staging
+    # residue on ANY failure (ADVICE r11: a refused retune — bad
+    # frac/cand, pinned-sha mismatch on a hand-mangled artifact — or
+    # a failed link walk used to leak the .staging-* dir silently;
+    # only the watermark-race branch removed it). publish_ann_version
+    # stays outside: its rename failure names the residue path by its
+    # own convention.
+    try:
+        art = retune_ann_model(
+            cur["model_path"],
+            os.path.join(staging, "model.json"),
+            frac=frac,
+            cand=cand,
+            # pin the source to the pointer's sha: a hand-mangled
+            # artifact must refuse here, not get republished as a
+            # legitimate-looking new version
+            expected_sha256=cur["model_sha256"],
         )
-        os.makedirs(out_root, exist_ok=True)
-        for fn in files:
-            if fn == ANN_MERGE_JOURNAL or fn.endswith(".lock"):
-                continue
-            src = os.path.join(root, fn)
-            dst = os.path.join(out_root, fn)
-            if fn in copy_names:
-                shutil.copy2(src, dst)  # mutable metadata: own bytes
-            else:
-                try:
-                    os.link(src, dst)  # immutable codes: same inode
-                except OSError:
-                    shutil.copy2(src, dst)
-    # the gc x merge commit-window stance, applied to the link walk
-    # (r11): a merge fully committing between the entry checks and
-    # the walk could leave the walk LINKING merged code files while
-    # the copied meta still carries the pre-merge watermark — the
-    # next merge against the new version would re-fold those batches
-    # and duplicate vec_ids. ORDER is load-bearing (review r11): the
-    # journal must be checked BEFORE the stamp re-read — a merge's
-    # commit sequence is moves -> meta replace -> journal unlink, so
-    # "journal absent at Tj" implies any walk-overlapping merge had
-    # already replaced the meta before Tj, and the stamp read at
-    # T1 > Tj must see the moved watermark. Read the other way, a
-    # commit landing between the stamp read and the journal check
-    # passes both.
-    journal_seen = os.path.exists(jp)
-    stamp1, _ = read_ann_store_stamp(cur["store_path"])
-    mb1 = (
-        None
-        if stamp1 is None or stamp1.get("merged_through") is None
-        else int(stamp1["merged_through"])
-    )
-    if journal_seen or mb1 != mb0:
+        src_store = cur["store_path"]
+        dst_store = os.path.join(staging, "store")
+        copy_names = {ANN_STORE_META, ANN_TOMBSTONES, ANN_TOMBS_APPLIED}
+        for root, dirs, files in os.walk(src_store):
+            rel = os.path.relpath(root, src_store)
+            dirs[:] = [d for d in dirs if d != ANN_MERGE_STAGE]
+            out_root = (
+                dst_store if rel == "." else os.path.join(dst_store, rel)
+            )
+            os.makedirs(out_root, exist_ok=True)
+            for fn in files:
+                if fn == ANN_MERGE_JOURNAL or fn.endswith(".lock"):
+                    continue
+                src = os.path.join(root, fn)
+                dst = os.path.join(out_root, fn)
+                if fn in copy_names:
+                    shutil.copy2(src, dst)  # mutable metadata: own bytes
+                else:
+                    try:
+                        os.link(src, dst)  # immutable codes: same inode
+                    except OSError:
+                        shutil.copy2(src, dst)
+        # the gc x merge commit-window stance, applied to the link walk
+        # (r11): a merge fully committing between the entry checks and
+        # the walk could leave the walk LINKING merged code files while
+        # the copied meta still carries the pre-merge watermark — the
+        # next merge against the new version would re-fold those batches
+        # and duplicate vec_ids. ORDER is load-bearing (review r11): the
+        # journal must be checked BEFORE the stamp re-read — a merge's
+        # commit sequence is moves -> meta replace -> journal unlink, so
+        # "journal absent at Tj" implies any walk-overlapping merge had
+        # already replaced the meta before Tj, and the stamp read at
+        # T1 > Tj must see the moved watermark. Read the other way, a
+        # commit landing between the stamp read and the journal check
+        # passes both.
+        journal_seen = os.path.exists(jp)
+        stamp1, _ = read_ann_store_stamp(cur["store_path"])
+        mb1 = (
+            None
+            if stamp1 is None or stamp1.get("merged_through") is None
+            else int(stamp1["merged_through"])
+        )
+        if journal_seen or mb1 != mb0:
+            raise ValueError(
+                f"a merge moved {cur['store_path']!r} while retuning "
+                f"(journal present: {journal_seen}, watermark "
+                f"{mb0} -> {mb1}) — retry the retune after it finishes"
+            )
+    except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
-        raise ValueError(
-            f"a merge moved {cur['store_path']!r} while retuning "
-            f"(journal present: {journal_seen}, watermark "
-            f"{mb0} -> {mb1}) — retry the retune after it finishes"
-        )
+        raise
     publish_ann_version(base_dir, staging, n, art["sha256"])
     out = resolve_ann_current(base_dir)
     out["from_version"] = cur["version"]
@@ -1996,9 +2012,9 @@ def read_ann_store(
     where the caller computes them.
 
     The stamp comes through `read_ann_store_stamp` — ONE reader for
-    the unified JSON meta and (one back-compat round) the legacy
-    drain marker — so a drain store under the wrong model is refused
-    exactly like a built one. The refusal key is the ENCODING sha
+    the unified JSON meta (the pre-r10 marker now refuses there with
+    the re-stamp remedy) — so a drain store under the wrong model is
+    refused exactly like a built one. The refusal key is the ENCODING sha
     (r10): codes depend only on centroids/codebook/rotation, so a
     model that differs ONLY in serving knobs (frac, cand) legally
     serves the same store — retuning never forces a re-encode.
@@ -2011,30 +2027,39 @@ def read_ann_store(
     stamp, sizes = read_ann_store_stamp(store_path)
     if stamp is not None:
         _refuse_stamp_mismatch(store_path, stamp, model)
-    jp = os.path.join(store_path, ANN_MERGE_JOURNAL)
-    if os.path.exists(jp):
-        # refuse only a PHASE-1 journal (moves listed): files may be
-        # mid-move and the size stamp mid-update — a detectable
-        # inconsistent state is never served (the rebuild_ann/WAP
-        # stance). A phase-0 stub ({"moves": []}) means a merge is
-        # only STAGING — the store is untouched and fully servable;
-        # refusing it would black out serving for the whole staging
-        # job, minutes at scale (review r10 round 4). Unparsable =
-        # a rewrite caught mid-flight — transient, refuse.
-        try:
-            with open(jp) as f:
-                mid_move = bool(json.load(f).get("moves"))
-        except ValueError:
-            mid_move = True
-        if mid_move:
-            raise ValueError(
-                f"store {store_path!r} has a pending merge journal "
-                f"({ANN_MERGE_JOURNAL}) with moves in flight — a "
-                "merge is publishing or crashed mid-publish; wait "
-                "for it, or rerun merge_ann_appends with "
-                "recover=True after checking none is running"
-            )
+    if _merge_journal_mid_move(store_path):
+        raise ValueError(
+            f"store {store_path!r} has a pending merge journal "
+            f"({ANN_MERGE_JOURNAL}) with moves in flight — a "
+            "merge is publishing or crashed mid-publish; wait "
+            "for it, or rerun merge_ann_appends with "
+            "recover=True after checking none is running"
+        )
     return spark.read.parquet(store_path), sizes
+
+
+def _merge_journal_mid_move(store_path: str) -> bool:
+    """True when the store carries a PHASE-1 merge journal (moves
+    listed): files may be mid-move and the size stamp mid-update — a
+    detectable inconsistent state is never served (the
+    rebuild_ann/WAP stance). A phase-0 stub ({"moves": []}) means a
+    merge is only STAGING — the store is untouched and fully
+    servable; refusing it would black out serving for the whole
+    staging job, minutes at scale (review r10 round 4). Unparsable =
+    a rewrite caught mid-flight — transient, treated as mid-move.
+    Shared by `read_ann_store` and `compact_ann_store`'s post-listing
+    re-check (ADVICE r11)."""
+    import json
+    import os
+
+    jp = os.path.join(store_path, ANN_MERGE_JOURNAL)
+    if not os.path.exists(jp):
+        return False
+    try:
+        with open(jp) as f:
+            return bool(json.load(f).get("moves"))
+    except ValueError:
+        return True
 
 
 def _refuse_stamp_mismatch(
@@ -2547,22 +2572,41 @@ def compact_ann_store(
             if stamp is None or stamp.get("merged_through") is None
             else int(stamp["merged_through"])
         )
-        # re-read the stamp AFTER read_ann_store froze the parquet
-        # file listing (ADVICE r10): a concurrent merge_ann_appends
-        # that fully commits (moves done, meta replaced, journal
-        # unlinked) between the entry-time stamp read and the listing
-        # leaves the listing CONTAINING the merged rows while `mb`
-        # still carries the pre-merge watermark — the next merge
-        # against the compacted output would re-fold those batches
-        # and silently duplicate vec_ids. Commit order (moves -> meta
-        # replace -> journal unlink) makes the watermark decisive:
-        # rows can only have entered the listing through a commit,
-        # and every commit moves merged_through before the journal
-        # disappears. A phase-0 journal stays allowed (its moves have
-        # not run, so the frozen listing cannot contain them — the
-        # staged batches re-fold later, the documented gc x merge
-        # stance); a commit landing AFTER this re-read is equally
-        # safe for the same frozen-listing reason.
+        # re-check the merge journal AFTER read_ann_store froze the
+        # parquet file listing, BEFORE the watermark compare (ADVICE
+        # r11 — the same journal-then-stamp order retune_ann_version
+        # documents as load-bearing at pq's retune walk): a merge can
+        # write its phase-1 journal and run its moves between
+        # read_ann_store's own journal check and the listing, then
+        # commit meta only after the stamp re-read below — journal
+        # check (stale) and watermark check (early) would BOTH pass
+        # while the listing contains merged rows under the pre-merge
+        # watermark. A mid-move merge still HOLDS its journal here
+        # (unlink comes only after the meta replace), so: phase-1
+        # journal present -> refuse; journal absent or phase-0 ->
+        # any move-running merge must already have replaced meta,
+        # which the watermark re-read below catches. Phase-0 stays
+        # allowed for the read_ann_store reason: its moves have not
+        # run, so the frozen listing cannot contain them.
+        if _merge_journal_mid_move(drain_dir):
+            raise ValueError(
+                f"{drain_dir!r} grew a phase-1 merge journal while "
+                "compacting — a concurrent merge is moving files; "
+                "retry the compaction to take a consistent snapshot"
+            )
+        # then re-read the stamp (ADVICE r10): a concurrent
+        # merge_ann_appends that fully commits (moves done, meta
+        # replaced, journal unlinked) between the entry-time stamp
+        # read and the listing leaves the listing CONTAINING the
+        # merged rows while `mb` still carries the pre-merge
+        # watermark — the next merge against the compacted output
+        # would re-fold those batches and silently duplicate vec_ids.
+        # Commit order (moves -> meta replace -> journal unlink)
+        # makes journal-absence + unmoved-watermark decisive: rows
+        # can only have entered the listing through moves, moves run
+        # only under a phase-1 journal, and every commit replaces
+        # meta before the journal disappears. A commit landing AFTER
+        # these re-reads is safe for the same frozen-listing reason.
         stamp2, _ = read_ann_store_stamp(drain_dir)
         mb2 = (
             None
@@ -2644,10 +2688,13 @@ def pairing_refusal(
     s_enc = stamp.get("encoding_sha256") or stamp.get("model_sha256")
     d_enc = dstamp.get("encoding_sha256") or dstamp.get("model_sha256")
     if s_enc != d_enc:
+        # name BOTH sides (ADVICE r11: store_path must participate,
+        # not just decorate the signature) — the operator fixing a
+        # mispairing needs the exact two dirs in hand
         return (
-            "the drain is stamped under a DIFFERENT encoding than "
-            "the store — fix the pairing first (merge/retention "
-            "refuse it)"
+            f"drain {drain_dir!r} is stamped under a DIFFERENT "
+            f"encoding than store {store_path!r} — fix the pairing "
+            "first (merge/retention refuse it)"
         )
     return None
 

@@ -448,9 +448,9 @@ def _bind_ann_model_sha(
     writer uses (`operators.pq.write_ann_store_meta`, VERDICT r9 #5 —
     one writer format), with cluster_sizes omitted because appends
     would stale a baked table; serving computes sizes with one K-row
-    aggregate instead. Reading honors the legacy one-line marker for
-    one back-compat round (a pre-r10 drain dir keeps appending and
-    gets upgraded to the JSON meta on its next bind).
+    aggregate instead. The pre-r10 one-line marker's read support
+    ended in r12: binding over a marker-only dir refuses with the
+    re-stamp remedy (read_ann_store_stamp's migration message).
 
     The mismatch key is the ENCODING sha when both sides carry one
     (r10): codes depend only on centroids/codebook/rotation, so a

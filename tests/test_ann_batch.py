@@ -989,6 +989,34 @@ def test_ann_decontaminate_and_semdedup_cli(spark, tmp_path, capsys):
     assert set(read_ann_tombstones(store_path)) == tombs
 
 
+def test_ann_decontaminate_print_path_bounded(spark, tmp_path, capsys):
+    """VERDICT r12 #4: without --out the flagged rows are collected
+    to the driver for JSON printing — the collect must be bounded
+    (limit(N+1)) and refuse past --print-bound naming --out, matching
+    the refuse-loudly convention; under the bound it prints the full
+    row set."""
+    import json
+
+    from inpe_queimadas_etl_spark import cli
+
+    _, model_path, store_path = _artifacts(spark, tmp_path, frac=1.0)
+
+    base = ["ann-decontaminate",
+            "--corpus-embeddings-dir", SF0001,
+            "--store", store_path, "--model", model_path,
+            "--eval-embeddings-dir", SF0001,
+            "--tau", "0.99"]
+    # every corpus item is a store item verbatim at tau 0.99 -> 500
+    # flagged rows; a bound below that refuses and names --out
+    with pytest.raises(SystemExit, match="--out"):
+        cli.main(base + ["--print-bound", "10"])
+    # at/over the row count, the print path works and is complete
+    capsys.readouterr()
+    assert cli.main(base + ["--print-bound", "500"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["flagged"]) == 500
+
+
 def test_null_text_and_null_query_id_refuse_with_contract(
     spark, tmp_path
 ):

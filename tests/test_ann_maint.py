@@ -911,6 +911,65 @@ def test_compact_refuses_watermark_moved_in_listing_window(
     assert int(st["merged_through"]) == 99
 
 
+def test_compact_refuses_phase1_journal_in_listing_window(
+    spark, setup, tmp_path, monkeypatch
+):
+    """gc x merge, the mid-move case (ADVICE r11): a merge that goes
+    phase-1 and runs its MOVES inside the entry-read -> listing
+    window but commits meta only after compact's stamp re-read passes
+    BOTH of r10's checks (journal was absent/phase-0 at
+    read_ann_store's check; watermark unmoved at the re-read) while
+    the frozen listing contains merged rows under the pre-merge
+    watermark. A mid-move merge still HOLDS its journal when the
+    listing freezes (unlink comes only after the meta replace), so
+    the compactor must re-check the journal post-listing and refuse a
+    phase-1 one — the retune walk's documented journal-before-stamp
+    order. A phase-0 stub planted in the same window stays allowed
+    (its moves have not run, so the frozen listing cannot contain
+    them)."""
+    import inpe_queimadas_etl_spark.operators.pq as pq
+
+    base_split, _ = setup["splits"]
+    model = setup["model"]
+    store = str(tmp_path / "store")
+    build_ann_store(base_split, model, store)
+    _, sizes = read_ann_store_stamp(store)
+    write_ann_store_meta(
+        store, model["sha256"], sizes=sizes,
+        encoding_sha256=model["encoding_sha256"], merged_through=3,
+    )
+    jp = os.path.join(store, ANN_MERGE_JOURNAL)
+
+    real = pq.read_ann_store
+
+    def racy_phase1(spark_, path, model_):
+        out = real(spark_, path, model_)
+        # the concurrent merge is mid-move: phase-1 journal written,
+        # moves running, meta NOT yet replaced (watermark unmoved)
+        with open(jp, "w") as f:
+            json.dump({"from": 3, "to": 99, "moves": [["a", "b"]]}, f)
+        return out
+
+    monkeypatch.setattr(pq, "read_ann_store", racy_phase1)
+    from inpe_queimadas_etl_spark.operators.pq import compact_ann_store
+
+    with pytest.raises(ValueError, match="phase-1 merge journal"):
+        compact_ann_store(spark, store, str(tmp_path / "out"), model)
+    os.unlink(jp)
+
+    def racy_phase0(spark_, path, model_):
+        out = real(spark_, path, model_)
+        with open(jp, "w") as f:
+            json.dump({"from": None, "to": None, "moves": []}, f)
+        return out
+
+    monkeypatch.setattr(pq, "read_ann_store", racy_phase0)
+    out = str(tmp_path / "out2")
+    compact_ann_store(spark, store, out, model)
+    st, _ = read_ann_store_stamp(out)
+    assert int(st["merged_through"]) == 3
+
+
 def test_plan_unstamped_drain_not_executable(spark, setup, tmp_path):
     """An UNSTAMPED drain must plan like a mispaired one (ADVICE
     r10): merge_ann_appends and prune_ann_drain both raise on it, so
@@ -1516,6 +1575,16 @@ def test_retune_refuses_drifted_source_artifact(
     with pytest.raises(ValueError, match="does not match"):
         retune_ann_version(base, cand=400)
     assert resolve_ann_current(base)["version"] == 1
+    # ADVICE r11: a refused retune must clean up its .staging-* dir —
+    # it used to leak silently (only the watermark-race branch
+    # removed it). Same for an invalid-knob refusal.
+    vdir = os.path.join(base, "versions")
+    assert [e for e in os.listdir(vdir) if e.startswith(".")] == []
+    with open(cur["model_path"], "w") as f:
+        f.write(raw)  # restore the unmangled artifact
+    with pytest.raises(ValueError):
+        retune_ann_version(base, cand=0)
+    assert [e for e in os.listdir(vdir) if e.startswith(".")] == []
 
 
 def test_run_cli_refuses_orphaned_ann_flags(tmp_path, capsys):
@@ -1569,3 +1638,38 @@ def test_gc_skips_when_a_racer_already_collected(
     assert res["blocked"] == []
     # nothing published: the racer's (here: preexisting) version holds
     assert resolve_ann_current(base)["version"] == 1
+
+
+def test_gc_convergence_catches_type_not_prose(
+    spark, setup, tmp_path, monkeypatch
+):
+    """ADVICE r11: the late-loser convergence must catch
+    gc_ann_version's dedicated AnnGcNothingToCollect TYPE, not match
+    message prose — an unrelated ValueError that happens to contain
+    the phrase must surface as a real failure, never be swallowed as
+    'skipped'."""
+    import inpe_queimadas_etl_spark.operators.annmaint as am
+    from inpe_queimadas_etl_spark.operators.annmaint import (
+        AnnGcNothingToCollect,
+        gc_ann_version,
+    )
+
+    base = _deployment(spark, setup, tmp_path)
+    # the refusal itself is the dedicated type (still a ValueError)
+    with pytest.raises(AnnGcNothingToCollect, match="no live tombstones"):
+        gc_ann_version(spark, base)
+
+    def impostor(_spark, _base):
+        raise ValueError(
+            "disk full while copying (store has no live tombstones)"
+        )
+
+    monkeypatch.setattr(am, "gc_ann_version", impostor)
+    monkeypatch.setattr(
+        am, "read_ann_tombstones", lambda p: [1, 2, 3]
+    )
+    with pytest.raises(ValueError, match="disk full"):
+        run_ann_maintenance(
+            lambda: spark, base_dir=base, apply=True,
+            tomb_gc_frac=0.001,
+        )

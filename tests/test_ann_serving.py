@@ -791,14 +791,17 @@ def test_embedding_drain_appends_ann_store(spark, tmp_path):
 def test_unified_store_stamp_and_legacy_marker_upgrade(tmp_path):
     """ONE store-stamp writer (VERDICT r9 #5): the drain bind now
     writes the same `_ann_model.json` meta every other writer uses
-    (sizes omitted — appends would stale them), the legacy one-line
-    marker is still READ for one back-compat round, and a bind over a
-    legacy dir upgrades it to the JSON meta in place."""
+    (sizes omitted — appends would stale them). The legacy one-line
+    marker's read support ended in r12 (VERDICT r12 #3, as the r11
+    comment promised): a marker-only dir REFUSES with the re-stamp
+    remedy instead of reading (or silently passing as unstamped), and
+    the refusal ends once the operator re-stamps via the unified
+    writer."""
     import json
 
     from inpe_queimadas_etl_spark.operators.pq import (
         ANN_STORE_META,
-        ANN_STORE_SHA_MARKER,
+        _LEGACY_SHA_MARKER,
         read_ann_store_stamp,
         write_ann_store_meta,
     )
@@ -812,7 +815,7 @@ def test_unified_store_stamp_and_legacy_marker_upgrade(tmp_path):
     d1 = str(tmp_path / "drain1")
     _bind_ann_model_sha(d1, sha_a, enc_a)
     assert os.path.exists(os.path.join(d1, ANN_STORE_META))
-    assert not os.path.exists(os.path.join(d1, ANN_STORE_SHA_MARKER))
+    assert not os.path.exists(os.path.join(d1, _LEGACY_SHA_MARKER))
     assert read_ann_store_stamp(d1) == (
         {"model_sha256": sha_a, "encoding_sha256": enc_a},
         None,
@@ -828,19 +831,21 @@ def test_unified_store_stamp_and_legacy_marker_upgrade(tmp_path):
     with pytest.raises(RuntimeError, match="was built under model"):
         _bind_ann_model_sha(d1, sha_b, enc_b)
 
-    # legacy (pre-r10) dir: marker-only — still readable, drift still
-    # refused BY FULL MODEL SHA (no encoding recorded), and a matching
-    # bind upgrades it to the JSON meta
+    # legacy (pre-r10) dir: marker-only — read support GONE. Every
+    # reader (and the bind, which reads first) refuses with the
+    # re-stamp remedy; the marker is never silently "unstamped".
     d2 = str(tmp_path / "drain2")
     os.makedirs(d2)
-    with open(os.path.join(d2, ANN_STORE_SHA_MARKER), "w") as f:
+    with open(os.path.join(d2, _LEGACY_SHA_MARKER), "w") as f:
         f.write(sha_a)
-    assert read_ann_store_stamp(d2) == (
-        {"model_sha256": sha_a, "encoding_sha256": None},
-        None,
-    )
-    with pytest.raises(RuntimeError, match="was built under model"):
-        _bind_ann_model_sha(d2, sha_b, enc_b)
+    with pytest.raises(ValueError, match="re-stamp with"):
+        read_ann_store_stamp(d2)
+    with pytest.raises(ValueError, match="re-stamp with"):
+        _bind_ann_model_sha(d2, sha_a, enc_a)
+    # the named remedy works: unified writer + marker removal, after
+    # which binds and reads behave like any r10+ dir
+    write_ann_store_meta(d2, sha_a, encoding_sha256=enc_a)
+    os.unlink(os.path.join(d2, _LEGACY_SHA_MARKER))
     _bind_ann_model_sha(d2, sha_a, enc_a)
     assert os.path.exists(os.path.join(d2, ANN_STORE_META))
     assert read_ann_store_stamp(d2) == (
