@@ -184,12 +184,39 @@ def ann_maintenance_plan(
             "(rebuild_ann deployment)"
         )
     version = None
+    retune = None
     if base_dir is not None:
         cur = resolve_ann_current(base_dir)
         store_path = cur["store_path"]
         version = cur["version"]
+        # plan-time retune observability (VERDICT r12 #7): the ladder
+        # the planner prices is merge < gc < rebuild, but the
+        # cheapest rung — a serving-knob retune, O(files) hard-link
+        # publish, no re-encode — was invisible at plan time. Surface
+        # the CURRENT knobs and the price so an operator watching
+        # recall knows the lever exists before reaching for a
+        # rebuild. A knob read is one small JSON load (driver-side
+        # artifact, K rows of floats) — still no Spark, no data read.
+        import json as _json
+
+        try:
+            with open(cur["model_path"]) as f:
+                _art = _json.load(f)
+            retune = {
+                "frac": _art.get("frac"),
+                "cand": _art.get("cand"),
+                "note": "retune_ann_version publishes new frac/cand "
+                "as a hard-linked version in O(files) (~30 ms at 1M "
+                "vectors vs a 77 s rebuild, scripts/scaling_retune"
+                ".py) — raising cand buys recall at proportional "
+                "rerank cost; see README 'Choosing cand'",
+            }
+        except (OSError, ValueError):
+            retune = None  # missing/corrupt artifact: serving will
+            # refuse on its own sha check; the plan stays readable
 
     signals: dict = {"store_path": store_path, "version": version}
+    signals["retune_available"] = retune
     actions: list[dict] = []
 
     pending = os.path.exists(os.path.join(store_path, ANN_MERGE_JOURNAL))

@@ -1370,9 +1370,18 @@ def require_local_metadata_path(path: str, op: str) -> str:
     a local filesystem or a shared POSIX mount (NFS with proper
     O_EXCL semantics). The reference's analogous posture keeps all
     such state in one transactional Postgres
-    (src/etl/load/postgis.py:69-94). An object-store-native journal
-    (conditional-put based) is future work; until then the refusal
-    IS the contract.
+    (src/etl/load/postgis.py:69-94). As of r12 the seam is PLUGGABLE
+    for the rename-free subset (store stamp, tombstone takedown set,
+    applied history, CURRENT resolve): those route through
+    `metaplane.resolve_metadata_arbiter`, so a scheme registered
+    with a conditional-put adapter
+    (`metaplane.register_metadata_adapter`) serves and administers
+    takedowns with its metadata on the object store. An UNregistered
+    scheme still lands here — the refusal stays the contract — and
+    the rename/link-dependent rungs (version publish, merge journal
+    moves, gc, retune) remain POSIX-only, their object-store commit
+    protocol (build under the final prefix, CAS the pointer) being
+    the documented remaining work.
 
     The scheme match requires 2+ leading chars so Windows drive
     letters (``C:\\...``) never false-positive. Returns ``path``
@@ -1440,13 +1449,13 @@ def write_ann_store_meta(
         # so one os.replace commits both — a separate watermark file
         # would reopen the torn-state window the WAP convention closes
         meta["merged_through"] = int(merged_through)
-    require_local_metadata_path(store_path, "write_ann_store_meta")
-    os.makedirs(store_path, exist_ok=True)
-    meta_path = os.path.join(store_path, ANN_STORE_META)
-    tmp = f"{meta_path}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)
+    # arbiter-routed (r12 metaplane seam): POSIX paths keep the exact
+    # tmp+os.replace; a registered CAS scheme gets its conditional-put
+    # adapter; an unregistered scheme refuses with the r10 message
+    from .metaplane import join, put_json, resolve_metadata_arbiter
+
+    arb = resolve_metadata_arbiter(store_path, "write_ann_store_meta")
+    put_json(arb, join(store_path, ANN_STORE_META), meta)
 
 
 def read_ann_store_stamp(
@@ -1459,14 +1468,11 @@ def read_ann_store_stamp(
     compare by full model sha (one back-compat round). The pre-r10
     one-line marker's read support ended in r12 — a marker-only dir
     refuses loudly with the re-stamp remedy."""
-    import json
-    import os
+    from .metaplane import join, read_json, resolve_metadata_arbiter
 
-    require_local_metadata_path(store_path, "read_ann_store_stamp")
-    meta_path = os.path.join(store_path, ANN_STORE_META)
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    arb = resolve_metadata_arbiter(store_path, "read_ann_store_stamp")
+    meta = read_json(arb, join(store_path, ANN_STORE_META))
+    if meta is not None:
         raw = meta.get("cluster_sizes")
         sizes = (
             None
@@ -1482,7 +1488,7 @@ def read_ann_store_stamp(
             # dicts for never-merged stores keep their r10 shape
             stamp["merged_through"] = int(meta["merged_through"])
         return stamp, sizes
-    if os.path.exists(os.path.join(store_path, _LEGACY_SHA_MARKER)):
+    if arb.exists(join(store_path, _LEGACY_SHA_MARKER)):
         # pre-r10 marker-only dir: the content-read back-compat ended
         # in r12. Refuse with the remedy rather than reporting the
         # store unstamped — "no stamp" sends the operator rebuilding
@@ -2132,57 +2138,47 @@ def delete_from_ann_store(
     waits up to ~10 s then raises naming the lock path (a crashed
     holder leaves a stale lock an operator removes by hand — the
     loud failure, never the silent lost update)."""
-    import json
-    import os
     import time
 
-    require_local_metadata_path(store_path, "delete_from_ann_store")
+    from .metaplane import join, put_json, resolve_metadata_arbiter
+
+    arb = resolve_metadata_arbiter(store_path, "delete_from_ann_store")
     new = {int(x) for x in ids}
     if not new:
         return {"added": 0, "total": len(read_ann_tombstones(store_path))}
-    if not os.path.isdir(store_path):
+    if not arb.isdir(store_path):
         raise ValueError(f"not a store dir: {store_path!r}")
-    path = os.path.join(store_path, ANN_TOMBSTONES)
+    path = join(store_path, ANN_TOMBSTONES)
     lock = f"{path}.lock"
     deadline = time.monotonic() + lock_timeout_s
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            break
-        except FileExistsError:
-            if time.monotonic() >= deadline:
-                raise TimeoutError(
-                    f"tombstone lock {lock!r} held for "
-                    f">{lock_timeout_s:g}s — another delete is "
-                    "running, or a crashed one left a stale lock "
-                    "(remove it by hand after checking)"
-                ) from None
-            time.sleep(0.05)
+    # the single-writer arbiter is put_if_absent — O_EXCL on POSIX,
+    # PUT If-None-Match:* on a conditional-put adapter (r12 seam)
+    while not arb.put_if_absent(lock, b""):
+        if time.monotonic() >= deadline:
+            raise TimeoutError(
+                f"tombstone lock {lock!r} held for "
+                f">{lock_timeout_s:g}s — another delete is "
+                "running, or a crashed one left a stale lock "
+                "(remove it by hand after checking)"
+            )
+        time.sleep(0.05)
     try:
         existing = set(read_ann_tombstones(store_path))
         merged = sorted(existing | new)
-        tmp = f"{path}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(merged, f)
-        os.replace(tmp, path)
+        put_json(arb, path, merged)
     finally:
-        os.unlink(lock)
+        arb.delete(lock)
     return {"added": len(new - existing), "total": len(merged)}
 
 
 def read_ann_tombstones(store_path: str) -> list[int]:
     """The store's retired vec_ids, sorted ([] when none) — driver-
     side bounded state by the `delete_from_ann_store` contract."""
-    import json
-    import os
+    from .metaplane import join, read_json, resolve_metadata_arbiter
 
-    require_local_metadata_path(store_path, "read_ann_tombstones")
-    path = os.path.join(store_path, ANN_TOMBSTONES)
-    if not os.path.exists(path):
-        return []
-    with open(path) as f:
-        return sorted(int(x) for x in json.load(f))
+    arb = resolve_metadata_arbiter(store_path, "read_ann_tombstones")
+    raw = read_json(arb, join(store_path, ANN_TOMBSTONES))
+    return [] if raw is None else sorted(int(x) for x in raw)
 
 
 ANN_TOMBS_APPLIED = "_ann_tombs_applied.json"  # underscore: hidden
@@ -2195,33 +2191,28 @@ def write_ann_applied_tombstones(store_path: str, ids) -> None:
     (necessarily persistent) takedown history into the fresh store's
     serve-time NOT-IN (review r10 round 4). Same atomic-replace and
     bounded-set contract as the tombstone file itself."""
-    import json
-    import os
+    from .metaplane import join, put_json, resolve_metadata_arbiter
 
-    require_local_metadata_path(
+    arb = resolve_metadata_arbiter(
         store_path, "write_ann_applied_tombstones"
     )
-    path = os.path.join(store_path, ANN_TOMBS_APPLIED)
-    tmp = f"{path}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(sorted(int(x) for x in ids), f)
-    os.replace(tmp, path)
+    put_json(
+        arb,
+        join(store_path, ANN_TOMBS_APPLIED),
+        sorted(int(x) for x in ids),
+    )
 
 
 def read_ann_applied_tombstones(store_path: str) -> list[int]:
     """Ids physically dropped from this store at its compaction —
     [] for built/drain stores (nothing was ever dropped from them)."""
-    import json
-    import os
+    from .metaplane import join, read_json, resolve_metadata_arbiter
 
-    require_local_metadata_path(
+    arb = resolve_metadata_arbiter(
         store_path, "read_ann_applied_tombstones"
     )
-    path = os.path.join(store_path, ANN_TOMBS_APPLIED)
-    if not os.path.exists(path):
-        return []
-    with open(path) as f:
-        return sorted(int(x) for x in json.load(f))
+    raw = read_json(arb, join(store_path, ANN_TOMBS_APPLIED))
+    return [] if raw is None else sorted(int(x) for x in raw)
 
 
 def train_ann_model(
@@ -2426,22 +2417,19 @@ def resolve_ann_current(base_dir: str) -> dict:
     `api.ann_topk(..., expected_sha256=...)`. Raises LookupError when
     no version was ever published (a mid-first-rebuild crash leaves
     no pointer — by design, there is nothing consistent to serve)."""
-    import json
-    import os
+    from .metaplane import join, read_json, resolve_metadata_arbiter
 
-    require_local_metadata_path(base_dir, "resolve_ann_current")
-    cur = os.path.join(base_dir, ANN_CURRENT)
-    if not os.path.exists(cur):
+    arb = resolve_metadata_arbiter(base_dir, "resolve_ann_current")
+    p = read_json(arb, join(base_dir, ANN_CURRENT))
+    if p is None:
         raise LookupError(
             f"no published ANN version under {base_dir!r} (run "
             "rebuild_ann / ann-rebuild first)"
         )
-    with open(cur) as f:
-        p = json.load(f)
     return {
         "version": int(p["version"]),
-        "model_path": os.path.join(base_dir, p["model"]),
-        "store_path": os.path.join(base_dir, p["store"]),
+        "model_path": join(base_dir, p["model"]),
+        "store_path": join(base_dir, p["store"]),
         "model_sha256": p["model_sha256"],
     }
 

@@ -205,6 +205,13 @@ def test_maintenance_plan_reads_signals_sparkfree(
     assert [a["action"] for a in plan["actions"]] == ["merge"]
     assert plan["signals"]["backlog_batches"] == 1
     assert plan["signals"]["tomb_frac"] == 0.0
+    # the retune rung is visible at plan time (VERDICT r12 #7):
+    # current serving knobs + the O(files) price, deployment shape
+    # only (a bare store has no CURRENT artifact to retune from)
+    rt = plan["signals"]["retune_available"]
+    assert rt["frac"] == setup["model"]["frac"]
+    assert rt["cand"] == setup["model"]["cand"]
+    assert "retune_ann_version" in rt["note"]
 
     # tombstones above threshold + stale versions + pending journal:
     # full ladder, in execution order
@@ -240,6 +247,7 @@ def test_maintenance_plan_reads_signals_sparkfree(
     plan2 = ann_maintenance_plan(store_path=store2, tomb_gc_frac=0.001)
     gc = [a for a in plan2["actions"] if a["action"] == "gc"]
     assert gc and gc[0]["executable"] is False
+    assert plan2["signals"]["retune_available"] is None
 
     with pytest.raises(ValueError, match="exactly one"):
         ann_maintenance_plan(store_path=store2, base_dir=base)
