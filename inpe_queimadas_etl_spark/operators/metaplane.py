@@ -97,6 +97,44 @@ class MetadataArbiter:
         adapters answer 'is there anything under this prefix'."""
         raise NotImplementedError
 
+    # --- r12b: the version-lifecycle primitives -------------------
+    # Three more calls let the REBUILD deployment loop (rebuild ->
+    # publish -> resolve -> serve -> prune) run on a conditional-put
+    # store; all map to first-class object-store APIs (LIST with
+    # delimiter, batched DELETE, and the data-plane addressing rule).
+
+    #: True when the backend has an atomic directory rename (POSIX).
+    #: Rename-capable arbiters keep the staging+rename WAP publish;
+    #: CAS arbiters get the claim -> build-in-place -> commit-marker
+    #: -> pointer-CAS protocol instead (`pq.rebuild_ann`). The
+    #: incremental maintenance rungs (merge journal moves, gc,
+    #: compact, retune hard-links) REQUIRE rename/link and stay
+    #: refused on CAS arbiters — their object-store remedy is the
+    #: rebuild loop this flag enables.
+    native_rename: bool = False
+
+    def list_prefix(self, path: str) -> list[str]:
+        """Immediate child names under a dir/prefix (S3 LIST with
+        ``/`` delimiter), [] when nothing is there. Names only, no
+        paths — callers re-join."""
+        raise NotImplementedError
+
+    def delete_prefix(self, path: str) -> None:
+        """Recursively remove everything under a dir/prefix (S3
+        list+batch-DELETE). Removing a missing prefix is a no-op —
+        object-store deletes are idempotent and prune's crash-rerun
+        depends on that."""
+        raise NotImplementedError
+
+    def data_path(self, path: str) -> str:
+        """The address SPARK should use for the same location — the
+        data-plane face of a metadata key. POSIX: identity. A real
+        S3 adapter: ``s3://b/k`` -> ``s3a://b/k`` (or identity). The
+        local CAS simulator: its mapped filesystem root, which is
+        what makes an end-to-end rebuild-on-CAS test runnable with a
+        local Spark."""
+        raise NotImplementedError
+
 
 class PosixArbiter(MetadataArbiter):
     """Today's primitives, unchanged: O_EXCL for exclusivity,
@@ -165,6 +203,22 @@ class PosixArbiter(MetadataArbiter):
 
     def isdir(self, path: str) -> bool:
         return os.path.isdir(path)
+
+    native_rename = True
+
+    def list_prefix(self, path: str) -> list[str]:
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
+    def delete_prefix(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+    def data_path(self, path: str) -> str:
+        return path
 
 
 class LocalCasArbiter(MetadataArbiter):
@@ -247,6 +301,35 @@ class LocalCasArbiter(MetadataArbiter):
         # prefix probe: anything stored under this key prefix?
         with self._mu:
             return os.path.isdir(self._loc(path))
+
+    native_rename = False
+
+    def list_prefix(self, path: str) -> list[str]:
+        # LIST with '/' delimiter; includes data-plane objects Spark
+        # wrote under the mapped root (no etag entry — they are not
+        # metadata and never go through conditional PUT)
+        with self._mu:
+            try:
+                return sorted(os.listdir(self._loc(path)))
+            except FileNotFoundError:
+                return []
+
+    def delete_prefix(self, path: str) -> None:
+        import shutil
+
+        key_prefix = path.rstrip("/") + "/"
+        with self._mu:
+            shutil.rmtree(self._loc(path), ignore_errors=True)
+            for k in [k for k in self._etags if k.startswith(key_prefix)]:
+                del self._etags[k]
+            self._etags.pop(path.rstrip("/"), None)
+
+    def data_path(self, path: str) -> str:
+        # the simulator's mapped filesystem location — a local Spark
+        # reads/writes parquet there while metadata rides the
+        # conditional-put table, the exact two-plane split a real
+        # adapter gets with s3a:// vs the S3 HTTP API
+        return self._loc(path)
 
 
 _POSIX = PosixArbiter()

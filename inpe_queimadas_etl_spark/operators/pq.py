@@ -1620,7 +1620,6 @@ def save_ann_model(
     ADC reconstruction algebra silently, so it is refused at save
     time)."""
     import hashlib
-    import os
 
     ids = [int(cid) for cid, _ in cents]
     if ids != list(range(len(ids))):
@@ -1664,12 +1663,13 @@ def save_ann_model(
             "persist a degenerate model"
         )
     payload = _ann_payload(cents, cb, frac, cand, rot)
-    require_local_metadata_path(path, "save_ann_model")
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = f"{path}.tmp"
-    with open(tmp, "wb") as f:
-        f.write(payload)
-    os.replace(tmp, path)  # atomic publish, the WAP convention
+    # arbiter-routed (r12 metaplane seam): POSIX keeps the exact
+    # tmp+os.replace WAP publish; a registered CAS scheme persists
+    # via conditional-put; an unregistered scheme refuses loudly
+    from .metaplane import resolve_metadata_arbiter
+
+    arb = resolve_metadata_arbiter(path, "save_ann_model")
+    arb.put(path, payload)
     return {"path": path, "sha256": hashlib.sha256(payload).hexdigest()}
 
 
@@ -1727,9 +1727,11 @@ def load_ann_model(path: str, expected_sha256: str | None = None) -> dict:
     import hashlib
     import json
 
-    require_local_metadata_path(path, "load_ann_model")
-    with open(path, "rb") as f:
-        raw = f.read()
+    from .metaplane import resolve_metadata_arbiter
+
+    raw = resolve_metadata_arbiter(path, "load_ann_model").read(path)
+    if raw is None:
+        raise FileNotFoundError(path)
     sha = hashlib.sha256(raw).hexdigest()
     if expected_sha256 is not None and sha != expected_sha256:
         raise ValueError(
@@ -1988,13 +1990,22 @@ def build_ann_store(
     sizes; at 100 TB that scan would dominate every request)."""
     from pyspark.sql import functions as F
 
+    from .metaplane import resolve_metadata_arbiter
+
+    # data-plane addressing (r12b): Spark writes the parquet at the
+    # arbiter's data_path face (identity on POSIX; the mapped root on
+    # the CAS simulator; s3a:// on a real adapter) while the meta
+    # stamp rides the metadata plane under the same logical prefix
+    dp = resolve_metadata_arbiter(
+        store_path, "build_ann_store"
+    ).data_path(store_path)
     pq_ivf_encode(
         emb, model["cents3"], model["cb"], rot=model.get("rot")
-    ).write.mode(mode).partitionBy("centroid_id").parquet(store_path)
+    ).write.mode(mode).partitionBy("centroid_id").parquet(dp)
     spark = emb.sparkSession
     sizes = {
         int(r["centroid_id"]): int(r["n"])
-        for r in spark.read.parquet(store_path)
+        for r in spark.read.parquet(dp)
         .groupBy("centroid_id")
         .agg(F.count("*").alias("n"))
         .collect()
@@ -2027,8 +2038,7 @@ def read_ann_store(
     Legacy stamps without the encoding key compare by full model sha
     (strictly safer: they refuse some stores a retuned model could
     have served)."""
-    import json
-    import os
+    from .metaplane import resolve_metadata_arbiter
 
     stamp, sizes = read_ann_store_stamp(store_path)
     if stamp is not None:
@@ -2041,7 +2051,10 @@ def read_ann_store(
             "for it, or rerun merge_ann_appends with "
             "recover=True after checking none is running"
         )
-    return spark.read.parquet(store_path), sizes
+    dp = resolve_metadata_arbiter(
+        store_path, "read_ann_store"
+    ).data_path(store_path)
+    return spark.read.parquet(dp), sizes
 
 
 def _merge_journal_mid_move(store_path: str) -> bool:
@@ -2054,16 +2067,22 @@ def _merge_journal_mid_move(store_path: str) -> bool:
     staging job, minutes at scale (review r10 round 4). Unparsable =
     a rewrite caught mid-flight — transient, treated as mid-move.
     Shared by `read_ann_store` and `compact_ann_store`'s post-listing
-    re-check (ADVICE r11)."""
+    re-check (ADVICE r11). Arbiter-routed (r12b) so a CAS-hosted
+    store answers honestly too — merges themselves refuse CAS paths,
+    so the answer there is structurally False, but the reader must
+    not encode that assumption with an os.path probe that reads every
+    URI as absent."""
     import json
-    import os
 
-    jp = os.path.join(store_path, ANN_MERGE_JOURNAL)
-    if not os.path.exists(jp):
+    from .metaplane import join as mjoin
+    from .metaplane import resolve_metadata_arbiter
+
+    arb = resolve_metadata_arbiter(store_path, "read_ann_store")
+    raw = arb.read(mjoin(store_path, ANN_MERGE_JOURNAL))
+    if raw is None:
         return False
     try:
-        with open(jp) as f:
-            return bool(json.load(f).get("moves"))
+        return bool(json.loads(raw.decode("utf-8")).get("moves"))
     except ValueError:
         return True
 
@@ -2288,6 +2307,13 @@ def train_ann_model(
 
 
 ANN_CURRENT = "CURRENT"  # the deployment pointer inside a base dir
+# conditional-put version lifecycle markers (r12b): on a CAS scheme
+# there is no rename to be the publish arbiter, so a version prefix
+# is CLAIMED with put_if_absent (exclusivity) and COMMITTED with an
+# explicit marker (completeness); the underscore keeps parquet
+# readers from tripping on them, same convention as the store meta
+ANN_VERSION_CLAIM = "_ann_version_claim.json"
+ANN_VERSION_COMMIT = "_ann_version_committed.json"
 
 
 def rebuild_ann(
@@ -2337,39 +2363,134 @@ def rebuild_ann(
     Returns the resolved pointer (same shape `resolve_ann_current`
     yields). Cost at scale = one bounded retrain + ONE fused encode
     scan of the corpus — the unavoidable price of new codes; nothing
-    else moves."""
+    else moves.
+
+    Object-store base dirs (r12b): on a registered conditional-put
+    scheme there is no rename, so the WAP pair-publish is replaced by
+    the pointer-commit protocol pq's metadata-plane docs named as the
+    remaining rung — ``put_if_absent`` a per-version CLAIM marker
+    (the concurrency arbiter the rename used to be; losers increment
+    N, exactly the rerun-takes-N+1 shape), build the pair IN PLACE
+    under the claimed ``versions/v<N>/`` prefix (the data plane rides
+    ``arbiter.data_path``), write a COMMIT marker, then CAS the
+    CURRENT pointer with a monotone guard — the pointer never moves
+    backward, so two concurrent rebuilds finishing out of order leave
+    the lower version complete-but-unreferenced (the same crash shape
+    POSIX documents) instead of briefly un-publishing the higher one.
+    A crash before the commit marker leaves a claimed prefix that is
+    GC residue (`prune_ann_versions(prune_staging=True)`); a crash
+    between commit and flip leaves a complete-but-unreferenced
+    version; the pointer is always consistent."""
+    import json
     import os
     import re
     import uuid
 
-    require_local_metadata_path(base_dir, "rebuild_ann")
-    versions = os.path.join(base_dir, "versions")
-    os.makedirs(versions, exist_ok=True)
+    from .metaplane import join as mjoin
+    from .metaplane import put_json, resolve_metadata_arbiter
+
+    arb = resolve_metadata_arbiter(base_dir, "rebuild_ann")
+    if arb.native_rename:
+        versions = os.path.join(base_dir, "versions")
+        os.makedirs(versions, exist_ok=True)
+        existing = [
+            int(mm.group(1))
+            for e in os.listdir(versions)
+            if (mm := re.fullmatch(r"v(\d+)", e))
+        ]
+        n = max(existing, default=0) + 1
+        staging = os.path.join(
+            versions, f".staging-v{n}-{uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(staging)
+        model = train_ann_model(
+            emb, k=k, m=m, ks=ks, frac=frac, cand=cand,
+            sample_n=sample_n, opq=opq,
+            coarse_sample_n=coarse_sample_n,
+        )
+        save_ann_model(
+            os.path.join(staging, "model.json"),
+            model["cents"],
+            model["cb"],
+            model["frac"],
+            model["cand"],
+            rot=model["rot"],
+        )
+        build_ann_store(emb, model, os.path.join(staging, "store"))
+        publish_ann_version(base_dir, staging, n, model["sha256"])
+        return resolve_ann_current(base_dir)
+
+    # conditional-put protocol: claim -> build in place -> commit ->
+    # monotone pointer CAS
+    versions = mjoin(base_dir, "versions")
     existing = [
         int(mm.group(1))
-        for e in os.listdir(versions)
+        for e in arb.list_prefix(versions)
         if (mm := re.fullmatch(r"v(\d+)", e))
     ]
     n = max(existing, default=0) + 1
-    staging = os.path.join(
-        versions, f".staging-v{n}-{uuid.uuid4().hex[:8]}"
-    )
-    os.makedirs(staging)
+    claim = json.dumps({"claim": uuid.uuid4().hex}).encode()
+    while not arb.put_if_absent(
+        mjoin(versions, f"v{n}", ANN_VERSION_CLAIM), claim
+    ):
+        n += 1  # the rename-arbiter's rerun-takes-N+1, inline
+    vdir = mjoin(versions, f"v{n}")
     model = train_ann_model(
         emb, k=k, m=m, ks=ks, frac=frac, cand=cand,
         sample_n=sample_n, opq=opq, coarse_sample_n=coarse_sample_n,
     )
     save_ann_model(
-        os.path.join(staging, "model.json"),
+        mjoin(vdir, "model.json"),
         model["cents"],
         model["cb"],
         model["frac"],
         model["cand"],
         rot=model["rot"],
     )
-    build_ann_store(emb, model, os.path.join(staging, "store"))
-    publish_ann_version(base_dir, staging, n, model["sha256"])
+    build_ann_store(emb, model, mjoin(vdir, "store"))
+    # the pair is complete: the commit marker is what prune (and an
+    # operator's eye) distinguishes from crashed-claim residue
+    put_json(
+        arb,
+        mjoin(vdir, ANN_VERSION_COMMIT),
+        {"version": n, "model_sha256": model["sha256"]},
+    )
+    _flip_ann_current_cas(arb, base_dir, n, model["sha256"])
     return resolve_ann_current(base_dir)
+
+
+def _flip_ann_current_cas(
+    arb, base_dir: str, n: int, model_sha256: str
+) -> bool:
+    """CAS the CURRENT pointer to version ``n``, monotonically: a
+    pointer already at >= n is left alone (True = flipped). The retry
+    loop re-reads on every failed CAS, so a racing flip to n-1 vs n
+    converges on n and a racing flip to n+1 wins outright — the
+    pointer can only move forward, which is the property the POSIX
+    rename arbiter provides by serializing version numbers."""
+    import json
+
+    from .metaplane import join as mjoin
+
+    pointer = json.dumps(
+        {
+            "version": n,
+            "model": f"versions/v{n}/model.json",
+            "store": f"versions/v{n}/store",
+            "model_sha256": model_sha256,
+        }
+    ).encode()
+    cur = mjoin(base_dir, ANN_CURRENT)
+    while True:
+        raw, tok = arb.read_versioned(cur)
+        if raw is None:
+            if arb.put_if_absent(cur, pointer):
+                return True
+            continue  # lost the first-pointer race: re-read
+        if int(json.loads(raw.decode("utf-8"))["version"]) >= n:
+            return False  # newer (or same) already serving
+        if arb.put_if_match(cur, pointer, tok):
+            return True
 
 
 def publish_ann_version(
@@ -2449,33 +2570,59 @@ def prune_ann_versions(
     rebuild is running (a live rebuild's staging dir is
     indistinguishable from residue by name alone).
 
+    Arbiter-routed (r12b). On a conditional-put scheme a "version"
+    is a ``v<N>`` prefix carrying the COMMIT marker (the rename that
+    used to be the commit doesn't exist there), and crash residue is
+    a claimed-but-uncommitted prefix instead of a ``.staging-*``
+    dir — ``prune_staging`` clears those, under the same only-when-
+    no-rebuild-is-running caveat (a live rebuild's claim looks
+    identical). The keep-window math never counts residue.
+
     Returns ``{"kept": [...], "removed": [...],
     "staging_removed": n}``."""
-    import os
     import re
-    import shutil
+
+    from .metaplane import join as mjoin
+    from .metaplane import resolve_metadata_arbiter
 
     if keep < 1:
         raise ValueError("keep must be >= 1")
+    arb = resolve_metadata_arbiter(base_dir, "prune_ann_versions")
     cur = resolve_ann_current(base_dir)  # refuses pointerless dirs
-    versions_dir = os.path.join(base_dir, "versions")
-    versions = sorted(
-        int(mm.group(1))
-        for e in os.listdir(versions_dir)
-        if (mm := re.fullmatch(r"v(\d+)", e))
-    )
+    versions_dir = mjoin(base_dir, "versions")
+    versions = []
+    residue = []  # CAS claim prefixes without a commit marker
+    for e in arb.list_prefix(versions_dir):
+        mm = re.fullmatch(r"v(\d+)", e)
+        if not mm:
+            continue
+        n = int(mm.group(1))
+        if (
+            arb.native_rename  # POSIX: the rename WAS the commit
+            or n == cur["version"]  # the pointer's target is real
+            or arb.exists(mjoin(versions_dir, e, ANN_VERSION_COMMIT))
+        ):
+            versions.append(n)
+        else:
+            residue.append(e)
+    versions.sort()
     keep_set = set(versions[-keep:]) | {cur["version"]}
     removed = []
     for n in versions:
         if n in keep_set:
             continue
-        shutil.rmtree(os.path.join(versions_dir, f"v{n}"))
+        arb.delete_prefix(mjoin(versions_dir, f"v{n}"))
         removed.append(n)
     staging_removed = 0
     if prune_staging:
-        for e in os.listdir(versions_dir):
-            if e.startswith(".staging-"):
-                shutil.rmtree(os.path.join(versions_dir, e))
+        if arb.native_rename:
+            for e in arb.list_prefix(versions_dir):
+                if e.startswith(".staging-"):
+                    arb.delete_prefix(mjoin(versions_dir, e))
+                    staging_removed += 1
+        else:
+            for e in residue:
+                arb.delete_prefix(mjoin(versions_dir, e))
                 staging_removed += 1
     return {
         "kept": sorted(keep_set & set(versions)),

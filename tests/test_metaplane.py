@@ -223,6 +223,189 @@ def test_wired_lifecycle_subset_runs_on_cas_scheme(cas_registered):
         publish_ann_version(base, "/tmp/staging", 2, "a" * 64)
 
 
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    from inpe_queimadas_etl_spark.suite.llmdata import _sim8_emb
+
+    return _sim8_emb(spark, SF0001)
+
+
+def _serve(spark, emb, base_dir, k=3):
+    from pyspark.sql import functions as F
+
+    from inpe_queimadas_etl_spark.api import ann_topk
+    from inpe_queimadas_etl_spark.operators.pq import (
+        resolve_ann_current,
+    )
+
+    cur = resolve_ann_current(base_dir)
+    q = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.filter(
+            (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+        ).collect()
+    ]
+    return cur, ann_topk(
+        spark,
+        cur["store_path"],
+        cur["model_path"],
+        q,
+        k=k,
+        rerank_with=emb,
+        expected_sha256=cur["model_sha256"],
+    ).collect()
+
+
+def test_rebuild_lifecycle_on_cas_scheme(spark, cas_registered, tmp_path):
+    """The full object-store deployment loop (VERDICT r11 missing #1):
+    rebuild -> resolve -> serve -> takedown -> rebuild v2 -> prune,
+    entirely on a registered conditional-put scheme — no POSIX
+    metadata anywhere. Results must equal the POSIX deployment's
+    (same training determinism, same serving algebra); only the
+    commit protocol differs (claim/commit/pointer-CAS vs
+    staging/rename)."""
+    from inpe_queimadas_etl_spark.operators import pq
+    from inpe_queimadas_etl_spark.operators.pq import (
+        delete_from_ann_store,
+        prune_ann_versions,
+        rebuild_ann,
+        resolve_ann_current,
+    )
+
+    emb = _emb(spark)
+    base = f"{SCHEME}://unit/deploy-full"
+    with pytest.raises(LookupError, match="no published ANN version"):
+        resolve_ann_current(base)
+    res = rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.5, cand=100)
+    assert res["version"] == 1
+    # commit marker present; claim marker is the arbiter's trace
+    vdir = f"{base}/versions/v1"
+    assert cas_registered.exists(f"{vdir}/{pq.ANN_VERSION_COMMIT}")
+    assert cas_registered.exists(f"{vdir}/{pq.ANN_VERSION_CLAIM}")
+
+    # identical model to a POSIX rebuild of the same geometry on the
+    # same table: the protocol changed, the artifact didn't
+    posix_base = str(tmp_path / "posix-deploy")
+    res_posix = rebuild_ann(
+        emb, posix_base, k=4, m=8, ks=16, frac=0.5, cand=100
+    )
+    assert res["model_sha256"] == res_posix["model_sha256"]
+
+    cur, rows = _serve(spark, emb, base)
+    assert cur == res and rows
+    _, rows_posix = _serve(spark, emb, posix_base)
+    assert [str(r) for r in rows] == [str(r) for r in rows_posix]
+
+    # takedown on the CAS store: the retired id disappears from
+    # serving (the tombstone set rides the conditional-put plane)
+    victim = int(rows[0]["neighbor_id"])
+    delete_from_ann_store(cur["store_path"], [victim])
+    _, rows_after = _serve(spark, emb, base)
+    assert rows_after
+    assert victim not in {int(r["neighbor_id"]) for r in rows_after}
+
+    # v2 flips the pointer; v1 stays for rollback; prune removes it
+    res2 = rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.25, cand=50)
+    assert res2["version"] == 2
+    assert resolve_ann_current(base)["version"] == 2
+    assert cas_registered.isdir(f"{base}/versions/v1/store")
+    pruned = prune_ann_versions(base, keep=1)
+    assert pruned["removed"] == [1] and pruned["kept"] == [2]
+    assert not cas_registered.isdir(f"{base}/versions/v1")
+    # and the survivor still serves
+    _, rows2 = _serve(spark, emb, base)
+    assert rows2
+
+
+def test_cas_rebuild_claim_collision_takes_next(
+    spark, cas_registered
+):
+    """A pre-existing claim on v1 (a racing or crashed rebuild) makes
+    the next attempt claim v2 — the rename-arbiter's rerun-takes-N+1,
+    without a rename."""
+    from inpe_queimadas_etl_spark.operators import pq
+    from inpe_queimadas_etl_spark.operators.pq import rebuild_ann
+
+    emb = _emb(spark)
+    base = f"{SCHEME}://unit/deploy-claimed"
+    cas_registered.put_if_absent(
+        f"{base}/versions/v1/{pq.ANN_VERSION_CLAIM}", b"{}"
+    )
+    res = rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.5, cand=100)
+    assert res["version"] == 2
+
+
+def test_cas_rebuild_crash_shapes_and_prune_residue(
+    spark, cas_registered, monkeypatch
+):
+    """Crash mid-build leaves a claimed-but-uncommitted prefix:
+    CURRENT stays consistent (absent here), the next rebuild takes
+    N+1, and prune_staging clears the residue without touching
+    committed versions."""
+    from inpe_queimadas_etl_spark.operators import pq
+    from inpe_queimadas_etl_spark.operators.pq import (
+        prune_ann_versions,
+        rebuild_ann,
+        resolve_ann_current,
+    )
+
+    emb = _emb(spark)
+    base = f"{SCHEME}://unit/deploy-crash"
+
+    real_build = pq.build_ann_store
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected encode crash")
+
+    monkeypatch.setattr(pq, "build_ann_store", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.5, cand=100)
+    monkeypatch.setattr(pq, "build_ann_store", real_build)
+    # pointer never appeared; the claim residue is visible
+    with pytest.raises(LookupError):
+        resolve_ann_current(base)
+    assert cas_registered.exists(
+        f"{base}/versions/v1/{pq.ANN_VERSION_CLAIM}"
+    )
+    assert not cas_registered.exists(
+        f"{base}/versions/v1/{pq.ANN_VERSION_COMMIT}"
+    )
+    # recovery claims v2 and publishes
+    res = rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.5, cand=100)
+    assert res["version"] == 2
+    # prune: residue never counts as a version; prune_staging clears it
+    pruned = prune_ann_versions(base, keep=2, prune_staging=True)
+    assert pruned["kept"] == [2] and pruned["removed"] == []
+    assert pruned["staging_removed"] == 1
+    assert not cas_registered.isdir(f"{base}/versions/v1")
+    assert resolve_ann_current(base)["version"] == 2
+
+
+def test_cas_pointer_flip_is_monotone(cas_registered):
+    """Two rebuilds finishing out of order: the lower version's late
+    flip must NOT un-publish the higher one (the property the POSIX
+    rename arbiter gives by serializing N; here the CAS loop's
+    monotone guard gives it)."""
+    import json
+
+    from inpe_queimadas_etl_spark.operators.pq import (
+        _flip_ann_current_cas,
+        resolve_ann_current,
+    )
+
+    base = f"{SCHEME}://unit/deploy-monotone"
+    assert _flip_ann_current_cas(cas_registered, base, 2, "b" * 64)
+    assert resolve_ann_current(base)["version"] == 2
+    # the straggler (v1) loses quietly: complete-but-unreferenced
+    assert not _flip_ann_current_cas(cas_registered, base, 1, "a" * 64)
+    assert resolve_ann_current(base)["version"] == 2
+    # a genuinely newer version still advances
+    assert _flip_ann_current_cas(cas_registered, base, 3, "c" * 64)
+    assert resolve_ann_current(base)["version"] == 3
+
+
 def test_unregistered_scheme_still_refuses_everywhere():
     """Registration is the opt-in: without it, the r10 refusal holds
     for the wired functions too."""
