@@ -24,14 +24,19 @@ it: a path resolves to an arbiter that owns those primitives —
 
 An UNREGISTERED scheme refuses exactly like r10 — same message, same
 exception — so partially-wired deployments degrade loudly, never
-silently. Only the rename-free subset of the lifecycle is wired
-through the seam (store stamp, tombstone takedown set, applied
-history, CURRENT resolve — the serving + takedown surface); version
-publish, merge, gc, compact, and retune keep the POSIX refusal
-because their arbiters are directory renames and hard links, whose
-object-store shape (build under the final prefix, CAS the pointer)
-is a different commit protocol, named in SCALING.md "metadata
-plane" as the remaining rung.
+silently. Wired through the seam: the serving + takedown surface
+(store stamp, tombstone takedown set, applied history, CURRENT
+resolve) AND — r12b — the whole rebuild deployment loop: model
+save/load, store build/read (data plane addressed via
+``data_path``), `pq.rebuild_ann`'s conditional-put publish protocol
+(claim marker -> build in place -> commit marker -> monotone
+pointer CAS; the "build under the final prefix, CAS the pointer"
+shape SCALING.md named), and `pq.prune_ann_versions` with
+committed-vs-claim-residue semantics. The incremental maintenance
+rungs (merge journal moves, gc, compact, retune) keep the POSIX
+refusal BY DESIGN: their arbiters are directory renames and hard
+links — O(files) data-movement tricks object stores fundamentally
+lack — so their object-store remedy is the rebuild loop itself.
 
 Reference posture: the reference keeps all such state in one
 transactional Postgres (src/etl/load/postgis.py:69-94); this seam is

@@ -1376,12 +1376,16 @@ def require_local_metadata_path(path: str, op: str) -> str:
     `metaplane.resolve_metadata_arbiter`, so a scheme registered
     with a conditional-put adapter
     (`metaplane.register_metadata_adapter`) serves and administers
-    takedowns with its metadata on the object store. An UNregistered
-    scheme still lands here — the refusal stays the contract — and
-    the rename/link-dependent rungs (version publish, merge journal
-    moves, gc, retune) remain POSIX-only, their object-store commit
-    protocol (build under the final prefix, CAS the pointer) being
-    the documented remaining work.
+    takedowns with its metadata on the object store, and the FULL
+    rebuild deployment loop (r12b: `rebuild_ann`'s claim/commit/
+    pointer-CAS publish, `resolve_ann_current`, serving,
+    `prune_ann_versions`) runs there too. An UNregistered scheme
+    still lands here — the refusal stays the contract. The
+    incremental maintenance rungs (merge journal moves, gc, compact,
+    retune) remain POSIX-only BY DESIGN: their whole value is
+    rename/hard-link O(files) data movement that object stores do
+    not have — the object-store remedy for each is the rebuild loop,
+    which is exactly what the reference's full-refresh posture does.
 
     The scheme match requires 2+ leading chars so Windows drive
     letters (``C:\\...``) never false-positive. Returns ``path``
