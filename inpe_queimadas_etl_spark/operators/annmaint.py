@@ -100,11 +100,19 @@ def gc_ann_version(
     Refuses when the store has no live tombstones (a GC would be a
     full rewrite that drops nothing) unless ``force=True`` — forcing
     is how an operator defragments a merge-heavy store's small files
-    into compaction-sized ones."""
+    into compaction-sized ones.
+
+    POSIX-only (r12b): the version swap is a staging rename. Checked
+    FIRST — before any local dir is created from the path string —
+    so a conditional-put deployment gets the rebuild-loop remedy
+    refusal (`require_rename_capable`), never junk directories."""
     import os
     import shutil
     import uuid
 
+    from .pq import require_rename_capable
+
+    require_rename_capable(base_dir, "gc_ann_version")
     cur = resolve_ann_current(base_dir)
     model = load_ann_model(
         cur["model_path"], expected_sha256=cur["model_sha256"]
@@ -183,9 +191,22 @@ def ann_maintenance_plan(
             "pass exactly one of store_path (bare store) or base_dir "
             "(rebuild_ann deployment)"
         )
+    from .metaplane import join as mjoin
+    from .metaplane import resolve_metadata_arbiter
+
     version = None
     retune = None
+    rename_capable = True
     if base_dir is not None:
+        # object-store honesty (r12b): one arbiter resolve tells the
+        # plan which rungs exist here — incremental actions (merge,
+        # gc) are marked non-executable on a conditional-put
+        # deployment with the rebuild remedy named, instead of
+        # failing mid-apply (or worse, probing metadata with os.path
+        # calls that silently read URI keys as absent)
+        rename_capable = resolve_metadata_arbiter(
+            base_dir, "ann_maintenance_plan"
+        ).native_rename
         cur = resolve_ann_current(base_dir)
         store_path = cur["store_path"]
         version = cur["version"]
@@ -200,8 +221,12 @@ def ann_maintenance_plan(
         import json as _json
 
         try:
-            with open(cur["model_path"]) as f:
-                _art = _json.load(f)
+            _raw = resolve_metadata_arbiter(
+                cur["model_path"], "ann_maintenance_plan"
+            ).read(cur["model_path"])
+            if _raw is None:
+                raise OSError(cur["model_path"])
+            _art = _json.loads(_raw.decode("utf-8"))
             retune = {
                 "frac": _art.get("frac"),
                 "cand": _art.get("cand"),
@@ -219,7 +244,9 @@ def ann_maintenance_plan(
     signals["retune_available"] = retune
     actions: list[dict] = []
 
-    pending = os.path.exists(os.path.join(store_path, ANN_MERGE_JOURNAL))
+    pending = resolve_metadata_arbiter(
+        store_path, "ann_maintenance_plan"
+    ).exists(mjoin(store_path, ANN_MERGE_JOURNAL))
     signals["pending_merge"] = pending
 
     stamp, sizes = read_ann_store_stamp(store_path)
@@ -269,14 +296,12 @@ def ann_maintenance_plan(
 
     n_versions = prunable = 0
     if base_dir is not None:
-        import re
+        from .pq import list_ann_versions
 
-        vdir = os.path.join(base_dir, "versions")
-        vs = sorted(
-            int(mm.group(1))
-            for e in os.listdir(vdir)
-            if (mm := re.fullmatch(r"v(\d+)", e))
-        ) if os.path.isdir(vdir) else []
+        # the SAME census prune_ann_versions uses (committed-only on
+        # CAS schemes; claim residue never counts), so the plan's
+        # prunable count cannot drift from what prune would remove
+        vs, _residue = list_ann_versions(base_dir, version)
         n_versions = len(vs)
         if keep_versions is not None:
             keep = set(vs[-keep_versions:]) | {version}
@@ -301,6 +326,15 @@ def ann_maintenance_plan(
         merge_note = merge_refusal(
             store_path, stamp, sizes, drain_dir, dstamp
         )
+        if merge_note is None and not resolve_metadata_arbiter(
+            store_path, "ann_maintenance_plan"
+        ).native_rename:
+            merge_note = (
+                "store metadata is on a conditional-put scheme — "
+                "merge's journal moves need POSIX rename; the "
+                "object-store remedy is rebuild_ann over the full "
+                "corpus (incl. the drain's rows)"
+            )
         actions.append(
             {
                 "action": "merge",
@@ -314,18 +348,27 @@ def ann_maintenance_plan(
             }
         )
     if tomb_frac is not None and tomb_frac >= tomb_gc_frac:
+        if base_dir is None:
+            gc_why = (
+                "bare store: run compact_ann_store to a new "
+                "dir and swap it yourself (or adopt rebuild_ann)"
+            )
+        elif not rename_capable:
+            gc_why = (
+                "deployment metadata is on a conditional-put "
+                "scheme — gc's staging rename needs POSIX; the "
+                "object-store remedy is rebuild_ann (publishes "
+                "tombstone-free codes natively there)"
+            )
+        else:
+            gc_why = "GC-compact into a new version"
         actions.append(
             {
                 "action": "gc",
-                "executable": base_dir is not None,
+                "executable": base_dir is not None and rename_capable,
                 "reason": f"{len(tombs)} live tombstones over {rows} "
                 f"rows ({tomb_frac:.2%}) >= {tomb_gc_frac:.2%} — "
-                + (
-                    "GC-compact into a new version"
-                    if base_dir is not None
-                    else "bare store: run compact_ann_store to a new "
-                    "dir and swap it yourself (or adopt rebuild_ann)"
-                ),
+                + gc_why,
             }
         )
     if prunable_drain:

@@ -1406,6 +1406,36 @@ def require_local_metadata_path(path: str, op: str) -> str:
             "plane'."
         )
     return path
+def require_rename_capable(path: str, op: str) -> str:
+    """The INCREMENTAL-rung guard (r12b): merge journal moves, gc
+    staging, compact, and retune hard-links need atomic rename /
+    link — POSIX primitives. On an UNregistered scheme this refuses
+    with the r10 metadata-plane message (via the resolver); on a
+    REGISTERED conditional-put scheme it refuses with the design
+    answer instead: the object-store deployment's maintenance path
+    is the rebuild loop (`rebuild_ann`'s claim/commit/pointer-CAS
+    publish runs natively there), with takedowns staying bounded
+    tombstones in between — pointing the operator at the remedy
+    rather than at a mount they do not have. Local paths pass
+    through unchanged."""
+    from .metaplane import resolve_metadata_arbiter
+
+    arb = resolve_metadata_arbiter(path, op)
+    if not arb.native_rename:
+        raise ValueError(
+            f"{op} is an incremental maintenance rung that needs "
+            f"atomic rename/hard-link (POSIX); {path!r} resolves to "
+            "a conditional-put (object-store) metadata arbiter, "
+            "which has neither. The object-store remedy is the "
+            "rebuild loop: rebuild_ann publishes fresh codes there "
+            "natively (claim -> commit -> pointer CAS), takedowns "
+            "remain bounded tombstones until it runs, and "
+            "prune_ann_versions bounds the history; see SCALING.md "
+            "'metadata plane'."
+        )
+    return path
+
+
 # LEGACY (pre-r10) drain stamp filename: one line, the model sha.
 # r10 unified the writers on ANN_STORE_META (VERDICT r9 #5 — two
 # formats for one fact is a maintenance trap); the marker was READ
@@ -1873,7 +1903,7 @@ def retune_ann_version(
     import shutil
     import uuid
 
-    require_local_metadata_path(base_dir, "retune_ann_version")
+    require_rename_capable(base_dir, "retune_ann_version")
     cur = resolve_ann_current(base_dir)
     jp = os.path.join(cur["store_path"], ANN_MERGE_JOURNAL)
     if os.path.exists(jp):
@@ -2510,7 +2540,7 @@ def publish_ann_version(
     import json
     import os
 
-    require_local_metadata_path(base_dir, "publish_ann_version")
+    require_rename_capable(base_dir, "publish_ann_version")
     final = os.path.join(base_dir, "versions", f"v{n}")
     try:
         os.rename(staging, final)  # atomic publish of the PAIR
@@ -2559,6 +2589,44 @@ def resolve_ann_current(base_dir: str) -> dict:
     }
 
 
+def list_ann_versions(
+    base_dir: str, current_version: int
+) -> tuple[list[int], list[str]]:
+    """THE version census, arbiter-routed and shared by
+    `prune_ann_versions` and `annmaint.ann_maintenance_plan` so a
+    retention count at plan time can never drift from what prune
+    would actually remove. Returns ``(committed_versions_sorted,
+    residue_entry_names)``. On POSIX the publish rename WAS the
+    commit, so every ``v<N>`` dir counts; on a conditional-put
+    scheme only prefixes carrying the commit marker — or the CURRENT
+    pointer's own target — count, and the rest are
+    claimed-but-uncommitted crash residue."""
+    import re
+
+    from .metaplane import join as mjoin
+    from .metaplane import resolve_metadata_arbiter
+
+    arb = resolve_metadata_arbiter(base_dir, "list_ann_versions")
+    versions_dir = mjoin(base_dir, "versions")
+    versions: list[int] = []
+    residue: list[str] = []
+    for e in arb.list_prefix(versions_dir):
+        mm = re.fullmatch(r"v(\d+)", e)
+        if not mm:
+            continue
+        n = int(mm.group(1))
+        if (
+            arb.native_rename  # POSIX: the rename WAS the commit
+            or n == current_version  # the pointer's target is real
+            or arb.exists(mjoin(versions_dir, e, ANN_VERSION_COMMIT))
+        ):
+            versions.append(n)
+        else:
+            residue.append(e)
+    versions.sort()
+    return versions, residue
+
+
 def prune_ann_versions(
     base_dir: str, keep: int = 2, prune_staging: bool = False
 ) -> dict:
@@ -2584,8 +2652,6 @@ def prune_ann_versions(
 
     Returns ``{"kept": [...], "removed": [...],
     "staging_removed": n}``."""
-    import re
-
     from .metaplane import join as mjoin
     from .metaplane import resolve_metadata_arbiter
 
@@ -2594,22 +2660,7 @@ def prune_ann_versions(
     arb = resolve_metadata_arbiter(base_dir, "prune_ann_versions")
     cur = resolve_ann_current(base_dir)  # refuses pointerless dirs
     versions_dir = mjoin(base_dir, "versions")
-    versions = []
-    residue = []  # CAS claim prefixes without a commit marker
-    for e in arb.list_prefix(versions_dir):
-        mm = re.fullmatch(r"v(\d+)", e)
-        if not mm:
-            continue
-        n = int(mm.group(1))
-        if (
-            arb.native_rename  # POSIX: the rename WAS the commit
-            or n == cur["version"]  # the pointer's target is real
-            or arb.exists(mjoin(versions_dir, e, ANN_VERSION_COMMIT))
-        ):
-            versions.append(n)
-        else:
-            residue.append(e)
-    versions.sort()
+    versions, residue = list_ann_versions(base_dir, cur["version"])
     keep_set = set(versions[-keep:]) | {cur["version"]}
     removed = []
     for n in versions:
@@ -2669,7 +2720,7 @@ def compact_ann_store(
 
     from pyspark.sql import functions as F
 
-    require_local_metadata_path(out_store, "compact_ann_store")
+    require_rename_capable(out_store, "compact_ann_store")
     stamp, _sizes = read_ann_store_stamp(drain_dir)
     if stamp is not None:
         _refuse_stamp_mismatch(drain_dir, stamp, model)
@@ -2925,8 +2976,8 @@ def merge_ann_appends(
 
     from pyspark.sql import functions as F
 
-    require_local_metadata_path(store_path, "merge_ann_appends")
-    require_local_metadata_path(drain_dir, "merge_ann_appends")
+    require_rename_capable(store_path, "merge_ann_appends")
+    require_rename_capable(drain_dir, "merge_ann_appends")
     journal_path = os.path.join(store_path, ANN_MERGE_JOURNAL)
     stage_dir = os.path.join(store_path, ANN_MERGE_STAGE)
     recovered = None

@@ -406,6 +406,71 @@ def test_cas_pointer_flip_is_monotone(cas_registered):
     assert resolve_ann_current(base)["version"] == 3
 
 
+def test_maintenance_plan_honest_on_cas_deployment(
+    spark, cas_registered
+):
+    """The planner on a conditional-put deployment: signals are real
+    (version census via the arbiter, retune knobs read through it),
+    gc is planned NON-executable with the rebuild remedy named, and
+    an applied round executes prune-versions while reporting gc
+    blocked — never failing mid-apply, never probing URI keys with
+    os.path."""
+    from inpe_queimadas_etl_spark.operators.annmaint import (
+        ann_maintenance_plan,
+        gc_ann_version,
+        run_ann_maintenance,
+    )
+    from inpe_queimadas_etl_spark.operators.pq import (
+        delete_from_ann_store,
+        rebuild_ann,
+        resolve_ann_current,
+    )
+
+    emb = _emb(spark)
+    base = f"{SCHEME}://unit/deploy-maint"
+    rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.5, cand=100)
+    rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.25, cand=50)
+    cur = resolve_ann_current(base)
+    # enough takedowns to cross the gc threshold
+    delete_from_ann_store(cur["store_path"], [0, 1, 2, 3, 4, 5])
+
+    plan = ann_maintenance_plan(
+        base_dir=base, tomb_gc_frac=0.01, keep_versions=1
+    )
+    sig = plan["signals"]
+    assert sig["version"] == 2
+    assert sig["versions"] == 2  # the census sees both, via arbiter
+    assert sig["prunable_versions"] == 1
+    assert sig["live_tombstones"] == 6
+    assert sig["retune_available"] is not None
+    assert sig["retune_available"]["frac"] == 0.25
+    gc_action = next(
+        a for a in plan["actions"] if a["action"] == "gc"
+    )
+    assert gc_action["executable"] is False
+    assert "rebuild_ann" in gc_action["reason"]
+
+    # the direct rung refuses with the remedy, and creates no local
+    # junk dirs from the URI string
+    import os
+
+    with pytest.raises(ValueError, match="rebuild_ann"):
+        gc_ann_version(spark, base)
+    assert not os.path.exists(f"{SCHEME}:")
+
+    out = run_ann_maintenance(
+        lambda: spark,
+        base_dir=base,
+        apply=True,
+        tomb_gc_frac=0.01,
+        keep_versions=1,
+    )
+    assert "gc" in out["blocked"]
+    assert "prune-versions" in out["applied"]
+    assert out["results"]["prune-versions"]["removed"] == [1]
+    assert resolve_ann_current(base)["version"] == 2
+
+
 def test_unregistered_scheme_still_refuses_everywhere():
     """Registration is the opt-in: without it, the r10 refusal holds
     for the wired functions too."""
