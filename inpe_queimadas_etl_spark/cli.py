@@ -20,6 +20,7 @@ import argparse
 import datetime as dt
 import json
 import logging
+import os
 import sys
 from pathlib import Path
 
@@ -907,6 +908,21 @@ def build_parser() -> argparse.ArgumentParser:
         prog="python -m inpe_queimadas_etl_spark",
         description="Spark-native rebuild of the daily fire-focus ETL",
     )
+    ap.add_argument(
+        "--metadata-adapter",
+        action="append",
+        default=None,
+        metavar="SCHEME=MODULE:FACTORY",
+        help="register a conditional-put metadata arbiter for a URI "
+        "scheme before the command runs (repeatable; also read from "
+        "$SPARK_GRAFT_METADATA_ADAPTERS, comma-separated). The "
+        "factory is imported and called with the scheme; it must "
+        "return a metaplane.MetadataArbiter. This is how the ANN "
+        "lifecycle faces (ann-rebuild/-prune/-maintain/-search/"
+        "-delete/-stats) operate on an object-store deployment dir; "
+        "unregistered schemes refuse with the metadata-plane "
+        "contract message",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     run = sub.add_parser("run", help="run the pipeline for a day or range")
@@ -1470,6 +1486,24 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    from .operators.metaplane import load_metadata_adapter_spec
+
+    adapter_specs = list(getattr(args, "metadata_adapter", None) or [])
+    adapter_specs += [
+        s.strip()
+        for s in os.environ.get(
+            "SPARK_GRAFT_METADATA_ADAPTERS", ""
+        ).split(",")
+        if s.strip()
+    ]
+    for spec in adapter_specs:
+        try:
+            load_metadata_adapter_spec(spec)
+        except Exception as exc:
+            # refuse BEFORE Spark startup, naming the spec — a typo'd
+            # factory must not surface later as the unregistered-
+            # scheme refusal with the wrong remedy in it
+            parser.error(f"--metadata-adapter {spec!r}: {exc}")
     if args.cmd == "corpus-dedup" and args.embeddings:
         # reject incompatible pairs BEFORE Spark session startup
         # (ADVICE r8): the runtime check inside cmd_corpus_dedup made

@@ -358,6 +358,36 @@ def unregister_metadata_adapter(scheme: str) -> None:
     _ADAPTERS.pop(scheme, None)
 
 
+def load_metadata_adapter_spec(spec: str) -> str:
+    """Register an arbiter from a ``scheme=module:factory`` spec —
+    the deployment-config face of `register_metadata_adapter`, used
+    by the CLI's ``--metadata-adapter`` flag and the
+    ``SPARK_GRAFT_METADATA_ADAPTERS`` env var so shell-driven runs
+    (crons, the pipeline faces) can opt an object-store scheme in
+    without a Python wrapper. The factory is imported and called
+    with the scheme string; it must return a `MetadataArbiter`
+    (checked — a factory returning the wrong thing must fail at
+    registration, not as a cryptic attribute error mid-lifecycle).
+    Returns the scheme."""
+    import importlib
+
+    scheme, eq, target = spec.partition("=")
+    module, colon, fn = target.partition(":")
+    if not (scheme and eq and module and colon and fn):
+        raise ValueError(
+            f"adapter spec {spec!r} is not scheme=module:factory"
+        )
+    factory = getattr(importlib.import_module(module), fn)
+    arb = factory(scheme)
+    if not isinstance(arb, MetadataArbiter):
+        raise TypeError(
+            f"factory {target!r} returned {type(arb).__name__}, "
+            "not a MetadataArbiter"
+        )
+    register_metadata_adapter(scheme, arb)
+    return scheme
+
+
 def resolve_metadata_arbiter(path: str, op: str) -> MetadataArbiter:
     """Path -> arbiter. Local paths get the POSIX arbiter; a
     registered scheme gets its adapter; an unregistered scheme

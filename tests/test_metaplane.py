@@ -471,6 +471,109 @@ def test_maintenance_plan_honest_on_cas_deployment(
     assert resolve_ann_current(base)["version"] == 2
 
 
+def test_load_metadata_adapter_spec_contract(tmp_path, monkeypatch):
+    """The deployment-config face: good specs register (and the
+    factory really gets the scheme), malformed specs and factories
+    returning non-arbiters refuse at registration time."""
+    from inpe_queimadas_etl_spark.operators.metaplane import (
+        load_metadata_adapter_spec,
+    )
+
+    monkeypatch.syspath_prepend("/root/repo")
+    monkeypatch.setenv("SPARK_GRAFT_TEST_CAS_ROOT", str(tmp_path))
+    try:
+        assert (
+            load_metadata_adapter_spec(
+                "specstore=tests.cas_adapter_factory:factory"
+            )
+            == "specstore"
+        )
+        arb = resolve_metadata_arbiter("specstore://x/y", "t")
+        assert isinstance(arb, LocalCasArbiter)
+        assert arb.scheme == "specstore"
+    finally:
+        unregister_metadata_adapter("specstore")
+    for bad in ("nodelims", "s=mod", "=m:f", "s=:f", "s=m:"):
+        with pytest.raises(ValueError, match="scheme=module:factory"):
+            load_metadata_adapter_spec(bad)
+    with pytest.raises(TypeError, match="not a MetadataArbiter"):
+        load_metadata_adapter_spec(
+            "badstore=tests.cas_adapter_factory:not_an_arbiter"
+        )
+    with pytest.raises(ModuleNotFoundError):
+        load_metadata_adapter_spec("x=no.such.module:factory")
+
+
+def test_cli_metadata_adapter_flag_runs_lifecycle_faces(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """A shell-driven object-store deployment: the CLI registers the
+    adapter from the flag (and from the env var) and the Spark-free
+    lifecycle faces (ann-delete, ann-prune) operate on the CAS base
+    dir; a bad spec refuses before any command logic runs."""
+    import json as _json
+
+    from inpe_queimadas_etl_spark import cli
+    from inpe_queimadas_etl_spark.operators.metaplane import (
+        unregister_metadata_adapter,
+    )
+    from inpe_queimadas_etl_spark.operators.pq import (
+        read_ann_tombstones,
+        rebuild_ann,
+    )
+
+    monkeypatch.syspath_prepend("/root/repo")
+    monkeypatch.setenv("SPARK_GRAFT_TEST_CAS_ROOT", str(tmp_path))
+    spec = "clistore=tests.cas_adapter_factory:factory"
+    base = "clistore://unit/deploy"
+    try:
+        # build the deployment in-process under the same root
+        from inpe_queimadas_etl_spark.operators.metaplane import (
+            load_metadata_adapter_spec,
+        )
+
+        load_metadata_adapter_spec(spec)
+        rebuild_ann(
+            _emb(spark), base, k=4, m=8, ks=16, frac=0.5, cand=100
+        )
+        rebuild_ann(
+            _emb(spark), base, k=4, m=8, ks=16, frac=0.25, cand=50
+        )
+        store = f"{base}/versions/v2/store"
+        # ann-delete through the flag (fresh arbiter instance, same
+        # root — existence-based primitives compose across processes)
+        rc = cli.main(
+            [
+                "--metadata-adapter",
+                spec,
+                "ann-delete",
+                "--store",
+                store,
+                "--ids",
+                "1,2",
+            ]
+        )
+        assert rc == 0
+        assert read_ann_tombstones(store) == [1, 2]
+        # ann-prune through the env var
+        monkeypatch.setenv("SPARK_GRAFT_METADATA_ADAPTERS", spec)
+        rc = cli.main(
+            ["ann-prune", "--base-dir", base, "--keep", "1"]
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["removed"] == [1] and out["kept"] == [2]
+    finally:
+        unregister_metadata_adapter("clistore")
+        monkeypatch.delenv("SPARK_GRAFT_METADATA_ADAPTERS", raising=False)
+    # a typo'd spec refuses up front, naming itself
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["--metadata-adapter", "oops", "ann-prune",
+             "--base-dir", base, "--keep", "1"]
+        )
+
+
 def test_unregistered_scheme_still_refuses_everywhere():
     """Registration is the opt-in: without it, the r10 refusal holds
     for the wired functions too."""
