@@ -574,6 +574,64 @@ def test_cli_metadata_adapter_flag_runs_lifecycle_faces(
         )
 
 
+def test_http_front_follows_cas_deployment(spark, cas_registered):
+    """The long-lived HTTP front on an object-store deployment: 404
+    before any version is published, 200 after, a takedown stops
+    being served at the next follow tick, and a rebuild's pointer
+    CAS swaps the running context to the new version's sha — the
+    whole publish -> serve -> takedown -> re-publish loop with
+    every metadata fact on the conditional-put plane."""
+    from inpe_queimadas_etl_spark.api import ApiContext, handle_request
+    from inpe_queimadas_etl_spark.operators.pq import (
+        delete_from_ann_store,
+        rebuild_ann,
+        resolve_ann_current,
+    )
+
+    emb = _emb(spark)
+    base = f"{SCHEME}://unit/deploy-http"
+    qv = [float(x) for x in emb.filter("vec_id = 8").first()["v"]]
+    vec = ",".join(repr(x) for x in qv)
+
+    ctx = ApiContext(
+        spark=spark, fact=None, all_ufs=None, ann_base_dir=base,
+        ann_rerank=emb, ann_follow_s=0.0,  # re-check every request
+    )
+    status, body = handle_request(
+        ctx, "/api/ann/topk", {"vec": vec, "k": "3"}
+    )
+    assert status == 404 and "no published ANN version" in body["detail"]
+
+    rebuild_ann(emb, base, k=4, m=8, ks=16, frac=1.0, cand=100)
+    status, body = handle_request(
+        ctx, "/api/ann/topk", {"vec": vec, "k": "3"}
+    )
+    assert status == 200, body
+    top = body["items"][0]["neighbor_id"]
+    assert top == 8  # self-vector
+
+    delete_from_ann_store(
+        resolve_ann_current(base)["store_path"], [top]
+    )
+    status, body2 = handle_request(
+        ctx, "/api/ann/topk", {"vec": vec, "k": "3"}
+    )
+    assert status == 200
+    assert top not in [i["neighbor_id"] for i in body2["items"]]
+
+    # a rebuild CASes the pointer to v2 under a DIFFERENT model sha;
+    # the running context follows (v2's store has no tombstones, so
+    # the self-vector serves again)
+    res2 = rebuild_ann(emb, base, k=4, m=8, ks=16, frac=0.5, cand=50)
+    assert res2["version"] == 2
+    status, body3 = handle_request(
+        ctx, "/api/ann/topk", {"vec": vec, "k": "3"}
+    )
+    assert status == 200
+    assert ctx._ann_state["version"] == 2
+    assert body3["items"][0]["neighbor_id"] == 8
+
+
 def test_unregistered_scheme_still_refuses_everywhere():
     """Registration is the opt-in: without it, the r10 refusal holds
     for the wired functions too."""
