@@ -168,7 +168,7 @@ _ADAPTIVE_SPREAD_TOL = 0.30
 
 
 def _time_runs(
-    fn, runs: int = RUNS
+    fn, runs: int = RUNS, probe=None
 ) -> tuple[float, float, float, int]:
     """(median, lo, hi, n_runs) over `runs` executions of fn(), after
     ONE discarded warm-up run so first-run JIT/codegen/shuffle-file
@@ -184,13 +184,23 @@ def _time_runs(
     follows the spread test alone — pinned 5-run entries included,
     and a widened entry whose extra runs tightened the spread keeps
     the honest untrimmed band); the median is over ALL samples, and
-    n_runs records how many were taken."""
+    n_runs records how many were taken.
+
+    ``probe`` (review r12): zero-arg callable invoked between (never
+    inside) timed runs — the bandwidth sampler. Sampling only after a
+    query's whole run SET let a steal burst contained within the set
+    inflate the median while the post-set sample read clean; per-run
+    interleaving bounds the blind window to one run."""
     fn()  # warm-up, not measured
+    if probe is not None:
+        probe()
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
         fn()
         samples.append(time.perf_counter() - t0)
+        if probe is not None:
+            probe()
     med = statistics.median(samples)
 
     def _spread_wide() -> bool:
@@ -204,6 +214,8 @@ def _time_runs(
             t0 = time.perf_counter()
             fn()
             samples.append(time.perf_counter() - t0)
+            if probe is not None:
+                probe()
         med = statistics.median(samples)
     # the trimmed-band rule follows the SPREAD test alone (ADVICE r8):
     # a pinned 5-run entry with >30 % spread gets the same trimmed
@@ -415,6 +427,10 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     runs_used: dict[str, int] = {}
     bw_after: dict[str, float] = {}
+    bw_samples: list[float] = []  # every raw probe, all queries
+    _bw_sample()  # build + warm the kernel OUTSIDE any query's
+    # record (review r12: the lazy first build inflated query 1's
+    # sample, skewing the min/median comparison)
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
@@ -441,13 +457,20 @@ def main() -> None:
         import gc
 
         gc.collect()
+        # per-RUN interleaved sampling (review r12): sampling once
+        # after the whole run set left a burst contained within the
+        # set invisible; now each query records the median of the
+        # probes taken between its own timed runs
+        q_bw: list[float] = []
         med, lo, hi, n_used = _time_runs(
-            runner, _EXTRA_RUNS.get(name, RUNS)
+            runner, _EXTRA_RUNS.get(name, RUNS),
+            probe=lambda: q_bw.append(_bw_sample()),
         )
         timings[name] = med
         spread[name] = [lo, hi]
         runs_used[name] = n_used
-        bw_after[name] = round(_bw_sample(), 4)
+        bw_samples.extend(q_bw)
+        bw_after[name] = round(statistics.median(q_bw), 4)
         print(f"# {name}: median {med}s over {n_used} runs "
               f"[{lo}, {hi}] bw {bw_after[name]}", file=sys.stderr)
 
@@ -466,13 +489,18 @@ def main() -> None:
             raw = read_csv_all_string(spark, csv_path)
             curated_from_raw(raw, file_date).count()
 
+        q_bw = []
         med, lo, hi, n_used = _time_runs(
-            run_transform, _EXTRA_RUNS["transform_canonicalize_100k"]
+            run_transform, _EXTRA_RUNS["transform_canonicalize_100k"],
+            probe=lambda: q_bw.append(_bw_sample()),
         )
         timings["transform_canonicalize_100k"] = med
         spread["transform_canonicalize_100k"] = [lo, hi]
         runs_used["transform_canonicalize_100k"] = n_used
-        bw_after["transform_canonicalize_100k"] = round(_bw_sample(), 4)
+        bw_samples.extend(q_bw)
+        bw_after["transform_canonicalize_100k"] = round(
+            statistics.median(q_bw), 4
+        )
         print(f"# transform_canonicalize_100k: median {med}s over "
               f"{n_used} runs [{lo}, {hi}]", file=sys.stderr)
 
@@ -510,17 +538,16 @@ def main() -> None:
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
         "cpu_marker": cpu_marker,
-        # DURING-run bandwidth probe (VERDICT r12 #2): one matmul
-        # sample between queries — min is the host's clean floor,
-        # median/max what the timed queries actually ran under;
-        # per-query samples in bench_last.json's bw_probe_after
+        # DURING-run bandwidth probe (VERDICT r12 #2): matmul
+        # samples interleaved between every timed run — min is the
+        # host's clean floor, median/max what the timed queries
+        # actually ran under; per-query MEDIANS in bench_last.json's
+        # bw_probe_after, the aggregate here over all raw samples
         "cpu_marker_during": {
-            "min": round(min(bw_after.values()), 4),
-            "median": round(
-                statistics.median(bw_after.values()), 4
-            ),
-            "max": round(max(bw_after.values()), 4),
-            "n": len(bw_after),
+            "min": round(min(bw_samples), 4),
+            "median": round(statistics.median(bw_samples), 4),
+            "max": round(max(bw_samples), 4),
+            "n": len(bw_samples),
         },
         "cpus": CPUS,
         "notes": "checksum protocol (r5+); adaptive 5-run widening + "

@@ -555,9 +555,14 @@ def cmd_ann_stats(args) -> int:
         stamp, sizes, model=model, version=version, store_path=store
     )
     out["tombstones"] = len(read_ann_tombstones(store))
-    out["pending_merge"] = os.path.exists(
-        os.path.join(store, ANN_MERGE_JOURNAL)
-    )
+    # arbiter-routed (review r12): an os.path probe on a CAS store
+    # would report every journal as absent
+    from .operators.metaplane import join as _mjoin
+    from .operators.metaplane import resolve_metadata_arbiter
+
+    out["pending_merge"] = resolve_metadata_arbiter(
+        store, "ann-stats"
+    ).exists(_mjoin(store, ANN_MERGE_JOURNAL))
     if model is not None:
         out["model_matches_store"] = (
             model["encoding_sha256"] == stamp.get("encoding_sha256")
@@ -1488,14 +1493,17 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     from .operators.metaplane import load_metadata_adapter_spec
 
-    adapter_specs = list(getattr(args, "metadata_adapter", None) or [])
-    adapter_specs += [
+    # env first, flags last: registration is per-scheme
+    # last-writer-wins, so an explicit --metadata-adapter must beat
+    # a stale exported SPARK_GRAFT_METADATA_ADAPTERS (review r12)
+    adapter_specs = [
         s.strip()
         for s in os.environ.get(
             "SPARK_GRAFT_METADATA_ADAPTERS", ""
         ).split(",")
         if s.strip()
     ]
+    adapter_specs += list(getattr(args, "metadata_adapter", None) or [])
     for spec in adapter_specs:
         try:
             load_metadata_adapter_spec(spec)

@@ -230,11 +230,26 @@ def ann_maintenance_plan(
             retune = {
                 "frac": _art.get("frac"),
                 "cand": _art.get("cand"),
-                "note": "retune_ann_version publishes new frac/cand "
-                "as a hard-linked version in O(files) (~30 ms at 1M "
-                "vectors vs a 77 s rebuild, scripts/scaling_retune"
-                ".py) — raising cand buys recall at proportional "
-                "rerank cost; see README 'Choosing cand'",
+                # the note must match THIS deployment's available
+                # rungs (r12b): retune_ann_version is a hard-link
+                # walk, POSIX-only — advertising it on a
+                # conditional-put deployment would send the operator
+                # into the require_rename_capable refusal
+                "note": (
+                    "retune_ann_version publishes new frac/cand "
+                    "as a hard-linked version in O(files) (~30 ms "
+                    "at 1M vectors vs a 77 s rebuild, scripts/"
+                    "scaling_retune.py) — raising cand buys recall "
+                    "at proportional rerank cost; see README "
+                    "'Choosing cand'"
+                    if rename_capable
+                    else "serving knobs (frac/cand) are retunable "
+                    "without a re-encode, but the hard-link retune "
+                    "rung is POSIX-only — on this conditional-put "
+                    "deployment publish new knobs via rebuild_ann, "
+                    "or keep the metadata plane on a POSIX mount "
+                    "for the O(files) path"
+                ),
             }
         except (OSError, ValueError):
             retune = None  # missing/corrupt artifact: serving will
@@ -268,6 +283,16 @@ def ann_maintenance_plan(
     drain_match = None
     drain_note = None
     dstamp = None
+    if drain_dir is not None:
+        # the drain tier (batch dirs + journal moves) is POSIX-only
+        # end to end — a URI drain must refuse HERE, not fall
+        # through os.path.isdir reading it as absent and reporting
+        # 'no backlog' while committed batches sit unfolded (review
+        # r12: the exact silent-absence hazard this function's other
+        # probes were just cured of)
+        from .pq import require_rename_capable
+
+        require_rename_capable(drain_dir, "ann_maintenance_plan")
     if drain_dir is not None and os.path.isdir(drain_dir):
         from .pq import _complete_drain_batches
 
@@ -349,9 +374,19 @@ def ann_maintenance_plan(
         )
     if tomb_frac is not None and tomb_frac >= tomb_gc_frac:
         if base_dir is None:
+            # name a remedy that WORKS for this store's plane: a
+            # conditional-put bare store cannot compact (POSIX rung)
+            # — pointing it at compact_ann_store would be a dead end
+            # (review r12)
             gc_why = (
                 "bare store: run compact_ann_store to a new "
                 "dir and swap it yourself (or adopt rebuild_ann)"
+                if resolve_metadata_arbiter(
+                    store_path, "ann_maintenance_plan"
+                ).native_rename
+                else "bare conditional-put store: compact needs "
+                "POSIX — adopt rebuild_ann (its claim/commit/"
+                "pointer-CAS publish runs natively here)"
             )
         elif not rename_capable:
             gc_why = (

@@ -185,12 +185,40 @@ class PosixArbiter(MetadataArbiter):
             os.close(fd)
         return True
 
+    #: a .cas-lock older than this is crash residue, not contention:
+    #: the gated section is a KB-scale read+write (milliseconds), so
+    #: a gate surviving 30 s means its holder died between acquire
+    #: and the finally-unlink. Without reclaim, every later
+    #: put_if_match on that path would spuriously fail FOREVER and a
+    #: read->CAS retry loop would livelock (review r12).
+    CAS_GATE_STALE_S = 30.0
+
     def put_if_match(self, path: str, data: bytes, token) -> bool:
+        import time
+
         gate = f"{path}.cas-lock"
         if not self.put_if_absent(gate, b""):
-            return False  # contended: CAS semantics allow spurious
-            # failure only via token mismatch; a held gate means a
-            # racing writer — report failure, caller re-reads
+            # contended: CAS semantics allow spurious failure (the
+            # caller re-reads and retries) — UNLESS the gate is
+            # crash residue, which must be reclaimed or the path is
+            # dead. mtime ages it: a live holder's gate is
+            # milliseconds old; unlink races between two reclaimers
+            # are benign (missing_ok) and the re-acquire below still
+            # admits exactly one writer
+            try:
+                stale = (
+                    time.time() - os.path.getmtime(gate)
+                    > self.CAS_GATE_STALE_S
+                )
+            except OSError:
+                stale = False  # gone already: holder finished
+            if stale:
+                import contextlib
+
+                with contextlib.suppress(OSError):
+                    os.unlink(gate)
+            if not self.put_if_absent(gate, b""):
+                return False
         try:
             _, cur = self.read_versioned(path)
             if cur != token:

@@ -2091,7 +2091,9 @@ def read_ann_store(
     return spark.read.parquet(dp), sizes
 
 
-def _merge_journal_mid_move(store_path: str) -> bool:
+def _merge_journal_mid_move(
+    store_path: str, op: str = "read_ann_store"
+) -> bool:
     """True when the store carries a PHASE-1 merge journal (moves
     listed): files may be mid-move and the size stamp mid-update — a
     detectable inconsistent state is never served (the
@@ -2105,13 +2107,15 @@ def _merge_journal_mid_move(store_path: str) -> bool:
     store answers honestly too — merges themselves refuse CAS paths,
     so the answer there is structurally False, but the reader must
     not encode that assumption with an os.path probe that reads every
-    URI as absent."""
+    URI as absent. ``op`` names the CALLER in a resolver refusal
+    (review r12: compact's post-listing re-check must not point an
+    operator at read_ann_store)."""
     import json
 
     from .metaplane import join as mjoin
     from .metaplane import resolve_metadata_arbiter
 
-    arb = resolve_metadata_arbiter(store_path, "read_ann_store")
+    arb = resolve_metadata_arbiter(store_path, op)
     raw = arb.read(mjoin(store_path, ANN_MERGE_JOURNAL))
     if raw is None:
         return False
@@ -2424,51 +2428,33 @@ def rebuild_ann(
     from .metaplane import put_json, resolve_metadata_arbiter
 
     arb = resolve_metadata_arbiter(base_dir, "rebuild_ann")
-    if arb.native_rename:
-        versions = os.path.join(base_dir, "versions")
-        os.makedirs(versions, exist_ok=True)
-        existing = [
-            int(mm.group(1))
-            for e in os.listdir(versions)
-            if (mm := re.fullmatch(r"v(\d+)", e))
-        ]
-        n = max(existing, default=0) + 1
-        staging = os.path.join(
-            versions, f".staging-v{n}-{uuid.uuid4().hex[:8]}"
-        )
-        os.makedirs(staging)
-        model = train_ann_model(
-            emb, k=k, m=m, ks=ks, frac=frac, cand=cand,
-            sample_n=sample_n, opq=opq,
-            coarse_sample_n=coarse_sample_n,
-        )
-        save_ann_model(
-            os.path.join(staging, "model.json"),
-            model["cents"],
-            model["cb"],
-            model["frac"],
-            model["cand"],
-            rot=model["rot"],
-        )
-        build_ann_store(emb, model, os.path.join(staging, "store"))
-        publish_ann_version(base_dir, staging, n, model["sha256"])
-        return resolve_ann_current(base_dir)
-
-    # conditional-put protocol: claim -> build in place -> commit ->
-    # monotone pointer CAS
     versions = mjoin(base_dir, "versions")
+    # acquire a build target: POSIX stages under a unique token dir
+    # (the later rename is the commit), CAS claims the final prefix
+    # with put_if_absent (the rename-arbiter's rerun-takes-N+1,
+    # renameless). ONE train/save/build block serves both — the
+    # protocols differ only in where they build and how they publish
+    # (review r12: a forked build block is how a new kwarg or
+    # refusal gets applied to one protocol and missed in the other)
     existing = [
         int(mm.group(1))
         for e in arb.list_prefix(versions)
         if (mm := re.fullmatch(r"v(\d+)", e))
     ]
     n = max(existing, default=0) + 1
-    claim = json.dumps({"claim": uuid.uuid4().hex}).encode()
-    while not arb.put_if_absent(
-        mjoin(versions, f"v{n}", ANN_VERSION_CLAIM), claim
-    ):
-        n += 1  # the rename-arbiter's rerun-takes-N+1, inline
-    vdir = mjoin(versions, f"v{n}")
+    if arb.native_rename:
+        os.makedirs(versions, exist_ok=True)
+        vdir = os.path.join(
+            versions, f".staging-v{n}-{uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(vdir)
+    else:
+        claim = json.dumps({"claim": uuid.uuid4().hex}).encode()
+        while not arb.put_if_absent(
+            mjoin(versions, f"v{n}", ANN_VERSION_CLAIM), claim
+        ):
+            n += 1
+        vdir = mjoin(versions, f"v{n}")
     model = train_ann_model(
         emb, k=k, m=m, ks=ks, frac=frac, cand=cand,
         sample_n=sample_n, opq=opq, coarse_sample_n=coarse_sample_n,
@@ -2482,14 +2468,17 @@ def rebuild_ann(
         rot=model["rot"],
     )
     build_ann_store(emb, model, mjoin(vdir, "store"))
-    # the pair is complete: the commit marker is what prune (and an
-    # operator's eye) distinguishes from crashed-claim residue
-    put_json(
-        arb,
-        mjoin(vdir, ANN_VERSION_COMMIT),
-        {"version": n, "model_sha256": model["sha256"]},
-    )
-    _flip_ann_current_cas(arb, base_dir, n, model["sha256"])
+    if arb.native_rename:
+        publish_ann_version(base_dir, vdir, n, model["sha256"])
+    else:
+        # the pair is complete: the commit marker is what prune (and
+        # an operator's eye) distinguishes from crashed-claim residue
+        put_json(
+            arb,
+            mjoin(vdir, ANN_VERSION_COMMIT),
+            {"version": n, "model_sha256": model["sha256"]},
+        )
+        _flip_ann_current_cas(arb, base_dir, n, model["sha256"])
     return resolve_ann_current(base_dir)
 
 
@@ -2778,7 +2767,7 @@ def compact_ann_store(
         # which the watermark re-read below catches. Phase-0 stays
         # allowed for the read_ann_store reason: its moves have not
         # run, so the frozen listing cannot contain them.
-        if _merge_journal_mid_move(drain_dir):
+        if _merge_journal_mid_move(drain_dir, "compact_ann_store"):
             raise ValueError(
                 f"{drain_dir!r} grew a phase-1 merge journal while "
                 "compacting — a concurrent merge is moving files; "

@@ -444,6 +444,8 @@ def test_maintenance_plan_honest_on_cas_deployment(
     assert sig["live_tombstones"] == 6
     assert sig["retune_available"] is not None
     assert sig["retune_available"]["frac"] == 0.25
+    # the note matches THIS deployment: no hard-link rung on CAS
+    assert "POSIX-only" in sig["retune_available"]["note"]
     gc_action = next(
         a for a in plan["actions"] if a["action"] == "gc"
     )
