@@ -38,8 +38,10 @@ meta commit keeps that rollback target self-consistent;
 retention×merge —
 disjoint id ranges by construction (retention touches only ids at or
 below the committed watermark, a merge reads only above it);
-prune-versions×anything — CURRENT's target is never deleted and
-rmtree of an already-pruned version just errors the later run.
+prune-versions×anything — CURRENT's target is never deleted and a
+re-prune of an already-pruned version converges silently (the
+arbiter's delete_prefix is idempotent, r12 — previously the later
+run errored).
 Retention racing a full `compact_ann_store` of the SAME drain is the
 one loud combination: the compactor's read can lose a batch dir
 mid-scan and fail the Spark job — rerun it; nothing is corrupted
