@@ -2999,7 +2999,24 @@ def merge_ann_appends(
     # tombstone-lock stance); the phase-0 content below parses as
     # "no moves ran", so a crash anywhere before the full journal
     # rewrite recovers as a clean rollback.
-    fd = os.open(journal_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        fd = os.open(
+            journal_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+    except FileExistsError:
+        # the losing merge must get the DOCUMENTED refusal, not a
+        # naked errno: the two-crons-racing contract (annmaint module
+        # docstring, pinned by the concurrent-rounds soak) classifies
+        # merge x merge losers by this message — a raw
+        # FileExistsError here surfaced as an unclassified crash
+        # whenever both rounds passed planning before either acquired
+        # (caught live by the soak under host load, r12)
+        raise ValueError(
+            f"store {store_path!r} has a pending merge journal "
+            f"({ANN_MERGE_JOURNAL}) — another merge is running (or "
+            "crashed mid-publish); wait for it, or rerun with "
+            "recover=True after checking none is running"
+        ) from None
     try:
         with os.fdopen(fd, "w") as f:
             json.dump({"from": None, "to": None, "moves": []}, f)

@@ -738,6 +738,25 @@ def test_phase0_journal_does_not_block_serving(spark, setup, tmp_path):
     os.unlink(jp)
 
 
+def test_merge_loser_gets_documented_refusal(spark, setup, tmp_path):
+    """merge x merge: the loser of the journal acquire must surface
+    the DOCUMENTED 'pending merge journal' refusal, not a naked
+    FileExistsError (caught live by the concurrent-rounds soak under
+    host load, r12). A phase-0 journal passes every pre-acquire check
+    — read_ann_store serves through it — so the acquire itself is
+    the only arbiter left, exactly the racing-rounds window."""
+    model = setup["model"]
+    store, drain = _fresh_stores(
+        spark, setup, tmp_path, drain_batches=(0,)
+    )
+    jp = os.path.join(store, ANN_MERGE_JOURNAL)
+    with open(jp, "w") as f:
+        json.dump({"from": None, "to": None, "moves": []}, f)
+    with pytest.raises(ValueError, match="pending merge journal"):
+        merge_ann_appends(spark, store, drain, model)
+    os.unlink(jp)
+
+
 def test_compacted_store_does_not_regrow_historical_tombstones(
     spark, setup, tmp_path
 ):
