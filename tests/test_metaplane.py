@@ -123,6 +123,32 @@ def test_put_if_match_no_lost_update(kind, tmp_path):
     assert int(arb.read(p)) == N * K
 
 
+def test_posix_put_if_match_reclaims_stale_gate(tmp_path):
+    """A .cas-lock left by a crashed holder (review r12): a FRESH
+    gate still reports contention (spurious CAS failure, caller
+    retries), but a gate older than CAS_GATE_STALE_S is crash
+    residue — reclaimed so the path does not spuriously fail
+    forever and livelock read->CAS retry loops."""
+    import time
+
+    arb = PosixArbiter()
+    p = str(tmp_path / "meta.json")
+    arb.put(p, b"v1")
+    _, tok = arb.read_versioned(p)
+    gate = f"{p}.cas-lock"
+    # fresh gate: contention, no write
+    with open(gate, "wb"):
+        pass
+    assert arb.put_if_match(p, b"v2", tok) is False
+    assert arb.read(p) == b"v1"
+    # stale gate (backdated mtime): reclaimed, CAS proceeds
+    old = time.time() - (PosixArbiter.CAS_GATE_STALE_S + 5)
+    os.utime(gate, (old, old))
+    assert arb.put_if_match(p, b"v2", tok) is True
+    assert arb.read(p) == b"v2"
+    assert not os.path.exists(gate)  # released after the write
+
+
 def test_resolver_routes_and_refuses(tmp_path, cas_registered):
     # local path -> POSIX arbiter
     assert isinstance(
