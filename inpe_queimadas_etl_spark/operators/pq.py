@@ -2891,7 +2891,7 @@ def merge_refusal(
     `annmaint.ann_maintenance_plan` (which reports it as a
     non-executable action): r10 and r11 each shipped a fix for these
     two drifting apart — a plan calling executable an action the
-    merge refuses mid---apply — so the check lives once (review
+    merge refuses mid-apply — so the check lives once (review
     r11). The model-vs-stamp sha comparison stays in
     `_refuse_stamp_mismatch` (the plan has no model in hand;
     store-vs-drain encoding equality covers it transitively)."""
