@@ -903,11 +903,14 @@ def dd7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop moves only the converged-row COUNT, never data.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dd4_minhash_lsh_candidates(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .localCheckpoint(eager=True)
+    # materialize the candidate PAIRS once (r12): the size probe, the
+    # driver fast path's collect, and the distributed path's edge build
+    # all read this one checkpoint — previously the probe materialized a
+    # derived `edges` frame and the collect then re-executed the whole
+    # dd4 band self-join + distinct a second time (one full extra LSH
+    # join per dd7/dd9 invocation, pure waste at any scale)
+    pairs = dd4_minhash_lsh_candidates(spark, sf_dir).localCheckpoint(
+        eager=True
     )
     # Adaptive small-graph fast path: the iterative loop costs
     # O(diameter) Spark jobs of fixed latency, which dominates when the
@@ -915,12 +918,18 @@ def dd7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the edge list is a couple of MB — union-find on the driver and
     # ship the labels back as one Arrow LocalTableScan. Above it, the
     # distributed propagation below is the only thing that scales.
-    n_directed = edges.count()
-    if n_directed <= 2 * _DD7_DRIVER_EDGE_LIMIT:
+    if pairs.count() <= _DD7_DRIVER_EDGE_LIMIT:
         edge_rows = pairs.select("doc_a", "doc_b").collect()
         labels = _driver_union_find_labels(spark, edge_rows)
         return _dd7_assemble(docs, labels)
-    # edges holds both directions, so distinct src == all endpoints
+    # both directions of each checkpointed pair, so distinct src ==
+    # all edge endpoints (map-side union over the checkpoint — the
+    # per-round propagation joins re-read it, so materialize it too)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -4011,31 +4020,39 @@ def ngram_lm_scores(
     train = docs if reference is None else reference
     w = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     tw = train.select(F.split(F.col("text"), " ").alias("w"))
-    toks = w.select("doc_id", F.explode("w").alias("t"))
     ttoks = tw.select(F.explode("w").alias("t"))
-    # Materialize the vocab ONCE (it IS the model artifact, <= V
-    # strings): fed back as a local relation, not a plan — otherwise
-    # every broadcast build side that maps through the vocab re-derives
-    # its groupBy from scratch, i.e. five full corpus token scans
-    # (caught by the plan pin: 8 exchanges instead of 3).
-    vocab_toks = [
-        r["t"]
-        for r in ttoks.groupBy("t")
-        .count()
-        .orderBy(F.desc("count"), F.asc("t"))
+    # Materialize the train token COUNT table once (r12 — it, not just
+    # the vocab list, is the model artifact): the top-V vocab is a
+    # TakeOrdered over it, the unigram table C1 is read straight off
+    # it driver-side (the top-V rows keep their counts; every other
+    # occurrence folds into the '<unk>' row as total - sum(vocab)), so
+    # the separate map-to-vocab + groupBy unigram pass over the train
+    # corpus is gone. <= V+1 rows ship back as a LOCAL relation.
+    tok_counts = (
+        ttoks.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vocab_rows = (
+        tok_counts.orderBy(F.desc("c"), F.asc("t"))
         .limit(vocab_size)
-        .select("t")
         .collect()
-    ]
+    )
+    vocab_toks = [r["t"] for r in vocab_rows]
+    total_toks = tok_counts.agg(F.sum("c")).first()[0] or 0
+    c1 = {r["t"]: r["c"] for r in vocab_rows}
+    n_unk = total_toks - sum(c1.values())
+    if n_unk > 0:
+        # merge with an in-vocab literal '<unk>' token if one exists —
+        # exactly what the mapped groupBy produced
+        c1[_TX8_UNK] = c1.get(_TX8_UNK, 0) + n_unk
     vocab = docs.sparkSession.createDataFrame(
         [(t,) for t in vocab_toks], "t string"
     )
-    vt = F.lit(len(vocab_toks) + 1)
-    uni = (
-        _tx8_map_to_vocab(ttoks, vocab, "t")
-        .groupBy("t")
-        .agg(F.count("*").alias("c1"))
+    uni = docs.sparkSession.createDataFrame(
+        [(t, c) for t, c in sorted(c1.items())], "t string, c1 bigint"
     )
+    vt = F.lit(len(vocab_toks) + 1)
 
     def _bigrams(frame):
         return frame.filter(F.size("w") >= 2).select(
@@ -4048,21 +4065,37 @@ def ngram_lm_scores(
             ).alias("g"),
         )
 
-    mbig = _tx8_map_to_vocab(
-        _bigrams(w).select("doc_id", "g.w1", "g.w2"), vocab, "w1", "w2"
+    # Per-document vocab-mapped bigram HISTOGRAM (r12): one scoring
+    # pass over the corpus, checkpointed; both the self-scored bigram
+    # model C2 (a <= (V+1)^2-row rollup of the histogram) and the
+    # scoring join read it, so the corpus bigram explode runs ONCE per
+    # invocation instead of twice. At 100 TB this is the
+    # materialize-to-parquet artifact; with a held-out ``reference``
+    # the C2 build stays its own sample-sized pass.
+    mbig_hist = (
+        _tx8_map_to_vocab(
+            _bigrams(w).select("doc_id", "g.w1", "g.w2"), vocab, "w1", "w2"
+        )
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    tbig = _tx8_map_to_vocab(
-        _bigrams(tw).select("g.w1", "g.w2"), vocab, "w1", "w2"
-    )
-    bi = tbig.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    if reference is None:
+        bi = mbig_hist.groupBy("w1", "w2").agg(F.sum("c").alias("c2"))
+    else:
+        tbig = _tx8_map_to_vocab(
+            _bigrams(tw).select("g.w1", "g.w2"), vocab, "w1", "w2"
+        )
+        bi = tbig.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     scored = (
         # LEFT joins: a scored bigram/unigram the reference never saw
         # carries a Laplace zero count (self-scoring makes every key
         # match, so the demo oracle is unchanged)
-        mbig.join(F.broadcast(bi), ["w1", "w2"], "left")
-        .join(F.broadcast(uni), uni["t"] == mbig["w1"], "left")
+        mbig_hist.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), uni["t"] == mbig_hist["w1"], "left")
         .select(
             "doc_id",
+            "c",
             F.log(
                 (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
                 / (F.coalesce(F.col("c1"), F.lit(0)) + vt)
@@ -4070,8 +4103,10 @@ def ngram_lm_scores(
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        F.sum("c").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("c") * F.col("lp")) / F.sum("c"), 4
+        ).alias("avg_logprob"),
     )
 
 
@@ -4170,14 +4205,19 @@ def _cur8_sql(
 CUR8_SQL = _cur8_sql()
 
 
-def _dsir_features(docs: DataFrame, buckets: int) -> DataFrame:
+def _dsir_features(
+    docs: DataFrame, buckets: int, carry: tuple = ()
+) -> DataFrame:
     """Hashed unigram+bigram feature stream over ``(doc_id, text)``:
     ``(doc_id, b)`` with b in [0, buckets) — one row per feature
-    OCCURRENCE (DSIR counts occurrences, not types). Map-side only."""
-    w = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
-    uni = w.select("doc_id", F.explode("w").alias("f"))
+    OCCURRENCE (DSIR counts occurrences, not types). Map-side only.
+    ``carry`` names extra per-doc columns to ride along (the fused
+    target-flag path)."""
+    w = docs.select("doc_id", *carry, F.split(F.col("text"), " ").alias("w"))
+    uni = w.select("doc_id", *carry, F.explode("w").alias("f"))
     bi = w.filter(F.size("w") >= 2).select(
         "doc_id",
+        *carry,
         F.explode(
             F.expr(
                 "transform(sequence(0, size(w) - 2),"
@@ -4186,53 +4226,105 @@ def _dsir_features(docs: DataFrame, buckets: int) -> DataFrame:
         ).alias("f"),
     )
     return uni.unionByName(bi).select(
-        "doc_id", (_word_hash_spark(F.col("f")) % buckets).alias("b")
+        "doc_id",
+        *carry,
+        (_word_hash_spark(F.col("f")) % buckets).alias("b"),
     )
 
 
 def _dsir_scores_raw(
-    corpus: DataFrame, target: DataFrame, buckets: int = _CUR8_BUCKETS
+    corpus: DataFrame,
+    target: DataFrame | None,
+    buckets: int = _CUR8_BUCKETS,
+    target_flag: str | None = None,
 ) -> DataFrame:
     """DSIR log importance weight per corpus document: ``(doc_id,
     n_feats, lw)`` over ``(doc_id, text)`` inputs, lw UNROUNDED —
     higher = more target-like. ``target`` is the (small) domain
     sample whose distribution the selection should match; ``corpus``
     is both the raw distribution and the scored set (the paper's
-    shape).
+    shape). When the target is a SLICE of the corpus, pass
+    ``target_flag`` naming a boolean corpus column instead of a
+    separate frame (``target=None``): the target bucket counts then
+    ride the corpus histogram pass and the corpus text is featurized
+    exactly once.
 
-    Scale design: the model is B rows BY CONSTRUCTION — bucket
-    counts from two groupBys whose exchanges carry map-side-combined
-    partials over <= B distinct keys each, collected once and turned
-    into a B-row LOCAL log-ratio relation (totals are its column
-    sums; the tx8 vocab pattern) that broadcasts into the scoring
-    pass, so the corpus is never hashed on a feature key and never
-    re-scanned to build the model (plan-pinned: zero SortMergeJoin).
-    The final rollup keys on doc_id — every feature of a document
-    lives in the partition that scanned it, so partials collapse
-    map-side and the one corpus-sized exchange carries final
-    per-document rows. EXACTLY two corpus passes (count + score),
-    the inherent train/score split; the target pass is
-    sample-sized."""
+    Scale design (r12 — one corpus pass, down from two): the corpus
+    feature stream folds map-side into a per-document bucket
+    HISTOGRAM ``(doc_id, b, c)`` — at most min(feats, B) rows per doc
+    — which is localCheckpointed and feeds every downstream consumer,
+    so the text is split/hashed ONCE per invocation. The model stays
+    B rows BY CONSTRUCTION: bucket totals are a <= B-row aggregate
+    OVER THE HISTOGRAM (map-side-combined partials over <= B distinct
+    keys), collected once and turned into a B-row LOCAL log-ratio
+    relation (totals are its column sums; the tx8 vocab pattern) that
+    broadcasts into the scoring pass, so the corpus is never hashed
+    on a feature key and never re-scanned to build the model
+    (plan-pinned: zero SortMergeJoin). The scoring rollup keys on
+    doc_id — every histogram row of a document lives in the partition
+    that scanned it, so partials collapse map-side and the one
+    corpus-sized exchange carries final per-document rows. At 100 TB
+    the histogram is the materialize-to-parquet artifact; the
+    separate-target pass (generic form) stays sample-sized."""
     import math
 
-    feats = _dsir_features(corpus, buckets)
-    tfeats = _dsir_features(target, buckets)
-    # Materialize the <= B-row count tables ONCE — they ARE the model
-    # artifact (the tx8 vocab lesson): left as plans, every consumer
-    # (totals, log-ratio build, the broadcast into scoring) re-derives
-    # the corpus explode from scratch. The totals are the tables'
-    # column sums, and the log-ratio arithmetic runs driver-side over
-    # B rows — Python's correctly-rounded int/int division and libm
-    # ln produce the same doubles the in-plan F.log form did (pinned
-    # by the pure-Python mirror and the round(4) oracle).
-    tc = {
-        r["b"]: r["ct"]
-        for r in tfeats.groupBy("b").agg(F.count("*").alias("ct")).collect()
-    }
-    rc = {
-        r["b"]: r["cr"]
-        for r in feats.groupBy("b").agg(F.count("*").alias("cr")).collect()
-    }
+    if target_flag is None:
+        hist = (
+            _dsir_features(corpus, buckets)
+            .groupBy("doc_id", "b")
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        # the per-doc target flag rides the feature stream and the
+        # histogram groupBy (constant per doc, so key cardinality is
+        # unchanged and partials still collapse in the scan partition)
+        hist = (
+            _dsir_features(
+                corpus.select(
+                    "doc_id",
+                    F.col(target_flag).alias("__tgt"),
+                    "text",
+                ),
+                buckets,
+                carry=("__tgt",),
+            )
+            .groupBy("doc_id", "__tgt", "b")
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    # Bucket-count model tables from the checkpointed histogram (<= B
+    # rows out, map-side-combined partials): ONE tiny collect for the
+    # corpus counts — and, under target_flag, the target counts share
+    # the same job via a flag-conditional sum. The log-ratio
+    # arithmetic runs driver-side over B rows — Python's
+    # correctly-rounded int/int division and libm ln produce the same
+    # doubles the in-plan F.log form did (pinned by the pure-Python
+    # mirror and the round(4) oracle).
+    if target_flag is not None:
+        rows = (
+            hist.groupBy("b")
+            .agg(
+                F.sum("c").alias("cr"),
+                F.sum(F.when(F.col("__tgt"), F.col("c"))).alias("ct"),
+            )
+            .collect()
+        )
+        tc = {r["b"]: r["ct"] or 0 for r in rows}
+        rc = {r["b"]: r["cr"] for r in rows}
+        hist = hist.drop("__tgt")
+    else:
+        tc = {
+            r["b"]: r["ct"]
+            for r in _dsir_features(target, buckets)
+            .groupBy("b")
+            .agg(F.count("*").alias("ct"))
+            .collect()
+        }
+        rc = {
+            r["b"]: r["cr"]
+            for r in hist.groupBy("b").agg(F.sum("c").alias("cr")).collect()
+        }
     nt = sum(tc.values())
     nr = sum(rc.values())
     model = corpus.sparkSession.createDataFrame(
@@ -4247,21 +4339,24 @@ def _dsir_scores_raw(
         "b bigint, lr double",
     )
     return (
-        feats.join(F.broadcast(model), "b")
+        hist.join(F.broadcast(model), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_feats"),
-            F.sum("lr").alias("lw"),
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lr")).alias("lw"),
         )
     )
 
 
 def dsir_logweights(
-    corpus: DataFrame, target: DataFrame, buckets: int = _CUR8_BUCKETS
+    corpus: DataFrame,
+    target: DataFrame | None,
+    buckets: int = _CUR8_BUCKETS,
+    target_flag: str | None = None,
 ) -> DataFrame:
     """Rounded presentation of :func:`_dsir_scores_raw` — the cur8
     artifact: ``(doc_id, n_feats, dsir_logweight)``."""
-    return _dsir_scores_raw(corpus, target, buckets).select(
+    return _dsir_scores_raw(corpus, target, buckets, target_flag).select(
         "doc_id",
         "n_feats",
         F.round("lw", 4).alias("dsir_logweight"),
@@ -4272,11 +4367,16 @@ def cur8_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR scoring at the oracle-stated demo geometry: target = the
     'en' slice, raw = the whole documents table, B=_CUR8_BUCKETS."""
     docs = load_table(spark, sf_dir, "documents")
+    # fused target-flag form (r12): the target is the corpus's 'en'
+    # slice, so its bucket counts ride the one corpus histogram pass
     return dsir_logweights(
-        docs.select("doc_id", "text"),
-        docs.filter(F.col("lang") == _CUR8_TARGET_LANG).select(
-            "doc_id", "text"
+        docs.select(
+            "doc_id",
+            "text",
+            (F.col("lang") == _CUR8_TARGET_LANG).alias("is_tgt"),
         ),
+        None,
+        target_flag="is_tgt",
     )
 
 
@@ -4333,10 +4433,11 @@ CUR9_SQL = _cur9_sql()
 
 def dsir_gumbel_topk(
     corpus: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     k: int = _CUR9_K,
     buckets: int = _CUR8_BUCKETS,
     salt: str = _CUR9_SALT,
+    target_flag: str | None = None,
 ) -> DataFrame:
     """Draw k documents ~ exp(dsir_logweight) without replacement via
     deterministic Gumbel-top-k over :func:`_dsir_scores_raw`:
@@ -4358,7 +4459,7 @@ def dsir_gumbel_topk(
         )
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
-    keyed = _dsir_scores_raw(corpus, target, buckets).withColumn(
+    keyed = _dsir_scores_raw(corpus, target, buckets, target_flag).withColumn(
         "key", F.col("lw") + (-F.log(-F.log(u)))
     )
     return (
@@ -4378,10 +4479,13 @@ def cur9_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     k=_CUR9_K from the English-target weights of cur8."""
     docs = load_table(spark, sf_dir, "documents")
     return dsir_gumbel_topk(
-        docs.select("doc_id", "text"),
-        docs.filter(F.col("lang") == _CUR8_TARGET_LANG).select(
-            "doc_id", "text"
+        docs.select(
+            "doc_id",
+            "text",
+            (F.col("lang") == _CUR8_TARGET_LANG).alias("is_tgt"),
         ),
+        None,
+        target_flag="is_tgt",
     )
 
 

@@ -445,10 +445,15 @@ def mm5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     flipped bits), so recall within the declared threshold is exact
     at every geometry. The size probe is one count() over the media
     frame — the same one-small-job convention as dd6's auto-tune."""
-    media = media_from_documents(
-        load_table(spark, sf_dir, "documents")
-    ).filter(F.length("payload") > 0)
-    _, band_bits = _mm5_geometry(media.count())
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs).filter(F.length("payload") > 0)
+    # size probe (one small job, the dd6 auto-tune convention): count
+    # on the raw text column — length(encode(text,'UTF-8')) > 0 iff
+    # length(text) > 0 (and both are null-rejecting), so this is the
+    # same count without building the binary payload for every row
+    _, band_bits = _mm5_geometry(
+        docs.filter(F.length("text") > 0).count()
+    )
     sigs = _mm5_signatures(media, band_bits).localCheckpoint(eager=True)
     return _mm5_pairs_from_sigs(sigs)
 
