@@ -5400,15 +5400,30 @@ def _sim8_topk(emb: DataFrame, cb: list) -> DataFrame:
     from ..operators.pq import pq_adc_search_scan, pq_encode
 
     codes = pq_encode(emb, cb)
-    q = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("nq"),
+    # ONE driver collect serves both the scan's query list and the
+    # rerank side (r12): the old shape re-filtered the embedding
+    # table inside the q broadcast build — a second scan per search
+    q_rows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("nq"),
+        )
+        .collect()
     )
-    queries = [
-        (r["query_id"], list(r["qv"]))
-        for r in q.select("query_id", "qv").collect()
-    ]
+    queries = [(r["query_id"], list(r["qv"])) for r in q_rows]
+    q = local_df(
+        emb.sparkSession,
+        [(r["query_id"], list(r["qv"]), r["nq"]) for r in q_rows],
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("qv", T.ArrayType(T.DoubleType()), False),
+                T.StructField("nq", T.DoubleType(), False),
+            ]
+        ),
+    )
     scored = pq_adc_search_scan(codes, cb, queries, _SIM8_CAND)
     w_global = Window.partitionBy("query_id").orderBy(
         F.desc_nulls_first("pq_score"), F.asc("vec_id")
@@ -5418,9 +5433,15 @@ def _sim8_topk(emb: DataFrame, cb: list) -> DataFrame:
         .filter(F.col("rn") <= _SIM8_CAND)
         .select("query_id", "vec_id")
     )
-    paired = cand.join(
-        emb.select("vec_id", "v", F.col("nrm").alias("nv")), "vec_id"
-    ).join(F.broadcast(q), "query_id")
+    # stream the embedding table; broadcast the C*Q-row candidate
+    # list and the Q-row query table (the dd2 finding: never let the
+    # planner build a driver-side broadcast of the full array-typed
+    # embedding projection — guide §3.1)
+    paired = (
+        emb.select("vec_id", "v", F.col("nrm").alias("nv"))
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "query_id")
+    )
     return _score_rank_top5(paired)
 
 
@@ -5681,17 +5702,36 @@ def _sim9_topk(
         cents = [(cid, cv) for cid, cv, _ in cents3]
     else:
         cents = [(cid, rot_apply(rot, cv)) for cid, cv, _ in cents3]
+    # the probe ranks queries against the K-row codebook ALREADY
+    # collected above — hand it back as a JVM LocalRelation instead of
+    # the `cent` DataFrame, whose broadcast build re-ran the embedding
+    # scan inside the exchange thread once per search (r12, guide
+    # §2.4: the collected doubles round-trip exactly, so csim and the
+    # probe order are bit-unchanged)
+    spark = emb.sparkSession
+    cent_local = local_df(
+        spark,
+        cents3,
+        T.StructType(
+            [
+                T.StructField("centroid_id", T.LongType(), False),
+                T.StructField("cv", T.ArrayType(T.DoubleType()), False),
+                T.StructField("cn", T.DoubleType(), False),
+            ]
+        ),
+    )
+    probe_rows = (
+        _sim9_probe(emb, cent_local, sizes=sizes, candidate_frac=_SIM9_FRAC)
+        .select("vec_id", "centroid_id", "v", "nrm")
+        .collect()
+    )
     probes = [
         (
             r["vec_id"],
             r["centroid_id"],
             list(r["v"]) if rot is None else rot_apply(rot, list(r["v"])),
         )
-        for r in _sim9_probe(
-            emb, cent, sizes=sizes, candidate_frac=_SIM9_FRAC
-        )
-        .select("vec_id", "centroid_id", "v")
-        .collect()
+        for r in probe_rows
     ]
     # probed-cluster filter BELOW the scan: rows of unprobed clusters
     # can never score, and the literal IN over the K-row probe set is
@@ -5711,16 +5751,35 @@ def _sim9_topk(
         .filter(F.col("rn") <= _SIM8_CAND)
         .select("query_id", "vec_id")
     )
-    q = emb.filter(
-        (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("nq"),
+    # the query vectors (and their norms) already came back with the
+    # probe collect — build the Q-row rerank side as a LocalRelation
+    # instead of re-filtering the embedding table inside another
+    # broadcast build (values round-trip bit-exactly). ORIGINAL-space
+    # v/nrm: the probe select reads them off `emb` before any rotation.
+    q_seen: dict = {}
+    for r in probe_rows:
+        q_seen.setdefault(r["vec_id"], (list(r["v"]), r["nrm"]))
+    q = local_df(
+        spark,
+        [(vid, v, nrm) for vid, (v, nrm) in sorted(q_seen.items())],
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("qv", T.ArrayType(T.DoubleType()), False),
+                T.StructField("nq", T.DoubleType(), False),
+            ]
+        ),
     )
-    paired = cand.join(
-        emb.select("vec_id", "v", F.col("nrm").alias("nv")), "vec_id"
-    ).join(F.broadcast(q), "query_id")
+    # rerank: STREAM the corpus-sized embedding table and broadcast
+    # the C*Q-row candidate list (two bounded builds), instead of
+    # letting the planner build a broadcast of the full array-typed
+    # embedding projection (the dd2 finding: driver-built broadcasts
+    # of array tables are the hidden fixed cost — guide §3.1)
+    paired = (
+        emb.select("vec_id", "v", F.col("nrm").alias("nv"))
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "query_id")
+    )
     return _score_rank_top5(paired)
 
 
