@@ -453,10 +453,17 @@ def main() -> None:
         # localCheckpoint RDDs keep executor blocks alive until GC):
         # isolated dd7 reruns at 1.55 s while the same code inside a
         # long bench process drifted to 2.2 s from exactly this
-        # cross-query interference.
+        # cross-query interference. The Python collect alone only
+        # detaches the py4j refs — the JVM-side RDDs stay reachable
+        # until a JVM GC lets ContextCleaner drop their blocks, so
+        # nudge the JVM too (r12): one System.gc() per QUERY (never
+        # inside a timed run), so each query starts from the same
+        # drained block store instead of inheriting the previous
+        # queries' accumulation.
         import gc
 
         gc.collect()
+        spark.sparkContext._jvm.System.gc()
         # per-RUN interleaved sampling (review r12): sampling once
         # after the whole run set left a burst contained within the
         # set invisible; now each query records the median of the

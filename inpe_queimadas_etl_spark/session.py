@@ -48,9 +48,20 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    # Driver heap sized to the role it plays: in local[N] mode the
+    # driver JVM IS every executor, and Spark's unconfigured default
+    # (1g) leaves ~420 MB of unified memory for N concurrent tasks
+    # plus every localCheckpoint block — measured at N=32/sf0.1 as GC
+    # thrash that doubled suite-tail query times (r12, guide §5).
+    # Env-overridable; on a real cluster submit sets driver/executor
+    # memory explicitly and this default is irrelevant (a driver that
+    # only plans and collects bounded results needs far less).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -75,6 +75,7 @@ def main() -> None:
         else:
             runner = lambda: bench._consume_checksum(fn(spark, SF_DIR))
         gc.collect()
+        spark.sparkContext._jvm.System.gc()  # bench.py's convention
         spark.sparkContext.setJobDescription(f"qbench:{name}")
         runner()  # warm-up
         samples, probes = [], [bench._bw_sample()]
