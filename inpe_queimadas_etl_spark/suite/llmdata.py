@@ -814,8 +814,17 @@ def _emb_band_rows(
 def _dd6_candidate_pairs(emb: DataFrame, n_bands: int, band_bits: int) -> DataFrame:
     """Banded sign-LSH candidate (vec_a, vec_b) pairs: agree on at
     least one band bucket. The join keys are uniform equi hashes —
-    skew-free at any scale."""
-    bands = _emb_band_rows(emb, "vec_id", n_bands, band_bits)
+    skew-free at any scale.
+
+    The band table is materialized before the self-join (r12 — the
+    mm5/dd4 signature-table convention, guide §2.4): each side of the
+    join otherwise re-runs the Arrow banding pass over the full corpus
+    inside its own scan, i.e. two hyperplane-projection passes for one
+    candidate build. Three narrow columns per row; at cluster scale
+    persist it to parquet instead."""
+    bands = _emb_band_rows(emb, "vec_id", n_bands, band_bits).localCheckpoint(
+        eager=True
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -3234,10 +3243,51 @@ def _ivf_sq8_topk(
     the probe join is unchanged)."""
     from ..operators.similarity import dot_product
 
-    store = sim6_code_store(emb, k, centroids=cent)
+    # ONE driver collect per side serves every consumer (r12, the
+    # sim8/sim9 pattern — guide §2.4/§3.1): previously the probe
+    # ranking and the q broadcast build each re-executed their source
+    # scan (for sim6, a parquet scan of the embeddings table; the q
+    # build additionally re-ran the centroid join + ranking) inside
+    # the single-threaded BroadcastExchange thread. The K-row codebook
+    # and the 8-row query table come back once and are handed back as
+    # JVM LocalRelations — collected doubles round-trip bit-exactly,
+    # so csim, the probe order, and every downstream rank are
+    # unchanged (pinned by the sim6/sim7 oracle parity tests).
+    spark = emb.sparkSession
+    cents3 = sorted(
+        (r["centroid_id"], list(r["cv"]), r["cn"]) for r in cent.collect()
+    )
+    cent_local = local_df(
+        spark,
+        cents3,
+        T.StructType(
+            [
+                T.StructField("centroid_id", T.LongType(), False),
+                T.StructField("cv", T.ArrayType(T.DoubleType()), False),
+                T.StructField("cn", T.DoubleType(), False),
+            ]
+        ),
+    )
+    store = sim6_code_store(emb, k, centroids=cent_local)
     if candidate_frac is not None:
         store = store.localCheckpoint(eager=True)
 
+    q_rows = (
+        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+        .select("vec_id", "v", "nrm")
+        .collect()
+    )
+    q_base = local_df(
+        spark,
+        [(r["vec_id"], list(r["v"]), r["nrm"]) for r in q_rows],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType(), False),
+                T.StructField("v", T.ArrayType(T.DoubleType()), False),
+                T.StructField("nrm", T.DoubleType(), False),
+            ]
+        ),
+    )
     # query-side probe list: nearest centroids, full precision.
     # Queries are few by definition, so the ranked-window shape is
     # fine HERE (n_queries x K rows) — it is the CORPUS assignment in
@@ -3245,13 +3295,9 @@ def _ivf_sq8_topk(
     qw = Window.partitionBy("vec_id").orderBy(
         F.desc("csim"), F.asc("centroid_id")
     )
-    scored = (
-        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
-        .join(F.broadcast(cent))
-        .withColumn(
-            "csim",
-            F.try_divide(dot_product("v", "cv"), F.col("nrm") * F.col("cn")),
-        )
+    scored = q_base.join(F.broadcast(cent_local)).withColumn(
+        "csim",
+        F.try_divide(dot_product("v", "cv"), F.col("nrm") * F.col("cn")),
     )
     if candidate_frac is None:
         probed = scored.withColumn("rn", F.row_number().over(qw)).filter(
