@@ -386,7 +386,16 @@ def nearest_centroid(
             StructField("centroid_id", LongType()),
         ]
     )
-    _assign = pandas_udf(out_type)(_assign_fn)
+    # asNondeterministic (guide §4.4): the downstream centroid_id
+    # equi-join pushes an isnotnull(centroid_id) filter below the
+    # projection, and Catalyst satisfies it by DUPLICATING the UDF —
+    # plans carried two ArrowEvalPython nodes running the full
+    # assignment twice per row (seen in sim6/sim7's store build,
+    # plans/r12/sim6_ivf_sq8_ann_after.txt nodes (3)/(7) before this
+    # fix). The function is pure — the marker only forbids the
+    # optimizer to clone or reorder it, so values are unchanged
+    # (pinned bit-identical to the JVM reference form either way).
+    _assign = pandas_udf(out_type)(_assign_fn).asNondeterministic()
     return _assign(vec_col, nrm_col)
 
 
