@@ -8,13 +8,15 @@ to 5 runs with a trimmed [lo, hi] band (VERDICT r7 #5 — sub-second
 entries on a loaded VM were uninterpretable at 3 runs); `runs_used`
 lands in the JSON's runs_per_query.
 Prints the compact JSON record {"metric": ..., "value": total_sec,
-"unit": "sec", "queries": {name: sec}, "sf": ...}, then a SHORT
-headline-only JSON line (metric/value/comparable/cpu_marker) as the
+"unit": "sec", "queries": {name: sec}, "sf": ...}, then a SHORT JSON
+line (metric/value/queries-median-map/comparable/cpu_marker) as the
 FINAL stdout line — the driver's tail capture truncated the front of
 the growing full record in r5 and r8 (`parsed: null`), so the last
-line is now guaranteed small enough to always parse (VERDICT r8 #4).
-The FULL record (per-query spread, protocol doc) additionally goes to
-repo-side `bench_last.json`.
+line is kept small enough to always parse (VERDICT r8 #4) while still
+carrying the per-query medians the driver's PERF comparison needs
+(VERDICT r12 #1). The FULL record (per-query spread, probe medians,
+protocol doc) additionally goes to repo-side `bench_last.json` AND a
+per-core-count `bench_last_c{CPUS}.json` (VERDICT r12 #7).
 
 Timings are checksum-consumed (`_consume_checksum`, unprunable) —
 adopted round 5; the r1-r4 `.count()` protocol ran one transition
@@ -463,7 +465,15 @@ def main() -> None:
         import gc
 
         gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        # _jvm is a private py4j handle and absent under Spark Connect;
+        # degrade to the Python-only collect instead of crashing the
+        # bench before any timing runs (ADVICE r12)
+        try:
+            jvm = spark.sparkContext._jvm
+            if jvm is not None:
+                jvm.System.gc()
+        except Exception:
+            pass
         # per-RUN interleaved sampling (review r12): sampling once
         # after the whole run set left a burst contained within the
         # set invisible; now each query records the median of the
@@ -571,8 +581,16 @@ def main() -> None:
     full["consume"] = (
         "bit_xor(xxhash64(struct(*))) — unprunable; see _consume_checksum"
     )
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_last.json"), "w") as f:
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "bench_last.json"), "w") as f:
+        json.dump(full, f, indent=2, sort_keys=True)
+        f.write("\n")
+    # ALSO stamp a per-core-count copy (VERDICT r12 #3/#7): the
+    # driver's scaling pass (same command, lower $SPARK_GRAFT_CPUS)
+    # used to clobber the anchor record; bench_last_c{N}.json keeps
+    # one record per configuration so a c8 run never erases the c32
+    # anchor's spread/probe detail.
+    with open(os.path.join(repo_dir, f"bench_last_c{CPUS}.json"), "w") as f:
         json.dump(full, f, indent=2, sort_keys=True)
         f.write("\n")
     print(json.dumps(result))
@@ -580,14 +598,22 @@ def main() -> None:
     # tail of stdout, and the full per-query record outgrew its capture
     # buffer in r5 and again in r8 (`parsed: null`, front truncated).
     # A compact headline as the FINAL line always fits the tail intact,
-    # so BENCH_r{N}.json parses regardless of suite size; the per-query
-    # detail stays in the full line above and in bench_last.json.
+    # so BENCH_r{N}.json parses regardless of suite size.
+    # VERDICT r12 #1: the driver parses ONLY this final line, so the
+    # per-query median map must ride it or PERF_r{N} gets
+    # `per_query: {}` / `n_common: 0` (two rounds running). The map is
+    # ~1.7 KB for 50 entries — far under the observed ~4 KB tail
+    # capture, and an order of magnitude below the full record whose
+    # spread/notes/runs fields caused the r5/r8 truncations. Those
+    # heavyweight fields stay OUT of this line (full record: preceding
+    # stdout line + bench_last.json).
     print(
         json.dumps(
             {
                 "metric": result["metric"],
                 "value": result["value"],
                 "unit": result["unit"],
+                "queries": timings,
                 "sf": result["sf"],
                 "comparable_r1_subset_total": result[
                     "comparable_r1_subset_total"
@@ -595,8 +621,6 @@ def main() -> None:
                 "cpu_marker": cpu_marker,
                 "cpu_marker_during": result["cpu_marker_during"],
                 "n_queries": len(timings),
-                "detail": "full per-query record: preceding stdout "
-                "line + repo-side bench_last.json",
             }
         )
     )

@@ -395,6 +395,11 @@ def nearest_centroid(
     # fix). The function is pure — the marker only forbids the
     # optimizer to clone or reorder it, so values are unchanged
     # (pinned bit-identical to the JVM reference form either way).
+    # Tradeoff (ADVICE r12): the marker applies to EVERY consumer of
+    # nearest_centroid (sim6/sim7 store builds, semdedup, dd12) and
+    # blocks legitimate filter pushdown THROUGH the projection for all
+    # of them — a future consumer that must prune rows before
+    # assignment has to pre-filter its input explicitly.
     _assign = pandas_udf(out_type)(_assign_fn).asNondeterministic()
     return _assign(vec_col, nrm_col)
 

@@ -19,6 +19,8 @@ from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "inpe-queimadas-etl-spark"
 
+_WARNED_DRIVER_MEM = False
+
 
 def _cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -75,7 +77,29 @@ def get_spark(
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # spark.driver.memory only takes effect when THIS call launches
+    # the JVM gateway; a pre-existing in-process session (second
+    # get_spark call, pyspark shell, spark-submit with its own sizing)
+    # silently keeps its original heap (ADVICE r12). Warn once so a
+    # caller cannot believe the heap is sized when it is not.
+    global _WARNED_DRIVER_MEM
+    try:
+        effective = spark.conf.get("spark.driver.memory", "")
+    except Exception:
+        effective = ""
+    if effective != driver_mem and not _WARNED_DRIVER_MEM:
+        _WARNED_DRIVER_MEM = True
+        import warnings
+
+        warnings.warn(
+            f"requested spark.driver.memory={driver_mem} but the "
+            f"already-running JVM reports {effective or 'unset'}; "
+            "driver memory is fixed at first JVM launch",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return spark
 
 
 TABLE_NAMES = (

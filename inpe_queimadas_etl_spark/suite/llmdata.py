@@ -821,7 +821,14 @@ def _dd6_candidate_pairs(emb: DataFrame, n_bands: int, band_bits: int) -> DataFr
     join otherwise re-runs the Arrow banding pass over the full corpus
     inside its own scan, i.e. two hyperplane-projection passes for one
     candidate build. Three narrow columns per row; at cluster scale
-    persist it to parquet instead."""
+    persist it to parquet instead.
+
+    Lifetime (ADVICE r12): the checkpointed blocks stay pinned until
+    the returned frame's RDD is garbage-collected — an eager unpersist
+    here would run BEFORE the lazy consumer executes. Callers that
+    run many queries in one session drain between queries (bench.py /
+    qbench.py trigger one JVM System.gc() per query, which lets
+    ContextCleaner drop the blocks once the Python refs are gone)."""
     bands = _emb_band_rows(emb, "vec_id", n_bands, band_bits).localCheckpoint(
         eager=True
     )
@@ -3257,14 +3264,19 @@ def _ivf_sq8_topk(
     cents3 = sorted(
         (r["centroid_id"], list(r["cv"]), r["cn"]) for r in cent.collect()
     )
+    # fields declared NULLABLE (ADVICE r12): a null collected value
+    # (e.g. a malformed embedding row's nrm) must reach the downstream
+    # try_divide/argmax logic that already handles nulls, not raise at
+    # Arrow createDataFrame time where the previous lazy distributed
+    # plan tolerated it. Same at every local_df site in this module.
     cent_local = local_df(
         spark,
         cents3,
         T.StructType(
             [
-                T.StructField("centroid_id", T.LongType(), False),
-                T.StructField("cv", T.ArrayType(T.DoubleType()), False),
-                T.StructField("cn", T.DoubleType(), False),
+                T.StructField("centroid_id", T.LongType(), True),
+                T.StructField("cv", T.ArrayType(T.DoubleType()), True),
+                T.StructField("cn", T.DoubleType(), True),
             ]
         ),
     )
@@ -3279,12 +3291,12 @@ def _ivf_sq8_topk(
     )
     q_base = local_df(
         spark,
-        [(r["vec_id"], list(r["v"]), r["nrm"]) for r in q_rows],
+        [(r["vec_id"], list(r["v"]) if r["v"] is not None else None, r["nrm"]) for r in q_rows],
         T.StructType(
             [
-                T.StructField("vec_id", T.LongType(), False),
-                T.StructField("v", T.ArrayType(T.DoubleType()), False),
-                T.StructField("nrm", T.DoubleType(), False),
+                T.StructField("vec_id", T.LongType(), True),
+                T.StructField("v", T.ArrayType(T.DoubleType()), True),
+                T.StructField("nrm", T.DoubleType(), True),
             ]
         ),
     )
@@ -5462,11 +5474,13 @@ def _sim8_topk(emb: DataFrame, cb: list) -> DataFrame:
     q = local_df(
         emb.sparkSession,
         [(r["query_id"], list(r["qv"]), r["nq"]) for r in q_rows],
+        # nullable fields (ADVICE r12): downstream try_divide handles
+        # a null nq; don't raise at Arrow createDataFrame time
         T.StructType(
             [
-                T.StructField("query_id", T.LongType(), False),
-                T.StructField("qv", T.ArrayType(T.DoubleType()), False),
-                T.StructField("nq", T.DoubleType(), False),
+                T.StructField("query_id", T.LongType(), True),
+                T.StructField("qv", T.ArrayType(T.DoubleType()), True),
+                T.StructField("nq", T.DoubleType(), True),
             ]
         ),
     )
@@ -5758,11 +5772,12 @@ def _sim9_topk(
     cent_local = local_df(
         spark,
         cents3,
+        # nullable fields (ADVICE r12): see _ivf_sq8_topk
         T.StructType(
             [
-                T.StructField("centroid_id", T.LongType(), False),
-                T.StructField("cv", T.ArrayType(T.DoubleType()), False),
-                T.StructField("cn", T.DoubleType(), False),
+                T.StructField("centroid_id", T.LongType(), True),
+                T.StructField("cv", T.ArrayType(T.DoubleType()), True),
+                T.StructField("cn", T.DoubleType(), True),
             ]
         ),
     )
@@ -5808,11 +5823,12 @@ def _sim9_topk(
     q = local_df(
         spark,
         [(vid, v, nrm) for vid, (v, nrm) in sorted(q_seen.items())],
+        # nullable fields (ADVICE r12): see _ivf_sq8_topk
         T.StructType(
             [
-                T.StructField("query_id", T.LongType(), False),
-                T.StructField("qv", T.ArrayType(T.DoubleType()), False),
-                T.StructField("nq", T.DoubleType(), False),
+                T.StructField("query_id", T.LongType(), True),
+                T.StructField("qv", T.ArrayType(T.DoubleType()), True),
+                T.StructField("nq", T.DoubleType(), True),
             ]
         ),
     )

@@ -75,7 +75,12 @@ def main() -> None:
         else:
             runner = lambda: bench._consume_checksum(fn(spark, SF_DIR))
         gc.collect()
-        spark.sparkContext._jvm.System.gc()  # bench.py's convention
+        try:  # bench.py's convention; _jvm may be absent (ADVICE r12)
+            jvm = spark.sparkContext._jvm
+            if jvm is not None:
+                jvm.System.gc()
+        except Exception:
+            pass
         spark.sparkContext.setJobDescription(f"qbench:{name}")
         runner()  # warm-up
         samples, probes = [], [bench._bw_sample()]
