@@ -59,6 +59,19 @@ def get_spark(
     # memory explicitly and this default is irrelevant (a driver that
     # only plans and collects bounded results needs far less).
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    # Throughput collector for the batch role (r13, guide §5/§9): in
+    # local[N] the driver JVM is every executor, and G1 (the JDK
+    # default) develops an aged-heap pathology on allocation-burst
+    # reducers — measured on the 25-query bench prefix: the hot-key
+    # collect_set query read 5.1 s under aged G1 vs 2.0 s in a fresh
+    # JVM vs 1.5 s under ParallelGC, and 24 of 27 prefix queries ran
+    # at or below their G1 times under ParallelGC (geomean -11 %,
+    # full table in OPTIMIZATION_r13.md). Env-overridable (set
+    # SPARK_GRAFT_DRIVER_GC="" to keep the JVM default); on a real
+    # cluster submit-time executor JVM options override this, same as
+    # driver memory. Like spark.driver.memory, only effective when
+    # THIS process launches the JVM.
+    driver_gc = os.environ.get("SPARK_GRAFT_DRIVER_GC", "-XX:+UseParallelGC")
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -75,6 +88,8 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.maxResultSize", "2g")
     )
+    if driver_gc:
+        builder = builder.config("spark.driver.extraJavaOptions", driver_gc)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

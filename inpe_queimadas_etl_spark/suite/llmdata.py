@@ -619,7 +619,16 @@ def dd4_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     a = bands.alias("a")
-    b = bands.alias("b")
+    # SHUFFLE_HASH (r13, the dd2 r12 finding — guide §3.1): left to the
+    # planner, the checkpointed band table's unknown size estimate
+    # chose a driver-built BroadcastExchange of the WHOLE band table
+    # (corpus x n_bands rows — single-threaded build, and at scale a
+    # corpus-sized broadcast is a driver OOM by construction). The
+    # hinted shuffled-hash join builds per-partition hash tables in
+    # parallel on the uniform (band_idx, band_hash) keys. Checksum
+    # MATCH; measured -9..15 % at sf0.1 in 2 of 3 alternating reps
+    # (even in the third), and dd7/dd9 inherit the same shape.
+    b = bands.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
