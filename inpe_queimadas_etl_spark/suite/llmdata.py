@@ -2375,15 +2375,28 @@ def tx6_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan a curation pipeline runs to find templated text worth
     stripping.
 
-    Scale design: bigrams explode map-side; the groupBy count runs
-    with map-side partial aggregation so the shuffle carries one row
-    per (partition, distinct gram), not per occurrence; the final
-    top-50 is a TakeOrdered (per-partition heap + driver merge of 50
-    rows), never a global sort. n_docs uses countDistinct, which
-    Spark plans as a two-level expand+agg — still bounded by distinct
-    grams. At 100 TB the distinct-gram space is the working set, and
-    a skew-heavy gram (boilerplate!) is exactly what partial
-    aggregation absorbs."""
+    Scale design (r13 — measured, guide §2.3/§2.4): the countDistinct
+    form planned as partial-agg(gram, doc_id) → Exchange(gram,
+    doc_id) → merge → partial-distinct → Exchange(gram) → final. On
+    bigram streams the (gram, doc_id) key barely collapses (most
+    bigrams occur once per doc), so that first pre-shuffle hash
+    aggregate built an occurrence-sized hash table for ~no row
+    reduction — pure CPU/memory cost ahead of a same-sized exchange.
+    The explicit repartition("gram", "doc_id") replaces it with a
+    plain exchange (no pre-shuffle agg pass); both groupBys then run
+    in ONE post-shuffle stage (partitioning by (gram, doc_id)
+    satisfies both clusterings), and the second exchange carries one
+    partial row per distinct gram per partition — tiny and skew-free.
+    Keys stay skew-safe at scale: a boilerplate-hot gram spreads
+    across doc_ids (the alternative repartition("gram") measured ~10 %
+    faster at 10x but serializes the hottest gram into one task — a
+    single-key ceiling AQE cannot split for aggregations; rejected,
+    numbers in OPTIMIZATION_r13.md). count("doc_id") over the
+    pre-grouped rows is exactly countDistinct's null-excluding
+    semantics. Measured (alternating A/B, checksum MATCH at both
+    shapes): sf0.1 0.83-1.04 s → 0.66-0.86 s; 10x synthetic corpus
+    5.3-6.4 s → 2.7-3.2 s. The final top-50 stays a TakeOrdered
+    (per-partition heap + driver merge), never a global sort."""
     docs = load_table(spark, sf_dir, "documents")
     g = (
         docs.withColumn("w", F.split(F.col("text"), " "))
@@ -2398,11 +2411,16 @@ def tx6_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
     )
+    per_doc = (
+        g.repartition("gram", "doc_id")
+        .groupBy("gram", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
     return (
-        g.groupBy("gram")
+        per_doc.groupBy("gram")
         .agg(
-            F.count("*").alias("n_occurrences"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("c").alias("n_occurrences"),
+            F.count("doc_id").alias("n_docs"),
         )
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
         .limit(50)
