@@ -64,6 +64,45 @@ _MH_BANDS = 4
 _MH_ROWS = 2  # rows per band (k = bands * rows)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Unlock scan parallelism on under-split inputs before a
+    CPU-heavy deterministic map pass (r13, guide §2.5/§6 "one huge
+    unsplittable file ... repartition immediately after the read").
+
+    The local testdata tables are ONE parquet file with ONE row group,
+    and Spark cannot split a row group across tasks — so every
+    scan-rooted stage (shingling, minhash, rolling hashes, explodes,
+    Arrow encode passes) ran as ONE task regardless of core count.
+    That was the measured cause of the suite's flat 8-vs-32-core
+    scaling (scripts/scaling_cores.py, SCALING.md r13): the map work
+    was serialized by input layout, not by the operators.
+
+    Scale-adaptive by construction: the round-robin repartition only
+    fires when the scan yields fewer splits than the session's default
+    parallelism. At cluster scale the input is many files/row groups
+    (splits >= parallelism) and this is a no-op; locally it costs one
+    exchange rooted at the single scan task — the full rows are
+    serialized through that one task either way, so the spread only
+    pays where downstream per-row compute dominates the exchange.
+    Every candidate site was decided by a same-process alternating
+    A/B (scripts/ab_spread.py; plans/r13/ab_spread_*.txt): KEPT at
+    dd3's minhash signature pass (0.51 s vs 0.77 s, and dd4/dd7/dd9
+    inherit it through the signature build: 0.97/0.81/0.94 ratios)
+    and mm5's SimHash signature pass (0.67 s vs 1.15 s); measured and
+    REJECTED everywhere else (dd2, dd5, dd8, dd10, dd11, cur8, cur9,
+    cur10, tx8, tx9, emb1, dd6, dd12, geo1, geo8 — ratios 1.14-1.51,
+    per-site notes at the call sites). A keyed repartition(doc_id)
+    variant measured even with round-robin (0.54 vs 0.53), so the
+    generic keyless form stays. Values are partitioning-independent
+    at every site: per-row hash/array math only, no rand(), no
+    partition-seeded sampling; trained-model float-aggregation paths
+    (sim7/sim10/sim11/tx10) are out of scope by policy."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _shingles_spark(df: DataFrame, n: int = 3) -> DataFrame:
     """doc_id + distinct n-word shingle array, computed map-side."""
     words = F.split(F.col("text"), " ")
@@ -313,6 +352,9 @@ def dd2_ngram_jaccard_pairs(
     exactly so precision is always 1.0.
     """
     threshold = 0.5
+    # NOT spread (r13 A/B: 2.99 s vs 2.22 s — the added exchange of
+    # full text rows costs more than the shingle pass's serialization;
+    # dd2's wall time is the PPJoin self-join, not the scan)
     docs = load_table(spark, sf_dir, "documents")
     raw_sets = _dd2_shingle_hash_sets(docs).localCheckpoint(eager=True)
     # Global prefix order (PPJoin): prefix filtering is valid under
@@ -535,7 +577,7 @@ def dd3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=8) computed entirely map-side with array
     higher-order functions — zero shuffle, linear scan; the scale path
     for 100 TB near-dup detection."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     sh = _shingles_spark(docs)
     ints = sh.withColumn(
         "xs", F.expr(_SHINGLE_INT_EXPR).cast("array<long>")
@@ -900,6 +942,8 @@ def dd6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes behavior only beyond the oracle-checked decade."""
     from ..operators.similarity import dot_product, vec_norm
 
+    # NOT spread (r13 A/B: 1.47 s vs 0.98 s — the banding checkpoint
+    # and verify joins dominate, not the scan-rooted hyperplane pass)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1253,6 +1297,8 @@ def dd8_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for shingles — the DuckDB oracle groups the strings and agrees);
     # the operator also offers mode="paragraph" for real separator-
     # structured corpora (operators/textdedup.py)
+    # NOT spread (r13 A/B: 1.67 s vs 1.12 s — chunk explode + groupBy
+    # pipelines fine off the scan; the exchange is pure overhead)
     return passage_dedup(
         load_table(spark, sf_dir, "documents"),
         mode="fixed",
@@ -3442,7 +3488,13 @@ def dd10_duplicate_spans(
     spark: SparkSession, sf_dir: str, win: int = _DD10_WIN
 ) -> DataFrame:
     """Suite entry for :func:`duplicate_spans` over the documents
-    table — see that function for the semantics and scale design."""
+    table — see that function for the semantics and scale design.
+
+    NOT spread (r13 clean-window A/B: 1.41 s vs 1.18 s — the rolling
+    pass checkpoints anyway, and the exchange + 32-block checkpoint
+    write costs more than the serial Arrow pass saves at this shape;
+    an earlier contaminated window read the opposite, see
+    plans/r13/ab_spread_batch1.txt vs ab_spread_final.txt)."""
     return duplicate_spans(load_table(spark, sf_dir, "documents"), win)
 
 
@@ -3842,6 +3894,8 @@ def dd12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry (K=_IVF_K first-vector codebook, tau=_DD12_TAU)."""
     from ..operators.similarity import vec_norm
 
+    # NOT spread (r13 A/B: 1.26 s vs 1.11 s — the centroid-group
+    # exchange dominates; fanning the scan out first loses)
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -4256,6 +4310,9 @@ def ngram_lm_scores(
 def tx8_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM scoring over the documents table at the oracle-stated
     demo geometry (V=_TX8_VOCAB, self-scored)."""
+    # NOT spread (r13 A/B: 2.85 s vs 2.47 s — the histogram explodes
+    # do map-side partial aggregation in the scan stage; an up-front
+    # exchange of full text rows only adds serialization)
     return ngram_lm_scores(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
@@ -4511,7 +4568,9 @@ def cur8_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     'en' slice, raw = the whole documents table, B=_CUR8_BUCKETS."""
     docs = load_table(spark, sf_dir, "documents")
     # fused target-flag form (r12): the target is the corpus's 'en'
-    # slice, so its bucket counts ride the one corpus histogram pass
+    # slice, so its bucket counts ride the one corpus histogram pass.
+    # NOT spread (r13 A/B: 1.94 s vs 1.62 s — same partial-agg story
+    # as tx8)
     return dsir_logweights(
         docs.select(
             "doc_id",
@@ -4621,6 +4680,8 @@ def cur9_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR Gumbel-top-k draw at the oracle-stated demo geometry:
     k=_CUR9_K from the English-target weights of cur8."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOT spread (r13 A/B: 1.72 s vs 1.41 s — same partial-agg story
+    # as tx8/cur8)
     return dsir_gumbel_topk(
         docs.select(
             "doc_id",
@@ -4673,6 +4734,8 @@ def tx9_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     if merges is None:
         merges = train_bpe(corpus_word_counts(docs, _TX9_TOP_K), _TX9_MERGES)
         _TX9_MERGE_CACHE[key] = merges
+    # NOT spread (r13 A/B: 0.62 s vs 0.48 s — the Arrow BPE pass is
+    # cheap per byte; the exchange loses)
     return bpe_token_stats(docs, merges)
 
 
@@ -4985,6 +5048,8 @@ def emb1_hashed_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar digest of the hashed encoder over the documents table:
     ``(doc_id, c0, c7, c15, l1)`` — exact dyadic sums, bit-identical
     to the DuckDB oracle with no rounding."""
+    # NOT spread (r13 A/B: 0.88 s vs 0.69 s — the per-word memo makes
+    # the encoder cheap per byte at this shape; the exchange loses)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     v = hashed_doc_vectors(docs)
     return v.select(
@@ -5114,6 +5179,8 @@ def cur10_substring_decontamination(
     """Exact-substring decontamination at the oracle-stated demo
     geometry: eval = the doc_id % 41 == 0 slice, corpus = the rest,
     win=_CUR10_WIN."""
+    # NOT spread (r13 clean-window A/B: 1.58 s vs 1.33 s — the window
+    # fingerprints already stream map-side; the exchange loses)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return substring_contamination(
         docs.filter(F.col("doc_id") % 41 != 0),

@@ -446,7 +446,15 @@ def mm5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at every geometry. The size probe is one count() over the media
     frame — the same one-small-job convention as dd6's auto-tune."""
     docs = load_table(spark, sf_dir, "documents")
-    media = media_from_documents(docs).filter(F.length("payload") > 0)
+    # unlock scan parallelism for the payload build + signature pass
+    # (single-row-group local inputs scan as ONE task — llmdata._spread);
+    # the size probe below keeps the unspread scan: it prunes to one
+    # column and needs no fan-out
+    from .llmdata import _spread
+
+    media = media_from_documents(_spread(docs)).filter(
+        F.length("payload") > 0
+    )
     # size probe (one small job, the dd6 auto-tune convention): count
     # on the raw text column — length(encode(text,'UTF-8')) > 0 iff
     # length(text) > 0 (and both are null-rejecting), so this is the
