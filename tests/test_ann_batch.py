@@ -11,6 +11,10 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+
+# internal-consistency soak: excluded from the driver-visible fast
+# gate (pytest.ini); run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from inpe_queimadas_etl_spark.api import ann_topk, ann_topk_batch

@@ -12,6 +12,10 @@ import json
 import os
 
 import pytest
+
+# internal-consistency soak: excluded from the driver-visible fast
+# gate (pytest.ini); run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from inpe_queimadas_etl_spark.api import ann_topk

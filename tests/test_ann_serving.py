@@ -13,6 +13,10 @@ import os
 import pandas as pd
 import pytest
 
+# internal-consistency soak: excluded from the driver-visible fast
+# gate (pytest.ini); run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 from inpe_queimadas_etl_spark.api import ann_topk
 from inpe_queimadas_etl_spark.operators.pq import (
     ann_model_sha256,

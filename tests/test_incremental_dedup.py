@@ -8,6 +8,10 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
+
+# internal-consistency soak: excluded from the driver-visible fast
+# gate (pytest.ini); run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from inpe_queimadas_etl_spark.incremental import (

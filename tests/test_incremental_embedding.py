@@ -9,6 +9,10 @@ import numpy as np
 import pandas as pd
 import pytest
 
+# internal-consistency soak: excluded from the driver-visible fast
+# gate (pytest.ini); run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 from inpe_queimadas_etl_spark.incremental import (
     embedding_band_index,
     incremental_embedding_neardup,

@@ -8,6 +8,10 @@ import datetime as dt
 
 import pytest
 
+# internal-consistency soak: excluded from the driver-visible fast
+# gate (pytest.ini); run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 from inpe_queimadas_etl_spark import pipeline, streaming
 from inpe_queimadas_etl_spark.schemas import UF_AREA
 from inpe_queimadas_etl_spark.sources.csv_ingest import write_fixture_csv

@@ -9,6 +9,10 @@ import os
 import pandas as pd
 import pytest
 
+# internal-consistency soak: excluded from the driver-visible fast
+# gate (pytest.ini); run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 from inpe_queimadas_etl_spark.streaming import start_corpus_dedup_stream
 
 def _doc(seed: int, n: int = 45) -> str:
