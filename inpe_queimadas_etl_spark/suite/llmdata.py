@@ -3494,7 +3494,7 @@ def dd10_duplicate_spans(
     pass checkpoints anyway, and the exchange + 32-block checkpoint
     write costs more than the serial Arrow pass saves at this shape;
     an earlier contaminated window read the opposite, see
-    plans/r13/ab_spread_batch1.txt vs ab_spread_final.txt)."""
+    plans/r13/ab_spread_evidence.txt)."""
     return duplicate_spans(load_table(spark, sf_dir, "documents"), win)
 
 
