@@ -352,9 +352,12 @@ def dd2_ngram_jaccard_pairs(
     exactly so precision is always 1.0.
     """
     threshold = 0.5
-    # NOT spread (r13 A/B: 2.99 s vs 2.22 s — the added exchange of
-    # full text rows costs more than the shingle pass's serialization;
-    # dd2's wall time is the PPJoin self-join, not the scan)
+    # NOT spread at either cut (r13 A/B, clean windows): exchanging
+    # full text rows before the shingle pass read 2.99 s vs 2.22 s,
+    # and exchanging the COMPACT shingle-set rows before the
+    # checkpoint read 2.85 s vs 2.00 s — at this shape every
+    # downstream stage is fanned out by its own shuffle anyway, and
+    # the extra exchange + multi-block checkpoint only adds cost
     docs = load_table(spark, sf_dir, "documents")
     raw_sets = _dd2_shingle_hash_sets(docs).localCheckpoint(eager=True)
     # Global prefix order (PPJoin): prefix filtering is valid under
@@ -3537,6 +3540,9 @@ def duplicate_spans(docs: DataFrame, win: int = _DD10_WIN) -> DataFrame:
     `_md5_window_shingles` below stays as the JVM-side reference
     anchor and tests/test_rollhash.py pins span-level equality of the
     two generators (real corpus + planted + hypothesis fuzz)."""
+    # shingle checkpoint NOT spread (r13 A/B: 1.52 s vs 1.10 s —
+    # same story as dd2's set table: the repeat groupBy's own
+    # exchange already fans the work out)
     shingles = rolling_window_shingles(docs, win).localCheckpoint(
         eager=True
     )
