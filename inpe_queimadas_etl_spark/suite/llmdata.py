@@ -4170,24 +4170,30 @@ def _tx8_sql(vocab_size: int = _TX8_VOCAB) -> str:
 TX8_SQL = _tx8_sql()
 
 
-def _tx8_map_to_vocab(df: DataFrame, vocab: DataFrame, *cols: str) -> DataFrame:
+def _tx8_map_to_vocab(
+    df: DataFrame, vocab_toks: list, *cols: str
+) -> DataFrame:
     """Replace each of ``cols`` with '<unk>' where the value is not in
-    ``vocab`` (single column ``t``) — one broadcast left join per
-    column, no corpus shuffle."""
-    for c in cols:
-        marker = f"__v_{c}"
-        vb = F.broadcast(vocab.select(F.col("t").alias(marker)))
-        df = (
-            df.join(vb, df[c] == vb[marker], "left")
-            .withColumn(
-                c,
-                F.when(F.col(marker).isNull(), F.lit(_TX8_UNK)).otherwise(
-                    F.col(c)
-                ),
+    ``vocab_toks`` — a codegen'd InSet hash-set probe per column (r13;
+    the driver already holds the top-V list from the TakeOrdered, so
+    no join is needed). The r12 form was one broadcast LEFT join per
+    column; two BroadcastHashJoins on string keys measured 2.09 s vs
+    1.75 s for the full tx8 against this expression (alternating A/B,
+    checksum MATCH at sf0.001/0.01/0.1 — guide §3.1/§2.4: the best
+    join is no join). V is vocab-gated (512), far past the In→InSet
+    conversion threshold (10), so each probe is O(1)."""
+    return df.select(
+        *[
+            (
+                F.when(F.col(c).isin(vocab_toks), F.col(c))
+                .otherwise(F.lit(_TX8_UNK))
+                .alias(c)
+                if c in cols
+                else F.col(c)
             )
-            .drop(marker)
-        )
-    return df
+            for c in df.columns
+        ]
+    )
 
 
 def ngram_lm_scores(
@@ -4249,9 +4255,6 @@ def ngram_lm_scores(
         # merge with an in-vocab literal '<unk>' token if one exists —
         # exactly what the mapped groupBy produced
         c1[_TX8_UNK] = c1.get(_TX8_UNK, 0) + n_unk
-    vocab = docs.sparkSession.createDataFrame(
-        [(t,) for t in vocab_toks], "t string"
-    )
     uni = docs.sparkSession.createDataFrame(
         [(t, c) for t, c in sorted(c1.items())], "t string, c1 bigint"
     )
@@ -4277,7 +4280,10 @@ def ngram_lm_scores(
     # the C2 build stays its own sample-sized pass.
     mbig_hist = (
         _tx8_map_to_vocab(
-            _bigrams(w).select("doc_id", "g.w1", "g.w2"), vocab, "w1", "w2"
+            _bigrams(w).select("doc_id", "g.w1", "g.w2"),
+            vocab_toks,
+            "w1",
+            "w2",
         )
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("c"))
@@ -4287,7 +4293,7 @@ def ngram_lm_scores(
         bi = mbig_hist.groupBy("w1", "w2").agg(F.sum("c").alias("c2"))
     else:
         tbig = _tx8_map_to_vocab(
-            _bigrams(tw).select("g.w1", "g.w2"), vocab, "w1", "w2"
+            _bigrams(tw).select("g.w1", "g.w2"), vocab_toks, "w1", "w2"
         )
         bi = tbig.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     scored = (
